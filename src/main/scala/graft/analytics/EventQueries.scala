@@ -1,0 +1,199 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/** Reference-parity analytics over the `events` table — the sensor-stream
+  * analog (`ts`/`value`/`event_id`/`user_id` play `timestamp`/`temperature`/
+  * `count`/`client_id`; FIXTURES.md §2).
+  *
+  * Query IDs follow SURVEY.md §2.4/§2.2/DD-*:
+  *  - AGG-1 hourly avg (Kibana Q1/Q2: terms agg on hourly index + avg,
+  *    assets/220715_average_temperature_bar.png, README.md:134-150)
+  *  - AGG-2 histogram bucket max (Kibana Q3/Q4: histogram on `count`
+  *    interval 1000 + max, README.md:155-173)
+  *  - AGG-3 temp/humidity inverse-correlation analysis (README.md:122-123)
+  *  - AGG-4 per-bucket record counts (index doc counts, README.md:110)
+  *  - EXP-3/4 JSON encode/decode roundtrip (sensor_publish.py:80)
+  *  - SRC-4 IoT Rule topic SQL: ingestion-side projection+filter
+  *    (README.md:50, 242)
+  *  - DD-1/DD-2 dedup required by MQTT QoS1 at-least-once delivery
+  *    (sensor_publish.py:81, README.md:281)
+  *
+  * Determinism rules (SURVEY.md §5.2): aggregates are rounded, pass-through
+  * columns stay raw (bit-identical in both engines), every result ends in a
+  * total `orderBy`, hour buckets are emitted as strings (the reference's own
+  * hourly index-name representation, `sensor-log-YYYY-MM-DD-HH`).
+  */
+object EventQueries {
+
+  /** Hour-bucket label, mirroring the reference's hourly OpenSearch index
+    * names (`sensor-log-2022-07-14-15`, README.md:110). String output keeps
+    * the oracle comparison free of timestamp-precision skew.
+    */
+  private def hourLabel(ts: Column): Column = date_format(ts, "yyyy-MM-dd-HH")
+
+  /** AGG-1: hourly average (+max, +count) of `value`. Partial/final hash
+    * aggregation matches OpenSearch's shard-local agg + coordinator merge
+    * (SURVEY.md §3.3); one shuffle on the hour key, no sort before agg.
+    */
+  def hourlyAvg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(hourLabel(col("ts")).as("hour"))
+      .agg(
+        round(avg("value"), 6).as("avg_value"),
+        round(max("value"), 6).as("max_value"),
+        count(lit(1)).as("n"))
+      .orderBy("hour")
+
+  val hourlyAvgSql: String =
+    """SELECT strftime(ts, '%Y-%m-%d-%H') AS hour,
+      |       round(avg(value), 6) AS avg_value,
+      |       round(max(value), 6) AS max_value,
+      |       count(*) AS n
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** AGG-2: histogram-bucket max — `floor(count/1000)` buckets with a max
+    * metric in the reference; `event_id` is the `count` analog. Integer
+    * `div` keeps bucket arithmetic exact at any scale.
+    */
+  def bucketMax(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(expr("(event_id div 1000) * 1000").as("bucket"))
+      .agg(
+        max("value").as("max_value"),
+        min("value").as("min_value"),
+        count(lit(1)).as("n"))
+      .orderBy("bucket")
+
+  val bucketMaxSql: String =
+    """SELECT (event_id // 1000) * 1000 AS bucket,
+      |       max(value) AS max_value,
+      |       min(value) AS min_value,
+      |       count(*) AS n
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** AGG-3: correlation analysis. The reference observes an inverse
+    * temperature/humidity relation across hourly windows (README.md:122-123);
+    * here: Pearson corr between `value` and the JSON prop `k` (EXP-4
+    * json-decode folded in), per event_type.
+    */
+  def corrByType(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("double"))
+      .groupBy("event_type")
+      .agg(
+        round(corr("value", "k"), 4).as("corr_vk"),
+        round(avg("value"), 6).as("avg_value"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  val corrByTypeSql: String =
+    """SELECT event_type,
+      |       round(corr(value, CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS corr_vk,
+      |       round(avg(value), 6) AS avg_value,
+      |       count(*) AS n
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** AGG-4 / SNK-2: records per hourly partition per user — the doc-count
+    * view of the hourly index rotation, plus a distinct-user metric.
+    */
+  def hourlyCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(hourLabel(col("ts")).as("hour"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("event_type")).as("n_types"))
+      .orderBy("hour")
+
+  val hourlyCountsSql: String =
+    """SELECT strftime(ts, '%Y-%m-%d-%H') AS hour,
+      |       count(*) AS n,
+      |       count(DISTINCT user_id) AS n_users,
+      |       count(DISTINCT event_type) AS n_types
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** EXP-3/EXP-4: wire-format roundtrip — `to_json(struct(...))` then
+    * `from_json` with the explicit schema (schema-on-read; never inferred),
+    * then an exact integer aggregation to stay order-insensitive. Proves the
+    * encode/decode path the reference exercises at sensor_publish.py:80 and
+    * in Firehose/Athena consumption (README.md:8).
+    */
+  def jsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val wire = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType)))
+    Tables.events(spark, dir)
+      .select(to_json(struct(col("event_id"), col("user_id"), col("event_type"))).as("j"))
+      .select(from_json(col("j"), wire).as("r"))
+      .select(col("r.event_id").as("event_id"), col("r.user_id").as("user_id"),
+        col("r.event_type").as("event_type"))
+      .groupBy("event_type")
+      .agg(sum("event_id").as("sum_id"), sum("user_id").as("sum_uid"), count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+
+  val jsonRoundtripSql: String =
+    """SELECT event_type, sum(event_id) AS sum_id, sum(user_id) AS sum_uid, count(*) AS n
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** SRC-4: the IoT Rule's topic SQL — a declarative projection+filter that
+    * decides which records continue downstream (README.md:50). Pushed to the
+    * parquet scan by Catalyst (PushedFilters in the explain output).
+    */
+  def ruleFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .where(col("event_type") === "purchase" && col("value") > 50.0)
+      .select(col("event_id"), col("user_id"), col("value"),
+        expr("ts_ns div 1000").as("ts_us"))
+      .orderBy("event_id")
+
+  val ruleFilterSql: String =
+    """SELECT event_id, user_id, value, epoch_us(ts) AS ts_us
+      |FROM events WHERE event_type = 'purchase' AND value > 50.0
+      |ORDER BY event_id""".stripMargin
+
+  /** DD-1: exact dedup. MQTT QoS1 is at-least-once (sensor_publish.py:81,
+    * README.md:281) so the engine must offer exact key-dedup; expressed as a
+    * deterministic DISTINCT projection (a `dropDuplicates` whose kept row is
+    * well-defined lives in [[dedupLatest]]).
+    */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select("user_id", "event_type")
+      .distinct()
+      .orderBy("user_id", "event_type")
+
+  val dedupExactSql: String =
+    "SELECT DISTINCT user_id, event_type FROM events ORDER BY 1, 2"
+
+  /** DD-2: latest-wins dedup — keep the newest record per key, ties broken
+    * by event_id. One shuffle on the key; at 100 TB this is the
+    * keyed-state / window form, never a global distinct.
+    */
+  def dedupLatest(spark: SparkSession, dir: String): DataFrame = {
+    // order on the µs-truncated value: the oracle (DuckDB) only sees µs
+    // precision, so ns-level ordering would pick a different winner.
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(expr("ts_ns div 1000").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("ts_ns div 1000").as("ts_us"), col("value"))
+      .orderBy("user_id", "event_type")
+  }
+
+  val dedupLatestSql: String =
+    """SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us, value
+      |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+      |                                   ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      |      FROM events)
+      |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+}

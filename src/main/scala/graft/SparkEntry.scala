@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.EventQueries
+import graft.analytics.{EventQueries, RelationalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -29,7 +29,27 @@ object SparkEntry {
     "q_exp34_json_roundtrip" -> (EventQueries.jsonRoundtrip _),
     "q_src4_rule_filter" -> (EventQueries.ruleFilter _),
     "q_dd1_dedup_exact" -> (EventQueries.dedupExact _),
-    "q_dd2_dedup_latest" -> (EventQueries.dedupLatest _))
+    "q_dd2_dedup_latest" -> (EventQueries.dedupLatest _),
+    "q_rel1_scan_filter" -> (RelationalQueries.scanFilter _),
+    "q_rel4_join_broadcast" -> (RelationalQueries.joinBroadcast _),
+    "q_rel5_join_large" -> (RelationalQueries.joinLarge _),
+    "q_rel6_join_outer" -> (RelationalQueries.joinOuter _),
+    "q_rel7_join_semi_anti" -> (RelationalQueries.joinSemiAnti _),
+    "q_rel8_join_theta" -> (RelationalQueries.joinTheta _),
+    "q_rel9_pricing_summary" -> (RelationalQueries.pricingSummary _),
+    "q_rel10_distinct" -> (RelationalQueries.distinctCounts _),
+    "q_rel10b_approx_distinct" -> (RelationalQueries.approxDistinct _),
+    "q_rel11_rollup" -> (RelationalQueries.rollupAgg _),
+    "q_rel12_window_rank" -> (RelationalQueries.windowRank _),
+    "q_rel13_window_frames" -> (RelationalQueries.windowFrames _),
+    "q_rel14_topk" -> (RelationalQueries.topK _),
+    "q_rel15_setops" -> (RelationalQueries.setOps _),
+    "q_rel16_string_funcs" -> (RelationalQueries.stringFuncs _),
+    "q_rel17_date_funcs" -> (RelationalQueries.dateFuncs _),
+    "q_rel18_math_funcs" -> (RelationalQueries.mathFuncs _),
+    "q_rel19_array_funcs" -> (RelationalQueries.arrayFuncs _),
+    "q_rel20_json_funcs" -> (RelationalQueries.jsonFuncs _),
+    "q_rel21_conditional" -> (RelationalQueries.conditional _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -42,5 +62,25 @@ object SparkEntry {
     "q_exp34_json_roundtrip" -> EventQueries.jsonRoundtripSql,
     "q_src4_rule_filter" -> EventQueries.ruleFilterSql,
     "q_dd1_dedup_exact" -> EventQueries.dedupExactSql,
-    "q_dd2_dedup_latest" -> EventQueries.dedupLatestSql)
+    "q_dd2_dedup_latest" -> EventQueries.dedupLatestSql,
+    "q_rel1_scan_filter" -> RelationalQueries.scanFilterSql,
+    "q_rel4_join_broadcast" -> RelationalQueries.joinBroadcastSql,
+    "q_rel5_join_large" -> RelationalQueries.joinLargeSql,
+    "q_rel6_join_outer" -> RelationalQueries.joinOuterSql,
+    "q_rel7_join_semi_anti" -> RelationalQueries.joinSemiAntiSql,
+    "q_rel8_join_theta" -> RelationalQueries.joinThetaSql,
+    "q_rel9_pricing_summary" -> RelationalQueries.pricingSummarySql,
+    "q_rel10_distinct" -> RelationalQueries.distinctCountsSql,
+    // q_rel10b_approx_distinct: HLL sketch — no DuckDB equivalent; rows-only.
+    "q_rel11_rollup" -> RelationalQueries.rollupAggSql,
+    "q_rel12_window_rank" -> RelationalQueries.windowRankSql,
+    "q_rel13_window_frames" -> RelationalQueries.windowFramesSql,
+    "q_rel14_topk" -> RelationalQueries.topKSql,
+    "q_rel15_setops" -> RelationalQueries.setOpsSql,
+    "q_rel16_string_funcs" -> RelationalQueries.stringFuncsSql,
+    "q_rel17_date_funcs" -> RelationalQueries.dateFuncsSql,
+    "q_rel18_math_funcs" -> RelationalQueries.mathFuncsSql,
+    "q_rel19_array_funcs" -> RelationalQueries.arrayFuncsSql,
+    "q_rel20_json_funcs" -> RelationalQueries.jsonFuncsSql,
+    "q_rel21_conditional" -> RelationalQueries.conditionalSql)
 }

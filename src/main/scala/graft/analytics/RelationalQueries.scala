@@ -1,0 +1,458 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Relational operator battery over the star schema (SURVEY.md §2.6
+  * REL-1..21). The reference's own relational surface is thin — source
+  * projection/filter (IoT Rule SQL, README.md:50), group-by avg/max
+  * (Kibana aggs, README.md:134-173), CTAS projection
+  * (sensor-log-compactor.py:82-84) — so this module is the engine's full
+  * relational coverage, one oracle-checked query per REL row.
+  *
+  * Scale notes (the 100 TB design stance):
+  *  - dimension joins (`region`/`nation`/`supplier`) are explicitly
+  *    `broadcast()` — no shuffle of the fact side;
+  *  - fact-fact joins shuffle on the join key only, and AQE is free to pick
+  *    SMJ vs shuffled-hash at runtime;
+  *  - every aggregation is partial+final (map-side combine) by
+  *    construction — plain `groupBy.agg` with codegen'd built-ins;
+  *  - filters/projections sit directly on the scan so parquet pushdown and
+  *    column pruning apply.
+  */
+object RelationalQueries {
+
+  /** REL-1/2/3: scan → pruned projection → conjunctive range filter →
+    * computed column (TPC-H Q6-shaped predicate). Filters reach the parquet
+    * scan as PushedFilters; only 6 of 11 lineitem columns are read.
+    */
+  def scanFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") >= lit("1995-01-01") && col("l_shipdate") < lit("1996-01-01")
+        && col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_discount"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val scanFilterSql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_discount,
+      |       l_extendedprice * (1.0 - l_discount) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** REL-4: broadcast hash joins — customer ⋈ nation ⋈ region with both
+    * dims broadcast; the fact side never shuffles for the join (only the
+    * final group-by exchanges on (r_name, n_name)).
+    */
+  def joinBroadcast(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), round(avg("c_acctbal"), 6).as("avg_bal"))
+      .orderBy("r_name", "n_name")
+
+  val joinBroadcastSql: String =
+    """SELECT r_name, n_name, count(*) AS n_cust, round(avg(c_acctbal), 6) AS avg_bal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |              JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** REL-5: large-large equi-join (lineitem ⋈ orders) — shuffles both sides
+    * on the orderkey; AQE picks sort-merge vs shuffled-hash at runtime.
+    * Sum is rounded to 2dp (fp addition order differs between engines).
+    */
+  def joinLarge(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        sum("l_quantity").as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
+  val joinLargeSql: String =
+    """SELECT o_orderpriority,
+      |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      |       sum(l_quantity) AS sum_qty,
+      |       count(*) AS n
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** REL-6: left outer join keeping order-less customers (count of their
+    * orders = 0, spend = 0).
+    */
+  def joinOuter(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"), col("c_mktsegment"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        round(coalesce(sum("o_totalprice"), lit(0.0)), 2).as("spend"))
+      .orderBy("c_custkey")
+
+  val joinOuterSql: String =
+    """SELECT c_custkey, c_mktsegment, count(o_orderkey) AS n_orders,
+      |       round(coalesce(sum(o_totalprice), 0), 2) AS spend
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
+  /** REL-7: left-semi (EXISTS) and left-anti (NOT EXISTS) joins, tagged and
+    * unioned: customers that placed a high-value order vs customers that
+    * never ordered.
+    */
+  def joinSemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val orders = Tables.orders(spark, dir)
+    val big = orders.where(col("o_totalprice") > 200000.0)
+    val semi = cust.join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), lit("has_big_order").as("tag"))
+    val anti = cust.join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), lit("no_orders").as("tag"))
+    semi.unionByName(anti).orderBy("tag", "c_custkey")
+  }
+
+  val joinSemiAntiSql: String =
+    """SELECT c_custkey, 'has_big_order' AS tag FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 200000.0)
+      |UNION ALL
+      |SELECT c_custkey, 'no_orders' AS tag FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY tag, c_custkey""".stripMargin
+
+  /** REL-8: theta/range join — supplier pairs within a nation where the
+    * first has the lower account balance. Equi on the nation key (so the
+    * join still hashes/sorts on a key) with the range predicate as a
+    * post-join filter — the shape that survives scale-up, vs a raw
+    * crossJoin.
+    */
+  def joinTheta(spark: SparkSession, dir: String): DataFrame = {
+    val s1 = Tables.supplier(spark, dir).select(
+      col("s_suppkey").as("k1"), col("s_nationkey").as("nk"), col("s_acctbal").as("b1"))
+    val s2 = Tables.supplier(spark, dir).select(
+      col("s_suppkey").as("k2"), col("s_nationkey").as("nk2"), col("s_acctbal").as("b2"))
+    s1.join(s2, col("nk") === col("nk2") && col("k1") < col("k2") && col("b1") < col("b2"))
+      .select(col("nk").as("nationkey"), col("k1"), col("k2"),
+        round(col("b2") - col("b1"), 2).as("bal_gap"))
+      .orderBy("nationkey", "k1", "k2")
+  }
+
+  val joinThetaSql: String =
+    """SELECT s1.s_nationkey AS nationkey, s1.s_suppkey AS k1, s2.s_suppkey AS k2,
+      |       round(s2.s_acctbal - s1.s_acctbal, 2) AS bal_gap
+      |FROM supplier s1 JOIN supplier s2
+      |  ON s1.s_nationkey = s2.s_nationkey
+      | AND s1.s_suppkey < s2.s_suppkey AND s1.s_acctbal < s2.s_acctbal
+      |ORDER BY 1, 2, 3""".stripMargin
+
+  /** REL-9: the TPC-H Q1 pricing-summary shape — multi-key hash aggregate
+    * with partial/final split. `sum_qty` is a sum of integral doubles
+    * (exact under any addition order); price sums are rounded.
+    */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg("l_quantity"), 6).as("avg_qty"),
+        round(avg("l_extendedprice"), 6).as("avg_price"),
+        round(avg("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val pricingSummarySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       sum(l_quantity) AS sum_qty,
+      |       round(sum(l_extendedprice), 2) AS sum_base_price,
+      |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+      |       round(avg(l_quantity), 6) AS avg_qty,
+      |       round(avg(l_extendedprice), 6) AS avg_price,
+      |       round(avg(l_discount), 6) AS avg_disc,
+      |       count(*) AS count_order
+      |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** REL-10: exact distinct counting (the approx/HLL variant is
+    * [[approxDistinct]], oracled rows-only).
+    */
+  def distinctCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .agg(
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+
+  val distinctCountsSql: String =
+    """SELECT count(DISTINCT l_orderkey) AS n_orders,
+      |       count(DISTINCT l_partkey) AS n_parts,
+      |       count(DISTINCT l_suppkey) AS n_supps,
+      |       count(*) AS n_rows
+      |FROM lineitem""".stripMargin
+
+  /** REL-10b: approximate distinct via HyperLogLog++ — the scale path for
+    * 100 TB cardinality estimation. No DuckDB oracle (different sketch):
+    * driver records a rows-only check; the scalatest asserts the estimate
+    * is within rsd of the exact count.
+    */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .agg(
+        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+
+  /** REL-11: rollup — hierarchical subtotals; NULL grouping slots coalesced
+    * to 'ALL' so the engines agree on the sort.
+    */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("sum_qty"), col("n"))
+      .orderBy("rf", "ls")
+
+  val rollupAggSql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+      |       sum(l_quantity) AS sum_qty, count(*) AS n
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY 1, 2""".stripMargin
+
+  /** REL-12: ranking window functions — top-3 parts per brand by retail
+    * price (ties broken by partkey so every rank is deterministic).
+    */
+  def windowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("p_brand").orderBy(col("p_retailprice").desc, col("p_partkey"))
+    Tables.part(spark, dir)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .withColumn("drnk", dense_rank().over(w).cast("long"))
+      .where(col("rn") <= 3)
+      .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+        col("rn"), col("rnk"), col("drnk"))
+      .orderBy("p_brand", "rn")
+  }
+
+  val windowRankSql: String =
+    """SELECT p_brand, p_partkey, p_retailprice, rn, rnk, drnk
+      |FROM (SELECT p_brand, p_partkey, p_retailprice,
+      |             row_number() OVER w AS rn, rank() OVER w AS rnk, dense_rank() OVER w AS drnk
+      |      FROM part WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey))
+      |WHERE rn <= 3 ORDER BY p_brand, rn""".stripMargin
+
+  /** REL-13: analytic window functions with an explicit rows frame — 4-row
+    * moving average plus lag/lead per user over event time. One shuffle on
+    * user_id; the frame is evaluated in a single sorted pass per partition.
+    */
+  def windowFrames(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(expr("ts_ns div 1000").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .withColumn("mavg", round(avg("value").over(w.rowsBetween(-3, 0)), 6))
+      .withColumn("prev_value", lag("value", 1).over(w))
+      .withColumn("next_value", lead("value", 1).over(w))
+      .select(col("user_id"), col("event_id"), col("value"),
+        col("mavg"), col("prev_value"), col("next_value"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val windowFramesSql: String =
+    """SELECT user_id, event_id, value,
+      |       round(avg(value) OVER (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS mavg,
+      |       lag(value, 1) OVER w AS prev_value,
+      |       lead(value, 1) OVER w AS next_value
+      |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      |ORDER BY user_id, event_id""".stripMargin
+
+  /** REL-14: top-k — `orderBy().limit()` compiles to TakeOrderedAndProject:
+    * per-partition top-k then a single merge, never a global sort.
+    */
+  def topK(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderpriority"))
+      .limit(10)
+
+  val topKSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+
+  /** REL-15: set operations. Spark's `union` is bag semantics (UNION ALL) —
+    * `.distinct()` restores SQL UNION; `intersect`/`except` are already
+    * DISTINCT variants, matching the SQL operators.
+    */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val orders = Tables.orders(spark, dir)
+    val building = cust.where(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val rich = cust.where(col("c_acctbal") > 5000.0).select(col("c_custkey"))
+    val haveOrders = orders.select(col("o_custkey").as("c_custkey"))
+    val openOrders = orders.where(col("o_orderstatus") === "O")
+      .select(col("o_custkey").as("c_custkey"))
+    building.union(rich).distinct()
+      .intersect(haveOrders)
+      .except(openOrders)
+      .orderBy("c_custkey")
+  }
+
+  val setOpsSql: String =
+    """SELECT c_custkey FROM (
+      |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |  UNION
+      |  SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0
+      |)
+      |INTERSECT
+      |SELECT o_custkey AS c_custkey FROM orders
+      |EXCEPT
+      |SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+      |ORDER BY c_custkey""".stripMargin
+
+  /** REL-16: string-function battery (all codegen'd built-ins, no UDFs). */
+  def stringFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("uname"),
+        length(col("p_name")).cast("long").as("name_len"),
+        substring(col("p_name"), 1, 8).as("prefix"),
+        size(split(col("p_name"), " ")).cast("long").as("n_words"),
+        regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"),
+        concat_ws("#", col("p_brand"), col("p_type")).as("brand_type"),
+        when(col("p_name").like("%widget%"), 1L).otherwise(0L).as("is_widget"),
+        trim(lit(" padded ")).as("trimmed"))
+      .orderBy("p_partkey")
+
+  val stringFuncsSql: String =
+    """SELECT p_partkey, upper(p_name) AS uname, length(p_name) AS name_len,
+      |       substr(p_name, 1, 8) AS prefix,
+      |       len(string_split(p_name, ' ')) AS n_words,
+      |       regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+      |       concat_ws('#', p_brand, p_type) AS brand_type,
+      |       CASE WHEN p_name LIKE '%widget%' THEN CAST(1 AS BIGINT) ELSE 0 END AS is_widget,
+      |       trim(' padded ') AS trimmed
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** REL-17: date/time battery over o_orderdate; day arithmetic at date
+    * granularity, epoch at seconds (both engines agree there; see the
+    * project verify skill for the ns-precision trap).
+    */
+  def dateFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(
+        year(col("o_orderdate")).cast("long").as("y"),
+        quarter(col("o_orderdate")).cast("long").as("q"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(unix_timestamp(col("o_orderdate"))).as("min_epoch"),
+        max(datediff(col("o_orderdate"), lit("1990-01-01"))).cast("long").as("max_days_since_1990"),
+        countDistinct(date_format(col("o_orderdate"), "yyyy-MM")).as("n_months"))
+      .orderBy("y", "q")
+
+  val dateFuncsSql: String =
+    """SELECT year(o_orderdate) AS y, quarter(o_orderdate) AS q, count(*) AS n,
+      |       min(CAST(epoch(o_orderdate) AS BIGINT)) AS min_epoch,
+      |       max(date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))) AS max_days_since_1990,
+      |       count(DISTINCT strftime(o_orderdate, '%Y-%m')) AS n_months
+      |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** REL-18: math battery; transcendental results rounded (libm vs DuckDB
+    * may differ in the last ulp).
+    */
+  def mathFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .where(col("l_orderkey") <= 1000)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(sqrt(col("l_quantity")), 6).as("sqrt_qty"),
+        floor(col("l_extendedprice")).as("floor_price"),
+        ceil(col("l_extendedprice")).as("ceil_price"),
+        round(abs(col("l_discount") - 0.05), 2).as("abs_disc"),
+        pow(col("l_quantity"), 2).as("qty_sq"),
+        round(log(col("l_extendedprice")), 6).as("ln_price"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val mathFuncsSql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |       round(sqrt(l_quantity), 6) AS sqrt_qty,
+      |       CAST(floor(l_extendedprice) AS BIGINT) AS floor_price,
+      |       CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_price,
+      |       round(abs(l_discount - 0.05), 2) AS abs_disc,
+      |       pow(l_quantity, 2) AS qty_sq,
+      |       round(ln(l_extendedprice), 6) AS ln_price
+      |FROM lineitem WHERE l_orderkey <= 1000
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** REL-19: array/higher-order functions over the embedding vectors —
+    * element access, and `aggregate` folds for sum/L2 norm (cast to double
+    * before accumulating; same left-to-right fold as the oracle's
+    * list_reduce so the fp result is bit-comparable pre-round).
+    */
+  def arrayFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(
+        col("vec_id"), col("label"),
+        size(col("embedding")).cast("long").as("dim"),
+        element_at(col("embedding"), 1).as("first_elem"),
+        element_at(col("embedding"), -1).as("last_elem"),
+        round(aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + x.cast("double")), 6).as("sum_elems"),
+        round(sqrt(aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + x.cast("double") * x.cast("double"))), 6).as("l2_norm"))
+      .orderBy("vec_id")
+
+  val arrayFuncsSql: String =
+    """SELECT vec_id, label, len(embedding) AS dim,
+      |       embedding[1] AS first_elem,
+      |       embedding[len(embedding)] AS last_elem,
+      |       round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |             list_transform(embedding, x -> CAST(x AS DOUBLE))), (a, b) -> a + b), 6) AS sum_elems,
+      |       round(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |             list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)), 6) AS l2_norm
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
+  /** REL-20: JSON extraction (`get_json_object` ≅ EXP-4's per-key access)
+    * grouped by the extracted key.
+    */
+  def jsonFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"), col("value"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"), round(avg("value"), 6).as("avg_value"))
+      .orderBy("k")
+
+  val jsonFuncsSql: String =
+    """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+      |       count(*) AS n, round(avg(value), 6) AS avg_value
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** REL-21: conditional/null handling — CASE WHEN bucket, nullif/coalesce
+    * roundtrip.
+    */
+  def conditional(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(
+        when(col("o_totalprice") > 250000.0, "big")
+          .when(col("o_totalprice") > 100000.0, "mid")
+          .otherwise("small").as("bucket"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")).as("status2"),
+        col("o_totalprice"))
+      .groupBy("bucket", "status2")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
+      .orderBy("bucket", "status2")
+
+  val conditionalSql: String =
+    """SELECT CASE WHEN o_totalprice > 250000.0 THEN 'big'
+      |            WHEN o_totalprice > 100000.0 THEN 'mid'
+      |            ELSE 'small' END AS bucket,
+      |       coalesce(nullif(o_orderstatus, 'O'), 'open') AS status2,
+      |       count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+      |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+}

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.{EventQueries, RelationalQueries}
+import graft.analytics.{EventQueries, ExtensionQueries, RelationalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -49,7 +49,21 @@ object SparkEntry {
     "q_rel18_math_funcs" -> (RelationalQueries.mathFuncs _),
     "q_rel19_array_funcs" -> (RelationalQueries.arrayFuncs _),
     "q_rel20_json_funcs" -> (RelationalQueries.jsonFuncs _),
-    "q_rel21_conditional" -> (RelationalQueries.conditional _))
+    "q_rel21_conditional" -> (RelationalQueries.conditional _),
+    "q_txt1_wordcount" -> (ExtensionQueries.wordCount _),
+    "q_txt2_text_stats" -> (ExtensionQueries.textStats _),
+    "q_txt3_lang_id" -> (ExtensionQueries.langId _),
+    "q_txt4_quality_score" -> (ExtensionQueries.qualityScore _),
+    "q_txt5_token_counts" -> (ExtensionQueries.tokenCounts _),
+    "q_txt6_fingerprints" -> (ExtensionQueries.fingerprints _),
+    "q_dd3_doc_dedup_exact" -> (ExtensionQueries.docDedupExact _),
+    "q_dd4_ngram_jaccard" -> (ExtensionQueries.ngramJaccard _),
+    "q_dd5_minhash_lsh" -> (ExtensionQueries.minhashDedup _),
+    "q_dd6_simhash" -> (ExtensionQueries.simhashDedup _),
+    "q_dd7_embedding_neardup" -> (ExtensionQueries.embeddingNearDup _),
+    "q_sim1_cosine_topk" -> (ExtensionQueries.cosineTopK _),
+    "q_sim2_ann_lsh" -> (ExtensionQueries.annTopK _),
+    "q_mm1_binary_meta" -> (ExtensionQueries.binaryMeta _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -82,5 +96,18 @@ object SparkEntry {
     "q_rel18_math_funcs" -> RelationalQueries.mathFuncsSql,
     "q_rel19_array_funcs" -> RelationalQueries.arrayFuncsSql,
     "q_rel20_json_funcs" -> RelationalQueries.jsonFuncsSql,
-    "q_rel21_conditional" -> RelationalQueries.conditionalSql)
+    "q_rel21_conditional" -> RelationalQueries.conditionalSql,
+    "q_txt1_wordcount" -> ExtensionQueries.wordCountSql,
+    "q_txt2_text_stats" -> ExtensionQueries.textStatsSql,
+    "q_txt3_lang_id" -> ExtensionQueries.langIdSql,
+    "q_txt4_quality_score" -> ExtensionQueries.qualityScoreSql,
+    "q_txt5_token_counts" -> ExtensionQueries.tokenCountsSql,
+    "q_txt6_fingerprints" -> ExtensionQueries.fingerprintsSql,
+    "q_dd3_doc_dedup_exact" -> ExtensionQueries.docDedupExactSql,
+    "q_dd4_ngram_jaccard" -> ExtensionQueries.ngramJaccardSql,
+    // q_dd5_minhash_lsh / q_dd6_simhash / q_sim2_ann_lsh: LSH internals are
+    // engine-specific — rows-only here, recall asserted in scalatest.
+    "q_dd7_embedding_neardup" -> ExtensionQueries.embeddingNearDupSql,
+    "q_sim1_cosine_topk" -> ExtensionQueries.cosineTopKSql,
+    "q_mm1_binary_meta" -> ExtensionQueries.binaryMetaSql)
 }

@@ -11,7 +11,7 @@ import graft.sources.Tables
   * analog (`ts`/`value`/`event_id`/`user_id` play `timestamp`/`temperature`/
   * `count`/`client_id`; FIXTURES.md §2).
   *
-  * Query IDs follow SURVEY.md §2.4/§2.2/DD-*:
+  * Query IDs follow SURVEY.md §2.4, §2.2, DD rows:
   *  - AGG-1 hourly avg (Kibana Q1/Q2: terms agg on hourly index + avg,
   *    assets/220715_average_temperature_bar.png, README.md:134-150)
   *  - AGG-2 histogram bucket max (Kibana Q3/Q4: histogram on `count`

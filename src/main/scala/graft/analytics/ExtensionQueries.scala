@@ -1,0 +1,282 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF}
+import graft.operators.{Dedup, Similarity}
+import graft.sources.Tables
+
+/** Training-data-pipeline extension queries (SURVEY.md §2.6 TXT and DD rows/
+  * SIM-* + multimodal): text analysis, document dedup, vector similarity.
+  * Each SQL-expressible operator carries a DuckDB oracle mirroring the
+  * exact arithmetic (same fold order, same rounding); LSH-based operators
+  * are oracled rows-only and verified by scalatest instead (hash-function
+  * internals differ across engines by construction).
+  */
+object ExtensionQueries {
+
+  // ---------------------------------------------------------------- TXT-1
+  /** Tokenize + global word count, top 25 (explode → count; the shuffle
+    * carries (word, partial count) thanks to partial aggregation).
+    */
+  def wordCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(TF.tokens(col("text"))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(25)
+
+  val wordCountSql: String =
+    """SELECT word, count(*) AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |GROUP BY 1 ORDER BY n DESC, word LIMIT 25""".stripMargin
+
+  // ---------------------------------------------------------------- TXT-2
+  /** Per-(lang, source) corpus stats: doc counts, char/token means, and a
+    * containment count (docs mentioning 'join').
+    */
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars")), 6).as("avg_chars"),
+        round(avg(TF.tokenCount(col("text"))), 6).as("avg_tokens"),
+        sum(when(col("text").contains("join"), 1L).otherwise(0L)).as("n_with_join"))
+      .orderBy("lang", "source")
+
+  val textStatsSql: String =
+    """SELECT lang, source, count(*) AS n_docs,
+      |       round(avg(n_chars), 6) AS avg_chars,
+      |       round(avg(len(string_split(text, ' '))), 6) AS avg_tokens,
+      |       sum(CASE WHEN contains(text, 'join') THEN 1 ELSE 0 END) AS n_with_join
+      |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- TXT-3
+  /** Language-ID agreement matrix: marker-scoring prediction vs the
+    * labeled `lang` column.
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), TF.langPredict(col("text")).as("lang_pred"))
+      .groupBy("lang", "lang_pred")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "lang_pred")
+
+  val langIdSql: String = {
+    // Mirror TF.LangMarkers + the first-match tie-break exactly.
+    val markers = TF.LangMarkers // de,en,es,fr,zh
+    val counts = markers.map { case (l, w) =>
+      s"len(list_filter(string_split(text, ' '), x -> x = '$w')) AS c_$l"
+    }.mkString(",\n       ")
+    val greatest = markers.map { case (l, _) => s"c_$l" }.mkString("greatest(", ", ", ")")
+    val cases = markers.map { case (l, _) =>
+      s"WHEN c_$l = $greatest THEN '$l'"
+    }.mkString("\n            ")
+    s"""SELECT lang, lang_pred, count(*) AS n FROM (
+       |  SELECT lang,
+       |       CASE WHEN $greatest = 0 THEN 'und'
+       |            $cases
+       |            ELSE 'und' END AS lang_pred
+       |  FROM (SELECT lang, $counts FROM documents)
+       |) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- TXT-4
+  /** Per-doc quality scoring: token count, lexical diversity, stopword
+    * density, composite score.
+    */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        TF.tokenCount(col("text")).as("n_tokens"),
+        round(size(array_distinct(TF.tokens(col("text")))).cast("double") /
+          size(TF.tokens(col("text"))).cast("double"), 6).as("uniq_ratio"),
+        round(TF.stopwordRatio(col("text")), 6).as("stop_ratio"),
+        TF.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  val qualityScoreSql: String = {
+    val stop = TF.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""SELECT doc_id,
+       |       len(string_split(text, ' ')) AS n_tokens,
+       |       round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |             / len(string_split(text, ' ')), 6) AS uniq_ratio,
+       |       round(CAST(len(list_filter(string_split(text, ' '),
+       |             x -> list_contains($stop, x))) AS DOUBLE)
+       |             / len(string_split(text, ' ')), 6) AS stop_ratio,
+       |       round(ln(len(string_split(text, ' ')) + 1.0)
+       |             + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |               / len(string_split(text, ' '))
+       |             - CAST(len(list_filter(string_split(text, ' '),
+       |               x -> list_contains($stop, x))) AS DOUBLE)
+       |               / len(string_split(text, ' ')), 6) AS quality
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- TXT-5
+  /** Token counting two ways: whitespace vs BPE-ish regex subwords. */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        TF.tokenCount(col("text")).as("n_ws_tokens"),
+        TF.bpeishTokenCount(col("text")).as("n_bpe_tokens"),
+        round(col("n_chars").cast("double") / TF.tokenCount(col("text")), 6)
+          .as("chars_per_token"))
+      .orderBy("doc_id")
+
+  val tokenCountsSql: String =
+    """SELECT doc_id,
+      |       len(string_split(text, ' ')) AS n_ws_tokens,
+      |       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
+      |       round(CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')), 6) AS chars_per_token
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- TXT-6
+  /** Per-doc content fingerprints: cross-engine-stable md5 plus the
+    * order-sensitive rolling polynomial hash (char-level fold — identical
+    * arithmetic in the oracle's list_reduce).
+    */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        TF.fingerprintMd5(col("text")).as("fp_md5"),
+        aggregate(split(col("text"), ""), lit(0L),
+          (acc, c) => pmod(acc * 31 + ascii(c), lit(2147483647L))).as("fp_rolling"))
+      .orderBy("doc_id")
+
+  val fingerprintsSql: String =
+    """SELECT doc_id, md5(text) AS fp_md5,
+      |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |         list_transform(string_split(text, ''),
+      |           c -> CAST(ascii(c) AS BIGINT))),
+      |         (a, b) -> (a * 31 + b) % 2147483647) AS fp_rolling
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------------------- DD-3
+  /** Exact duplicate clusters by md5 fingerprint (hash-shuffle, no sort;
+    * the 100 TB exact-dedup shape).
+    */
+  def docDedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactClusters(Tables.documents(spark, dir))
+      .orderBy("fp")
+
+  val docDedupExactSql: String =
+    """SELECT md5(text) AS fp, count(*) AS n_docs,
+      |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      |FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin
+
+  // ----------------------------------------------------------------- DD-4
+  /** n-gram (token-set) Jaccard near-dup pairs over a blocked subset
+    * (doc_id % 20 = 0) — the exact all-pairs baseline the LSH variants
+    * approximate.
+    */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(
+      Tables.documents(spark, dir).where(col("doc_id") % 20 === 0), threshold = 0.2)
+      .orderBy("doc_a", "doc_b")
+
+  val ngramJaccardSql: String =
+    """SELECT doc_a, doc_b, jaccard FROM (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |         round(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+      |               / len(list_distinct(list_concat(a.t, b.t))), 6) AS jaccard
+      |  FROM (SELECT doc_id, list_distinct(string_split(text, ' ')) AS t
+      |        FROM documents WHERE doc_id % 20 = 0) a
+      |  JOIN (SELECT doc_id, list_distinct(string_split(text, ' ')) AS t
+      |        FROM documents WHERE doc_id % 20 = 0) b ON a.doc_id < b.doc_id
+      |) WHERE jaccard >= 0.2 ORDER BY doc_a, doc_b""".stripMargin
+
+  // ----------------------------------------------------------------- DD-5
+  /** MinHash+LSH near-dup pairs (rows-only oracle: signature hashing is
+    * engine-specific; recall/precision asserted in scalatest against
+    * planted duplicates).
+    */
+  def minhashDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDups(Tables.documents(spark, dir), threshold = 0.5)
+      .orderBy("doc_a", "doc_b")
+
+  // ----------------------------------------------------------------- DD-6
+  /** SimHash near-dup pairs (rows-only oracle; scalatest-verified). */
+  def simhashDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDups(Tables.documents(spark, dir), maxHamming = 3)
+      .orderBy("doc_a", "doc_b")
+
+  // ----------------------------------------------------------------- DD-7
+  /** Embedding-cosine near-dup pairs over a blocked subset (vec_id % 4 =
+    * 0): the exact arithmetic is mirrored in DuckDB via
+    * list_cosine_similarity over double-cast lists.
+    */
+  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDups(
+      Tables.embeddings(spark, dir).where(col("vec_id") % 4 === 0), threshold = 0.25)
+      .orderBy("vec_a", "vec_b")
+
+  val embeddingNearDupSql: String =
+    """SELECT vec_a, vec_b, cos FROM (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                                      CAST(b.embedding AS DOUBLE[])), 6) AS cos
+      |  FROM (SELECT * FROM embeddings WHERE vec_id % 4 = 0) a
+      |  JOIN (SELECT * FROM embeddings WHERE vec_id % 4 = 0) b ON a.vec_id < b.vec_id
+      |) WHERE cos >= 0.25 ORDER BY vec_a, vec_b""".stripMargin
+
+  // ---------------------------------------------------------------- SIM-1
+  /** Brute-force cosine top-10 for query vectors vec_id < 5 against the
+    * full corpus (queries broadcast; ranked on the rounded similarity so
+    * both engines tie-break identically).
+    */
+  def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.embeddings(spark, dir)
+    Similarity.bruteForceTopK(embs.where(col("vec_id") < 5), embs, k = 10)
+      .orderBy("query_id", "rank")
+  }
+
+  val cosineTopKSql: String =
+    """SELECT query_id, neighbor_id, cos, rank FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                      CAST(c.embedding AS DOUBLE[])), 6) AS cos,
+      |         row_number() OVER (PARTITION BY q.vec_id
+      |           ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                          CAST(c.embedding AS DOUBLE[])), 6) DESC, c.vec_id) AS rank
+      |  FROM (SELECT * FROM embeddings WHERE vec_id < 5) q
+      |  JOIN embeddings c ON q.vec_id != c.vec_id
+      |) WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------- SIM-2
+  /** LSH-bucketed approximate top-10 (rows-only oracle; recall vs the
+    * brute-force baseline asserted in scalatest).
+    */
+  def annTopK(spark: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.embeddings(spark, dir)
+    Similarity.lshTopK(embs.where(col("vec_id") < 5), embs, k = 10)
+      .orderBy("query_id", "rank")
+  }
+
+  // ----------------------------------------------------------------- MM-1
+  /** Multimodal binary-column metadata: payload byte length, sha256
+    * checksum, frame-chunk count — the queryable-metadata side of the
+    * binary-payload pipeline (decode stub exercised in scalatest).
+    */
+  def binaryMeta(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        length(encode(col("text"), "utf-8")).cast("long").as("n_bytes"),
+        sha2(encode(col("text"), "utf-8"), 256).as("sha_hex"),
+        (ceil(length(encode(col("text"), "utf-8")) / 256.0)).cast("long").as("n_chunks"))
+      .orderBy("doc_id")
+
+  val binaryMetaSql: String =
+    """SELECT doc_id,
+      |       octet_length(encode(text)) AS n_bytes,
+      |       sha256(text) AS sha_hex,
+      |       CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT) AS n_chunks
+      |FROM documents ORDER BY doc_id""".stripMargin
+}

@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level vector math over `array<float>` embedding columns
+  * (SURVEY.md §2.6 SIM-1; FIXTURES.md: `embeddings.embedding`, dim 64).
+  *
+  * Built from higher-order functions (`zip_with` + `aggregate`) — a
+  * strict left-to-right fold with double accumulation, which both keeps
+  * the arithmetic deterministic and lets the DuckDB oracle reproduce the
+  * exact fp result (`list_reduce` over the same sequence). A codegen'd
+  * native Expression fast path can replace the fold if the HOF shows up
+  * hot in BENCH (SURVEY.md §4.3).
+  */
+object VectorFunctions {
+
+  /** Dot product with double accumulation, sequential fold. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Squared L2 norm (sequential fold, double accumulation). */
+  def normSq(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
+
+  /** L2 norm. */
+  def l2Norm(a: Column): Column = sqrt(normSq(a))
+
+  /** Cosine similarity; null-safe-ish: zero-norm vectors yield NULL
+    * (divide by zero → NULL in SQL semantics on both engines).
+    */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Euclidean (L2) distance. */
+  def l2Distance(a: Column, b: Column): Column =
+    sqrt(aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double")
+        d * d
+      }),
+      lit(0.0), (acc, x) => acc + x))
+}

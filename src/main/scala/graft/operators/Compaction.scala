@@ -1,0 +1,113 @@
+package graft.operators
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Small-file compaction — the reference's Lambda/DynamoDB/Athena-CTAS
+  * trio (SURVEY.md §2.3 CMP-1..9, sensor-log-compactor.py) collapsed into
+  * synchronous Spark control flow:
+  *
+  *  - CMP-1/2/8: the DynamoDB counter item {ID: "Counter", TotalCount}
+  *    with atomic increment / consistent read / reset
+  *    (sensor-log-compactor.py:38-67, 142-155) → [[CounterState]];
+  *  - CMP-3: CTAS `SELECT {columns}` dynamic projection
+  *    (sensor-log-compactor.py:82-84) → `selectExpr(columns)`;
+  *  - CMP-4/SNK-3: `bucketed_by=['timestamp'], bucket_count=1` + GZIP
+  *    (sensor-log-compactor.py:28-36) → `coalesce(1)` + gzip JSON write —
+  *    `coalesce(1)` ONLY here, where single-file output is the declared
+  *    semantic; never globally (SURVEY.md §4.2);
+  *  - CMP-5/6: CTAS execute + DROP tmp table → a synchronous write (no
+  *    polling, no tmp table — and the reference's async-delete race,
+  *    SURVEY.md §3.2 step 4, disappears);
+  *  - CMP-7: source-prefix truncate (sensor-log-compactor.py:125-139) →
+  *    Hadoop FS recursive delete AFTER the write commits;
+  *  - CMP-9: the if-threshold-else-increment handler
+  *    (sensor-log-compactor.py:157-173) → [[onFileArrived]].
+  *
+  * Threshold is 100 (code `> 99`, sensor-log-compactor.py:67; the
+  * comment-vs-code drift is resolved in SURVEY.md §2.3).
+  *
+  * Scale: at 100 TB this runs per partition-prefix (e.g. per hour
+  * directory) with the counter keyed by prefix; the write is one
+  * sequential pass, and `coalesce(1)` applies to a single prefix's batch
+  * (~100 small files), never the whole table.
+  */
+object Compaction {
+
+  val DefaultThreshold = 100
+
+  /** The DynamoDB counter analog: keyed, atomic. */
+  final class CounterState {
+    private val n = new AtomicLong(0L)
+    def increment(): Long = n.incrementAndGet() // CMP-1
+    def get: Long = n.get()                     // CMP-2 consistent read
+    def reset(): Unit = n.set(0L)               // CMP-8
+  }
+
+  /** Result of one handler invocation. */
+  case class CompactionResult(triggered: Boolean, filesSeen: Long, outputDir: Option[String])
+
+  /** CMP-9: per-file-arrival handler. Call once per landed file (the S3
+    * event trigger analog); at `threshold` runs [[compactDirectory]] and
+    * resets the counter.
+    */
+  def onFileArrived(spark: SparkSession, state: CounterState, logsDir: String,
+      outBase: String, schema: StructType, columns: Seq[String] = Seq("*"),
+      threshold: Int = DefaultThreshold, batchTag: String = ""): CompactionResult = {
+    val seen = state.increment()
+    if (seen >= threshold) { // CMP-2: the `> 99` gate
+      val out = compactDirectory(spark, logsDir, outBase, schema, columns, batchTag)
+      state.reset() // CMP-8
+      CompactionResult(triggered = true, filesSeen = seen, outputDir = Some(out))
+    } else CompactionResult(triggered = false, filesSeen = seen, outputDir = None)
+  }
+
+  /** CMP-3..7: read the small-file prefix with the declared schema, apply
+    * the dynamic projection, write ONE gzip JSON file to a
+    * timestamp-suffixed output dir (the `{table}_{yyyyMMddHHmm}` naming,
+    * sensor-log-compactor.py:76), then truncate the source prefix.
+    */
+  def compactDirectory(spark: SparkSession, logsDir: String, outBase: String,
+      schema: StructType, columns: Seq[String] = Seq("*"),
+      batchTag: String = ""): String = {
+    val tag = if (batchTag.nonEmpty) batchTag
+      else java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmmssSSS")
+        .withZone(java.time.ZoneOffset.UTC).format(java.time.Instant.now())
+    val outDir = s"$outBase/compacted_$tag"
+    spark.read.schema(schema).json(logsDir) // SRC-6: schema-on-read, declared
+      .selectExpr(columns: _*)              // CMP-3
+      .coalesce(1)                          // CMP-4: bucket_count=1 semantic
+      .write.mode("overwrite")
+      .option("compression", "gzip")        // SNK-3
+      .json(outDir)
+    // CMP-7 — safe ordering: delete inputs only after the write committed.
+    val fs = new Path(logsDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new Path(logsDir)).foreach(st => fs.delete(st.getPath, false))
+    outDir
+  }
+
+  /** Streaming form: `foreachBatch` sink that lands each micro-batch as
+    * JSON files in `logsDir` (the Firehose buffered delivery, SNK-1) and
+    * invokes the per-file handler — micro-batch by size/time (STR-4).
+    */
+  def streamingCompactorBatch(state: CounterState, logsDir: String, outBase: String,
+      schema: StructType, threshold: Int = DefaultThreshold)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    batch.write.mode("append").json(logsDir) // SNK-1: buffered small files
+    val fs = new Path(logsDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nFiles = fs.listStatus(new Path(logsDir))
+      .count(st => st.isFile && st.getPath.getName.endsWith(".json"))
+    // Catch the counter up to the visible file count (idempotent on
+    // replayed batch ids: counting files, not invocations).
+    while (state.get < nFiles && state.get < threshold) state.increment()
+    if (state.get >= threshold) {
+      compactDirectory(spark, logsDir, outBase, schema, batchTag = s"batch$batchId")
+      state.reset()
+    }
+  }
+}

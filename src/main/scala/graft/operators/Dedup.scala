@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+
+/** Deduplication operators for a large-scale training-data pipeline
+  * (SURVEY.md §2.6 DD-*; motivated in the reference by MQTT QoS1
+  * at-least-once delivery, sensor_publish.py:81, README.md:281).
+  *
+  * Scale stance (the 100 TB design):
+  *  - exact dedup = hash-shuffle on the content fingerprint — one shuffle,
+  *    no global sort;
+  *  - near-dup = LSH banding (MinHash) or chunk-blocking (SimHash): both
+  *    turn the O(n²) all-pairs problem into a per-bucket self-join whose
+  *    cost follows the collision count, not n²;
+  *  - all signatures are computed map-side with higher-order functions
+  *    (no explode before the bucket shuffle).
+  */
+object Dedup {
+
+  /** DD-1 (doc-level): exact duplicate clusters by content fingerprint.
+    * Input must have (`doc_id`, `text`).
+    */
+  def exactClusters(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(TF.fingerprintMd5(col("text")).as("fp"))
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .where(col("n_docs") > 1)
+
+  /** All-pairs token-set Jaccard over a (pre-blocked!) document set.
+    * O(n²) in its input by construction — callers restrict `docs` (a
+    * sampling predicate, a blocking key) before calling; the LSH variant
+    * below is the unrestricted-scale path.
+    */
+  def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val a = docs.select(col("doc_id").as("doc_a"),
+      array_distinct(TF.tokens(col("text"))).as("ta"))
+    val b = docs.select(col("doc_id").as("doc_b"),
+      array_distinct(TF.tokens(col("text"))).as("tb"))
+    a.crossJoin(b)
+      .where(col("doc_a") < col("doc_b"))
+      .withColumn("jaccard", round(TF.jaccard(col("ta"), col("tb")), 6))
+      .where(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** DD near-dup via MinHash + LSH banding:
+    * shingle → per-perm min-hash signature (map-side) → split into
+    * `bands` bands of `numPerms/bands` rows → hash each band → self-join
+    * within (band, bandHash) buckets → distinct candidate pairs →
+    * verify with exact token-set Jaccard ≥ `threshold`.
+    *
+    * Probability a pair with true Jaccard s collides in ≥1 band:
+    * 1-(1-s^r)^b (r = perms/band). With 64 perms / 16 bands (r=4),
+    * s=0.8 → 0.9998; s=0.3 → 0.12 — the classic high-recall knee.
+    */
+  def minhashNearDups(docs: DataFrame, numPerms: Int = 64, bands: Int = 16,
+      shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+    require(numPerms % bands == 0, "bands must divide numPerms")
+    val rowsPerBand = numPerms / bands
+
+    val sigs = docs.select(col("doc_id"),
+      TF.minhashSignature(TF.shingles(col("text"), shingleSize), numPerms).as("sig"))
+
+    // One row per (doc, band): band hash = xxhash64 over the band's slice.
+    // Band boundaries are Scala-side constants, so this is a single
+    // projection + one explode — no self-join to attach the signature.
+    val bandCols = array((0 until bands).map(bnd =>
+      xxhash64(lit(bnd), concat_ws(",",
+        slice(col("sig"), bnd * rowsPerBand + 1, rowsPerBand)))): _*)
+    val banded = sigs
+      .select(col("doc_id"), posexplode(bandCols).as(Seq("band", "bucket")))
+
+    val l = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+    val r = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
+    val candidates = l.join(r, Seq("band", "bucket"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+
+    // Verify candidates with exact Jaccard (join text back only for the
+    // candidate set, not all pairs).
+    val toks = docs.select(col("doc_id"),
+      array_distinct(TF.tokens(col("text"))).as("toks"))
+    candidates
+      .join(toks.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("toks", "ta"), "doc_a")
+      .join(toks.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("toks", "tb"), "doc_b")
+      .withColumn("jaccard", round(TF.jaccard(col("ta"), col("tb")), 6))
+      .where(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** DD near-dup via SimHash (64-bit): per-doc signature from token
+    * hashes; candidates share at least one of 4 16-bit chunks (finds all
+    * pairs within Hamming distance 3 by pigeonhole); verified by exact
+    * Hamming distance ≤ `maxHamming`.
+    */
+  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sigs = docs.select(col("doc_id"), simhash64(col("text")).as("sig"))
+    val chunkArr = array((0 until 4).map(i =>
+      shiftright(col("sig"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)
+    val chunked = sigs.select(col("doc_id"), col("sig"),
+      posexplode(chunkArr).as(Seq("chunk", "chunk_val")))
+    val l = chunked.select(col("chunk"), col("chunk_val"),
+      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val r = chunked.select(col("chunk"), col("chunk_val"),
+      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("chunk", "chunk_val"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** 64-bit SimHash from token hashes: for each bit position, sum +1/-1
+    * over the doc's token hashes and keep the sign bit. The 64 bit
+    * positions are unrolled Scala-side (shift amounts must be literals in
+    * the Column API); each is one fold over the token-hash array — all
+    * map-side, no shuffle.
+    */
+  def simhash64(text: Column): Column = {
+    val hashes = transform(TF.tokens(text), t => xxhash64(t))
+    (0 until 64).map { i =>
+      val bitSum = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+      when(bitSum > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** DD near-dup on embeddings: cosine ≥ `threshold` pairs within a
+    * pre-blocked subset (the all-pairs baseline; the ANN path lives in
+    * [[Similarity]]).
+    */
+  def embeddingNearDups(embs: DataFrame, threshold: Double): DataFrame = {
+    val a = embs.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = embs.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    a.crossJoin(b)
+      .where(col("vec_a") < col("vec_b"))
+      .withColumn("cos", round(VF.cosine(col("ea"), col("eb")), 6))
+      .where(col("cos") >= threshold)
+      .select("vec_a", "vec_b", "cos")
+  }
+}

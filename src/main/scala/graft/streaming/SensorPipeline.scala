@@ -1,0 +1,141 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+import graft.schema.Schemas
+
+/** Structured-Streaming re-expression of the reference's ingest path
+  * (SURVEY.md §3.1): sensor sampling loop → MQTT/IoT-Core → Rule SQL →
+  * Kinesis fan-out → Firehose sinks.
+  *
+  * Mapping (SURVEY.md §2.1/§2.5):
+  *  - SRC-1 1 Hz sampling loop      → rate source + deterministic column
+  *    synthesis ([[syntheticSensorStream]])
+  *  - EXP-3/4 JSON wire format      → [[toWire]] / [[parseWire]] with the
+  *    explicit schema (never inferred)
+  *  - SRC-4 IoT Rule topic SQL      → [[ruleSelect]] (projection+filter
+  *    before any sink — pushdown at ingestion)
+  *  - SRC-5 Kinesis two-consumer fan-out → two independent
+  *    `StreamingQuery`s over one source, each with its own checkpoint
+  *  - SNK-2 hourly index rotation   → parquet sink partitioned by the
+  *    hour label ([[hourlyPartitionedWriter]])
+  *  - STR-2 at-least-once QoS1      → [[dedupStream]] (watermarked
+  *    dropDuplicates on (client_id, count) — effectively-once)
+  *  - STR-3/5 hourly windows + late data → [[hourlyWindowedAgg]]
+  *    (event-time window + watermark; an upgrade over the reference's
+  *    arrival-time bucketing, README.md:110)
+  *
+  * Scale: all stateful stages key on (client_id …) so state partitions by
+  * device; watermarks bound state size; checkpointing gives replay
+  * (STR-6). Nothing here collects to the driver.
+  */
+object SensorPipeline {
+
+  /** SRC-1: deterministic synthetic sensor stream at `rowsPerSecond`
+    * (reference samples at 1 Hz, sensor_publish.py:82). Values are
+    * smooth functions of the rate-source counter so tests are
+    * reproducible; `count` mirrors the per-session publish counter
+    * (sensor_publish.py:47,83).
+    */
+  def syntheticSensorStream(spark: SparkSession, rowsPerSecond: Int = 1): DataFrame =
+    spark.readStream.format("rate").option("rowsPerSecond", rowsPerSecond.toLong).load()
+      .select(
+        lit("raspberrypi").as("client_id"),
+        col("timestamp"),
+        (lit(55.0) + lit(12.0) * sin(col("value") / 600.0)).as("humidity"),
+        (lit(31.0) + lit(6.0) * sin(col("value") / 3600.0)).as("temperature"),
+        (lit(1012.0) + lit(3.0) * cos(col("value") / 1800.0)).as("pressure"),
+        (pmod(col("value").cast("double"), lit(360.0))).as("pitch"),
+        (pmod(col("value").cast("double") * 0.5, lit(360.0))).as("roll"),
+        (pmod(col("value").cast("double") * 0.25, lit(360.0))).as("yaw"),
+        col("value").as("count"))
+
+  /** EXP-3: encode a sensor record batch/stream to the wire JSON (one
+    * object per message, sensor_publish.py:80). Timestamp serialized in
+    * the reference's second-granularity format.
+    */
+  def toWire(sensor: DataFrame): DataFrame =
+    sensor.select(to_json(struct(
+      col("client_id"),
+      date_format(col("timestamp"), Schemas.TsFormat).as("timestamp"),
+      col("humidity"), col("temperature"), col("pressure"),
+      col("pitch"), col("roll"), col("yaw"), col("count"))).as("value"))
+
+  /** EXP-4: decode wire JSON with the declared schema; parse the
+    * second-granularity timestamp string to a typed column (UTC session).
+    */
+  def parseWire(wire: DataFrame): DataFrame =
+    wire.select(from_json(col("value"), Schemas.sensorWire).as("r"))
+      .select(
+        col("r.client_id").as("client_id"),
+        to_timestamp(col("r.timestamp"), Schemas.TsFormat).as("timestamp"),
+        col("r.humidity").as("humidity"), col("r.temperature").as("temperature"),
+        col("r.pressure").as("pressure"), col("r.pitch").as("pitch"),
+        col("r.roll").as("roll"), col("r.yaw").as("yaw"), col("r.count").as("count"))
+
+  /** SRC-4: the IoT Rule's topic SQL — declarative projection + filter
+    * applied before anything is forwarded (README.md:50; canonical rule is
+    * `SELECT * FROM 'sensor/data'`, here parameterized).
+    */
+  def ruleSelect(stream: DataFrame, columns: Seq[String] = Seq("*"),
+      predicate: Column = lit(true)): DataFrame =
+    stream.where(predicate).selectExpr(columns: _*)
+
+  /** SNK-2: hourly-"index"-rotated sink — parquet partitioned by the hour
+    * label (the reference's `sensor-log-YYYY-MM-DD-HH` OpenSearch index
+    * rotation, README.md:110). Partition pruning over `hour` replaces
+    * index selection.
+    */
+  def hourlyPartitionedWriter(sensor: DataFrame, path: String,
+      checkpoint: String): DataStreamWriter[Row] =
+    sensor
+      .withColumn("hour", date_format(col("timestamp"), "yyyy-MM-dd-HH"))
+      .writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("hour")
+      .trigger(Trigger.AvailableNow())
+
+  /** STR-2/DD-1: at-least-once → effectively-once. Watermarked
+    * `dropDuplicates` on the natural message key (client_id, count);
+    * state is bounded by the watermark and partitioned by key.
+    */
+  def dedupStream(sensor: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    sensor
+      .withWatermark("timestamp", watermark)
+      .dropDuplicates("client_id", "count")
+
+  /** STR-3/STR-5 + AGG-1: event-time tumbling 1-hour window with a
+    * watermark — the streaming form of the hourly-average chart query
+    * (README.md:134-150). Late rows beyond the watermark are dropped
+    * (documented upgrade: the reference buckets on arrival time).
+    */
+  def hourlyWindowedAgg(sensor: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    sensor
+      .withWatermark("timestamp", watermark)
+      .groupBy(window(col("timestamp"), "1 hour"), col("client_id"))
+      .agg(
+        avg("temperature").as("avg_temperature"),
+        avg("humidity").as("avg_humidity"),
+        max("temperature").as("max_temperature"),
+        max("humidity").as("max_humidity"),
+        count(lit(1)).as("n"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd-HH").as("hour"),
+        col("client_id"), col("avg_temperature"), col("avg_humidity"),
+        col("max_temperature"), col("max_humidity"), col("n"))
+
+  /** SRC-5: Kinesis-style fan-out — one logical stream, two independent
+    * consumers with separate checkpoints (the reference's S3 and
+    * OpenSearch Firehose paths, README.md:53, 100-114). Returns both
+    * running queries.
+    */
+  def fanOut(stream: DataFrame,
+      mkSink1: DataFrame => DataStreamWriter[Row],
+      mkSink2: DataFrame => DataStreamWriter[Row]): (StreamingQuery, StreamingQuery) =
+    (mkSink1(stream).start(), mkSink2(stream).start())
+}

@@ -1,0 +1,53 @@
+package graft.analytics
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Knife-edge semantics from FIXTURES.md §1: hour-boundary window
+  * assignment (AGG-1), histogram bucket edges at 999/1000/1001 (AGG-2),
+  * duplicate-key dedup (DD-1).
+  */
+class EventSemanticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("AGG-1 hour bucketing: a record exactly on the hour belongs to that hour") {
+    val df = Seq(
+      Timestamp.valueOf("2022-07-14 15:00:00"), // exactly on the hour
+      Timestamp.valueOf("2022-07-14 15:59:59"),
+      Timestamp.valueOf("2022-07-14 16:00:00"))
+      .toDF("ts").select(date_format(col("ts"), "yyyy-MM-dd-HH").as("hour"))
+    assert(df.collect().map(_.getString(0)).toSeq ==
+      Seq("2022-07-14-15", "2022-07-14-15", "2022-07-14-16"))
+  }
+
+  test("AGG-2 histogram edges: 999 → bucket 0, 1000/1001 → bucket 1000") {
+    val df = Seq(999L, 1000L, 1001L).toDF("count")
+      .select(expr("(count div 1000) * 1000").as("bucket"))
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(0L, 1000L, 1000L))
+  }
+
+  test("DD-1: dedup is idempotent and keeps one row per key") {
+    val df = Seq(("rpi", 1L, 10.0), ("rpi", 1L, 10.0), ("rpi", 2L, 11.0))
+      .toDF("client_id", "count", "temperature")
+    val once = df.dropDuplicates("client_id", "count")
+    val twice = once.dropDuplicates("client_id", "count")
+    assert(once.count() == 2)
+    assert(twice.count() == 2)
+  }
+
+  test("streaming wire roundtrip preserves values at second granularity") {
+    import graft.streaming.SensorPipeline
+    val now = Timestamp.valueOf("2022-07-14 15:00:01")
+    val sensor = Seq(("raspberrypi", now, 43.88, 39.67, 1012.3, 0.4, 1.2, 270.0, 3001L))
+      .toDF("client_id", "timestamp", "humidity", "temperature", "pressure",
+        "pitch", "roll", "yaw", "count")
+    val back = SensorPipeline.parseWire(SensorPipeline.toWire(sensor)).head()
+    assert(back.getAs[String]("client_id") == "raspberrypi")
+    assert(back.getAs[Timestamp]("timestamp") == now)
+    assert(back.getAs[Double]("temperature") == 39.67)
+    assert(back.getAs[Long]("count") == 3001L)
+  }
+}

@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Planted corpus: 0/1 exact dups, 2 a near-dup of 0 (one token changed
+  // out of 12), 3-5 unrelated.
+  private val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+  private def docs = Seq(
+    (0L, base),
+    (1L, base),
+    (2L, base.replace("mu", "nu")),
+    (3L, "one two three four five six seven eight nine ten eleven twelve"),
+    (4L, "red orange yellow green blue indigo violet white black brown pink gray"),
+    (5L, "spark catalyst tungsten parquet shuffle broadcast partition executor driver stage task job"))
+    .toDF("doc_id", "text")
+
+  test("exactClusters finds only the exact duplicate pair") {
+    val rows = Dedup.exactClusters(docs).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[Long]("n_docs") == 2)
+    assert(rows(0).getAs[Long]("min_doc") == 0L)
+    assert(rows(0).getAs[Long]("max_doc") == 1L)
+  }
+
+  test("minhashNearDups finds exact and near duplicates, nothing else") {
+    val pairs = Dedup.minhashNearDups(docs, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(p => (p._1, p._2))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((0L, 1L))) // exact dup: jaccard 1.0
+    assert(keys.contains((0L, 2L)) && keys.contains((1L, 2L))) // near dup
+    assert(keys.size == 3, s"unexpected pairs: ${pairs.mkString(",")}")
+    assert(pairs.find(p => (p._1, p._2) == (0L, 1L)).get._3 == 1.0)
+  }
+
+  test("simhashNearDups: exact dups at hamming 0; small-edit near dup found; unrelated absent") {
+    // SimHash bit stability needs enough tokens for the per-bit majority
+    // to have margin — use a 64-token doc with a single-token edit.
+    val long0 = (1 to 64).map(i => s"tok$i").mkString(" ")
+    val long1 = long0.replace("tok64", "tok65") // 1/64 edit
+    val other = (100 to 163).map(i => s"w$i").mkString(" ")
+    val d = Seq((0L, long0), (1L, long0), (2L, long1), (3L, other))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDups(d, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(m.get((0L, 1L)).contains(0L), s"exact dup at hamming 0: $m")
+    assert(m.contains((0L, 2L)) && m.contains((1L, 2L)), s"near dup found: $m")
+    assert(!m.keySet.exists { case (a, b) => a == 3L || b == 3L }, s"unrelated absent: $m")
+  }
+
+  test("jaccardPairs threshold filters and is symmetric-free (a<b only)") {
+    val pairs = Dedup.jaccardPairs(docs, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.forall { case (a, b) => a < b })
+    assert(pairs.toSet == Set((0L, 1L), (0L, 2L), (1L, 2L)))
+  }
+
+  test("embeddingNearDups finds the planted near-identical vector pair") {
+    val v = Array.tabulate(8)(i => 0.1f * (i + 1))
+    val nearly = v.clone(); nearly(7) = nearly(7) * 1.01f
+    val opposite = v.map(x => -x)
+    val other = Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val embs = Seq((0L, v.toSeq), (1L, nearly.toSeq), (2L, opposite.toSeq), (3L, other.toSeq))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDups(embs, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((0L, 1L)))
+  }
+}

@@ -1,0 +1,117 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.schema.SensorReading
+
+/** Streaming semantics (SURVEY.md §2.5): at-least-once dedup (STR-2),
+  * event-time hourly windows with watermark/late data (STR-3/5), driven
+  * through MemoryStream.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def reading(ts: String, count: Long, temp: Double = 30.0): SensorReading =
+    SensorReading("raspberrypi", Timestamp.valueOf(ts), 50.0, temp, 1012.0,
+      0.0, 0.0, 0.0, count)
+
+  test("STR-2: watermarked dropDuplicates makes at-least-once effectively-once") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SensorReading]
+    val deduped = SensorPipeline.dedupStream(mem.toDF())
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        reading("2022-07-14 15:00:01", 1),
+        reading("2022-07-14 15:00:01", 1), // QoS1 redelivery
+        reading("2022-07-14 15:00:02", 2))
+      q.processAllAvailable()
+      mem.addData(reading("2022-07-14 15:00:02", 2)) // redelivery across batches
+      q.processAllAvailable()
+      val counts = spark.table("dedup_out").collect().map(_.getAs[Long]("count")).sorted
+      assert(counts.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("STR-3/5: event-time hourly window aggregates; late row beyond watermark dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SensorReading]
+    val agg = SensorPipeline.hourlyWindowedAgg(mem.toDF(), watermark = "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("hourly_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        reading("2022-07-14 15:00:00", 1, temp = 30.0), // exactly on the hour
+        reading("2022-07-14 15:30:00", 2, temp = 34.0),
+        reading("2022-07-14 16:05:00", 3, temp = 40.0))
+      q.processAllAvailable()
+      // advance watermark far past 16:00 so the 15:00 window finalizes
+      mem.addData(reading("2022-07-14 18:00:00", 4, temp = 20.0))
+      q.processAllAvailable()
+      // this row is hours late — beyond the watermark, must be dropped
+      mem.addData(reading("2022-07-14 15:45:00", 5, temp = 99.0))
+      q.processAllAvailable()
+      mem.addData(reading("2022-07-14 19:00:00", 6, temp = 20.0))
+      q.processAllAvailable()
+      val rows = spark.table("hourly_out").collect()
+        .map(r => r.getAs[String]("hour") -> (r.getAs[Double]("avg_temperature"), r.getAs[Long]("n")))
+        .toMap
+      assert(rows("2022-07-14-15") == ((32.0, 2L)), "on-the-hour row in 15:00 bucket, late row dropped")
+      assert(rows("2022-07-14-16")._2 == 1L)
+    } finally q.stop()
+  }
+
+  test("SRC-5/SNK-2: fan-out writes two independent sinks; hourly partition dirs appear") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SensorReading]
+    val out1 = Files.createTempDirectory("graft-sink1")
+    val out2 = Files.createTempDirectory("graft-sink2")
+    val cp1 = Files.createTempDirectory("graft-cp1")
+    val cp2 = Files.createTempDirectory("graft-cp2")
+    mem.addData(
+      reading("2022-07-14 15:00:01", 1),
+      reading("2022-07-14 16:00:01", 2))
+    val (q1, q2) = SensorPipeline.fanOut(mem.toDF(),
+      s => SensorPipeline.hourlyPartitionedWriter(s, out1.toString, cp1.toString),
+      s => s.writeStream.format("parquet").option("path", out2.toString)
+        .option("checkpointLocation", cp2.toString).trigger(Trigger.AvailableNow()))
+    try {
+      q1.awaitTermination(60000); q2.awaitTermination(60000)
+      val hourDirs = Files.list(out1).toArray.map(_.toString)
+        .filter(_.contains("hour=")).sorted
+      assert(hourDirs.exists(_.endsWith("hour=2022-07-14-15")))
+      assert(hourDirs.exists(_.endsWith("hour=2022-07-14-16")))
+      assert(spark.read.parquet(out2.toString).count() == 2)
+    } finally { q1.stop(); q2.stop() }
+  }
+
+  test("streaming compactor: micro-batches land small files, threshold triggers compaction") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SensorReading]
+    val logs = Files.createTempDirectory("graft-slogs")
+    val out = Files.createTempDirectory("graft-sout")
+    val cp = Files.createTempDirectory("graft-scp")
+    val state = new graft.operators.Compaction.CounterState
+    import graft.schema.Schemas
+    val q = mem.toDF().writeStream
+      .option("checkpointLocation", cp.toString)
+      .foreachBatch(graft.operators.Compaction.streamingCompactorBatch(
+        state, logs.toString, out.toString, Schemas.sensor, threshold = 2) _)
+      .start()
+    try {
+      mem.addData(reading("2022-07-14 15:00:01", 1))
+      q.processAllAvailable()
+      mem.addData(reading("2022-07-14 15:00:02", 2))
+      q.processAllAvailable()
+      val compacted = Files.list(out).toArray.map(_.toString)
+      assert(compacted.nonEmpty, "compaction triggered at threshold")
+      assert(state.get == 0L)
+    } finally q.stop()
+  }
+}

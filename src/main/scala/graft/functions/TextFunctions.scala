@@ -63,19 +63,33 @@ object TextFunctions {
     (as, bs)
   }
 
-  /** MinHash signature: array of `numPerms` longs. One pass over the
-    * shingle array per permutation via higher-order functions — no
-    * explode, no shuffle; the signature is computed map-side.
+  /** Base hashes for MinHash: shingle strings → [0, PRIME) longs.
+    * Materialize this as its OWN projected column before calling
+    * [[minhashSignatureFromHashes]]: the signature references the hash
+    * array `numPerms` times, and an un-materialized subtree would be
+    * recomputed per permutation (measured 64× slowdown).
     */
-  def minhashSignature(shingleCol: Column, numPerms: Int): Column = {
+  def shingleHashes(shingleCol: Column): Column =
+    transform(shingleCol, s => pmod(xxhash64(s), lit(MinhashPrime)))
+
+  /** MinHash signature from a pre-materialized hash column: array of
+    * `numPerms` longs, each one `array_min` over the affine-permuted
+    * hashes. All map-side; no explode, no shuffle.
+    */
+  def minhashSignatureFromHashes(hashesCol: Column, numPerms: Int): Column = {
     val (as, bs) = minhashParams(numPerms)
-    val hashes = transform(shingleCol, s => pmod(xxhash64(s), lit(MinhashPrime)))
     transform(sequence(lit(0), lit(numPerms - 1)), i => {
       val a = element_at(typedLit(as.toSeq), (i + 1).cast("int"))
       val b = element_at(typedLit(bs.toSeq), (i + 1).cast("int"))
-      array_min(transform(hashes, h => pmod(h * a + b, lit(MinhashPrime))))
+      array_min(transform(hashesCol, h => pmod(h * a + b, lit(MinhashPrime))))
     })
   }
+
+  /** Convenience composition (prefer the two-step form on hot paths —
+    * see [[shingleHashes]]).
+    */
+  def minhashSignature(shingleCol: Column, numPerms: Int): Column =
+    minhashSignatureFromHashes(shingleHashes(shingleCol), numPerms)
 
   /** Token-set Jaccard similarity between two token-array columns
     * (distinct semantics: |A∩B| / |A∪B|).

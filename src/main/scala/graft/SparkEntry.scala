@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.{EventQueries, ExtensionQueries, RelationalQueries}
+import graft.analytics.{AdvancedQueries, EventQueries, ExtensionQueries, RelationalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -63,7 +63,12 @@ object SparkEntry {
     "q_dd7_embedding_neardup" -> (ExtensionQueries.embeddingNearDup _),
     "q_sim1_cosine_topk" -> (ExtensionQueries.cosineTopK _),
     "q_sim2_ann_lsh" -> (ExtensionQueries.annTopK _),
-    "q_mm1_binary_meta" -> (ExtensionQueries.binaryMeta _))
+    "q_sim3_ivf" -> (ExtensionQueries.ivfTopK _),
+    "q_mm1_binary_meta" -> (ExtensionQueries.binaryMeta _),
+    "q_adv1_shipping_priority" -> (AdvancedQueries.shippingPriority _),
+    "q_adv2_local_supplier_volume" -> (AdvancedQueries.localSupplierVolume _),
+    "q_adv3_salted_agg" -> (AdvancedQueries.saltedAgg(_, _)),
+    "q_adv4_session_windows" -> (AdvancedQueries.sessionWindows _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -109,5 +114,9 @@ object SparkEntry {
     // engine-specific — rows-only here, recall asserted in scalatest.
     "q_dd7_embedding_neardup" -> ExtensionQueries.embeddingNearDupSql,
     "q_sim1_cosine_topk" -> ExtensionQueries.cosineTopKSql,
-    "q_mm1_binary_meta" -> ExtensionQueries.binaryMetaSql)
+    "q_mm1_binary_meta" -> ExtensionQueries.binaryMetaSql,
+    "q_adv1_shipping_priority" -> AdvancedQueries.shippingPrioritySql,
+    "q_adv2_local_supplier_volume" -> AdvancedQueries.localSupplierVolumeSql,
+    "q_adv3_salted_agg" -> AdvancedQueries.saltedAggSql,
+    "q_adv4_session_windows" -> AdvancedQueries.sessionWindowsSql)
 }

@@ -1,0 +1,140 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Headline multi-operator analytics: realistic join-chain plans, the
+  * skew-salting pattern, and batch sessionization. These are the "would
+  * this survive 100×" showcases — each one's physical plan is the shape a
+  * 1000-executor run needs (broadcast dims, single keyed shuffles,
+  * two-phase salted aggregation, session merge without a global sort).
+  */
+object AdvancedQueries {
+
+  /** TPC-H Q3-shaped shipping-priority query: segment-filtered customer ⋈
+    * orders ⋈ lineitem, revenue top-10. Customer (filtered dim) is
+    * broadcast; the lineitem side shuffles once on the orderkey.
+    */
+  def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = "1998-06-15"
+    val cust = Tables.customer(spark, dir).where(col("c_mktsegment") === "BUILDING")
+    val orders = Tables.orders(spark, dir).where(col("o_orderdate") < lit(cutoff))
+    val li = Tables.lineitem(spark, dir).where(col("l_shipdate") > lit(cutoff))
+    li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val shippingPrioritySql: String =
+    """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+      |       o_orderpriority,
+      |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-06-15'
+      |  AND l_shipdate > TIMESTAMP '1998-06-15'
+      |GROUP BY 1, 2, 3
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** TPC-H Q5-shaped local-supplier-volume query: the 6-table join chain
+    * region ⋈ nation ⋈ customer ⋈ orders ⋈ lineitem ⋈ supplier with the
+    * local-supplier condition (s_nationkey = c_nationkey). All dims
+    * broadcast; facts shuffle on their join keys only.
+    */
+  def localSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables.region(spark, dir).where(col("r_name") === "ASIA")
+    val nation = Tables.nation(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val supp = Tables.supplier(spark, dir)
+    val orders = Tables.orders(spark, dir)
+      .where(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01"))
+    val li = Tables.lineitem(spark, dir)
+    li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp),
+        col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy(col("n_name"))
+  }
+
+  val localSupplierVolumeSql: String =
+    """SELECT n_name,
+      |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      |       count(*) AS n
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Skew-resistant two-phase (salted) aggregation: phase 1 aggregates on
+    * (key, salt) — spreading each hot key over `salts` reducers — phase 2
+    * combines the partials per key. Integer/count metrics are exact, so
+    * the result is identical to the direct group-by (which is the
+    * oracle). `events.event_type` has only 5 values: at 100 TB the
+    * un-salted shuffle would put ~20% of the table on one reducer.
+    */
+  def saltedAgg(spark: SparkSession, dir: String, salts: Int = 8): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("salt", pmod(xxhash64(col("event_id")), lit(salts.toLong)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(count(lit(1)).as("pn"), sum("user_id").as("psum"),
+        max("value").as("pmax"), min("value").as("pmin"))
+      .groupBy(col("event_type"))
+      .agg(sum("pn").as("n"), sum("psum").as("sum_uid"),
+        max("pmax").as("max_value"), min("pmin").as("min_value"))
+      .orderBy("event_type")
+
+  val saltedAggSql: String =
+    """SELECT event_type, count(*) AS n, sum(user_id) AS sum_uid,
+      |       max(value) AS max_value, min(value) AS min_value
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Batch sessionization via `session_window` (30-minute gap): events
+    * merge while each arrives within the gap of the session's end. The
+    * oracle reproduces the grouping with the gaps-and-islands idiom
+    * (lag + cumulative new-session flags) — boundary semantics align:
+    * merge iff diff < gap ⟺ new session iff diff ≥ gap, both at µs
+    * precision.
+    */
+  def sessionWindows(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 6).as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("session_start_us"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start_us")
+
+  val sessionWindowsSql: String =
+    """SELECT user_id, min(ts_us) AS session_start_us, count(*) AS n_events,
+      |       round(sum(value), 6) AS sum_value
+      |FROM (
+      |  SELECT user_id, ts_us, value,
+      |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+      |                                ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM (
+      |    SELECT user_id, epoch_us(ts) AS ts_us, value,
+      |           CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1, epoch_us(ts))
+      |                     OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) >= 1800000000
+      |                THEN 1 ELSE 0 END AS new_session
+      |    FROM events)
+      |) GROUP BY user_id, session_id ORDER BY user_id, session_start_us""".stripMargin
+}

@@ -259,6 +259,16 @@ object ExtensionQueries {
       .orderBy("query_id", "rank")
   }
 
+  // ---------------------------------------------------------------- SIM-3
+  /** IVF-partitioned approximate top-10 (rows-only oracle; own-cluster
+    * recall asserted in scalatest).
+    */
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.embeddings(spark, dir)
+    Similarity.ivfTopK(embs.where(col("vec_id") < 5), embs, k = 10)
+      .orderBy("query_id", "rank")
+  }
+
   // ----------------------------------------------------------------- MM-1
   /** Multimodal binary-column metadata: payload byte length, sha256
     * checksum, frame-chunk count — the queryable-metadata side of the

@@ -49,13 +49,20 @@ case class FloatVectorDot(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName for every local: multiple dot expressions can land in
+      // ONE codegen scope (e.g. dot(a,b) and the two norms in a cosine
+      // projection) and fixed names would fail janino compilation —
+      // which silently falls back to interpreted eval.
+      val n = ctx.freshName("fvdN")
+      val s = ctx.freshName("fvdS")
+      val i = ctx.freshName("fvdI")
       s"""
-         |int ${ev.value}_n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double ${ev.value}_s = 0.0;
-         |for (int i = 0; i < ${ev.value}_n; i++) {
-         |  ${ev.value}_s += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |}
-         |${ev.value} = ${ev.value}_s;
+         |${ev.value} = $s;
        """.stripMargin
     })
 

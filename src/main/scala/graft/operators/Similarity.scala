@@ -72,6 +72,49 @@ object Similarity {
     projs.select(col("vec_id"), posexplode(bucketArr).as(Seq("table", "bucket")))
   }
 
+  /** IVF-style approximate top-k: a coarse quantizer partitions the
+    * corpus into cells; queries probe the `nProbe` nearest cells and
+    * re-rank only those candidates exactly.
+    *
+    * The quantizer here takes the first `nCentroids` corpus vectors as
+    * centroids (deterministic; a production build would run k-means —
+    * the operator shape downstream is identical). Cell assignment is a
+    * broadcast join + `max_by` argmax — the corpus shuffles once, on the
+    * cell id; at 100 TB the cell-assigned corpus is the persisted index
+    * and queries touch nProbe/nCentroids of it.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val centroids = corpus.limit(nCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        VF.l2Norm(col("embedding")).as("cn"))
+
+    def assign(df: DataFrame, idCol: String, keep: Int): DataFrame = {
+      val scored = df
+        .select(col("vec_id").as(idCol), col("embedding"),
+          VF.l2Norm(col("embedding")).as("nrm"))
+        .crossJoin(broadcast(centroids))
+        .withColumn("ccos", VF.dot(col("embedding"), col("ce")) / (col("nrm") * col("cn")))
+      val w = Window.partitionBy(idCol).orderBy(col("ccos").desc, col("cid"))
+      scored.withColumn("crank", row_number().over(w))
+        .where(col("crank") <= keep)
+        .select(col(idCol), col("embedding"), col("nrm"), col("cid"))
+    }
+
+    val corpusCells = assign(corpus, "neighbor_id", keep = 1)
+      .withColumnRenamed("embedding", "ne").withColumnRenamed("nrm", "nn")
+    val queryCells = assign(queries, "query_id", keep = nProbe)
+      .withColumnRenamed("embedding", "qe").withColumnRenamed("nrm", "qn")
+
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    corpusCells.join(broadcast(queryCells), Seq("cid"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(VF.dot(col("qe"), col("ne")) / (col("qn") * col("nn")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
   /** Approximate top-k: L independent random-hyperplane tables; a
     * candidate is any corpus vector sharing a bucket with the query in at
     * least one table; candidates are re-ranked by exact cosine. Recall

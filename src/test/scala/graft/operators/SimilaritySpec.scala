@@ -45,6 +45,29 @@ class SimilaritySpec extends SparkSpec {
     assert(res.toSet == Set(1L, 2L, 3L, 4L))
   }
 
+  test("ivfTopK: probing enough cells recovers the own-cluster neighbors") {
+    // Interleave clusters so the first-N quantizer seeds are one per
+    // cluster (id % 3 = cluster): a degenerate all-one-cluster seed set
+    // fragments that cluster into singleton cells by construction.
+    val centers = Seq(
+      Array(1f, 1f, 1f, 1f, 0f, 0f, 0f, 0f),
+      Array(-1f, 1f, -1f, 1f, 0f, 0f, 0f, 0f),
+      Array(0f, 0f, 0f, 0f, 1f, -1f, 1f, -1f))
+    val corpus = (0 until 15).map { id =>
+      val cen = centers(id % 3)
+      val v = cen.zipWithIndex.map { case (x, d) => x + 0.01f * ((id + d) % 7) }
+      (id.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val q = corpus.where(col("vec_id") === 0)
+    val exact = Similarity.bruteForceTopK(q, corpus, k = 4)
+      .collect().map(_.getLong(1)).toSet
+    val approx = Similarity.ivfTopK(q, corpus, k = 4, nCentroids = 3, nProbe = 1)
+      .collect().map(_.getLong(1)).toSet
+    assert(exact == Set(3L, 6L, 9L, 12L), s"brute force finds the own cluster: $exact")
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.75, s"recall $recall too low: exact=$exact approx=$approx")
+  }
+
   test("lshTopK recall: finds the brute-force top-4 for a clustered query") {
     val q = clustered.where(col("vec_id") === 0)
     val exact = Similarity.bruteForceTopK(q, clustered, k = 4)

@@ -39,6 +39,7 @@ object SparkEntry {
     "q_rel9_pricing_summary" -> (RelationalQueries.pricingSummary _),
     "q_rel10_distinct" -> (RelationalQueries.distinctCounts _),
     "q_rel10b_approx_distinct" -> (RelationalQueries.approxDistinct _),
+    "q_rel10c_quantile_stats" -> (RelationalQueries.quantileStats _),
     "q_rel11_rollup" -> (RelationalQueries.rollupAgg _),
     "q_rel12_window_rank" -> (RelationalQueries.windowRank _),
     "q_rel13_window_frames" -> (RelationalQueries.windowFrames _),
@@ -91,6 +92,7 @@ object SparkEntry {
     "q_rel9_pricing_summary" -> RelationalQueries.pricingSummarySql,
     "q_rel10_distinct" -> RelationalQueries.distinctCountsSql,
     // q_rel10b_approx_distinct: HLL sketch — no DuckDB equivalent; rows-only.
+    "q_rel10c_quantile_stats" -> RelationalQueries.quantileStatsSql,
     "q_rel11_rollup" -> RelationalQueries.rollupAggSql,
     "q_rel12_window_rank" -> RelationalQueries.windowRankSql,
     "q_rel13_window_frames" -> RelationalQueries.windowFramesSql,

@@ -208,6 +208,31 @@ object RelationalQueries {
         approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
         approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
 
+  /** REL-9/10 extension: order-statistics battery — exact interpolated
+    * percentiles (both engines use linear interpolation over the sorted
+    * group) and sample stddev (rounded: Welford accumulation order
+    * differs across engines in the last ulps).
+    */
+  def quantileStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.25)"), 6).as("q25"),
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("median"),
+        round(expr("percentile(l_quantity, 0.75)"), 6).as("q75"),
+        round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  val quantileStatsSql: String =
+    """SELECT l_returnflag,
+      |       round(quantile_cont(l_quantity, 0.25), 6) AS q25,
+      |       round(quantile_cont(l_quantity, 0.5), 6) AS median,
+      |       round(quantile_cont(l_quantity, 0.75), 6) AS q75,
+      |       round(stddev_samp(l_extendedprice), 4) AS sd_price,
+      |       count(*) AS n
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** REL-11: rollup — hierarchical subtotals; NULL grouping slots coalesced
     * to 'ALL' so the engines agree on the sort.
     */

@@ -57,10 +57,14 @@ object Udx {
     def outputEncoder: Encoder[MeanVar] = Encoders.product[MeanVar]
   }
 
-  /** Register the UDx surface for `spark.sql` use. */
+  /** Register the UDx surface for `spark.sql` use (plus the native
+    * [[FloatVectorDot]] expression — SQL-callable codegen'd vector math).
+    */
   def register(spark: SparkSession): Unit = {
     spark.udf.register("dew_point_c", dewPointUdf)
     spark.udf.register("welford_mean_var",
       org.apache.spark.sql.functions.udaf(WelfordMeanVar))
+    org.apache.spark.sql.GraftColumnBridge.registerFunction(
+      spark, "float_vector_dot", exprs => FloatVectorDot(exprs(0), exprs(1)))
   }
 }

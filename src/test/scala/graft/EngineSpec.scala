@@ -17,6 +17,10 @@ class EngineSpec extends SparkSpec {
     val mv = spark.sql(
       "SELECT welford_mean_var(value) AS mv FROM events").head().getStruct(0)
     assert(mv.getAs[Long]("n") == 1000L)
+    val d = spark.sql(
+      "SELECT float_vector_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d").head().getDouble(0)
+    assert(d == 11.0, "native expression callable from SQL")
   }
 
   test("EXP-5: flattenOrientation extracts map keys to scalar columns") {

@@ -28,6 +28,8 @@ object Similarity {
     * (k·|queries| rows).
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     // Precompute each side's L2 norm once per vector — the pairwise step
     // then costs a single dot-product fold per pair instead of three.
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
@@ -37,11 +39,18 @@ object Similarity {
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cos",
         round(VF.dot(col("qe"), col("ne")) / (col("qn") * col("nn")), 6))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cos", "rank")
+    // Single-pass bounded top-k (TopKAggregator): map-side partial heaps
+    // of size ≤ k merge per query — the shuffle carries k·partitions rows
+    // per query, not the whole scored corpus like a window sort would.
+    // Ordering (score desc, id asc) matches the window form exactly.
+    scored.select(col("query_id"), col("neighbor_id"), col("cos"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .agg(new TopKAggregator.TopK(k).toColumn.name("topk"))
+      .flatMap { case (qid, items) =>
+        items.zipWithIndex.map { case (s, i) => (qid, s.id, s.score, (i + 1).toLong) }
+      }
+      .toDF("query_id", "neighbor_id", "cos", "rank")
   }
 
   /** Deterministic pseudo-random hyperplane weight in [-1, 1] for
@@ -85,7 +94,9 @@ object Similarity {
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val centroids = corpus.limit(nCentroids)
+    // Deterministic seed set: lowest vec_ids (a bare limit() without
+    // ordering is plan-dependent and would make the index unstable).
+    val centroids = corpus.orderBy("vec_id").limit(nCentroids)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"),
         VF.l2Norm(col("embedding")).as("cn"))
 

@@ -107,6 +107,44 @@ object AdvancedQueries {
       |       max(value) AS max_value, min(value) AS min_value
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** As-of join (graft.operators.AsOfJoin): each purchase event picks up
+    * the most recent prior error event's value per user — the classic
+    * sensor/time-series enrichment Spark lacks natively. Right side is
+    * deduped latest-wins per (user, µs) in BOTH engines so ties are
+    * well-defined; the oracle is DuckDB's native ASOF LEFT JOIN.
+    */
+  def asOfJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir).withColumn("ts_us", expr("ts_ns div 1000"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
+    val wDedup = Window.partitionBy("user_id", "err_ts_us").orderBy(col("event_id").desc)
+    val errors = ev.where(col("event_type") === "error")
+      .select(col("user_id"), col("ts_us").as("err_ts_us"),
+        col("value").as("err_value"), col("event_id"))
+      .withColumn("rn", row_number().over(wDedup))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("err_ts_us"), col("err_value"))
+    graft.operators.AsOfJoin.asOf(purchases, errors, key = "user_id",
+      leftTs = "ts_us", rightTs = "err_ts_us", payload = Seq("err_ts_us", "err_value"))
+      .withColumnRenamed("asof_err_ts_us", "err_ts_us")
+      .withColumnRenamed("asof_err_value", "err_value")
+      .orderBy("event_id")
+  }
+
+  val asOfJoinSql: String =
+    """SELECT event_id, p.user_id AS user_id, ts_us, value, err_ts_us, err_value
+      |FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+      |      FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (
+      |  SELECT user_id, err_ts_us, err_value FROM (
+      |    SELECT user_id, epoch_us(ts) AS err_ts_us, value AS err_value,
+      |           row_number() OVER (PARTITION BY user_id, epoch_us(ts)
+      |                              ORDER BY event_id DESC) AS rn
+      |    FROM events WHERE event_type = 'error') WHERE rn = 1
+      |) e ON p.user_id = e.user_id AND p.ts_us >= e.err_ts_us
+      |ORDER BY event_id""".stripMargin
+
   /** Batch sessionization via `session_window` (30-minute gap): events
     * merge while each arrives within the gap of the session's end. The
     * oracle reproduces the grouping with the gaps-and-islands idiom

@@ -70,7 +70,8 @@ object SparkEntry {
     "q_adv2_local_supplier_volume" -> (AdvancedQueries.localSupplierVolume _),
     "q_adv3_salted_agg" -> (AdvancedQueries.saltedAgg(_, _)),
     "q_adv4_session_windows" -> (AdvancedQueries.sessionWindows _),
-    "q_adv5_asof_join" -> (AdvancedQueries.asOfJoin _))
+    "q_adv5_asof_join" -> (AdvancedQueries.asOfJoin _),
+    "q_adv6_range_join" -> (AdvancedQueries.rangeJoin _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -122,5 +123,6 @@ object SparkEntry {
     "q_adv2_local_supplier_volume" -> AdvancedQueries.localSupplierVolumeSql,
     "q_adv3_salted_agg" -> AdvancedQueries.saltedAggSql,
     "q_adv4_session_windows" -> AdvancedQueries.sessionWindowsSql,
-    "q_adv5_asof_join" -> AdvancedQueries.asOfJoinSql)
+    "q_adv5_asof_join" -> AdvancedQueries.asOfJoinSql,
+    "q_adv6_range_join" -> AdvancedQueries.rangeJoinSql)
 }

@@ -145,6 +145,30 @@ object AdvancedQueries {
       |) e ON p.user_id = e.user_id AND p.ts_us >= e.err_ts_us
       |ORDER BY event_id""".stripMargin
 
+  /** Bucketed interval join (graft.operators.RangeJoin): per-user event
+    * pairs within 5 minutes, summarized per (type_a, type_b). The
+    * bucket-replication scheme makes it a hash join; the oracle is the
+    * naive theta join (fine at oracle scale, quadratic at ours).
+    */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"), col("event_type"))
+    graft.operators.RangeJoin.withinInterval(ev, key = "user_id", tsCol = "ts_us",
+      windowUs = 300000000L)
+      .groupBy(col("a_event_type").as("type_a"), col("b_event_type").as("type_b"))
+      .agg(count(lit(1)).as("n"), sum("dt_us").as("sum_dt_us"))
+      .orderBy("type_a", "type_b")
+  }
+
+  val rangeJoinSql: String =
+    """SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |       count(*) AS n, sum(epoch_us(b.ts) - epoch_us(a.ts)) AS sum_dt_us
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id
+      | AND epoch_us(b.ts) > epoch_us(a.ts)
+      | AND epoch_us(b.ts) <= epoch_us(a.ts) + 300000000
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Batch sessionization via `session_window` (30-minute gap): events
     * merge while each arrives within the gap of the session's end. The
     * oracle reproduces the grouping with the gaps-and-islands idiom

@@ -34,6 +34,9 @@ object AsOfJoin {
     */
   def asOf(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
+    val reserved = Seq("__ts", "__side", "__p", "__asof")
+    require(!(left.columns ++ right.columns).exists(reserved.contains),
+      s"input columns must not use the reserved names ${reserved.mkString(", ")}")
     val leftCols = left.columns
     // side = 0 sorts right rows BEFORE left rows at equal timestamps →
     // an exactly-simultaneous right row is visible to the left row

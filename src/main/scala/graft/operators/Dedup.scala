@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
@@ -64,12 +65,24 @@ object Dedup {
     // Signature via explode + one hash-aggregate with numPerms codegen'd
     // min() expressions — NOT an array fold: Spark's higher-order
     // functions are interpreted (no whole-stage codegen), and the fold
-    // form measured ~60× slower. The shuffle is keyed by doc_id and
-    // carries map-side partial mins, so it scales linearly.
+    // form measured ~60× slower. Shingle hashes come from lead() windows
+    // over exploded tokens (xxhash64 of n token columns) rather than
+    // building shingle strings — no per-shingle string allocation, and
+    // the window's doc_id partitioning is reused by the aggregate, so
+    // the whole signature costs ONE shuffle.
     val (as, bs) = TF.minhashParams(numPerms)
-    val hashed = docs
-      .select(col("doc_id"), explode(TF.shingles(col("text"), shingleSize)).as("sh"))
-      .select(col("doc_id"), pmod(xxhash64(col("sh")), lit(TF.MinhashPrime)).as("h"))
+    val wTok = Window.partitionBy("doc_id").orderBy("pos")
+    val tokenized = docs.select(col("doc_id"),
+      posexplode(TF.tokens(col("text"))).as(Seq("pos", "tok")))
+    val shingleCols = (1 until shingleSize).map(i => lead(col("tok"), i).over(wTok))
+    val hashed = tokenized
+      .select(col("doc_id") +: col("tok") +: shingleCols.zipWithIndex.map {
+        case (c, i) => c.as(s"t${i + 1}")
+      }: _*)
+      .where(col(s"t${shingleSize - 1}").isNotNull) // doc shorter than n ⇒ no shingles
+      .select(col("doc_id"),
+        pmod(xxhash64(col("tok") +: (1 until shingleSize).map(i => col(s"t$i")): _*),
+          lit(TF.MinhashPrime)).as("h"))
     val minCols = (0 until numPerms).map(i =>
       min(pmod(col("h") * as(i) + bs(i), lit(TF.MinhashPrime))).as(s"m$i"))
     val sigs = hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)

@@ -238,8 +238,10 @@ object ExtensionQueries {
       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
       |         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
       |                                      CAST(b.embedding AS DOUBLE[])), 6) AS cos
-      |  FROM (SELECT * FROM embeddings WHERE vec_id % 4 = 0) a
-      |  JOIN (SELECT * FROM embeddings WHERE vec_id % 4 = 0) b ON a.vec_id < b.vec_id
+      |  FROM (SELECT * FROM embeddings WHERE vec_id % 4 = 0
+      |        AND len(list_filter(embedding, x -> x != 0)) > 0) a
+      |  JOIN (SELECT * FROM embeddings WHERE vec_id % 4 = 0
+      |        AND len(list_filter(embedding, x -> x != 0)) > 0) b ON a.vec_id < b.vec_id
       |) WHERE cos >= 0.25 ORDER BY vec_a, vec_b""".stripMargin
 
   // ---------------------------------------------------------------- SIM-1
@@ -261,8 +263,11 @@ object ExtensionQueries {
       |         row_number() OVER (PARTITION BY q.vec_id
       |           ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
       |                          CAST(c.embedding AS DOUBLE[])), 6) DESC, c.vec_id) AS rank
-      |  FROM (SELECT * FROM embeddings WHERE vec_id < 5) q
-      |  JOIN embeddings c ON q.vec_id != c.vec_id
+      |  FROM (SELECT * FROM embeddings WHERE vec_id < 5
+      |        AND len(list_filter(embedding, x -> x != 0)) > 0) q
+      |  JOIN (SELECT * FROM embeddings
+      |        WHERE len(list_filter(embedding, x -> x != 0)) > 0) c
+      |    ON q.vec_id != c.vec_id
       |) WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   // ---------------------------------------------------------------- SIM-2

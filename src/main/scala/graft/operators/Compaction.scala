@@ -57,14 +57,19 @@ object Compaction {
     */
   def onFileArrived(spark: SparkSession, state: CounterState, logsDir: String,
       outBase: String, schema: StructType, columns: Seq[String] = Seq("*"),
-      threshold: Int = DefaultThreshold, batchTag: String = ""): CompactionResult = {
-    val seen = state.increment()
-    if (seen >= threshold) { // CMP-2: the `> 99` gate
-      val out = compactDirectory(spark, logsDir, outBase, schema, columns, batchTag)
-      state.reset() // CMP-8
-      CompactionResult(triggered = true, filesSeen = seen, outputDir = Some(out))
-    } else CompactionResult(triggered = false, filesSeen = seen, outputDir = None)
-  }
+      threshold: Int = DefaultThreshold, batchTag: String = ""): CompactionResult =
+    // Serialized per counter (the S3-event analog fires concurrently):
+    // without this, two arrivals past the threshold would both run
+    // compaction, and a file landing mid-compaction could be deleted
+    // without ever being compacted.
+    state.synchronized {
+      val seen = state.increment()
+      if (seen >= threshold) { // CMP-2: the `> 99` gate
+        val out = compactDirectory(spark, logsDir, outBase, schema, columns, batchTag)
+        state.reset() // CMP-8
+        CompactionResult(triggered = true, filesSeen = seen, outputDir = Some(out))
+      } else CompactionResult(triggered = false, filesSeen = seen, outputDir = None)
+    }
 
   /** CMP-3..7: read the small-file prefix with the declared schema, apply
     * the dynamic projection, write ONE gzip JSON file to a
@@ -78,15 +83,22 @@ object Compaction {
       else java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmmssSSS")
         .withZone(java.time.ZoneOffset.UTC).format(java.time.Instant.now())
     val outDir = s"$outBase/compacted_$tag"
-    spark.read.schema(schema).json(logsDir) // SRC-6: schema-on-read, declared
+    // Snapshot the input file list ONCE: read exactly these files and
+    // delete exactly these files — a file landing mid-compaction is
+    // neither half-read nor deleted-uncompacted (it stays for the next
+    // batch). This closes the reference's async CTAS-vs-delete race
+    // (SURVEY.md §3.2 step 4) under concurrent arrivals too.
+    val fs = new Path(logsDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snapshot = fs.listStatus(new Path(logsDir)).filter(_.isFile).map(_.getPath)
+    spark.read.schema(schema)               // SRC-6: schema-on-read, declared
+      .json(snapshot.map(_.toString).toIndexedSeq: _*)
       .selectExpr(columns: _*)              // CMP-3
       .coalesce(1)                          // CMP-4: bucket_count=1 semantic
       .write.mode("overwrite")
       .option("compression", "gzip")        // SNK-3
       .json(outDir)
     // CMP-7 — safe ordering: delete inputs only after the write committed.
-    val fs = new Path(logsDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(new Path(logsDir)).foreach(st => fs.delete(st.getPath, false))
+    snapshot.foreach(p => fs.delete(p, false))
     outDir
   }
 

@@ -71,15 +71,25 @@ object Dedup {
     // the window's doc_id partitioning is reused by the aggregate, so
     // the whole signature costs ONE shuffle.
     val (as, bs) = TF.minhashParams(numPerms)
+    require(shingleSize >= 1, s"shingleSize must be >= 1, got $shingleSize")
     val wTok = Window.partitionBy("doc_id").orderBy("pos")
     val tokenized = docs.select(col("doc_id"),
       posexplode(TF.tokens(col("text"))).as(Seq("pos", "tok")))
-    val shingleCols = (1 until shingleSize).map(i => lead(col("tok"), i).over(wTok))
+    // Lead columns are coalesced to "" so a document SHORTER than the
+    // shingle size still yields one (truncated) shingle at pos 0 —
+    // identical short docs must still collide (the exact-Jaccard verify
+    // judges them; dropping them would silently miss short duplicates).
+    val shingleCols = (1 until shingleSize).map(i =>
+      coalesce(lead(col("tok"), i).over(wTok), lit("")))
+    val keep =
+      if (shingleSize == 1) lit(true)
+      else lead(col("tok"), shingleSize - 1).over(wTok).isNotNull || col("pos") === 0
     val hashed = tokenized
-      .select(col("doc_id") +: col("tok") +: shingleCols.zipWithIndex.map {
+      .select(col("doc_id") +: col("pos") +: col("tok") +: shingleCols.zipWithIndex.map {
         case (c, i) => c.as(s"t${i + 1}")
       }: _*)
-      .where(col(s"t${shingleSize - 1}").isNotNull) // doc shorter than n ⇒ no shingles
+      .withColumn("keep", keep)
+      .where(col("keep"))
       .select(col("doc_id"),
         pmod(xxhash64(col("tok") +: (1 until shingleSize).map(i => col(s"t$i")): _*),
           lit(TF.MinhashPrime)).as("h"))
@@ -115,11 +125,14 @@ object Dedup {
   }
 
   /** DD near-dup via SimHash (64-bit): per-doc signature from token
-    * hashes; candidates share at least one of 4 16-bit chunks (finds all
-    * pairs within Hamming distance 3 by pigeonhole); verified by exact
-    * Hamming distance ≤ `maxHamming`.
+    * hashes; by pigeonhole, a pair within Hamming distance `maxHamming`
+    * must share at least one of `maxHamming + 1` equal-width chunks —
+    * the chunk count is DERIVED from maxHamming so candidate generation
+    * is complete for any requested distance (more chunks ⇒ wider nets ⇒
+    * more candidates to verify, the usual recall/cost trade).
     */
   def simhashNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming in [0,64), got $maxHamming")
     // Same explode + codegen'd aggregate shape as minhashNearDups: 64
     // sum() expressions over the exploded token hashes, then the sign
     // bits packed into the signature.
@@ -133,8 +146,13 @@ object Dedup {
       .select(col("doc_id"),
         (0 until 64).map(i => when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
           .reduce(_ + _).as("sig"))
-    val chunkArr = array((0 until 4).map(i =>
-      shiftright(col("sig"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)
+    val nChunks = maxHamming + 1
+    val width = 64 / nChunks // last chunk absorbs the remainder bits
+    val chunkArr = array((0 until nChunks).map { i =>
+      val hi = if (i == nChunks - 1) 64 else (i + 1) * width
+      val mask = if (hi - i * width == 64) -1L else (1L << (hi - i * width)) - 1
+      shiftright(col("sig"), i * width).bitwiseAND(lit(mask))
+    }: _*)
     val chunked = sigs.select(col("doc_id"), col("sig"),
       posexplode(chunkArr).as(Seq("chunk", "chunk_val")))
     val l = chunked.select(col("chunk"), col("chunk_val"),
@@ -179,7 +197,7 @@ object Dedup {
       VF.l2Norm(col("embedding")).as("na"))
     val b = embs.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
       VF.l2Norm(col("embedding")).as("nb"))
-    a.crossJoin(b)
+    a.where(col("na") > 0).crossJoin(b.where(col("nb") > 0))
       .where(col("vec_a") < col("vec_b"))
       .withColumn("cos", round(VF.dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
       .where(col("cos") >= threshold)

@@ -36,7 +36,10 @@ object Similarity {
       VF.l2Norm(col("embedding")).as("qn"))
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"),
       VF.l2Norm(col("embedding")).as("nn"))
-    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+    // Zero-norm vectors have no defined cosine (0/0 = NaN, which the
+    // two engines ORDER differently) — excluded on both sides.
+    val scored = c.where(col("nn") > 0).join(broadcast(q.where(col("qn") > 0)),
+        col("query_id") =!= col("neighbor_id"))
       .withColumn("cos",
         round(VF.dot(col("qe"), col("ne")) / (col("qn") * col("nn")), 6))
     // Single-pass bounded top-k (TopKAggregator): map-side partial heaps
@@ -118,7 +121,8 @@ object Similarity {
       .withColumnRenamed("embedding", "qe").withColumnRenamed("nrm", "qn")
 
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    corpusCells.join(broadcast(queryCells), Seq("cid"))
+    corpusCells.where(col("nn") > 0)
+      .join(broadcast(queryCells.where(col("qn") > 0)), Seq("cid"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", round(VF.dot(col("qe"), col("ne")) / (col("qn") * col("nn")), 6))
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -140,7 +144,8 @@ object Similarity {
       .withColumn("qn", VF.l2Norm(col("qe")))
     val cb = bucketed(corpus, "neighbor_id").withColumnRenamed("embedding", "ne")
       .withColumn("nn", VF.l2Norm(col("ne")))
-    val candidates = cb.join(broadcast(qb), Seq("table", "bucket"))
+    val candidates = cb.where(col("nn") > 0)
+      .join(broadcast(qb.where(col("qn") > 0)), Seq("table", "bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id", "qe", "ne", "qn", "nn")
       .dropDuplicates("query_id", "neighbor_id")

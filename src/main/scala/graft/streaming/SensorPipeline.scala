@@ -100,14 +100,17 @@ object SensorPipeline {
       .partitionBy("hour")
       .trigger(Trigger.AvailableNow())
 
-  /** STR-2/DD-1: at-least-once → effectively-once. Watermarked
-    * `dropDuplicates` on the natural message key (client_id, count);
-    * state is bounded by the watermark and partitioned by key.
+  /** STR-2/DD-1: at-least-once → effectively-once.
+    * `dropDuplicatesWithinWatermark` on the natural message key
+    * (client_id, count): QoS1 redeliveries arrive close in time, and this
+    * variant EVICTS state once the watermark passes a key's event time.
+    * (Plain `dropDuplicates` without the event-time column in the keys
+    * never evicts — unbounded state on a long-running stream.)
     */
   def dedupStream(sensor: DataFrame, watermark: String = "10 minutes"): DataFrame =
     sensor
       .withWatermark("timestamp", watermark)
-      .dropDuplicates("client_id", "count")
+      .dropDuplicatesWithinWatermark("client_id", "count")
 
   /** STR-3/STR-5 + AGG-1: event-time tumbling 1-hour window with a
     * watermark — the streaming form of the hourly-average chart query

@@ -19,6 +19,19 @@ class FloatVectorDotSpec extends SparkSpec {
     assert(diff == 0.0, s"native and HOF dot differ by $diff")
   }
 
+  test("length mismatch and null elements yield null, matching the HOF fold") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0f, 2.0f), Seq(3.0f))).toDF("a", "b")
+    val r = df.select(VF.dot(col("a"), col("b")).as("native"),
+      VF.dotHof(col("a"), col("b")).as("hof")).head()
+    assert(r.isNullAt(0) && r.isNullAt(1), "mismatched lengths: both null")
+    val withNullElem = Seq((Seq(Some(1.0f), None), Seq(Some(3.0f), Some(4.0f))))
+      .toDF("a", "b")
+    val r2 = withNullElem.select(VF.dot(col("a"), col("b")).as("native"),
+      VF.dotHof(col("a"), col("b")).as("hof")).head()
+    assert(r2.isNullAt(0) && r2.isNullAt(1), "null element: both null")
+  }
+
   test("null inputs yield null; self-dot is normSq") {
     import spark.implicits._
     val df = Seq((Some(Seq(1.0f, 2.0f)), Option.empty[Seq[Float]]))

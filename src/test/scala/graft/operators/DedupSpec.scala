@@ -51,6 +51,16 @@ class DedupSpec extends SparkSpec {
     assert(!m.keySet.exists { case (a, b) => a == 3L || b == 3L }, s"unrelated absent: $m")
   }
 
+  test("minhashNearDups finds exact duplicates SHORTER than the shingle size") {
+    val shortDocs = Seq(
+      (0L, "tiny doc"), (1L, "tiny doc"), // 2 tokens < shingleSize 3
+      (2L, "other words"), (3L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDups(shortDocs, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((0L, 1L)), s"short exact dups found: ${pairs.toSet}")
+  }
+
   test("jaccardPairs threshold filters and is symmetric-free (a<b only)") {
     val pairs = Dedup.jaccardPairs(docs, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1)))

@@ -64,6 +64,14 @@ object TextFunctions {
   }
 
   /** Base hashes for MinHash: shingle strings → [0, PRIME) longs.
+    *
+    * NOTE: this column-level (per-row array) form exists for composing
+    * signatures inside a single row (and as the HOF reference
+    * implementation); [[graft.operators.Dedup.minhashNearDups]] uses a
+    * faster relational form (lead-window token hashing + codegen'd min
+    * aggregates) whose signatures are NOT interchangeable with these —
+    * don't mix the two within one pipeline.
+    *
     * Materialize this as its OWN projected column before calling
     * [[minhashSignatureFromHashes]]: the signature references the hash
     * array `numPerms` times, and an un-materialized subtree would be

@@ -180,9 +180,11 @@ object Dedup {
       when(bitSum > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** Convenience composition — on hot paths materialize the token-hash
-    * array first (see [[simhashNearDups]]): the signature folds over it
-    * 64 times.
+  /** Column-level convenience composition. Produces the same signatures
+    * as [[simhashNearDups]] (both hash whole tokens with xxhash64), but
+    * evaluates as interpreted HOF folds — use the operator's relational
+    * form on hot paths, and materialize the token-hash array first if
+    * composing this one (the signature folds over it 64 times).
     */
   def simhash64(text: Column): Column =
     simhash64FromHashes(transform(TF.tokens(text), t => xxhash64(t)))

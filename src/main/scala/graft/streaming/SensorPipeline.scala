@@ -132,6 +132,29 @@ object SensorPipeline {
         col("client_id"), col("avg_temperature"), col("avg_humidity"),
         col("max_temperature"), col("max_humidity"), col("n"))
 
+  /** Stream-stream interval join: enrich each left-stream record with
+    * right-stream records for the same device within `withinSeconds`
+    * BEFORE it (e.g. rejoin the two fan-out legs, or correlate commands
+    * with subsequent readings). Both sides carry watermarks and the join
+    * condition bounds the time range in both directions — Spark can then
+    * evict join state as the watermarks advance; an unbounded condition
+    * would buffer both streams forever.
+    */
+  def streamStreamJoin(left: DataFrame, right: DataFrame,
+      withinSeconds: Int, watermark: String = "1 minute"): DataFrame = {
+    val l = left.withWatermark("timestamp", watermark)
+    val r = right.select(
+      col("client_id").as("r_client_id"),
+      col("timestamp").as("r_timestamp"),
+      col("temperature").as("r_temperature"),
+      col("count").as("r_count"))
+      .withWatermark("r_timestamp", watermark)
+    l.join(r,
+      col("client_id") === col("r_client_id")
+        && col("r_timestamp") >= col("timestamp") - expr(s"INTERVAL $withinSeconds SECONDS")
+        && col("r_timestamp") < col("timestamp"))
+  }
+
   /** SRC-5: Kinesis-style fan-out — one logical stream, two independent
     * consumers with separate checkpoints (the reference's S3 and
     * OpenSearch Firehose paths, README.md:53, 100-114). Returns both

@@ -91,6 +91,36 @@ class StreamingSpec extends SparkSpec {
     } finally { q1.stop(); q2.stop() }
   }
 
+  test("stream-stream interval join: matches prior-window records per device, state bounded by watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val lmem = MemoryStream[SensorReading]
+    val rmem = MemoryStream[SensorReading]
+    val joined = SensorPipeline.streamStreamJoin(
+      lmem.toDF(), rmem.toDF(), withinSeconds = 60)
+      .select($"count", $"r_count")
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    try {
+      rmem.addData(
+        reading("2022-07-14 15:00:00", 100),
+        reading("2022-07-14 15:02:00", 101))
+      lmem.addData(
+        reading("2022-07-14 15:00:30", 1), // matches r 100 (30s before)
+        reading("2022-07-14 15:02:30", 2), // matches r 101 (30s before); r 100 is 150s before → out of window
+        reading("2022-07-14 15:10:00", 3)) // nothing within 60s before
+      q.processAllAvailable()
+      // advance both watermarks so results finalize
+      lmem.addData(reading("2022-07-14 16:00:00", 9))
+      rmem.addData(reading("2022-07-14 16:00:00", 999))
+      q.processAllAvailable()
+      val pairs = spark.table("ssj_out").collect()
+        .map(r => (r.getAs[Long]("count"), r.getAs[Long]("r_count"))).toSet
+      assert(pairs.contains((1L, 100L)) && pairs.contains((2L, 101L)), s"got $pairs")
+      assert(!pairs.contains((2L, 100L)), "out-of-window pair excluded")
+      assert(!pairs.exists(_._1 == 3L), "no match for isolated record")
+    } finally q.stop()
+  }
+
   test("streaming compactor: micro-batches land small files, threshold triggers compaction") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[SensorReading]

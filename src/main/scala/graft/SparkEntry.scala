@@ -51,6 +51,8 @@ object SparkEntry {
     "q_rel19_array_funcs" -> (RelationalQueries.arrayFuncs _),
     "q_rel20_json_funcs" -> (RelationalQueries.jsonFuncs _),
     "q_rel21_conditional" -> (RelationalQueries.conditional _),
+    "q_rel22_pivot" -> (RelationalQueries.pivotCounts _),
+    "q_rel23_unpivot" -> (RelationalQueries.unpivotMetrics _),
     "q_txt1_wordcount" -> (ExtensionQueries.wordCount _),
     "q_txt2_text_stats" -> (ExtensionQueries.textStats _),
     "q_txt3_lang_id" -> (ExtensionQueries.langId _),
@@ -106,6 +108,8 @@ object SparkEntry {
     "q_rel19_array_funcs" -> RelationalQueries.arrayFuncsSql,
     "q_rel20_json_funcs" -> RelationalQueries.jsonFuncsSql,
     "q_rel21_conditional" -> RelationalQueries.conditionalSql,
+    "q_rel22_pivot" -> RelationalQueries.pivotCountsSql,
+    "q_rel23_unpivot" -> RelationalQueries.unpivotMetricsSql,
     "q_txt1_wordcount" -> ExtensionQueries.wordCountSql,
     "q_txt2_text_stats" -> ExtensionQueries.textStatsSql,
     "q_txt3_lang_id" -> ExtensionQueries.langIdSql,

@@ -458,6 +458,53 @@ object RelationalQueries {
       |       count(*) AS n, round(avg(value), 6) AS avg_value
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** REL-22: pivot — one column per event_type with per-user counts
+    * (explicit value list so the plan needs no extra distinct-values
+    * pass; absent combinations coalesced to 0 to match the oracle's
+    * filtered counts).
+    */
+  def pivotCounts(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val pivoted = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    pivoted.select(col("user_id") +:
+      types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      .orderBy("user_id")
+  }
+
+  val pivotCountsSql: String =
+    """SELECT user_id,
+      |       count(*) FILTER (WHERE event_type = 'click') AS click,
+      |       count(*) FILTER (WHERE event_type = 'error') AS error,
+      |       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |       count(*) FILTER (WHERE event_type = 'signup') AS signup,
+      |       count(*) FILTER (WHERE event_type = 'view') AS view
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** REL-23: unpivot/melt — wide per-flag metrics back to long
+    * (metric, value) form; the oracle reproduces it as a UNION ALL of
+    * labeled arms.
+    */
+  def unpivotMetrics(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        count(lit(1)).cast("double").as("n_rows"))
+      .unpivot(Array(col("l_returnflag")), Array(col("sum_qty"), col("n_rows")),
+        "metric", "value")
+      .orderBy("l_returnflag", "metric")
+
+  val unpivotMetricsSql: String =
+    """SELECT l_returnflag, 'sum_qty' AS metric, sum(l_quantity) AS value
+      |FROM lineitem GROUP BY 1
+      |UNION ALL
+      |SELECT l_returnflag, 'n_rows' AS metric, CAST(count(*) AS DOUBLE) AS value
+      |FROM lineitem GROUP BY 1
+      |ORDER BY l_returnflag, metric""".stripMargin
+
   /** REL-21: conditional/null handling — CASE WHEN bucket, nullif/coalesce
     * roundtrip.
     */

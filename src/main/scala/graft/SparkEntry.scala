@@ -68,6 +68,8 @@ object SparkEntry {
     "q_sim2_ann_lsh" -> (ExtensionQueries.annTopK _),
     "q_sim3_ivf" -> (ExtensionQueries.ivfTopK _),
     "q_mm1_binary_meta" -> (ExtensionQueries.binaryMeta _),
+    "q_ml1_split_stats" -> (ExtensionQueries.splitStats _),
+    "q_ml2_contamination" -> (ExtensionQueries.contamination _),
     "q_adv1_shipping_priority" -> (AdvancedQueries.shippingPriority _),
     "q_adv2_local_supplier_volume" -> (AdvancedQueries.localSupplierVolume _),
     "q_adv3_salted_agg" -> (AdvancedQueries.saltedAgg(_, _)),
@@ -123,6 +125,8 @@ object SparkEntry {
     "q_dd7_embedding_neardup" -> ExtensionQueries.embeddingNearDupSql,
     "q_sim1_cosine_topk" -> ExtensionQueries.cosineTopKSql,
     "q_mm1_binary_meta" -> ExtensionQueries.binaryMetaSql,
+    "q_ml1_split_stats" -> ExtensionQueries.splitStatsSql,
+    "q_ml2_contamination" -> ExtensionQueries.contaminationSql,
     "q_adv1_shipping_priority" -> AdvancedQueries.shippingPrioritySql,
     "q_adv2_local_supplier_volume" -> AdvancedQueries.localSupplierVolumeSql,
     "q_adv3_salted_agg" -> AdvancedQueries.saltedAggSql,

@@ -290,6 +290,50 @@ object ExtensionQueries {
       .orderBy("query_id", "rank")
   }
 
+  // ----------------------------------------------------------------- ML-1
+  /** Reproducible train/val/test split (80/10/10 on id residue) with
+    * per-split corpus stats — the split is a pure projection, no
+    * sampling state, identical in any engine.
+    */
+  def splitStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("split", graft.operators.DataSplits.assignSplit(
+        col("doc_id"), Seq("train" -> 80, "val" -> 10, "test" -> 10)))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg("n_chars"), 6).as("avg_chars"),
+        sum(TF.tokenCount(col("text"))).as("total_tokens"))
+      .orderBy("split")
+
+  val splitStatsSql: String =
+    """SELECT CASE WHEN doc_id % 100 < 80 THEN 'train'
+      |            WHEN doc_id % 100 < 90 THEN 'val'
+      |            ELSE 'test' END AS split,
+      |       count(*) AS n_docs,
+      |       round(avg(n_chars), 6) AS avg_chars,
+      |       sum(len(string_split(text, ' '))) AS total_tokens
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ----------------------------------------------------------------- ML-2
+  /** Train-vs-eval exact contamination: which "training" docs (id % 10
+    * != 0) share content with the held-out "eval" slice (id % 10 = 0) —
+    * the pretraining-hygiene check, as an md5 fingerprint join.
+    */
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    graft.operators.DataSplits.exactContamination(
+      docs.where(col("doc_id") % 10 =!= 0),
+      docs.where(col("doc_id") % 10 === 0))
+      .orderBy("doc_id")
+  }
+
+  val contaminationSql: String =
+    """SELECT t.doc_id AS doc_id, md5(t.text) AS fp
+      |FROM (SELECT * FROM documents WHERE doc_id % 10 != 0) t
+      |JOIN (SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 10 = 0) e
+      |  ON md5(t.text) = e.fp
+      |ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------------------------- MM-1
   /** Multimodal binary-column metadata: payload byte length, sha256
     * checksum, frame-chunk count — the queryable-metadata side of the

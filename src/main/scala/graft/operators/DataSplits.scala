@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF}
+
+/** Dataset-splitting and contamination operators for a training-data
+  * pipeline: reproducible train/val/test assignment and train-vs-eval
+  * overlap detection.
+  *
+  * Both are single-pass/map-side where possible: split assignment is a
+  * pure projection (no shuffle, no sampling state), contamination is a
+  * fingerprint equi-join (broadcast when the eval set is small — the
+  * common case).
+  */
+object DataSplits {
+
+  /** Deterministic split assignment from the id's residue: reproducible
+    * across runs/engines/partitionings (unlike `randomSplit`/`sampleBy`,
+    * whose output depends on partition layout). `fractions` are
+    * percentages summing to ≤ 100; the remainder falls into the last
+    * named split.
+    */
+  def assignSplit(idCol: Column, fractions: Seq[(String, Int)]): Column = {
+    require(fractions.map(_._2).sum <= 100, "fractions must sum to <= 100")
+    val bucket = pmod(idCol, lit(100L))
+    val (_, result) = fractions.foldLeft((0, lit(fractions.last._1): Column)) {
+      case ((offset, acc), (name, pct)) =>
+        (offset + pct, when(bucket >= offset && bucket < offset + pct, name).otherwise(acc))
+    }
+    result
+  }
+
+  /** Hash-based variant: decorrelates the split from id assignment order
+    * (ids often encode time/source). Deterministic given the seed, but
+    * NOT reproducible in engines lacking xxhash64 — use [[assignSplit]]
+    * when cross-engine reproducibility matters.
+    */
+  def assignSplitByHash(idCol: Column, fractions: Seq[(String, Int)], seed: Long = 42L): Column =
+    assignSplit(pmod(xxhash64(lit(seed), idCol), lit(100L)), fractions)
+
+  /** Train-vs-eval contamination: training docs whose exact content
+    * fingerprint appears in the eval set (the md5 tier; near-dup
+    * contamination composes [[Dedup.minhashNearDups]] over the union
+    * instead). Eval sets are small — broadcast side.
+    */
+  def exactContamination(train: DataFrame, eval: DataFrame): DataFrame = {
+    val evalFps = eval.select(TF.fingerprintMd5(col("text")).as("fp")).distinct()
+    train
+      .withColumn("fp", TF.fingerprintMd5(col("text")))
+      .join(broadcast(evalFps), "fp")
+      .select(col("doc_id"), col("fp"))
+  }
+}

@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DataSplitsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("assignSplit: exact residue boundaries, remainder to last split, reproducible") {
+    val df = Seq(0L, 79L, 80L, 89L, 90L, 99L, 100L, 179L).toDF("id")
+      .withColumn("split", DataSplits.assignSplit(col("id"),
+        Seq("train" -> 80, "val" -> 10, "test" -> 10)))
+    val m = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(0L) == "train" && m(79L) == "train" && m(179L) == "train")
+    assert(m(80L) == "val" && m(89L) == "val")
+    assert(m(90L) == "test" && m(99L) == "test")
+    assert(m(100L) == "train", "wraps at 100")
+  }
+
+  test("assignSplitByHash: deterministic for a seed, roughly proportional") {
+    val ids = (0L until 2000L).toDF("id")
+    val split = ids.withColumn("s",
+      DataSplits.assignSplitByHash(col("id"), Seq("train" -> 80, "test" -> 20)))
+    val counts = split.groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("train") > 1500 && counts("train") < 1700, s"got $counts")
+    val again = ids.withColumn("s",
+      DataSplits.assignSplitByHash(col("id"), Seq("train" -> 80, "test" -> 20)))
+    assert(split.except(again).isEmpty, "same seed ⇒ same assignment")
+  }
+
+  test("exactContamination finds planted eval overlap only") {
+    val train = Seq((1L, "clean doc one"), (2L, "leaked eval content"), (3L, "clean doc two"))
+      .toDF("doc_id", "text")
+    val eval = Seq((100L, "leaked eval content"), (101L, "eval only content"))
+      .toDF("doc_id", "text")
+    val hits = DataSplits.exactContamination(train, eval).collect()
+    assert(hits.map(_.getLong(0)).toSeq == Seq(2L))
+  }
+}

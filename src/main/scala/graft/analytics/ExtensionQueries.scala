@@ -315,22 +315,21 @@ object ExtensionQueries {
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ----------------------------------------------------------------- ML-2
-  /** Train-vs-eval exact contamination: which "training" docs (id % 10
-    * != 0) share content with the held-out "eval" slice (id % 10 = 0) —
+  /** Train-vs-eval exact contamination: which "training" docs (odd ids) share content with the held-out "eval" slice (even ids) —
     * the pretraining-hygiene check, as an md5 fingerprint join.
     */
   def contamination(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     graft.operators.DataSplits.exactContamination(
-      docs.where(col("doc_id") % 10 =!= 0),
-      docs.where(col("doc_id") % 10 === 0))
+      docs.where(col("doc_id") % 2 =!= 0),
+      docs.where(col("doc_id") % 2 === 0))
       .orderBy("doc_id")
   }
 
   val contaminationSql: String =
     """SELECT t.doc_id AS doc_id, md5(t.text) AS fp
-      |FROM (SELECT * FROM documents WHERE doc_id % 10 != 0) t
-      |JOIN (SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 10 = 0) e
+      |FROM (SELECT * FROM documents WHERE doc_id % 2 != 0) t
+      |JOIN (SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 2 = 0) e
       |  ON md5(t.text) = e.fp
       |ORDER BY doc_id""".stripMargin
 

@@ -43,13 +43,15 @@ object DataSplits {
   /** Train-vs-eval contamination: training docs whose exact content
     * fingerprint appears in the eval set (the md5 tier; near-dup
     * contamination composes [[Dedup.minhashNearDups]] over the union
-    * instead). Eval sets are small — broadcast side.
+    * instead). Join strategy is left to Catalyst/AQE: typical eval sets
+    * are small enough to auto-broadcast, but a forced broadcast would
+    * OOM when callers pass a large slice as "eval".
     */
   def exactContamination(train: DataFrame, eval: DataFrame): DataFrame = {
     val evalFps = eval.select(TF.fingerprintMd5(col("text")).as("fp")).distinct()
     train
       .withColumn("fp", TF.fingerprintMd5(col("text")))
-      .join(broadcast(evalFps), "fp")
+      .join(evalFps, "fp")
       .select(col("doc_id"), col("fp"))
   }
 }

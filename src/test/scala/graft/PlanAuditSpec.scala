@@ -37,6 +37,8 @@ class PlanAuditSpec extends SparkSpec {
   test("q_adv6: band join is a hash join with the range as residual, never nested-loop cartesian") {
     val p = plan("q_adv6_range_join")
     assert(!p.contains("CartesianProduct"), p.take(500))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "equi keys must survive in the join (BNLJ = the quadratic degradation): " + p.take(500))
   }
 
   test("q_agg1: aggregation is partial+final (two HashAggregates around one exchange)") {
@@ -48,12 +50,23 @@ class PlanAuditSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     import graft.functions.{VectorFunctions => VF}
     // Two dots + norms in ONE projection — the exact shape that broke
-    // codegen before locals were freshName'd. A compile failure falls
-    // back silently, so assert on the generated-code path executing:
-    val embs = graft.sources.Tables.embeddings(spark, dir).limit(10)
-    val out = embs.select(
-      (VF.dot(col("embedding"), col("embedding")) +
-        VF.normSq(col("embedding"))).as("x")).collect()
-    assert(out.forall(!_.isNullAt(0)))
+    // codegen before locals were freshName'd. CODEGEN_ONLY makes a
+    // janino compile failure THROW instead of silently falling back to
+    // interpreted eval (which would produce identical values and hide
+    // the regression).
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val embs = graft.sources.Tables.embeddings(spark, dir).limit(10)
+      val out = embs.select(
+        (VF.dot(col("embedding"), col("embedding")) +
+          VF.normSq(col("embedding"))).as("x")).collect()
+      assert(out.forall(!_.isNullAt(0)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
   }
 }

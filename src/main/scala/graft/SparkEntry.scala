@@ -41,6 +41,8 @@ object SparkEntry {
     "q_rel10b_approx_distinct" -> (RelationalQueries.approxDistinct _),
     "q_rel10c_quantile_stats" -> (RelationalQueries.quantileStats _),
     "q_rel11_rollup" -> (RelationalQueries.rollupAgg _),
+    "q_rel11b_cube" -> (RelationalQueries.cubeAgg _),
+    "q_rel24_scalar_subquery" -> (RelationalQueries.scalarSubquery _),
     "q_rel12_window_rank" -> (RelationalQueries.windowRank _),
     "q_rel13_window_frames" -> (RelationalQueries.windowFrames _),
     "q_rel14_topk" -> (RelationalQueries.topK _),
@@ -100,6 +102,8 @@ object SparkEntry {
     // q_rel10b_approx_distinct: HLL sketch — no DuckDB equivalent; rows-only.
     "q_rel10c_quantile_stats" -> RelationalQueries.quantileStatsSql,
     "q_rel11_rollup" -> RelationalQueries.rollupAggSql,
+    "q_rel11b_cube" -> RelationalQueries.cubeAggSql,
+    "q_rel24_scalar_subquery" -> RelationalQueries.scalarSubquerySql,
     "q_rel12_window_rank" -> RelationalQueries.windowRankSql,
     "q_rel13_window_frames" -> RelationalQueries.windowFramesSql,
     "q_rel14_topk" -> RelationalQueries.topKSql,

@@ -252,6 +252,48 @@ object RelationalQueries {
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY 1, 2""".stripMargin
 
+  /** REL-11b: cube — all grouping-set combinations over two keys (the
+    * rollup's lattice completion); same ALL-coalescing as [[rollupAgg]].
+    */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("sum_price"))
+      .orderBy("status", "priority")
+
+  val cubeAggSql: String =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |       coalesce(o_orderpriority, 'ALL') AS priority,
+      |       count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY 1, 2""".stripMargin
+
+  /** REL-24: scalar-subquery pattern — rows compared against a global
+    * aggregate. Spark-first form: the 1-row aggregate cross-joins in as
+    * a broadcast (no per-row subquery execution); the oracle uses the
+    * literal scalar subquery.
+    */
+  def scalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val avgPrice = orders.agg(avg("o_totalprice").as("global_avg"))
+    orders.crossJoin(broadcast(avgPrice))
+      .where(col("o_totalprice") > col("global_avg") * 1.8)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        round(col("o_totalprice") / col("global_avg"), 6).as("x_avg"))
+      .orderBy("o_orderkey")
+  }
+
+  val scalarSubquerySql: String =
+    """SELECT o_orderkey, o_totalprice,
+      |       round(o_totalprice / (SELECT avg(o_totalprice) FROM orders), 6) AS x_avg
+      |FROM orders
+      |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders) * 1.8
+      |ORDER BY o_orderkey""".stripMargin
+
   /** REL-12: ranking window functions — top-3 parts per brand by retail
     * price (ties broken by partkey so every rank is deterministic).
     */

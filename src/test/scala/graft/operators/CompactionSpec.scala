@@ -48,6 +48,22 @@ class CompactionSpec extends SparkSpec {
     assert(back.agg(org.apache.spark.sql.functions.sum("id")).head().getLong(0) == 4950L)
   }
 
+  test("SRC-6: malformed JSON lines survive schema-on-read as null rows, valid rows intact") {
+    val logs = Files.createTempDirectory("graft-logs3")
+    val out = Files.createTempDirectory("graft-out3")
+    writeSmallFile(logs, 1)
+    Files.writeString(logs.resolve("part-bad.json"), "{not json at all\n")
+    writeSmallFile(logs, 2)
+    val dir = Compaction.compactDirectory(spark, logs.toString, out.toString,
+      schema, batchTag = "bad")
+    val back = spark.read.schema(schema).json(dir)
+    // Spark's default PERMISSIVE mode nulls unparseable rows rather than
+    // failing the batch — the compactor must not lose the good records
+    // around a bad line.
+    assert(back.where($"id".isNotNull).count() == 2, "both valid records compacted")
+    assert(back.count() >= 2)
+  }
+
   test("CMP-3: dynamic column projection applies") {
     val logs = Files.createTempDirectory("graft-logs2")
     val out = Files.createTempDirectory("graft-out2")

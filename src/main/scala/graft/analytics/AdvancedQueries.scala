@@ -103,7 +103,8 @@ object AdvancedQueries {
       .orderBy("event_type")
 
   val saltedAggSql: String =
-    """SELECT event_type, count(*) AS n, sum(user_id) AS sum_uid,
+    """SELECT event_type, count(*) AS n,
+      |       CAST(sum(user_id) AS BIGINT) AS sum_uid,
       |       max(value) AS max_value, min(value) AS min_value
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
@@ -162,7 +163,8 @@ object AdvancedQueries {
 
   val rangeJoinSql: String =
     """SELECT a.event_type AS type_a, b.event_type AS type_b,
-      |       count(*) AS n, sum(epoch_us(b.ts) - epoch_us(a.ts)) AS sum_dt_us
+      |       count(*) AS n,
+      |       CAST(sum(epoch_us(b.ts) - epoch_us(a.ts)) AS BIGINT) AS sum_dt_us
       |FROM events a JOIN events b
       |  ON a.user_id = b.user_id
       | AND epoch_us(b.ts) > epoch_us(a.ts)

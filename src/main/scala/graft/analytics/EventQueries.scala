@@ -140,7 +140,8 @@ object EventQueries {
   }
 
   val jsonRoundtripSql: String =
-    """SELECT event_type, sum(event_id) AS sum_id, sum(user_id) AS sum_uid, count(*) AS n
+    """SELECT event_type, CAST(sum(event_id) AS BIGINT) AS sum_id,
+      |       CAST(sum(user_id) AS BIGINT) AS sum_uid, count(*) AS n
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** SRC-4: the IoT Rule's topic SQL — a declarative projection+filter that

@@ -51,7 +51,7 @@ object ExtensionQueries {
     """SELECT lang, source, count(*) AS n_docs,
       |       round(avg(n_chars), 6) AS avg_chars,
       |       round(avg(len(string_split(text, ' '))), 6) AS avg_tokens,
-      |       sum(CASE WHEN contains(text, 'join') THEN 1 ELSE 0 END) AS n_with_join
+      |       CAST(sum(CASE WHEN contains(text, 'join') THEN 1 ELSE 0 END) AS BIGINT) AS n_with_join
       |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // ---------------------------------------------------------------- TXT-3
@@ -311,7 +311,7 @@ object ExtensionQueries {
       |            ELSE 'test' END AS split,
       |       count(*) AS n_docs,
       |       round(avg(n_chars), 6) AS avg_chars,
-      |       sum(len(string_split(text, ' '))) AS total_tokens
+      |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ----------------------------------------------------------------- ML-2

@@ -58,7 +58,16 @@ def compare(s, d):
     notes = []
     for c in sc:
         sv, dv = s[c], d[c]
-        if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(dv):
+        # Driver hashes raw values, so int64 1234 vs float64 1234.0 is a
+        # mismatch (e.g. DuckDB sum(BIGINT) -> HUGEINT -> float64). Flag it.
+        s_int = pd.api.types.is_integer_dtype(sv)
+        d_int = pd.api.types.is_integer_dtype(dv)
+        s_f = pd.api.types.is_float_dtype(sv)
+        d_f = pd.api.types.is_float_dtype(dv)
+        if (s_int and d_f) or (s_f and d_int):
+            return False, (f"col {c}: dtype mismatch spark={sv.dtype} duck={dv.dtype}"
+                           " (driver hash would differ; cast both sides)")
+        if s_f or d_f:
             a = sv.astype(float).to_numpy()
             b = dv.astype(float).to_numpy()
             both_nan = np.isnan(a) & np.isnan(b)

@@ -124,10 +124,12 @@ object SparkEntry {
     "q_txt6_fingerprints" -> ExtensionQueries.fingerprintsSql,
     "q_dd3_doc_dedup_exact" -> ExtensionQueries.docDedupExactSql,
     "q_dd4_ngram_jaccard" -> ExtensionQueries.ngramJaccardSql,
-    // q_dd5_minhash_lsh / q_dd6_simhash / q_sim2_ann_lsh: LSH internals are
-    // engine-specific — rows-only here, recall asserted in scalatest.
+    "q_dd5_minhash_lsh" -> ExtensionQueries.minhashDedupSql,
+    "q_dd6_simhash" -> ExtensionQueries.simhashDedupSql,
     "q_dd7_embedding_neardup" -> ExtensionQueries.embeddingNearDupSql,
     "q_sim1_cosine_topk" -> ExtensionQueries.cosineTopKSql,
+    "q_sim2_ann_lsh" -> ExtensionQueries.annTopKSql,
+    "q_sim3_ivf" -> ExtensionQueries.ivfTopKSql,
     "q_mm1_binary_meta" -> ExtensionQueries.binaryMetaSql,
     "q_ml1_split_stats" -> ExtensionQueries.splitStatsSql,
     "q_ml2_contamination" -> ExtensionQueries.contaminationSql,

@@ -209,19 +209,89 @@ object ExtensionQueries {
       |) WHERE jaccard >= 0.2 ORDER BY doc_a, doc_b""".stripMargin
 
   // ----------------------------------------------------------------- DD-5
-  /** MinHash+LSH near-dup pairs (rows-only oracle: signature hashing is
-    * engine-specific; recall/precision asserted in scalatest against
-    * planted duplicates).
+  /** MinHash+LSH near-dup pairs, driven by the cross-engine md5-prefix
+    * hash ([[TF.hexHash60]]) so the ENTIRE pipeline — shingling, 64
+    * permutations, banding, candidate join, Jaccard verify — is mirrored
+    * step-for-step by the generated DuckDB oracle below. (The operator's
+    * default xxhash64 hasher stays the hot path for non-oracled use.)
     */
   def minhashDedup(spark: SparkSession, dir: String): DataFrame =
-    Dedup.minhashNearDups(Tables.documents(spark, dir), threshold = 0.5)
+    Dedup.minhashNearDups(Tables.documents(spark, dir), threshold = 0.5,
+      hasher = c => pmod(TF.hexHash60(c), lit(TF.MinhashPrime)))
       .orderBy("doc_a", "doc_b")
 
+  val minhashDedupSql: String = {
+    val (as, bs) = TF.minhashParams(64)
+    val P = TF.MinhashPrime
+    val minExprs = (0 until 64).map(i =>
+      s"list_min(list_transform(hl, h -> (h * ${as(i)} + ${bs(i)}) % $P)) AS m$i")
+      .mkString(", ")
+    val bandExprs = (0 until 16).map { bnd =>
+      val poly = (bnd * 4 until bnd * 4 + 4).foldLeft(s"CAST($bnd AS BIGINT)") {
+        (acc, i) => s"(($acc * 1000003 + m$i) % $P)"
+      }
+      s"WHEN $bnd THEN $poly"
+    }.mkString(" ")
+    s"""WITH sh AS (
+       |  SELECT doc_id, text,
+       |         CASE WHEN len(t) >= 3
+       |           THEN list_transform(range(len(t) - 2),
+       |                i -> array_to_string(list_slice(t, i + 1, i + 3), ' '))
+       |           ELSE [text] END AS shingles
+       |  FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)),
+       |hs AS (SELECT doc_id,
+       |       list_transform(shingles, s -> ${TF.hexHash60Sql("s")} % $P) AS hl
+       |       FROM sh),
+       |sig AS (SELECT doc_id, $minExprs FROM hs),
+       |band AS (SELECT doc_id, r.range AS band,
+       |         CASE r.range $bandExprs END AS bucket
+       |         FROM sig CROSS JOIN range(16) r),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM band a JOIN band b
+       |           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |toks AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tk FROM documents)
+       |SELECT doc_a, doc_b, jaccard FROM (
+       |  SELECT doc_a, doc_b,
+       |         round(CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE)
+       |               / len(list_distinct(list_concat(ta.tk, tb.tk))), 6) AS jaccard
+       |  FROM cand JOIN toks ta ON cand.doc_a = ta.doc_id
+       |            JOIN toks tb ON cand.doc_b = tb.doc_id)
+       |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   // ----------------------------------------------------------------- DD-6
-  /** SimHash near-dup pairs (rows-only oracle; scalatest-verified). */
+  /** SimHash near-dup pairs over the 60-bit cross-engine hash — the
+    * signature build (per-bit sign sums), chunk blocking, and Hamming
+    * verify are all mirrored by the generated DuckDB oracle.
+    */
   def simhashDedup(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simhashNearDups(Tables.documents(spark, dir), maxHamming = 3)
+    Dedup.simhashNearDups(Tables.documents(spark, dir), maxHamming = 3,
+      hasher = TF.hexHash60(_), bits = 60)
       .orderBy("doc_a", "doc_b")
+
+  val simhashDedupSql: String = {
+    val sumExprs = (0 until 60).map(i =>
+      s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS s$i").mkString(", ")
+    val packExpr = (0 until 60).map(i =>
+      s"(CASE WHEN s$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)").mkString(" + ")
+    // maxHamming=3 → 4 chunks of width 15 over the 60-bit signature.
+    val chunkExprs = (0 until 4).map(i =>
+      s"WHEN $i THEN (sig >> ${i * 15}) & 32767").mkString(" ")
+    s"""WITH th AS (
+       |  SELECT doc_id, ${TF.hexHash60Sql("t")} AS h
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)),
+       |sums AS (SELECT doc_id, $sumExprs FROM th GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $packExpr AS sig FROM sums),
+       |chunk AS (SELECT doc_id, sig, r.range AS chunk,
+       |          CASE r.range $chunkExprs END AS chunk_val
+       |          FROM sig CROSS JOIN range(4) r)
+       |SELECT doc_a, doc_b, hamming FROM (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+       |  FROM chunk a JOIN chunk b
+       |    ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id)
+       |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   // ----------------------------------------------------------------- DD-7
   /** Embedding-cosine near-dup pairs over a blocked subset (vec_id % 4 =
@@ -271,8 +341,11 @@ object ExtensionQueries {
       |) WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   // ---------------------------------------------------------------- SIM-2
-  /** LSH-bucketed approximate top-10 (rows-only oracle; recall vs the
-    * brute-force baseline asserted in scalatest).
+  /** LSH-bucketed approximate top-10. The hyperplane weights are pure
+    * LCG integer arithmetic ([[Similarity.planeWeightSql]]), so the
+    * generated DuckDB oracle rebuilds the same planes, buckets, candidate
+    * set, and exact re-rank (recall vs brute force is separately asserted
+    * in scalatest).
     */
   def annTopK(spark: SparkSession, dir: String): DataFrame = {
     val embs = Tables.embeddings(spark, dir)
@@ -280,15 +353,73 @@ object ExtensionQueries {
       .orderBy("query_id", "rank")
   }
 
+  val annTopKSql: String = {
+    val (planes, tables) = (6, 8)
+    val projExprs = (for { t <- 0 until tables; p <- 0 until planes } yield
+      s"list_dot_product(e, list_transform(range(64), " +
+        s"d -> ${Similarity.planeWeightSql(t, p, "d")})) AS proj_${t}_$p").mkString(", ")
+    val bucketExprs = (0 until tables).map { t =>
+      val bits = (0 until planes).map(p =>
+        s"(CASE WHEN proj_${t}_$p > 0 THEN ${1L << p} ELSE 0 END)").mkString(" + ")
+      s"WHEN $t THEN $bits"
+    }.mkString(" ")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+       |           WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                                  CAST(embedding AS DOUBLE[])) > 0),
+       |proj AS (SELECT vec_id, e, $projExprs FROM v),
+       |buck AS (SELECT vec_id, e, r.range AS tbl,
+       |         CASE r.range $bucketExprs END AS bucket
+       |         FROM proj CROSS JOIN range($tables) r),
+       |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |         FROM buck c JOIN buck q
+       |           ON c.tbl = q.tbl AND c.bucket = q.bucket
+       |         WHERE q.vec_id < 5 AND q.vec_id != c.vec_id)
+       |SELECT query_id, neighbor_id, cos, rank FROM (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |         round(list_cosine_similarity(q.e, c.e), 6) AS cos,
+       |         row_number() OVER (PARTITION BY cand.query_id
+       |           ORDER BY round(list_cosine_similarity(q.e, c.e), 6) DESC,
+       |                    cand.neighbor_id) AS rank
+       |  FROM cand JOIN v q ON cand.query_id = q.vec_id
+       |            JOIN v c ON cand.neighbor_id = c.vec_id)
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
   // ---------------------------------------------------------------- SIM-3
-  /** IVF-partitioned approximate top-10 (rows-only oracle; own-cluster
-    * recall asserted in scalatest).
+  /** IVF-partitioned approximate top-10. The coarse quantizer is
+    * deterministic (lowest-16 vec_ids as centroids), so the DuckDB oracle
+    * reproduces cell assignment (argmax cosine, cid tie-break), the
+    * nProbe=4 query probe set, and the exact re-rank.
     */
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
     val embs = Tables.embeddings(spark, dir)
     Similarity.ivfTopK(embs.where(col("vec_id") < 5), embs, k = 10)
       .orderBy("query_id", "rank")
   }
+
+  val ivfTopKSql: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |cent AS (SELECT vec_id AS cid, e AS ce FROM v ORDER BY vec_id LIMIT 16),
+      |ca AS (SELECT vec_id AS neighbor_id, e AS ne, cid FROM (
+      |    SELECT v.vec_id, v.e, c.cid,
+      |           row_number() OVER (PARTITION BY v.vec_id
+      |             ORDER BY list_cosine_similarity(v.e, c.ce) DESC, c.cid) AS rn
+      |    FROM v CROSS JOIN cent c)
+      |  WHERE rn = 1 AND list_dot_product(e, e) > 0),
+      |qa AS (SELECT vec_id AS query_id, e AS qe, cid FROM (
+      |    SELECT v.vec_id, v.e, c.cid,
+      |           row_number() OVER (PARTITION BY v.vec_id
+      |             ORDER BY list_cosine_similarity(v.e, c.ce) DESC, c.cid) AS rn
+      |    FROM v CROSS JOIN cent c WHERE v.vec_id < 5)
+      |  WHERE rn <= 4 AND list_dot_product(e, e) > 0)
+      |SELECT query_id, neighbor_id, cos, rank FROM (
+      |  SELECT qa.query_id, ca.neighbor_id,
+      |         round(list_cosine_similarity(qa.qe, ca.ne), 6) AS cos,
+      |         row_number() OVER (PARTITION BY qa.query_id
+      |           ORDER BY round(list_cosine_similarity(qa.qe, ca.ne), 6) DESC,
+      |                    ca.neighbor_id) AS rank
+      |  FROM ca JOIN qa USING (cid) WHERE qa.query_id != ca.neighbor_id)
+      |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   // ----------------------------------------------------------------- ML-1
   /** Reproducible train/val/test split (80/10/10 on id residue) with

@@ -30,16 +30,43 @@ object TextFunctions {
   def bpeishTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long")
 
-  /** Contiguous n-token shingles ("n-grams") as space-joined strings;
-    * empty array when the document is shorter than n.
+  /** Contiguous n-token shingles ("n-grams") as space-joined strings; a
+    * document shorter than n tokens yields its whole text as the single
+    * shingle (identical short docs must still collide in MinHash).
+    * Backed by the native codegen expression [[StringShingles]]; the
+    * interpreted HOF equivalent is [[shinglesHof]].
     */
-  def shingles(text: Column, n: Int): Column = {
+  def shingles(text: Column, n: Int): Column = StringShingles.shingles(text, n)
+
+  /** Reference HOF implementation of [[shingles]] (interpreted — ~7×
+    * slower at sf0.1; kept as the differential-test witness for the
+    * native expression).
+    */
+  def shinglesHof(text: Column, n: Int): Column = {
     val t = tokens(text)
     when(size(t) >= n,
       transform(sequence(lit(1), size(t) - (n - 1)),
         i => concat_ws(" ", slice(t, i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
+      .otherwise(array(text))
   }
+
+  /** Cross-engine 60-bit string hash: the first 15 hex chars of md5,
+    * parsed as an integer. Unlike xxhash64 this is computable in any
+    * engine with md5 (the DuckDB oracle parses the hex via a
+    * `list_reduce` fold — see [[hexHash60Sql]]); costs one md5 per value
+    * instead of one xxhash, so hot non-oracled paths keep xxhash64.
+    */
+  def hexHash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** DuckDB SQL fragment computing [[hexHash60]] of `expr` — identical
+    * arithmetic (hex-digit fold), for generated oracle queries.
+    */
+  def hexHash60Sql(expr: String): String =
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split(substr(md5($expr), 1, 15), ''), " +
+      "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))), " +
+      "(a, b) -> a * 16 + b)"
 
   /** MinHash permutation parameters — deterministic odd multipliers /
     * offsets (splitmix64-flavored constants). Public-knowledge scheme:

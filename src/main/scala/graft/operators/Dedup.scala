@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
@@ -58,50 +57,38 @@ object Dedup {
     * s=0.8 → 0.9998; s=0.3 → 0.12 — the classic high-recall knee.
     */
   def minhashNearDups(docs: DataFrame, numPerms: Int = 64, bands: Int = 16,
-      shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+      shingleSize: Int = 3, threshold: Double = 0.5,
+      hasher: Column => Column = c => pmod(xxhash64(c), lit(TF.MinhashPrime))): DataFrame = {
     require(numPerms % bands == 0, "bands must divide numPerms")
+    require(shingleSize >= 1, s"shingleSize must be >= 1, got $shingleSize")
     val rowsPerBand = numPerms / bands
 
     // Signature via explode + one hash-aggregate with numPerms codegen'd
     // min() expressions — NOT an array fold: Spark's higher-order
     // functions are interpreted (no whole-stage codegen), and the fold
-    // form measured ~60× slower. Shingle hashes come from lead() windows
-    // over exploded tokens (xxhash64 of n token columns) rather than
-    // building shingle strings — no per-shingle string allocation, and
-    // the window's doc_id partitioning is reused by the aggregate, so
-    // the whole signature costs ONE shuffle.
+    // form measured ~60× slower. Shingling happens map-side on the token
+    // array, so min()'s partial aggregation runs BEFORE the exchange —
+    // the shuffle carries one partial signature row per (doc, partition),
+    // not the exploded shingle rows (the previous lead()-window form
+    // shuffled and sorted every token row first).
     val (as, bs) = TF.minhashParams(numPerms)
-    require(shingleSize >= 1, s"shingleSize must be >= 1, got $shingleSize")
-    val wTok = Window.partitionBy("doc_id").orderBy("pos")
-    val tokenized = docs.select(col("doc_id"),
-      posexplode(TF.tokens(col("text"))).as(Seq("pos", "tok")))
-    // Lead columns are coalesced to "" so a document SHORTER than the
-    // shingle size still yields one (truncated) shingle at pos 0 —
-    // identical short docs must still collide (the exact-Jaccard verify
-    // judges them; dropping them would silently miss short duplicates).
-    val shingleCols = (1 until shingleSize).map(i =>
-      coalesce(lead(col("tok"), i).over(wTok), lit("")))
-    val keep =
-      if (shingleSize == 1) lit(true)
-      else lead(col("tok"), shingleSize - 1).over(wTok).isNotNull || col("pos") === 0
-    val hashed = tokenized
-      .select(col("doc_id") +: col("pos") +: col("tok") +: shingleCols.zipWithIndex.map {
-        case (c, i) => c.as(s"t${i + 1}")
-      }: _*)
-      .withColumn("keep", keep)
-      .where(col("keep"))
-      .select(col("doc_id"),
-        pmod(xxhash64(col("tok") +: (1 until shingleSize).map(i => col(s"t$i")): _*),
-          lit(TF.MinhashPrime)).as("h"))
+    val hashed = docs
+      .select(col("doc_id"), explode(TF.shingles(col("text"), shingleSize)).as("s"))
+      .select(col("doc_id"), hasher(col("s")).as("h"))
     val minCols = (0 until numPerms).map(i =>
       min(pmod(col("h") * as(i) + bs(i), lit(TF.MinhashPrime))).as(s"m$i"))
     val sigs = hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
 
-    // One row per (doc, band): band hash over its rowsPerBand signature
-    // components (band boundaries are plan-time constants).
-    val bandCols = array((0 until bands).map(bnd =>
-      xxhash64(lit(bnd) +: (bnd * rowsPerBand until (bnd + 1) * rowsPerBand)
-        .map(i => col(s"m$i")): _*)): _*)
+    // One row per (doc, band): polynomial fold of the band's signature
+    // components in the 31-bit field, seeded by the band index — pure
+    // integer arithmetic, reproducible in any engine (band boundaries are
+    // plan-time constants). Cross-band collisions are possible but only
+    // add candidates, which the exact-Jaccard verify rejects.
+    val bandCols = array((0 until bands).map { bnd =>
+      (bnd * rowsPerBand until (bnd + 1) * rowsPerBand)
+        .foldLeft(lit(bnd.toLong): Column)((acc, i) =>
+          pmod(acc * lit(1000003L) + col(s"m$i"), lit(TF.MinhashPrime)))
+    }: _*)
     val banded = sigs
       .select(col("doc_id"), posexplode(bandCols).as(Seq("band", "bucket")))
 
@@ -131,25 +118,29 @@ object Dedup {
     * is complete for any requested distance (more chunks ⇒ wider nets ⇒
     * more candidates to verify, the usual recall/cost trade).
     */
-  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming in [0,64), got $maxHamming")
-    // Same explode + codegen'd aggregate shape as minhashNearDups: 64
+  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3,
+      hasher: Column => Column = xxhash64(_), bits: Int = 64): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < bits, s"maxHamming in [0,$bits), got $maxHamming")
+    require(bits >= 1 && bits <= 64, s"bits in [1,64], got $bits")
+    // Same explode + codegen'd aggregate shape as minhashNearDups: `bits`
     // sum() expressions over the exploded token hashes, then the sign
-    // bits packed into the signature.
+    // bits packed into the signature. (`bits` < 64 lets a cross-engine
+    // hash with fewer usable bits — e.g. the 60-bit md5-prefix hash —
+    // drive the same operator.)
     val hashed = docs
       .select(col("doc_id"), explode(TF.tokens(col("text"))).as("t"))
-      .select(col("doc_id"), xxhash64(col("t")).as("h"))
-    val bitSums = (0 until 64).map(i =>
+      .select(col("doc_id"), hasher(col("t")).as("h"))
+    val bitSums = (0 until bits).map(i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
         .as(s"s$i"))
     val sigs = hashed.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"),
-        (0 until 64).map(i => when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+        (0 until bits).map(i => when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
           .reduce(_ + _).as("sig"))
     val nChunks = maxHamming + 1
-    val width = 64 / nChunks // last chunk absorbs the remainder bits
+    val width = bits / nChunks // last chunk absorbs the remainder bits
     val chunkArr = array((0 until nChunks).map { i =>
-      val hi = if (i == nChunks - 1) 64 else (i + 1) * width
+      val hi = if (i == nChunks - 1) bits else (i + 1) * width
       val mask = if (hi - i * width == 64) -1L else (1L << (hi - i * width)) - 1
       shiftright(col("sig"), i * width).bitwiseAND(lit(mask))
     }: _*)

@@ -56,13 +56,32 @@ object Similarity {
       .toDF("query_id", "neighbor_id", "cos", "rank")
   }
 
-  /** Deterministic pseudo-random hyperplane weight in [-1, 1] for
-    * (table, plane, dim) — derived from xxhash64 so every executor
-    * materializes identical planes with zero driver-side state.
+  /** Deterministic pseudo-random hyperplane weight in (-1, 1] for
+    * (table, plane, dim): two LCG rounds over the combined index in the
+    * 2^31-1 field — every executor materializes identical planes with
+    * zero driver-side state, every product stays under 2^62 (ANSI-safe),
+    * and the identical integer arithmetic runs in the DuckDB oracle
+    * (xxhash64, which this replaced, exists only in Spark). Two rounds
+    * break the linear d → weight ramp a single LCG step would produce.
     */
+  private[operators] val PlaneM = 2147483647L // 2^31-1
+  private[operators] val PlaneA = 1103515245L
+  private[operators] val PlaneC = 12345L
   private def planeWeight(table: Int, plane: Int, dimIdx: org.apache.spark.sql.Column) = {
-    val h = xxhash64(lit(table * 1009 + plane), dimIdx)
-    (pmod(h, lit(2000003L)).cast("double") - 1000001.0) / 1000001.0
+    val base = (table.toLong * 1009L + plane.toLong) * 65537L
+    val r1 = pmod((lit(base) + dimIdx) * PlaneA + PlaneC, lit(PlaneM))
+    val r2 = pmod(r1 * PlaneA + PlaneC, lit(PlaneM))
+    (r2.cast("double") - 1073741823.0) / 1073741823.0
+  }
+
+  /** DuckDB SQL fragment for the [[planeWeight]] of (table, plane) as a
+    * 0-indexed lambda over `dVar` — used by generated oracle queries.
+    */
+  private[graft] def planeWeightSql(table: Int, plane: Int, dVar: String): String = {
+    val base = (table.toLong * 1009L + plane.toLong) * 65537L
+    val r1 = s"((($base + $dVar) * $PlaneA + $PlaneC) % $PlaneM)"
+    val r2 = s"(($r1 * $PlaneA + $PlaneC) % $PlaneM)"
+    s"((CAST($r2 AS DOUBLE) - 1073741823.0) / 1073741823.0)"
   }
 
   /** Sign-bucket signatures for all (table, plane) pairs at once:

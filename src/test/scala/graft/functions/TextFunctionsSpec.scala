@@ -8,12 +8,31 @@ import graft.functions.{TextFunctions => TF}
 class TextFunctionsSpec extends SparkSpec {
   import spark.implicits._
 
-  test("shingles: 3-grams of a 5-token doc; short docs yield empty") {
+  test("shingles: 3-grams of a 5-token doc; short docs yield whole text") {
     val df = Seq("a b c d e", "a b").toDF("text")
       .select(TF.shingles(col("text"), 3).as("sh"))
     val rows = df.collect().map(_.getSeq[String](0))
     assert(rows(0) == Seq("a b c", "b c d", "c d e"))
-    assert(rows(1) == Seq.empty)
+    assert(rows(1) == Seq("a b"))
+  }
+
+  test("shingles: native expression ≡ HOF reference on edge cases") {
+    val texts = Seq("a b c d e", "a b", "", "a", "a  b", "one two three",
+      "x y z x y z", "über straße ñandú tokyo 東京 data", "a b c")
+    val df = texts.toDF("text").select(
+      TF.shingles(col("text"), 3).as("native"),
+      TF.shinglesHof(col("text"), 3).as("hof"))
+    df.collect().zip(texts).foreach { case (r, t) =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1), s"mismatch for '$t'")
+    }
+  }
+
+  test("hexHash60: matches an independent md5-prefix computation") {
+    // int(md5('hello').hexdigest()[:15], 16) — cross-checked against
+    // DuckDB's list_reduce hex fold, which the generated oracles embed.
+    val h = Seq("hello").toDF("s")
+      .select(TF.hexHash60(col("s"))).head().getLong(0)
+    assert(h == 419982666956583591L)
   }
 
   test("jaccard: distinct token-set semantics") {

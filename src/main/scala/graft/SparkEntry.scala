@@ -70,8 +70,14 @@ object SparkEntry {
     "q_sim2_ann_lsh" -> (ExtensionQueries.annTopK _),
     "q_sim3_ivf" -> (ExtensionQueries.ivfTopK _),
     "q_mm1_binary_meta" -> (ExtensionQueries.binaryMeta _),
+    "q_mm2_frame_stats" -> (ExtensionQueries.frameStats _),
+    "q_txt7_redaction" -> (ExtensionQueries.redaction _),
     "q_ml1_split_stats" -> (ExtensionQueries.splitStats _),
     "q_ml2_contamination" -> (ExtensionQueries.contamination _),
+    "q_ml3_stratified_sample" -> (ExtensionQueries.stratifiedSample _),
+    "q_ml4_label_balance" -> (ExtensionQueries.labelBalance _),
+    "q_rel25_having" -> (RelationalQueries.havingAgg _),
+    "q_rel26_ntile_pctrank" -> (RelationalQueries.ntilePctRank _),
     "q_adv1_shipping_priority" -> (AdvancedQueries.shippingPriority _),
     "q_adv2_local_supplier_volume" -> (AdvancedQueries.localSupplierVolume _),
     "q_adv3_salted_agg" -> (AdvancedQueries.saltedAgg(_, _)),
@@ -131,8 +137,14 @@ object SparkEntry {
     "q_sim2_ann_lsh" -> ExtensionQueries.annTopKSql,
     "q_sim3_ivf" -> ExtensionQueries.ivfTopKSql,
     "q_mm1_binary_meta" -> ExtensionQueries.binaryMetaSql,
+    "q_mm2_frame_stats" -> ExtensionQueries.frameStatsSql,
+    "q_txt7_redaction" -> ExtensionQueries.redactionSql,
     "q_ml1_split_stats" -> ExtensionQueries.splitStatsSql,
     "q_ml2_contamination" -> ExtensionQueries.contaminationSql,
+    "q_ml3_stratified_sample" -> ExtensionQueries.stratifiedSampleSql,
+    "q_ml4_label_balance" -> ExtensionQueries.labelBalanceSql,
+    "q_rel25_having" -> RelationalQueries.havingAggSql,
+    "q_rel26_ntile_pctrank" -> RelationalQueries.ntilePctRankSql,
     "q_adv1_shipping_priority" -> AdvancedQueries.shippingPrioritySql,
     "q_adv2_local_supplier_volume" -> AdvancedQueries.localSupplierVolumeSql,
     "q_adv3_salted_agg" -> AdvancedQueries.saltedAggSql,

@@ -484,4 +484,106 @@ object ExtensionQueries {
       |       sha256(text) AS sha_hex,
       |       CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT) AS n_chunks
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------------------- MM-2
+  /** Frame sampling stats: [[graft.multimodal.Multimodal.sampleFrames]]
+    * over the attached binary payloads — per media item, how many frames
+    * the fixed-stride sampler yields and their total bytes. The corpus is
+    * ASCII, so the oracle mirrors the byte slicing with `substr` on the
+    * text (1 char = 1 byte).
+    */
+  def frameStats(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.attachPayload(Tables.documents(spark, dir))
+    graft.multimodal.Multimodal.sampleFrames(media, frameSize = 64, stride = 96, maxFrames = 5)
+      .groupBy("media_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(length(col("frame"))).cast("long").as("frame_bytes"))
+      .orderBy("media_id")
+  }
+
+  val frameStatsSql: String =
+    """SELECT media_id, count(*) AS n_frames,
+      |       CAST(sum(strlen(frame)) AS BIGINT) AS frame_bytes
+      |FROM (SELECT doc_id AS media_id,
+      |             substr(text, CAST(r.range * 96 + 1 AS INTEGER), 64) AS frame
+      |      FROM documents CROSS JOIN range(5) r)
+      |WHERE strlen(frame) > 0
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- TXT-7
+  /** Denylist scrubbing — the PII-redaction operator shape (regex replace
+    * + per-group audit counts) over the corpus' own vocabulary (the
+    * synthetic text has no digits/emails, so a literal PII pattern would
+    * be vacuous; the plumbing — \b-bounded alternation, global replace,
+    * redaction accounting — is exactly what an email/phone scrub runs).
+    */
+  def redaction(spark: SparkSession, dir: String): DataFrame = {
+    val pattern = "\\b(spark|join|key)\\b"
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("source"), col("text"),
+        regexp_replace(col("text"), pattern, "<x>").as("redacted"),
+        size(regexp_extract_all(col("text"), lit(pattern), lit(0))).cast("long").as("n_hits"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_hits").as("n_redacted"),
+        sum(length(col("text")) - length(col("redacted"))).cast("long").as("bytes_saved"))
+      .orderBy("lang", "source")
+  }
+
+  val redactionSql: String =
+    """SELECT lang, source, count(*) AS n_docs,
+      |       CAST(sum(len(regexp_extract_all(text, '\b(spark|join|key)\b'))) AS BIGINT)
+      |         AS n_redacted,
+      |       CAST(sum(strlen(text)
+      |                - strlen(regexp_replace(text, '\b(spark|join|key)\b', '<x>', 'g')))
+      |         AS BIGINT) AS bytes_saved
+      |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ----------------------------------------------------------------- ML-3
+  /** Deterministic stratified sampling: within each language stratum,
+    * rank by (md5(text), doc_id) — a content-derived, engine-independent
+    * shuffle — and keep the top 10% (ceil). The training-data sampling
+    * primitive: reproducible across engines and runs, no RNG state.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy(md5(col("text")), col("doc_id"))
+    val wAll = Window.partitionBy("lang")
+    Tables.documents(spark, dir)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n_lang", count(lit(1)).over(wAll))
+      .where(col("rk") <= ceil(col("n_lang") * 0.1).cast("long"))
+      .select(col("doc_id"), col("lang"), col("rk"))
+      .orderBy("lang", "rk")
+  }
+
+  val stratifiedSampleSql: String =
+    """SELECT doc_id, lang, rk FROM (
+      |  SELECT doc_id, lang,
+      |         row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rk,
+      |         count(*) OVER (PARTITION BY lang) AS n_lang
+      |  FROM documents)
+      |WHERE rk <= CAST(ceil(n_lang * 0.1) AS BIGINT)
+      |ORDER BY lang, rk""".stripMargin
+
+  // ----------------------------------------------------------------- ML-4
+  /** Label-balance audit over the embeddings table: per-class counts and
+    * fractions — the class-imbalance check before training.
+    */
+  def labelBalance(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.embeddings(spark, dir)
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("pct",
+        round(col("n").cast("double") /
+          sum("n").over(Window.partitionBy()).cast("double"), 6))
+      .orderBy("label")
+  }
+
+  val labelBalanceSql: String =
+    """SELECT CAST(label AS BIGINT) AS label, count(*) AS n,
+      |       round(CAST(count(*) AS DOUBLE)
+      |             / CAST(sum(count(*)) OVER () AS DOUBLE), 6) AS pct
+      |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -569,4 +569,51 @@ object RelationalQueries {
       |       coalesce(nullif(o_orderstatus, 'O'), 'open') AS status2,
       |       count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
       |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** REL-25: aggregate + HAVING (post-aggregation predicate on both the
+    * count and the unrounded average — Catalyst plans it as a Filter
+    * above the partial+final aggregate, so map-side combine still runs).
+    */
+  def havingAgg(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(spark, dir)
+    // Scale-stable threshold: brands pricier than the global average (a
+    // fixed absolute cutoff is meaningless across SFs). The 1-row global
+    // aggregate broadcasts, exactly like the REL-24 scalar subquery.
+    val global = parts.agg(avg("p_retailprice").as("g_avg"))
+    parts.groupBy("p_brand")
+      .agg(count(lit(1)).as("n_parts"), avg("p_retailprice").as("avg_raw"))
+      .crossJoin(broadcast(global))
+      .where(col("n_parts") >= 3 && col("avg_raw") > col("g_avg"))
+      .select(col("p_brand"), col("n_parts"), round(col("avg_raw"), 2).as("avg_price"))
+      .orderBy("p_brand")
+  }
+
+  val havingAggSql: String =
+    """SELECT p_brand, count(*) AS n_parts, round(avg(p_retailprice), 2) AS avg_price
+      |FROM part GROUP BY 1
+      |HAVING count(*) >= 3
+      |   AND avg(p_retailprice) > (SELECT avg(p_retailprice) FROM part)
+      |ORDER BY 1""".stripMargin
+
+  /** REL-26: distribution windows — ntile quartiles, percent_rank,
+    * cume_dist per market segment (single window sort serves all three).
+    */
+  def ntilePctRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy("c_custkey")
+  }
+
+  val ntilePctRankSql: String =
+    """SELECT c_custkey, c_mktsegment,
+      |       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |       round(percent_rank() OVER w, 6) AS pct_rank,
+      |       round(cume_dist() OVER w, 6) AS cume
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+      |ORDER BY c_custkey""".stripMargin
 }

@@ -355,21 +355,25 @@ object ExtensionQueries {
 
   val annTopKSql: String = {
     val (planes, tables) = (6, 8)
-    val projExprs = (for { t <- 0 until tables; p <- 0 until planes } yield
-      s"list_dot_product(e, list_transform(range(64), " +
-        s"d -> ${Similarity.planeWeightSql(t, p, "d")})) AS proj_${t}_$p").mkString(", ")
-    val bucketExprs = (0 until tables).map { t =>
-      val bits = (0 until planes).map(p =>
-        s"(CASE WHEN proj_${t}_$p > 0 THEN ${1L << p} ELSE 0 END)").mkString(" + ")
-      s"WHEN $t THEN $bits"
-    }.mkString(" ")
+    // Rebuild the md5-derived hyperplanes (Similarity.planeWeights) from
+    // DuckDB's own md5 over the same literal keys — integer-exact, so the
+    // projections and sign buckets match Spark's bit-for-bit.
+    val wExpr = TF.hexHash60Sql("'plane:' || t.range || ':' || p.range || ':' || d")
     s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
        |           WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
        |                                  CAST(embedding AS DOUBLE[])) > 0),
-       |proj AS (SELECT vec_id, e, $projExprs FROM v),
-       |buck AS (SELECT vec_id, e, r.range AS tbl,
-       |         CASE r.range $bucketExprs END AS bucket
-       |         FROM proj CROSS JOIN range($tables) r),
+       |pl AS (SELECT t.range AS tbl, p.range AS plane,
+       |       list_transform(range(64), d ->
+       |         (CAST($wExpr % ${Similarity.PlaneM} AS DOUBLE) - 1073741823.0)
+       |           / 1073741823.0) AS w
+       |       FROM range($tables) t CROSS JOIN range($planes) p),
+       |proj AS (SELECT v.vec_id, pl.tbl, pl.plane, list_dot_product(v.e, pl.w) AS proj
+       |         FROM v CROSS JOIN pl),
+       |buck AS (SELECT vec_id, tbl,
+       |         CAST(sum(CASE WHEN proj > 0
+       |                       THEN CAST(pow(2, plane) AS BIGINT) ELSE 0 END) AS BIGINT)
+       |           AS bucket
+       |         FROM proj GROUP BY 1, 2),
        |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
        |         FROM buck c JOIN buck q
        |           ON c.tbl = q.tbl AND c.bucket = q.bucket

@@ -59,6 +59,17 @@ object TextFunctions {
   def hexHash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Driver-side (plan-time) [[hexHash60]] — same first-15-hex-chars-of-
+    * md5 integer, for constants baked into plans as literals (e.g. LSH
+    * hyperplane weights).
+    */
+  def hexHash60Local(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = d.map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
   /** DuckDB SQL fragment computing [[hexHash60]] of `expr` — identical
     * arithmetic (hex-digit fold), for generated oracle queries.
     */

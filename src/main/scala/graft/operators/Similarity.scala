@@ -56,33 +56,23 @@ object Similarity {
       .toDF("query_id", "neighbor_id", "cos", "rank")
   }
 
-  /** Deterministic pseudo-random hyperplane weight in (-1, 1] for
-    * (table, plane, dim): two LCG rounds over the combined index in the
-    * 2^31-1 field — every executor materializes identical planes with
-    * zero driver-side state, every product stays under 2^62 (ANSI-safe),
-    * and the identical integer arithmetic runs in the DuckDB oracle
-    * (xxhash64, which this replaced, exists only in Spark). Two rounds
-    * break the linear d → weight ramp a single LCG step would produce.
+  /** Deterministic pseudo-random hyperplane weights in (-1, 1] for a
+    * (table, plane): md5 of the literal key "plane:t:p:d" folded to a
+    * 60-bit integer, reduced mod 2^31-1, centered and scaled. Computed
+    * ONCE at plan time and baked into the plan as a literal array — zero
+    * per-row hash cost — and reproducible in the DuckDB oracle, which
+    * rebuilds the identical values from its own md5 (see
+    * [[graft.analytics.ExtensionQueries.annTopKSql]]). md5-derived
+    * weights are statistically independent across dims/planes; the LCG
+    * variant this replaced composed to an affine ramp in d (two affine
+    * rounds stay affine), which correlated the planes and halved recall.
     */
-  private[operators] val PlaneM = 2147483647L // 2^31-1
-  private[operators] val PlaneA = 1103515245L
-  private[operators] val PlaneC = 12345L
-  private def planeWeight(table: Int, plane: Int, dimIdx: org.apache.spark.sql.Column) = {
-    val base = (table.toLong * 1009L + plane.toLong) * 65537L
-    val r1 = pmod((lit(base) + dimIdx) * PlaneA + PlaneC, lit(PlaneM))
-    val r2 = pmod(r1 * PlaneA + PlaneC, lit(PlaneM))
-    (r2.cast("double") - 1073741823.0) / 1073741823.0
-  }
-
-  /** DuckDB SQL fragment for the [[planeWeight]] of (table, plane) as a
-    * 0-indexed lambda over `dVar` — used by generated oracle queries.
-    */
-  private[graft] def planeWeightSql(table: Int, plane: Int, dVar: String): String = {
-    val base = (table.toLong * 1009L + plane.toLong) * 65537L
-    val r1 = s"((($base + $dVar) * $PlaneA + $PlaneC) % $PlaneM)"
-    val r2 = s"(($r1 * $PlaneA + $PlaneC) % $PlaneM)"
-    s"((CAST($r2 AS DOUBLE) - 1073741823.0) / 1073741823.0)"
-  }
+  private[graft] val PlaneM = 2147483647L // 2^31-1
+  private[graft] def planeWeights(table: Int, plane: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim) { d =>
+      val h = graft.functions.TextFunctions.hexHash60Local(s"plane:$table:$plane:$d")
+      ((h % PlaneM).toDouble - 1073741823.0) / 1073741823.0
+    }
 
   /** Sign-bucket signatures for all (table, plane) pairs at once:
     * posexplode the vector to (dim, x) rows, compute tables×planes
@@ -90,11 +80,14 @@ object Similarity {
     * bits per table. (The array-fold form is interpreted — no codegen —
     * and measured an order of magnitude slower.)
     */
-  private def signBuckets(df: DataFrame, planes: Int, tables: Int): DataFrame = {
+  private def signBuckets(df: DataFrame, planes: Int, tables: Int,
+      dim: Int = 64): DataFrame = {
     val exploded = df
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
     val projCols = for { t <- 0 until tables; p <- 0 until planes } yield
-      sum(col("x").cast("double") * planeWeight(t, p, col("d"))).as(s"proj_${t}_$p")
+      sum(col("x").cast("double") *
+        element_at(typedLit(planeWeights(t, p, dim).toSeq), col("d") + 1))
+        .as(s"proj_${t}_$p")
     val projs = exploded.groupBy("vec_id").agg(projCols.head, projCols.tail: _*)
     val bucketArr = array((0 until tables).map(t =>
       (0 until planes).map(p =>
@@ -163,9 +156,9 @@ object Similarity {
     * corpus size to keep bucket sizes constant.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      planes: Int = 6, tables: Int = 8): DataFrame = {
+      planes: Int = 6, tables: Int = 8, dim: Int = 64): DataFrame = {
     def bucketed(df: DataFrame, idCol: String) =
-      df.join(signBuckets(df, planes, tables), "vec_id")
+      df.join(signBuckets(df, planes, tables, dim), "vec_id")
         .select(col("vec_id").as(idCol), col("embedding"), col("table"), col("bucket"))
     val qb = bucketed(queries, "query_id").withColumnRenamed("embedding", "qe")
       .withColumn("qn", VF.l2Norm(col("qe")))

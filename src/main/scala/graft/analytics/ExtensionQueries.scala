@@ -341,11 +341,11 @@ object ExtensionQueries {
       |) WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   // ---------------------------------------------------------------- SIM-2
-  /** LSH-bucketed approximate top-10. The hyperplane weights are pure
-    * LCG integer arithmetic ([[Similarity.planeWeightSql]]), so the
-    * generated DuckDB oracle rebuilds the same planes, buckets, candidate
-    * set, and exact re-rank (recall vs brute force is separately asserted
-    * in scalatest).
+  /** LSH-bucketed approximate top-10. The hyperplane weights are
+    * md5-derived plan-time literals ([[Similarity.planeWeights]]), so the
+    * generated DuckDB oracle rebuilds the same planes (from its own md5
+    * over the same literal keys), buckets, candidate set, and exact
+    * re-rank (recall vs brute force is separately asserted in scalatest).
     */
   def annTopK(spark: SparkSession, dir: String): DataFrame = {
     val embs = Tables.embeddings(spark, dir)

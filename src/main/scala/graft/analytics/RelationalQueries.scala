@@ -580,10 +580,14 @@ object RelationalQueries {
     // fixed absolute cutoff is meaningless across SFs). The 1-row global
     // aggregate broadcasts, exactly like the REL-24 scalar subquery.
     val global = parts.agg(avg("p_retailprice").as("g_avg"))
+    // The 1e-9 margin keeps the predicate stable across engines: both
+    // averages carry summation-order ulp noise, and a brand avg landing
+    // exactly on the global avg must not flip between Spark and the
+    // oracle. (Group gaps in the data are O(1) currency units.)
     parts.groupBy("p_brand")
       .agg(count(lit(1)).as("n_parts"), avg("p_retailprice").as("avg_raw"))
       .crossJoin(broadcast(global))
-      .where(col("n_parts") >= 3 && col("avg_raw") > col("g_avg"))
+      .where(col("n_parts") >= 3 && col("avg_raw") > col("g_avg") + 1e-9)
       .select(col("p_brand"), col("n_parts"), round(col("avg_raw"), 2).as("avg_price"))
       .orderBy("p_brand")
   }
@@ -592,7 +596,7 @@ object RelationalQueries {
     """SELECT p_brand, count(*) AS n_parts, round(avg(p_retailprice), 2) AS avg_price
       |FROM part GROUP BY 1
       |HAVING count(*) >= 3
-      |   AND avg(p_retailprice) > (SELECT avg(p_retailprice) FROM part)
+      |   AND avg(p_retailprice) > (SELECT avg(p_retailprice) FROM part) + 1e-9
       |ORDER BY 1""".stripMargin
 
   /** REL-26: distribution windows — ntile quartiles, percent_rank,

@@ -81,8 +81,10 @@ object TextFunctions {
 
   /** MinHash permutation parameters — deterministic odd multipliers /
     * offsets (splitmix64-flavored constants). Public-knowledge scheme:
-    * h_i(x) = (a_i * h(x) + b_i) mod PRIME with h(x) = xxhash64(x) folded
-    * into [0, PRIME); signature_i = min over the doc's shingles.
+    * h_i(x) = (a_i * h(x) + b_i) mod PRIME, where the base hash h is the
+    * caller's choice (xxhash64 on hot paths, [[hexHash60]] for
+    * DuckDB-mirrored oracle parity), folded into [0, PRIME);
+    * signature_i = min over the doc's shingles.
     *
     * PRIME is 2^31-1 so the affine step stays within a signed 64-bit
     * product ((2^31)² < 2^63) — Spark 4 runs ANSI mode, where a long

@@ -82,7 +82,16 @@ object Similarity {
     */
   private def signBuckets(df: DataFrame, planes: Int, tables: Int,
       dim: Int = 64): DataFrame = {
-    val exploded = df
+    // Plane arrays are sized `dim` at plan time; a longer vector would
+    // read past them (ANSI error at best, silent 64-dim truncation at
+    // worst) — fail loudly per row instead.
+    val checked = df.select(col("vec_id"),
+      when(size(col("embedding")) <= dim, col("embedding"))
+        .otherwise(raise_error(concat(
+          lit(s"lshTopK: embedding dim exceeds dim=$dim (got "),
+          size(col("embedding")).cast("string"), lit(")"))))
+        .as("embedding"))
+    val exploded = checked
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
     val projCols = for { t <- 0 until tables; p <- 0 until planes } yield
       sum(col("x").cast("double") *

@@ -69,4 +69,43 @@ class PlanAuditSpec extends SparkSpec {
       }
     }
   }
+
+  test("StringShingles compiles under CODEGEN_ONLY (no janino fallback)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{TextFunctions => TF}
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      // Two shingle expressions in one projection — the multi-instance
+      // scope that would collide without fresh codegen locals.
+      val out = graft.sources.Tables.documents(spark, dir).limit(10)
+        .select(size(TF.shingles(col("text"), 3)).as("a"),
+          size(TF.shingles(col("text"), 2)).as("b")).collect()
+      assert(out.forall(r => r.getInt(0) > 0 && r.getInt(1) > 0))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
+  }
+
+  test("q_dd5: signature build has no Window (map-side shingles feed a partial+final agg)") {
+    val p = plan("q_dd5_minhash_lsh")
+    assert(!p.contains("Window"), "the lead-window form is gone: " + p.take(500))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(500))
+  }
+
+  test("q_rel25: the global-average threshold is broadcast, not a shuffle join") {
+    val p = plan("q_rel25_having")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(500))
+    assert(!p.contains("CartesianProduct"), p.take(500))
+  }
+
+  test("q_ml3: both stratum windows reuse ONE exchange (same partition key)") {
+    val p = plan("q_ml3_stratified_sample")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges: " + p.take(800))
+  }
 }

@@ -77,4 +77,14 @@ class SimilaritySpec extends SparkSpec {
     val recall = (exact intersect approx).size.toDouble / exact.size
     assert(recall >= 0.75, s"recall $recall too low: exact=$exact approx=$approx")
   }
+
+  test("lshTopK fails loudly when a vector exceeds the plan-time dim") {
+    val q = clustered.where(col("vec_id") === 0)
+    val ex = intercept[Exception] {
+      Similarity.lshTopK(q, clustered, k = 4, planes = 4, tables = 4, dim = 4).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("embedding dim exceeds")), ex.getMessage)
+  }
 }

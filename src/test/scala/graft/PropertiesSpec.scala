@@ -80,4 +80,20 @@ class PropertiesSpec extends SparkSpec {
     byText.values.foreach(group =>
       assert(group.map(_._2).distinct.size == 1, "same text ⇒ same signature"))
   }
+
+  test("property: native StringShingles ≡ HOF reference on random texts, n in 1..5") {
+    // Random docs plus adversarial whitespace shapes the token generator
+    // can't produce (empty, leading/trailing/double spaces, multibyte).
+    val docs = sampleDocs(40) ++ Seq("", " ", "  ", "a ", " a", "a  b",
+      "ü ö ß", "東京 データ 解析")
+    for (n <- 1 to 5) {
+      val rows = docs.toDF("text")
+        .select(TF.shingles(col("text"), n).as("native"),
+          TF.shinglesHof(col("text"), n).as("hof"))
+        .collect()
+      rows.zip(docs).foreach { case (r, t) =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1), s"n=$n text='$t'")
+      }
+    }
+  }
 }

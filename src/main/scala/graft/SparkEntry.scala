@@ -83,7 +83,10 @@ object SparkEntry {
     "q_adv3_salted_agg" -> (AdvancedQueries.saltedAgg(_, _)),
     "q_adv4_session_windows" -> (AdvancedQueries.sessionWindows _),
     "q_adv5_asof_join" -> (AdvancedQueries.asOfJoin _),
-    "q_adv6_range_join" -> (AdvancedQueries.rangeJoin _))
+    "q_adv5b_asof_tolerance" -> (AdvancedQueries.asOfJoinTolerance _),
+    "q_adv6_range_join" -> (AdvancedQueries.rangeJoin _),
+    "q_rel11c_grouping_sets" -> (RelationalQueries.groupingSets _),
+    "q_rel13b_range_frames" -> (RelationalQueries.rangeFrames _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -150,5 +153,8 @@ object SparkEntry {
     "q_adv3_salted_agg" -> AdvancedQueries.saltedAggSql,
     "q_adv4_session_windows" -> AdvancedQueries.sessionWindowsSql,
     "q_adv5_asof_join" -> AdvancedQueries.asOfJoinSql,
-    "q_adv6_range_join" -> AdvancedQueries.rangeJoinSql)
+    "q_adv5b_asof_tolerance" -> AdvancedQueries.asOfJoinToleranceSql,
+    "q_adv6_range_join" -> AdvancedQueries.rangeJoinSql,
+    "q_rel11c_grouping_sets" -> RelationalQueries.groupingSetsSql,
+    "q_rel13b_range_frames" -> RelationalQueries.rangeFramesSql)
 }

@@ -146,6 +146,49 @@ object AdvancedQueries {
       |) e ON p.user_id = e.user_id AND p.ts_us >= e.err_ts_us
       |ORDER BY event_id""".stripMargin
 
+  /** As-of join with a lookback tolerance (pandas `merge_asof(tolerance)`
+    * semantics): a prior error older than 24 h does not match. The
+    * oracle is the unbounded ASOF with the match nulled out past the
+    * tolerance — semantically identical, since the as-of match is the
+    * single most recent prior row either way.
+    */
+  def asOfJoinTolerance(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir).withColumn("ts_us", expr("ts_ns div 1000"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
+    val wDedup = Window.partitionBy("user_id", "err_ts_us").orderBy(col("event_id").desc)
+    val errors = ev.where(col("event_type") === "error")
+      .select(col("user_id"), col("ts_us").as("err_ts_us"),
+        col("value").as("err_value"), col("event_id"))
+      .withColumn("rn", row_number().over(wDedup))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("err_ts_us"), col("err_value"))
+    graft.operators.AsOfJoin.asOf(purchases, errors, key = "user_id",
+      leftTs = "ts_us", rightTs = "err_ts_us", payload = Seq("err_ts_us", "err_value"),
+      tolerance = Some(86400000000L))
+      .withColumnRenamed("asof_err_ts_us", "err_ts_us")
+      .withColumnRenamed("asof_err_value", "err_value")
+      .orderBy("event_id")
+  }
+
+  val asOfJoinToleranceSql: String =
+    """SELECT event_id, user_id, ts_us, value,
+      |       CASE WHEN ts_us - err_ts_us <= 86400000000 THEN err_ts_us END AS err_ts_us,
+      |       CASE WHEN ts_us - err_ts_us <= 86400000000 THEN err_value END AS err_value
+      |FROM (
+      |  SELECT event_id, p.user_id AS user_id, ts_us, value, err_ts_us, err_value
+      |  FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+      |        FROM events WHERE event_type = 'purchase') p
+      |  ASOF LEFT JOIN (
+      |    SELECT user_id, err_ts_us, err_value FROM (
+      |      SELECT user_id, epoch_us(ts) AS err_ts_us, value AS err_value,
+      |             row_number() OVER (PARTITION BY user_id, epoch_us(ts)
+      |                                ORDER BY event_id DESC) AS rn
+      |      FROM events WHERE event_type = 'error') WHERE rn = 1
+      |  ) e ON p.user_id = e.user_id AND p.ts_us >= e.err_ts_us)
+      |ORDER BY event_id""".stripMargin
+
   /** Bucketed interval join (graft.operators.RangeJoin): per-user event
     * pairs within 5 minutes, summarized per (type_a, type_b). The
     * bucket-replication scheme makes it a hash join; the oracle is the

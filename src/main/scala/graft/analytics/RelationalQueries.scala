@@ -620,4 +620,57 @@ object RelationalQueries {
       |FROM customer
       |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
       |ORDER BY c_custkey""".stripMargin
+
+  /** REL-11c: explicit GROUPING SETS with grouping_id — finer than
+    * rollup/cube (REL-11/11b): exactly the detail, per-flag, and grand
+    * total sets, one aggregation pass. NULL placeholders are coalesced
+    * to 'ALL' so the total sort order is engine-independent (Spark sorts
+    * NULLS FIRST, DuckDB NULLS LAST).
+    */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_gsets")
+    spark.sql(
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |       coalesce(l_linestatus, 'ALL') AS ls,
+        |       CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |       count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem_gsets
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY gid, rf, ls""".stripMargin)
+  }
+
+  val groupingSetsSql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+      |       coalesce(l_linestatus, 'ALL') AS ls,
+      |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |       count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      |ORDER BY gid, rf, ls""".stripMargin
+
+  /** REL-13b: time-RANGE window frames — each event's trailing-5-minute
+    * per-user aggregate (RANGE on the µs value, not ROWS: simultaneous
+    * events are frame peers in both engines). The time-series sliding
+    * aggregate the ROWS frames of REL-13 can't express.
+    */
+  def rangeFrames(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+      .rangeBetween(-300000000L, 0L)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), expr("ts_ns div 1000").as("ts_us"),
+        col("value"))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        count(lit(1)).over(w).as("n_5min"),
+        round(sum("value").over(w), 6).as("sum_5min"))
+      .orderBy("event_id")
+  }
+
+  val rangeFramesSql: String =
+    """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+      |       count(*) OVER w AS n_5min,
+      |       round(sum(value) OVER w, 6) AS sum_5min
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |             RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
 }

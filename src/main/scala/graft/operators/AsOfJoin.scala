@@ -30,11 +30,17 @@ object AsOfJoin {
     * @param leftTs    left event-time column name (long/µs or any ordered type)
     * @param rightTs   right event-time column name
     * @param payload   right columns to carry (renamed as-is onto the output)
+    * @param tolerance max `leftTs - rightTs` (same units as the ts
+    *                  columns, which must then be numeric) — a prior
+    *                  right row older than this does NOT match (the
+    *                  pandas `merge_asof(tolerance=...)` semantic);
+    *                  None = unbounded lookback
     * @return left rows + matched payload columns (null when no prior right row)
     */
   def asOf(left: DataFrame, right: DataFrame, key: String,
-      leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
-    val reserved = Seq("__ts", "__side", "__p", "__asof")
+      leftTs: String, rightTs: String, payload: Seq[String],
+      tolerance: Option[Long] = None): DataFrame = {
+    val reserved = Seq("__ts", "__side", "__p", "__asof", "__rts")
     require(!(left.columns ++ right.columns).exists(reserved.contains),
       s"input columns must not use the reserved names ${reserved.mkString(", ")}")
     val leftCols = left.columns
@@ -42,10 +48,11 @@ object AsOfJoin {
     // an exactly-simultaneous right row is visible to the left row
     // (inclusive <= semantics, matching DuckDB ASOF).
     // Payload travels as ONE struct so every carried column comes from
-    // the SAME right row even if individual payload values are null.
+    // the SAME right row even if individual payload values are null; the
+    // right timestamp rides along as __rts for the tolerance check.
     val taggedRight = right.select(
       col(key).as(key), col(rightTs).as("__ts"), lit(0).as("__side"),
-      struct(payload.map(col): _*).as("__p"))
+      struct(payload.map(col) :+ col(rightTs).as("__rts"): _*).as("__p"))
     val taggedLeft = left.select(
       (col(key) +: col(leftTs).as("__ts") +: lit(1).as("__side") +:
         leftCols.filterNot(_ == key).map(col)): _*)
@@ -53,9 +60,17 @@ object AsOfJoin {
     val unioned = taggedLeft.unionByName(taggedRight, allowMissingColumns = true)
     val w = Window.partitionBy(key).orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    unioned
+    val matched = unioned
       .withColumn("__asof", last(col("__p"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
-      .select((leftCols.map(col) ++ payload.map(c => col(s"__asof.$c").as(s"asof_$c"))): _*)
+    val bounded = tolerance match {
+      // Stale match → null struct → every payload column null, exactly
+      // like no-match (when() without otherwise yields NULL).
+      case Some(tol) => matched.withColumn("__asof",
+        when(col("__ts") - col("__asof.__rts") <= tol, col("__asof")))
+      case None => matched
+    }
+    bounded.select(
+      (leftCols.map(col) ++ payload.map(c => col(s"__asof.$c").as(s"asof_$c"))): _*)
   }
 }

@@ -108,4 +108,36 @@ class PlanAuditSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges: " + p.take(800))
   }
+
+  test("dynamic partition pruning: a dim filter prunes fact partitions at runtime") {
+    // The 100 TB layout partitions facts by time/day (SNK-2); a filtered
+    // dim join must then read only matching partitions. Locally: write a
+    // day-partitioned fact, join a filtered dim on the partition key, and
+    // require a DPP subquery filter on the scan.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    try {
+      spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio", "10000")
+      (0 until 5000).map(i => (i.toLong, i % 10, i * 1.5))
+        .toDF("id", "day", "v")
+        .write.partitionBy("day").mode("overwrite").parquet(s"$base/fact")
+      // The dim must be a real scan with a surviving Filter: a local
+      // relation constant-folds the predicate away and the planner then
+      // sees no selective filter to prune with.
+      Seq((0, "keep"), (1, "keep"), (7, "drop")).toDF("day_key", "tag")
+        .write.mode("overwrite").parquet(s"$base/dim")
+      val dim = spark.read.parquet(s"$base/dim")
+      val fact = spark.read.parquet(s"$base/fact")
+      val joined = fact.join(dim.where(col("tag") === "keep"),
+        col("day") === col("day_key"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("dynamicpruning") || p.contains("DynamicPruning"),
+        "partition scan must carry a runtime DPP filter: " + p.take(800))
+      assert(joined.count() == 1000, "two of ten day-partitions survive")
+    } finally {
+      spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    }
+  }
 }

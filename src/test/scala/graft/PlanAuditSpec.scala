@@ -109,6 +109,45 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges: " + p.take(800))
   }
 
+  test("AQE splits a skewed join partition (OptimizeSkewedJoin fires)") {
+    // The skew stance for fact-fact joins (SCALE.md): AQE detects an
+    // oversized shuffle partition and splits it. Forced low thresholds
+    // make the mechanism observable at test scale; the assertion is on
+    // the executed plan's skew marker, not timing.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val skewConfs = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "10KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "10KB",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = skewConfs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    skewConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 90% of left rows share one key; right is uniform.
+      val left = spark.range(200000)
+        .select(when(col("id") % 10 =!= 0, 7L).otherwise(col("id")).as("k"),
+          col("id").as("v"))
+      val right = spark.range(1000)
+        .select(pmod(col("id"), lit(50L)).as("k"), col("id").as("w"))
+      val joined = left.join(right, "k")
+      // Drive THIS frame's AdaptiveSparkPlanExec to completion (count()
+      // or a write would plan a separate query and leave it unfinalized).
+      val qe = joined.queryExecution
+      qe.executedPlan.execute().count()
+      val p = qe.executedPlan.toString
+      assert(p.contains("isSkew=true") || p.contains("skewed"),
+        "expected a skew-split SMJ in the final adaptive plan: " + p.take(1200))
+    } finally {
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("dynamic partition pruning: a dim filter prunes fact partitions at runtime") {
     // The 100 TB layout partitions facts by time/day (SNK-2); a filtered
     // dim join must then read only matching partitions. Locally: write a

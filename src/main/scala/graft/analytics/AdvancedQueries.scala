@@ -114,7 +114,12 @@ object AdvancedQueries {
     * deduped latest-wins per (user, µs) in BOTH engines so ties are
     * well-defined; the oracle is DuckDB's native ASOF LEFT JOIN.
     */
-  def asOfJoin(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared construction for the two as-of queries: purchases (left) and
+    * latest-wins-deduped errors (right), both at µs precision — a fix to
+    * either side must hit q_adv5 and q_adv5b identically or their oracle
+    * parity diverges.
+    */
+  private def purchasesAndErrors(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val ev = Tables.events(spark, dir).withColumn("ts_us", expr("ts_ns div 1000"))
     val purchases = ev.where(col("event_type") === "purchase")
@@ -126,12 +131,22 @@ object AdvancedQueries {
       .withColumn("rn", row_number().over(wDedup))
       .where(col("rn") === 1)
       .select(col("user_id"), col("err_ts_us"), col("err_value"))
+    (purchases, errors)
+  }
+
+  private def asOfQuery(spark: SparkSession, dir: String,
+      tolerance: Option[Long]): DataFrame = {
+    val (purchases, errors) = purchasesAndErrors(spark, dir)
     graft.operators.AsOfJoin.asOf(purchases, errors, key = "user_id",
-      leftTs = "ts_us", rightTs = "err_ts_us", payload = Seq("err_ts_us", "err_value"))
+      leftTs = "ts_us", rightTs = "err_ts_us", payload = Seq("err_ts_us", "err_value"),
+      tolerance = tolerance)
       .withColumnRenamed("asof_err_ts_us", "err_ts_us")
       .withColumnRenamed("asof_err_value", "err_value")
       .orderBy("event_id")
   }
+
+  def asOfJoin(spark: SparkSession, dir: String): DataFrame =
+    asOfQuery(spark, dir, tolerance = None)
 
   val asOfJoinSql: String =
     """SELECT event_id, p.user_id AS user_id, ts_us, value, err_ts_us, err_value
@@ -152,25 +167,8 @@ object AdvancedQueries {
     * tolerance — semantically identical, since the as-of match is the
     * single most recent prior row either way.
     */
-  def asOfJoinTolerance(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val ev = Tables.events(spark, dir).withColumn("ts_us", expr("ts_ns div 1000"))
-    val purchases = ev.where(col("event_type") === "purchase")
-      .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
-    val wDedup = Window.partitionBy("user_id", "err_ts_us").orderBy(col("event_id").desc)
-    val errors = ev.where(col("event_type") === "error")
-      .select(col("user_id"), col("ts_us").as("err_ts_us"),
-        col("value").as("err_value"), col("event_id"))
-      .withColumn("rn", row_number().over(wDedup))
-      .where(col("rn") === 1)
-      .select(col("user_id"), col("err_ts_us"), col("err_value"))
-    graft.operators.AsOfJoin.asOf(purchases, errors, key = "user_id",
-      leftTs = "ts_us", rightTs = "err_ts_us", payload = Seq("err_ts_us", "err_value"),
-      tolerance = Some(86400000000L))
-      .withColumnRenamed("asof_err_ts_us", "err_ts_us")
-      .withColumnRenamed("asof_err_value", "err_value")
-      .orderBy("event_id")
-  }
+  def asOfJoinTolerance(spark: SparkSession, dir: String): DataFrame =
+    asOfQuery(spark, dir, tolerance = Some(86400000000L))
 
   val asOfJoinToleranceSql: String =
     """SELECT event_id, user_id, ts_us, value,

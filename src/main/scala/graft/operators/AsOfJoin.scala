@@ -49,10 +49,13 @@ object AsOfJoin {
     // (inclusive <= semantics, matching DuckDB ASOF).
     // Payload travels as ONE struct so every carried column comes from
     // the SAME right row even if individual payload values are null; the
-    // right timestamp rides along as __rts for the tolerance check.
+    // right timestamp rides along as __rts only when a tolerance needs
+    // it (it would be dead shuffle weight on the unbounded path).
+    val payloadFields = payload.map(col) ++
+      (if (tolerance.isDefined) Seq(col(rightTs).as("__rts")) else Nil)
     val taggedRight = right.select(
       col(key).as(key), col(rightTs).as("__ts"), lit(0).as("__side"),
-      struct(payload.map(col) :+ col(rightTs).as("__rts"): _*).as("__p"))
+      struct(payloadFields: _*).as("__p"))
     val taggedLeft = left.select(
       (col(key) +: col(leftTs).as("__ts") +: lit(1).as("__side") +:
         leftCols.filterNot(_ == key).map(col)): _*)

@@ -84,9 +84,11 @@ object Similarity {
       dim: Int = 64): DataFrame = {
     // Plane arrays are sized `dim` at plan time; a longer vector would
     // read past them (ANSI error at best, silent 64-dim truncation at
-    // worst) — fail loudly per row instead.
+    // worst) — fail loudly per row instead. NULL embeddings keep the
+    // pre-guard behavior (posexplode emits nothing → row unbucketed).
     val checked = df.select(col("vec_id"),
-      when(size(col("embedding")) <= dim, col("embedding"))
+      when(size(col("embedding")).isNull || size(col("embedding")) <= dim,
+        col("embedding"))
         .otherwise(raise_error(concat(
           lit(s"lshTopK: embedding dim exceeds dim=$dim (got "),
           size(col("embedding")).cast("string"), lit(")"))))

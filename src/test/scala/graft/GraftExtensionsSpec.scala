@@ -17,9 +17,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
     SparkSession.clearDefaultSession()
     SparkSession.clearActiveSession()
     try {
+      // Same master/parallelism as SparkSpec: if this suite runs first it
+      // creates the JVM-wide SparkContext every later suite inherits.
       val spark = SparkSession.builder()
-        .master("local[2]")
-        .config("spark.sql.shuffle.partitions", "2")
+        .master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
         .config("spark.ui.enabled", "false")
         .withExtensions(new GraftExtensions)
         .getOrCreate()

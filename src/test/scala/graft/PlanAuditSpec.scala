@@ -17,6 +17,20 @@ class PlanAuditSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
+  /** Set session confs for the body, restoring prior values after —
+    * leaked confs from one test silently change every later test's
+    * environment.
+    */
+  private def withConfs(confs: (String, String)*)(body: => Unit): Unit = {
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q_rel1: filters pushed to the parquet scan, columns pruned") {
     val p = plan("q_rel1_scan_filter")
     assert(p.contains("PushedFilters: [IsNotNull"), p.take(500))
@@ -115,17 +129,13 @@ class PlanAuditSpec extends SparkSpec {
     // make the mechanism observable at test scale; the assertion is on
     // the executed plan's skew marker, not timing.
     import org.apache.spark.sql.functions._
-    import spark.implicits._
-    val skewConfs = Seq(
+    withConfs(
       "spark.sql.adaptive.skewJoin.enabled" -> "true",
       "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "10KB",
       "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "10KB",
       "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
-      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
-    val prev = skewConfs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    skewConfs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try {
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
       // 90% of left rows share one key; right is uniform.
       val left = spark.range(200000)
         .select(when(col("id") % 10 =!= 0, 7L).otherwise(col("id")).as("k"),
@@ -140,11 +150,6 @@ class PlanAuditSpec extends SparkSpec {
       val p = qe.executedPlan.toString
       assert(p.contains("isSkew=true") || p.contains("skewed"),
         "expected a skew-split SMJ in the final adaptive plan: " + p.take(1200))
-    } finally {
-      prev.foreach {
-        case (k, Some(v)) => spark.conf.set(k, v)
-        case (k, None) => spark.conf.unset(k)
-      }
     }
   }
 
@@ -157,25 +162,26 @@ class PlanAuditSpec extends SparkSpec {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_dpp").toString
     try {
-      spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio", "10000")
-      (0 until 5000).map(i => (i.toLong, i % 10, i * 1.5))
-        .toDF("id", "day", "v")
-        .write.partitionBy("day").mode("overwrite").parquet(s"$base/fact")
-      // The dim must be a real scan with a surviving Filter: a local
-      // relation constant-folds the predicate away and the planner then
-      // sees no selective filter to prune with.
-      Seq((0, "keep"), (1, "keep"), (7, "drop")).toDF("day_key", "tag")
-        .write.mode("overwrite").parquet(s"$base/dim")
-      val dim = spark.read.parquet(s"$base/dim")
-      val fact = spark.read.parquet(s"$base/fact")
-      val joined = fact.join(dim.where(col("tag") === "keep"),
-        col("day") === col("day_key"))
-      val p = joined.queryExecution.executedPlan.toString
-      assert(p.contains("dynamicpruning") || p.contains("DynamicPruning"),
-        "partition scan must carry a runtime DPP filter: " + p.take(800))
-      assert(joined.count() == 1000, "two of ten day-partitions survive")
+      withConfs(
+        "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio" -> "10000") {
+        (0 until 5000).map(i => (i.toLong, i % 10, i * 1.5))
+          .toDF("id", "day", "v")
+          .write.partitionBy("day").mode("overwrite").parquet(s"$base/fact")
+        // The dim must be a real scan with a surviving Filter: a local
+        // relation constant-folds the predicate away and the planner then
+        // sees no selective filter to prune with.
+        Seq((0, "keep"), (1, "keep"), (7, "drop")).toDF("day_key", "tag")
+          .write.mode("overwrite").parquet(s"$base/dim")
+        val dim = spark.read.parquet(s"$base/dim")
+        val fact = spark.read.parquet(s"$base/fact")
+        val joined = fact.join(dim.where(col("tag") === "keep"),
+          col("day") === col("day_key"))
+        val p = joined.queryExecution.executedPlan.toString
+        assert(p.contains("dynamicpruning") || p.contains("DynamicPruning"),
+          "partition scan must carry a runtime DPP filter: " + p.take(800))
+        assert(joined.count() == 1000, "two of ten day-partitions survive")
+      }
     } finally {
-      spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio")
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
     }
   }

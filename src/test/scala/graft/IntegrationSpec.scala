@@ -61,4 +61,12 @@ class IntegrationSpec extends SparkSpec {
     assert(top.getAs[Long]("neighbor_id") == 1L, "identical payload is the nearest neighbor")
     assert(top.getAs[Double]("cos") == 1.0)
   }
+
+  test("driver contract: entry() returns rows; every query has a runnable entry") {
+    assert(SparkEntry.entry(spark).count() > 0, "flagship must return rows")
+    // Every oracleSql key must refer to a real query (a typo'd key would
+    // silently drop that query from the driver's correctness gate).
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracleSql keys without a query: $orphans")
+  }
 }

@@ -40,6 +40,18 @@ object DataSplits {
   def assignSplitByHash(idCol: Column, fractions: Seq[(String, Int)], seed: Long = 42L): Column =
     assignSplit(pmod(xxhash64(lit(seed), idCol), lit(100L)), fractions)
 
+  /** Materialize a dataset as split-partitioned parquet — the output
+    * step of the training-data pipeline: `outDir/split=train/...` etc.,
+    * consumable downstream with partition pruning
+    * (`spark.read.parquet(out).where($"split" === "train")` reads one
+    * directory). One pass, no shuffle: split assignment is a projection
+    * and `partitionBy` routes rows at write time.
+    */
+  def writeSplits(df: DataFrame, idCol: String, outDir: String,
+      fractions: Seq[(String, Int)] = Seq("train" -> 80, "val" -> 10, "test" -> 10)): Unit =
+    df.withColumn("split", assignSplit(col(idCol), fractions))
+      .write.partitionBy("split").mode("overwrite").parquet(outDir)
+
   /** Train-vs-eval contamination: training docs whose exact content
     * fingerprint appears in the eval set (the md5 tier; near-dup
     * contamination composes [[Dedup.minhashNearDups]] over the union

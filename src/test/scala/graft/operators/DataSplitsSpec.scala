@@ -37,4 +37,23 @@ class DataSplitsSpec extends SparkSpec {
     val hits = DataSplits.exactContamination(train, eval).collect()
     assert(hits.map(_.getLong(0)).toSeq == Seq(2L))
   }
+
+  test("writeSplits materializes split=... partitions; pruned read returns one split") {
+    val out = java.nio.file.Files.createTempDirectory("graft_splits").toString
+    try {
+      val docs = (0L until 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+      DataSplits.writeSplits(docs, "doc_id", out)
+      val dirs = new java.io.File(out).listFiles().map(_.getName).filter(_.startsWith("split="))
+      assert(dirs.toSet == Set("split=train", "split=val", "split=test"))
+      val back = spark.read.parquet(out)
+      assert(back.count() == 200)
+      val train = back.where(col("split") === "train")
+      assert(train.count() == 160, "80% of a full two-cycle id range")
+      // The split filter must prune to the one partition directory.
+      val p = train.queryExecution.executedPlan.toString
+      assert(p.contains("PartitionFilters: [isnotnull(split"), p.take(400))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    }
+  }
 }

@@ -32,4 +32,23 @@ class AsOfJoinSpec extends SparkSpec {
       ("l-c", Some(300L), Some(30.0)),
       ("l-d", None, None)))
   }
+
+  test("asOf tolerance: inclusive boundary keeps the match; one past nulls it whole") {
+    val left = Seq(
+      (1L, 250L, "exact-50"),  // gap 50 == tolerance → kept
+      (1L, 251L, "past-51"),   // gap 51 > tolerance → nulled
+      (1L, 200L, "gap-0"))     // simultaneous → kept
+      .toDF("k", "ts", "tag")
+    val right = Seq((1L, 200L, 20.0)).toDF("k", "rts", "rv")
+    val out = AsOfJoin.asOf(left, right, key = "k", leftTs = "ts", rightTs = "rts",
+      payload = Seq("rts", "rv"), tolerance = Some(50L))
+      .collect()
+      .map(r => r.getAs[String]("tag") ->
+        (Option(r.getAs[java.lang.Long]("asof_rts")),
+          Option(r.getAs[java.lang.Double]("asof_rv"))))
+      .toMap
+    assert(out("exact-50") == (Some(200L), Some(20.0)))
+    assert(out("past-51") == (None, None), "a stale match must null EVERY payload column")
+    assert(out("gap-0") == (Some(200L), Some(20.0)))
+  }
 }

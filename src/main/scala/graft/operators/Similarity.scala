@@ -168,20 +168,28 @@ object Similarity {
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       planes: Int = 6, tables: Int = 8, dim: Int = 64): DataFrame = {
-    def bucketed(df: DataFrame, idCol: String) =
-      df.join(signBuckets(df, planes, tables, dim), "vec_id")
-        .select(col("vec_id").as(idCol), col("embedding"), col("table"), col("bucket"))
-    val qb = bucketed(queries, "query_id").withColumnRenamed("embedding", "qe")
-      .withColumn("qn", VF.l2Norm(col("qe")))
-    val cb = bucketed(corpus, "neighbor_id").withColumnRenamed("embedding", "ne")
-      .withColumn("nn", VF.l2Norm(col("ne")))
-    val candidates = cb.where(col("nn") > 0)
-      .join(broadcast(qb.where(col("qn") > 0)), Seq("table", "bucket"))
+    // Candidate generation and dedup carry ONLY id pairs — at corpus
+    // scale the dedup shuffle is 16 bytes/row, not two embeddings/row;
+    // vectors and norms join back for the surviving candidates alone
+    // (the same join-back shape the generated oracle uses).
+    val qb = signBuckets(queries, planes, tables, dim)
+      .select(col("vec_id").as("query_id"), col("table"), col("bucket"))
+    val cb = signBuckets(corpus, planes, tables, dim)
+      .select(col("vec_id").as("neighbor_id"), col("table"), col("bucket"))
+    val candidates = cb.join(broadcast(qb), Seq("table", "bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "neighbor_id", "qe", "ne", "qn", "nn")
+      .select("query_id", "neighbor_id")
       .dropDuplicates("query_id", "neighbor_id")
+    // Zero-norm vectors (no defined cosine) drop at this inner join —
+    // identical output to filtering them before bucketing.
+    val qv = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+      VF.l2Norm(col("embedding")).as("qn")).where(col("qn") > 0)
+    val cv = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"),
+      VF.l2Norm(col("embedding")).as("nn")).where(col("nn") > 0)
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     candidates
+      .join(broadcast(qv), "query_id")
+      .join(cv, "neighbor_id")
       .withColumn("cos",
         round(VF.dot(col("qe"), col("ne")) / (col("qn") * col("nn")), 6))
       .withColumn("rank", row_number().over(w).cast("long"))

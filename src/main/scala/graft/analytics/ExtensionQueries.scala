@@ -543,6 +543,39 @@ object ExtensionQueries {
       |         AS BIGINT) AS bytes_saved
       |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- TXT-8
+  /** Boilerplate/template detection: 3-gram shingles occurring in more
+    * than 1/5000 of all shingle slots — the repeated-phrase scan that
+    * precedes boilerplate stripping in a pretraining pipeline. Exact
+    * counts (shingle explode partial-aggregates map-side; the shuffle
+    * carries one row per distinct shingle per partition); the relative
+    * threshold rides a broadcast 1-row total, so no driver-side action.
+    * At unbounded vocabulary scale the first pass swaps to a bounded
+    * sketch (Misra-Gries / SpaceSaving) with an exact recount of the
+    * candidate set — output identical, memory bounded.
+    */
+  def boilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .select(explode(TF.shingles(col("text"), 3)).as("shingle"))
+    val total = sh.agg(count(lit(1)).as("total"))
+    sh.groupBy("shingle").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .where(col("n") * 5000 > col("total"))
+      .select(col("shingle"), col("n"))
+      .orderBy("shingle")
+  }
+
+  val boilerplateSql: String =
+    """WITH s AS (
+      |  SELECT unnest(CASE WHEN len(t) >= 3
+      |           THEN list_transform(range(len(t) - 2),
+      |                i -> array_to_string(list_slice(t, i + 1, i + 3), ' '))
+      |           ELSE [text] END) AS shingle
+      |  FROM (SELECT text, string_split(text, ' ') AS t FROM documents))
+      |SELECT shingle, count(*) AS n FROM s
+      |GROUP BY 1 HAVING count(*) * 5000 > (SELECT count(*) FROM s)
+      |ORDER BY 1""".stripMargin
+
   // ----------------------------------------------------------------- ML-3
   /** Deterministic stratified sampling: within each language stratum,
     * rank by (md5(text), doc_id) — a content-derived, engine-independent

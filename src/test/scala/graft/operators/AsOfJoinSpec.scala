@@ -51,4 +51,44 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out("past-51") == (None, None), "a stale match must null EVERY payload column")
     assert(out("gap-0") == (Some(200L), Some(20.0)))
   }
+
+  test("property: asOf ≡ brute-force most-recent-prior on random tables, ± tolerance") {
+    // Deterministic pseudo-random tables with deliberate key overlap and
+    // timestamp collisions across sides (right side unique per (k, ts),
+    // as the operator contract requires).
+    val rnd = new scala.util.Random(7)
+    val leftRows = (0 until 300).map(i =>
+      (rnd.nextInt(12).toLong, rnd.nextInt(50).toLong * 10, i.toLong))
+    val rightRows = rnd.shuffle(
+      (for (k <- 0L until 10L; slot <- 0 until 25) yield (k, slot.toLong * 20))
+        .toSeq).take(120).zipWithIndex
+      .map { case ((k, ts), i) => (k, ts, i * 1.5) }
+
+    def reference(tol: Option[Long]): Map[Long, Option[(Long, Double)]] = {
+      val byKey = rightRows.groupBy(_._1)
+      leftRows.map { case (k, ts, id) =>
+        val prior = byKey.getOrElse(k, Seq.empty).filter(_._2 <= ts)
+        val best = if (prior.isEmpty) None else {
+          val m = prior.maxBy(_._2)
+          if (tol.exists(t => ts - m._2 > t)) None else Some((m._2, m._3))
+        }
+        id -> best
+      }.toMap
+    }
+
+    for (tol <- Seq(None, Some(60L), Some(0L))) {
+      val left = leftRows.toDF("k", "ts", "lid")
+      val right = rightRows.toDF("k", "rts", "rv")
+      val got = AsOfJoin.asOf(left, right, key = "k", leftTs = "ts", rightTs = "rts",
+        payload = Seq("rts", "rv"), tolerance = tol)
+        .collect()
+        .map(r => r.getAs[Long]("lid") ->
+          (Option(r.getAs[java.lang.Long]("asof_rts")) match {
+            case Some(t) => Some((t.toLong, r.getAs[java.lang.Double]("asof_rv").toDouble))
+            case None => None
+          }))
+        .toMap
+      assert(got == reference(tol), s"divergence from brute force at tolerance=$tol")
+    }
+  }
 }

@@ -390,10 +390,16 @@ object ExtensionQueries {
   }
 
   // ---------------------------------------------------------------- SIM-3
-  /** IVF-partitioned approximate top-10. The coarse quantizer is
-    * deterministic (lowest-16 vec_ids as centroids), so the DuckDB oracle
-    * reproduces cell assignment (argmax cosine, cid tie-break), the
-    * nProbe=4 query probe set, and the exact re-rank.
+  /** IVF-partitioned approximate top-10. The coarse quantizer is a
+    * deterministic k-means ([[Similarity.trainCentroids]]): seeds are the
+    * 16 lowest md5("ivf:"||vec_id) hash keys, then 2 spherical Lloyd
+    * iterations with 6dp-rounded assignment cosines and 6dp-rounded
+    * per-dimension unit-vector means. Every step is pure relational
+    * algebra over deterministic
+    * values, so the DuckDB oracle replays the identical training (seed
+    * ranking, both Lloyd steps with COALESCE keep-old for emptied cells),
+    * the corpus cell assignment, the nProbe=4 query probe set, and the
+    * exact re-rank.
     */
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
     val embs = Tables.embeddings(spark, dir)
@@ -401,29 +407,75 @@ object ExtensionQueries {
       .orderBy("query_id", "rank")
   }
 
-  val ivfTopKSql: String =
-    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-      |cent AS (SELECT vec_id AS cid, e AS ce FROM v ORDER BY vec_id LIMIT 16),
-      |ca AS (SELECT vec_id AS neighbor_id, e AS ne, cid FROM (
-      |    SELECT v.vec_id, v.e, c.cid,
-      |           row_number() OVER (PARTITION BY v.vec_id
-      |             ORDER BY list_cosine_similarity(v.e, c.ce) DESC, c.cid) AS rn
-      |    FROM v CROSS JOIN cent c)
-      |  WHERE rn = 1 AND list_dot_product(e, e) > 0),
-      |qa AS (SELECT vec_id AS query_id, e AS qe, cid FROM (
-      |    SELECT v.vec_id, v.e, c.cid,
-      |           row_number() OVER (PARTITION BY v.vec_id
-      |             ORDER BY list_cosine_similarity(v.e, c.ce) DESC, c.cid) AS rn
-      |    FROM v CROSS JOIN cent c WHERE v.vec_id < 5)
-      |  WHERE rn <= 4 AND list_dot_product(e, e) > 0)
-      |SELECT query_id, neighbor_id, cos, rank FROM (
-      |  SELECT qa.query_id, ca.neighbor_id,
-      |         round(list_cosine_similarity(qa.qe, ca.ne), 6) AS cos,
-      |         row_number() OVER (PARTITION BY qa.query_id
-      |           ORDER BY round(list_cosine_similarity(qa.qe, ca.ne), 6) DESC,
-      |                    ca.neighbor_id) AS rank
-      |  FROM ca JOIN qa USING (cid) WHERE qa.query_id != ca.neighbor_id)
-      |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  val ivfTopKSql: String = {
+    val (nc, np, iters, trainN, dim, k) = (16, 4, 2, 1024, 64, 10)
+    val seedPlanes = 6
+    // Quantizer hyperplanes: same md5-derived family as the LSH oracle,
+    // table index -1 (Similarity.trainCentroids' tableOffset).
+    val wExpr = TF.hexHash60Sql("'plane:-1:' || p.range || ':' || d")
+    // One Lloyd step: assign the training sample to the previous
+    // centroids (rounded-cosine argmax, cid tie-break), re-center with
+    // per-dimension rounded avg, keep the previous centroid for any
+    // cell that lost all members — mirroring trainCentroids line by line.
+    def lloyd(i: Int, prev: String): String =
+      s"""a$i AS (SELECT cid, e FROM (
+         |         SELECT tr.vec_id, tr.e, c.cid,
+         |                row_number() OVER (PARTITION BY tr.vec_id
+         |                  ORDER BY round(list_cosine_similarity(tr.e, c.ce), 6) DESC,
+         |                           c.cid) AS arn
+         |         FROM tr CROSS JOIN $prev c) WHERE arn = 1),
+         |u$i AS (SELECT cid, list(cx ORDER BY d) AS ce FROM (
+         |         SELECT cid, d.range AS d,
+         |                round(avg(e[d.range + 1] / sqrt(list_dot_product(e, e))), 6) AS cx
+         |         FROM a$i CROSS JOIN range($dim) d GROUP BY 1, 2) GROUP BY cid),
+         |c$i AS (SELECT p.cid, COALESCE(u.ce, p.ce) AS ce
+         |        FROM $prev p LEFT JOIN u$i u USING (cid))""".stripMargin
+    val steps = (1 to iters).map(i => lloyd(i, s"c${i - 1}")).mkString(",\n")
+    val cFinal = s"c$iters"
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |vn AS (SELECT vec_id, e, md5('ivf:' || CAST(vec_id AS VARCHAR)) AS hk
+       |       FROM v WHERE list_dot_product(e, e) > 0),
+       |tr AS (SELECT vec_id, e, hk FROM (
+       |         SELECT vec_id, e, hk, row_number() OVER (ORDER BY hk, vec_id) AS rn FROM vn)
+       |       WHERE rn <= $trainN),
+       |pw AS (SELECT p.range AS plane,
+       |       list_transform(range($dim), d ->
+       |         (CAST($wExpr % ${graft.operators.Similarity.PlaneM} AS DOUBLE)
+       |            - 1073741823.0) / 1073741823.0) AS w
+       |       FROM range($seedPlanes) p),
+       |sbk AS (SELECT tr.vec_id, tr.hk,
+       |        CAST(sum(CASE WHEN list_dot_product(tr.e, pw.w) > 0
+       |                      THEN CAST(pow(2, pw.plane) AS BIGINT) ELSE 0 END) AS BIGINT)
+       |          AS bucket
+       |        FROM tr CROSS JOIN pw GROUP BY 1, 2),
+       |bx AS (SELECT bucket, count(*) AS bsize, min_by(vec_id, hk) AS seed_id
+       |       FROM sbk GROUP BY bucket),
+       |c0 AS (SELECT CAST(s.rn - 1 AS BIGINT) AS cid, tr.e AS ce FROM (
+       |         SELECT seed_id, row_number() OVER (ORDER BY bsize DESC, bucket) AS rn
+       |         FROM bx) s
+       |       JOIN tr ON tr.vec_id = s.seed_id WHERE s.rn <= $nc),
+       |$steps,
+       |ca AS (SELECT vec_id AS neighbor_id, e AS ne, cid FROM (
+       |    SELECT v.vec_id, v.e, c.cid,
+       |           row_number() OVER (PARTITION BY v.vec_id
+       |             ORDER BY round(list_cosine_similarity(v.e, c.ce), 6) DESC, c.cid) AS rn
+       |    FROM v CROSS JOIN $cFinal c)
+       |  WHERE rn = 1 AND list_dot_product(e, e) > 0),
+       |qa AS (SELECT vec_id AS query_id, e AS qe, cid FROM (
+       |    SELECT v.vec_id, v.e, c.cid,
+       |           row_number() OVER (PARTITION BY v.vec_id
+       |             ORDER BY round(list_cosine_similarity(v.e, c.ce), 6) DESC, c.cid) AS rn
+       |    FROM v CROSS JOIN $cFinal c WHERE v.vec_id < 5)
+       |  WHERE rn <= $np AND list_dot_product(e, e) > 0)
+       |SELECT query_id, neighbor_id, cos, rank FROM (
+       |  SELECT qa.query_id, ca.neighbor_id,
+       |         round(list_cosine_similarity(qa.qe, ca.ne), 6) AS cos,
+       |         row_number() OVER (PARTITION BY qa.query_id
+       |           ORDER BY round(list_cosine_similarity(qa.qe, ca.ne), 6) DESC,
+       |                    ca.neighbor_id) AS rank
+       |  FROM ca JOIN qa USING (cid) WHERE qa.query_id != ca.neighbor_id)
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
 
   // ----------------------------------------------------------------- ML-1
   /** Reproducible train/val/test split (80/10/10 on id residue) with

@@ -8,33 +8,49 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** Native Catalyst expression for the float-vector dot product — the
+/** Native Catalyst expression for the vector dot product — the
   * SURVEY.md §4.3 "custom Expression with codegen" fast path for SIM
   * operators: participates in whole-stage codegen (a tight primitive
   * loop over the Tungsten array representation), unlike higher-order
   * function folds (interpreted, boxed) or Scala UDFs (boxed + no
   * codegen).
   *
+  * Each side may be `array<float>` or `array<double>` (independently):
+  * raw parquet embeddings are float, while trained IVF centroids
+  * ([[graft.operators.Similarity.trainCentroids]]) are rounded double
+  * arrays. Elements are widened to double before multiply, so the
+  * float/float case is unchanged from the original float-only version.
+  *
   * Arithmetic is identical to the `zip_with`+`aggregate` fold it
-  * replaces: left-to-right accumulation in double of float·float
-  * products — so DuckDB-oracle results are unchanged bit-for-bit.
+  * replaces: left-to-right accumulation in double of element
+  * products — so DuckDB-oracle results are unchanged bit-for-bit
+  * (float→double widening is exact).
   */
 case class FloatVectorDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  private def elemOk(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult =
-    (left.dataType, right.dataType) match {
-      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
-        TypeCheckResult.TypeCheckSuccess
-      case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires two array<float> arguments, got $l and $r")
-    }
+    if (elemOk(left.dataType) && elemOk(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double> arguments, got " +
+        s"${left.dataType} and ${right.dataType}")
 
   override def dataType: DataType = DoubleType
 
   override def prettyName: String = "float_vector_dot"
 
   override def nullable: Boolean = true
+
+  private def isDouble(t: DataType): Boolean = t match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -43,11 +59,14 @@ case class FloatVectorDot(left: Expression, right: Expression)
     // length mismatch or any null element ⇒ NULL, not a partial sum.
     if (x.numElements() != y.numElements()) return null
     val n = x.numElements()
+    val (ld, rd) = (isDouble(left.dataType), isDouble(right.dataType))
     var s = 0.0
     var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      val xv = if (ld) x.getDouble(i) else x.getFloat(i).toDouble
+      val yv = if (rd) y.getDouble(i) else y.getFloat(i).toDouble
+      s += xv * yv
       i += 1
     }
     s
@@ -62,6 +81,12 @@ case class FloatVectorDot(left: Expression, right: Expression)
       val n = ctx.freshName("fvdN")
       val s = ctx.freshName("fvdS")
       val i = ctx.freshName("fvdI")
+      // Element getter picked at CODEGEN time from the child's type —
+      // no per-row branching in the generated loop.
+      def get(v: String, dbl: Boolean) =
+        if (dbl) s"$v.getDouble($i)" else s"(double) $v.getFloat($i)"
+      val xv = get(a, isDouble(left.dataType))
+      val yv = get(b, isDouble(right.dataType))
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
@@ -70,7 +95,7 @@ case class FloatVectorDot(left: Expression, right: Expression)
          |  double $s = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
          |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |    $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |    $s += $xv * $yv;
          |  }
          |  ${ev.value} = $s;
          |}

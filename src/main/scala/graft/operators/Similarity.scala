@@ -81,23 +81,25 @@ object Similarity {
     * and measured an order of magnitude slower.)
     */
   private def signBuckets(df: DataFrame, planes: Int, tables: Int,
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64, tableOffset: Int = 0): DataFrame = {
     // Plane arrays are sized `dim` at plan time; a longer vector would
-    // read past them (ANSI error at best, silent 64-dim truncation at
-    // worst) — fail loudly per row instead. NULL embeddings keep the
-    // pre-guard behavior (posexplode emits nothing → row unbucketed).
+    // read past them, and a SHORTER one would silently project a prefix
+    // that the DuckDB oracle's list_dot_product rejects (length
+    // mismatch) — so require exact dim and fail loudly per row. NULL
+    // embeddings keep the pre-guard behavior (posexplode emits nothing →
+    // row unbucketed).
     val checked = df.select(col("vec_id"),
-      when(size(col("embedding")).isNull || size(col("embedding")) <= dim,
+      when(size(col("embedding")).isNull || size(col("embedding")) === dim,
         col("embedding"))
         .otherwise(raise_error(concat(
-          lit(s"lshTopK: embedding dim exceeds dim=$dim (got "),
+          lit(s"signBuckets: embedding dim must be $dim (got "),
           size(col("embedding")).cast("string"), lit(")"))))
         .as("embedding"))
     val exploded = checked
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
     val projCols = for { t <- 0 until tables; p <- 0 until planes } yield
       sum(col("x").cast("double") *
-        element_at(typedLit(planeWeights(t, p, dim).toSeq), col("d") + 1))
+        element_at(typedLit(planeWeights(t + tableOffset, p, dim).toSeq), col("d") + 1))
         .as(s"proj_${t}_$p")
     val projs = exploded.groupBy("vec_id").agg(projCols.head, projCols.tail: _*)
     val bucketArr = array((0 until tables).map(t =>
@@ -107,31 +109,128 @@ object Similarity {
     projs.select(col("vec_id"), posexplode(bucketArr).as(Seq("table", "bucket")))
   }
 
+  /** Deterministic mini-batch Lloyd (k-means) coarse quantizer for
+    * [[ivfTopK]]. Returns (`cid`, `ce`: array<double>) — `nCentroids`
+    * trained centroids.
+    *
+    * Everything is reproducible across engines (the q_sim3 oracle
+    * re-runs the identical training in DuckDB SQL):
+    *  - the training sample is the `trainN` vectors with the lowest
+    *    `md5("ivf:" || vec_id)` — a content-hash-ranked pseudo-random
+    *    sample, computed as a distributed top-N
+    *    (`TakeOrderedAndProject`), never a full sort;
+    *  - seeds are BUCKET EXEMPLARS: the sample is sign-bucketed by
+    *    `seedPlanes` plan-time md5-derived hyperplanes (the
+    *    [[planeWeights]] family, offset so the quantizer's planes are
+    *    independent of [[lshTopK]]'s), and the lowest-hash member of
+    *    each of the `nCentroids` largest buckets seeds one cell. Unlike
+    *    first-N-ids or plain hash-order seeds, this spreads seeds across
+    *    the corpus's angular structure: k seeds drawn blindly miss a
+    *    cluster with probability ≈ k·(1-1/k)^k ≈ k/e, and Lloyd cannot
+    *    split a doubly-seeded cluster — the classic local optimum —
+    *    while distinct clusters land in distinct sign buckets;
+    *  - each Lloyd step assigns by cosine ROUNDED to 6dp (ties broken by
+    *    cid) and re-centers with the SPHERICAL mean (per-dimension avg
+    *    of unit vectors) rounded to 6dp — rounding on both engines
+    *    absorbs their different fp summation orders, and the tie-break
+    *    makes the rounded argmax total;
+    *  - a cell that loses all members keeps its previous centroid
+    *    (mirrored as a LEFT JOIN + COALESCE in the oracle).
+    *
+    * If the sample fills fewer than `nCentroids` sign buckets (tiny or
+    * degenerate corpora) the quantizer returns that many cells — still
+    * correct downstream, just coarser.
+    *
+    * Scale: training touches only the `trainN`-row sample (broadcast
+    * centroids, tiny per-iteration shuffles of trainN·dim rows); the
+    * corpus-wide work stays in [[ivfTopK]]'s single cell-assignment
+    * pass. At 100 TB you raise `trainN` (e.g. 100k), not the iteration
+    * count — Lloyd on a hash-uniform sample converges the same.
+    */
+  def trainCentroids(corpus: DataFrame, nCentroids: Int = 16,
+      iters: Int = 2, trainN: Int = 1024,
+      seedPlanes: Int = 6, dim: Int = 64): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val keyed = corpus
+      .select(col("vec_id"), col("embedding"),
+        md5(concat(lit("ivf:"), col("vec_id").cast("string"))).as("hk"))
+      .where(VF.normSq(col("embedding")) > 0)
+    // Distributed top-N by hash key: TakeOrderedAndProject, so the
+    // sample never routes the corpus through one partition.
+    val tr = keyed.orderBy("hk", "vec_id").limit(trainN)
+    // Bucket-exemplar seeding over the (small) sample: one sign table,
+    // exemplar = lowest (hk, vec_id) per bucket, biggest buckets first.
+    val buckets = signBuckets(tr.select(col("vec_id"), col("embedding")),
+        seedPlanes, tables = 1, dim = dim, tableOffset = -1)
+      .select(col("vec_id"), col("bucket"))
+      .join(tr.select(col("vec_id"), col("hk")), "vec_id")
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("bsize"), min(struct(col("hk"), col("vec_id"))).as("ex"))
+    val wSeed = Window.orderBy(col("bsize").desc, col("bucket"))
+    val seeds = buckets.orderBy(col("bsize").desc, col("bucket")).limit(nCentroids)
+      .withColumn("cid", (row_number().over(wSeed) - 1).cast("long"))
+      .select(col("cid"), col("ex.vec_id").as("vec_id"))
+      .join(tr, "vec_id")
+      .select(col("cid"),
+        transform(col("embedding"), x => x.cast("double")).as("ce"))
+
+    (1 to iters).foldLeft(seeds) { (cents, _) =>
+      val c = broadcast(cents.select(col("cid"), col("ce"),
+        VF.l2Norm(col("ce")).as("cn")))
+      val w = Window.partitionBy("vec_id").orderBy(col("acos").desc, col("cid"))
+      val assigned = tr
+        .select(col("vec_id"), col("embedding"), VF.l2Norm(col("embedding")).as("nrm"))
+        .crossJoin(c)
+        .withColumn("acos",
+          round(VF.dot(col("embedding"), col("ce")) / (col("nrm") * col("cn")), 6))
+        .withColumn("arn", row_number().over(w))
+        .where(col("arn") === 1)
+        .select(col("cid"), col("embedding"), col("nrm"))
+      // SPHERICAL mean: average unit vectors (x/‖v‖), not raw
+      // components — the cosine-geometry centroid (centroid scale never
+      // matters downstream, only direction). On the synthetic corpus the
+      // norms are concentrated so raw and spherical measure the same
+      // (graft.tools.IvfProbe); on real corpora with heavy-tailed norms
+      // the raw mean is pulled toward high-norm members.
+      val updated = assigned
+        .select(col("cid"), col("nrm"), posexplode(col("embedding")).as(Seq("d", "x")))
+        .groupBy("cid", "d")
+        .agg(round(avg(col("x").cast("double") / col("nrm")), 6).as("cx"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("d"), col("cx")))),
+          s => s.getField("cx")).as("ce_new"))
+      cents.join(updated, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("ce_new"), col("ce")).as("ce"))
+    }
+  }
+
   /** IVF-style approximate top-k: a coarse quantizer partitions the
     * corpus into cells; queries probe the `nProbe` nearest cells and
     * re-rank only those candidates exactly.
     *
-    * The quantizer here takes the first `nCentroids` corpus vectors as
-    * centroids (deterministic; a production build would run k-means —
-    * the operator shape downstream is identical). Cell assignment is a
-    * broadcast join + `max_by` argmax — the corpus shuffles once, on the
-    * cell id; at 100 TB the cell-assigned corpus is the persisted index
-    * and queries touch nProbe/nCentroids of it.
+    * The quantizer is [[trainCentroids]] — deterministic Lloyd
+    * iterations over a hash-ranked sample (replacing the earlier
+    * first-N-vec_ids placeholder, whose seeds inherit the id order's
+    * correlations and at production scale leave cell sizes unbounded).
+    * Cell assignment is a broadcast join + windowed argmax — the corpus
+    * shuffles once, on the cell id; at 100 TB the cell-assigned corpus
+    * is the persisted index and queries touch nProbe/nCentroids of it.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    // Deterministic seed set: lowest vec_ids (a bare limit() without
-    // ordering is plan-dependent and would make the index unstable).
-    val centroids = corpus.orderBy("vec_id").limit(nCentroids)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
-        VF.l2Norm(col("embedding")).as("cn"))
+      nCentroids: Int = 16, nProbe: Int = 4,
+      lloydIters: Int = 2, trainN: Int = 1024,
+      seedPlanes: Int = 6, dim: Int = 64): DataFrame = {
+    val centroids = trainCentroids(corpus, nCentroids, lloydIters, trainN,
+        seedPlanes, dim)
+      .select(col("cid"), col("ce"), VF.l2Norm(col("ce")).as("cn"))
 
     def assign(df: DataFrame, idCol: String, keep: Int): DataFrame = {
       val scored = df
         .select(col("vec_id").as(idCol), col("embedding"),
           VF.l2Norm(col("embedding")).as("nrm"))
         .crossJoin(broadcast(centroids))
-        .withColumn("ccos", VF.dot(col("embedding"), col("ce")) / (col("nrm") * col("cn")))
+        .withColumn("ccos",
+          round(VF.dot(col("embedding"), col("ce")) / (col("nrm") * col("cn")), 6))
       val w = Window.partitionBy(idCol).orderBy(col("ccos").desc, col("cid"))
       scored.withColumn("crank", row_number().over(w))
         .where(col("crank") <= keep)

@@ -65,6 +65,7 @@ object SparkEntry {
     "q_dd4_ngram_jaccard" -> (ExtensionQueries.ngramJaccard _),
     "q_dd5_minhash_lsh" -> (ExtensionQueries.minhashDedup _),
     "q_dd6_simhash" -> (ExtensionQueries.simhashDedup _),
+    "q_dd6b_simhash_blocked" -> (ExtensionQueries.simhashBlockedDedup _),
     "q_dd7_embedding_neardup" -> (ExtensionQueries.embeddingNearDup _),
     "q_sim1_cosine_topk" -> (ExtensionQueries.cosineTopK _),
     "q_sim2_ann_lsh" -> (ExtensionQueries.annTopK _),
@@ -136,6 +137,7 @@ object SparkEntry {
     "q_dd4_ngram_jaccard" -> ExtensionQueries.ngramJaccardSql,
     "q_dd5_minhash_lsh" -> ExtensionQueries.minhashDedupSql,
     "q_dd6_simhash" -> ExtensionQueries.simhashDedupSql,
+    "q_dd6b_simhash_blocked" -> ExtensionQueries.simhashBlockedDedupSql,
     "q_dd7_embedding_neardup" -> ExtensionQueries.embeddingNearDupSql,
     "q_sim1_cosine_topk" -> ExtensionQueries.cosineTopKSql,
     "q_sim2_ann_lsh" -> ExtensionQueries.annTopKSql,

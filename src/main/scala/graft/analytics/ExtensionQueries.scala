@@ -269,7 +269,11 @@ object ExtensionQueries {
       hasher = TF.hexHash60(_), bits = 60)
       .orderBy("doc_a", "doc_b")
 
-  val simhashDedupSql: String = {
+  /** Generated SimHash oracle; `blockCols` mirrors the operator's
+    * `blockBy` (columns carried through the signature aggregate and
+    * ANDed into the chunk self-join).
+    */
+  private def mkSimhashSql(blockCols: Seq[String]): String = {
     val sumExprs = (0 until 60).map(i =>
       s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS s$i").mkString(", ")
     val packExpr = (0 until 60).map(i =>
@@ -277,21 +281,38 @@ object ExtensionQueries {
     // maxHamming=3 → 4 chunks of width 15 over the 60-bit signature.
     val chunkExprs = (0 until 4).map(i =>
       s"WHEN $i THEN (sig >> ${i * 15}) & 32767").mkString(" ")
+    val keys = "doc_id" +: blockCols
+    val keyList = keys.mkString(", ")
+    val blockPred = blockCols.map(c => s" AND a.$c = b.$c").mkString
     s"""WITH th AS (
-       |  SELECT doc_id, ${TF.hexHash60Sql("t")} AS h
-       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)),
-       |sums AS (SELECT doc_id, $sumExprs FROM th GROUP BY doc_id),
-       |sig AS (SELECT doc_id, $packExpr AS sig FROM sums),
-       |chunk AS (SELECT doc_id, sig, r.range AS chunk,
+       |  SELECT $keyList, ${TF.hexHash60Sql("t")} AS h
+       |  FROM (SELECT $keyList, unnest(string_split(text, ' ')) AS t FROM documents)),
+       |sums AS (SELECT $keyList, $sumExprs FROM th GROUP BY $keyList),
+       |sig AS (SELECT $keyList, $packExpr AS sig FROM sums),
+       |chunk AS (SELECT $keyList, sig, r.range AS chunk,
        |          CASE r.range $chunkExprs END AS chunk_val
        |          FROM sig CROSS JOIN range(4) r)
        |SELECT doc_a, doc_b, hamming FROM (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |         CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
        |  FROM chunk a JOIN chunk b
-       |    ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id)
+       |    ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val
+       |       AND a.doc_id < b.doc_id$blockPred)
        |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
   }
+
+  val simhashDedupSql: String = mkSimhashSql(Nil)
+
+  /** DD-6 blocked variant: `lang` composed into the chunk join key —
+    * the shipped scale valve for low-entropy corpora (only same-language
+    * pairs are near-dup candidates). Oracle mirrors the blocking.
+    */
+  def simhashBlockedDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDups(Tables.documents(spark, dir), maxHamming = 3,
+      hasher = TF.hexHash60(_), bits = 60, blockBy = Seq("lang"))
+      .orderBy("doc_a", "doc_b")
+
+  val simhashBlockedDedupSql: String = mkSimhashSql(Seq("lang"))
 
   // ----------------------------------------------------------------- DD-7
   /** Embedding-cosine near-dup pairs over a blocked subset (vec_id % 4 =

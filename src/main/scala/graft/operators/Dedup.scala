@@ -111,32 +111,33 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  /** DD near-dup via SimHash (64-bit): per-doc signature from token
-    * hashes; by pigeonhole, a pair within Hamming distance `maxHamming`
-    * must share at least one of `maxHamming + 1` equal-width chunks —
-    * the chunk count is DERIVED from maxHamming so candidate generation
-    * is complete for any requested distance (more chunks ⇒ wider nets ⇒
-    * more candidates to verify, the usual recall/cost trade).
+  /** SimHash candidate pairs BEFORE the Hamming cutoff — the blocking
+    * stage of [[simhashNearDups]], exposed so candidate volume (the
+    * operator's true scale cost) is measurable and testable directly.
+    * Returns distinct (`doc_a`, `doc_b`, `hamming`) rows.
     */
-  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3,
-      hasher: Column => Column = xxhash64(_), bits: Int = 64): DataFrame = {
+  def simhashCandidates(docs: DataFrame, maxHamming: Int = 3,
+      hasher: Column => Column = xxhash64(_), bits: Int = 64,
+      blockBy: Seq[String] = Nil): DataFrame = {
     require(maxHamming >= 0 && maxHamming < bits, s"maxHamming in [0,$bits), got $maxHamming")
     require(bits >= 1 && bits <= 64, s"bits in [1,64], got $bits")
     // Same explode + codegen'd aggregate shape as minhashNearDups: `bits`
     // sum() expressions over the exploded token hashes, then the sign
     // bits packed into the signature. (`bits` < 64 lets a cross-engine
     // hash with fewer usable bits — e.g. the 60-bit md5-prefix hash —
-    // drive the same operator.)
+    // drive the same operator.) blockBy columns ride the same aggregate
+    // (they are functionally dependent on doc_id — no extra shuffle).
+    val keyCols = "doc_id" +: blockBy
     val hashed = docs
-      .select(col("doc_id"), explode(TF.tokens(col("text"))).as("t"))
-      .select(col("doc_id"), hasher(col("t")).as("h"))
+      .select(keyCols.map(col) :+ explode(TF.tokens(col("text"))).as("t"): _*)
+      .select(keyCols.map(col) :+ hasher(col("t")).as("h"): _*)
     val bitSums = (0 until bits).map(i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
         .as(s"s$i"))
-    val sigs = hashed.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"),
+    val sigs = hashed.groupBy(keyCols.map(col): _*).agg(bitSums.head, bitSums.tail: _*)
+      .select(keyCols.map(col) :+
         (0 until bits).map(i => when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-          .reduce(_ + _).as("sig"))
+          .reduce(_ + _).as("sig"): _*)
     val nChunks = maxHamming + 1
     val width = bits / nChunks // last chunk absorbs the remainder bits
     val chunkArr = array((0 until nChunks).map { i =>
@@ -144,19 +145,43 @@ object Dedup {
       val mask = if (hi - i * width == 64) -1L else (1L << (hi - i * width)) - 1
       shiftright(col("sig"), i * width).bitwiseAND(lit(mask))
     }: _*)
-    val chunked = sigs.select(col("doc_id"), col("sig"),
-      posexplode(chunkArr).as(Seq("chunk", "chunk_val")))
-    val l = chunked.select(col("chunk"), col("chunk_val"),
-      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-    val r = chunked.select(col("chunk"), col("chunk_val"),
-      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-    l.join(r, Seq("chunk", "chunk_val"))
+    val chunked = sigs.select(keyCols.map(col) :+ col("sig") :+
+      posexplode(chunkArr).as(Seq("chunk", "chunk_val")): _*)
+    val joinKeys = Seq("chunk", "chunk_val") ++ blockBy
+    val passthru = (blockBy :+ "chunk").map(col) :+ col("chunk_val")
+    val l = chunked.select(passthru :+ col("doc_id").as("doc_a") :+ col("sig").as("sig_a"): _*)
+    val r = chunked.select(passthru :+ col("doc_id").as("doc_b") :+ col("sig").as("sig_b"): _*)
+    l.join(r, joinKeys)
       .where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
       .distinct()
-      .where(col("hamming") <= maxHamming)
   }
+
+  /** DD near-dup via SimHash (64-bit): per-doc signature from token
+    * hashes; by pigeonhole, a pair within Hamming distance `maxHamming`
+    * must share at least one of `maxHamming + 1` equal-width chunks —
+    * the chunk count is DERIVED from maxHamming so candidate generation
+    * is complete for any requested distance (more chunks ⇒ wider nets ⇒
+    * more candidates to verify, the usual recall/cost trade).
+    *
+    * `blockBy` composes cheap pre-blocking columns (e.g. `lang`, a
+    * length bucket) into the chunk join key: only pairs agreeing on
+    * every blocking column are candidates. This is the scale valve for
+    * LOW-ENTROPY corpora, where clustered signatures make chunk buckets
+    * collide superlinearly (measured: 272k candidates from 5k docs at
+    * sf0.1 unblocked). Blocking narrows the DEFINITION — cross-block
+    * near-dups are not reported — which is usually the intent (a Spanish
+    * and a Chinese page are not dedup candidates). For unblocked
+    * near-dup at scale prefer [[minhashNearDups]], whose banding keeps
+    * candidate volume tied to true similarity rather than signature
+    * entropy.
+    */
+  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3,
+      hasher: Column => Column = xxhash64(_), bits: Int = 64,
+      blockBy: Seq[String] = Nil): DataFrame =
+    simhashCandidates(docs, maxHamming, hasher, bits, blockBy)
+      .where(col("hamming") <= maxHamming)
 
   /** 64-bit SimHash from token hashes: for each bit position, sum +1/-1
     * over the doc's token hashes and keep the sign bit. The 64 bit

@@ -68,6 +68,33 @@ class DedupSpec extends SparkSpec {
     assert(pairs.toSet == Set((0L, 1L), (0L, 2L), (1L, 2L)))
   }
 
+  test("simhash blockBy cuts candidate volume on a low-entropy corpus") {
+    // Low-entropy corpus: a tiny shared vocabulary makes signatures
+    // cluster, so unblocked chunk buckets collide across the whole
+    // corpus — the superlinear knee VERDICT r2 flagged at sf0.1 (272k
+    // candidates from 5k docs). Blocking by lang must (a) cut the
+    // candidate count by roughly the cross-block share and (b) leave
+    // the within-block results identical.
+    val vocab = Array("select", "from", "where", "group", "order", "join")
+    val docs = (0 until 120).map { id =>
+      val words = (0 until 12).map(j => vocab((id / 40 + j) % vocab.length))
+      (id.toLong, words.mkString(" "), if (id % 2 == 0) "es" else "zh")
+    }.toDF("doc_id", "text", "lang")
+    val unblocked = Dedup.simhashCandidates(docs, maxHamming = 3).count()
+    val blocked = Dedup.simhashCandidates(docs, maxHamming = 3,
+      blockBy = Seq("lang")).count()
+    info(s"candidates: unblocked=$unblocked, blocked-by-lang=$blocked")
+    assert(blocked * 2 <= unblocked + 1,
+      s"lang blocking should drop ~half the candidates ($unblocked -> $blocked)")
+    val blockedPairs = Dedup.simhashNearDups(docs, maxHamming = 3,
+      blockBy = Seq("lang")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sameLangSubset = Dedup.simhashNearDups(docs, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => a % 2 == b % 2 }.toSet
+    assert(blockedPairs == sameLangSubset,
+      "blocked output must equal the unblocked output restricted to same-lang pairs")
+  }
+
   test("embeddingNearDups finds the planted near-identical vector pair") {
     val v = Array.tabulate(8)(i => 0.1f * (i + 1))
     val nearly = v.clone(); nearly(7) = nearly(7) * 1.01f

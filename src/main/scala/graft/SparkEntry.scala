@@ -30,6 +30,7 @@ object SparkEntry {
     "q_src4_rule_filter" -> (EventQueries.ruleFilter _),
     "q_dd1_dedup_exact" -> (EventQueries.dedupExact _),
     "q_dd2_dedup_latest" -> (EventQueries.dedupLatest _),
+    "q_cmp1_roundtrip" -> (EventQueries.compactionRoundtrip _),
     "q_rel1_scan_filter" -> (RelationalQueries.scanFilter _),
     "q_rel4_join_broadcast" -> (RelationalQueries.joinBroadcast _),
     "q_rel5_join_large" -> (RelationalQueries.joinLarge _),
@@ -102,6 +103,7 @@ object SparkEntry {
     "q_src4_rule_filter" -> EventQueries.ruleFilterSql,
     "q_dd1_dedup_exact" -> EventQueries.dedupExactSql,
     "q_dd2_dedup_latest" -> EventQueries.dedupLatestSql,
+    "q_cmp1_roundtrip" -> EventQueries.compactionRoundtripSql,
     "q_rel1_scan_filter" -> RelationalQueries.scanFilterSql,
     "q_rel4_join_broadcast" -> RelationalQueries.joinBroadcastSql,
     "q_rel5_join_large" -> RelationalQueries.joinLargeSql,

@@ -197,4 +197,57 @@ object EventQueries {
       |                                   ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
       |      FROM events)
       |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+
+  /** CMP round-trip as one oracled query (CMP-3/4/5/7 + SNK-1/3 + SRC-6):
+    * land a deterministic slice of `events` as small JSON log files, run
+    * the real compactor — dynamic projection (drops `props`),
+    * `coalesce(1)`, gzip JSON write, source-prefix truncate — then
+    * re-read the single compacted file schema-on-read and emit a
+    * multiset digest: row count, distinct ids, an order-free content
+    * fingerprint sum, and the rounded value sum. The DuckDB oracle
+    * computes the same digest DIRECTLY from `events.parquet`, so
+    * equality proves the land→compact→truncate→read cycle is lossless
+    * and duplicate-free. (Counter/threshold/streaming semantics stay in
+    * CompactionSpec — they are control flow, not a dataset.)
+    */
+  def compactionRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{TextFunctions => TF}
+    val slice = Tables.events(spark, dir)
+      .where(col("event_type") === "error" && col("user_id") % 10 === 3)
+      .select(col("event_id"), col("user_id"),
+        expr("ts_ns div 1000").as("ts_us"), // µs: the oracle-visible precision
+        col("event_type"), col("value"), col("props"))
+    val base = java.nio.file.Files.createTempDirectory("graft_cmp1").toString
+    val logsDir = s"$base/logs"
+    slice.repartition(5).write.mode("overwrite").json(logsDir) // SNK-1 small files
+    val logSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("ts_us", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val outDir = graft.operators.Compaction.compactDirectory(
+      spark, logsDir, base, logSchema,
+      columns = Seq("event_id", "user_id", "ts_us", "event_type", "value"),
+      batchTag = "oracle")
+    val readSchema = StructType(logSchema.filterNot(_.name == "props"))
+    spark.read.schema(readSchema).json(outDir)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct("event_id").as("n_events"),
+        sum(pmod(TF.hexHash60(concat_ws("|", col("event_id"), col("user_id"),
+          col("ts_us"), col("event_type"))), lit(TF.MinhashPrime)))
+          .cast("long").as("fp_sum"),
+        round(sum("value"), 6).as("sum_value"))
+  }
+
+  val compactionRoundtripSql: String = {
+    import graft.functions.{TextFunctions => TF}
+    val h = TF.hexHash60Sql("CAST(event_id AS VARCHAR) || '|' || " +
+      "CAST(user_id AS VARCHAR) || '|' || CAST(ts_us AS VARCHAR) || '|' || event_type")
+    s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       |       CAST(count(DISTINCT event_id) AS BIGINT) AS n_events,
+       |       CAST(sum($h % ${TF.MinhashPrime}) AS BIGINT) AS fp_sum,
+       |       round(sum(value), 6) AS sum_value
+       |FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+       |      FROM events WHERE event_type = 'error' AND user_id % 10 = 3)""".stripMargin
+  }
 }

@@ -76,6 +76,60 @@ object SensorPipeline {
         col("r.pressure").as("pressure"), col("r.pitch").as("pitch"),
         col("r.roll").as("roll"), col("r.yaw").as("yaw"), col("r.count").as("count"))
 
+  /** Pluggable wire-message source (SRC-2/STR-1): anything that yields
+    * the one-column JSON wire frame (`value: string`). The reference
+    * ingests MQTT → IoT Core → Kinesis (sensor_publish.py:78-81,
+    * README.md:46-53); [[KafkaWire]] is that broker leg on Spark's
+    * `kafka` connector, [[FileWire]] drives the IDENTICAL downstream
+    * pipeline from landed files — the kappa claim (STR-1) as code: swap
+    * the source descriptor, keep parse → rule → fan-out unchanged.
+    */
+  sealed trait WireSource
+
+  /** Broker-backed wire source (`spark-sql-kafka-0-10` connector must be
+    * on the classpath; it is not bundled in this build's environment —
+    * the wiring is exercised up to Spark's source resolution in tests).
+    * `maxOffsetsPerTrigger` is the backpressure knob (STR-7), the
+    * broker-side analog of `maxFilesPerTrigger`.
+    */
+  final case class KafkaWire(bootstrapServers: String, topic: String,
+      startingOffsets: String = "earliest",
+      maxOffsetsPerTrigger: Option[Long] = None) extends WireSource
+
+  /** File-backed wire source: JSON-lines files under `dir` (the landed
+    * Firehose batches); `maxFilesPerTrigger` bounds per-batch intake.
+    */
+  final case class FileWire(dir: String,
+      maxFilesPerTrigger: Option[Int] = None) extends WireSource
+
+  /** Resolve a [[WireSource]] to the wire frame stream (`value: string`).
+    * Kafka's record value is binary — cast, never inferred; the JSON
+    * schema is applied downstream by [[parseWire]] (EXP-4's declared
+    * schema-on-read, same as every other ingest path).
+    */
+  def wireStream(spark: SparkSession, src: WireSource): DataFrame = src match {
+    case KafkaWire(bs, topic, offsets, maxOffsets) =>
+      val reader = spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bs)
+        .option("subscribe", topic)
+        .option("startingOffsets", offsets)
+      maxOffsets.foldLeft(reader)((r, n) => r.option("maxOffsetsPerTrigger", n))
+        .load()
+        .selectExpr("CAST(value AS STRING) AS value")
+    case FileWire(dir, maxFiles) =>
+      val reader = spark.readStream.format("text")
+      maxFiles.foldLeft(reader)((r, n) => r.option("maxFilesPerTrigger", n.toLong))
+        .load(dir)
+        .select(col("value"))
+  }
+
+  /** Ingest entry point: wire frames from any [[WireSource]], decoded
+    * with the declared schema — compose with [[ruleSelect]] and
+    * [[fanOut]] for the full reference path.
+    */
+  def ingest(spark: SparkSession, src: WireSource): DataFrame =
+    parseWire(wireStream(spark, src))
+
   /** SRC-4: the IoT Rule's topic SQL — declarative projection + filter
     * applied before anything is forwarded (README.md:50; canonical rule is
     * `SELECT * FROM 'sensor/data'`, here parameterized).

@@ -108,9 +108,13 @@ object TextFunctions {
     * NOTE: this column-level (per-row array) form exists for composing
     * signatures inside a single row (and as the HOF reference
     * implementation); [[graft.operators.Dedup.minhashNearDups]] uses a
-    * faster relational form (lead-window token hashing + codegen'd min
-    * aggregates) whose signatures are NOT interchangeable with these —
-    * don't mix the two within one pipeline.
+    * faster relational form (explode + codegen'd min aggregates) over
+    * the SAME shingle-string hashing, so with the operator's default
+    * xxhash64 hasher the two produce identical signatures for the same
+    * shingle array. They stop being interchangeable only when the
+    * operator is given a different `hasher` (e.g. the md5-prefix
+    * [[hexHash60]] used for DuckDB-oracle parity) — don't mix hash
+    * families within one pipeline.
     *
     * Materialize this as its OWN projected column before calling
     * [[minhashSignatureFromHashes]]: the signature references the hash

@@ -56,7 +56,8 @@ object Similarity {
       .toDF("query_id", "neighbor_id", "cos", "rank")
   }
 
-  /** Deterministic pseudo-random hyperplane weights in (-1, 1] for a
+  /** Deterministic pseudo-random hyperplane weights in [-1, 1] (both
+    * endpoints attainable: h % M == 0 gives exactly -1.0) for a
     * (table, plane): md5 of the literal key "plane:t:p:d" folded to a
     * 60-bit integer, reduced mod 2^31-1, centered and scaled. Computed
     * ONCE at plan time and baked into the plan as a literal array — zero
@@ -79,6 +80,18 @@ object Similarity {
     * codegen'd `sum(x · w)` projections in ONE hash aggregate, pack sign
     * bits per table. (The array-fold form is interpreted — no codegen —
     * and measured an order of magnitude slower.)
+    *
+    * Oracle-parity note (ACCEPTED RISK): the `proj > 0` sign test feeds
+    * the q_sim2 hash match, but Spark's hash aggregate sums partials in
+    * nondeterministic order while DuckDB's list_dot_product folds in
+    * index order — a projection within fp noise of 0 (|proj| ≲ 1e-12)
+    * could flip a bucket bit between engines. With md5-uniform weights
+    * the projections are continuous-valued; P(any |proj| < 1e-12) over
+    * the suite's ~50k projections is ~1e-8 per run, and a flip only
+    * perturbs the CANDIDATE set (re-rank is exact), usually leaving the
+    * top-k unchanged. Thresholding both engines (treat |proj| < eps as
+    * positive) would shrink the window but not close it — the risk is
+    * accepted and documented rather than half-masked.
     */
   private def signBuckets(df: DataFrame, planes: Int, tables: Int,
       dim: Int = 64, tableOffset: Int = 0): DataFrame = {

@@ -38,6 +38,29 @@ class EventSemanticsSpec extends SparkSpec {
     assert(twice.count() == 2)
   }
 
+  test("REL-10b: approx_count_distinct within tolerance of the exact counts") {
+    // q_rel10b is the one non-oracled query (HLL has no DuckDB
+    // equivalent); this pins it quantitatively instead: at rsd=0.01 the
+    // estimate must sit within 5·rsd of the exact distinct count on the
+    // real tables at both correctness SFs.
+    for (sf <- Seq("0.01", "0.1")) {
+      val dir = s"/root/testdata/sf$sf"
+      val li = graft.sources.Tables.lineitem(spark, dir)
+      val row = li.agg(
+        approx_count_distinct(col("l_orderkey"), 0.01).as("a_ord"),
+        countDistinct(col("l_orderkey")).as("e_ord"),
+        approx_count_distinct(col("l_partkey"), 0.01).as("a_part"),
+        countDistinct(col("l_partkey")).as("e_part")).head()
+      for ((a, e, what) <- Seq(
+          (row.getLong(0), row.getLong(1), s"orders sf$sf"),
+          (row.getLong(2), row.getLong(3), s"parts sf$sf"))) {
+        val relErr = math.abs(a - e).toDouble / e
+        info(f"$what%-14s approx=$a exact=$e relErr=$relErr%.4f")
+        assert(relErr <= 0.05, f"$what: HLL rel. error $relErr%.4f beyond 5*rsd")
+      }
+    }
+  }
+
   test("streaming wire roundtrip preserves values at second granularity") {
     import graft.streaming.SensorPipeline
     val now = Timestamp.valueOf("2022-07-14 15:00:01")

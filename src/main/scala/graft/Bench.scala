@@ -3,10 +3,23 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR and prints one JSON line
-  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}.
+  * {"metric":"total","value":N,"unit":"sec","queries":{...},...,"sf":...}.
   * Per-query seconds are rounded to 3dp to keep the line compact (the
   * driver captures only a bounded tail of stdout). An untimed warmup
   * query absorbs JVM/codegen startup so per-query numbers are steady.
+  *
+  * Noise control (round-3): queries run in sorted-name order (stable
+  * cache/JIT context round over round — Map iteration order used to
+  * reshuffle it), 2 reps with the min taken, plus a 3rd rep for
+  * sub-second queries, where run-to-run noise (observed ±30%) is the
+  * same order as the signal; r2's two flagged "regressions" (q_agg4,
+  * q_rel17 — sources unchanged since r1) were exactly this.
+  *
+  * Floor accounting: with ~70 queries at a ≈0.2 s session/plan-overhead
+  * floor, the floor is half the total and drowns per-operator trends.
+  * The line reports `floor` (the minimum per-query time — an overhead
+  * estimate no real work can undercut) and `value_adj` = value −
+  * n·floor, the floor-adjusted work estimate to trend across rounds.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -20,31 +33,33 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     SparkEntry.queries.get("q_rel1_scan_filter")
       .foreach(fn => try { fn(spark, sfDir).count() } catch { case _: Throwable => () })
-    // Optional args = subset of query names to (re)run, each timed
-    // `SPARK_GRAFT_REPS` times (local profiling; the driver passes none).
-    // Default 2 reps, min taken: single-shot numbers at this data scale
-    // are dominated by first-run codegen/JIT and machine-load noise
-    // (observed ±30% run-to-run); the min of two is the steady-state
-    // throughput the engine actually has.
+    // Optional args = subset of query names to (re)run (local profiling;
+    // the driver passes none). SPARK_GRAFT_REPS overrides the base reps.
     val selected =
-      if (args.isEmpty) SparkEntry.queries
-      else SparkEntry.queries.filter { case (k, _) => args.contains(k) }
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+      if (args.isEmpty) SparkEntry.queries.toSeq.sortBy(_._1)
+      else SparkEntry.queries.filter { case (k, _) => args.contains(k) }.toSeq.sortBy(_._1)
+    val baseReps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
+    }
     val results = selected.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> times.min
+      val base = (1 to baseReps).map(_ => timeOnce(fn)).min
+      // Sub-second: one extra rep — the plan floor dominates and a single
+      // slow rep (GC, compaction of the JIT code cache) is common.
+      name -> (if (base < 1.0) math.min(base, timeOnce(fn)) else base)
     }
     // Locale.ROOT: the default-locale f-interpolator would emit "0,123"
     // under comma-decimal locales — invalid JSON for the driver's parse.
     def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val total = results.values.sum
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    val floor = results.map(_._2).min
+    val adj = total - results.size * floor
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,""" +
+      s""""n":${results.size},"floor":${f3(floor)},"value_adj":${f3(adj)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

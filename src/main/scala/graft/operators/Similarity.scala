@@ -169,8 +169,16 @@ object Similarity {
         md5(concat(lit("ivf:"), col("vec_id").cast("string"))).as("hk"))
       .where(VF.normSq(col("embedding")) > 0)
     // Distributed top-N by hash key: TakeOrderedAndProject, so the
-    // sample never routes the corpus through one partition.
+    // sample never routes the corpus through one partition. PERSISTED:
+    // seeding references the sample three times and every Lloyd step
+    // once more — unpersisted, each reference re-scans the whole corpus
+    // to recompute the top-N (at 100 TB that is ~5 corpus scans for one
+    // training run); cached, training costs ONE corpus scan plus
+    // trainN-row work. The sample is bounded (trainN rows) so the cache
+    // never outgrows a single executor's store; MEMORY_AND_DISK spills
+    // rather than recomputes under pressure.
     val tr = keyed.orderBy("hk", "vec_id").limit(trainN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Bucket-exemplar seeding over the (small) sample: one sign table,
     // exemplar = lowest (hk, vec_id) per bucket, biggest buckets first.
     val buckets = signBuckets(tr.select(col("vec_id"), col("embedding")),
@@ -190,15 +198,21 @@ object Similarity {
     (1 to iters).foldLeft(seeds) { (cents, _) =>
       val c = broadcast(cents.select(col("cid"), col("ce"),
         VF.l2Norm(col("ce")).as("cn")))
-      val w = Window.partitionBy("vec_id").orderBy(col("acos").desc, col("cid"))
+      // Argmax as a hash aggregate (max over (cos, -cid) structs), not a
+      // window: partial aggregation collapses the ×nCentroids candidate
+      // rows map-side BEFORE the exchange and there is no sort. The
+      // (rounded cos, -cid) key is total, so ties resolve to the lowest
+      // cid — identical to the window form the oracle replays.
       val assigned = tr
         .select(col("vec_id"), col("embedding"), VF.l2Norm(col("embedding")).as("nrm"))
         .crossJoin(c)
         .withColumn("acos",
           round(VF.dot(col("embedding"), col("ce")) / (col("nrm") * col("cn")), 6))
-        .withColumn("arn", row_number().over(w))
-        .where(col("arn") === 1)
-        .select(col("cid"), col("embedding"), col("nrm"))
+        .groupBy("vec_id")
+        .agg(max(struct(col("acos"), (-col("cid")).as("negcid"),
+          col("embedding"), col("nrm"))).as("m"))
+        .select(col("m.embedding").as("embedding"), col("m.nrm").as("nrm"),
+          (-col("m.negcid")).as("cid"))
       // SPHERICAL mean: average unit vectors (x/‖v‖), not raw
       // components — the cosine-geometry centroid (centroid scale never
       // matters downstream, only direction). On the synthetic corpus the
@@ -233,9 +247,14 @@ object Similarity {
       nCentroids: Int = 16, nProbe: Int = 4,
       lloydIters: Int = 2, trainN: Int = 1024,
       seedPlanes: Int = 6, dim: Int = 64): DataFrame = {
+    // Persisted: the trained table is `nCentroids` rows but its lineage
+    // is the whole training DAG — corpus assignment AND query probing
+    // each broadcast it, and without the persist the training would run
+    // twice end to end.
     val centroids = trainCentroids(corpus, nCentroids, lloydIters, trainN,
         seedPlanes, dim)
       .select(col("cid"), col("ce"), VF.l2Norm(col("ce")).as("cn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     def assign(df: DataFrame, idCol: String, keep: Int): DataFrame = {
       val scored = df
@@ -244,10 +263,25 @@ object Similarity {
         .crossJoin(broadcast(centroids))
         .withColumn("ccos",
           round(VF.dot(col("embedding"), col("ce")) / (col("nrm") * col("cn")), 6))
-      val w = Window.partitionBy(idCol).orderBy(col("ccos").desc, col("cid"))
-      scored.withColumn("crank", row_number().over(w))
-        .where(col("crank") <= keep)
-        .select(col(idCol), col("embedding"), col("nrm"), col("cid"))
+      if (keep == 1)
+        // Corpus-side cell assignment — THE per-row cost at scale. A
+        // hash-agg argmax (max over (cos, -cid) structs) partial-
+        // aggregates the ×nCentroids candidates map-side and never
+        // sorts; same result as the rank-1 window (total key, lowest
+        // cid on ties — the ordering the oracle replays).
+        scored.groupBy(col(idCol))
+          .agg(max(struct(col("ccos"), (-col("cid")).as("negcid"),
+            col("embedding"), col("nrm"))).as("m"))
+          .select(col(idCol), col("m.embedding").as("embedding"),
+            col("m.nrm").as("nrm"), (-col("m.negcid")).as("cid"))
+      else {
+        // Query-side nProbe ranking: a window over |queries|×nCentroids
+        // rows — the small side by construction.
+        val w = Window.partitionBy(idCol).orderBy(col("ccos").desc, col("cid"))
+        scored.withColumn("crank", row_number().over(w))
+          .where(col("crank") <= keep)
+          .select(col(idCol), col("embedding"), col("nrm"), col("cid"))
+      }
     }
 
     val corpusCells = assign(corpus, "neighbor_id", keep = 1)

@@ -46,18 +46,13 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  /** DD near-dup via MinHash + LSH banding:
-    * shingle → per-perm min-hash signature (map-side) → split into
-    * `bands` bands of `numPerms/bands` rows → hash each band → self-join
-    * within (band, bandHash) buckets → distinct candidate pairs →
-    * verify with exact token-set Jaccard ≥ `threshold`.
-    *
-    * Probability a pair with true Jaccard s collides in ≥1 band:
-    * 1-(1-s^r)^b (r = perms/band). With 64 perms / 16 bands (r=4),
-    * s=0.8 → 0.9998; s=0.3 → 0.12 — the classic high-recall knee.
+  /** MinHash-LSH candidate pairs BEFORE the exact-Jaccard verify — the
+    * banding stage of [[minhashNearDups]], exposed (like
+    * [[simhashCandidates]]) so candidate volume is measurable directly.
+    * Returns distinct (`doc_a`, `doc_b`) rows.
     */
-  def minhashNearDups(docs: DataFrame, numPerms: Int = 64, bands: Int = 16,
-      shingleSize: Int = 3, threshold: Double = 0.5,
+  def minhashCandidates(docs: DataFrame, numPerms: Int = 64, bands: Int = 16,
+      shingleSize: Int = 3,
       hasher: Column => Column = c => pmod(xxhash64(c), lit(TF.MinhashPrime))): DataFrame = {
     require(numPerms % bands == 0, "bands must divide numPerms")
     require(shingleSize >= 1, s"shingleSize must be >= 1, got $shingleSize")
@@ -94,16 +89,30 @@ object Dedup {
 
     val l = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
     val r = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
-    val candidates = l.join(r, Seq("band", "bucket"))
+    l.join(r, Seq("band", "bucket"))
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()
+  }
 
+  /** DD near-dup via MinHash + LSH banding:
+    * shingle → per-perm min-hash signature (map-side) → split into
+    * `bands` bands of `numPerms/bands` rows → hash each band → self-join
+    * within (band, bandHash) buckets → distinct candidate pairs →
+    * verify with exact token-set Jaccard ≥ `threshold`.
+    *
+    * Probability a pair with true Jaccard s collides in ≥1 band:
+    * 1-(1-s^r)^b (r = perms/band). With 64 perms / 16 bands (r=4),
+    * s=0.8 → 0.9998; s=0.3 → 0.12 — the classic high-recall knee.
+    */
+  def minhashNearDups(docs: DataFrame, numPerms: Int = 64, bands: Int = 16,
+      shingleSize: Int = 3, threshold: Double = 0.5,
+      hasher: Column => Column = c => pmod(xxhash64(c), lit(TF.MinhashPrime))): DataFrame = {
     // Verify candidates with exact Jaccard (join text back only for the
     // candidate set, not all pairs).
     val toks = docs.select(col("doc_id"),
       array_distinct(TF.tokens(col("text"))).as("toks"))
-    candidates
+    minhashCandidates(docs, numPerms, bands, shingleSize, hasher)
       .join(toks.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("toks", "ta"), "doc_a")
       .join(toks.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("toks", "tb"), "doc_b")
       .withColumn("jaccard", round(TF.jaccard(col("ta"), col("tb")), 6))

@@ -75,6 +75,7 @@ object SparkEntry {
     "q_mm2_frame_stats" -> (ExtensionQueries.frameStats _),
     "q_txt7_redaction" -> (ExtensionQueries.redaction _),
     "q_txt8_boilerplate" -> (ExtensionQueries.boilerplate _),
+    "q_txt9_repetition" -> (ExtensionQueries.repetitionFilter _),
     "q_ml1_split_stats" -> (ExtensionQueries.splitStats _),
     "q_ml2_contamination" -> (ExtensionQueries.contamination _),
     "q_ml3_stratified_sample" -> (ExtensionQueries.stratifiedSample _),
@@ -148,6 +149,7 @@ object SparkEntry {
     "q_mm2_frame_stats" -> ExtensionQueries.frameStatsSql,
     "q_txt7_redaction" -> ExtensionQueries.redactionSql,
     "q_txt8_boilerplate" -> ExtensionQueries.boilerplateSql,
+    "q_txt9_repetition" -> ExtensionQueries.repetitionFilterSql,
     "q_ml1_split_stats" -> ExtensionQueries.splitStatsSql,
     "q_ml2_contamination" -> ExtensionQueries.contaminationSql,
     "q_ml3_stratified_sample" -> ExtensionQueries.stratifiedSampleSql,

@@ -649,6 +649,70 @@ object ExtensionQueries {
       |GROUP BY 1 HAVING count(*) * 5000 > (SELECT count(*) FROM s)
       |ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- TXT-9
+  /** Gopher-style repetition filter: per-doc repetition metrics — top
+    * single-token fraction, duplicate-token fraction, top-bigram mass
+    * fraction — and the keep/drop decision on fixed thresholds chosen
+    * from the corpus' measured quantiles (top-token p90 ≈ 0.148,
+    * dup p90 ≈ 0.68, bigram p90 ≈ 0.13 → thresholds 0.12/0.65/0.10
+    * split the corpus roughly in half at every SF — this synthetic
+    * corpus is inherently repetitive; a fixed cutoff that never fires
+    * would be a vacuous filter). The decision compares the ROUNDED fractions
+    * so both engines apply the identical cut. Shape: two explode +
+    * partial-aggregated count stacks (tokens, bigrams), joined on
+    * doc_id — one shuffle per stack plus the join, no windows.
+    */
+  def repetitionFilter(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tokCounts = docs
+      .select(col("doc_id"), explode(TF.tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_distinct"),
+        max("c").as("top_tok"))
+    val bgCounts = docs
+      .select(col("doc_id"), explode(TF.shingles(col("text"), 2)).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_bigrams"), max("c").as("top_bigram"))
+    tokCounts.join(bgCounts, "doc_id")
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        round(col("top_tok").cast("double") / col("n_tokens"), 6).as("top_tok_frac"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"), 6)
+          .as("dup_frac"),
+        round(col("top_bigram").cast("double") * 2.0 / col("n_bigrams"), 6)
+          .as("top_bigram_frac"))
+      .withColumn("keep",
+        col("top_tok_frac") <= 0.12 && col("dup_frac") <= 0.65 &&
+          col("top_bigram_frac") <= 0.10)
+      .orderBy("doc_id")
+  }
+
+  val repetitionFilterSql: String =
+    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |tc AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |              count(*) AS n_distinct, max(c) AS top_tok
+      |       FROM (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2) GROUP BY 1),
+      |sh AS (SELECT doc_id, CASE WHEN len(tl) >= 2
+      |         THEN list_transform(range(len(tl) - 1), i -> tl[i + 1] || ' ' || tl[i + 2])
+      |         ELSE [text] END AS bgs
+      |       FROM (SELECT doc_id, text, string_split(text, ' ') AS tl FROM documents)),
+      |bc AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, max(c) AS top_bigram
+      |       FROM (SELECT doc_id, bg, count(*) AS c
+      |             FROM (SELECT doc_id, unnest(bgs) AS bg FROM sh) GROUP BY 1, 2)
+      |       GROUP BY 1)
+      |SELECT doc_id, n_tokens, top_tok_frac, dup_frac, top_bigram_frac,
+      |       (top_tok_frac <= 0.12 AND dup_frac <= 0.65 AND top_bigram_frac <= 0.10)
+      |         AS keep
+      |FROM (SELECT tc.doc_id, n_tokens,
+      |             round(CAST(top_tok AS DOUBLE) / n_tokens, 6) AS top_tok_frac,
+      |             round(1.0 - CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS dup_frac,
+      |             round(CAST(top_bigram AS DOUBLE) * 2.0 / n_bigrams, 6) AS top_bigram_frac
+      |      FROM tc JOIN bc ON tc.doc_id = bc.doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------------------------- ML-3
   /** Deterministic stratified sampling: within each language stratum,
     * rank by (md5(text), doc_id) — a content-derived, engine-independent

@@ -264,11 +264,13 @@ object Similarity {
         .withColumn("ccos",
           round(VF.dot(col("embedding"), col("ce")) / (col("nrm") * col("cn")), 6))
       if (keep == 1)
-        // Corpus-side cell assignment — THE per-row cost at scale. A
-        // hash-agg argmax (max over (cos, -cid) structs) partial-
-        // aggregates the ×nCentroids candidates map-side and never
-        // sorts; same result as the rank-1 window (total key, lowest
-        // cid on ties — the ordering the oracle replays).
+        // Corpus-side cell assignment — THE per-row cost at scale. An
+        // agg argmax (max over (cos, -cid) structs; compiles to a
+        // partial+final SortAggregate since struct max has no mutable
+        // hash buffer) collapses the ×nCentroids candidates map-side,
+        // so the exchange carries one row per vector instead of
+        // nCentroids; same result as the rank-1 window (total key,
+        // lowest cid on ties — the ordering the oracle replays).
         scored.groupBy(col(idCol))
           .agg(max(struct(col("ccos"), (-col("cid")).as("negcid"),
             col("embedding"), col("nrm"))).as("m"))

@@ -110,6 +110,20 @@ class PlanAuditSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(500))
   }
 
+  test("q_sim3: training is persisted and corpus cell assignment is agg-argmax, not a window") {
+    val p = plan("q_sim3_ivf")
+    assert(p.contains("InMemoryTableScan"),
+      "trained centroids / training sample must come from the persisted tables: " + p.take(500))
+    // Windows survive only on small inputs by design (seed ranking,
+    // query-side nProbe ranking, final re-rank — the latter two
+    // partition by query_id). The corpus-side rank-1 cell assignment is
+    // an agg argmax; a regression back to a window sort (the
+    // full-shuffle-and-sort shape at 100 TB) would show as a window
+    // partitioned by neighbor_id.
+    assert(!p.contains("windowspecdefinition(neighbor_id"),
+      "corpus cell assignment must be the agg argmax, not a window over neighbor_id")
+  }
+
   test("q_rel25: the global-average threshold is broadcast, not a shuffle join") {
     val p = plan("q_rel25_having")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),

@@ -760,4 +760,51 @@ object ExtensionQueries {
       |       round(CAST(count(*) AS DOUBLE)
       |             / CAST(sum(count(*)) OVER () AS DOUBLE), 6) AS pct
       |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ----------------------------------------------------------------- ML-5
+  /** Embedding-table audit per label class: cohort size, mean vector
+    * norm, and mean cosine to the class centroid (the per-dimension
+    * rounded mean — the same relational element-wise-mean machinery the
+    * IVF quantizer trains with). Low mean-cosine classes are the
+    * mislabeled/degenerate cohorts a training pipeline flags before
+    * fine-tuning on labels. One explode shuffle for the centroids (a
+    * labels×dim aggregate), centroids broadcast back — the corpus never
+    * shuffles.
+    */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{VectorFunctions => VF}
+    val embs = Tables.embeddings(spark, dir)
+      .where(VF.normSq(col("embedding")) > 0)
+      .select(col("label").cast("long").as("label"), col("embedding"),
+        VF.l2Norm(col("embedding")).as("nrm"))
+    val cents = embs
+      .select(col("label"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .groupBy("label", "d").agg(round(avg(col("x").cast("double")), 6).as("cx"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("cx")))),
+        s => s.getField("cx")).as("ce"))
+    embs.join(broadcast(cents), "label")
+      .select(col("label"), col("nrm"),
+        (VF.dot(col("embedding"), col("ce")) /
+          (col("nrm") * VF.l2Norm(col("ce")))).as("ccos"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        round(avg("nrm"), 6).as("avg_norm"),
+        round(avg("ccos"), 6).as("avg_cos"))
+      .orderBy("label")
+  }
+
+  val labelCentroidsSql: String =
+    """WITH v AS (SELECT CAST(label AS BIGINT) AS label,
+      |                  CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |vn AS (SELECT label, e, sqrt(list_dot_product(e, e)) AS nrm
+      |       FROM v WHERE list_dot_product(e, e) > 0),
+      |cents AS (SELECT label, list(cx ORDER BY d) AS ce FROM (
+      |    SELECT label, d.range AS d, round(avg(e[d.range + 1]), 6) AS cx
+      |    FROM vn CROSS JOIN range(64) d GROUP BY 1, 2) GROUP BY label)
+      |SELECT vn.label, count(*) AS n,
+      |       round(avg(nrm), 6) AS avg_norm,
+      |       round(avg(list_cosine_similarity(vn.e, cents.ce)), 6) AS avg_cos
+      |FROM vn JOIN cents ON vn.label = cents.label
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 }

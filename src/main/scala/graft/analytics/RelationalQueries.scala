@@ -673,4 +673,76 @@ object RelationalQueries {
       |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
       |             RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW)
       |ORDER BY event_id""".stripMargin
+
+  // --------------------------------------------------- SRC format roundtrips
+  /** Deterministic lineitem slice used by the format round-trips:
+    * timestamps as µs bigints (the oracle-visible precision) so every
+    * wire format carries the identical values.
+    */
+  private def formatSlice(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .where(col("l_orderkey") % 100 === 7)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_returnflag"),
+        // l_shipdate reads as TIMESTAMP_NTZ; the UTC session makes the
+        // LTZ cast instant-preserving, and DuckDB's epoch_us sees the
+        // same wall-clock value.
+        unix_micros(col("l_shipdate").cast("timestamp")).as("ship_us"))
+
+  /** Multiset digest over a re-read slice; compared against the SAME
+    * digest DuckDB computes directly from the parquet — equality proves
+    * the format round-trip (write + schema-on-read) is lossless.
+    */
+  private def formatDigest(df: DataFrame): DataFrame = {
+    import graft.functions.{TextFunctions => TF}
+    df.agg(
+      count(lit(1)).as("n_rows"),
+      sum("l_orderkey").as("sum_orderkey"),
+      sum(pmod(TF.hexHash60(concat_ws("|", col("l_orderkey"), col("l_linenumber"),
+        col("l_returnflag"), col("ship_us"))), lit(TF.MinhashPrime)))
+        .cast("long").as("fp_sum"),
+      round(sum("l_quantity"), 2).as("sum_qty"),
+      round(sum("l_extendedprice"), 2).as("sum_price"))
+  }
+
+  /** SRC format: CSV sink + schema-on-read source. Headers on, explicit
+    * read schema (never inferred — inference is a full extra pass at
+    * 100 TB and type-guesses are not a contract). Doubles survive CSV
+    * because Spark writes shortest-round-trip representations.
+    */
+  def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val out = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    formatSlice(spark, dir).write.mode("overwrite").option("header", "true").csv(out)
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType), StructField("l_linenumber", IntegerType),
+      StructField("l_quantity", DoubleType), StructField("l_extendedprice", DoubleType),
+      StructField("l_returnflag", StringType), StructField("ship_us", LongType)))
+    formatDigest(spark.read.schema(schema).option("header", "true").csv(out))
+  }
+
+  /** SRC format: ORC sink + source (typed, so no read schema needed —
+    * the footer carries it). The oracle still digests the parquet
+    * directly; DuckDB never reads the ORC.
+    */
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    formatSlice(spark, dir).write.mode("overwrite").orc(out)
+    formatDigest(spark.read.orc(out))
+  }
+
+  /** Shared oracle: the digest computed straight from the parquet. */
+  val formatRoundtripSql: String = {
+    import graft.functions.{TextFunctions => TF}
+    val h = TF.hexHash60Sql("CAST(l_orderkey AS VARCHAR) || '|' || " +
+      "CAST(l_linenumber AS VARCHAR) || '|' || l_returnflag || '|' || CAST(ship_us AS VARCHAR)")
+    s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       |       CAST(sum(l_orderkey) AS BIGINT) AS sum_orderkey,
+       |       CAST(sum($h % ${TF.MinhashPrime}) AS BIGINT) AS fp_sum,
+       |       round(sum(l_quantity), 2) AS sum_qty,
+       |       round(sum(l_extendedprice), 2) AS sum_price
+       |FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+       |             l_returnflag, epoch_us(l_shipdate) AS ship_us
+       |      FROM lineitem WHERE l_orderkey % 100 = 7)""".stripMargin
+  }
 }

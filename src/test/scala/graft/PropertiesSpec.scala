@@ -81,6 +81,56 @@ class PropertiesSpec extends SparkSpec {
       assert(group.map(_._2).distinct.size == 1, "same text ⇒ same signature"))
   }
 
+  test("property: SimHash chunk blocking is pigeonhole-COMPLETE on random corpora") {
+    // The hard guarantee the operator's correctness rests on: ANY pair
+    // within Hamming distance maxHamming MUST appear in the candidate
+    // set (chunking only ever adds false positives, never drops true
+    // ones). Checked by differencing the relational candidates against
+    // brute-force pairs over the very signatures the operator builds.
+    import graft.operators.Dedup
+    val docs = (sampleDocs(80) ++ sampleDocs(80).take(10).map(_ + " w0"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    for (maxHamming <- Seq(2, 3, 6)) {
+      val cands = Dedup.simhashCandidates(docs, maxHamming)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sigs = docs.select(col("doc_id"),
+          Dedup.simhash64(col("text")).as("sig"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+      val truePairs = for {
+        (a, sa) <- sigs; (b, sb) <- sigs if a < b
+        if java.lang.Long.bitCount(sa ^ sb) <= maxHamming
+      } yield (a, b)
+      val missed = truePairs.toSet -- cands
+      assert(missed.isEmpty,
+        s"maxHamming=$maxHamming: pigeonhole-complete candidates missed $missed")
+    }
+  }
+
+  test("property: spherical Lloyd iterations never lower the k-means objective") {
+    // The trainer's convergence property: the mean assignment cosine
+    // (the spherical k-means objective) is non-decreasing in the
+    // iteration count, up to the 6dp rounding the oracle needs.
+    import graft.operators.Similarity
+    import graft.functions.{VectorFunctions => VF}
+    val embs = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    def objective(iters: Int): Double = {
+      val c = broadcast(Similarity.trainCentroids(embs, 16, iters)
+        .select(col("cid"), col("ce"), VF.l2Norm(col("ce")).as("cn")))
+      embs.select(col("vec_id"), col("embedding"), VF.l2Norm(col("embedding")).as("nrm"))
+        .where(col("nrm") > 0)
+        .crossJoin(c)
+        .withColumn("ccos",
+          round(VF.dot(col("embedding"), col("ce")) / (col("nrm") * col("cn")), 6))
+        .groupBy("vec_id").agg(max("ccos").as("best"))
+        .agg(avg("best")).head().getDouble(0)
+    }
+    val objs = Seq(0, 1, 2).map(objective)
+    info(s"objective by iteration: ${objs.map(o => f"$o%.4f").mkString(" -> ")}")
+    objs.sliding(2).foreach { case Seq(a, b) =>
+      assert(b >= a - 1e-4, s"objective regressed: $a -> $b")
+    }
+  }
+
   test("property: native StringShingles ≡ HOF reference on random texts, n in 1..5") {
     // Random docs plus adversarial whitespace shapes the token generator
     // can't produce (empty, leading/trailing/double spaces, multibyte).

@@ -130,6 +130,37 @@ object SensorPipeline {
   def ingest(spark: SparkSession, src: WireSource): DataFrame =
     parseWire(wireStream(spark, src))
 
+  /** EXP-4 robustness: split wire frames into parsed records and a
+    * DEAD-LETTER stream of frames the declared schema rejects (garbage
+    * bytes, wrong shape, missing identity/time fields). At-least-once
+    * transports deliver malformed frames eventually; silently nulling
+    * them (from_json's default) corrupts downstream aggregates, and
+    * failing the query loses the good frames — the dead-letter split
+    * keeps both: parsed records flow on, rejects go to a quarantine
+    * sink with the raw frame intact for replay.
+    */
+  def parseWireOrDeadLetter(wire: DataFrame): (DataFrame, DataFrame) = {
+    val tagged = wire.select(col("value"),
+      from_json(col("value"), Schemas.sensorWire).as("r"))
+    // Validity = the fields every downstream stage keys on: a frame
+    // without client_id or timestamp can never join state anyway.
+    val ok = col("r").isNotNull && col("r.client_id").isNotNull &&
+      to_timestamp(col("r.timestamp"), Schemas.TsFormat).isNotNull
+    val parsed = parseWire(tagged.where(ok).select(col("value")))
+    val dead = tagged.where(!coalesce(ok, lit(false))).select(col("value"))
+    (parsed, dead)
+  }
+
+  /** Stream-static enrichment: join the (streaming) readings against a
+    * static dimension (device registry/metadata) on `client_id`. The
+    * static side is broadcast per micro-batch — no stream state, no
+    * watermark needed (unlike stream-stream joins); Spark re-plans the
+    * static side each batch, so a refreshed dim parquet is picked up on
+    * the next trigger.
+    */
+  def enrich(stream: DataFrame, dim: DataFrame): DataFrame =
+    stream.join(broadcast(dim), Seq("client_id"), "left")
+
   /** SRC-4: the IoT Rule's topic SQL — declarative projection + filter
     * applied before anything is forwarded (README.md:50; canonical rule is
     * `SELECT * FROM 'sensor/data'`, here parameterized).

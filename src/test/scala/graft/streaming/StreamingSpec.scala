@@ -171,6 +171,37 @@ class StreamingSpec extends SparkSpec {
       s"expected the kafka-connector lookup failure, got: ${ex.getMessage}")
   }
 
+  test("dead-letter split: malformed wire frames quarantined, good ones parse") {
+    val good = Seq(
+      reading("2022-07-14 15:00:01", 1, temp = 30.0),
+      reading("2022-07-14 15:00:02", 2, temp = 31.0)).toDF()
+    val frames = SensorPipeline.toWire(good)
+      .union(Seq("not json at all", """{"client_id": null}""", """{"humidity": 50.0}""")
+        .toDF("value"))
+    val (parsed, dead) = SensorPipeline.parseWireOrDeadLetter(frames)
+    assert(parsed.collect().map(_.getAs[Long]("count")).sorted.toSeq == Seq(1L, 2L))
+    val rejects = dead.collect().map(_.getString(0))
+    assert(rejects.length == 3, s"all malformed frames quarantined: ${rejects.toSeq}")
+    assert(rejects.contains("not json at all"), "raw frame preserved for replay")
+  }
+
+  test("stream-static enrichment: readings join the broadcast device registry") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(("raspberrypi", "lab-3", "rev-b"), ("other", "lab-9", "rev-a"))
+      .toDF("client_id", "site", "hw_rev")
+    val mem = MemoryStream[SensorReading]
+    val q = SensorPipeline.enrich(mem.toDF(), dim)
+      .select($"count", $"site", $"hw_rev")
+      .writeStream.format("memory").queryName("enrich_out").outputMode("append").start()
+    try {
+      mem.addData(reading("2022-07-14 15:00:01", 1), reading("2022-07-14 15:00:02", 2))
+      q.processAllAvailable()
+      val rows = spark.table("enrich_out").collect()
+        .map(r => (r.getAs[Long]("count"), r.getAs[String]("site"), r.getAs[String]("hw_rev")))
+      assert(rows.toSet == Set((1L, "lab-3", "rev-b"), (2L, "lab-3", "rev-b")), rows.toSeq.toString)
+    } finally q.stop()
+  }
+
   test("streaming compactor: micro-batches land small files, threshold triggers compaction") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[SensorReading]

@@ -32,6 +32,24 @@ class FloatVectorDotSpec extends SparkSpec {
     assert(r2.isNullAt(0) && r2.isNullAt(1), "null element: both null")
   }
 
+  test("mixed float/double and double/double sides == HOF fold bit-for-bit") {
+    // The round-3 generalization: trained IVF centroids are rounded
+    // double arrays dotted against raw float embeddings. Both the mixed
+    // and all-double paths (interpreted AND codegen'd) must reproduce
+    // the left-to-right double fold exactly.
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .where(col("vec_id") < 50)
+    val paired = embs.select(col("vec_id"), col("embedding").as("f"),
+      transform(col("embedding"), x => round(x.cast("double") * 0.73, 6)).as("d"))
+    val diffs = paired.select(
+      abs(VF.dot(col("f"), col("d")) - VF.dotHof(col("f"), col("d"))).as("fd"),
+      abs(VF.dot(col("d"), col("f")) - VF.dotHof(col("d"), col("f"))).as("df"),
+      abs(VF.dot(col("d"), col("d")) - VF.dotHof(col("d"), col("d"))).as("dd"))
+      .agg(max("fd"), max("df"), max("dd")).head()
+    for (i <- 0 until 3) assert(diffs.getDouble(i) == 0.0,
+      s"mixed-type native and HOF dot differ (col $i): ${diffs.getDouble(i)}")
+  }
+
   test("null inputs yield null; self-dot is normSq") {
     import spark.implicits._
     val df = Seq((Some(Seq(1.0f, 2.0f)), Option.empty[Seq[Float]]))

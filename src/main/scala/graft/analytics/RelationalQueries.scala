@@ -674,6 +674,37 @@ object RelationalQueries {
       |             RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW)
       |ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------- REL-27
+  /** Correlated EXISTS / NOT EXISTS subqueries, written as SQL through
+    * the [[graft.Engine.registerTables]] surface (the Athena-analog user
+    * path). Catalyst DECORRELATES both: the plan is one left-semi and
+    * one left-anti join against orders — never a per-customer subquery
+    * execution (guarded in PlanAuditSpec). At 100 TB both joins shuffle
+    * on o_custkey/c_custkey only.
+    */
+  def existsSubquery(spark: SparkSession, dir: String): DataFrame = {
+    graft.Engine.registerTables(spark, dir)
+    spark.sql(
+      """SELECT c_custkey, c_name
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderstatus = 'F' AND o.o_totalprice < 50000)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  val existsSubquerySql: String =
+    """SELECT c_custkey, c_name
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderstatus = 'F' AND o.o_totalprice < 50000)
+      |ORDER BY c_custkey""".stripMargin
+
   // --------------------------------------------------- SRC format roundtrips
   /** Deterministic lineitem slice used by the format round-trips:
     * timestamps as µs bigints (the oracle-visible precision) so every

@@ -124,6 +124,13 @@ class PlanAuditSpec extends SparkSpec {
       "corpus cell assignment must be the agg argmax, not a window over neighbor_id")
   }
 
+  test("q_rel27: correlated EXISTS/NOT EXISTS decorrelate to semi + anti joins") {
+    val p = plan("q_rel27_exists_subquery")
+    assert(p.contains("LeftSemi"), "EXISTS must decorrelate to a semi join: " + p.take(500))
+    assert(p.contains("LeftAnti"), "NOT EXISTS must decorrelate to an anti join: " + p.take(500))
+    assert(!p.contains("CartesianProduct"), p.take(500))
+  }
+
   test("q_rel25: the global-average threshold is broadcast, not a shuffle join") {
     val p = plan("q_rel25_having")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),

@@ -198,6 +198,52 @@ object EventQueries {
       |      FROM events)
       |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
 
+  /** AGG-5 (gap filling / resample): the hourly chart over a SPARSE
+    * signal (high-value error events — 237 of 720 hours populated at
+    * sf0.01) needs the missing hours materialized: counts fill with 0,
+    * the average forward-fills from the last populated hour. The hour
+    * spine is `sequence(min, max, 1h)` in µs integers — generated from
+    * a 1-row aggregate, identical in any engine — left-joined to the
+    * aggregate; the forward fill is `last(ignoreNulls)` over the hour
+    * order. The fill window here is global (one 720-row partition, the
+    * oracled form); the production form partitions it by device key —
+    * same operator, keyed state.
+    */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600000000L
+    val hourly = Tables.events(spark, dir)
+      .where(col("event_type") === "error" && col("value") > 95)
+      // Integer `div` end to end: a double division of epoch-µs values
+      // can truncate off-by-one at hour boundaries (ulp rounding).
+      .select(expr("((ts_ns div 1000) div 3600000000) * 3600000000").as("hour_us"),
+        col("value"))
+      .groupBy("hour_us")
+      .agg(count(lit(1)).as("n"), round(avg("value"), 6).as("avg_value"))
+    val spine = hourly.agg(min("hour_us").as("lo"), max("hour_us").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), lit(hourUs))).as("hour_us"))
+    val w = Window.orderBy("hour_us")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("hour_us"), "left")
+      .select(col("hour_us"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        last(col("avg_value"), ignoreNulls = true).over(w).as("avg_value_ff"))
+      .orderBy("hour_us")
+  }
+
+  val gapFillSql: String =
+    """WITH hourly AS (
+      |  SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS hour_us,
+      |         count(*) AS n, round(avg(value), 6) AS avg_value
+      |  FROM events WHERE event_type = 'error' AND value > 95 GROUP BY 1),
+      |spine AS (SELECT unnest(generate_series((SELECT min(hour_us) FROM hourly),
+      |                                        (SELECT max(hour_us) FROM hourly),
+      |                                        3600000000)) AS hour_us)
+      |SELECT s.hour_us, COALESCE(n, 0) AS n,
+      |       last_value(avg_value IGNORE NULLS) OVER (ORDER BY s.hour_us
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_value_ff
+      |FROM spine s LEFT JOIN hourly h ON s.hour_us = h.hour_us
+      |ORDER BY s.hour_us""".stripMargin
+
   /** CMP round-trip as one oracled query (CMP-3/4/5/7 + SNK-1/3 + SRC-6):
     * land a deterministic slice of `events` as small JSON log files, run
     * the real compactor — dynamic projection (drops `props`),

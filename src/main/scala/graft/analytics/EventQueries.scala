@@ -244,6 +244,31 @@ object EventQueries {
       |FROM spine s LEFT JOIN hourly h ON s.hour_us = h.hour_us
       |ORDER BY s.hour_us""".stripMargin
 
+  /** AGG-6 (anomaly detection): per-device z-score outliers — events
+    * whose value sits more than 2.5 sample standard deviations from the
+    * device's own mean (each device has its own baseline; a global
+    * threshold would flag hot devices wholesale and miss cold ones).
+    * One shuffle on the device key; both engines compare the ROUNDED
+    * z so the cut is identical. The streaming analog keeps (mean, var)
+    * as Welford state per device (functions/Udx.WelfordMeanVar).
+    */
+  def zScoreOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("value"),
+        round((col("value") - avg("value").over(w)) / stddev_samp("value").over(w), 4)
+          .as("z"))
+      .where(abs(col("z")) > 2.5)
+      .orderBy("event_id")
+  }
+
+  val zScoreOutliersSql: String =
+    """SELECT event_id, user_id, value, z FROM (
+      |  SELECT event_id, user_id, value,
+      |         round((value - avg(value) OVER w) / stddev_samp(value) OVER w, 4) AS z
+      |  FROM events WINDOW w AS (PARTITION BY user_id))
+      |WHERE abs(z) > 2.5 ORDER BY event_id""".stripMargin
+
   /** CMP round-trip as one oracled query (CMP-3/4/5/7 + SNK-1/3 + SRC-6):
     * land a deterministic slice of `events` as small JSON log files, run
     * the real compactor — dynamic projection (drops `props`),

@@ -9,6 +9,10 @@ import graft.sources.Tables
 /** Measurement harness for the IVF quantizer choice: per-quantizer cell
   * balance, probed-corpus fraction, and recall@10 — the evidence behind
   * SCALE.md's quantizer table. Run: `runMain graft.tools.IvfProbe [sfDir]`.
+  *
+  * This is a DIAGNOSTIC main, not an operator: it collects bounded
+  * result sets (top-k id pairs, 16 cell counts) to the driver to compute
+  * recall — the engine's operators themselves never collect.
   */
 object IvfProbe {
   def main(args: Array[String]): Unit = {

@@ -15,6 +15,10 @@ import graft.sources.Tables
   * no RNG state). The 5k control validates the extrapolation: if its
   * candidate counts track the real 5k corpus, the 50k point is a
   * trustworthy next decade. Run: `runMain graft.tools.ScalingProbe`.
+  *
+  * Diagnostic main, not an operator: the one `.collect()` pulls the
+  * 31-token vocabulary to build generator literals — the operators
+  * themselves never collect.
   */
 object ScalingProbe {
   def synthDocs(spark: SparkSession, n: Long, vocab: Seq[String]): DataFrame = {

@@ -217,7 +217,7 @@ object ExtensionQueries {
     */
   def minhashDedup(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashNearDups(Tables.documents(spark, dir), threshold = 0.5,
-      hasher = c => pmod(TF.hexHash60(c), lit(TF.MinhashPrime)))
+      md5Parity = true)
       .orderBy("doc_a", "doc_b")
 
   val minhashDedupSql: String = {
@@ -266,7 +266,7 @@ object ExtensionQueries {
     */
   def simhashDedup(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDups(Tables.documents(spark, dir), maxHamming = 3,
-      hasher = TF.hexHash60(_), bits = 60)
+      md5Parity = true, bits = 60)
       .orderBy("doc_a", "doc_b")
 
   /** Generated SimHash oracle; `blockCols` mirrors the operator's
@@ -309,7 +309,7 @@ object ExtensionQueries {
     */
   def simhashBlockedDedup(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDups(Tables.documents(spark, dir), maxHamming = 3,
-      hasher = TF.hexHash60(_), bits = 60, blockBy = Seq("lang"))
+      md5Parity = true, bits = 60, blockBy = Seq("lang"))
       .orderBy("doc_a", "doc_b")
 
   val simhashBlockedDedupSql: String = mkSimhashSql(Seq("lang"))

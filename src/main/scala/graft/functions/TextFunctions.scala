@@ -63,12 +63,8 @@ object TextFunctions {
     * md5 integer, for constants baked into plans as literals (e.g. LSH
     * hyperplane weights).
     */
-  def hexHash60Local(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val hex = d.map(b => f"$b%02x").mkString
-    java.lang.Long.parseLong(hex.substring(0, 15), 16)
-  }
+  def hexHash60Local(s: String): Long =
+    SignatureHash.md5ParityBytes(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
   /** DuckDB SQL fragment computing [[hexHash60]] of `expr` — identical
     * arithmetic (hex-digit fold), for generated oracle queries.
@@ -107,14 +103,14 @@ object TextFunctions {
     *
     * NOTE: this column-level (per-row array) form exists for composing
     * signatures inside a single row (and as the HOF reference
-    * implementation); [[graft.operators.Dedup.minhashNearDups]] uses a
-    * faster relational form (explode + codegen'd min aggregates) over
-    * the SAME shingle-string hashing, so with the operator's default
-    * xxhash64 hasher the two produce identical signatures for the same
-    * shingle array. They stop being interchangeable only when the
-    * operator is given a different `hasher` (e.g. the md5-prefix
-    * [[hexHash60]] used for DuckDB-oracle parity) — don't mix hash
-    * families within one pipeline.
+    * implementation); [[graft.operators.Dedup.minhashNearDups]] uses the
+    * native one-pass [[graft.functions.MinHashSignature]] expression
+    * over the SAME shingle-string hashing, so with the operator's
+    * default (`md5Parity = false`, i.e. xxhash64) the two produce
+    * identical signatures for the same shingle array. They stop being
+    * interchangeable only across hash families (xxhash64 vs the
+    * md5-prefix [[hexHash60]] used for DuckDB-oracle parity) — don't
+    * mix the two within one pipeline.
     *
     * Materialize this as its OWN projected column before calling
     * [[minhashSignatureFromHashes]]: the signature references the hash

@@ -49,43 +49,31 @@ object Dedup {
   /** MinHash-LSH candidate pairs BEFORE the exact-Jaccard verify — the
     * banding stage of [[minhashNearDups]], exposed (like
     * [[simhashCandidates]]) so candidate volume is measurable directly.
-    * Returns distinct (`doc_a`, `doc_b`) rows.
+    * Returns distinct (`doc_a`, `doc_b`) rows. `md5Parity` selects the
+    * md5-prefix base hash the DuckDB oracles can recompute (xxhash64
+    * otherwise — the hot path).
     */
   def minhashCandidates(docs: DataFrame, numPerms: Int = 64, bands: Int = 16,
-      shingleSize: Int = 3,
-      hasher: Column => Column = c => pmod(xxhash64(c), lit(TF.MinhashPrime))): DataFrame = {
+      shingleSize: Int = 3, md5Parity: Boolean = false): DataFrame = {
     require(numPerms % bands == 0, "bands must divide numPerms")
     require(shingleSize >= 1, s"shingleSize must be >= 1, got $shingleSize")
-    val rowsPerBand = numPerms / bands
 
-    // Signature via explode + one hash-aggregate with numPerms codegen'd
-    // min() expressions — NOT an array fold: Spark's higher-order
-    // functions are interpreted (no whole-stage codegen), and the fold
-    // form measured ~60× slower. Shingling happens map-side on the token
-    // array, so min()'s partial aggregation runs BEFORE the exchange —
-    // the shuffle carries one partial signature row per (doc, partition),
-    // not the exploded shingle rows (the previous lead()-window form
-    // shuffled and sorted every token row first).
-    val (as, bs) = TF.minhashParams(numPerms)
-    val hashed = docs
-      .select(col("doc_id"), explode(TF.shingles(col("text"), shingleSize)).as("s"))
-      .select(col("doc_id"), hasher(col("s")).as("h"))
-    val minCols = (0 until numPerms).map(i =>
-      min(pmod(col("h") * as(i) + bs(i), lit(TF.MinhashPrime))).as(s"m$i"))
-    val sigs = hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
-
-    // One row per (doc, band): polynomial fold of the band's signature
-    // components in the 31-bit field, seeded by the band index — pure
-    // integer arithmetic, reproducible in any engine (band boundaries are
-    // plan-time constants). Cross-band collisions are possible but only
-    // add candidates, which the exact-Jaccard verify rejects.
-    val bandCols = array((0 until bands).map { bnd =>
-      (bnd * rowsPerBand until (bnd + 1) * rowsPerBand)
-        .foldLeft(lit(bnd.toLong): Column)((acc, i) =>
-          pmod(acc * lit(1000003L) + col(s"m$i"), lit(TF.MinhashPrime)))
-    }: _*)
-    val banded = sigs
-      .select(col("doc_id"), posexplode(bandCols).as(Seq("band", "bucket")))
+    // Whole signature + banding in ONE native codegen'd pass per
+    // document ([[graft.functions.MinHashBands]]; round 3 — replaced the
+    // explode + 64-way min() aggregate, which itself replaced round 1's
+    // lead()-window form): no ~50× shingle-row explode, no aggregate
+    // hash table, no exchange — the first shuffle of the pipeline is
+    // now the band-bucket join. Band values are bit-identical to the
+    // aggregate+fold form (differential-tested in SignatureExprSpec).
+    // The banding fold lives INSIDE the expression: as a separate
+    // column it would be referenced numPerms times and projection
+    // collapse would inline (= recompute) the signature per reference —
+    // measured 7× slower; as a generator input it evaluates once.
+    val banded = docs
+      .select(col("doc_id"), posexplode(
+        graft.functions.SignatureExpressions.minhashBands(
+          TF.shingles(col("text"), shingleSize), numPerms, bands, md5Parity))
+        .as(Seq("band", "bucket")))
 
     val l = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
     val r = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
@@ -107,12 +95,12 @@ object Dedup {
     */
   def minhashNearDups(docs: DataFrame, numPerms: Int = 64, bands: Int = 16,
       shingleSize: Int = 3, threshold: Double = 0.5,
-      hasher: Column => Column = c => pmod(xxhash64(c), lit(TF.MinhashPrime))): DataFrame = {
+      md5Parity: Boolean = false): DataFrame = {
     // Verify candidates with exact Jaccard (join text back only for the
     // candidate set, not all pairs).
     val toks = docs.select(col("doc_id"),
       array_distinct(TF.tokens(col("text"))).as("toks"))
-    minhashCandidates(docs, numPerms, bands, shingleSize, hasher)
+    minhashCandidates(docs, numPerms, bands, shingleSize, md5Parity)
       .join(toks.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("toks", "ta"), "doc_a")
       .join(toks.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("toks", "tb"), "doc_b")
       .withColumn("jaccard", round(TF.jaccard(col("ta"), col("tb")), 6))
@@ -126,36 +114,28 @@ object Dedup {
     * Returns distinct (`doc_a`, `doc_b`, `hamming`) rows.
     */
   def simhashCandidates(docs: DataFrame, maxHamming: Int = 3,
-      hasher: Column => Column = xxhash64(_), bits: Int = 64,
+      md5Parity: Boolean = false, bits: Int = 64,
       blockBy: Seq[String] = Nil): DataFrame = {
     require(maxHamming >= 0 && maxHamming < bits, s"maxHamming in [0,$bits), got $maxHamming")
     require(bits >= 1 && bits <= 64, s"bits in [1,64], got $bits")
-    // Same explode + codegen'd aggregate shape as minhashNearDups: `bits`
-    // sum() expressions over the exploded token hashes, then the sign
-    // bits packed into the signature. (`bits` < 64 lets a cross-engine
-    // hash with fewer usable bits — e.g. the 60-bit md5-prefix hash —
-    // drive the same operator.) blockBy columns ride the same aggregate
-    // (they are functionally dependent on doc_id — no extra shuffle).
+    // Whole signature + pigeonhole chunking in ONE native codegen'd
+    // pass per document ([[graft.functions.SimHashChunks]]; round 3 —
+    // replaced the explode + per-bit sum() aggregate; bit-identical,
+    // differential-tested in SignatureExprSpec): no token explode, no
+    // aggregate exchange — the first shuffle is the chunk-bucket join.
+    // The chunk slicing is fused into the expression for the same
+    // projection-collapse reason as MinHashBands; each emitted struct
+    // carries (chunk_val, sig) so the Hamming verify reads fields of
+    // the GENERATED attribute. (`bits` < 64 lets the 60-bit md5-prefix
+    // hash drive the same operator; blockBy columns ride the projection.)
     val keyCols = "doc_id" +: blockBy
-    val hashed = docs
-      .select(keyCols.map(col) :+ explode(TF.tokens(col("text"))).as("t"): _*)
-      .select(keyCols.map(col) :+ hasher(col("t")).as("h"): _*)
-    val bitSums = (0 until bits).map(i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
-        .as(s"s$i"))
-    val sigs = hashed.groupBy(keyCols.map(col): _*).agg(bitSums.head, bitSums.tail: _*)
-      .select(keyCols.map(col) :+
-        (0 until bits).map(i => when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-          .reduce(_ + _).as("sig"): _*)
-    val nChunks = maxHamming + 1
-    val width = bits / nChunks // last chunk absorbs the remainder bits
-    val chunkArr = array((0 until nChunks).map { i =>
-      val hi = if (i == nChunks - 1) bits else (i + 1) * width
-      val mask = if (hi - i * width == 64) -1L else (1L << (hi - i * width)) - 1
-      shiftright(col("sig"), i * width).bitwiseAND(lit(mask))
-    }: _*)
-    val chunked = sigs.select(keyCols.map(col) :+ col("sig") :+
-      posexplode(chunkArr).as(Seq("chunk", "chunk_val")): _*)
+    val chunked = docs
+      .select(keyCols.map(col) :+ posexplode(
+        graft.functions.SignatureExpressions.simhashChunks(
+          TF.tokens(col("text")), maxHamming, bits, md5Parity))
+        .as(Seq("chunk", "cs")): _*)
+      .select(keyCols.map(col) :+ col("chunk") :+
+        col("cs.chunk_val").as("chunk_val") :+ col("cs.sig").as("sig"): _*)
     val joinKeys = Seq("chunk", "chunk_val") ++ blockBy
     val passthru = (blockBy :+ "chunk").map(col) :+ col("chunk_val")
     val l = chunked.select(passthru :+ col("doc_id").as("doc_a") :+ col("sig").as("sig_a"): _*)
@@ -187,9 +167,9 @@ object Dedup {
     * entropy.
     */
   def simhashNearDups(docs: DataFrame, maxHamming: Int = 3,
-      hasher: Column => Column = xxhash64(_), bits: Int = 64,
+      md5Parity: Boolean = false, bits: Int = 64,
       blockBy: Seq[String] = Nil): DataFrame =
-    simhashCandidates(docs, maxHamming, hasher, bits, blockBy)
+    simhashCandidates(docs, maxHamming, md5Parity, bits, blockBy)
       .where(col("hamming") <= maxHamming)
 
   /** 64-bit SimHash from token hashes: for each bit position, sum +1/-1

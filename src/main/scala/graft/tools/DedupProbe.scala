@@ -21,8 +21,7 @@ object DedupProbe {
       Dedup.minhashNearDups(docs, threshold = 0.5).count()
     }
     time("md5-variant") {
-      Dedup.minhashNearDups(docs, threshold = 0.5,
-        hasher = c => pmod(TF.hexHash60(c), lit(TF.MinhashPrime))).count()
+      Dedup.minhashNearDups(docs, threshold = 0.5, md5Parity = true).count()
     }
     // stage pieces with md5 hasher
     time("explode-shingles-only") {

@@ -20,7 +20,7 @@ object SimhashBlockProbe {
     for (block <- Seq(Nil, Seq("lang"))) {
       val t0 = System.nanoTime()
       val c = Dedup.simhashCandidates(docs, maxHamming = 3,
-        hasher = TF.hexHash60(_), bits = 60, blockBy = block).count()
+        md5Parity = true, bits = 60, blockBy = block).count()
       val secs = (System.nanoTime() - t0) / 1e9
       val label = if (block.isEmpty) "unblocked" else block.mkString("+")
       scala.Console.out.println(f"PROBE docs=$n $label%-10s candidates=$c%8d  $secs%.2f s")

@@ -104,9 +104,14 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("q_dd5: signature build has no Window (map-side shingles feed a partial+final agg)") {
+  test("q_dd5: signature build is map-side (no Window, no signature aggregate)") {
     val p = plan("q_dd5_minhash_lsh")
     assert(!p.contains("Window"), "the lead-window form is gone: " + p.take(500))
+    // Round 3: the signature+banding is ONE native generator expression
+    // (MinHashBands) — the only aggregates left are the candidate
+    // distinct's partial+final pair.
+    assert(p.contains("minhash_bands") || p.contains("MinHashBands"),
+      "native fused signature expression must feed the generator: " + p.take(800))
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(500))
   }
 

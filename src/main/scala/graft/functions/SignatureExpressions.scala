@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Static base hashes shared by the native signature expressions and
@@ -424,6 +424,105 @@ case class SimHashChunks(child: Expression, maxHamming: Int, bits: Int,
     copy(child = newChild)
 }
 
+/** Sign-bucket signatures for `tables` hyperplane tables in ONE native
+  * pass over a float-vector column: for each (table, plane), the
+  * projection Σ_d x_d·w_d accumulates in dimension order (bit-identical
+  * to the exploded sum() aggregate it replaces AND to the oracle's
+  * `list_dot_product` fold), and sign bits pack per table. Weights are
+  * plan-time literals supplied by the caller ([[graft.operators
+  * .Similarity.planeWeights]]). Same generator-input design as
+  * [[MinHashBands]] — evaluated once per row under `posexplode`, immune
+  * to projection-collapse recompute. Enforces `dim` exactly (a shorter
+  * vector would silently prefix-project; the oracle's list_dot_product
+  * rejects it) and yields NULL for a NULL vector.
+  */
+case class HyperplaneBuckets(child: Expression, weights: Seq[Seq[Double]],
+    planes: Int, dim: Int) extends UnaryExpression {
+  require(weights.length % planes == 0, "weights must hold tables × planes rows")
+  private val tables = weights.length / planes
+  // Seq (STRUCTURAL equality) in the case-class signature, Array for the
+  // hot loop: plan canonicalization copies expressions and compares them
+  // for cached-plan/exchange reuse — an Array param's reference equality
+  // made every comparison fail, so the persisted centroid table was
+  // never reused and the IVF training DAG re-ran per consumer.
+  @transient private lazy val w: Array[Array[Double]] = weights.map(_.toArray).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got $t")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hyperplane_buckets"
+  override def nullable: Boolean = true
+
+  private[graft] def dimCheck(n: Int): Unit =
+    if (n != dim) throw new IllegalStateException(
+      s"signBuckets: embedding dim must be $dim (got $n)")
+
+  private[graft] def weightRows: Array[Array[Double]] = w
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    dimCheck(arr.numElements())
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var p = 0
+      while (p < planes) {
+        val wr = w(t * planes + p)
+        var proj = 0.0
+        var d = 0
+        while (d < dim) {
+          if (!arr.isNullAt(d)) proj += arr.getFloat(d).toDouble * wr(d)
+          d += 1
+        }
+        if (proj > 0) bucket |= (1L << p)
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("hpbW", w, "double[][]")
+    val self = ctx.addReferenceObj("hpbSelf", this, this.getClass.getName)
+    nullSafeCodeGen(ctx, ev, a => {
+      val out = ctx.freshName("hpbOut")
+      val t = ctx.freshName("hpbT")
+      val p = ctx.freshName("hpbP")
+      val d = ctx.freshName("hpbD")
+      val w = ctx.freshName("hpbWrow")
+      val proj = ctx.freshName("hpbProj")
+      val bucket = ctx.freshName("hpbBucket")
+      s"""
+         |$self.dimCheck($a.numElements());
+         |long[] $out = new long[$tables];
+         |for (int $t = 0; $t < $tables; $t++) {
+         |  long $bucket = 0L;
+         |  for (int $p = 0; $p < $planes; $p++) {
+         |    double[] $w = $wRef[$t * $planes + $p];
+         |    double $proj = 0.0;
+         |    for (int $d = 0; $d < $dim; $d++) {
+         |      if (!$a.isNullAt($d)) $proj += (double) $a.getFloat($d) * $w[$d];
+         |    }
+         |    if ($proj > 0) $bucket |= (1L << $p);
+         |  }
+         |  $out[$t] = $bucket;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object SignatureExpressions {
   /** Column entry: whole MinHash signature (array of `numPerms` longs). */
   def minhashSig(shingles: Column, numPerms: Int, md5Parity: Boolean): Column =
@@ -446,4 +545,10 @@ object SignatureExpressions {
       md5Parity: Boolean): Column =
     GraftColumnBridge.column(SimHashChunks(
       GraftColumnBridge.expression(tokens), maxHamming, bits, md5Parity))
+
+  /** Column entry: per-table hyperplane sign buckets (array of longs). */
+  def hyperplaneBuckets(embedding: Column, weights: Seq[Seq[Double]],
+      planes: Int, dim: Int): Column =
+    GraftColumnBridge.column(HyperplaneBuckets(
+      GraftColumnBridge.expression(embedding), weights, planes, dim))
 }

@@ -95,31 +95,22 @@ object Similarity {
     */
   private def signBuckets(df: DataFrame, planes: Int, tables: Int,
       dim: Int = 64, tableOffset: Int = 0): DataFrame = {
-    // Plane arrays are sized `dim` at plan time; a longer vector would
-    // read past them, and a SHORTER one would silently project a prefix
-    // that the DuckDB oracle's list_dot_product rejects (length
-    // mismatch) — so require exact dim and fail loudly per row. NULL
-    // embeddings keep the pre-guard behavior (posexplode emits nothing →
-    // row unbucketed).
-    val checked = df.select(col("vec_id"),
-      when(size(col("embedding")).isNull || size(col("embedding")) === dim,
-        col("embedding"))
-        .otherwise(raise_error(concat(
-          lit(s"signBuckets: embedding dim must be $dim (got "),
-          size(col("embedding")).cast("string"), lit(")"))))
-        .as("embedding"))
-    val exploded = checked
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
-    val projCols = for { t <- 0 until tables; p <- 0 until planes } yield
-      sum(col("x").cast("double") *
-        element_at(typedLit(planeWeights(t + tableOffset, p, dim).toSeq), col("d") + 1))
-        .as(s"proj_${t}_$p")
-    val projs = exploded.groupBy("vec_id").agg(projCols.head, projCols.tail: _*)
-    val bucketArr = array((0 until tables).map(t =>
-      (0 until planes).map(p =>
-        when(col(s"proj_${t}_$p") > 0, lit(1L << p)).otherwise(lit(0L)))
-        .reduce(_ + _)): _*)
-    projs.select(col("vec_id"), posexplode(bucketArr).as(Seq("table", "bucket")))
+    // All tables×planes projections in ONE native codegen'd pass per
+    // vector ([[graft.functions.HyperplaneBuckets]]; round 3 — replaced
+    // the posexplode + 48-way sum() aggregate, which itself replaced an
+    // interpreted array fold): dimension-order accumulation keeps the
+    // values bit-identical to both the aggregate form and the oracle's
+    // list_dot_product. The expression enforces size == dim per row (a
+    // shorter vector would silently prefix-project; the oracle rejects
+    // it) and a NULL embedding yields no bucket rows (posexplode of
+    // NULL), matching the old pre-guard behavior.
+    val weights: Seq[Seq[Double]] = (0 until tables * planes).map { i =>
+      planeWeights(i / planes + tableOffset, i % planes, dim).toSeq
+    }
+    df.select(col("vec_id"), posexplode(
+        graft.functions.SignatureExpressions.hyperplaneBuckets(
+          col("embedding"), weights, planes, dim))
+      .as(Seq("table", "bucket")))
   }
 
   /** Deterministic mini-batch Lloyd (k-means) coarse quantizer for
@@ -247,14 +238,18 @@ object Similarity {
       nCentroids: Int = 16, nProbe: Int = 4,
       lloydIters: Int = 2, trainN: Int = 1024,
       seedPlanes: Int = 6, dim: Int = 64): DataFrame = {
-    // Persisted: the trained table is `nCentroids` rows but its lineage
-    // is the whole training DAG — corpus assignment AND query probing
-    // each broadcast it, and without the persist the training would run
-    // twice end to end.
+    // Persisted AND eagerly materialized: the trained table is
+    // `nCentroids` rows but its lineage is the whole training DAG —
+    // corpus assignment and query probing each broadcast it, their
+    // broadcast-build jobs run CONCURRENTLY, and two racers hitting an
+    // unmaterialized cache both compute the training end to end
+    // (measured: the race costs a full extra training run). One tiny
+    // count() pins training to exactly one execution.
     val centroids = trainCentroids(corpus, nCentroids, lloydIters, trainN,
         seedPlanes, dim)
       .select(col("cid"), col("ce"), VF.l2Norm(col("ce")).as("cn"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    centroids.count()
 
     def assign(df: DataFrame, idCol: String, keep: Int): DataFrame = {
       val scored = df

@@ -115,6 +115,37 @@ class SignatureExprSpec extends SparkSpec {
     }
   }
 
+  test("HyperplaneBuckets == posexplode + sum() aggregate form on real embeddings") {
+    val (planes, tables, dim) = (6, 8, 64)
+    val embs = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def w(t: Int, p: Int): Array[Double] = Array.tabulate(dim) { d =>
+      val h = TF.hexHash60Local(s"plane:$t:$p:$d")
+      ((h % 2147483647L).toDouble - 1073741823.0) / 1073741823.0
+    }
+    // the aggregate form the expression replaced, verbatim
+    val exploded = embs.select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+    val projCols = for { t <- 0 until tables; p <- 0 until planes } yield
+      sum(col("x").cast("double") *
+        element_at(typedLit(w(t, p).toSeq), col("d") + 1)).as(s"proj_${t}_$p")
+    val projs = exploded.groupBy("vec_id").agg(projCols.head, projCols.tail: _*)
+    val expected = projs.collect().map { r =>
+      r.getLong(0) -> (0 until tables).map { t =>
+        (0 until planes).map { p =>
+          if (r.getDouble(1 + t * planes + p) > 0) 1L << p else 0L
+        }.sum
+      }
+    }.toMap
+    val weights: Seq[Seq[Double]] =
+      (0 until tables * planes).map(i => w(i / planes, i % planes).toSeq)
+    val native = embs.select(col("vec_id"), posexplode(
+        SE.hyperplaneBuckets(col("embedding"), weights, planes, dim))
+        .as(Seq("table", "bucket")))
+      .collect().groupBy(_.getLong(0)).map { case (id, rows) =>
+        id -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+      }
+    assert(native == expected)
+  }
+
   test("both signature expressions compile under CODEGEN_ONLY (no janino fallback)") {
     val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
     spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")

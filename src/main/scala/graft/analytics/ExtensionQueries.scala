@@ -498,6 +498,56 @@ object ExtensionQueries {
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- SIM-4
+  /** Int8 scalar quantization audit: per-dimension (min, max) over the
+    * corpus define 256 uniform levels; each element quantizes to
+    * `floor((x-min)/(max-min)·255)` and reconstructs to the level
+    * midpoint. Output: per label class, the mean/max absolute
+    * reconstruction error — the decision input for shipping a
+    * 4×-smaller int8 ANN index. Everything is IEEE-exact cross-engine:
+    * min/max of floats are data values, and both engines evaluate the
+    * same double expressions on them, so only the final avg needs
+    * rounding. Shape: one 64-group stats aggregate, broadcast back to
+    * the element stream, one label aggregate — the corpus never
+    * shuffles.
+    */
+  def quantizationError(spark: SparkSession, dir: String): DataFrame = {
+    val elems = Tables.embeddings(spark, dir)
+      .select(col("label").cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("label"), col("d"), col("x").cast("double").as("x"))
+    val stats = elems.groupBy("d")
+      .agg(min("x").as("lo"), max("x").as("hi"))
+    val q = floor((col("x") - col("lo")) / (col("hi") - col("lo")) * 255.0)
+    val recon = col("lo") + (q + 0.5) * (col("hi") - col("lo")) / 256.0
+    elems.join(broadcast(stats), "d")
+      .select(col("label"),
+        when(col("hi") > col("lo"), abs(col("x") - recon)).otherwise(lit(0.0))
+          .as("err"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_elems"),
+        round(avg("err"), 6).as("avg_err"),
+        round(max("err"), 6).as("max_err"))
+      .orderBy("label")
+  }
+
+  val quantizationErrorSql: String =
+    """WITH e AS (SELECT CAST(label AS BIGINT) AS label, d.range AS d,
+      |                  CAST(em[d.range + 1] AS DOUBLE) AS x
+      |           FROM (SELECT label, embedding AS em FROM embeddings)
+      |           CROSS JOIN range(64) d),
+      |s AS (SELECT d, min(x) AS lo, max(x) AS hi FROM e GROUP BY d)
+      |SELECT label, count(*) AS n_elems,
+      |       round(avg(err), 6) AS avg_err,
+      |       round(max(err), 6) AS max_err
+      |FROM (SELECT e.label,
+      |             CASE WHEN s.hi > s.lo
+      |                  THEN abs(e.x - (s.lo + (floor((e.x - s.lo) / (s.hi - s.lo) * 255.0)
+      |                                          + 0.5) * (s.hi - s.lo) / 256.0))
+      |                  ELSE 0.0 END AS err
+      |      FROM e JOIN s ON e.d = s.d)
+      |GROUP BY label ORDER BY label""".stripMargin
+
   // ----------------------------------------------------------------- ML-1
   /** Reproducible train/val/test split (80/10/10 on id residue) with
     * per-split corpus stats — the split is a pure projection, no

@@ -39,27 +39,49 @@ object Bench {
       if (args.isEmpty) SparkEntry.queries.toSeq.sortBy(_._1)
       else SparkEntry.queries.filter { case (k, _) => args.contains(k) }.toSeq.sortBy(_._1)
     val baseReps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // A query that THROWS must not be silently timed as a success — its
+    // near-instant failure time would become `floor` and poison
+    // value_adj while hiding the breakage. Track (elapsed, ok) per rep;
+    // a query with any failed rep lands in `failed` and is excluded
+    // from total/floor/value_adj.
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] query failed: ${e.getClass.getName}: ${e.getMessage}")
+          false
+      }
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
-    val results = selected.map { case (name, fn) =>
-      val base = (1 to baseReps).map(_ => timeOnce(fn)).min
+    val timed = selected.map { case (name, fn) =>
+      val base = (1 to baseReps).map(_ => timeOnce(fn))
       // Sub-second: one extra rep — the plan floor dominates and a single
       // slow rep (GC, compaction of the JIT code cache) is common.
-      name -> (if (base < 1.0) math.min(base, timeOnce(fn)) else base)
+      val reps = if (base.map(_._1).min < 1.0) base :+ timeOnce(fn) else base
+      (name, reps.map(_._1).min, reps.forall(_._2))
     }
+    val results = timed.collect { case (n, t, true) => n -> t }
+    val failed = timed.collect { case (n, _, false) => n }
     // Locale.ROOT: the default-locale f-interpolator would emit "0,123"
     // under comma-decimal locales — invalid JSON for the driver's parse.
     def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val floor = results.map(_._2).min
+    val floor = if (results.nonEmpty) results.map(_._2).min else 0.0
     val adj = total - results.size * floor
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,""" +
-      s""""n":${results.size},"floor":${f3(floor)},"value_adj":${f3(adj)},"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,""" +
+      s""""n":${results.size},"floor":${f3(floor)},"value_adj":${f3(adj)},""" +
+      s""""failed":$failedJson,"sf":"$sfDir"}"""
+    println(line)
+    // The driver captures only a bounded stdout TAIL — with 77+ queries
+    // the head of the per-query map can fall outside the window (it did
+    // in round 3). The file copy is the complete record.
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

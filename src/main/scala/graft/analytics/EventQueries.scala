@@ -249,25 +249,34 @@ object EventQueries {
     * device's own mean (each device has its own baseline; a global
     * threshold would flag hot devices wholesale and miss cold ones).
     * One shuffle on the device key; both engines compare the ROUNDED
-    * z so the cut is identical. The streaming analog keeps (mean, var)
-    * as Welford state per device (functions/Udx.WelfordMeanVar).
+    * z so the cut is identical. A device whose window is constant-valued
+    * has stddev_samp = 0 and z = 0/0 — Spark's NaN sorts GREATER than
+    * 2.5 while DuckDB may render NULL/NaN differently, so the sd > 0
+    * guard excludes that cohort identically on both sides (a constant
+    * signal has no outliers by definition). The streaming analog keeps
+    * (mean, var) as Welford state per device (functions/Udx
+    * .WelfordMeanVar).
     */
   def zScoreOutliers(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id")
     Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("value"),
-        round((col("value") - avg("value").over(w)) / stddev_samp("value").over(w), 4)
-          .as("z"))
+        avg("value").over(w).as("mu"), stddev_samp("value").over(w).as("sd"))
+      .where(col("sd") > 0)
+      .select(col("event_id"), col("user_id"), col("value"),
+        round((col("value") - col("mu")) / col("sd"), 4).as("z"))
       .where(abs(col("z")) > 2.5)
       .orderBy("event_id")
   }
 
   val zScoreOutliersSql: String =
     """SELECT event_id, user_id, value, z FROM (
-      |  SELECT event_id, user_id, value,
-      |         round((value - avg(value) OVER w) / stddev_samp(value) OVER w, 4) AS z
-      |  FROM events WINDOW w AS (PARTITION BY user_id))
-      |WHERE abs(z) > 2.5 ORDER BY event_id""".stripMargin
+      |  SELECT event_id, user_id, value, sd,
+      |         round((value - mu) / sd, 4) AS z
+      |  FROM (SELECT event_id, user_id, value,
+      |               avg(value) OVER w AS mu, stddev_samp(value) OVER w AS sd
+      |        FROM events WINDOW w AS (PARTITION BY user_id)))
+      |WHERE sd > 0 AND abs(z) > 2.5 ORDER BY event_id""".stripMargin
 
   /** CMP round-trip as one oracled query (CMP-3/4/5/7 + SNK-1/3 + SRC-6):
     * land a deterministic slice of `events` as small JSON log files, run
@@ -288,7 +297,11 @@ object EventQueries {
       .select(col("event_id"), col("user_id"),
         expr("ts_ns div 1000").as("ts_us"), // µs: the oracle-visible precision
         col("event_type"), col("value"), col("props"))
-    val base = java.nio.file.Files.createTempDirectory("graft_cmp1").toString
+    // Deterministic scratch path (not a fresh temp dir per call): both
+    // writes below use overwrite semantics, so repeated invocations
+    // (Bench reps + every correctness pass) hold one slice under /tmp
+    // instead of accumulating one per run.
+    val base = RelationalQueries.scratchDir("cmp1")
     val logsDir = s"$base/logs"
     slice.repartition(5).write.mode("overwrite").json(logsDir) // SNK-1 small files
     val logSchema = StructType(Seq(

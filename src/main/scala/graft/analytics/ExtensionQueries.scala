@@ -424,20 +424,33 @@ object ExtensionQueries {
     */
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
     val embs = Tables.embeddings(spark, dir)
-    Similarity.ivfTopK(embs.where(col("vec_id") < 5), embs, k = 10)
+    // Parameters pinned to the oracle below (Similarity's DEFAULTS track
+    // the recommended production settings, which round 4 moved to the
+    // measured ≥0.8-recall point — this query keeps the round-3 shape so
+    // bench numbers stay comparable and the oracle stays byte-stable).
+    Similarity.ivfTopK(embs.where(col("vec_id") < 5), embs, k = 10,
+        nCentroids = 16, nProbe = 4, lloydIters = 2, trainN = 1024,
+        seedPlanes = 6, dim = 64)
       .orderBy("query_id", "rank")
   }
 
-  val ivfTopKSql: String = {
-    val (nc, np, iters, trainN, dim, k) = (16, 4, 2, 1024, 64, 10)
-    val seedPlanes = 6
+  /** Shared DuckDB replay of [[Similarity.trainCentroids]] — the CTE
+    * block from hash-ranked sample through the final centroid table
+    * (named by the returned second element). Callers prepend a `v`
+    * CTE (vec_id, e DOUBLE[]) and append their own consumers.
+    *
+    * One Lloyd step: assign the training sample to the previous
+    * centroids (rounded-cosine argmax, cid tie-break), re-center with
+    * per-dimension rounded avg of unit vectors, keep the previous
+    * centroid for any cell that lost all members OR whose rounded mean
+    * cancelled to the zero vector — mirroring trainCentroids line by
+    * line.
+    */
+  private def ivfTrainingCtes(nc: Int, iters: Int, trainN: Int,
+      seedPlanes: Int, dim: Int): (String, String) = {
     // Quantizer hyperplanes: same md5-derived family as the LSH oracle,
     // table index -1 (Similarity.trainCentroids' tableOffset).
     val wExpr = TF.hexHash60Sql("'plane:-1:' || p.range || ':' || d")
-    // One Lloyd step: assign the training sample to the previous
-    // centroids (rounded-cosine argmax, cid tie-break), re-center with
-    // per-dimension rounded avg, keep the previous centroid for any
-    // cell that lost all members — mirroring trainCentroids line by line.
     def lloyd(i: Int, prev: String): String =
       s"""a$i AS (SELECT cid, e FROM (
          |         SELECT tr.vec_id, tr.e, c.cid,
@@ -449,33 +462,42 @@ object ExtensionQueries {
          |         SELECT cid, d.range AS d,
          |                round(avg(e[d.range + 1] / sqrt(list_dot_product(e, e))), 6) AS cx
          |         FROM a$i CROSS JOIN range($dim) d GROUP BY 1, 2) GROUP BY cid),
-         |c$i AS (SELECT p.cid, COALESCE(u.ce, p.ce) AS ce
+         |c$i AS (SELECT p.cid,
+         |        COALESCE(CASE WHEN list_dot_product(u.ce, u.ce) > 0 THEN u.ce END,
+         |                 p.ce) AS ce
          |        FROM $prev p LEFT JOIN u$i u USING (cid))""".stripMargin
     val steps = (1 to iters).map(i => lloyd(i, s"c${i - 1}")).mkString(",\n")
-    val cFinal = s"c$iters"
+    val block =
+      s"""vn AS (SELECT vec_id, e, md5('ivf:' || CAST(vec_id AS VARCHAR)) AS hk
+         |       FROM v WHERE list_dot_product(e, e) > 0),
+         |tr AS (SELECT vec_id, e, hk FROM (
+         |         SELECT vec_id, e, hk, row_number() OVER (ORDER BY hk, vec_id) AS rn FROM vn)
+         |       WHERE rn <= $trainN),
+         |pw AS (SELECT p.range AS plane,
+         |       list_transform(range($dim), d ->
+         |         (CAST($wExpr % ${graft.operators.Similarity.PlaneM} AS DOUBLE)
+         |            - 1073741823.0) / 1073741823.0) AS w
+         |       FROM range($seedPlanes) p),
+         |sbk AS (SELECT tr.vec_id, tr.hk,
+         |        CAST(sum(CASE WHEN list_dot_product(tr.e, pw.w) > 0
+         |                      THEN CAST(pow(2, pw.plane) AS BIGINT) ELSE 0 END) AS BIGINT)
+         |          AS bucket
+         |        FROM tr CROSS JOIN pw GROUP BY 1, 2),
+         |bx AS (SELECT bucket, count(*) AS bsize, min_by(vec_id, hk) AS seed_id
+         |       FROM sbk GROUP BY bucket),
+         |c0 AS (SELECT CAST(s.rn - 1 AS BIGINT) AS cid, tr.e AS ce FROM (
+         |         SELECT seed_id, row_number() OVER (ORDER BY bsize DESC, bucket) AS rn
+         |         FROM bx) s
+         |       JOIN tr ON tr.vec_id = s.seed_id WHERE s.rn <= $nc),
+         |$steps""".stripMargin
+    (block, s"c$iters")
+  }
+
+  val ivfTopKSql: String = {
+    val (nc, np, iters, trainN, dim, k) = (16, 4, 2, 1024, 64, 10)
+    val (training, cFinal) = ivfTrainingCtes(nc, iters, trainN, seedPlanes = 6, dim = dim)
     s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-       |vn AS (SELECT vec_id, e, md5('ivf:' || CAST(vec_id AS VARCHAR)) AS hk
-       |       FROM v WHERE list_dot_product(e, e) > 0),
-       |tr AS (SELECT vec_id, e, hk FROM (
-       |         SELECT vec_id, e, hk, row_number() OVER (ORDER BY hk, vec_id) AS rn FROM vn)
-       |       WHERE rn <= $trainN),
-       |pw AS (SELECT p.range AS plane,
-       |       list_transform(range($dim), d ->
-       |         (CAST($wExpr % ${graft.operators.Similarity.PlaneM} AS DOUBLE)
-       |            - 1073741823.0) / 1073741823.0) AS w
-       |       FROM range($seedPlanes) p),
-       |sbk AS (SELECT tr.vec_id, tr.hk,
-       |        CAST(sum(CASE WHEN list_dot_product(tr.e, pw.w) > 0
-       |                      THEN CAST(pow(2, pw.plane) AS BIGINT) ELSE 0 END) AS BIGINT)
-       |          AS bucket
-       |        FROM tr CROSS JOIN pw GROUP BY 1, 2),
-       |bx AS (SELECT bucket, count(*) AS bsize, min_by(vec_id, hk) AS seed_id
-       |       FROM sbk GROUP BY bucket),
-       |c0 AS (SELECT CAST(s.rn - 1 AS BIGINT) AS cid, tr.e AS ce FROM (
-       |         SELECT seed_id, row_number() OVER (ORDER BY bsize DESC, bucket) AS rn
-       |         FROM bx) s
-       |       JOIN tr ON tr.vec_id = s.seed_id WHERE s.rn <= $nc),
-       |$steps,
+       |$training,
        |ca AS (SELECT vec_id AS neighbor_id, e AS ne, cid FROM (
        |    SELECT v.vec_id, v.e, c.cid,
        |           row_number() OVER (PARTITION BY v.vec_id
@@ -495,6 +517,75 @@ object ExtensionQueries {
        |           ORDER BY round(list_cosine_similarity(qa.qe, ca.ne), 6) DESC,
        |                    ca.neighbor_id) AS rank
        |  FROM ca JOIN qa USING (cid) WHERE qa.query_id != ca.neighbor_id)
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- SIM-5
+  /** Int8 IVF index + exact float re-rank
+    * ([[Similarity.ivfTopKInt8]]) — q_sim4's audit turned into the
+    * production artifact: corpus stored as one byte per dimension on the
+    * per-dim (min, max) grid, cells assigned and candidates ranked on
+    * the reconstructed midpoints, top-`rerankDepth` survivors re-ranked
+    * with exact float cosine. Same training/probe parameters as q_sim3,
+    * so the two results isolate exactly the quantization effect.
+    */
+  def ivfInt8TopK(spark: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.embeddings(spark, dir)
+    Similarity.ivfTopKInt8(embs.where(col("vec_id") < 5), embs, k = 10,
+        rerankDepth = 30, nCentroids = 16, nProbe = 4, lloydIters = 2,
+        trainN = 1024, seedPlanes = 6, dim = 64)
+      .orderBy("query_id", "rank")
+  }
+
+  val ivfInt8Sql: String = {
+    val (nc, np, iters, trainN, dim, k, rerank) = (16, 4, 2, 1024, 64, 10, 30)
+    val (training, cFinal) = ivfTrainingCtes(nc, iters, trainN, seedPlanes = 6, dim = dim)
+    // Quantize + midpoint-reconstruct exactly as QuantizeInt8/Int8Recon:
+    // code = clamp(floor((x-lo)/(hi-lo)*255), 0, 255); recon = lo +
+    // (code+0.5)*(hi-lo)/256 — identical double ops and associativity.
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |$training,
+       |st AS (SELECT list(lo ORDER BY d) AS lo, list(hi ORDER BY d) AS hi FROM (
+       |         SELECT d.range AS d, min(v.e[d.range + 1]) AS lo,
+       |                max(v.e[d.range + 1]) AS hi
+       |         FROM v CROSS JOIN range($dim) d GROUP BY 1)),
+       |re AS (SELECT v.vec_id, list_transform(range($dim), d ->
+       |         CASE WHEN st.hi[d + 1] > st.lo[d + 1]
+       |              THEN st.lo[d + 1] +
+       |                   (LEAST(GREATEST(floor((v.e[d + 1] - st.lo[d + 1])
+       |                      / (st.hi[d + 1] - st.lo[d + 1]) * 255.0), 0.0), 255.0)
+       |                    + 0.5) * (st.hi[d + 1] - st.lo[d + 1]) / 256.0
+       |              ELSE st.lo[d + 1] END) AS re
+       |       FROM v CROSS JOIN st),
+       |rz AS (SELECT vec_id, re FROM re WHERE list_dot_product(re, re) > 0),
+       |caq AS (SELECT vec_id AS neighbor_id, re, cid FROM (
+       |    SELECT r.vec_id, r.re, c.cid,
+       |           row_number() OVER (PARTITION BY r.vec_id
+       |             ORDER BY round(list_cosine_similarity(r.re, c.ce), 6) DESC, c.cid) AS rn
+       |    FROM rz r CROSS JOIN $cFinal c)
+       |  WHERE rn = 1),
+       |qa AS (SELECT vec_id AS query_id, e AS qe, cid FROM (
+       |    SELECT v.vec_id, v.e, c.cid,
+       |           row_number() OVER (PARTITION BY v.vec_id
+       |             ORDER BY round(list_cosine_similarity(v.e, c.ce), 6) DESC, c.cid) AS rn
+       |    FROM v CROSS JOIN $cFinal c WHERE v.vec_id < 5)
+       |  WHERE rn <= $np AND list_dot_product(e, e) > 0),
+       |cand AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT qa.query_id, caq.neighbor_id,
+       |           row_number() OVER (PARTITION BY qa.query_id
+       |             ORDER BY round(list_cosine_similarity(qa.qe, caq.re), 6) DESC,
+       |                      caq.neighbor_id) AS arank
+       |    FROM caq JOIN qa USING (cid) WHERE qa.query_id != caq.neighbor_id)
+       |  WHERE arank <= $rerank)
+       |SELECT query_id, neighbor_id, cos, rank FROM (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |         round(list_cosine_similarity(q.e, c.e), 6) AS cos,
+       |         row_number() OVER (PARTITION BY cand.query_id
+       |           ORDER BY round(list_cosine_similarity(q.e, c.e), 6) DESC,
+       |                    cand.neighbor_id) AS rank
+       |  FROM cand JOIN v q ON cand.query_id = q.vec_id
+       |            JOIN v c ON cand.neighbor_id = c.vec_id
+       |  WHERE list_dot_product(q.e, q.e) > 0 AND list_dot_product(c.e, c.e) > 0)
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 

@@ -741,9 +741,22 @@ object RelationalQueries {
     * 100 TB and type-guesses are not a contract). Doubles survive CSV
     * because Spark writes shortest-round-trip representations.
     */
+  /** Deterministic scratch dir for the side-effecting round-trips: a
+    * FIXED path + `mode("overwrite")` instead of a fresh temp dir per
+    * invocation — Bench reps and repeated correctness passes would
+    * otherwise accumulate an orphaned written slice under /tmp per run
+    * (overwrite deletes the previous contents before writing).
+    */
+  private[analytics] def scratchDir(tag: String): String = {
+    val p = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_scratch_$tag")
+    java.nio.file.Files.createDirectories(p)
+    p.toString
+  }
+
   def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
-    val out = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    val out = scratchDir("csv")
     formatSlice(spark, dir).write.mode("overwrite").option("header", "true").csv(out)
     val schema = StructType(Seq(
       StructField("l_orderkey", LongType), StructField("l_linenumber", IntegerType),
@@ -757,7 +770,7 @@ object RelationalQueries {
     * directly; DuckDB never reads the ORC.
     */
   def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val out = scratchDir("orc")
     formatSlice(spark, dir).write.mode("overwrite").orc(out)
     formatDigest(spark.read.orc(out))
   }

@@ -21,6 +21,26 @@ import graft.functions.{VectorFunctions => VF}
   */
 object Similarity {
 
+  /** Scratch caches owned by the CURRENT training run (the trained
+    * centroid table and, transiently, the training sample). A new
+    * [[trainCentroids]] call releases the previous run's caches first,
+    * so repeated invocations (Bench reps, IvfProbe sweeps) hold at most
+    * one training's worth of cached tables instead of leaking one per
+    * call into the executor store for the session's lifetime. Callers
+    * that are completely done with IVF results can also call
+    * [[releaseCaches]] explicitly. Consuming a DataFrame returned by an
+    * EARLIER ivfTopK call after a new training run started merely
+    * recomputes (the caches are a performance artifact, not a
+    * correctness one).
+    */
+  private val liveCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  private def retain(df: DataFrame): DataFrame =
+    liveCaches.synchronized { liveCaches += df; df }
+  def releaseCaches(): Unit = liveCaches.synchronized {
+    liveCaches.foreach(_.unpersist(blocking = false))
+    liveCaches.clear()
+  }
+
   /** Exact top-k neighbors by cosine for each query vector.
     * `queries`/`corpus` must both have (`vec_id`, `embedding`); self-pairs
     * are excluded. The query side is broadcast — the corpus never
@@ -155,6 +175,7 @@ object Similarity {
       iters: Int = 2, trainN: Int = 1024,
       seedPlanes: Int = 6, dim: Int = 64): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
+    releaseCaches() // previous training run's scratch (see liveCaches)
     val keyed = corpus
       .select(col("vec_id"), col("embedding"),
         md5(concat(lit("ivf:"), col("vec_id").cast("string"))).as("hk"))
@@ -186,7 +207,7 @@ object Similarity {
       .select(col("cid"),
         transform(col("embedding"), x => x.cast("double")).as("ce"))
 
-    (1 to iters).foldLeft(seeds) { (cents, _) =>
+    val trained = (1 to iters).foldLeft(seeds) { (cents, _) =>
       val c = broadcast(cents.select(col("cid"), col("ce"),
         VF.l2Norm(col("ce")).as("cn")))
       // Argmax as a hash aggregate (max over (cos, -cid) structs), not a
@@ -217,9 +238,27 @@ object Similarity {
         .groupBy("cid")
         .agg(transform(array_sort(collect_list(struct(col("d"), col("cx")))),
           s => s.getField("cx")).as("ce_new"))
+      // Keep the previous centroid when a cell EMPTIES (ce_new is null —
+      // the left join misses) or when the rounded spherical mean CANCELS
+      // to the zero vector (a zero-norm centroid has no direction: the
+      // downstream cosine divides by cn=0, and NaN ordering diverges
+      // between engines — Spark treats NaN as greatest, so such a cell
+      // would capture every vector). Both guards are mirrored in the
+      // q_sim3/q_sim5 oracle SQL.
       cents.join(updated, Seq("cid"), "left")
-        .select(col("cid"), coalesce(col("ce_new"), col("ce")).as("ce"))
+        .select(col("cid"),
+          coalesce(when(VF.normSq(col("ce_new")) > 0, col("ce_new")), col("ce"))
+            .as("ce"))
     }
+    // Materialize the (nCentroids-row) trained table NOW: every consumer
+    // broadcasts it, concurrent broadcast builds racing an unmaterialized
+    // cache BOTH re-run the training DAG (measured: one full extra
+    // training), and materializing here lets the training sample's cache
+    // be dropped immediately instead of leaking past the run.
+    val out = retain(trained.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    out.count()
+    tr.unpersist(blocking = false)
+    out
   }
 
   /** IVF-style approximate top-k: a coarse quantizer partitions the
@@ -238,18 +277,13 @@ object Similarity {
       nCentroids: Int = 16, nProbe: Int = 4,
       lloydIters: Int = 2, trainN: Int = 1024,
       seedPlanes: Int = 6, dim: Int = 64): DataFrame = {
-    // Persisted AND eagerly materialized: the trained table is
-    // `nCentroids` rows but its lineage is the whole training DAG —
-    // corpus assignment and query probing each broadcast it, their
-    // broadcast-build jobs run CONCURRENTLY, and two racers hitting an
-    // unmaterialized cache both compute the training end to end
-    // (measured: the race costs a full extra training run). One tiny
-    // count() pins training to exactly one execution.
+    // trainCentroids returns an ALREADY persisted+materialized table
+    // (and owns its cache lifetime — see releaseCaches), so the
+    // concurrent-broadcast race is closed there; the cn projection here
+    // recomputes per consumer over nCentroids rows, which is free.
     val centroids = trainCentroids(corpus, nCentroids, lloydIters, trainN,
         seedPlanes, dim)
       .select(col("cid"), col("ce"), VF.l2Norm(col("ce")).as("cn"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    centroids.count()
 
     def assign(df: DataFrame, idCol: String, keep: Int): DataFrame = {
       val scored = df
@@ -292,6 +326,133 @@ object Similarity {
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", round(VF.dot(col("qe"), col("ne")) / (col("qn") * col("nn")), 6))
       .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
+  /** Per-dimension quantization grid for the int8 index: ONE row with
+    * (`lo`, `hi`) array<double> columns — the corpus min/max per
+    * dimension, exactly the grid q_sim4's error audit measures. One
+    * corpus scan, a `dim`-group aggregate, then a single-row array
+    * pack; the row broadcasts to quantize/reconstruct call sites.
+    */
+  def int8Stats(corpus: DataFrame, dim: Int = 64): DataFrame =
+    corpus
+      .select(posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("d"), col("x").cast("double").as("x"))
+      .groupBy("d")
+      .agg(min("x").as("lo"), max("x").as("hi"))
+      .groupBy()
+      .agg(
+        transform(array_sort(collect_list(struct(col("d"), col("lo")))),
+          s => s.getField("lo")).as("lo"),
+        transform(array_sort(collect_list(struct(col("d"), col("hi")))),
+          s => s.getField("hi")).as("hi"))
+
+  /** IVF top-k over an INT8-quantized corpus — the production shape the
+    * q_sim4 audit exists to justify: the stored index row is
+    * (`neighbor_id`, `cid`, `qcode` binary) at ONE byte per dimension
+    * (64 B/vector vs 256 B float32 — 4× smaller, which at 100 TB of
+    * embeddings is the difference between an index that fits executor
+    * memory and one that doesn't), and ranking runs on the
+    * reconstructed midpoints:
+    *
+    *  1. grid: per-dim corpus (min, max) ([[int8Stats]], one scan);
+    *  2. encode: [[graft.functions.QuantizeInt8]] → `qcode` (the index
+    *     payload); cells assigned on [[graft.functions.Int8Recon]]
+    *     midpoints — after encoding, the index never touches floats;
+    *  3. probe: queries stay float (asymmetric distance — the query is
+    *     not quantized, the standard SQ accuracy trade) and rank the
+    *     `nProbe` nearest cells against the trained float centroids;
+    *  4. candidate rank on the int8 side: cos(query float, corpus
+    *     midpoint), top `rerankDepth` per query survive;
+    *  5. exact float re-rank of the survivors only — the float
+    *     embeddings are fetched for ≤ rerankDepth·|queries| rows, never
+    *     for the corpus.
+    *
+    * Scale: steps 1-2 are one corpus scan each (the encode shuffles
+    * once, on the cell id, same as [[ivfTopK]]); step 4 touches
+    * nProbe/nCentroids of the index; step 5 is a candidate-only join
+    * back to the float store. Every arithmetic step is deterministic
+    * double IEEE — the q_sim5 oracle replays grid, codes, midpoints,
+    * cell assignment, probe, and both rankings verbatim.
+    */
+  def ivfTopKInt8(queries: DataFrame, corpus: DataFrame, k: Int,
+      rerankDepth: Int = 30, nCentroids: Int = 16, nProbe: Int = 4,
+      lloydIters: Int = 2, trainN: Int = 1024,
+      seedPlanes: Int = 6, dim: Int = 64): DataFrame = {
+    import graft.functions.{QuantExpressions => QE}
+    require(rerankDepth >= k, s"rerankDepth ($rerankDepth) must be >= k ($k)")
+    val centroids = trainCentroids(corpus, nCentroids, lloydIters, trainN,
+        seedPlanes, dim)
+      .select(col("cid"), col("ce"), VF.l2Norm(col("ce")).as("cn"))
+    val stats = int8Stats(corpus, dim)
+
+    // The stored index: id + one byte/dim. (lo, hi) ride along only to
+    // feed the midpoint reconstruction below; a persisted production
+    // index would store the 2·dim-double grid once, not per row.
+    val codes = corpus.crossJoin(broadcast(stats))
+      .select(col("vec_id").as("neighbor_id"),
+        QE.quantizeInt8(col("embedding"), col("lo"), col("hi")).as("qcode"),
+        col("lo"), col("hi"))
+    val recon = codes
+      .select(col("neighbor_id"),
+        QE.int8Recon(col("qcode"), col("lo"), col("hi")).as("re"))
+      .withColumn("rn", VF.l2Norm(col("re")))
+      // Midpoint vectors are zero-norm only in degenerate grids; the
+      // guard keeps the cosine NaN-free on both engines.
+      .where(col("rn") > 0)
+
+    // Cell assignment on the RECONSTRUCTED vectors — after encoding the
+    // index sees codes only. Same partial-before-exchange struct-argmax
+    // as ivfTopK: one row per vector crosses the wire, not ×nCentroids.
+    val assigned = recon.crossJoin(broadcast(centroids))
+      .withColumn("ccos",
+        round(VF.dot(col("re"), col("ce")) / (col("rn") * col("cn")), 6))
+      .groupBy("neighbor_id")
+      .agg(max(struct(col("ccos"), (-col("cid")).as("negcid"),
+        col("re"), col("rn"))).as("m"))
+      .select(col("neighbor_id"), col("m.re").as("re"), col("m.rn").as("rn"),
+        (-col("m.negcid")).as("cid"))
+
+    // Query-side probe: float queries rank the nProbe nearest cells —
+    // a window over |queries|×nCentroids rows, the small side.
+    val wq = Window.partitionBy("query_id").orderBy(col("ccos").desc, col("cid"))
+    val queryCells = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        VF.l2Norm(col("embedding")).as("qn"))
+      .where(col("qn") > 0)
+      .crossJoin(broadcast(centroids))
+      .withColumn("ccos",
+        round(VF.dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
+      .withColumn("crank", row_number().over(wq))
+      .where(col("crank") <= nProbe)
+      .select(col("query_id"), col("qe"), col("qn"), col("cid"))
+
+    // Int8-side candidate ranking; only the top rerankDepth per query
+    // survive to the float re-rank. (acos desc, neighbor_id) is a total
+    // order, so the cutoff is deterministic cross-engine.
+    val wa = Window.partitionBy("query_id").orderBy(col("acos").desc, col("neighbor_id"))
+    val survivors = assigned
+      .join(broadcast(queryCells), Seq("cid"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("acos",
+        round(VF.dot(col("qe"), col("re")) / (col("qn") * col("rn")), 6))
+      .withColumn("arank", row_number().over(wa))
+      .where(col("arank") <= rerankDepth)
+      .select("query_id", "neighbor_id")
+
+    // Exact float re-rank of survivors only.
+    val qv = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+      VF.l2Norm(col("embedding")).as("qn")).where(col("qn") > 0)
+    val cv = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"),
+      VF.l2Norm(col("embedding")).as("nn")).where(col("nn") > 0)
+    val wf = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    survivors
+      .join(broadcast(qv), "query_id")
+      .join(cv, "neighbor_id")
+      .withColumn("cos", round(VF.dot(col("qe"), col("ne")) / (col("qn") * col("nn")), 6))
+      .withColumn("rank", row_number().over(wf).cast("long"))
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "cos", "rank")
   }

@@ -41,6 +41,22 @@ object Similarity {
     liveCaches.clear()
   }
 
+  /** Scale rule for the IVF centroid count — IN CODE, not prose: the
+    * classic k ≈ √n balance point, where cell size (n/k) and probe cost
+    * (k) grow together as √n. At n = 2·10³ (the sf0.01 corpus) this
+    * gives 45; at n = 10⁹ (a 100 TB embedding store) ~32k centroids —
+    * still a broadcastable centroid table (32k × 64 doubles ≈ 16 MB)
+    * with ~31k-vector cells. Pair with `nProbe` chosen for the recall
+    * target: on THIS synthetic corpus (no cluster structure — held-out
+    * recall ≈ probed fraction, the ANN worst case) the measured curve
+    * at k=16 is nProbe 4 → 0.605, 6 → 0.715, 8 → 0.815, so the shipped
+    * default nProbe=8 is the ≥0.8 point; corpora with real cluster
+    * structure reach the same recall at far smaller probed fractions
+    * (SimilaritySpec's clustered corpus hits 0.9+ at nProbe=1).
+    */
+  def autoCentroids(corpusSize: Long): Int =
+    math.max(4, math.round(math.sqrt(corpusSize.toDouble)).toInt)
+
   /** Exact top-k neighbors by cosine for each query vector.
     * `queries`/`corpus` must both have (`vec_id`, `embedding`); self-pairs
     * are excluded. The query side is broadcast — the corpus never
@@ -172,7 +188,7 @@ object Similarity {
     * count — Lloyd on a hash-uniform sample converges the same.
     */
   def trainCentroids(corpus: DataFrame, nCentroids: Int = 16,
-      iters: Int = 2, trainN: Int = 1024,
+      iters: Int = 2, trainN: Int = 4096,
       seedPlanes: Int = 6, dim: Int = 64): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     releaseCaches() // previous training run's scratch (see liveCaches)
@@ -274,8 +290,8 @@ object Similarity {
     * is the persisted index and queries touch nProbe/nCentroids of it.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      nCentroids: Int = 16, nProbe: Int = 4,
-      lloydIters: Int = 2, trainN: Int = 1024,
+      nCentroids: Int = 16, nProbe: Int = 8,
+      lloydIters: Int = 2, trainN: Int = 4096,
       seedPlanes: Int = 6, dim: Int = 64): DataFrame = {
     // trainCentroids returns an ALREADY persisted+materialized table
     // (and owns its cache lifetime — see releaseCaches), so the
@@ -378,8 +394,8 @@ object Similarity {
     * cell assignment, probe, and both rankings verbatim.
     */
   def ivfTopKInt8(queries: DataFrame, corpus: DataFrame, k: Int,
-      rerankDepth: Int = 30, nCentroids: Int = 16, nProbe: Int = 4,
-      lloydIters: Int = 2, trainN: Int = 1024,
+      rerankDepth: Int = 30, nCentroids: Int = 16, nProbe: Int = 8,
+      lloydIters: Int = 2, trainN: Int = 4096,
       seedPlanes: Int = 6, dim: Int = 64): DataFrame = {
     import graft.functions.{QuantExpressions => QE}
     require(rerankDepth >= k, s"rerankDepth ($rerankDepth) must be >= k ($k)")

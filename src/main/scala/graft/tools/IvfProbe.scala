@@ -91,13 +91,32 @@ object IvfProbe {
     }
     recall("first-N nProbe=4", ivfWith(firstN, 4))
     for (iters <- Seq(0, 1, 2, 3))
-      centroidStats(s"kmeans-$iters", Similarity.trainCentroids(embs, 16, iters), 4)
+      centroidStats(s"kmeans-$iters",
+        Similarity.trainCentroids(embs, 16, iters, trainN = 1024), 4)
     for (iters <- Seq(0, 1, 2, 3))
       recall(s"kmeans-$iters nProbe=4",
-        Similarity.ivfTopK(q, embs, 10, lloydIters = iters))
+        Similarity.ivfTopK(q, embs, 10, lloydIters = iters,
+          nProbe = 4, trainN = 1024))
     for (np <- Seq(6, 8))
       recall(s"kmeans-2 nProbe=$np",
-        Similarity.ivfTopK(q, embs, 10, nProbe = np))
+        Similarity.ivfTopK(q, embs, 10, nProbe = np, trainN = 1024))
+
+    // Round-4 section: shipped defaults (nProbe=8, trainN=4096) and the
+    // int8 index at matched parameters — the float-vs-int8 recall deltas
+    // behind SCALE.md's int8 table and the documented-defaults test.
+    recall("float defaults np=8", Similarity.ivfTopK(q, embs, 10))
+    recall("int8 defaults np=8", Similarity.ivfTopKInt8(q, embs, 10))
+    recall("float np=4 tr=1024",
+      Similarity.ivfTopK(q, embs, 10, nProbe = 4, trainN = 1024))
+    recall("int8 np=4 tr=1024 (q_sim5 params)",
+      Similarity.ivfTopKInt8(q, embs, 10, nProbe = 4, trainN = 1024))
+    for (rd <- Seq(10, 30, 60))
+      recall(s"int8 np=8 rerank=$rd",
+        Similarity.ivfTopKInt8(q, embs, 10, rerankDepth = rd))
+    val kAuto = Similarity.autoCentroids(n)
+    for (np <- Seq(8, 12, 16, 22))
+      recall(f"auto k=$kAuto np=$np",
+        Similarity.ivfTopK(q, embs, 10, nCentroids = kAuto, nProbe = np))
     spark.stop()
   }
 }

@@ -91,8 +91,13 @@ class SimilaritySpec extends SparkSpec {
     val q = embs.where(col("vec_id") >= 100 && col("vec_id") < 120)
     val exact = Similarity.bruteForceTopK(q, embs, k = 10).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Params pinned to the round-3 measurement point (nProbe=4,
+    // trainN=1024) — the operator DEFAULTS moved to the ≥0.8-recall
+    // settings in round 4, which the "documented defaults" test below
+    // covers separately.
     def recallOf(iters: Int): Double = {
-      val approx = Similarity.ivfTopK(q, embs, k = 10, lloydIters = iters).collect()
+      val approx = Similarity.ivfTopK(q, embs, k = 10, lloydIters = iters,
+        nProbe = 4, trainN = 1024).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       (exact intersect approx).size.toDouble / exact.size
     }
@@ -125,6 +130,64 @@ class SimilaritySpec extends SparkSpec {
     info(f"adversarial-order corpus: k-means recall@10 = $recall%.3f at nProbe=1")
     assert(recall >= 0.9,
       f"k-means should recover the cluster structure, got $recall%.3f")
+  }
+
+  test("IVF held-out recall >= 0.8 at the documented defaults, float AND int8") {
+    // The shipped default story (VERDICT r3 ask #2), measured end to end:
+    // nCentroids=16, nProbe=8, trainN=4096 on held-out queries (vec_id
+    // 100-119 — disjoint from every seed path; first-N leakage lesson).
+    // IvfProbe curve at k=16: nProbe 4 -> 0.605, 6 -> 0.715, 8 -> 0.815;
+    // the default sits at the >= 0.8 point. The int8 index at the same
+    // parameters measures IDENTICAL recall (0.815): 256 levels/dim on
+    // the corpus (min,max) grid perturbs no top-10 ordering that the
+    // float re-rank doesn't restore — q_sim4's error audit made that
+    // prediction, this pins it.
+    val embs = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val q = embs.where(col("vec_id") >= 100 && col("vec_id") < 120)
+    val exact = Similarity.bruteForceTopK(q, embs, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(res: org.apache.spark.sql.DataFrame): Double = {
+      val approx = res.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact intersect approx).size.toDouble / exact.size
+    }
+    val fl = recallOf(Similarity.ivfTopK(q, embs, k = 10))
+    val i8 = recallOf(Similarity.ivfTopKInt8(q, embs, k = 10))
+    info(f"held-out recall@10 at defaults: float=$fl%.3f int8=$i8%.3f")
+    assert(fl >= 0.8, f"float IVF recall $fl%.3f below the documented 0.8 default target")
+    assert(i8 >= 0.8, f"int8 IVF recall $i8%.3f below the documented 0.8 default target")
+  }
+
+  test("QuantizeInt8/Int8Recon: codes, clamp, degenerate dims, size guard") {
+    import graft.functions.{QuantExpressions => QE}
+    // Grid: dim0 spans [0,1] (codes quantize x*255), dim1 is DEGENERATE
+    // (hi == lo: code 0, recon = lo exactly), dim2 spans [-2,2].
+    val df = Seq(
+      (1L, Seq(0.0f, 7.5f, -2.0f)),
+      (2L, Seq(1.0f, 7.5f, 2.0f)),
+      (3L, Seq(0.5f, 7.5f, 0.0f))).toDF("vec_id", "embedding")
+      .withColumn("lo", typedLit(Seq(0.0, 7.5, -2.0)))
+      .withColumn("hi", typedLit(Seq(1.0, 7.5, 2.0)))
+    val out = df.select(col("vec_id"), col("lo"), col("hi"),
+        QE.quantizeInt8(col("embedding"), col("lo"), col("hi")).as("qcode"))
+      .withColumn("re", QE.int8Recon(col("qcode"), col("lo"), col("hi")))
+      .orderBy("vec_id").collect()
+    def codes(i: Int): Seq[Int] =
+      out(i).getAs[Array[Byte]]("qcode").toSeq.map(_ & 0xff)
+    assert(codes(0) == Seq(0, 0, 0), s"min-of-range codes: ${codes(0)}")
+    assert(codes(1) == Seq(255, 0, 255), s"max clamps to 255: ${codes(1)}")
+    assert(codes(2) == Seq(127, 0, 127), s"midpoints floor down: ${codes(2)}")
+    val re1 = out(0).getAs[scala.collection.Seq[Double]]("re")
+    assert(math.abs(re1(0) - (0.5 / 256.0)) < 1e-15) // code 0 midpoint
+    assert(re1(1) == 7.5) // degenerate dim reconstructs lo exactly
+    assert(math.abs(re1(2) - (-2.0 + 0.5 * 4.0 / 256.0)) < 1e-15)
+    // Grid/vector length mismatch must throw, not prefix-quantize.
+    val bad = df.withColumn("lo2", typedLit(Seq(0.0, 7.5)))
+    val ex = intercept[Exception] {
+      bad.select(QE.quantizeInt8(col("embedding"), col("lo2"), col("hi"))).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("grid length must match")), ex.getMessage)
   }
 
   test("lshTopK fails loudly when a vector exceeds the plan-time dim") {

@@ -20,6 +20,52 @@ import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
   */
 object Dedup {
 
+  /** Routing for [[nearDups]] — the measured scale findings as an API
+    * decision instead of documentation (SCALE.md decade probe):
+    * MinHash-LSH candidate volume is collision-bound (~independent of
+    * corpus size; tracks true-duplicate mass), while SimHash chunk
+    * blocking is measured exponent ≈ 2.0 on low-entropy corpora and
+    * blocking keys buy a constant (÷3.8 for `lang`), not a better
+    * exponent. So the facade defaults to MinHash-LSH, and admits
+    * SimHash ONLY with explicit blocking keys; the unblocked SimHash
+    * baseline stays reachable through [[simhashNearDups]] directly,
+    * clearly labeled as the measured-quadratic verification form.
+    */
+  sealed trait NearDupMethod
+
+  /** The default: shingle → fused 64-perm signature+banding
+    * ([[graft.functions.MinHashBands]]) → band-bucket self-join →
+    * exact-Jaccard verify ≥ `threshold`. Output: (`doc_a`, `doc_b`,
+    * `jaccard`).
+    */
+  final case class MinHashLsh(numPerms: Int = 64, bands: Int = 16,
+      shingleSize: Int = 3, threshold: Double = 0.5) extends NearDupMethod
+
+  /** SimHash chunk blocking WITH mandatory pre-blocking keys (`lang`, a
+    * length bucket, a source id — candidates must agree on all of
+    * them). Output: (`doc_a`, `doc_b`, `hamming`).
+    */
+  final case class SimHashBlocked(blockBy: Seq[String], maxHamming: Int = 3,
+      bits: Int = 64) extends NearDupMethod {
+    require(blockBy.nonEmpty,
+      "SimHash near-dup requires explicit blocking keys: unblocked candidate " +
+        "volume is measured quadratic in corpus size (SCALE.md decade probe). " +
+        "Use Dedup.simhashNearDups directly for the unblocked baseline, or " +
+        "MinHashLsh (the default) for unblocked near-dup at scale.")
+  }
+
+  /** Near-duplicate pairs over (`doc_id`, `text`) documents — the one
+    * user-facing entry point; routes per [[NearDupMethod]] (MinHash-LSH
+    * unless blocked SimHash is requested explicitly).
+    */
+  def nearDups(docs: DataFrame,
+      method: NearDupMethod = MinHashLsh()): DataFrame = method match {
+    case m: MinHashLsh =>
+      minhashNearDups(docs, m.numPerms, m.bands, m.shingleSize, m.threshold)
+    case s: SimHashBlocked =>
+      simhashNearDups(docs, s.maxHamming, md5Parity = false, s.bits, s.blockBy)
+  }
+
   /** DD-1 (doc-level): exact duplicate clusters by content fingerprint.
     * Input must have (`doc_id`, `text`).
     */

@@ -51,6 +51,29 @@ class DedupSpec extends SparkSpec {
     assert(!m.keySet.exists { case (a, b) => a == 3L || b == 3L }, s"unrelated absent: $m")
   }
 
+  test("nearDups facade: defaults to MinHash-LSH, blocked SimHash on request, unblocked SimHash refused") {
+    // Default route ≡ minhashNearDups — same pairs, same jaccard column.
+    val viaFacade = Dedup.nearDups(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val direct = Dedup.minhashNearDups(docs, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaFacade == direct, s"facade default must be MinHash-LSH: $viaFacade vs $direct")
+
+    // Blocked SimHash route ≡ simhashNearDups with the same keys.
+    val long0 = (1 to 64).map(i => s"tok$i").mkString(" ")
+    val d = Seq((0L, long0, "en"), (1L, long0, "en"), (2L, long0, "es"))
+      .toDF("doc_id", "text", "lang")
+    val blocked = Dedup.nearDups(d, Dedup.SimHashBlocked(Seq("lang")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked == Set((0L, 1L)), // the es copy is cross-block, excluded
+      s"blocked route must respect the blocking key: $blocked")
+
+    // The measured-quadratic unblocked form is an explicit opt-out, not
+    // a facade path: constructing SimHashBlocked without keys refuses.
+    val ex = intercept[IllegalArgumentException] { Dedup.SimHashBlocked(Nil) }
+    assert(ex.getMessage.contains("explicit blocking keys"), ex.getMessage)
+  }
+
   test("minhashNearDups finds exact duplicates SHORTER than the shingle size") {
     val shortDocs = Seq(
       (0L, "tiny doc"), (1L, "tiny doc"), // 2 tokens < shingleSize 3

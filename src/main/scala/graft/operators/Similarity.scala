@@ -191,6 +191,16 @@ object Similarity {
       iters: Int = 2, trainN: Int = 4096,
       seedPlanes: Int = 6, dim: Int = 64): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
+    // The sign-bucket seeding can produce at most 2^seedPlanes distinct
+    // seeds — a fixed plane count silently CAPS the centroid count (the
+    // round-4 SimScalingProbe caught autoCentroids(50k)=224 collapsing
+    // to 64 cells at the old fixed 6 planes). Derive the effective plane
+    // count as ceil(log2(nCentroids)) + 2 (4× bucket headroom so enough
+    // buckets are actually filled), floored at the caller's value; at
+    // the q_sim3/q_sim5 oracle shape (nCentroids=16, seedPlanes=6) the
+    // derived value is exactly 6, so pinned oracles are unaffected.
+    val sp = math.max(seedPlanes,
+      (if (nCentroids <= 1) 0 else 32 - Integer.numberOfLeadingZeros(nCentroids - 1)) + 2)
     releaseCaches() // previous training run's scratch (see liveCaches)
     val keyed = corpus
       .select(col("vec_id"), col("embedding"),
@@ -210,7 +220,7 @@ object Similarity {
     // Bucket-exemplar seeding over the (small) sample: one sign table,
     // exemplar = lowest (hk, vec_id) per bucket, biggest buckets first.
     val buckets = signBuckets(tr.select(col("vec_id"), col("embedding")),
-        seedPlanes, tables = 1, dim = dim, tableOffset = -1)
+        sp, tables = 1, dim = dim, tableOffset = -1)
       .select(col("vec_id"), col("bucket"))
       .join(tr.select(col("vec_id"), col("hk")), "vec_id")
       .groupBy("bucket")
@@ -486,20 +496,32 @@ object Similarity {
     * neighbors share coarse cells. Scale: planes should grow ~log2 of
     * corpus size to keep bucket sizes constant.
     */
-  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+  /** LSH candidate pairs BEFORE the exact re-rank — the bucket-collision
+    * stage of [[lshTopK]], exposed (like
+    * [[graft.operators.Dedup.simhashCandidates]]) so candidate volume —
+    * the operator's true scale cost — is measurable directly
+    * (graft.tools.SimScalingProbe). Returns distinct (`query_id`,
+    * `neighbor_id`) rows. Candidate generation and dedup carry ONLY id
+    * pairs — at corpus scale the dedup shuffle is 16 bytes/row, not two
+    * embeddings/row.
+    */
+  def lshCandidates(queries: DataFrame, corpus: DataFrame,
       planes: Int = 6, tables: Int = 8, dim: Int = 64): DataFrame = {
-    // Candidate generation and dedup carry ONLY id pairs — at corpus
-    // scale the dedup shuffle is 16 bytes/row, not two embeddings/row;
-    // vectors and norms join back for the surviving candidates alone
-    // (the same join-back shape the generated oracle uses).
     val qb = signBuckets(queries, planes, tables, dim)
       .select(col("vec_id").as("query_id"), col("table"), col("bucket"))
     val cb = signBuckets(corpus, planes, tables, dim)
       .select(col("vec_id").as("neighbor_id"), col("table"), col("bucket"))
-    val candidates = cb.join(broadcast(qb), Seq("table", "bucket"))
+    cb.join(broadcast(qb), Seq("table", "bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id")
       .dropDuplicates("query_id", "neighbor_id")
+  }
+
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      planes: Int = 6, tables: Int = 8, dim: Int = 64): DataFrame = {
+    // Vectors and norms join back for the surviving candidates alone
+    // (the same join-back shape the generated oracle uses).
+    val candidates = lshCandidates(queries, corpus, planes, tables, dim)
     // Zero-norm vectors (no defined cosine) drop at this inner join —
     // identical output to filtering them before bucketing.
     val qv = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"),

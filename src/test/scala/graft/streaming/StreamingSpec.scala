@@ -118,6 +118,24 @@ class StreamingSpec extends SparkSpec {
       assert(pairs.contains((1L, 100L)) && pairs.contains((2L, 101L)), s"got $pairs")
       assert(!pairs.contains((2L, 100L)), "out-of-window pair excluded")
       assert(!pairs.exists(_._1 == 3L), "no match for isolated record")
+      // LATE DATA: with both watermarks at ~16:00, a 15:00:30 left row
+      // (would match r 100 if on time) arrives an hour late — dropped,
+      // no new output row.
+      val before = spark.table("ssj_out").count()
+      lmem.addData(reading("2022-07-14 15:00:30", 4))
+      q.processAllAvailable()
+      assert(spark.table("ssj_out").count() == before,
+        "late row behind the watermark must be dropped")
+      val latePairs = spark.table("ssj_out").collect()
+        .map(r => (r.getAs[Long]("count"), r.getAs[Long]("r_count"))).toSet
+      assert(!latePairs.exists(_._1 == 4L), s"late row produced output: $latePairs")
+      // STATE CLEANUP: the 15:00-15:10 join state is behind both
+      // watermarks and must have been evicted — only the most recent
+      // rows (the 16:00 watermark-advancers and the dropped-late
+      // bookkeeping) may remain buffered.
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows <= 4,
+        s"join state not evicted by the watermarks: $stateRows rows buffered")
     } finally q.stop()
   }
 

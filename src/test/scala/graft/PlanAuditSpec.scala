@@ -129,6 +129,38 @@ class PlanAuditSpec extends SparkSpec {
       "corpus cell assignment must be the agg argmax, not a window over neighbor_id")
   }
 
+  test("q_sim5: int8 path keeps the agg-argmax assignment and the native quant expressions") {
+    val p = plan("q_sim5_ivf_int8")
+    assert(p.contains("InMemoryTableScan"),
+      "trained centroids must come from the persisted table: " + p.take(500))
+    assert(!p.contains("windowspecdefinition(neighbor_id"),
+      "int8 cell assignment must stay the agg argmax, not a window over neighbor_id")
+    assert(p.contains("quantize_int8"),
+      "corpus must be encoded by the native QuantizeInt8 expression: " + p.take(800))
+    assert(p.contains("int8_recon"),
+      "candidate ranking must read Int8Recon midpoints: " + p.take(800))
+  }
+
+  test("QuantizeInt8 + Int8Recon compile under CODEGEN_ONLY (no janino fallback)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{QuantExpressions => QE}
+    import spark.implicits._
+    withConfs("spark.sql.codegen.factoryMode" -> "CODEGEN_ONLY") {
+      // TWO quantize+recon chains in ONE projection — the codegen scope
+      // that would collide without fresh generated locals.
+      val df = Seq((Seq(0.1f, 0.9f), Seq(0.4f, 0.6f))).toDF("a", "b")
+        .withColumn("lo", typedLit(Seq(0.0, 0.0)))
+        .withColumn("hi", typedLit(Seq(1.0, 1.0)))
+      val row = df.select(
+        QE.int8Recon(QE.quantizeInt8(col("a"), col("lo"), col("hi")),
+          col("lo"), col("hi")).as("ra"),
+        QE.int8Recon(QE.quantizeInt8(col("b"), col("lo"), col("hi")),
+          col("lo"), col("hi")).as("rb")).head()
+      val ra = row.getAs[scala.collection.Seq[Double]]("ra")
+      assert(math.abs(ra(0) - 25.5 / 256.0) < 1e-12, s"recon mismatch: $ra")
+    }
+  }
+
   test("q_rel27: correlated EXISTS/NOT EXISTS decorrelate to semi + anti joins") {
     val p = plan("q_rel27_exists_subquery")
     assert(p.contains("LeftSemi"), "EXISTS must decorrelate to a semi join: " + p.take(500))

@@ -639,6 +639,88 @@ object ExtensionQueries {
       |      FROM e JOIN s ON e.d = s.d)
       |GROUP BY label ORDER BY label""".stripMargin
 
+  /** SIM-5b: the int8 index as a DURABLE artifact — build
+    * [[Similarity.int8Index]] (id + cell + one byte/dim) and its one-row
+    * grid, WRITE both to parquet, read them back, and digest:
+    * row/cell/cid counts, an EXACT code checksum (Σ(code+0.5) — dyadic
+    * halves sum exactly in double, so the value is order-independent
+    * across engines), and the re-read grid's element sum. The DuckDB
+    * oracle recomputes the identical quantized build (training, grid,
+    * codes, cell argmax) straight from the parquet corpus, so equality
+    * proves the persisted index is a lossless, duplicate-free copy of
+    * the build — the "train once, serve forever" artifact the int8
+    * story ends in.
+    */
+  def int8IndexRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{QuantExpressions => QE}
+    val embs = Tables.embeddings(spark, dir)
+    val base = RelationalQueries.scratchDir("sim5b")
+    Similarity.int8Index(embs, nCentroids = 16, lloydIters = 2,
+        trainN = 1024, seedPlanes = 6, dim = 64)
+      .write.mode("overwrite").parquet(s"$base/index")
+    Similarity.int8Stats(embs).write.mode("overwrite").parquet(s"$base/grid")
+    val rIndex = spark.read.parquet(s"$base/index")
+    val rGrid = spark.read.parquet(s"$base/grid")
+    // codes + 0.5, recovered from the BYTES via the recon expression
+    // with the (0, 256) grid: lo + (code+0.5)·(256-0)/256 = code + 0.5.
+    val halves = QE.int8Recon(col("qcode"),
+      typedLit(Seq.fill(64)(0.0)), typedLit(Seq.fill(64)(256.0)))
+    val gridSum = rGrid.select(round(
+      aggregate(col("lo"), lit(0.0), (a, x) => a + x) +
+        aggregate(col("hi"), lit(0.0), (a, x) => a + x), 6).as("grid_sum"))
+    rIndex
+      .select(col("neighbor_id"), col("cid"),
+        aggregate(halves, lit(0.0), (a, x) => a + x).as("vec_code_sum"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct("cid").as("n_cells"),
+        sum("cid").cast("long").as("sum_cid"),
+        sum("vec_code_sum").as("code_sum"))
+      .crossJoin(gridSum)
+  }
+
+  val int8IndexRoundtripSql: String = {
+    val (nc, iters, trainN, dim) = (16, 2, 1024, 64)
+    val (training, cFinal) = ivfTrainingCtes(nc, iters, trainN, seedPlanes = 6, dim = dim)
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |$training,
+       |st AS (SELECT list(lo ORDER BY d) AS lo, list(hi ORDER BY d) AS hi FROM (
+       |         SELECT d.range AS d, min(v.e[d.range + 1]) AS lo,
+       |                max(v.e[d.range + 1]) AS hi
+       |         FROM v CROSS JOIN range($dim) d GROUP BY 1)),
+       |qc AS (SELECT v.vec_id, list_transform(range($dim), d ->
+       |         CASE WHEN st.hi[d + 1] > st.lo[d + 1]
+       |              THEN LEAST(GREATEST(floor((v.e[d + 1] - st.lo[d + 1])
+       |                     / (st.hi[d + 1] - st.lo[d + 1]) * 255.0), 0.0), 255.0)
+       |              ELSE 0.0 END) AS codes
+       |       FROM v CROSS JOIN st),
+       |re AS (SELECT v.vec_id, list_transform(range($dim), d ->
+       |         CASE WHEN st.hi[d + 1] > st.lo[d + 1]
+       |              THEN st.lo[d + 1] +
+       |                   (LEAST(GREATEST(floor((v.e[d + 1] - st.lo[d + 1])
+       |                      / (st.hi[d + 1] - st.lo[d + 1]) * 255.0), 0.0), 255.0)
+       |                    + 0.5) * (st.hi[d + 1] - st.lo[d + 1]) / 256.0
+       |              ELSE st.lo[d + 1] END) AS re
+       |       FROM v CROSS JOIN st),
+       |rz AS (SELECT vec_id, re FROM re WHERE list_dot_product(re, re) > 0),
+       |caq AS (SELECT vec_id AS neighbor_id, cid FROM (
+       |    SELECT r.vec_id, c.cid,
+       |           row_number() OVER (PARTITION BY r.vec_id
+       |             ORDER BY round(list_cosine_similarity(r.re, c.ce), 6) DESC, c.cid) AS rn
+       |    FROM rz r CROSS JOIN $cFinal c)
+       |  WHERE rn = 1)
+       |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       |       CAST(count(DISTINCT cid) AS BIGINT) AS n_cells,
+       |       CAST(sum(cid) AS BIGINT) AS sum_cid,
+       |       sum(vec_code_sum) AS code_sum,
+       |       (SELECT round(list_aggregate(lo, 'sum') + list_aggregate(hi, 'sum'), 6)
+       |        FROM st) AS grid_sum
+       |FROM (SELECT caq.neighbor_id, caq.cid,
+       |             list_aggregate(list_transform(qc.codes, c -> c + 0.5), 'sum')
+       |               AS vec_code_sum
+       |      FROM caq JOIN qc ON caq.neighbor_id = qc.vec_id)""".stripMargin
+  }
+
   // ----------------------------------------------------------------- ML-1
   /** Reproducible train/val/test split (80/10/10 on id residue) with
     * per-split corpus stats — the split is a pure projection, no

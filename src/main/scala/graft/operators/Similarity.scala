@@ -391,6 +391,56 @@ object Similarity {
         transform(array_sort(collect_list(struct(col("d"), col("hi")))),
           s => s.getField("hi")).as("hi"))
 
+  /** Shared int8 build: encode the corpus (one byte/dim; (lo, hi) ride
+    * along only to feed the midpoint reconstruction — the persisted
+    * production index stores the 2·dim-double grid ONCE, see
+    * [[int8Index]]), reconstruct midpoints, and assign cells on the
+    * reconstruction — after encoding, the index sees codes only. Cell
+    * assignment is the same partial-before-exchange struct-argmax as
+    * [[ivfTopK]]: one row per vector crosses the wire, not ×nCentroids.
+    * Returns (`neighbor_id`, `qcode`, `re`, `rn`, `cid`).
+    */
+  private def int8CorpusCells(corpus: DataFrame, centroids: DataFrame,
+      stats: DataFrame): DataFrame = {
+    import graft.functions.{QuantExpressions => QE}
+    val recon = corpus.crossJoin(broadcast(stats))
+      .select(col("vec_id").as("neighbor_id"),
+        QE.quantizeInt8(col("embedding"), col("lo"), col("hi")).as("qcode"),
+        col("lo"), col("hi"))
+      .select(col("neighbor_id"), col("qcode"),
+        QE.int8Recon(col("qcode"), col("lo"), col("hi")).as("re"))
+      .withColumn("rn", VF.l2Norm(col("re")))
+      // Midpoint vectors are zero-norm only in degenerate grids; the
+      // guard keeps the cosine NaN-free on both engines.
+      .where(col("rn") > 0)
+    recon.crossJoin(broadcast(centroids))
+      .withColumn("ccos",
+        round(VF.dot(col("re"), col("ce")) / (col("rn") * col("cn")), 6))
+      .groupBy("neighbor_id")
+      .agg(max(struct(col("ccos"), (-col("cid")).as("negcid"),
+        col("qcode"), col("re"), col("rn"))).as("m"))
+      .select(col("neighbor_id"), col("m.qcode").as("qcode"),
+        col("m.re").as("re"), col("m.rn").as("rn"), (-col("m.negcid")).as("cid"))
+  }
+
+  /** The PERSISTED int8 index artifact: (`neighbor_id`, `cid`, `qcode`)
+    * — id + cell + one byte per dimension, the table a production
+    * deployment writes once and serves every query from ([[ivfTopKInt8]]
+    * is the query-time plan over exactly this build). Store it next to
+    * [[int8Stats]]'s one-row grid (the decode key); q_sim5b proves the
+    * write→read cycle lossless by digest against an oracle that replays
+    * the entire quantized build.
+    */
+  def int8Index(corpus: DataFrame, nCentroids: Int = 16,
+      lloydIters: Int = 2, trainN: Int = 4096,
+      seedPlanes: Int = 6, dim: Int = 64): DataFrame = {
+    val centroids = trainCentroids(corpus, nCentroids, lloydIters, trainN,
+        seedPlanes, dim)
+      .select(col("cid"), col("ce"), VF.l2Norm(col("ce")).as("cn"))
+    int8CorpusCells(corpus, centroids, int8Stats(corpus, dim))
+      .select("neighbor_id", "cid", "qcode")
+  }
+
   /** IVF top-k over an INT8-quantized corpus — the production shape the
     * q_sim4 audit exists to justify: the stored index row is
     * (`neighbor_id`, `cid`, `qcode` binary) at ONE byte per dimension
@@ -423,39 +473,14 @@ object Similarity {
       rerankDepth: Int = 30, nCentroids: Int = 16, nProbe: Int = 8,
       lloydIters: Int = 2, trainN: Int = 4096,
       seedPlanes: Int = 6, dim: Int = 64): DataFrame = {
-    import graft.functions.{QuantExpressions => QE}
     require(rerankDepth >= k, s"rerankDepth ($rerankDepth) must be >= k ($k)")
     val centroids = trainCentroids(corpus, nCentroids, lloydIters, trainN,
         seedPlanes, dim)
       .select(col("cid"), col("ce"), VF.l2Norm(col("ce")).as("cn"))
     val stats = int8Stats(corpus, dim)
 
-    // The stored index: id + one byte/dim. (lo, hi) ride along only to
-    // feed the midpoint reconstruction below; a persisted production
-    // index would store the 2·dim-double grid once, not per row.
-    val codes = corpus.crossJoin(broadcast(stats))
-      .select(col("vec_id").as("neighbor_id"),
-        QE.quantizeInt8(col("embedding"), col("lo"), col("hi")).as("qcode"),
-        col("lo"), col("hi"))
-    val recon = codes
-      .select(col("neighbor_id"),
-        QE.int8Recon(col("qcode"), col("lo"), col("hi")).as("re"))
-      .withColumn("rn", VF.l2Norm(col("re")))
-      // Midpoint vectors are zero-norm only in degenerate grids; the
-      // guard keeps the cosine NaN-free on both engines.
-      .where(col("rn") > 0)
-
-    // Cell assignment on the RECONSTRUCTED vectors — after encoding the
-    // index sees codes only. Same partial-before-exchange struct-argmax
-    // as ivfTopK: one row per vector crosses the wire, not ×nCentroids.
-    val assigned = recon.crossJoin(broadcast(centroids))
-      .withColumn("ccos",
-        round(VF.dot(col("re"), col("ce")) / (col("rn") * col("cn")), 6))
-      .groupBy("neighbor_id")
-      .agg(max(struct(col("ccos"), (-col("cid")).as("negcid"),
-        col("re"), col("rn"))).as("m"))
-      .select(col("neighbor_id"), col("m.re").as("re"), col("m.rn").as("rn"),
-        (-col("m.negcid")).as("cid"))
+    val assigned = int8CorpusCells(corpus, centroids, stats)
+      .select("neighbor_id", "re", "rn", "cid")
 
     // Query-side probe: float queries rank the nProbe nearest cells —
     // a window over |queries|×nCentroids rows, the small side.

@@ -13,13 +13,13 @@ import sys
 QUERIES = [
     "q_rel1_scan_filter", "q_rel4_join_broadcast", "q_adv1_shipping_priority",
     "q_dd5_minhash_lsh", "q_sim1_cosine_topk", "q_sim2_ann_lsh",
-    "q_sim3_ivf", "q_rel14_topk",
+    "q_sim3_ivf", "q_sim5_ivf_int8", "q_rel14_topk",
 ]
 
 HEADER = '''# PLANS — executed physical plans of headline queries
 
 `graft.tools.Explain` output (sf0.001, the engine's own AQE-enabled
-session) for eight representative queries — the evidence behind SCALE.md's
+session) for nine representative queries — the evidence behind SCALE.md's
 shuffle-structure claims, regenerable any time with:
 
 ```bash
@@ -35,7 +35,10 @@ all 64 permutation and plane literals). What to look for:
 id-pair-only candidate dedup followed by vector join-back in the LSH ANN
 path (SIM-2), the persisted (`InMemoryTableScan`) k-means training plus the
 partial-before-exchange argmax aggregate (not a corpus-wide window)
-for IVF cell assignment (SIM-3), and wide `WholeStageCodegen` spans
+for IVF cell assignment (SIM-3), the same shapes over the native
+quantize_int8/int8_recon byte codes plus the rerank-depth window and
+candidate-only float join-back in the int8 index path (SIM-5), and wide
+`WholeStageCodegen` spans
 throughout.
 
 ```

@@ -31,8 +31,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    SparkEntry.queries.get("q_rel1_scan_filter")
-      .foreach(fn => try { fn(spark, sfDir).count() } catch { case _: Throwable => () })
+    // Untimed warmups spanning the main execution paths (scan/pushdown,
+    // shuffle join + agg, window) — with a single scan-only warmup, the
+    // first queries in sorted order paid the JIT for joins and windows:
+    // q_adv1 measured 1.4 s in full runs vs 0.67 s once warm.
+    for (w <- Seq("q_rel1_scan_filter", "q_adv2_local_supplier_volume",
+        "q_rel12_window_rank"))
+      SparkEntry.queries.get(w)
+        .foreach(fn => try { fn(spark, sfDir).count() } catch { case _: Throwable => () })
     // Optional args = subset of query names to (re)run (local profiling;
     // the driver passes none). SPARK_GRAFT_REPS overrides the base reps.
     val selected =

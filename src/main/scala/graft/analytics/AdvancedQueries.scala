@@ -22,8 +22,14 @@ object AdvancedQueries {
     val cust = Tables.customer(spark, dir).where(col("c_mktsegment") === "BUILDING")
     val orders = Tables.orders(spark, dir).where(col("o_orderdate") < lit(cutoff))
     val li = Tables.lineitem(spark, dir).where(col("l_shipdate") > lit(cutoff))
-    li.join(orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+    // Broadcast-reduce orders by the customer-segment filter BEFORE the
+    // large-large lineitem join: the BUILDING segment keeps ~1/5 of
+    // customers, so the orders side of the one real shuffle carries 5×
+    // fewer rows (Catalyst won't reorder inner joins without CBO stats,
+    // so the reduction is stated in plan order — the semi-join-reduction
+    // shape you'd want at 100 TB, where orders is itself a fact table).
+    val bOrders = orders.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+    li.join(bOrders, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
         col("o_orderpriority"))

@@ -481,7 +481,17 @@ object Similarity {
 
     val assigned = int8CorpusCells(corpus, centroids, stats)
       .select("neighbor_id", "re", "rn", "cid")
+    int8Query(queries, assigned, centroids, corpus, k, rerankDepth, nProbe)
+  }
 
+  /** Query tail shared by [[ivfTopKInt8]] (in-plan build) and
+    * [[queryInt8Index]] (persisted index): float probe → int8 candidate
+    * rank → exact float re-rank. `assigned` carries (`neighbor_id`,
+    * `re`, `rn`, `cid`); `centroids` carries (`cid`, `ce`, `cn`).
+    */
+  private def int8Query(queries: DataFrame, assigned: DataFrame,
+      centroids: DataFrame, corpus: DataFrame, k: Int,
+      rerankDepth: Int, nProbe: Int): DataFrame = {
     // Query-side probe: float queries rank the nProbe nearest cells —
     // a window over |queries|×nCentroids rows, the small side.
     val wq = Window.partitionBy("query_id").orderBy(col("ccos").desc, col("cid"))
@@ -522,6 +532,29 @@ object Similarity {
       .withColumn("rank", row_number().over(wf).cast("long"))
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
+  /** Serve top-k from a PERSISTED int8 index — the production read path:
+    * `index` (`neighbor_id`, `cid`, `qcode`) and the one-row `grid` come
+    * off disk ([[int8Index]]/[[int8Stats]] written at build time),
+    * `centroids` is the trained (`cid`, `ce`) table, and `corpus` is the
+    * float store consulted ONLY for the ≤ rerankDepth·|queries| re-rank
+    * rows. Midpoints are re-derived from the stored bytes — a pure
+    * function of (qcode, grid), so results are IDENTICAL to querying the
+    * in-plan build (SimilaritySpec pins disk-query ≡ build-query).
+    */
+  def queryInt8Index(queries: DataFrame, index: DataFrame, grid: DataFrame,
+      centroids: DataFrame, corpus: DataFrame, k: Int,
+      rerankDepth: Int = 30, nProbe: Int = 8): DataFrame = {
+    import graft.functions.{QuantExpressions => QE}
+    require(rerankDepth >= k, s"rerankDepth ($rerankDepth) must be >= k ($k)")
+    val cents = centroids.select(col("cid"), col("ce"), VF.l2Norm(col("ce")).as("cn"))
+    val assigned = index.crossJoin(broadcast(grid))
+      .select(col("neighbor_id"), col("cid"),
+        QE.int8Recon(col("qcode"), col("lo"), col("hi")).as("re"))
+      .withColumn("rn", VF.l2Norm(col("re")))
+      .where(col("rn") > 0)
+    int8Query(queries, assigned, cents, corpus, k, rerankDepth, nProbe)
   }
 
   /** Approximate top-k: L independent random-hyperplane tables; a

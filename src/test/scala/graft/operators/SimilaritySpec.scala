@@ -190,6 +190,32 @@ class SimilaritySpec extends SparkSpec {
     assert(messages(ex).exists(_.contains("grid length must match")), ex.getMessage)
   }
 
+  test("queryInt8Index over a written index returns exactly the build-time results") {
+    // The production flow: build index + grid, WRITE both, read them
+    // back, serve queries from the files — results must be IDENTICAL to
+    // the single-plan ivfTopKInt8 (midpoints are a pure function of the
+    // stored bytes + grid, so the disk hop changes nothing).
+    val embs = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val q = embs.where(col("vec_id") >= 100 && col("vec_id") < 110)
+    val dir = java.nio.file.Files.createTempDirectory("idx_rt").toString
+    Similarity.int8Index(embs, nCentroids = 16, trainN = 1024)
+      .write.parquet(s"$dir/index")
+    Similarity.int8Stats(embs).write.parquet(s"$dir/grid")
+    val centroids = Similarity.trainCentroids(embs, 16, trainN = 1024)
+    val fromDisk = Similarity.queryInt8Index(q,
+        spark.read.parquet(s"$dir/index"), spark.read.parquet(s"$dir/grid"),
+        centroids, embs, k = 10, rerankDepth = 30, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._4))
+    val fromBuild = Similarity.ivfTopKInt8(q, embs, k = 10,
+        rerankDepth = 30, nCentroids = 16, nProbe = 4, trainN = 1024)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._4))
+    assert(fromDisk.nonEmpty && fromDisk.sameElements(fromBuild),
+      s"disk-served results must equal build-time results " +
+        s"(disk=${fromDisk.length}, build=${fromBuild.length})")
+  }
+
   test("lshTopK fails loudly when a vector exceeds the plan-time dim") {
     val q = clustered.where(col("vec_id") === 0)
     val ex = intercept[Exception] {

@@ -335,6 +335,35 @@ object ExtensionQueries {
       |        AND len(list_filter(embedding, x -> x != 0)) > 0) b ON a.vec_id < b.vec_id
       |) WHERE cos >= 0.25 ORDER BY vec_a, vec_b""".stripMargin
 
+  /** DD-8: embedding near-dup at corpus scale
+    * ([[Dedup.embeddingNearDupsAnn]]) — q_dd7's promised "ANN scale
+    * route" as an oracled query: the trained IVF quantizer cells the
+    * FULL corpus (no pre-blocking), within-cell pairs verify by exact
+    * cosine ≥ 0.25. Same pinned training as q_sim3, so the oracle
+    * reuses the training replay verbatim.
+    */
+  def embeddingNearDupAnn(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDupsAnn(Tables.embeddings(spark, dir), threshold = 0.25,
+        nCentroids = 16, lloydIters = 2, trainN = 1024, seedPlanes = 6, dim = 64)
+      .orderBy("vec_a", "vec_b")
+
+  val embeddingNearDupAnnSql: String = {
+    val (training, cFinal) = ivfTrainingCtes(16, 2, 1024, seedPlanes = 6, dim = 64)
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |$training,
+       |ca AS (SELECT vec_id, e, cid FROM (
+       |    SELECT v.vec_id, v.e, c.cid,
+       |           row_number() OVER (PARTITION BY v.vec_id
+       |             ORDER BY round(list_cosine_similarity(v.e, c.ce), 6) DESC, c.cid) AS rn
+       |    FROM v CROSS JOIN $cFinal c)
+       |  WHERE rn = 1 AND list_dot_product(e, e) > 0)
+       |SELECT vec_a, vec_b, cos FROM (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |         round(list_cosine_similarity(a.e, b.e), 6) AS cos
+       |  FROM ca a JOIN ca b ON a.cid = b.cid AND a.vec_id < b.vec_id)
+       |WHERE cos >= 0.25 ORDER BY vec_a, vec_b""".stripMargin
+  }
+
   // ---------------------------------------------------------------- SIM-1
   /** Brute-force cosine top-10 for query vectors vec_id < 5 against the
     * full corpus (queries broadcast; ranked on the rounded similarity so

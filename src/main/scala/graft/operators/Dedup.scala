@@ -240,9 +240,52 @@ object Dedup {
   def simhash64(text: Column): Column =
     simhash64FromHashes(transform(TF.tokens(text), t => xxhash64(t)))
 
+  /** Embedding near-dup at CORPUS scale — the SemDeDup shape that
+    * [[embeddingNearDups]]' pre-blocked baseline defers to: the trained
+    * IVF quantizer ([[Similarity.trainCentroids]], memoized) partitions
+    * the corpus into cells, and candidate pairs are the within-cell
+    * pairs only — one shuffle on the cell id, per-cell cost bounded by
+    * the measured cell balance (max/med ≤ 1.2, SCALE.md), never an
+    * all-pairs cross. Every reported pair is verified by exact cosine ≥
+    * `threshold`, so precision is 1.0 by construction; recall is the
+    * fraction of true pairs that share a cell (cross-cell near-dups are
+    * missed — the standard SemDeDup trade; raise `nCentroids` for
+    * smaller cells and lower recall, or lower it for the reverse).
+    * Output: (`vec_a`, `vec_b`, `cos`).
+    */
+  def embeddingNearDupsAnn(embs: DataFrame, threshold: Double,
+      nCentroids: Int = 16, lloydIters: Int = 2, trainN: Int = 4096,
+      seedPlanes: Int = 6, dim: Int = 64): DataFrame = {
+    val centroids = Similarity.trainCentroids(embs, nCentroids, lloydIters,
+        trainN, seedPlanes, dim)
+      .select(col("cid"), col("ce"), VF.l2Norm(col("ce")).as("cn"))
+    // Corpus cell assignment — the same partial-before-exchange argmax
+    // as ivfTopK (one row per vector crosses the wire, not ×nCentroids).
+    val cells = embs
+      .select(col("vec_id"), col("embedding"), VF.l2Norm(col("embedding")).as("nrm"))
+      .where(col("nrm") > 0)
+      .crossJoin(broadcast(centroids))
+      .withColumn("ccos",
+        round(VF.dot(col("embedding"), col("ce")) / (col("nrm") * col("cn")), 6))
+      .groupBy("vec_id")
+      .agg(max(struct(col("ccos"), (-col("cid")).as("negcid"),
+        col("embedding"), col("nrm"))).as("m"))
+      .select(col("vec_id"), col("m.embedding").as("e"), col("m.nrm").as("nrm"),
+        (-col("m.negcid")).as("cid"))
+    val a = cells.select(col("cid"), col("vec_id").as("vec_a"),
+      col("e").as("ea"), col("nrm").as("na"))
+    val b = cells.select(col("cid"), col("vec_id").as("vec_b"),
+      col("e").as("eb"), col("nrm").as("nb"))
+    a.join(b, Seq("cid"))
+      .where(col("vec_a") < col("vec_b"))
+      .withColumn("cos", round(VF.dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
+      .where(col("cos") >= threshold)
+      .select("vec_a", "vec_b", "cos")
+  }
+
   /** DD near-dup on embeddings: cosine ≥ `threshold` pairs within a
-    * pre-blocked subset (the all-pairs baseline; the ANN path lives in
-    * [[Similarity]]).
+    * pre-blocked subset (the all-pairs baseline;
+    * [[embeddingNearDupsAnn]] is the corpus-scale path).
     */
   def embeddingNearDups(embs: DataFrame, threshold: Double): DataFrame = {
     // Norms precomputed per vector; each pair costs one dot-product fold.

@@ -118,6 +118,22 @@ class DedupSpec extends SparkSpec {
       "blocked output must equal the unblocked output restricted to same-lang pairs")
   }
 
+  test("embeddingNearDupsAnn: subset of brute-force pairs (precision 1.0), useful recall") {
+    val embs = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    // Brute-force truth on the full corpus at the same threshold.
+    val exact = Dedup.embeddingNearDups(embs, threshold = 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Dedup.embeddingNearDupsAnn(embs, threshold = 0.25,
+        nCentroids = 16, trainN = 1024)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ann.subsetOf(exact),
+      s"every ANN pair is exact-cosine verified, so false positives are impossible: ${ann -- exact}")
+    val recall = if (exact.isEmpty) 1.0 else (ann intersect exact).size.toDouble / exact.size
+    info(f"cell-blocked near-dup: ${ann.size}/${exact.size} pairs, recall=$recall%.3f")
+    assert(exact.nonEmpty && recall >= 0.2,
+      f"within-cell recall $recall%.3f collapsed (cells no longer correlate with cosine)")
+  }
+
   test("embeddingNearDups finds the planted near-identical vector pair") {
     val v = Array.tabulate(8)(i => 0.1f * (i + 1))
     val nearly = v.clone(); nearly(7) = nearly(7) * 1.01f

@@ -261,7 +261,12 @@ object Dedup {
       .select(col("cid"), col("ce"), VF.l2Norm(col("ce")).as("cn"))
     // Corpus cell assignment — the same partial-before-exchange argmax
     // as ivfTopK (one row per vector crosses the wire, not ×nCentroids).
-    val cells = embs
+    // MEMOIZED (Similarity slot "cells"): the self-join below references
+    // it twice and Spark does not reuse the exchange across differently
+    // aliased sides (measured: zero ReusedExchange, assignment ran
+    // twice) — persisting makes this the built-once cell index the
+    // production flow persists anyway, computed in ONE corpus pass.
+    val cells = Similarity.memoized("cells", embs
       .select(col("vec_id"), col("embedding"), VF.l2Norm(col("embedding")).as("nrm"))
       .where(col("nrm") > 0)
       .crossJoin(broadcast(centroids))
@@ -271,7 +276,7 @@ object Dedup {
       .agg(max(struct(col("ccos"), (-col("cid")).as("negcid"),
         col("embedding"), col("nrm"))).as("m"))
       .select(col("vec_id"), col("m.embedding").as("e"), col("m.nrm").as("nrm"),
-        (-col("m.negcid")).as("cid"))
+        (-col("m.negcid")).as("cid")))
     val a = cells.select(col("cid"), col("vec_id").as("vec_a"),
       col("e").as("ea"), col("nrm").as("na"))
     val b = cells.select(col("cid"), col("vec_id").as("vec_b"),

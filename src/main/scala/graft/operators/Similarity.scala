@@ -21,28 +21,50 @@ import graft.functions.{VectorFunctions => VF}
   */
 object Similarity {
 
-  /** Bounded cross-invocation memoization of IVF training — the trained
-    * centroid table is SHARED STATE (a production index is trained once
-    * and consumed by every query), so [[trainCentroids]] keeps the
-    * latest trained table keyed by its canonicalized logical plan
+  /** Bounded cross-invocation memoization of derived index state — the
+    * trained centroid table ([[trainCentroids]], slot "trained") and the
+    * cell-assigned corpus ([[graft.operators.Dedup.embeddingNearDupsAnn]],
+    * slot "cells") are SHARED STATE (a production index is built once
+    * and consumed by every query), keyed by canonicalized logical plan
     * (corpus + every hyperparameter: identical plans ⇒ identical
-    * deterministic results) and returns it directly on a repeat call —
-    * q_sim3 reps, q_sim5 (same quantizer), and SimilaritySpec all reuse
-    * one training instead of re-running the DAG per invocation. A call
-    * with a DIFFERENT key (new corpus or params) releases the previous
-    * entry first, so the executor store holds at most ONE training's
-    * worth of cached tables — round 3 leaked every run's caches
-    * (ADVICE), which incidentally memoized reps; this keeps the win and
-    * drops the leak. [[releaseCaches]] clears the registry explicitly;
-    * a DataFrame returned earlier keeps working afterwards (its cache
-    * is gone, so consuming it just recomputes).
+    * deterministic results) — q_sim3 reps, q_sim5 (same quantizer), and
+    * SimilaritySpec all reuse one training instead of re-running the
+    * DAG per invocation. A DIFFERENT key in a slot releases that slot's
+    * previous entry first, bounding the executor store to one table per
+    * slot — round 3 leaked every run's caches (ADVICE), which
+    * incidentally memoized reps; this keeps the win and drops the leak.
+    * [[releaseCaches]] clears the registry explicitly; a DataFrame
+    * returned earlier keeps working afterwards (its cache is gone, so
+    * consuming it just recomputes).
     */
-  private val trainedCache =
-    scala.collection.mutable.Map.empty[(SparkSession, Any), DataFrame]
-  def releaseCaches(): Unit = trainedCache.synchronized {
-    trainedCache.values.foreach(_.unpersist(blocking = false))
-    trainedCache.clear()
+  private val memoCache =
+    scala.collection.mutable.Map.empty[String, (Any, DataFrame)]
+  def releaseCaches(): Unit = memoCache.synchronized {
+    memoCache.values.foreach(_._2.unpersist(blocking = false))
+    memoCache.clear()
   }
+
+  /** Memoize one DataFrame per `slot` by (session, canonicalized plan):
+    * a repeat call with an identical plan returns the already-persisted
+    * table; a DIFFERENT plan in the same slot releases the previous
+    * entry first (per-slot store bound: one table). Materializes
+    * eagerly — consumers broadcast these tables, and concurrent
+    * broadcast builds racing an unmaterialized cache BOTH compute the
+    * plan (measured: a full extra training run).
+    */
+  private[operators] def memoized(slot: String, df: DataFrame): DataFrame =
+    memoCache.synchronized {
+      val key = (df.sparkSession, df.queryExecution.analyzed.canonicalized): Any
+      memoCache.get(slot) match {
+        case Some((k, cached)) if k == key => cached
+        case prev =>
+          prev.foreach(_._2.unpersist(blocking = false))
+          val out = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          out.count()
+          memoCache(slot) = (key, out)
+          out
+      }
+    }
 
   /** Scale rule for the IVF centroid count — IN CODE, not prose: the
     * classic k ≈ √n balance point, where cell size (n/k) and probe cost
@@ -278,29 +300,14 @@ object Similarity {
           coalesce(when(VF.normSq(col("ce_new")) > 0, col("ce_new")), col("ce"))
             .as("ce"))
     }
-    // Memoize by the canonicalized plan (see trainedCache): a repeat
-    // call with the same corpus + params returns the already-trained
-    // table without touching the cluster. On a miss, materialize NOW —
-    // every consumer broadcasts the table, concurrent broadcast builds
-    // racing an unmaterialized cache BOTH re-run the training DAG
-    // (measured: one full extra training) — then drop the sample cache
-    // (only the training itself reads it) and release the previous
-    // key's tables so the store is bounded to one training.
-    val key = (corpus.sparkSession, trained.queryExecution.analyzed.canonicalized: Any)
-    trainedCache.synchronized {
-      trainedCache.get(key) match {
-        case Some(hit) =>
-          tr.unpersist(blocking = false) // this invocation's unused sample mark
-          hit
-        case None =>
-          releaseCaches()
-          val out = trained.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          out.count()
-          tr.unpersist(blocking = false)
-          trainedCache.put(key, out)
-          out
-      }
-    }
+    // Memoize by the canonicalized plan (see memoized): a repeat call
+    // with the same corpus + params returns the already-trained table
+    // without touching the cluster; then drop the sample cache (only
+    // the training itself reads it — on a memo hit the mark was never
+    // materialized, so unpersist just unregisters it).
+    val out = memoized("trained", trained)
+    tr.unpersist(blocking = false)
+    out
   }
 
   /** IVF-style approximate top-k: a coarse quantizer partitions the

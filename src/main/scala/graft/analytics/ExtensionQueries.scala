@@ -403,12 +403,36 @@ object ExtensionQueries {
       .orderBy("query_id", "rank")
   }
 
-  val annTopKSql: String = {
-    val (planes, tables) = (6, 8)
-    // Rebuild the md5-derived hyperplanes (Similarity.planeWeights) from
-    // DuckDB's own md5 over the same literal keys — integer-exact, so the
-    // projections and sign buckets match Spark's bit-for-bit.
+  /** Flip-1 multi-probe LSH top-10 ([[Similarity.lshTopK]] `flip1=true`):
+    * each query probes its own bucket plus every bucket one sign-bit away.
+    * Planes raised 6→9 so candidate volume stays NEAR q_sim2's while
+    * recall improves (measured sf0.01, held-out queries: 0.305 exact@p6 →
+    * 0.415 flip1@p9 at ~1.2× the candidates; corpus-side bucketing cost
+    * identical — the side that matters at 100 TB).
+    */
+  def annMultiprobeTopK(spark: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.embeddings(spark, dir)
+    Similarity.lshTopK(embs.where(col("vec_id") < 5), embs, k = 10,
+        planes = 9, tables = 8, flip1 = true)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Shared DuckDB replay of [[Similarity.lshTopK]]: md5-derived
+    * hyperplanes rebuilt from DuckDB's own md5 over the same literal keys
+    * — integer-exact, so projections and sign buckets match Spark's
+    * bit-for-bit. With `flip1` the query-side probe set expands to the
+    * bucket plus its `planes` one-bit flips (xor), mirroring
+    * [[Similarity.lshCandidates]]'s explode.
+    */
+  private def annSqlFor(planes: Int, tables: Int, flip1: Boolean): String = {
     val wExpr = TF.hexHash60Sql("'plane:' || t.range || ':' || p.range || ':' || d")
+    val qbk =
+      if (!flip1) "SELECT vec_id, tbl, bucket FROM buck WHERE vec_id < 5"
+      else
+        s"""SELECT b.vec_id, b.tbl, xor(b.bucket, f.fb) AS bucket
+           |        FROM (SELECT * FROM buck WHERE vec_id < 5) b
+           |        CROSS JOIN (SELECT CAST(0 AS BIGINT) AS fb UNION ALL
+           |                    SELECT CAST(pow(2, range) AS BIGINT) FROM range($planes)) f""".stripMargin
     s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
        |           WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
        |                                  CAST(embedding AS DOUBLE[])) > 0),
@@ -424,10 +448,11 @@ object ExtensionQueries {
        |                       THEN CAST(pow(2, plane) AS BIGINT) ELSE 0 END) AS BIGINT)
        |           AS bucket
        |         FROM proj GROUP BY 1, 2),
+       |qbk AS ($qbk),
        |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
-       |         FROM buck c JOIN buck q
+       |         FROM buck c JOIN qbk q
        |           ON c.tbl = q.tbl AND c.bucket = q.bucket
-       |         WHERE q.vec_id < 5 AND q.vec_id != c.vec_id)
+       |         WHERE q.vec_id != c.vec_id)
        |SELECT query_id, neighbor_id, cos, rank FROM (
        |  SELECT cand.query_id, cand.neighbor_id,
        |         round(list_cosine_similarity(q.e, c.e), 6) AS cos,
@@ -438,6 +463,10 @@ object ExtensionQueries {
        |            JOIN v c ON cand.neighbor_id = c.vec_id)
        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
   }
+
+  val annTopKSql: String = annSqlFor(planes = 6, tables = 8, flip1 = false)
+
+  val annMultiprobeSql: String = annSqlFor(planes = 9, tables = 8, flip1 = true)
 
   // ---------------------------------------------------------------- SIM-3
   /** IVF-partitioned approximate top-10. The coarse quantizer is a

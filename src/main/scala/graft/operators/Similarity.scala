@@ -587,9 +587,23 @@ object Similarity {
     * embeddings/row.
     */
   def lshCandidates(queries: DataFrame, corpus: DataFrame,
-      planes: Int = 6, tables: Int = 8, dim: Int = 64): DataFrame = {
-    val qb = signBuckets(queries, planes, tables, dim)
+      planes: Int = 6, tables: Int = 8, dim: Int = 64,
+      flip1: Boolean = false): DataFrame = {
+    val qbRaw = signBuckets(queries, planes, tables, dim)
       .select(col("vec_id").as("query_id"), col("table"), col("bucket"))
+    // Multi-probe (flip-1): the QUERY side also probes every bucket one
+    // sign-bit away in each table — (planes+1)× probe buckets from the
+    // same single signature pass, no corpus-side change and no extra
+    // tables. The standard LSH trade: near-misses where exactly one
+    // projection fell on the other side of its hyperplane (the dominant
+    // miss mode for close pairs) become candidates, at ~(planes+1)× the
+    // candidate volume. Corpus bucketing cost is UNCHANGED — at 100 TB
+    // that's the side that matters; probe fan-out is per-query.
+    val qb =
+      if (!flip1) qbRaw
+      else qbRaw.select(col("query_id"), col("table"), explode(array(
+        col("bucket") +: (0 until planes).map(p =>
+          col("bucket").bitwiseXOR(lit(1L << p))): _*)).as("bucket"))
     val cb = signBuckets(corpus, planes, tables, dim)
       .select(col("vec_id").as("neighbor_id"), col("table"), col("bucket"))
     cb.join(broadcast(qb), Seq("table", "bucket"))
@@ -599,10 +613,11 @@ object Similarity {
   }
 
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      planes: Int = 6, tables: Int = 8, dim: Int = 64): DataFrame = {
+      planes: Int = 6, tables: Int = 8, dim: Int = 64,
+      flip1: Boolean = false): DataFrame = {
     // Vectors and norms join back for the surviving candidates alone
     // (the same join-back shape the generated oracle uses).
-    val candidates = lshCandidates(queries, corpus, planes, tables, dim)
+    val candidates = lshCandidates(queries, corpus, planes, tables, dim, flip1)
     // Zero-norm vectors (no defined cosine) drop at this inner join —
     // identical output to filtering them before bucketing.
     val qv = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"),

@@ -113,6 +113,16 @@ object IvfProbe {
     for (rd <- Seq(10, 30, 60))
       recall(s"int8 np=8 rerank=$rd",
         Similarity.ivfTopKInt8(q, embs, 10, rerankDepth = rd))
+    // LSH with and without flip-1 multi-probe (round 4): corpus-side
+    // cost identical, query probes (planes+1)× buckets.
+    recall("lsh p=6/t=8", Similarity.lshTopK(q, embs, 10))
+    recall("lsh p=6/t=8 flip1", Similarity.lshTopK(q, embs, 10, flip1 = true))
+    recall("lsh p=9/t=8 flip1", Similarity.lshTopK(q, embs, 10, planes = 9, flip1 = true))
+    for ((label, p, f) <- Seq(("p=6 exact", 6, false), ("p=6 flip1", 6, true),
+        ("p=9 flip1", 9, true)))
+      scala.Console.out.println(f"lsh cand $label%-12s " +
+        f"${Similarity.lshCandidates(q, embs, planes = p, flip1 = f).count()}%6d " +
+        f"of ${20 * n}%d q-pairs")
     val kAuto = Similarity.autoCentroids(n)
     for (np <- Seq(8, 12, 16, 22))
       recall(f"auto k=$kAuto np=$np",

@@ -78,6 +78,37 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.75, s"recall $recall too low: exact=$exact approx=$approx")
   }
 
+  test("flip-1 multi-probe: superset of exact probing, better recall per candidate") {
+    // Measured on sf0.01 held-out queries (vec_id 100-119, IvfProbe):
+    // exact p=6 recall 0.305 @ 1354 candidate pairs; flip1 p=6 0.870 @
+    // 6022; flip1 p=9 0.415 @ 1650 — i.e. at MATCHED candidate volume
+    // (p=9 flip1 vs p=6 exact) recall improves ~1.4×, and corpus-side
+    // bucketing cost is identical (the probe fan-out is query-side only).
+    val embs = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val q = embs.where(col("vec_id") >= 100 && col("vec_id") < 120)
+    val exactTop = Similarity.bruteForceTopK(q, embs, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val candExact = pairs(Similarity.lshCandidates(q, embs, planes = 6))
+    val candFlip = pairs(Similarity.lshCandidates(q, embs, planes = 6, flip1 = true))
+    assert(candExact.subsetOf(candFlip),
+      s"flip1 candidates must contain the exact-bucket candidates " +
+      s"(missing ${(candExact -- candFlip).take(3)})")
+    def recallOf(planes: Int, flip1: Boolean): Double = {
+      val approx = pairs(Similarity.lshTopK(q, embs, k = 10, planes = planes, flip1 = flip1))
+      (exactTop intersect approx).size.toDouble / exactTop.size
+    }
+    val (rExact6, rFlip9) = (recallOf(6, flip1 = false), recallOf(9, flip1 = true))
+    val (nExact6, nFlip9) =
+      (candExact.size, pairs(Similarity.lshCandidates(q, embs, planes = 9, flip1 = true)).size)
+    info(f"recall: exact p=6 $rExact6%.3f ($nExact6 cands) vs flip1 p=9 $rFlip9%.3f ($nFlip9 cands)")
+    assert(nFlip9 <= nExact6 * 2,
+      s"p=9 flip1 candidate volume ($nFlip9) should stay near p=6 exact ($nExact6)")
+    assert(rFlip9 > rExact6,
+      f"flip1 at matched volume should beat exact probing ($rExact6%.3f -> $rFlip9%.3f)")
+  }
+
   test("k-means IVF recall beats the first-N quantizer on unbiased queries") {
     // Measured on queries DISJOINT from both seed sets (vec_id 100-119;
     // graft.tools.IvfProbe): first-N-vec_ids quantizer 0.440, hash seeds

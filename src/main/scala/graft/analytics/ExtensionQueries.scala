@@ -220,7 +220,14 @@ object ExtensionQueries {
       md5Parity = true)
       .orderBy("doc_a", "doc_b")
 
-  val minhashDedupSql: String = {
+  /** Generated CTE chain ending in `pairs(doc_a, doc_b, jaccard)` — the
+    * md5-parity MinHash-LSH pipeline (shingle → 64-perm signature →
+    * 16-band buckets → candidate self-join → exact-Jaccard ≥ 0.5) over
+    * `fromExpr` (a table name or parenthesized subquery exposing
+    * `doc_id`, `text`). Shared by the q_dd5 oracle and the cluster /
+    * curation-pipeline oracles layered on top of the same pair graph.
+    */
+  private[analytics] def minhashPairsCtes(fromExpr: String = "documents"): String = {
     val (as, bs) = TF.minhashParams(64)
     val P = TF.MinhashPrime
     val minExprs = (0 until 64).map(i =>
@@ -232,13 +239,13 @@ object ExtensionQueries {
       }
       s"WHEN $bnd THEN $poly"
     }.mkString(" ")
-    s"""WITH sh AS (
+    s"""sh AS (
        |  SELECT doc_id, text,
        |         CASE WHEN len(t) >= 3
        |           THEN list_transform(range(len(t) - 2),
        |                i -> array_to_string(list_slice(t, i + 1, i + 3), ' '))
        |           ELSE [text] END AS shingles
-       |  FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)),
+       |  FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM $fromExpr)),
        |hs AS (SELECT doc_id,
        |       list_transform(shingles, s -> ${TF.hexHash60Sql("s")} % $P) AS hl
        |       FROM sh),
@@ -249,15 +256,20 @@ object ExtensionQueries {
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |         FROM band a JOIN band b
        |           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-       |toks AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tk FROM documents)
-       |SELECT doc_a, doc_b, jaccard FROM (
+       |toks AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tk
+       |         FROM $fromExpr),
+       |pairs AS (SELECT doc_a, doc_b, jaccard FROM (
        |  SELECT doc_a, doc_b,
        |         round(CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE)
        |               / len(list_distinct(list_concat(ta.tk, tb.tk))), 6) AS jaccard
        |  FROM cand JOIN toks ta ON cand.doc_a = ta.doc_id
        |            JOIN toks tb ON cand.doc_b = tb.doc_id)
-       |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+       |  WHERE jaccard >= 0.5)""".stripMargin
   }
+
+  val minhashDedupSql: String =
+    s"""WITH ${minhashPairsCtes()}
+       |SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b""".stripMargin
 
   // ----------------------------------------------------------------- DD-6
   /** SimHash near-dup pairs over the 60-bit cross-engine hash — the
@@ -363,6 +375,38 @@ object ExtensionQueries {
        |  FROM ca a JOIN ca b ON a.cid = b.cid AND a.vec_id < b.vec_id)
        |WHERE cos >= 0.25 ORDER BY vec_a, vec_b""".stripMargin
   }
+
+  // ---------------------------------------------------------------- DD-9
+  /** Duplicate-cluster resolution ([[Dedup.dupClusters]] +
+    * [[Dedup.resolveClusters]]): connected components over the
+    * MinHash-LSH near-dup pair graph (q_dd5's exact pipeline), each
+    * member labeled with its cluster (= min doc id of the component),
+    * the cluster size, and the keep/purge decision (canonical member
+    * keeps). The oracle recomputes the identical pair graph and resolves
+    * components with a recursive CTE — so the iterative Spark fixpoint
+    * is checked against an independent transitive-closure formulation,
+    * not a replay of itself.
+    */
+  def dupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashNearDups(Tables.documents(spark, dir),
+      threshold = 0.5, md5Parity = true)
+    Dedup.resolveClusters(Dedup.dupClusters(pairs))
+      .orderBy("doc_id")
+  }
+
+  val dupClustersSql: String =
+    s"""WITH RECURSIVE ${minhashPairsCtes()},
+       |sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |        UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(node, lbl) AS (
+       |  SELECT src, src FROM sym
+       |  UNION
+       |  SELECT s.src, r.lbl FROM sym s JOIN reach r ON s.dst = r.node),
+       |comp AS (SELECT node, min(lbl) AS cluster FROM reach GROUP BY node),
+       |sizes AS (SELECT cluster, count(*) AS cluster_size FROM comp GROUP BY cluster)
+       |SELECT node AS doc_id, cluster, cluster_size,
+       |       CAST(CASE WHEN node = cluster THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM comp JOIN sizes USING (cluster) ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- SIM-1
   /** Brute-force cosine top-10 for query vectors vec_id < 5 against the

@@ -288,6 +288,84 @@ object Dedup {
       .select("vec_a", "vec_b", "cos")
   }
 
+  /** Duplicate-cluster resolution: connected components over a near-dup
+    * pair graph, labeling every member doc with its cluster's minimum
+    * doc id — the stage that turns pairwise near-dup output (any of
+    * [[nearDups]] / [[minhashNearDups]] / [[simhashNearDups]] /
+    * [[embeddingNearDupsAnn]]) into a keep/purge decision. Without it a
+    * pair list is not actionable: purging `doc_b` of every pair both
+    * over-deletes (b≺c≺a chains collapse to one survivor only by luck)
+    * and under-deletes (transitive members missed).
+    *
+    * Algorithm: iterative min-label propagation with pointer jumping
+    * (label ← label of own label each round), the classic O(log d)
+    * Hash-to-Min shape [Rastogi et al., ICDE'13 — public]. Each
+    * iteration is two keyed joins + one aggregate over the PAIR graph
+    * only — the corpus never enters; at 100 TB the pair graph is the
+    * small verified-candidate output (collision-bound for MinHash-LSH,
+    * SCALE.md), so iterations are cheap and few (diameter of dup
+    * clusters is shallow; pointer jumping covers diameter ≤ 2^maxIters).
+    * Convergence is checked with ONE driver-side scalar count per
+    * iteration (the standard iterative-fixpoint control GraphX/
+    * GraphFrames use — a per-iteration aggregate, not a per-row
+    * collect); intermediate labels are persisted and the previous
+    * generation unpersisted, so lineage stays one generation deep.
+    *
+    * Input: pairs with (`aCol`, `bCol`). Output: (`doc_id`, `cluster`)
+    * for every doc appearing in ≥1 pair; `cluster` = min doc id of its
+    * component. Deterministic (min is order-free) for any iteration
+    * count past convergence.
+    */
+  def dupClusters(pairs: DataFrame, aCol: String = "doc_a",
+      bCol: String = "doc_b", maxIters: Int = 30): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val sym = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    var labels = sym.groupBy(col("src").as("node")).agg(min("dst").as("nbr"))
+      .select(col("node"), least(col("node"), col("nbr")).as("lbl"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      // Propagate: each node takes the min of its own label and its
+      // neighbors' labels (one shuffle on dst, one aggregate on src).
+      val nbr = sym.join(labels.select(col("node").as("dst"), col("lbl").as("nlbl")), Seq("dst"))
+        .groupBy(col("src").as("node")).agg(min("nlbl").as("plbl"))
+      val prop = labels.join(nbr, Seq("node"), "left")
+        .select(col("node"), least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl"))
+      // Pointer jump: label ← label(label) — halves remaining chain
+      // depth each round. Label values are always node ids, so the
+      // self-join key set is closed.
+      val next = prop.join(
+          prop.select(col("node").as("lnode"), col("lbl").as("llbl")),
+          col("lbl") === col("lnode"), "left")
+        .select(col("node"), least(col("lbl"), coalesce(col("llbl"), col("lbl"))).as("lbl"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // Driver-side scalar convergence check (bounded: one long per
+      // iteration; this also materializes `next` before the unpersist).
+      val changed = next.join(labels.select(col("node"), col("lbl").as("old")), Seq("node"))
+        .where(col("lbl") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0L
+      iter += 1
+    }
+    labels.select(col("node").as("doc_id"), col("lbl").as("cluster"))
+  }
+
+  /** Keep/purge resolution over [[dupClusters]] output: one row per
+    * clustered doc with its cluster id, cluster size, and `keep` = 1 for
+    * the canonical member (the minimum doc id — deterministic and
+    * join-free to pick) / 0 for members to purge. Docs in no pair are
+    * implicitly keep (absent from the output, as from the input).
+    */
+  def resolveClusters(clusters: DataFrame): DataFrame = {
+    val sizes = clusters.groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+    clusters.join(sizes, Seq("cluster"))
+      .select(col("doc_id"), col("cluster"), col("cluster_size"),
+        when(col("doc_id") === col("cluster"), 1L).otherwise(0L).as("keep"))
+  }
+
   /** DD near-dup on embeddings: cosine ≥ `threshold` pairs within a
     * pre-blocked subset (the all-pairs baseline;
     * [[embeddingNearDupsAnn]] is the corpus-scale path).

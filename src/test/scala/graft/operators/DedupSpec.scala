@@ -134,6 +134,44 @@ class DedupSpec extends SparkSpec {
       f"within-cell recall $recall%.3f collapsed (cells no longer correlate with cosine)")
   }
 
+  test("dupClusters resolves components: chains, stars, singletons-by-absence") {
+    // Component 1: a 4-node chain 10-11-12-13 (pointer jumping must close
+    // it, not just direct neighbors); component 2: a star centered at 20;
+    // component 3: a lone pair. Node 99 is in no pair and must be absent.
+    val pairs = Seq(
+      (10L, 11L), (11L, 12L), (12L, 13L),
+      (20L, 21L), (20L, 22L), (20L, 23L),
+      (30L, 31L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.dupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L,
+      30L -> 30L, 31L -> 30L)
+    assert(got == want, s"components: $got")
+    assert(!got.contains(99L))
+
+    val resolved = Dedup.resolveClusters(Dedup.dupClusters(pairs))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // One canonical keeper per cluster; sizes 4/4/2; purge count = n - clusters.
+    assert(resolved.count(_._4 == 1L) == 3)
+    assert(resolved.filter(_._2 == 10L).forall(_._3 == 4L))
+    assert(resolved.filter(_._2 == 20L).forall(_._3 == 4L))
+    assert(resolved.filter(_._2 == 30L).forall(_._3 == 2L))
+    assert(resolved.forall { case (id, cl, _, keep) => (keep == 1L) == (id == cl) })
+  }
+
+  test("dupClusters converges on a long path (pointer jumping beats diameter)") {
+    // A 33-node path: plain propagation needs 32 rounds; propagation +
+    // pointer jumping must finish well inside maxIters=30 and still
+    // label every node with the path minimum.
+    val pairs = (0L until 32L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.dupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 33 && got.values.forall(_ == 0L), s"path component: $got")
+  }
+
   test("embeddingNearDups finds the planted near-identical vector pair") {
     val v = Array.tabulate(8)(i => 0.1f * (i + 1))
     val nearly = v.clone(); nearly(7) = nearly(7) * 1.01f

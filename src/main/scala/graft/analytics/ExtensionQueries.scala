@@ -1132,4 +1132,91 @@ object ExtensionQueries {
       |       round(avg(list_cosine_similarity(vn.e, cents.ce)), 6) AS avg_cos
       |FROM vn JOIN cents ON vn.label = cents.label
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ----------------------------------------------------------------- ML-6
+  /** End-to-end corpus-curation funnel — the full training-data pipeline
+    * as ONE declarative plan: raw → exact dedup (keep min doc id per md5
+    * fingerprint) → near-dup purge (MinHash-LSH pairs →
+    * [[Dedup.dupClusters]] components → drop non-canonical members) →
+    * quality gate (≥ 8 tokens, unique-token ratio ≥ 0.3) → 80/10/10
+    * split assignment. Output is the stage funnel (docs + tokens
+    * surviving each stage, then per split), so every stage's effect is
+    * verified in one result. Each stage reuses the operator the
+    * dedicated query proves (q_dd3/q_dd5/q_dd9/q_txt4/q_ml1); this query
+    * proves they COMPOSE — filters stay pushed, the near-dup subgraph
+    * runs over survivors only, and nothing re-reads the corpus more than
+    * the stage structure requires.
+    */
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // Stage 1 — exact dedup: canonical = min doc id per content hash.
+    val keepIds = docs.groupBy(TF.fingerprintMd5(col("text")).as("fp"))
+      .agg(min("doc_id").as("doc_id"))
+    val exact = docs.join(keepIds.select("doc_id"), Seq("doc_id"), "left_semi")
+    // Stage 2 — near-dup purge over exact survivors: cluster the
+    // MinHash-LSH pair graph, drop every non-canonical member.
+    val pairs = Dedup.minhashNearDups(exact, threshold = 0.5, md5Parity = true)
+    val purge = Dedup.dupClusters(pairs)
+      .where(col("doc_id") =!= col("cluster")).select("doc_id")
+    val deduped = exact.join(purge, Seq("doc_id"), "left_anti")
+    // Stage 3 — quality gate (same arithmetic as q_txt4's components).
+    val toks = TF.tokens(col("text"))
+    val curated = deduped.where(TF.tokenCount(col("text")) >= 8 &&
+      round(size(array_distinct(toks)).cast("double") /
+        size(toks).cast("double"), 6) >= 0.3)
+    // Stage 4 — reproducible split on the id residue (q_ml1's rule).
+    val split = graft.operators.DataSplits.assignSplit(
+      col("doc_id"), Seq("train" -> 80, "val" -> 10, "test" -> 10))
+    def stageRow(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(TF.tokenCount(col("text"))), lit(0L)).as("total_tokens"))
+        .select(lit(name).as("stage"), col("n_docs"), col("total_tokens"))
+    stageRow("0_raw", docs)
+      .union(stageRow("1_exact_dedup", exact))
+      .union(stageRow("2_near_dedup", deduped))
+      .union(stageRow("3_quality", curated))
+      .union(curated.groupBy(concat(lit("4_"), split).as("stage"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TF.tokenCount(col("text"))).as("total_tokens")))
+      .orderBy("stage")
+  }
+
+  val curationFunnelSql: String =
+    s"""WITH RECURSIVE
+       |ex AS (SELECT d.* FROM documents d
+       |       JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)) k
+       |         USING (doc_id)),
+       |${minhashPairsCtes("ex")},
+       |sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |        UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(node, lbl) AS (
+       |  SELECT src, src FROM sym
+       |  UNION
+       |  SELECT s.src, r.lbl FROM sym s JOIN reach r ON s.dst = r.node),
+       |comp AS (SELECT node, min(lbl) AS cluster FROM reach GROUP BY node),
+       |nd AS (SELECT * FROM ex WHERE doc_id NOT IN
+       |       (SELECT node FROM comp WHERE node != cluster)),
+       |cur AS (SELECT * FROM nd
+       |  WHERE len(string_split(text, ' ')) >= 8
+       |    AND round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |              / len(string_split(text, ' ')), 6) >= 0.3)
+       |SELECT stage, n_docs, total_tokens FROM (
+       |  SELECT '0_raw' AS stage, count(*) AS n_docs,
+       |         CAST(coalesce(sum(len(string_split(text, ' '))), 0) AS BIGINT) AS total_tokens
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT '1_exact_dedup', count(*),
+       |         CAST(coalesce(sum(len(string_split(text, ' '))), 0) AS BIGINT) FROM ex
+       |  UNION ALL
+       |  SELECT '2_near_dedup', count(*),
+       |         CAST(coalesce(sum(len(string_split(text, ' '))), 0) AS BIGINT) FROM nd
+       |  UNION ALL
+       |  SELECT '3_quality', count(*),
+       |         CAST(coalesce(sum(len(string_split(text, ' '))), 0) AS BIGINT) FROM cur
+       |  UNION ALL
+       |  SELECT '4_' || CASE WHEN doc_id % 100 < 80 THEN 'train'
+       |                      WHEN doc_id % 100 < 90 THEN 'val'
+       |                      ELSE 'test' END, count(*),
+       |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) FROM cur GROUP BY 1
+       |) ORDER BY stage""".stripMargin
 }

@@ -705,6 +705,33 @@ object RelationalQueries {
       |                    AND o.o_orderstatus = 'F' AND o.o_totalprice < 50000)
       |ORDER BY c_custkey""".stripMargin
 
+  // -------------------------------------------------------------- REL-7b
+  /** Correlated LATERAL subquery via the SQL surface: top-2 customers by
+    * balance per nation, the "top-N per group as a join" idiom. Catalyst
+    * decorrelates the lateral into a ranked window over the one customer
+    * shuffle — same physical shape as the explicit window form, proving
+    * the SQL surface covers it; the oracle runs the identical statement
+    * (modulo DuckDB's comma-LATERAL spelling).
+    */
+  def lateralJoin(spark: SparkSession, dir: String): DataFrame = {
+    graft.Engine.registerTables(spark, dir)
+    spark.sql(
+      """SELECT n_name, c_name, c_acctbal
+        |FROM nation JOIN LATERAL (
+        |  SELECT c_name, c_acctbal FROM customer
+        |  WHERE c_nationkey = n_nationkey
+        |  ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+        |ORDER BY n_name, c_acctbal DESC, c_name""".stripMargin)
+  }
+
+  val lateralJoinSql: String =
+    """SELECT n_name, c_name, c_acctbal
+      |FROM nation, LATERAL (
+      |  SELECT c_name, c_acctbal FROM customer
+      |  WHERE c_nationkey = n_nationkey
+      |  ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+      |ORDER BY n_name, c_acctbal DESC, c_name""".stripMargin
+
   // --------------------------------------------------- SRC format roundtrips
   /** Deterministic lineitem slice used by the format round-trips:
     * timestamps as µs bigints (the oracle-visible precision) so every

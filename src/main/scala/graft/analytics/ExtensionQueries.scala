@@ -100,6 +100,65 @@ object ExtensionQueries {
        |) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  // --------------------------------------------------------------- TXT-10
+  /** PMI collocations: top-25 adjacent-token bigrams by pointwise mutual
+    * information, PMI = ln((c12/N) / ((c1/U)·(c2/U))) with a c12 ≥ 5
+    * support floor — the corpus-statistics op behind phrase mining /
+    * tokenizer-merge candidates. Shape at scale: bigram and unigram
+    * counts are partial-aggregated explode→count stacks (the shuffle
+    * carries distinct grams, not token instances); the two scalar totals
+    * broadcast; the two unigram joins hash on the gram string; the final
+    * top-k is TakeOrderedAndProject. The bigram build is one pass over
+    * the token array (zip_with of the array against its own tail —
+    * interpreted HOF, but evaluated once per doc before the aggregate).
+    */
+  def collocations(spark: SparkSession, dir: String): DataFrame = {
+    val tk = Tables.documents(spark, dir).select(TF.tokens(col("text")).as("tk"))
+    val uni = tk.select(explode(col("tk")).as("w"))
+    val ucnt = uni.groupBy("w").agg(count(lit(1)).as("c"))
+    val utot = uni.agg(count(lit(1)).as("u"))
+    val bg = tk.where(size(col("tk")) >= 2)
+      .select(explode(zip_with(
+        slice(col("tk"), lit(1), size(col("tk")) - 1),
+        slice(col("tk"), lit(2), size(col("tk")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bcnt = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val btot = bg.agg(count(lit(1)).as("n"))
+    bcnt.where(col("c12") >= 5)
+      .crossJoin(broadcast(btot))
+      .crossJoin(broadcast(utot))
+      .join(ucnt.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(ucnt.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+      .withColumn("pmi", round(log(
+        (col("c12").cast("double") / col("n")) /
+          ((col("c1").cast("double") / col("u")) *
+            (col("c2").cast("double") / col("u")))), 6))
+      .select("w1", "w2", "c12", "pmi")
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(25)
+  }
+
+  val collocationsSql: String =
+    """WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents),
+      |uni AS (SELECT unnest(tk) AS w FROM t),
+      |ucnt AS (SELECT w, count(*) AS c FROM uni GROUP BY 1),
+      |utot AS (SELECT count(*) AS u FROM uni),
+      |bg AS (SELECT unnest(list_transform(range(len(tk) - 1),
+      |         i -> {'w1': tk[i + 1], 'w2': tk[i + 2]}), recursive := true)
+      |       FROM t WHERE len(tk) >= 2),
+      |bcnt AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+      |btot AS (SELECT count(*) AS n FROM bg)
+      |SELECT w1, w2, c12,
+      |       round(ln((CAST(c12 AS DOUBLE) / n) /
+      |             ((CAST(c1.c AS DOUBLE) / u) * (CAST(c2.c AS DOUBLE) / u))), 6) AS pmi
+      |FROM bcnt
+      |CROSS JOIN btot CROSS JOIN utot
+      |JOIN ucnt c1 ON bcnt.w1 = c1.w
+      |JOIN ucnt c2 ON bcnt.w2 = c2.w
+      |WHERE c12 >= 5
+      |ORDER BY pmi DESC, w1, w2 LIMIT 25""".stripMargin
+
   // ---------------------------------------------------------------- TXT-4
   /** Per-doc quality scoring: token count, lexical diversity, stopword
     * density, composite score.

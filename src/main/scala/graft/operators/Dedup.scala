@@ -319,8 +319,13 @@ object Dedup {
   def dupClusters(pairs: DataFrame, aCol: String = "doc_a",
       bCol: String = "doc_b", maxIters: Int = 30): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    // The symmetrized edge list is re-read by EVERY iteration's propagate
+    // join — persisted once here so the (possibly expensive) upstream
+    // pair-generation lineage (e.g. the whole MinHash-LSH pipeline for
+    // q_dd9/q_ml6) executes exactly once, not once per iteration.
     val sym = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = sym.groupBy(col("src").as("node")).agg(min("dst").as("nbr"))
       .select(col("node"), least(col("node"), col("nbr")).as("lbl"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -350,6 +355,9 @@ object Dedup {
       converged = changed == 0L
       iter += 1
     }
+    // labels is persisted + already materialized (by the convergence
+    // count), so the edge list is no longer needed.
+    sym.unpersist(blocking = false)
     labels.select(col("node").as("doc_id"), col("lbl").as("cluster"))
   }
 

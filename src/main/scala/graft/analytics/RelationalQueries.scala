@@ -769,14 +769,18 @@ object RelationalQueries {
     * because Spark writes shortest-round-trip representations.
     */
   /** Deterministic scratch dir for the side-effecting round-trips: a
-    * FIXED path + `mode("overwrite")` instead of a fresh temp dir per
-    * invocation — Bench reps and repeated correctness passes would
-    * otherwise accumulate an orphaned written slice under /tmp per run
-    * (overwrite deletes the previous contents before writing).
+    * per-PROCESS fixed path + `mode("overwrite")` instead of a fresh
+    * temp dir per invocation — Bench reps and repeated correctness
+    * passes within one JVM would otherwise accumulate an orphaned
+    * written slice under /tmp per run (overwrite deletes the previous
+    * contents before writing). The path embeds the JVM pid so two
+    * concurrent processes (a bench run racing a verify run) each get
+    * their own slice instead of overwriting each other's mid-read.
     */
+  private val scratchToken: Long = ProcessHandle.current().pid()
   private[analytics] def scratchDir(tag: String): String = {
     val p = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), s"graft_scratch_$tag")
+      System.getProperty("java.io.tmpdir"), s"graft_scratch_${scratchToken}_$tag")
     java.nio.file.Files.createDirectories(p)
     p.toString
   }

@@ -319,46 +319,71 @@ object Dedup {
   def dupClusters(pairs: DataFrame, aCol: String = "doc_a",
       bCol: String = "doc_b", maxIters: Int = 30): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    // The symmetrized edge list is re-read by EVERY iteration's propagate
-    // join — persisted once here so the (possibly expensive) upstream
-    // pair-generation lineage (e.g. the whole MinHash-LSH pipeline for
-    // q_dd9/q_ml6) executes exactly once, not once per iteration.
+    // With zero iterations the initial labels would be returned
+    // unmaterialized and the edge-list unpersist below would force a
+    // full upstream recompute on the caller's first action.
+    require(maxIters >= 1, s"dupClusters needs maxIters >= 1, got $maxIters")
+    // Persisting `next` bounds RECOMPUTE each iteration but the logical
+    // plan still deepens by a fixed number of joins per generation —
+    // at high-diameter graphs driver-side analysis cost grows
+    // superlinearly. Every `lineageCapEvery` iterations the labels are
+    // localCheckpoint'ed (eager), truncating the plan to a LogicalRDD.
+    // localCheckpoint (executor-storage, not the reliable checkpoint
+    // dir) is the right trade in-session: labels are tiny (2 longs per
+    // clustered doc) and a lost executor just fails the job like any
+    // other cached-stage loss; a multi-hour cluster job would pass a
+    // checkpoint dir and use reliable checkpoint() instead.
+    val lineageCapEvery = 5
     val sym = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = sym.groupBy(col("src").as("node")).agg(min("dst").as("nbr"))
-      .select(col("node"), least(col("node"), col("nbr")).as("lbl"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var iter = 0
-    var converged = false
-    while (!converged && iter < maxIters) {
-      // Propagate: each node takes the min of its own label and its
-      // neighbors' labels (one shuffle on dst, one aggregate on src).
-      val nbr = sym.join(labels.select(col("node").as("dst"), col("lbl").as("nlbl")), Seq("dst"))
-        .groupBy(col("src").as("node")).agg(min("nlbl").as("plbl"))
-      val prop = labels.join(nbr, Seq("node"), "left")
-        .select(col("node"), least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl"))
-      // Pointer jump: label ← label(label) — halves remaining chain
-      // depth each round. Label values are always node ids, so the
-      // self-join key set is closed.
-      val next = prop.join(
-          prop.select(col("node").as("lnode"), col("lbl").as("llbl")),
-          col("lbl") === col("lnode"), "left")
-        .select(col("node"), least(col("lbl"), coalesce(col("llbl"), col("lbl"))).as("lbl"))
+    try {
+      var labels = sym.groupBy(col("src").as("node")).agg(min("dst").as("nbr"))
+        .select(col("node"), least(col("node"), col("nbr")).as("lbl"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      // Driver-side scalar convergence check (bounded: one long per
-      // iteration; this also materializes `next` before the unpersist).
-      val changed = next.join(labels.select(col("node"), col("lbl").as("old")), Seq("node"))
-        .where(col("lbl") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
-      converged = changed == 0L
-      iter += 1
+      // A locally-checkpointed generation must NOT be unpersisted: its
+      // blocks ARE the data (no lineage left to recompute from).
+      var labelsCheckpointed = false
+      var iter = 0
+      var converged = false
+      while (!converged && iter < maxIters) {
+        // Propagate: each node takes the min of its own label and its
+        // neighbors' labels (one shuffle on dst, one aggregate on src).
+        val nbr = sym.join(labels.select(col("node").as("dst"), col("lbl").as("nlbl")), Seq("dst"))
+          .groupBy(col("src").as("node")).agg(min("nlbl").as("plbl"))
+        val prop = labels.join(nbr, Seq("node"), "left")
+          .select(col("node"), least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl"))
+        // Pointer jump: label ← label(label) — halves remaining chain
+        // depth each round. Label values are always node ids, so the
+        // self-join key set is closed.
+        val nextPlan = prop.join(
+            prop.select(col("node").as("lnode"), col("lbl").as("llbl")),
+            col("lbl") === col("lnode"), "left")
+          .select(col("node"), least(col("lbl"), coalesce(col("llbl"), col("lbl"))).as("lbl"))
+        val capNow = (iter + 1) % lineageCapEvery == 0
+        // localCheckpoint is eager (materializes now); the persist path
+        // is materialized by the convergence count below.
+        val next =
+          if (capNow) nextPlan.localCheckpoint()
+          else nextPlan.persist(StorageLevel.MEMORY_AND_DISK)
+        // Driver-side scalar convergence check (bounded: one long per
+        // iteration; this also materializes `next` before the unpersist).
+        val changed = next.join(labels.select(col("node"), col("lbl").as("old")), Seq("node"))
+          .where(col("lbl") =!= col("old")).count()
+        if (!labelsCheckpointed) labels.unpersist()
+        labels = next
+        labelsCheckpointed = capNow
+        converged = changed == 0L
+        iter += 1
+      }
+      // labels is persisted/checkpointed + already materialized (by the
+      // convergence count), so the edge list is no longer needed.
+      labels.select(col("node").as("doc_id"), col("lbl").as("cluster"))
+    } finally {
+      // Unconditional: a failed Spark action mid-loop must not leak the
+      // cached edge list for the rest of the session.
+      sym.unpersist(blocking = false)
     }
-    // labels is persisted + already materialized (by the convergence
-    // count), so the edge list is no longer needed.
-    sym.unpersist(blocking = false)
-    labels.select(col("node").as("doc_id"), col("lbl").as("cluster"))
   }
 
   /** Keep/purge resolution over [[dupClusters]] output: one row per

@@ -38,11 +38,24 @@ object Similarity {
     * consuming it just recomputes).
     */
   private val memoCache =
-    scala.collection.mutable.Map.empty[String, (Any, DataFrame)]
-  def releaseCaches(): Unit = memoCache.synchronized {
-    memoCache.values.foreach(_._2.unpersist(blocking = false))
-    memoCache.clear()
+    new java.util.concurrent.ConcurrentHashMap[String, (Any, DataFrame)]
+  private val memoLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]
+  def releaseCaches(): Unit = {
+    val it = memoCache.entrySet().iterator()
+    while (it.hasNext) {
+      safeUnpersist(it.next().getValue._2)
+      it.remove()
+    }
   }
+
+  /** Unpersist that tolerates an already-stopped session: eviction can
+    * outlive the SparkSession that built the entry (a test suite's
+    * session, a restarted shell) and touching a stopped session's cache
+    * manager throws — there is nothing left to free in that case.
+    */
+  private def safeUnpersist(df: DataFrame): Unit =
+    if (!df.sparkSession.sparkContext.isStopped) df.unpersist(blocking = false)
 
   /** Memoize one DataFrame per `slot` by (session, canonicalized plan):
     * a repeat call with an identical plan returns the already-persisted
@@ -51,20 +64,33 @@ object Similarity {
     * eagerly — consumers broadcast these tables, and concurrent
     * broadcast builds racing an unmaterialized cache BOTH compute the
     * plan (measured: a full extra training run).
+    *
+    * Locking is PER SLOT: the materializing `count()` can be a whole
+    * training run, so holding a global lock across it would serialize
+    * unrelated slots (a "trained" build would block a concurrent
+    * "cells" lookup). The map itself is a ConcurrentHashMap — the hit
+    * path is lock-free; only a miss takes its slot's monitor, and two
+    * misses on DIFFERENT slots compute concurrently.
     */
-  private[operators] def memoized(slot: String, df: DataFrame): DataFrame =
-    memoCache.synchronized {
-      val key = (df.sparkSession, df.queryExecution.analyzed.canonicalized): Any
-      memoCache.get(slot) match {
-        case Some((k, cached)) if k == key => cached
-        case prev =>
-          prev.foreach(_._2.unpersist(blocking = false))
-          val out = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          out.count()
-          memoCache(slot) = (key, out)
-          out
+  private[operators] def memoized(slot: String, df: DataFrame): DataFrame = {
+    val key = (df.sparkSession, df.queryExecution.analyzed.canonicalized): Any
+    val hit = memoCache.get(slot)
+    if (hit != null && hit._1 == key) return hit._2
+    val lock = memoLocks.computeIfAbsent(slot, _ => new AnyRef)
+    lock.synchronized {
+      // Double-checked: another thread may have built this slot while
+      // we waited on its monitor.
+      val cur = memoCache.get(slot)
+      if (cur != null && cur._1 == key) cur._2
+      else {
+        if (cur != null) safeUnpersist(cur._2)
+        val out = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        out.count()
+        memoCache.put(slot, (key, out))
+        out
       }
     }
+  }
 
   /** Scale rule for the IVF centroid count — IN CODE, not prose: the
     * classic k ≈ √n balance point, where cell size (n/k) and probe cost
@@ -440,12 +466,84 @@ object Similarity {
     */
   def int8Index(corpus: DataFrame, nCentroids: Int = 16,
       lloydIters: Int = 2, trainN: Int = 4096,
-      seedPlanes: Int = 6, dim: Int = 64): DataFrame = {
-    val centroids = trainCentroids(corpus, nCentroids, lloydIters, trainN,
-        seedPlanes, dim)
-      .select(col("cid"), col("ce"), VF.l2Norm(col("ce")).as("cn"))
-    int8CorpusCells(corpus, centroids, int8Stats(corpus, dim))
+      seedPlanes: Int = 6, dim: Int = 64): DataFrame =
+    int8IndexWith(corpus,
+      int8Stats(corpus, dim),
+      trainCentroids(corpus, nCentroids, lloydIters, trainN, seedPlanes, dim))
+
+  /** [[int8Index]] against a GIVEN quantizer — encode `corpus` on the
+    * supplied `grid` ([[int8Stats]] shape) and assign cells against the
+    * supplied `centroids` ([[trainCentroids]] shape), no training. This
+    * is the composable build block: [[int8Index]] is it plus a fresh
+    * training pass, [[appendToInt8Index]] is it over the new rows only.
+    */
+  def int8IndexWith(corpus: DataFrame, grid: DataFrame,
+      centroids: DataFrame): DataFrame = {
+    val cents = centroids.select(col("cid"), col("ce"), VF.l2Norm(col("ce")).as("cn"))
+    int8CorpusCells(corpus, cents, grid)
       .select("neighbor_id", "cid", "qcode")
+  }
+
+  /** INCREMENTAL index maintenance — the "train once, serve forever"
+    * artifact gains an append path: new corpus vectors are encoded on
+    * the EXISTING grid and assigned to the EXISTING centroids (one pass
+    * over `newRows` only — broadcast quantizer, one shuffle on the cell
+    * id), then unioned onto the stored index. No full rebuild: at 100 TB
+    * the daily append touches the day's rows, not the corpus. Because
+    * the quantizer is fixed, append ≡ rebuild-with-that-quantizer on the
+    * union (SimilaritySpec pins the equivalence; q_sim5c's oracle
+    * replays assignment on the union). Quantizer staleness is the trade
+    * — measure it with [[indexDrift]] and retrain when it says so.
+    */
+  def appendToInt8Index(newRows: DataFrame, index: DataFrame,
+      grid: DataFrame, centroids: DataFrame): DataFrame =
+    index.select("neighbor_id", "cid", "qcode")
+      .unionByName(int8IndexWith(newRows, grid, centroids))
+
+  /** Drift metric for the append path: how well do the FIXED centroids
+    * still fit the incoming batch? Both sides are measured on int8
+    * reconstructed midpoints — the new batch encoded on the existing
+    * grid, the indexed corpus straight from its stored codes — so the
+    * metric needs only the index artifact (index + grid + centroids),
+    * never the float corpus, and measures exactly what the serve path
+    * sees. One row: `fit_new` / `fit_indexed` (avg best-centroid cosine
+    * per side), `drift` (indexed − new), `retrain` = 1 when
+    * fit_new < retrainRatio · fit_indexed. A same-distribution append
+    * sits at drift ≈ 0; a distribution shift pulls fit_new down while
+    * fit_indexed (training-time fit) is constant — the standing
+    * retrain trigger. Cost: one pass per side with the centroid table
+    * broadcast; at scale the new batch is the small side and the
+    * indexed side's scan is the price of an exact baseline (sample it
+    * upstream if an estimate suffices).
+    */
+  def indexDrift(newRows: DataFrame, index: DataFrame, grid: DataFrame,
+      centroids: DataFrame, retrainRatio: Double = 0.9): DataFrame = {
+    import graft.functions.{QuantExpressions => QE}
+    val cents = broadcast(
+      centroids.select(col("cid"), col("ce"), VF.l2Norm(col("ce")).as("cn")))
+    // avg over rows of (best rounded cosine to any centroid); the
+    // ×nCentroids candidates collapse map-side in the max() partial.
+    def fit(recon: DataFrame, alias: String): DataFrame =
+      recon.withColumn("rn", VF.l2Norm(col("re")))
+        .where(col("rn") > 0)
+        .crossJoin(cents)
+        .withColumn("ccos",
+          round(VF.dot(col("re"), col("ce")) / (col("rn") * col("cn")), 6))
+        .groupBy(col("rid"))
+        .agg(max("ccos").as("best"))
+        .agg(round(avg("best"), 6).as(alias))
+    val newRecon = newRows.crossJoin(broadcast(grid))
+      .select(col("vec_id").as("rid"),
+        QE.int8Recon(QE.quantizeInt8(col("embedding"), col("lo"), col("hi")),
+          col("lo"), col("hi")).as("re"))
+    val idxRecon = index.crossJoin(broadcast(grid))
+      .select(col("neighbor_id").as("rid"),
+        QE.int8Recon(col("qcode"), col("lo"), col("hi")).as("re"))
+    fit(newRecon, "fit_new").crossJoin(fit(idxRecon, "fit_indexed"))
+      .select(col("fit_new"), col("fit_indexed"),
+        round(col("fit_indexed") - col("fit_new"), 6).as("drift"),
+        (col("fit_new") < lit(retrainRatio) * col("fit_indexed"))
+          .cast("long").as("retrain"))
   }
 
   /** IVF top-k over an INT8-quantized corpus — the production shape the

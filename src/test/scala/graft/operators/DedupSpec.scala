@@ -172,6 +172,31 @@ class DedupSpec extends SparkSpec {
     assert(got.size == 33 && got.values.forall(_ == 0L), s"path component: $got")
   }
 
+  test("dupClusters caps plan lineage on high-diameter graphs (localCheckpoint)") {
+    // A 129-node path needs >5 propagate+jump rounds, crossing the
+    // 5-iteration checkpoint cadence at least once. The returned plan
+    // must be rooted past a LogicalRDD (the checkpoint truncation) and
+    // bounded in size — without the cap it carries every iteration's
+    // join tree and grows with the iteration count.
+    val pairs = (0L until 128L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val clusters = Dedup.dupClusters(pairs)
+    val got = clusters.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 129 && got.values.forall(_ == 0L))
+    val plan = clusters.queryExecution.analyzed
+    // The post-checkpoint generations still join against the (small)
+    // edge-list subtree, so only SOME leaves are LogicalRDD — but at
+    // least one must be (the truncated labels generation).
+    assert(plan.collectLeaves().exists(_.nodeName == "LogicalRDD"),
+      s"expected a checkpoint-truncated leaf, got:\n${plan.treeString}")
+    val nodes = plan.collect { case n => n }.size
+    // At most (lineageCapEvery - 1) generations of (2 joins + the
+    // edge-list union subtree, ~80 nodes each) sit atop the checkpointed
+    // LogicalRDD regardless of iteration count (measured: 172 nodes with
+    // 2 post-checkpoint generations); the uncapped tree grows with every
+    // iteration and passes 600 at 8 iterations.
+    assert(nodes < 450, s"plan not lineage-capped: $nodes nodes\n${plan.treeString}")
+  }
+
   test("embeddingNearDups finds the planted near-identical vector pair") {
     val v = Array.tabulate(8)(i => 0.1f * (i + 1))
     val nearly = v.clone(); nearly(7) = nearly(7) * 1.01f

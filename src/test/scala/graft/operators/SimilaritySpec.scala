@@ -256,4 +256,40 @@ class SimilaritySpec extends SparkSpec {
       Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
     assert(messages(ex).exists(_.contains("embedding dim must be")), ex.getMessage)
   }
+
+  test("memoized: a miss on one slot does not block a different slot") {
+    import java.util.concurrent.TimeUnit
+    // The slow slot's materializing count() is held open by a latch
+    // (the UDF runs in this JVM under local mode); a second slot must
+    // complete WHILE the first is still mid-compute — under the old
+    // global lock this deadlocks until the 10 s UDF timeout.
+    val started = SimilaritySpec.slowStarted
+    val release = SimilaritySpec.releaseSlow
+    val slowUdf = udf { x: Long =>
+      SimilaritySpec.slowStarted.countDown()
+      SimilaritySpec.releaseSlow.await(30, TimeUnit.SECONDS)
+      x
+    }
+    val slow = new Thread(() =>
+      Similarity.memoized("spec_slow", spark.range(1).select(slowUdf(col("id")).as("v"))))
+    try {
+      slow.start()
+      assert(started.await(30, TimeUnit.SECONDS), "slow slot never started computing")
+      val fast = Similarity.memoized("spec_fast", spark.range(3).toDF())
+      assert(fast.count() == 3)
+      // The slow slot is still blocked on the latch, so the fast slot's
+      // completion above proves per-slot locking.
+      assert(release.getCount == 1, "slow slot finished early; test proved nothing")
+    } finally {
+      release.countDown()
+      slow.join(30000)
+      Similarity.releaseCaches()
+    }
+  }
+}
+
+object SimilaritySpec {
+  // Shared with the executor-side UDF closure (same JVM under local mode).
+  val slowStarted = new java.util.concurrent.CountDownLatch(1)
+  val releaseSlow = new java.util.concurrent.CountDownLatch(1)
 }

@@ -840,6 +840,107 @@ object ExtensionQueries {
       .crossJoin(gridSum)
   }
 
+  /** SIM-5c: INCREMENTAL index append + drift check
+    * ([[Similarity.appendToInt8Index]] / [[Similarity.indexDrift]]).
+    * The corpus is split 9:1 on id residue: the index is built (train +
+    * grid + encode) on the base 90%, then the held-out 10% is APPENDED —
+    * encoded on the existing grid, assigned to the existing centroids,
+    * no retraining. Output: the sim5b-style digest of the appended index
+    * (row/cell/cid counts + exact code checksum) crossed with the drift
+    * row. Because the quantizer is fixed, append ≡ encoding the UNION
+    * with that quantizer — which is exactly what the DuckDB oracle
+    * replays (train on base, encode base ∪ new, assign, digest), so a
+    * hash match proves the append path produces the same artifact a
+    * from-scratch encode would. The same-distribution split pins
+    * retrain = 0 (drift ≈ 0) — the planted-shift case where retrain
+    * flips to 1 is SimilaritySpec's.
+    */
+  def int8IndexAppend(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{QuantExpressions => QE}
+    val embs = Tables.embeddings(spark, dir)
+    val base = embs.where(col("vec_id") % 10 =!= 0)
+    val fresh = embs.where(col("vec_id") % 10 === 0)
+    val centroids = Similarity.trainCentroids(base, nCentroids = 16,
+      iters = 2, trainN = 1024, seedPlanes = 6, dim = 64)
+    val grid = Similarity.int8Stats(base, dim = 64)
+    val index = Similarity.int8IndexWith(base, grid, centroids)
+    val appended = Similarity.appendToInt8Index(fresh, index, grid, centroids)
+    val drift = Similarity.indexDrift(fresh, index, grid, centroids)
+    // Same digest as q_sim5b: Σ(code+0.5) is a dyadic-halves sum, exact
+    // and order-independent in double across engines.
+    val halves = QE.int8Recon(col("qcode"),
+      typedLit(Seq.fill(64)(0.0)), typedLit(Seq.fill(64)(256.0)))
+    appended
+      .select(col("neighbor_id"), col("cid"),
+        aggregate(halves, lit(0.0), (a, x) => a + x).as("vec_code_sum"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct("cid").as("n_cells"),
+        sum("cid").cast("long").as("sum_cid"),
+        sum("vec_code_sum").as("code_sum"))
+      .crossJoin(drift)
+  }
+
+  val int8IndexAppendSql: String = {
+    val (nc, iters, trainN, dim) = (16, 2, 1024, 64)
+    // Training + grid CTEs see `v` = the BASE split only; the union view
+    // `vu` (base ∪ appended rows) is what gets encoded and assigned —
+    // the from-scratch equivalent of the Spark side's append.
+    val (training, cFinal) = ivfTrainingCtes(nc, iters, trainN, seedPlanes = 6, dim = dim)
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+       |           WHERE vec_id % 10 != 0),
+       |$training,
+       |st AS (SELECT list(lo ORDER BY d) AS lo, list(hi ORDER BY d) AS hi FROM (
+       |         SELECT d.range AS d, min(v.e[d.range + 1]) AS lo,
+       |                max(v.e[d.range + 1]) AS hi
+       |         FROM v CROSS JOIN range($dim) d GROUP BY 1)),
+       |vu AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+       |              CAST(vec_id % 10 = 0 AS BOOLEAN) AS is_new
+       |       FROM embeddings),
+       |qc AS (SELECT vu.vec_id, list_transform(range($dim), d ->
+       |         CASE WHEN st.hi[d + 1] > st.lo[d + 1]
+       |              THEN LEAST(GREATEST(floor((vu.e[d + 1] - st.lo[d + 1])
+       |                     / (st.hi[d + 1] - st.lo[d + 1]) * 255.0), 0.0), 255.0)
+       |              ELSE 0.0 END) AS codes
+       |       FROM vu CROSS JOIN st),
+       |re AS (SELECT vu.vec_id, vu.is_new, list_transform(range($dim), d ->
+       |         CASE WHEN st.hi[d + 1] > st.lo[d + 1]
+       |              THEN st.lo[d + 1] +
+       |                   (LEAST(GREATEST(floor((vu.e[d + 1] - st.lo[d + 1])
+       |                      / (st.hi[d + 1] - st.lo[d + 1]) * 255.0), 0.0), 255.0)
+       |                    + 0.5) * (st.hi[d + 1] - st.lo[d + 1]) / 256.0
+       |              ELSE st.lo[d + 1] END) AS re
+       |       FROM vu CROSS JOIN st),
+       |rz AS (SELECT vec_id, is_new, re FROM re WHERE list_dot_product(re, re) > 0),
+       |best AS (SELECT r.vec_id, r.is_new,
+       |                max(round(list_cosine_similarity(r.re, c.ce), 6)) AS bcos
+       |         FROM rz r CROSS JOIN $cFinal c GROUP BY 1, 2),
+       |caq AS (SELECT vec_id AS neighbor_id, is_new, cid FROM (
+       |    SELECT r.vec_id, r.is_new, c.cid,
+       |           row_number() OVER (PARTITION BY r.vec_id
+       |             ORDER BY round(list_cosine_similarity(r.re, c.ce), 6) DESC, c.cid) AS rn
+       |    FROM rz r CROSS JOIN $cFinal c)
+       |  WHERE rn = 1),
+       |fits AS (SELECT
+       |    (SELECT round(sum(bcos), 6) / count(*) FROM best WHERE is_new) AS fit_new,
+       |    (SELECT round(sum(bcos), 6) / count(*) FROM best WHERE NOT is_new)
+       |      AS fit_indexed)
+       |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       |       CAST(count(DISTINCT cid) AS BIGINT) AS n_cells,
+       |       CAST(sum(cid) AS BIGINT) AS sum_cid,
+       |       sum(vec_code_sum) AS code_sum,
+       |       fits.fit_new AS fit_new,
+       |       fits.fit_indexed AS fit_indexed,
+       |       fits.fit_indexed - fits.fit_new AS drift,
+       |       CAST(fits.fit_new < 0.9 * fits.fit_indexed AS BIGINT) AS retrain
+       |FROM (SELECT caq.neighbor_id, caq.cid,
+       |             list_aggregate(list_transform(qc.codes, c -> c + 0.5), 'sum')
+       |               AS vec_code_sum
+       |      FROM caq JOIN qc ON caq.neighbor_id = qc.vec_id)
+       |CROSS JOIN fits
+       |GROUP BY fits.fit_new, fits.fit_indexed""".stripMargin
+  }
+
   val int8IndexRoundtripSql: String = {
     val (nc, iters, trainN, dim) = (16, 2, 1024, 64)
     val (training, cFinal) = ivfTrainingCtes(nc, iters, trainN, seedPlanes = 6, dim = dim)

@@ -521,8 +521,15 @@ object Similarity {
     import graft.functions.{QuantExpressions => QE}
     val cents = broadcast(
       centroids.select(col("cid"), col("ce"), VF.l2Norm(col("ce")).as("cn")))
-    // avg over rows of (best rounded cosine to any centroid); the
+    // Mean over rows of (best rounded cosine to any centroid); the
     // ×nCentroids candidates collapse map-side in the max() partial.
+    // Determinism note: the mean is computed as round(sum, 6) / count,
+    // NOT round(avg, 6) — the per-row best values are 6dp decimals, so
+    // their true sum is a 6dp decimal and rounding the computed sum is
+    // boundary-safe (float error ≪ half-boundary), whereas sum/n lands
+    // exactly ON x.xxxxx5 ties that engines round differently. After
+    // the rounded sum, division/subtraction/compare are raw IEEE over
+    // cross-engine-identical doubles — bit-identical with no rounding.
     def fit(recon: DataFrame, alias: String): DataFrame =
       recon.withColumn("rn", VF.l2Norm(col("re")))
         .where(col("rn") > 0)
@@ -531,7 +538,7 @@ object Similarity {
           round(VF.dot(col("re"), col("ce")) / (col("rn") * col("cn")), 6))
         .groupBy(col("rid"))
         .agg(max("ccos").as("best"))
-        .agg(round(avg("best"), 6).as(alias))
+        .agg((round(sum("best"), 6) / count(lit(1))).as(alias))
     val newRecon = newRows.crossJoin(broadcast(grid))
       .select(col("vec_id").as("rid"),
         QE.int8Recon(QE.quantizeInt8(col("embedding"), col("lo"), col("hi")),
@@ -540,8 +547,12 @@ object Similarity {
       .select(col("neighbor_id").as("rid"),
         QE.int8Recon(col("qcode"), col("lo"), col("hi")).as("re"))
     fit(newRecon, "fit_new").crossJoin(fit(idxRecon, "fit_indexed"))
+      // drift stays UNROUNDED: the operands are already 6dp-rounded (so
+      // cross-engine identical doubles) and raw IEEE subtraction of
+      // identical doubles is bit-identical — re-rounding the difference
+      // lands on decimal ties that engines break differently.
       .select(col("fit_new"), col("fit_indexed"),
-        round(col("fit_indexed") - col("fit_new"), 6).as("drift"),
+        (col("fit_indexed") - col("fit_new")).as("drift"),
         (col("fit_new") < lit(retrainRatio) * col("fit_indexed"))
           .cast("long").as("retrain"))
   }

@@ -257,6 +257,52 @@ class SimilaritySpec extends SparkSpec {
     assert(messages(ex).exists(_.contains("embedding dim must be")), ex.getMessage)
   }
 
+  test("appendToInt8Index ≡ rebuild on the union, given unchanged centroids/grid") {
+    // 60-vector corpus; index built on the first 48, then 12 appended.
+    val all = (0 until 60).map { id =>
+      (id.toLong, Seq.tabulate(8)(d => 0.1f * ((id + d) % 13) - 0.5f))
+    }.toDF("vec_id", "embedding")
+    val base = all.where(col("vec_id") < 48)
+    val fresh = all.where(col("vec_id") >= 48)
+    val cents = Similarity.trainCentroids(base, nCentroids = 4, iters = 2,
+      trainN = 64, seedPlanes = 4, dim = 8)
+    val grid = Similarity.int8Stats(base, dim = 8)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Array[Byte]](2).toSeq)).toSet
+    val appended = rows(Similarity.appendToInt8Index(
+      fresh, Similarity.int8IndexWith(base, grid, cents), grid, cents))
+    val rebuilt = rows(Similarity.int8IndexWith(all, grid, cents))
+    assert(appended == rebuilt,
+      s"append diverged from rebuild: ${appended.diff(rebuilt)} / ${rebuilt.diff(appended)}")
+    assert(appended.size == 60)
+  }
+
+  test("indexDrift: same-distribution append quiet, shifted batch trips retrain") {
+    val base = (0 until 48).map { id =>
+      (id.toLong, Seq.tabulate(8)(d => 0.1f * ((id + d) % 13) - 0.5f))
+    }.toDF("vec_id", "embedding")
+    val cents = Similarity.trainCentroids(base, nCentroids = 4, iters = 2,
+      trainN = 64, seedPlanes = 4, dim = 8)
+    val grid = Similarity.int8Stats(base, dim = 8)
+    val index = Similarity.int8IndexWith(base, grid, cents)
+    // Same generator, new ids: fit_new ≈ fit_indexed → no retrain.
+    val same = (100 until 112).map { id =>
+      (id.toLong, Seq.tabulate(8)(d => 0.1f * ((id + d) % 13) - 0.5f))
+    }.toDF("vec_id", "embedding")
+    val quiet = Similarity.indexDrift(same, index, grid, cents).head()
+    assert(quiet.getAs[Long]("retrain") == 0L,
+      s"same-distribution batch flagged for retrain: $quiet")
+    // Orthogonal-ish shifted batch: alternating-sign vectors the trained
+    // centroids fit poorly → fit_new collapses, retrain = 1.
+    val shifted = (200 until 212).map { id =>
+      (id.toLong, Seq.tabulate(8)(d => if ((id + d) % 2 == 0) 5.0f else -5.0f))
+    }.toDF("vec_id", "embedding")
+    val loud = Similarity.indexDrift(shifted, index, grid, cents).head()
+    assert(loud.getAs[Long]("retrain") == 1L,
+      s"shifted batch not flagged for retrain: $loud")
+    assert(loud.getAs[Double]("fit_new") < quiet.getAs[Double]("fit_new"))
+  }
+
   test("memoized: a miss on one slot does not block a different slot") {
     import java.util.concurrent.TimeUnit
     // The slow slot's materializing count() is held open by a latch

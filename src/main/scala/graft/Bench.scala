@@ -15,6 +15,17 @@ import org.apache.spark.sql.SparkSession
   * same order as the signal; r2's two flagged "regressions" (q_agg4,
   * q_rel17 — sources unchanged since r1) were exactly this.
   *
+  * Reps are INTERLEAVED across queries (pass 1 = A,B,C…, pass 2 =
+  * A,B,C…), not run back-to-back per query (A,A,B,B…): round 5's bench
+  * showed ten sort-contiguous queries 2.8-6.5× slower with zero code
+  * change — sustained environment load during one window of the run
+  * poisons EVERY rep of a contiguous block under back-to-back reps,
+  * while under interleaving it costs each affected query one rep of
+  * many and min-of-reps recovers. The line also reports per-query
+  * MEDIANS (`queries_med`, `total_med`) so min-vs-median divergence
+  * flags a noisy run directly, and the JVM's cumulative GC time
+  * (`gc_sec`) to rule collector pressure in or out.
+  *
   * Floor accounting: with ~70 queries at a ≈0.2 s session/plan-overhead
   * floor, the floor is half the total and drowns per-operator trends.
   * The line reports `floor` (the minimum per-query time — an overhead
@@ -60,27 +71,56 @@ object Bench {
       }
       ((System.nanoTime() - t0) / 1e9, ok)
     }
-    val timed = selected.map { case (name, fn) =>
-      val base = (1 to baseReps).map(_ => timeOnce(fn))
-      // Sub-second: one extra rep — the plan floor dominates and a single
-      // slow rep (GC, compaction of the JIT code cache) is common.
-      val reps = if (base.map(_._1).min < 1.0) base :+ timeOnce(fn) else base
-      (name, reps.map(_._1).min, reps.forall(_._2))
+    def gcMillis: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).filter(_ > 0).sum
     }
-    val results = timed.collect { case (n, t, true) => n -> t }
-    val failed = timed.collect { case (n, _, false) => n }
+    val gc0 = gcMillis
+    // Interleaved passes: every pass visits all queries in sorted order,
+    // so a transient load window hits one rep of many queries instead of
+    // every rep of a few.
+    val passes = (1 to baseReps).map { _ =>
+      selected.map { case (name, fn) => name -> timeOnce(fn) }
+    }
+    val byName = selected.map { case (name, _) =>
+      name -> passes.map(_.collectFirst { case (`name`, r) => r }.get)
+    }
+    // Sub-second queries: one extra (third) pass — the plan floor
+    // dominates there and a single slow rep (GC, JIT code-cache
+    // compaction) is common.
+    val subSecond = byName.collect {
+      case (n, reps) if reps.map(_._1).min < 1.0 => n
+    }.toSet
+    val extra = selected.collect { case (name, fn) if subSecond(name) =>
+      name -> timeOnce(fn)
+    }.toMap
+    val timed = byName.map { case (name, reps) =>
+      val all = reps ++ extra.get(name)
+      val ts = all.map(_._1).sorted
+      (name, ts.head, ts(ts.size / 2), all.forall(_._2))
+    }
+    val gcSec = (gcMillis - gc0) / 1e3
+    val results = timed.collect { case (n, t, _, true) => n -> t }
+    val medians = timed.collect { case (n, _, m, true) => n -> m }
+    val failed = timed.collect { case (n, _, _, false) => n }
     // Locale.ROOT: the default-locale f-interpolator would emit "0,123"
     // under comma-decimal locales — invalid JSON for the driver's parse.
     def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
+    val qsMed = medians.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val totalMed = medians.map(_._2).sum
     val floor = if (results.nonEmpty) results.map(_._2).min else 0.0
     val adj = total - results.size * floor
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,""" +
       s""""n":${results.size},"floor":${f3(floor)},"value_adj":${f3(adj)},""" +
+      s""""total_med":${f3(totalMed)},"gc_sec":${f3(gcSec)},""" +
+      s""""queries_med":$qsMed,""" +
       s""""failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
     // The driver captures only a bounded stdout TAIL — with 77+ queries

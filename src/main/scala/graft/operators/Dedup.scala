@@ -317,7 +317,8 @@ object Dedup {
     * count past convergence.
     */
   def dupClusters(pairs: DataFrame, aCol: String = "doc_a",
-      bCol: String = "doc_b", maxIters: Int = 30): DataFrame = {
+      bCol: String = "doc_b", maxIters: Int = 30,
+      onIter: (Int, Double, Long) => Unit = (_, _, _) => ()): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     // With zero iterations the initial labels would be returned
     // unmaterialized and the edge-list unpersist below would force a
@@ -347,6 +348,7 @@ object Dedup {
       var iter = 0
       var converged = false
       while (!converged && iter < maxIters) {
+        val iterT0 = System.nanoTime()
         // Propagate: each node takes the min of its own label and its
         // neighbors' labels (one shuffle on dst, one aggregate on src).
         val nbr = sym.join(labels.select(col("node").as("dst"), col("lbl").as("nlbl")), Seq("dst"))
@@ -375,6 +377,9 @@ object Dedup {
         labelsCheckpointed = capNow
         converged = changed == 0L
         iter += 1
+        // Diagnostic hook (iteration index, seconds, changed-label
+        // count) — ClusterProbe feeds SCALE.md; default is a no-op.
+        onIter(iter, (System.nanoTime() - iterT0) / 1e9, changed)
       }
       // labels is persisted/checkpointed + already materialized (by the
       // convergence count), so the edge list is no longer needed.

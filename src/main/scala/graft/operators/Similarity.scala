@@ -29,23 +29,39 @@ object Similarity {
     * (corpus + every hyperparameter: identical plans ⇒ identical
     * deterministic results) — q_sim3 reps, q_sim5 (same quantizer), and
     * SimilaritySpec all reuse one training instead of re-running the
-    * DAG per invocation. A DIFFERENT key in a slot releases that slot's
-    * previous entry first, bounding the executor store to one table per
-    * slot — round 3 leaked every run's caches (ADVICE), which
-    * incidentally memoized reps; this keeps the win and drops the leak.
+    * DAG per invocation. Each slot is a small bounded LRU
+    * ([[memoCapacity]] entries, evictee unpersisted), so the handful of
+    * distinct index configs a session interleaves stay warm while the
+    * executor store stays capped — round 3 leaked every run's caches
+    * (ADVICE), which incidentally memoized reps; this keeps the win
+    * and drops the leak.
     * [[releaseCaches]] clears the registry explicitly; a DataFrame
     * returned earlier keeps working afterwards (its cache is gone, so
     * consuming it just recomputes).
     */
-  private val memoCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Any, DataFrame)]
+  /** Per-slot LRU capacity. One entry per slot (round 4) thrashes as
+    * soon as a session interleaves MORE distinct index configs than
+    * slots — the hardened round-6 bench (passes interleaved across all
+    * queries) cycles three training configs through "trained" per pass,
+    * and each cycle re-ran a full eager training. A small fixed bound
+    * keeps every distinct config of a realistic session cached while
+    * still capping the executor store (the round-3 leak was UNBOUNDED
+    * growth; the cap is what matters, not capacity 1).
+    */
+  private val memoCapacity = 4
+  private val memoCache = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.LinkedHashMap[Any, DataFrame]]
   private val memoLocks =
     new java.util.concurrent.ConcurrentHashMap[String, AnyRef]
   def releaseCaches(): Unit = {
-    val it = memoCache.entrySet().iterator()
-    while (it.hasNext) {
-      safeUnpersist(it.next().getValue._2)
-      it.remove()
+    val slots = memoCache.entrySet().iterator()
+    while (slots.hasNext) {
+      val e = slots.next()
+      memoLocks.computeIfAbsent(e.getKey, _ => new AnyRef).synchronized {
+        e.getValue.values().forEach(safeUnpersist(_))
+        e.getValue.clear()
+      }
+      slots.remove()
     }
   }
 
@@ -57,10 +73,10 @@ object Similarity {
   private def safeUnpersist(df: DataFrame): Unit =
     if (!df.sparkSession.sparkContext.isStopped) df.unpersist(blocking = false)
 
-  /** Memoize one DataFrame per `slot` by (session, canonicalized plan):
-    * a repeat call with an identical plan returns the already-persisted
-    * table; a DIFFERENT plan in the same slot releases the previous
-    * entry first (per-slot store bound: one table). Materializes
+  /** Memoize DataFrames per `slot`, keyed by (session, canonicalized
+    * plan): a repeat call with an identical plan returns the
+    * already-persisted table; each slot holds at most [[memoCapacity]]
+    * entries in LRU order, unpersisting the evictee. Materializes
     * eagerly — consumers broadcast these tables, and concurrent
     * broadcast builds racing an unmaterialized cache BOTH compute the
     * plan (measured: a full extra training run).
@@ -68,25 +84,26 @@ object Similarity {
     * Locking is PER SLOT: the materializing `count()` can be a whole
     * training run, so holding a global lock across it would serialize
     * unrelated slots (a "trained" build would block a concurrent
-    * "cells" lookup). The map itself is a ConcurrentHashMap — the hit
-    * path is lock-free; only a miss takes its slot's monitor, and two
-    * misses on DIFFERENT slots compute concurrently.
+    * "cells" lookup). Two misses on DIFFERENT slots compute
+    * concurrently; within one slot, a racing call for the same key
+    * waits and then hits — never double-computes.
     */
   private[operators] def memoized(slot: String, df: DataFrame): DataFrame = {
     val key = (df.sparkSession, df.queryExecution.analyzed.canonicalized): Any
-    val hit = memoCache.get(slot)
-    if (hit != null && hit._1 == key) return hit._2
     val lock = memoLocks.computeIfAbsent(slot, _ => new AnyRef)
     lock.synchronized {
-      // Double-checked: another thread may have built this slot while
-      // we waited on its monitor.
-      val cur = memoCache.get(slot)
-      if (cur != null && cur._1 == key) cur._2
+      val lru = memoCache.computeIfAbsent(slot,
+        _ => new java.util.LinkedHashMap[Any, DataFrame](8, 0.75f, true))
+      val cached = lru.get(key) // refreshes LRU order on hit
+      if (cached != null) cached
       else {
-        if (cur != null) safeUnpersist(cur._2)
         val out = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         out.count()
-        memoCache.put(slot, (key, out))
+        lru.put(key, out)
+        if (lru.size > memoCapacity) {
+          val evict = lru.keySet().iterator().next() // least recently used
+          safeUnpersist(lru.remove(evict))
+        }
         out
       }
     }

@@ -12,14 +12,15 @@ import sys
 
 QUERIES = [
     "q_rel1_scan_filter", "q_rel4_join_broadcast", "q_adv1_shipping_priority",
+    "q_adv2_local_supplier_volume",
     "q_dd5_minhash_lsh", "q_sim1_cosine_topk", "q_sim2_ann_lsh",
-    "q_sim3_ivf", "q_sim5_ivf_int8", "q_rel14_topk",
+    "q_sim3_ivf", "q_sim5_ivf_int8", "q_sim5c_index_append", "q_rel14_topk",
 ]
 
 HEADER = '''# PLANS — executed physical plans of headline queries
 
 `graft.tools.Explain` output (sf0.001, the engine's own AQE-enabled
-session) for nine representative queries — the evidence behind SCALE.md's
+session) for eleven representative queries — the evidence behind SCALE.md's
 shuffle-structure claims, regenerable any time with:
 
 ```bash
@@ -29,7 +30,9 @@ python3 tools/gen_plans.py
 Sections over 120 lines are elided (the MinHash/LSH/IVF plans spell out
 all 64 permutation and plane literals). What to look for:
 `PushedFilters`/pruned `ReadSchema` on scans (REL-1),
-`BroadcastHashJoin` on every dim join (REL-4, ADV-1),
+`BroadcastHashJoin` on every dim join (REL-4, ADV-1) and the stated
+semi-join reduction order — orders joins the broadcast ASIA-customer
+set before lineitem (ADV-2),
 `TakeOrderedAndProject` for top-k (REL-14), no Window and partial+final
 `HashAggregate` pairs in the MinHash signature build (DD-5), the
 id-pair-only candidate dedup followed by vector join-back in the LSH ANN
@@ -37,7 +40,9 @@ path (SIM-2), the persisted (`InMemoryTableScan`) k-means training plus the
 partial-before-exchange argmax aggregate (not a corpus-wide window)
 for IVF cell assignment (SIM-3), the same shapes over the native
 quantize_int8/int8_recon byte codes plus the rerank-depth window and
-candidate-only float join-back in the int8 index path (SIM-5), and wide
+candidate-only float join-back in the int8 index path (SIM-5), the
+append path re-using the same encode/assign shapes over the new batch
+only plus the two one-row drift aggregates (SIM-5c), and wide
 `WholeStageCodegen` spans
 throughout.
 

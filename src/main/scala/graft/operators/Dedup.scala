@@ -308,8 +308,12 @@ object Dedup {
     * Convergence is checked with ONE driver-side scalar count per
     * iteration (the standard iterative-fixpoint control GraphX/
     * GraphFrames use — a per-iteration aggregate, not a per-row
-    * collect); intermediate labels are persisted and the previous
-    * generation unpersisted, so lineage stays one generation deep.
+    * collect); each generation ends in a lazy localCheckpoint that the
+    * convergence count materializes, so both the executor-side lineage
+    * AND the driver-side logical plan stay one generation deep (the
+    * pointer jump references its input twice, so an un-truncated plan
+    * would double per generation — measured 8× total slowdown on a
+    * diameter-10⁵ chain, SCALE.md).
     *
     * Input: pairs with (`aCol`, `bCol`). Output: (`doc_id`, `cluster`)
     * for every doc appearing in ≥1 pair; `cluster` = min doc id of its
@@ -324,17 +328,6 @@ object Dedup {
     // unmaterialized and the edge-list unpersist below would force a
     // full upstream recompute on the caller's first action.
     require(maxIters >= 1, s"dupClusters needs maxIters >= 1, got $maxIters")
-    // Persisting `next` bounds RECOMPUTE each iteration but the logical
-    // plan still deepens by a fixed number of joins per generation —
-    // at high-diameter graphs driver-side analysis cost grows
-    // superlinearly. Every `lineageCapEvery` iterations the labels are
-    // localCheckpoint'ed (eager), truncating the plan to a LogicalRDD.
-    // localCheckpoint (executor-storage, not the reliable checkpoint
-    // dir) is the right trade in-session: labels are tiny (2 longs per
-    // clustered doc) and a lost executor just fails the job like any
-    // other cached-stage loss; a multi-hour cluster job would pass a
-    // checkpoint dir and use reliable checkpoint() instead.
-    val lineageCapEvery = 5
     val sym = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -342,9 +335,11 @@ object Dedup {
       var labels = sym.groupBy(col("src").as("node")).agg(min("dst").as("nbr"))
         .select(col("node"), least(col("node"), col("nbr")).as("lbl"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      // A locally-checkpointed generation must NOT be unpersisted: its
-      // blocks ARE the data (no lineage left to recompute from).
-      var labelsCheckpointed = false
+      // Only the initial generation is persist-backed (unpersistable);
+      // every later generation is a localCheckpoint whose blocks ARE
+      // the data — those are freed by the ContextCleaner when the
+      // superseded generation goes out of scope, never unpersisted.
+      var labelsPersisted = true
       var iter = 0
       var converged = false
       while (!converged && iter < maxIters) {
@@ -362,19 +357,29 @@ object Dedup {
             prop.select(col("node").as("lnode"), col("lbl").as("llbl")),
             col("lbl") === col("lnode"), "left")
           .select(col("node"), least(col("lbl"), coalesce(col("llbl"), col("lbl"))).as("lbl"))
-        val capNow = (iter + 1) % lineageCapEvery == 0
-        // localCheckpoint is eager (materializes now); the persist path
-        // is materialized by the convergence count below.
-        val next =
-          if (capNow) nextPlan.localCheckpoint()
-          else nextPlan.persist(StorageLevel.MEMORY_AND_DISK)
+        // Truncate lineage EVERY iteration, not every few: the pointer
+        // jump references `prop` twice, so the un-truncated logical plan
+        // DOUBLES per generation — capping every k iterations still
+        // admits a 2^k× plan between caps, and driver-side analysis at
+        // the cap iteration dominates wall time (measured on a
+        // diameter-10^5 chain: 46-52 s at the k=5 cap iteration vs ~1 s
+        // flat with per-iteration truncation — SCALE.md). localCheckpoint
+        // is LAZY here so the convergence count below stays the one job
+        // per iteration that materializes the generation (an eager
+        // checkpoint would add a second job per iteration — measured
+        // +0.25 s on q_dd9's single-iteration fixpoint at sf0.1).
+        // Executor-local storage is the right in-session trade: labels
+        // are tiny (2 longs per clustered doc); a multi-hour cluster job
+        // would pass a checkpoint dir and use reliable checkpoint()
+        // instead.
+        val next = nextPlan.localCheckpoint(eager = false)
         // Driver-side scalar convergence check (bounded: one long per
-        // iteration; this also materializes `next` before the unpersist).
+        // iteration) over the two materialized generations.
         val changed = next.join(labels.select(col("node"), col("lbl").as("old")), Seq("node"))
           .where(col("lbl") =!= col("old")).count()
-        if (!labelsCheckpointed) labels.unpersist()
+        if (labelsPersisted) labels.unpersist()
         labels = next
-        labelsCheckpointed = capNow
+        labelsPersisted = false
         converged = changed == 0L
         iter += 1
         // Diagnostic hook (iteration index, seconds, changed-label

@@ -192,6 +192,113 @@ object ExtensionQueries {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- TXT-11
+  /** TF-IDF term weighting: top-25 (doc, term) pairs by tf·ln(N/df) —
+    * the classic salience weight behind keyword extraction and sparse
+    * retrieval indexes over a training corpus. Shape at scale: the
+    * (doc, term) counts and the per-term doc frequencies are both
+    * partial-aggregated explode→count stacks (the shuffle carries
+    * distinct grams, not token instances); `df` derives from the
+    * already-distinct tf pairs (no second pass over the tokens); the
+    * tf⋈df join hashes on the term (vocab-sized sides — left to AQE,
+    * NOT forced broadcast: at 100 TB a web-scale vocab is not a dim
+    * table); the single-row corpus count broadcasts; the final top-k is
+    * TakeOrderedAndProject. Terms appearing in every doc get weight 0
+    * by construction (ln 1) — the standard "ubiquitous term" null.
+    */
+  def tfidfTop(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tf = docs
+      .select(col("doc_id"), explode(TF.tokens(col("text"))).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val nd = docs.agg(count(lit(1)).as("nd"))
+    tf.join(df, "word")
+      .crossJoin(broadcast(nd))
+      .select(col("doc_id"), col("word"),
+        round(col("tf") * log(col("nd").cast("double") / col("df")), 6).as("tfidf"))
+      .orderBy(col("tfidf").desc, col("doc_id"), col("word"))
+      .limit(25)
+  }
+
+  val tfidfTopSql: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |             FROM documents),
+      |tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS nd FROM documents)
+      |SELECT doc_id, word,
+      |       round(tf * ln(CAST(nd AS DOUBLE) / df), 6) AS tfidf
+      |FROM tf JOIN df USING (word) CROSS JOIN n
+      |ORDER BY tfidf DESC, doc_id, word LIMIT 25""".stripMargin
+
+  // --------------------------------------------------------------- TXT-12
+  /** BM25 document ranking for a fixed term query (Robertson/Sparck
+    * Jones, k1 = 1.2, b = 0.75) — retrieval-quality scoring over the
+    * corpus, the op behind query-driven data selection and dedup-by-
+    * retrieval. idf = ln(1 + (N − df + ½)/(df + ½)); per-term
+    * contribution tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)). Shape at
+    * scale: the token stream is FILTERED to the query terms before the
+    * (doc, term) aggregate (the predicate rides the explode — candidate
+    * volume is per-term postings, not the corpus); doc lengths are one
+    * separate full-token aggregate; `df` (|terms| rows) and the scalar
+    * (avgdl, N) broadcast; the per-doc score sums the per-term
+    * contributions in FIXED term order via conditional aggregates —
+    * each (doc, term) is a single row post-aggregation, so the sum is
+    * reproducible float arithmetic, not shuffle-order-dependent. Final
+    * top-k is TakeOrderedAndProject.
+    */
+  def bm25Rank(spark: SparkSession, dir: String,
+      terms: Seq[String] = Seq("hash", "join", "vector"),
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tok = docs.select(col("doc_id"), explode(TF.tokens(col("text"))).as("word"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(avg(col("dl").cast("double")).as("avgdl"),
+      count(lit(1)).as("nd"))
+    val tf = tok.where(col("word").isin(terms: _*))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val contrib = tf.join(broadcast(df), "word").join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("word"),
+        (log(lit(1) + (col("nd") - col("df") + 0.5) / (col("df") + 0.5))
+          * col("tf") * lit(k1 + 1)
+          / (col("tf") + lit(k1) * (lit(1) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+          .as("c"))
+    // Fixed-order sum over per-term conditional aggregates: each
+    // (doc, term) is one row here, so every sum() picks up exactly one
+    // value and the + chain below is order-stable across runs/engines.
+    val termSum = terms
+      .map(t => coalesce(sum(when(col("word") === t, col("c"))), lit(0.0)))
+      .reduceLeft(_ + _)
+    contrib.groupBy("doc_id")
+      .agg(round(termSum, 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  val bm25RankSql: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |             FROM documents),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+      |stats AS (SELECT avg(CAST(dl AS DOUBLE)) AS avgdl, count(*) AS nd FROM dl),
+      |tf AS (SELECT doc_id, word, count(*) AS tf FROM tok
+      |       WHERE word IN ('hash', 'join', 'vector') GROUP BY 1, 2),
+      |df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+      |contrib AS (
+      |  SELECT tf.doc_id, tf.word,
+      |         ln(1 + (nd - df + 0.5) / (df + 0.5))
+      |           * tf.tf * 2.2
+      |           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl)) AS c
+      |  FROM tf JOIN df USING (word) JOIN dl USING (doc_id) CROSS JOIN stats)
+      |SELECT doc_id,
+      |       round(coalesce(sum(CASE WHEN word = 'hash'   THEN c END), 0)
+      |           + coalesce(sum(CASE WHEN word = 'join'   THEN c END), 0)
+      |           + coalesce(sum(CASE WHEN word = 'vector' THEN c END), 0), 6) AS bm25
+      |FROM contrib GROUP BY doc_id
+      |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+
   // ---------------------------------------------------------------- TXT-5
   /** Token counting two ways: whitespace vs BPE-ish regex subwords. */
   def tokenCounts(spark: SparkSession, dir: String): DataFrame =

@@ -1400,6 +1400,98 @@ object ExtensionQueries {
       |FROM vn JOIN cents ON vn.label = cents.label
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ----------------------------------------------------------------- ML-7
+  /** Benchmark decontamination by 8-gram overlap — the standard eval-
+    * leakage scan (n-gram collision against a held-out benchmark set)
+    * a training pipeline runs before shipping a corpus. The benchmark
+    * here is the deterministic doc_id % 10 == 0 slice standing in for
+    * an eval suite; output is every corpus doc sharing ≥1 8-gram with
+    * it, with the shared-gram count. Shape at scale: benchmark suites
+    * are tiny next to the corpus, so the distinct benchmark grams
+    * BROADCAST (⌀ a few M grams for real eval sets) and the corpus side
+    * streams map-only through explode → semi-aggregate — no corpus
+    * shuffle beyond the per-doc distinct; docs shorter than the gram
+    * width fall back to whole-text grams (same rule both engines).
+    */
+  def ngramContamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bench = docs.where(col("doc_id") % 10 === 0)
+      .select(explode(TF.shingles(col("text"), 8)).as("gram"))
+      .distinct()
+    val corpus = docs.where(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), explode(TF.shingles(col("text"), 8)).as("gram"))
+      .dropDuplicates("doc_id", "gram")
+    corpus.join(broadcast(bench), "gram")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("n_shared").desc, col("doc_id"))
+  }
+
+  val ngramContaminationSql: String =
+    """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS t
+      |           FROM documents),
+      |g AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 8
+      |        THEN list_transform(range(len(t) - 7),
+      |             i -> array_to_string(list_slice(t, i + 1, i + 8), ' '))
+      |        ELSE [text] END) AS gram FROM t),
+      |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0),
+      |corp AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 10 != 0)
+      |SELECT doc_id, count(*) AS n_shared
+      |FROM corp JOIN bench USING (gram)
+      |GROUP BY 1 ORDER BY n_shared DESC, doc_id""".stripMargin
+
+  // ----------------------------------------------------------------- ML-8
+  /** Temperature-flattened quality sampling: keep each doc with
+    * probability ((q − qmin)/(qmax − qmin))^(1/T) — the importance-
+    * sampling step that upweights high-quality documents without
+    * discarding the tail (T > 1 flattens the acceptance curve; T = 2
+    * here). Acceptance is DETERMINISTIC: the uniform draw is the
+    * doc's md5-prefix hash scaled to [0, 1) ([[TF.hexHash60]]), so the
+    * sample is reproducible run-over-run and engine-over-engine — no
+    * RNG, the same rule q_ml3's stratified sampler uses. Both the
+    * acceptance probability and the draw are rounded to 6dp before the
+    * comparison (cross-engine float hygiene, as q_txt9). Shape at
+    * scale: one map-only pass computes (q, u) per doc; the (qmin, qmax)
+    * extrema are a single-row broadcast; the keep decision and the
+    * per-lang summary are one partial-aggregated count — the corpus
+    * never shuffles row data.
+    */
+  def temperatureSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("lang"),
+      TF.qualityScore(col("text")).as("q"),
+      round(TF.hexHash60(col("text")).cast("double") /
+        lit(1152921504606846976.0), 6).as("u"))
+    val ext = d.agg(min("q").as("qmin"), max("q").as("qmax"))
+    d.crossJoin(broadcast(ext))
+      .withColumn("p",
+        round(pow((col("q") - col("qmin")) / (col("qmax") - col("qmin")), 0.5), 6))
+      .withColumn("keep", (col("u") < col("p")).cast("long"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("keep").as("n_kept"),
+        round(sum("keep").cast("double") / count(lit(1)), 6).as("keep_rate"))
+      .orderBy("lang")
+  }
+
+  val temperatureSampleSql: String = {
+    val stop = TF.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH d AS (
+       |  SELECT doc_id, lang,
+       |         round(ln(len(string_split(text, ' ')) + 1.0)
+       |               + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |                 / len(string_split(text, ' '))
+       |               - CAST(len(list_filter(string_split(text, ' '),
+       |                 x -> list_contains($stop, x))) AS DOUBLE)
+       |                 / len(string_split(text, ' ')), 6) AS q,
+       |         round(${TF.hexHash60Sql("text")} / 1152921504606846976.0, 6) AS u
+       |  FROM documents),
+       |ext AS (SELECT min(q) AS qmin, max(q) AS qmax FROM d)
+       |SELECT lang, count(*) AS n_docs,
+       |       CAST(sum(CASE WHEN u < round(pow((q - qmin) / (qmax - qmin), 0.5), 6)
+       |                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       round(CAST(sum(CASE WHEN u < round(pow((q - qmin) / (qmax - qmin), 0.5), 6)
+       |                THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS keep_rate
+       |FROM d CROSS JOIN ext GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   // ----------------------------------------------------------------- ML-6
   /** End-to-end corpus-curation funnel — the full training-data pipeline
     * as ONE declarative plan: raw → exact dedup (keep min doc id per md5

@@ -57,6 +57,47 @@ class TextRankSpec extends SparkSpec {
     assert(s(0L) > s(1L) && s(1L) > s(2L))
   }
 
+  test("ngram contamination: flags the doc sharing a planted 8-gram, not others") {
+    // doc 10 is benchmark (doc_id % 10 == 0); doc 1 embeds one of its
+    // 8-grams verbatim, doc 2 shares only shorter overlaps.
+    val leaked = "alpha beta gamma delta epsilon zeta eta theta"
+    val pad = (0 until 12).map(i => s"x$i").mkString(" ")
+    val pad2 = (0 until 12).map(i => s"y$i").mkString(" ")
+    val dir = corpusDir(Seq(
+      10L -> s"$leaked $pad",
+      1L -> s"$pad2 $leaked",
+      2L -> s"alpha beta gamma $pad2 delta epsilon zeta"))
+    val rows = ExtensionQueries.ngramContamination(spark, dir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L),
+      s"only doc 1 leaks a full 8-gram, got ${rows.mkString(",")}")
+    assert(rows.head.getLong(1) == 1L)
+  }
+
+  test("temperature sampling: deterministic, and rates ordered by quality") {
+    // A corpus split into a high-quality lang (varied tokens) and a
+    // low-quality lang (repetitive) — flattened sampling must keep a
+    // higher fraction of the high-quality cohort, and repeat runs must
+    // agree exactly (hash-based acceptance, no RNG).
+    import org.apache.spark.sql.functions._
+    val hi = (0 until 40).map(d => d.toLong ->
+      (0 until 40).map(i => s"w${(d * 7 + i * 3) % 97}").mkString(" "))
+    val lo = (100 until 140).map(d => d.toLong ->
+      (s"the a of doc$d " + Seq.fill(6)("the a of").mkString(" ")))
+    val dir = Files.createTempDirectory("graft-rank").toString
+    (hi ++ lo).toDF("doc_id", "text")
+      .withColumn("lang", when(col("doc_id") < 100, "en").otherwise("zz"))
+      .selectExpr("doc_id", "text", "lang", "'test' AS source",
+        "length(text) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r1 = ExtensionQueries.temperatureSample(spark, dir).collect()
+    val r2 = ExtensionQueries.temperatureSample(spark, dir).collect()
+    assert(r1.toSeq == r2.toSeq, "hash-based sampling must be reproducible")
+    val byLang = r1.map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byLang("en")._1 == 40 && byLang("zz")._1 == 40)
+    assert(byLang("en")._2 > byLang("zz")._2,
+      s"high-quality cohort must keep more docs: $byLang")
+  }
+
   test("bm25: length normalization favors the shorter doc at equal tf") {
     val shortPad = (0 until 10).map(i => s"p$i").mkString(" ")
     val longPad = (0 until 80).map(i => s"q$i").mkString(" ")

@@ -161,6 +161,29 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q_txt11/q_txt12: ranking queries keep top-k + pre-aggregation term filter") {
+    // TF-IDF's final top-25 must be TakeOrderedAndProject (no global
+    // sort of the (doc, term) table), and BM25's query-term predicate
+    // must run BEFORE the (doc, term) aggregate — a filter that drifts
+    // above the agg would aggregate the full vocabulary to discard
+    // 99.99% of it at 100 TB.
+    assert(plan("q_txt11_tfidf").contains("TakeOrderedAndProject"))
+    val p = plan("q_txt12_bm25")
+    assert(p.contains("TakeOrderedAndProject"), p.take(500))
+    // The IN filter surviving as a Filter node (not folded away, not
+    // dropped by a refactor that aggregates first and filters the
+    // vocab-sized result after) is visible as the literal IN list.
+    assert(p.contains("IN (hash,join,vector)"),
+      "query-term IN filter must survive in the plan: " + p.take(800))
+  }
+
+  test("q_ml7: benchmark gram side broadcasts; corpus side never does") {
+    val p = plan("q_ml7_ngram_contamination")
+    assert(p.contains("BroadcastHashJoin"), p.take(500))
+    assert(!p.contains("SortMergeJoin"),
+      "the tiny benchmark-gram table must broadcast: " + p.take(500))
+  }
+
   test("q_rel27: correlated EXISTS/NOT EXISTS decorrelate to semi + anti joins") {
     val p = plan("q_rel27_exists_subquery")
     assert(p.contains("LeftSemi"), "EXISTS must decorrelate to a semi join: " + p.take(500))

@@ -907,6 +907,105 @@ object ExtensionQueries {
       |      FROM e JOIN s ON e.d = s.d)
       |GROUP BY label ORDER BY label""".stripMargin
 
+  // ---------------------------------------------------------------- SIM-7
+  /** Product-quantization reconstruction audit
+    * ([[Similarity.trainPqCodebooks]] + [[Similarity.pqEncode]], m=4
+    * subspaces × 16 codes): per label class the count, mean, and max of
+    * the per-vector total squared-L2 residual — q_sim4's decision audit
+    * for the NEXT compression step (4 B/vector vs int8's 64 B at
+    * dim 64). The per-vector error is the fixed-order sum of the four
+    * per-subspace residuals (each a single row post-argmin), so the
+    * float total is shuffle-order-free; the oracle replays the whole
+    * per-subspace k-means + encode in SQL.
+    */
+  def pqError(spark: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.embeddings(spark, dir)
+    val cb = Similarity.trainPqCodebooks(embs, m = 4, ksub = 16, iters = 2,
+      trainN = 1024, dim = 64)
+    val enc = Similarity.pqEncode(embs, cb, m = 4, dim = 64)
+    val errSum = (0 until 4)
+      .map(j => coalesce(sum(when(col("sub") === j, col("err"))), lit(0.0)))
+      .reduceLeft(_ + _)
+    enc.groupBy("vec_id").agg(errSum.as("err"))
+      .join(embs.select(col("vec_id"), col("label").cast("long").as("label")),
+        "vec_id")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"), round(avg("err"), 6).as("avg_err"),
+        round(max("err"), 6).as("max_err"))
+      .orderBy("label")
+  }
+
+  /** Generated CTE chain for the PQ oracle: content-hash training
+    * sample → per-subspace hash-order seeds → `iters` L2 Lloyd rounds
+    * (assign by rounded d², ties to lowest cid; per-dim rounded raw
+    * mean; emptied cell keeps its codeword) — the SQL mirror of
+    * [[Similarity.trainPqCodebooks]], same discipline as
+    * [[ivfTrainingCtes]].
+    */
+  private def pqTrainingCtes(m: Int, subdim: Int, ksub: Int, iters: Int,
+      trainN: Int): (String, String) = {
+    val d2 = (s: String, c: String) =>
+      s"round(list_dot_product($s, $s) - 2 * list_dot_product($s, $c) " +
+        s"+ list_dot_product($c, $c), 6)"
+    def lloyd(i: Int): String =
+      s"""a$i AS (SELECT sub, cid, s FROM (
+         |   SELECT t.vec_id, t.sub, t.s, c.cid,
+         |          row_number() OVER (PARTITION BY t.vec_id, t.sub
+         |            ORDER BY ${d2("t.s", "c.ce")}, c.cid) AS rn
+         |   FROM tsv t JOIN c${i - 1} c ON t.sub = c.sub) WHERE rn = 1),
+         |u$i AS (SELECT sub, cid, list(cx ORDER BY d) AS ce FROM (
+         |   SELECT sub, cid, d.range AS d, round(avg(s[d.range + 1]), 6) AS cx
+         |   FROM a$i CROSS JOIN range($subdim) d GROUP BY 1, 2, 3)
+         |   GROUP BY sub, cid),
+         |c$i AS (SELECT p.sub, p.cid, COALESCE(u.ce, p.ce) AS ce
+         |   FROM c${i - 1} p LEFT JOIN u$i u ON p.sub = u.sub AND p.cid = u.cid)"""
+        .stripMargin
+    val steps = (1 to iters).map(lloyd).mkString(",\n")
+    val block =
+      s"""vn AS (SELECT vec_id, e, md5('pq:' || CAST(vec_id AS VARCHAR)) AS hk
+         |       FROM v WHERE list_dot_product(e, e) > 0),
+         |tr AS (SELECT vec_id, e, hk FROM (
+         |         SELECT vec_id, e, hk, row_number() OVER (ORDER BY hk, vec_id) AS rn
+         |         FROM vn) WHERE rn <= $trainN),
+         |tsv AS (SELECT vec_id, hk, j.range AS sub,
+         |        list_slice(e, j.range * $subdim + 1, j.range * $subdim + $subdim) AS s
+         |        FROM tr CROSS JOIN range($m) j),
+         |c0 AS (SELECT sub, CAST(rn - 1 AS BIGINT) AS cid, s AS ce FROM (
+         |         SELECT sub, s, row_number() OVER (PARTITION BY sub
+         |           ORDER BY hk, vec_id) AS rn FROM tsv) WHERE rn <= $ksub),
+         |$steps""".stripMargin
+    (block, s"c$iters")
+  }
+
+  val pqErrorSql: String = {
+    val (m, subdim, ksub, iters, trainN) = (4, 16, 16, 2, 1024)
+    val (training, cFinal) = pqTrainingCtes(m, subdim, ksub, iters, trainN)
+    val d2 = (s: String, c: String) =>
+      s"round(list_dot_product($s, $s) - 2 * list_dot_product($s, $c) " +
+        s"+ list_dot_product($c, $c), 6)"
+    val errSum = (0 until m)
+      .map(j => s"coalesce(sum(CASE WHEN sub = $j THEN d2 END), 0)")
+      .mkString("\n       + ")
+    s"""WITH v AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+       |                  CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |$training,
+       |sv AS (SELECT vec_id, label, j.range AS sub,
+       |       list_slice(e, j.range * $subdim + 1, j.range * $subdim + $subdim) AS s
+       |       FROM v CROSS JOIN range($m) j),
+       |enc AS (SELECT vec_id, label, sub, cid, d2 FROM (
+       |   SELECT t.vec_id, t.label, t.sub, c.cid,
+       |          ${d2("t.s", "c.ce")} AS d2,
+       |          row_number() OVER (PARTITION BY t.vec_id, t.sub
+       |            ORDER BY ${d2("t.s", "c.ce")}, c.cid) AS rn
+       |   FROM sv t JOIN $cFinal c ON t.sub = c.sub) WHERE rn = 1),
+       |pv AS (SELECT vec_id, label,
+       |       $errSum AS err
+       |       FROM enc GROUP BY 1, 2)
+       |SELECT label, count(*) AS n_vecs, round(avg(err), 6) AS avg_err,
+       |       round(max(err), 6) AS max_err
+       |FROM pv GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** SIM-5b: the int8 index as a DURABLE artifact — build
     * [[Similarity.int8Index]] (id + cell + one byte/dim) and its one-row
     * grid, WRITE both to parquet, read them back, and digest:

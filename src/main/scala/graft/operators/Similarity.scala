@@ -766,4 +766,164 @@ object Similarity {
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "cos", "rank")
   }
+
+  // ------------------------------------------------------------------ PQ
+  /** (vec_id, sub, s) — each vector split into `m` contiguous
+    * double-cast subvectors of `dim / m` dimensions, the decomposition
+    * product quantization trains and encodes on. One array build + one
+    * posexplode per row, map-only.
+    */
+  private def subvectors(df: DataFrame, m: Int, dim: Int,
+      extraCols: Seq[String] = Nil): DataFrame = {
+    val subdim = dim / m
+    require(m * subdim == dim, s"dim=$dim must divide into m=$m subspaces")
+    val subs = array((0 until m).map(j =>
+      transform(slice(col("embedding"), j * subdim + 1, subdim),
+        x => x.cast("double"))): _*)
+    df.select(col("vec_id") +: extraCols.map(col) :+
+      posexplode(subs).as(Seq("sub", "s")): _*)
+  }
+
+  /** Product-quantization codebooks: an independent `ksub`-centroid L2
+    * k-means per contiguous `dim/m`-dimensional subspace. Returns
+    * (`sub`, `cid`, `ce`: array<double>) — `m · ksub` codewords; a
+    * vector is then [[pqEncode]]d as `m` one-byte codes (ksub ≤ 256),
+    * the 8-16× compression step past [[int8Index]]'s one byte per
+    * DIMENSION (dim=64: 64 B → `m` B per vector).
+    *
+    * Reproducible across engines, same discipline as [[trainCentroids]]
+    * (the q_sim7 oracle replays it in SQL):
+    *  - training sample = the `trainN` lowest `md5("pq:" || vec_id)`
+    *    non-zero vectors (distributed top-N, never a full sort);
+    *  - seeds per subspace = the sample's first `ksub` subvectors in
+    *    (hash, vec_id) order. Subspaces are `dim/m`-dimensional, so the
+    *    sign-bucket spreading [[trainCentroids]] needs for one global
+    *    quantizer is overkill here — `m` independent low-dim problems
+    *    with hash-uniform seeds converge the same (IvfProbe-style
+    *    measurement in SimilaritySpec: planted subspace clusters are
+    *    separated at iters=2);
+    *  - Lloyd assigns by SQUARED L2 rounded to 6dp (d² = s·s − 2·s·c +
+    *    c·c, ties to the lowest cid), re-centers with the per-dimension
+    *    RAW mean rounded to 6dp (L2 geometry — not the spherical mean,
+    *    which is cosine geometry), and an emptied cell keeps its
+    *    previous codeword.
+    *
+    * All `m` subspaces train in ONE plan: the subvector table carries a
+    * `sub` column and every per-iteration aggregate just adds `sub` to
+    * its grouping key — m× the rows of one subspace's step through the
+    * same two shuffles, not m sequential jobs. Scale: training touches
+    * only the trainN-row sample; codebooks are `m·ksub·dim/m` doubles
+    * (dim total per codeword row) — always broadcastable.
+    */
+  def trainPqCodebooks(corpus: DataFrame, m: Int = 4, ksub: Int = 16,
+      iters: Int = 2, trainN: Int = 1024, dim: Int = 64): DataFrame = {
+    require(ksub <= 256, s"ksub=$ksub must fit a one-byte code")
+    val keyed = corpus
+      .select(col("vec_id"), col("embedding"),
+        md5(concat(lit("pq:"), col("vec_id").cast("string"))).as("hk"))
+      .where(VF.normSq(col("embedding")) > 0)
+    // Persisted for the same reason trainCentroids persists its sample:
+    // seeding + every Lloyd step re-reads it, and unpersisted each
+    // reference is a fresh corpus-wide top-N scan. Released once the
+    // memoized codebooks below are materialized.
+    val tr = keyed.orderBy("hk", "vec_id").limit(trainN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tsv = subvectors(tr, m, dim, extraCols = Seq("hk"))
+    val wSeed = Window.partitionBy("sub").orderBy("hk", "vec_id")
+    val seeds = tsv.withColumn("rn", row_number().over(wSeed))
+      .where(col("rn") <= ksub)
+      .select(col("sub"), (col("rn") - 1).cast("long").as("cid"),
+        col("s").as("ce"))
+    val trained = (1 to iters).foldLeft(seeds) { (cents, _) =>
+      val c = broadcast(cents.select(col("sub"), col("cid"), col("ce"),
+        VF.dot(col("ce"), col("ce")).as("cc")))
+      // Argmin as a hash aggregate over (d², cid) structs (partial
+      // aggregation collapses the ×ksub candidate rows map-side), same
+      // shape as trainCentroids' argmax.
+      val assigned = tsv
+        .withColumn("ss", VF.dot(col("s"), col("s")))
+        .join(c, Seq("sub"))
+        .withColumn("d2",
+          round(col("ss") - lit(2.0) * VF.dot(col("s"), col("ce")) + col("cc"), 6))
+        .groupBy("vec_id", "sub")
+        .agg(min(struct(col("d2"), col("cid"), col("s"))).as("mn"))
+        .select(col("sub"), col("mn.cid").as("cid"), col("mn.s").as("s"))
+      val updated = assigned
+        .select(col("sub"), col("cid"), posexplode(col("s")).as(Seq("d", "x")))
+        .groupBy("sub", "cid", "d")
+        .agg(round(avg("x"), 6).as("cx"))
+        .groupBy("sub", "cid")
+        .agg(transform(array_sort(collect_list(struct(col("d"), col("cx")))),
+          st => st.getField("cx")).as("ue"))
+      cents.join(updated, Seq("sub", "cid"), "left")
+        .select(col("sub"), col("cid"), coalesce(col("ue"), col("ce")).as("ce"))
+    }
+    // memoized materializes eagerly (or returns the cached table), so
+    // the training sample is releasable as soon as it returns.
+    try memoized("pq", trained)
+    finally tr.unpersist(blocking = false)
+  }
+
+  /** PQ-encode a corpus against trained codebooks: (`vec_id`, `sub`,
+    * `code`, `err`) — per subspace the nearest codeword id (the byte
+    * stored at scale) and the rounded squared-L2 residual (the
+    * reconstruction-error audit input). One broadcast join + one
+    * partial-aggregated argmin pass over the corpus; the corpus never
+    * shuffles row data (the argmin exchange carries (vec_id, sub,
+    * best-struct) only).
+    */
+  def pqEncode(corpus: DataFrame, codebooks: DataFrame, m: Int = 4,
+      dim: Int = 64): DataFrame = {
+    val c = broadcast(codebooks.select(col("sub"), col("cid"), col("ce"),
+      VF.dot(col("ce"), col("ce")).as("cc")))
+    subvectors(corpus, m, dim)
+      .withColumn("ss", VF.dot(col("s"), col("s")))
+      .join(c, Seq("sub"))
+      .withColumn("d2",
+        round(col("ss") - lit(2.0) * VF.dot(col("s"), col("ce")) + col("cc"), 6))
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(col("d2"), col("cid"))).as("mn"))
+      .select(col("vec_id"), col("sub"), col("mn.cid").as("code"),
+        col("mn.d2").as("err"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: each query computes
+    * its m·ksub lookup table of subvector·codeword dot products ONCE
+    * (queries × broadcast codebooks — tiny), then scores every corpus
+    * vector as the sum of m table lookups on its codes, never touching
+    * corpus floats. The approximate similarity is the dot product with
+    * the RECONSTRUCTION, normalized by query norm and reconstructed
+    * norm — the FAISS IVF-PQ serving shape re-expressed relationally:
+    * codes ⋈ broadcast LUT, two partial-aggregated sums, one top-k.
+    * Memory at scale: the scored table is m bytes + one id per corpus
+    * row; exactness is [[pqEncode]]'s `err` audit + the caller's choice
+    * of m/ksub, not this operator's concern.
+    */
+  def pqAdcTopK(queries: DataFrame, codes: DataFrame,
+      codebooks: DataFrame, k: Int, m: Int = 4, dim: Int = 64): DataFrame = {
+    // Per-(query, sub, cid): q_sub · codeword, plus codeword self-dot
+    // for the reconstructed-norm term.
+    val lut = subvectors(queries, m, dim)
+      .withColumnRenamed("vec_id", "query_id")
+      .join(broadcast(codebooks), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("cid"),
+        VF.dot(col("s"), col("ce")).as("qc"),
+        VF.dot(col("ce"), col("ce")).as("cc"))
+    val qn = subvectors(queries, m, dim)
+      .groupBy(col("vec_id").as("query_id"))
+      .agg(sqrt(sum(VF.dot(col("s"), col("s")))).as("qn"))
+    val scored = codes
+      .join(broadcast(lut),
+        codes("sub") === lut("sub") && codes("code") === lut("cid"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("qc")).as("dot"), sum(col("cc")).as("rn2"))
+    val w = Window.partitionBy("query_id").orderBy(col("acos").desc, col("neighbor_id"))
+    scored
+      .join(broadcast(qn), "query_id")
+      .where(col("query_id") =!= col("neighbor_id") && col("rn2") > 0 && col("qn") > 0)
+      .withColumn("acos", round(col("dot") / (col("qn") * sqrt(col("rn2"))), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "acos", "rank")
+  }
 }

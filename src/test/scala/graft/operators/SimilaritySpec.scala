@@ -332,6 +332,49 @@ class SimilaritySpec extends SparkSpec {
       Similarity.releaseCaches()
     }
   }
+
+  test("PQ ADC top-k recovers the brute-force neighbors on the clustered corpus") {
+    // m=2 subspaces of 4 dims over the 8-dim clustered corpus: the
+    // cluster structure lives per-subspace, so 4 codes per subspace
+    // must separate it and asymmetric-distance ranking must agree with
+    // exact cosine on the well-separated top-4.
+    val cb = Similarity.trainPqCodebooks(clustered, m = 2, ksub = 4,
+      iters = 2, trainN = 1024, dim = 8)
+    val codes = Similarity.pqEncode(clustered, cb, m = 2, dim = 8)
+    val q = clustered.where(col("vec_id") === 0)
+    val exact = Similarity.bruteForceTopK(q, clustered, k = 4)
+      .collect().map(_.getLong(1)).toSet
+    val approx = Similarity.pqAdcTopK(q, codes, cb, k = 4, m = 2, dim = 8)
+      .collect().map(_.getLong(1)).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.75, s"ADC recall $recall: exact=$exact approx=$approx")
+  }
+
+  test("PQ reconstruction error shrinks as the codebook grows") {
+    def totalErr(ksub: Int): Double = {
+      val cb = Similarity.trainPqCodebooks(clustered, m = 2, ksub = ksub,
+        iters = 2, trainN = 1024, dim = 8)
+      Similarity.pqEncode(clustered, cb, m = 2, dim = 8)
+        .agg(sum("err")).head().getDouble(0)
+    }
+    val (coarse, fine) = (totalErr(1), totalErr(4))
+    assert(fine < coarse,
+      s"4 codes/subspace must fit the 3-cluster corpus better than 1: $fine vs $coarse")
+    assert(fine < 1e-2 * coarse || fine < 0.5,
+      s"clusters are separable, so 4 codes should nearly zero the residual: $fine")
+  }
+
+  test("PQ training is deterministic across cache resets") {
+    def snapshot(): Set[(Long, Long, Seq[Double])] = {
+      val cb = Similarity.trainPqCodebooks(clustered, m = 2, ksub = 4,
+        iters = 2, trainN = 1024, dim = 8)
+      cb.collect().map(r => (r.getInt(0).toLong, r.getLong(1),
+        r.getSeq[Double](2))).toSet
+    }
+    val first = snapshot()
+    Similarity.releaseCaches()
+    assert(snapshot() == first, "retraining after a cache drop must reproduce the codebooks")
+  }
 }
 
 object SimilaritySpec {

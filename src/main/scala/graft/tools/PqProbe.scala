@@ -1,0 +1,47 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+import graft.sources.Tables
+
+/** Diagnostic main for the PQ family — measures, at the given SF:
+  *  - ADC recall@10 vs exact cosine for the q_sim3-style query set
+  *    (vec_id < 5) across (m, ksub) settings, i.e. what ranking quality
+  *    each bytes-per-vector budget buys;
+  *  - the per-vector residual (sum of subspace d²) per setting.
+  * Feeds SCALE.md's PQ table. Usage: runMain graft.tools.PqProbe [sfDir]
+  */
+object PqProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val embs = Tables.embeddings(spark, dir)
+    val queries = embs.where(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(queries, embs, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for ((m, ksub) <- Seq((4, 16), (4, 64), (8, 16), (8, 64), (16, 16))) {
+      val cb = Similarity.trainPqCodebooks(embs, m = m, ksub = ksub,
+        iters = 2, trainN = 1024, dim = 64)
+      val codes = Similarity.pqEncode(embs, cb, m = m, dim = 64)
+      val adc50 = Similarity.pqAdcTopK(queries, codes, cb, k = 50, m = m, dim = 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+      val approx = adc50.map(t => (t._1, t._2)).toSet // depth-50 candidate set
+      val top10 = adc50.filter(_._3 <= 10).map(t => (t._1, t._2)).toSet
+      val recall = (exact intersect top10).size.toDouble / exact.size
+      // Candidate recall: how much of the exact top-10 survives in the
+      // ADC top-50 — the number that matters for the ADC + exact-re-rank
+      // serving path (re-rank recovers exactly this fraction).
+      val candRecall = (exact intersect approx).size.toDouble / exact.size
+      val avgErr = codes.groupBy("vec_id").agg(sum("err").as("e"))
+        .agg(avg("e")).head().getDouble(0)
+      println(f"PROBE pq m=$m%2d ksub=$ksub%3d bytes/vec=$m%2d  recall@10=$recall%.3f  cand-recall@50=$candRecall%.3f  avg_resid=$avgErr%.4f  ($dir)")
+      Similarity.releaseCaches() // each setting trains fresh; don't thrash the slot LRU
+    }
+    spark.stop()
+  }
+}

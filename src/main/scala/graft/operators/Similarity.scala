@@ -926,4 +926,37 @@ object Similarity {
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "acos", "rank")
   }
+
+  /** The production PQ serving path: ADC candidate generation at
+    * `rerankDepth`, then exact float cosine over the survivors alone —
+    * the same candidates-then-exact composition [[ivfTopKInt8]] uses,
+    * with the candidate tier 16× smaller (m bytes/vector). The full
+    * corpus is touched only through its code table; float vectors are
+    * fetched for ≤ `rerankDepth` rows per query (an id-keyed join —
+    * at scale the point lookups a columnar store serves without a
+    * scan). Recall == the ADC candidate recall at `rerankDepth`
+    * (PqProbe measures it; the exact re-rank loses nothing).
+    */
+  def pqTopKReranked(queries: DataFrame, corpus: DataFrame,
+      codes: DataFrame, codebooks: DataFrame, k: Int,
+      rerankDepth: Int = 50, m: Int = 4, dim: Int = 64): DataFrame = {
+    require(rerankDepth >= k, s"rerankDepth=$rerankDepth must cover k=$k")
+    val cands = pqAdcTopK(queries, codes, codebooks, k = rerankDepth, m, dim)
+      .select("query_id", "neighbor_id")
+    val qv = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qe"), VF.l2Norm(col("embedding")).as("qn"))
+      .where(col("qn") > 0)
+    val cv = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ne"), VF.l2Norm(col("embedding")).as("nn"))
+      .where(col("nn") > 0)
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    cands
+      .join(broadcast(qv), "query_id")
+      .join(cv, "neighbor_id")
+      .withColumn("cos",
+        round(VF.dot(col("qe"), col("ne")) / (col("qn") * col("nn")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
 }

@@ -364,6 +364,22 @@ class SimilaritySpec extends SparkSpec {
       s"clusters are separable, so 4 codes should nearly zero the residual: $fine")
   }
 
+  test("PQ ADC + exact re-rank reproduces brute force when candidates cover") {
+    // With rerankDepth covering the whole 15-vector corpus the ADC tier
+    // only orders candidates; the exact re-rank must then be
+    // row-identical to brute force (same cos values, same ranks).
+    val cb = Similarity.trainPqCodebooks(clustered, m = 2, ksub = 4,
+      iters = 2, trainN = 1024, dim = 8)
+    val codes = Similarity.pqEncode(clustered, cb, m = 2, dim = 8)
+    val q = clustered.where(col("vec_id") === 0)
+    val exact = Similarity.bruteForceTopK(q, clustered, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val reranked = Similarity.pqTopKReranked(q, clustered, codes, cb, k = 4,
+        rerankDepth = 14, m = 2, dim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(reranked == exact, s"re-rank must be exact over covering candidates:\n$reranked\n$exact")
+  }
+
   test("PQ training is deterministic across cache resets") {
     def snapshot(): Set[(Long, Long, Seq[Double])] = {
       val cb = Similarity.trainPqCodebooks(clustered, m = 2, ksub = 4,

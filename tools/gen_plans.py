@@ -14,13 +14,14 @@ QUERIES = [
     "q_rel1_scan_filter", "q_rel4_join_broadcast", "q_adv1_shipping_priority",
     "q_adv2_local_supplier_volume",
     "q_dd5_minhash_lsh", "q_sim1_cosine_topk", "q_sim2_ann_lsh",
-    "q_sim3_ivf", "q_sim5_ivf_int8", "q_sim5c_index_append", "q_rel14_topk",
+    "q_sim3_ivf", "q_sim5_ivf_int8", "q_sim5c_index_append",
+    "q_sim7_pq_error", "q_txt12_bm25", "q_rel14_topk",
 ]
 
 HEADER = '''# PLANS — executed physical plans of headline queries
 
 `graft.tools.Explain` output (sf0.001, the engine's own AQE-enabled
-session) for eleven representative queries — the evidence behind SCALE.md's
+session) for thirteen representative queries — the evidence behind SCALE.md's
 shuffle-structure claims, regenerable any time with:
 
 ```bash
@@ -42,7 +43,11 @@ for IVF cell assignment (SIM-3), the same shapes over the native
 quantize_int8/int8_recon byte codes plus the rerank-depth window and
 candidate-only float join-back in the int8 index path (SIM-5), the
 append path re-using the same encode/assign shapes over the new batch
-only plus the two one-row drift aggregates (SIM-5c), and wide
+only plus the two one-row drift aggregates (SIM-5c), the per-subspace
+k-means whose every aggregate just carries `sub` in its grouping key and
+the partial-before-exchange argmin encode (SIM-7), the query-term IN
+filter sitting below the (doc, term) aggregate and the broadcast of the
+|terms|-row df table in the BM25 plan (TXT-12), and wide
 `WholeStageCodegen` spans
 throughout.
 

@@ -6,12 +6,18 @@ import org.apache.spark.sql.functions._
 import graft.operators.Similarity
 import graft.sources.Tables
 
-/** Diagnostic main for the PQ family — measures, at the given SF:
+/** Diagnostic main for the PQ family. Default mode measures, at the
+  * given SF:
   *  - ADC recall@10 vs exact cosine for the q_sim3-style query set
   *    (vec_id < 5) across (m, ksub) settings, i.e. what ranking quality
   *    each bytes-per-vector budget buys;
   *  - the per-vector residual (sum of subspace d²) per setting.
-  * Feeds SCALE.md's PQ table. Usage: runMain graft.tools.PqProbe [sfDir]
+  * `runMain graft.tools.PqProbe decade` instead times the pipeline
+  * stages on synthetic 5k vs 50k corpora (SimScalingProbe's generator):
+  * training must stay ~flat (trainN-bounded), encode ~linear, and the
+  * ADC query cost ~linear in corpus size (flat PQ scans all codes; the
+  * IVF composition bounds it by cells probed).
+  * Feeds SCALE.md's PQ tables. Usage: runMain graft.tools.PqProbe [sfDir|decade]
   */
 object PqProbe {
   def main(args: Array[String]): Unit = {
@@ -20,6 +26,7 @@ object PqProbe {
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (dir == "decade") { decade(spark); spark.stop(); return }
     val embs = Tables.embeddings(spark, dir)
     val queries = embs.where(col("vec_id") < 5)
     val exact = Similarity.bruteForceTopK(queries, embs, k = 10)
@@ -43,5 +50,32 @@ object PqProbe {
       Similarity.releaseCaches() // each setting trains fresh; don't thrash the slot LRU
     }
     spark.stop()
+  }
+
+  private def decade(spark: SparkSession): Unit = {
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val v = f; (v, (System.nanoTime() - t0) / 1e9)
+    }
+    for (n <- Seq(5000L, 50000L); rep <- 1 to 2) {
+      val corpus = SimScalingProbe.synthVecs(spark, n).cache()
+      corpus.count()
+      val queries = corpus.where(col("vec_id") < 20)
+      Similarity.releaseCaches()
+      val (cb, tTrain) = timed {
+        val c = Similarity.trainPqCodebooks(corpus, m = 8, ksub = 64,
+          iters = 2, trainN = 1024, dim = 64)
+        c.count(); c
+      }
+      val (codes, tEnc) = timed {
+        val k = Similarity.pqEncode(corpus, cb, m = 8, dim = 64)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        k.count(); k
+      }
+      val (_, tAdc) = timed {
+        Similarity.pqAdcTopK(queries, codes, cb, k = 10, m = 8, dim = 64).count()
+      }
+      println(f"PROBE pq-decade n=$n%6d rep$rep  train=$tTrain%6.2f s  encode=$tEnc%6.2f s  adc20q=$tAdc%6.2f s")
+      codes.unpersist(); corpus.unpersist()
+    }
   }
 }

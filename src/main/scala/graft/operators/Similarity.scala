@@ -937,6 +937,92 @@ object Similarity {
     * scan). Recall == the ADC candidate recall at `rerankDepth`
     * (PqProbe measures it; the exact re-rank loses nothing).
     */
+  /** The composed IVF×PQ index — FAISS's workhorse layout re-expressed
+    * relationally: the coarse k-means quantizer ([[trainCentroids]])
+    * partitions the corpus into cells, each vector is stored as m PQ
+    * codes ([[pqEncode]]), and a query (a) probes its `nProbe` nearest
+    * cells, (b) ADC-scores ONLY the codes in those cells, and (c)
+    * exact-re-ranks the top `rerankDepth` survivors on floats. Per-query
+    * work is therefore (corpus/cells)·nProbe code rows + rerankDepth
+    * float fetches — both independent of total corpus size once cell
+    * sizes are bounded (AQE handles residual cell skew; the measured
+    * cell-balance note is SCALE.md's). Both training passes are
+    * memoized, so index construction is one corpus scan each for cells
+    * and codes, amortized across every query batch. Shapes: cell
+    * assignment is the partial-before-exchange struct-argmax
+    * ([[ivfTopK]]); ADC is the broadcast-LUT join ([[pqAdcTopK]]) with
+    * the cell join pre-filtering candidates; the re-rank tail is
+    * [[pqTopKReranked]]'s id-keyed float join.
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      rerankDepth: Int = 50, nCentroids: Int = 16, nProbe: Int = 4,
+      lloydIters: Int = 2, trainN: Int = 1024, seedPlanes: Int = 6,
+      m: Int = 4, ksub: Int = 16, dim: Int = 64): DataFrame = {
+    require(rerankDepth >= k, s"rerankDepth=$rerankDepth must cover k=$k")
+    val centroids = trainCentroids(corpus, nCentroids, lloydIters, trainN,
+        seedPlanes, dim)
+      .select(col("cid"), col("ce"), VF.l2Norm(col("ce")).as("cn"))
+    val cells = corpus
+      .select(col("vec_id"), col("embedding"), VF.l2Norm(col("embedding")).as("nrm"))
+      .where(col("nrm") > 0)
+      .crossJoin(broadcast(centroids))
+      .withColumn("ccos",
+        round(VF.dot(col("embedding"), col("ce")) / (col("nrm") * col("cn")), 6))
+      .groupBy("vec_id")
+      .agg(max(struct(col("ccos"), (-col("cid")).as("negcid"))).as("mx"))
+      .select(col("vec_id"), (-col("mx.negcid")).as("cell"))
+    val cb = trainPqCodebooks(corpus, m, ksub, lloydIters, trainN, dim)
+    val codes = pqEncode(corpus, cb, m, dim).join(cells, "vec_id")
+    val wProbe = Window.partitionBy("query_id").orderBy(col("ccos").desc, col("cid"))
+    val probed = queries
+      .select(col("vec_id").as("query_id"), col("embedding"),
+        VF.l2Norm(col("embedding")).as("qn"))
+      .where(col("qn") > 0)
+      .crossJoin(broadcast(centroids))
+      .withColumn("ccos",
+        round(VF.dot(col("embedding"), col("ce")) / (col("qn") * col("cn")), 6))
+      .withColumn("crank", row_number().over(wProbe))
+      .where(col("crank") <= nProbe)
+      .select(col("query_id"), col("cid").as("cell"))
+    // ADC over the probed cells only: the cell join prunes candidates
+    // BEFORE any scoring; the per-query LUT then matches pqAdcTopK's.
+    val lut = subvectors(queries, m, dim)
+      .withColumnRenamed("vec_id", "query_id")
+      .join(broadcast(cb), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("cid").as("code"),
+        VF.dot(col("s"), col("ce")).as("qc"),
+        VF.dot(col("ce"), col("ce")).as("cc"))
+    val wAdc = Window.partitionBy("query_id").orderBy(col("acos").desc, col("neighbor_id"))
+    val qn = subvectors(queries, m, dim)
+      .groupBy(col("vec_id").as("query_id"))
+      .agg(sqrt(sum(VF.dot(col("s"), col("s")))).as("qn"))
+    val cands = codes.join(broadcast(probed), Seq("cell"))
+      .join(broadcast(lut), Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("qc")).as("dot"), sum(col("cc")).as("rn2"))
+      .join(broadcast(qn), "query_id")
+      .where(col("query_id") =!= col("neighbor_id") && col("rn2") > 0)
+      .withColumn("acos", round(col("dot") / (col("qn") * sqrt(col("rn2"))), 6))
+      .withColumn("arank", row_number().over(wAdc))
+      .where(col("arank") <= rerankDepth)
+      .select("query_id", "neighbor_id")
+    val qv = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qe"), VF.l2Norm(col("embedding")).as("qfn"))
+      .where(col("qfn") > 0)
+    val cv = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ne"), VF.l2Norm(col("embedding")).as("nn"))
+      .where(col("nn") > 0)
+    val wFinal = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    cands
+      .join(broadcast(qv), "query_id")
+      .join(cv, "neighbor_id")
+      .withColumn("cos",
+        round(VF.dot(col("qe"), col("ne")) / (col("qfn") * col("nn")), 6))
+      .withColumn("rank", row_number().over(wFinal).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
   def pqTopKReranked(queries: DataFrame, corpus: DataFrame,
       codes: DataFrame, codebooks: DataFrame, k: Int,
       rerankDepth: Int = 50, m: Int = 4, dim: Int = 64): DataFrame = {

@@ -380,6 +380,29 @@ class SimilaritySpec extends SparkSpec {
     assert(reranked == exact, s"re-rank must be exact over covering candidates:\n$reranked\n$exact")
   }
 
+  test("IVF×PQ: probing the own cell + ADC + re-rank finds the cluster neighbors") {
+    // Interleaved ids (id % 3 = cluster) as in the ivfTopK test, so the
+    // three coarse cells map onto the three clusters; nProbe=1 then
+    // restricts ADC to the query's own cluster and the exact re-rank
+    // must return its 4 cluster-mates, identical to brute force.
+    val centers = Seq(
+      Array(1f, 1f, 1f, 1f, 0f, 0f, 0f, 0f),
+      Array(-1f, 1f, -1f, 1f, 0f, 0f, 0f, 0f),
+      Array(0f, 0f, 0f, 0f, 1f, -1f, 1f, -1f))
+    val corpus = (0 until 15).map { id =>
+      val cen = centers(id % 3)
+      val v = cen.zipWithIndex.map { case (x, d) => x + 0.01f * ((id + d) % 7) }
+      (id.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val q = corpus.where(col("vec_id") === 0)
+    val exact = Similarity.bruteForceTopK(q, corpus, k = 4)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val res = Similarity.ivfPqTopK(q, corpus, k = 4, rerankDepth = 4,
+        nCentroids = 3, nProbe = 1, m = 2, ksub = 4, dim = 8)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(res == exact, s"IVF×PQ must match brute force here:\n$res\n$exact")
+  }
+
   test("PQ training is deterministic across cache resets") {
     def snapshot(): Set[(Long, Long, Seq[Double])] = {
       val cb = Similarity.trainPqCodebooks(clustered, m = 2, ksub = 4,

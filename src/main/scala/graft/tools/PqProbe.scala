@@ -46,7 +46,15 @@ object PqProbe {
       val candRecall = (exact intersect approx).size.toDouble / exact.size
       val avgErr = codes.groupBy("vec_id").agg(sum("err").as("e"))
         .agg(avg("e")).head().getDouble(0)
-      println(f"PROBE pq m=$m%2d ksub=$ksub%3d bytes/vec=$m%2d  recall@10=$recall%.3f  cand-recall@50=$candRecall%.3f  avg_resid=$avgErr%.4f  ($dir)")
+      // The composed index at the same PQ budget: nProbe of 16 cells +
+      // ADC within them + exact re-rank of 50 — recall vs the SAME
+      // exact-cosine truth shows what the cell restriction costs/buys.
+      val ivfpq = Similarity.ivfPqTopK(queries, embs, k = 10,
+          rerankDepth = 50, nCentroids = 16, nProbe = 4, m = m, ksub = ksub,
+          trainN = 1024, dim = 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ivfpqRecall = (exact intersect ivfpq).size.toDouble / exact.size
+      println(f"PROBE pq m=$m%2d ksub=$ksub%3d bytes/vec=$m%2d  recall@10=$recall%.3f  cand-recall@50=$candRecall%.3f  ivfpq-recall@10=$ivfpqRecall%.3f  avg_resid=$avgErr%.4f  ($dir)")
       Similarity.releaseCaches() // each setting trains fresh; don't thrash the slot LRU
     }
     spark.stop()

@@ -403,6 +403,24 @@ class SimilaritySpec extends SparkSpec {
     assert(res == exact, s"IVF×PQ must match brute force here:\n$res\n$exact")
   }
 
+  test("PQ encodes codeword-assembled vectors losslessly") {
+    // A vector whose every subvector IS a codeword must encode with
+    // zero residual in every subspace — the argmin's fixed point, and a
+    // direct check that encode's distance arithmetic is exact.
+    val cb = Similarity.trainPqCodebooks(clustered, m = 2, ksub = 4,
+      iters = 2, trainN = 1024, dim = 8)
+    val cw = cb.collect().map(r => (r.getInt(0), r.getLong(1),
+      r.getSeq[Double](2))).toSeq
+    val assembled = (for {
+      (s0, c0, e0) <- cw if s0 == 0
+      (s1, c1, e1) <- cw if s1 == 1
+    } yield ((c0 * 4 + c1), (e0 ++ e1).map(_.toFloat)))
+      .toDF("vec_id", "embedding")
+    val enc = Similarity.pqEncode(assembled, cb, m = 2, dim = 8).collect()
+    assert(enc.nonEmpty && enc.forall(_.getDouble(3) == 0.0),
+      s"codeword-assembled vectors must have zero residual: ${enc.take(4).mkString(",")}")
+  }
+
   test("PQ training is deterministic across cache resets") {
     def snapshot(): Set[(Long, Long, Seq[Double])] = {
       val cb = Similarity.trainPqCodebooks(clustered, m = 2, ksub = 4,

@@ -732,6 +732,54 @@ object RelationalQueries {
       |  ORDER BY c_acctbal DESC, c_name LIMIT 2) t
       |ORDER BY n_name, c_acctbal DESC, c_name""".stripMargin
 
+  // ---------------------------------------------------------------- REL-29
+  /** MERGE/upsert semantics over a snapshot — the warehouse staple Spark
+    * core lacks as a statement (MERGE INTO needs a table format), here
+    * as its relational decomposition: a deterministic changeset
+    * (deletes: negative balances; updates: BUILDING segment rebalanced;
+    * inserts: MACHINERY clones under shifted keys) applied as
+    * anti-join → left-join + coalesce → unionByName. Delete precedence
+    * over update is explicit in the composition order (the anti-join
+    * runs first), matching MERGE's WHEN MATCHED THEN DELETE priority.
+    * Shape at scale: one hash join per changeset arm on the snapshot
+    * key; real changesets are ≪ the snapshot, so AQE broadcasts them
+    * and the snapshot itself never shuffles; output row order is the
+    * caller's explicit sort, not a merge artifact.
+    */
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val deletes = cust.where(col("c_acctbal") < 0).select("c_custkey")
+    val updates = cust.where(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"), round(col("c_acctbal") * 1.1, 2).as("u_bal"))
+    val inserts = cust.where(col("c_mktsegment") === "MACHINERY")
+      .select((col("c_custkey") + 1000000L).as("c_custkey"),
+        concat(lit("new_"), col("c_name")).as("c_name"),
+        col("c_nationkey"), lit(0.0).as("c_acctbal"), col("c_mktsegment"))
+    cust.join(deletes, Seq("c_custkey"), "left_anti")
+      .join(updates, Seq("c_custkey"), "left")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        coalesce(col("u_bal"), col("c_acctbal")).as("c_acctbal"),
+        col("c_mktsegment"))
+      .unionByName(inserts)
+      .orderBy("c_custkey")
+  }
+
+  val mergeUpsertSql: String =
+    """WITH del AS (SELECT c_custkey FROM customer WHERE c_acctbal < 0),
+      |upd AS (SELECT c_custkey, round(c_acctbal * 1.1, 2) AS u_bal
+      |        FROM customer WHERE c_mktsegment = 'BUILDING'),
+      |ins AS (SELECT c_custkey + 1000000 AS c_custkey,
+      |               'new_' || c_name AS c_name, c_nationkey,
+      |               0.0 AS c_acctbal, c_mktsegment
+      |        FROM customer WHERE c_mktsegment = 'MACHINERY'),
+      |base AS (SELECT c.c_custkey, c.c_name, c.c_nationkey,
+      |                coalesce(u.u_bal, c.c_acctbal) AS c_acctbal,
+      |                c.c_mktsegment
+      |         FROM customer c LEFT JOIN upd u USING (c_custkey)
+      |         WHERE c.c_custkey NOT IN (SELECT c_custkey FROM del))
+      |SELECT * FROM base UNION ALL SELECT * FROM ins
+      |ORDER BY c_custkey""".stripMargin
+
   // --------------------------------------------------- SRC format roundtrips
   /** Deterministic lineitem slice used by the format round-trips:
     * timestamps as µs bigints (the oracle-visible precision) so every

@@ -750,7 +750,7 @@ object RelationalQueries {
     val cust = Tables.customer(spark, dir)
     val deletes = cust.where(col("c_acctbal") < 0).select("c_custkey")
     val updates = cust.where(col("c_mktsegment") === "BUILDING")
-      .select(col("c_custkey"), round(col("c_acctbal") * 1.1, 2).as("u_bal"))
+      .select(col("c_custkey"), round(col("c_acctbal") * 1.1, 3).as("u_bal"))
     val inserts = cust.where(col("c_mktsegment") === "MACHINERY")
       .select((col("c_custkey") + 1000000L).as("c_custkey"),
         concat(lit("new_"), col("c_name")).as("c_name"),
@@ -766,7 +766,7 @@ object RelationalQueries {
 
   val mergeUpsertSql: String =
     """WITH del AS (SELECT c_custkey FROM customer WHERE c_acctbal < 0),
-      |upd AS (SELECT c_custkey, round(c_acctbal * 1.1, 2) AS u_bal
+      |upd AS (SELECT c_custkey, round(c_acctbal * 1.1, 3) AS u_bal
       |        FROM customer WHERE c_mktsegment = 'BUILDING'),
       |ins AS (SELECT c_custkey + 1000000 AS c_custkey,
       |               'new_' || c_name AS c_name, c_nationkey,

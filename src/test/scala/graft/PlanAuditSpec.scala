@@ -204,6 +204,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges: " + p.take(800))
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // Spark's InjectRuntimeFilter: a selective filter on one side of a
+    // shuffle join builds a bloom filter that pre-prunes the other
+    // side's scan — at 100 TB this is the difference between shuffling
+    // the whole fact table and shuffling the ~matching fraction. The
+    // application-side size threshold defaults to 10 GB (never fires at
+    // test scale), so it is lowered here; broadcast is disabled so the
+    // join actually shuffles.
+    withConfs(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      import org.apache.spark.sql.functions._
+      val li = graft.sources.Tables.lineitem(spark, dir)
+      val ords = graft.sources.Tables.orders(spark, dir)
+        .where(col("o_orderpriority") === "1-URGENT")
+      val joined = li.join(ords, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").count()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain") || p.contains("bloom_filter"),
+        "expected a runtime bloom filter on the fact side: " + p.take(1200))
+    }
+  }
+
   test("AQE splits a skewed join partition (OptimizeSkewedJoin fires)") {
     // The skew stance for fact-fact joins (SCALE.md): AQE detects an
     // oversized shuffle partition and splits it. Forced low thresholds

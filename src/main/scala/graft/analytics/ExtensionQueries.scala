@@ -1499,6 +1499,53 @@ object ExtensionQueries {
       |FROM vn JOIN cents ON vn.label = cents.label
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- TXT-13
+  /** Zipf rank-frequency audit: least-squares slope/intercept of
+    * ln(freq) vs ln(rank) over the top-1000 vocabulary — the corpus
+    * health check that flags templated/synthetic text (natural corpora
+    * sit near slope −1; flat slopes mean repetitive generation, steep
+    * ones truncated vocabulary). The regression is computed from
+    * explicit Σx/Σy/Σxy/Σx² sums with ONE final rounding, the same
+    * formula text in both engines. Shape at scale: the frequency table
+    * is the partial-aggregated wordcount shuffle; the top-1000 is
+    * TakeOrderedAndProject; the window ranking and the sums then touch
+    * ≤1000 rows — corpus cost is exactly one wordcount regardless of
+    * size.
+    */
+  def zipfAudit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = Tables.documents(spark, dir)
+      .select(explode(TF.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word")).limit(1000)
+    val w = Window.orderBy(col("n").desc, col("word"))
+    val sums = freq
+      .withColumn("x", log(row_number().over(w).cast("double")))
+      .withColumn("y", log(col("n").cast("double")))
+      .agg(count(lit(1)).as("n_words"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+    val slope = (col("n_words") * col("sxy") - col("sx") * col("sy")) /
+      (col("n_words") * col("sxx") - col("sx") * col("sx"))
+    sums.select(col("n_words"),
+      round(slope, 4).as("zipf_slope"),
+      round((col("sy") - slope * col("sx")) / col("n_words"), 4).as("intercept"))
+  }
+
+  val zipfAuditSql: String =
+    """WITH f AS (SELECT word, count(*) AS n
+      |           FROM (SELECT unnest(string_split(text, ' ')) AS word
+      |                 FROM documents)
+      |           GROUP BY 1 ORDER BY n DESC, word LIMIT 1000),
+      |xy AS (SELECT ln(CAST(row_number() OVER (ORDER BY n DESC, word) AS DOUBLE)) AS x,
+      |              ln(CAST(n AS DOUBLE)) AS y FROM f),
+      |s AS (SELECT count(*) AS n_words, sum(x) AS sx, sum(y) AS sy,
+      |             sum(x * y) AS sxy, sum(x * x) AS sxx FROM xy)
+      |SELECT n_words,
+      |       round((n_words * sxy - sx * sy) / (n_words * sxx - sx * sx), 4) AS zipf_slope,
+      |       round((sy - (n_words * sxy - sx * sy) / (n_words * sxx - sx * sx) * sx)
+      |             / n_words, 4) AS intercept
+      |FROM s""".stripMargin
+
   // ----------------------------------------------------------------- ML-7
   /** Benchmark decontamination by 8-gram overlap — the standard eval-
     * leakage scan (n-gram collision against a held-out benchmark set)

@@ -1006,6 +1006,61 @@ object ExtensionQueries {
        |FROM pv GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** SIM-8: the PQ index as a DURABLE artifact — train codebooks, encode
+    * the corpus to (vec_id, sub, code) rows, WRITE both tables to
+    * parquet, read them back, and digest: code-row and distinct-vector
+    * counts, the exact Σ(code+½) checksum (dyadic halves sum exactly in
+    * double — order-independent across engines), and the codebook's row
+    * count + rounded element sum. The oracle recomputes the identical
+    * per-subspace training + encode straight from the corpus parquet,
+    * so a hash match proves the persisted artifact is the lossless
+    * "train once, serve forever" index the PQ serving tier
+    * ([[Similarity.pqAdcTopK]] / [[Similarity.ivfPqTopK]]) reads.
+    */
+  def pqIndexRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.embeddings(spark, dir)
+    val base = RelationalQueries.scratchDir("sim8")
+    val cb = Similarity.trainPqCodebooks(embs, m = 4, ksub = 16, iters = 2,
+      trainN = 1024, dim = 64)
+    Similarity.pqEncode(embs, cb, m = 4, dim = 64)
+      .select("vec_id", "sub", "code")
+      .write.mode("overwrite").parquet(s"$base/codes")
+    cb.write.mode("overwrite").parquet(s"$base/codebooks")
+    val rCodes = spark.read.parquet(s"$base/codes")
+    val rCb = spark.read.parquet(s"$base/codebooks")
+    val cbDigest = rCb.agg(count(lit(1)).as("cb_rows"),
+      round(sum(aggregate(col("ce"), lit(0.0), (a, x) => a + x)), 6).as("cb_sum"))
+    rCodes.agg(count(lit(1)).as("n_rows"),
+        countDistinct("vec_id").as("n_vecs"),
+        sum(col("code") + 0.5).as("code_sum"))
+      .crossJoin(cbDigest)
+  }
+
+  val pqIndexRoundtripSql: String = {
+    val (m, subdim, ksub, iters, trainN) = (4, 16, 16, 2, 1024)
+    val (training, cFinal) = pqTrainingCtes(m, subdim, ksub, iters, trainN)
+    val d2 = (s: String, c: String) =>
+      s"round(list_dot_product($s, $s) - 2 * list_dot_product($s, $c) " +
+        s"+ list_dot_product($c, $c), 6)"
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |$training,
+       |sv AS (SELECT vec_id, j.range AS sub,
+       |       list_slice(e, j.range * $subdim + 1, j.range * $subdim + $subdim) AS s
+       |       FROM v CROSS JOIN range($m) j),
+       |enc AS (SELECT vec_id, sub, cid FROM (
+       |   SELECT t.vec_id, t.sub, c.cid,
+       |          row_number() OVER (PARTITION BY t.vec_id, t.sub
+       |            ORDER BY ${d2("t.s", "c.ce")}, c.cid) AS rn
+       |   FROM sv t JOIN $cFinal c ON t.sub = c.sub) WHERE rn = 1),
+       |cd AS (SELECT count(*) AS n_rows, count(DISTINCT vec_id) AS n_vecs,
+       |       sum(cid + 0.5) AS code_sum FROM enc),
+       |cbd AS (SELECT (SELECT count(*) FROM $cFinal) AS cb_rows,
+       |        round(sum(x), 6) AS cb_sum
+       |        FROM (SELECT unnest(ce) AS x FROM $cFinal))
+       |SELECT n_rows, n_vecs, code_sum, cb_rows, cb_sum
+       |FROM cd CROSS JOIN cbd""".stripMargin
+  }
+
   /** SIM-5b: the int8 index as a DURABLE artifact — build
     * [[Similarity.int8Index]] (id + cell + one byte/dim) and its one-row
     * grid, WRITE both to parquet, read them back, and digest:

@@ -421,6 +421,21 @@ class SimilaritySpec extends SparkSpec {
       s"codeword-assembled vectors must have zero residual: ${enc.take(4).mkString(",")}")
   }
 
+  test("PQ guards fail loudly on invalid geometry") {
+    intercept[IllegalArgumentException] {
+      Similarity.trainPqCodebooks(clustered, m = 3, ksub = 4, dim = 8) // 8 % 3 != 0
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.trainPqCodebooks(clustered, m = 2, ksub = 300, dim = 8) // > one byte
+    }
+    intercept[IllegalArgumentException] {
+      val cb = Similarity.trainPqCodebooks(clustered, m = 2, ksub = 4, dim = 8)
+      val codes = Similarity.pqEncode(clustered, cb, m = 2, dim = 8)
+      Similarity.pqTopKReranked(clustered.where(col("vec_id") === 0), clustered,
+        codes, cb, k = 10, rerankDepth = 5, m = 2, dim = 8) // depth < k
+    }
+  }
+
   test("PQ training is deterministic across cache resets") {
     def snapshot(): Set[(Long, Long, Seq[Double])] = {
       val cb = Similarity.trainPqCodebooks(clustered, m = 2, ksub = 4,

@@ -1693,6 +1693,97 @@ object ExtensionQueries {
        |FROM d CROSS JOIN ext GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ----------------------------------------------------------------- ML-9
+  /** Curation funnel v2 — this round's hygiene ops composed as ONE lazy
+    * plan, the q_ml6 discipline applied to the eval-safety stages: raw →
+    * exact dedup (min doc id per md5) → benchmark removal + 8-gram
+    * decontamination (q_ml7's rule over the deduped corpus) →
+    * temperature-flattened quality sampling (q_ml8's deterministic
+    * acceptance, extrema taken over the CLEAN set — the rates adapt to
+    * what survives decontamination, as a real pipeline's would). Output
+    * is the per-stage doc/token funnel. Every stage reuses the operator
+    * its dedicated query proves; this query proves the composition:
+    * benchmark grams broadcast once, the corpus is scanned by the gram
+    * explode and the quality pass only, and nothing materializes between
+    * stages.
+    */
+  def curationFunnelV2(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val keep = docs.groupBy(TF.fingerprintMd5(col("text")).as("fp"))
+      .agg(min("doc_id").as("doc_id"))
+    val deduped = docs.join(keep.select("doc_id"), Seq("doc_id"), "left_semi")
+    val corpus = deduped.where(col("doc_id") % 10 =!= 0)
+    val benchGrams = docs.where(col("doc_id") % 10 === 0)
+      .select(explode(TF.shingles(col("text"), 8)).as("gram")).distinct()
+    val contaminated = corpus
+      .select(col("doc_id"), explode(TF.shingles(col("text"), 8)).as("gram"))
+      .join(broadcast(benchGrams), "gram")
+      .select("doc_id").distinct()
+    val clean = corpus.join(contaminated, Seq("doc_id"), "left_anti")
+    val scored = clean.select(col("doc_id"), col("text"),
+      TF.qualityScore(col("text")).as("q"),
+      round(TF.hexHash60(col("text")).cast("double") /
+        lit(1152921504606846976.0), 6).as("u"))
+    val ext = scored.agg(min("q").as("qmin"), max("q").as("qmax"))
+    val sampled = scored.crossJoin(broadcast(ext))
+      .where(col("u") <
+        round(pow((col("q") - col("qmin")) / (col("qmax") - col("qmin")), 0.5), 6))
+    def stageRow(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(TF.tokenCount(col("text"))), lit(0L)).as("total_tokens"))
+        .select(lit(name).as("stage"), col("n_docs"), col("total_tokens"))
+    stageRow("0_raw", docs)
+      .union(stageRow("1_exact_dedup", deduped))
+      .union(stageRow("2_decontaminated", clean))
+      .union(stageRow("3_sampled", sampled))
+      .orderBy("stage")
+  }
+
+  val curationFunnelV2Sql: String = {
+    val stop = TF.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH ded AS (SELECT d.* FROM documents d
+       |       JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)) k
+       |         USING (doc_id)),
+       |corp AS (SELECT * FROM ded WHERE doc_id % 10 != 0),
+       |tt AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+       |gall AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 8
+       |          THEN list_transform(range(len(t) - 7),
+       |               i -> array_to_string(list_slice(t, i + 1, i + 8), ' '))
+       |          ELSE [text] END) AS gram FROM tt),
+       |bench AS (SELECT DISTINCT gram FROM gall WHERE doc_id % 10 = 0),
+       |cont AS (SELECT DISTINCT g.doc_id FROM gall g
+       |         JOIN bench USING (gram)
+       |         JOIN corp c ON g.doc_id = c.doc_id),
+       |clean AS (SELECT * FROM corp
+       |          WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+       |sc AS (SELECT doc_id, text,
+       |       round(ln(len(string_split(text, ' ')) + 1.0)
+       |             + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |               / len(string_split(text, ' '))
+       |             - CAST(len(list_filter(string_split(text, ' '),
+       |               x -> list_contains($stop, x))) AS DOUBLE)
+       |               / len(string_split(text, ' ')), 6) AS q,
+       |       round(${TF.hexHash60Sql("text")} / 1152921504606846976.0, 6) AS u
+       |       FROM clean),
+       |ex AS (SELECT min(q) AS qmin, max(q) AS qmax FROM sc),
+       |samp AS (SELECT sc.* FROM sc CROSS JOIN ex
+       |         WHERE u < round(pow((q - qmin) / (qmax - qmin), 0.5), 6))
+       |SELECT stage, n_docs, total_tokens FROM (
+       |  SELECT '0_raw' AS stage, count(*) AS n_docs,
+       |         CAST(coalesce(sum(len(string_split(text, ' '))), 0) AS BIGINT) AS total_tokens
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT '1_exact_dedup', count(*),
+       |         CAST(coalesce(sum(len(string_split(text, ' '))), 0) AS BIGINT) FROM ded
+       |  UNION ALL
+       |  SELECT '2_decontaminated', count(*),
+       |         CAST(coalesce(sum(len(string_split(text, ' '))), 0) AS BIGINT) FROM clean
+       |  UNION ALL
+       |  SELECT '3_sampled', count(*),
+       |         CAST(coalesce(sum(len(string_split(text, ' '))), 0) AS BIGINT) FROM samp
+       |) ORDER BY stage""".stripMargin
+  }
+
   // ----------------------------------------------------------------- ML-6
   /** End-to-end corpus-curation funnel — the full training-data pipeline
     * as ONE declarative plan: raw → exact dedup (keep min doc id per md5

@@ -15,13 +15,14 @@ QUERIES = [
     "q_adv2_local_supplier_volume",
     "q_dd5_minhash_lsh", "q_sim1_cosine_topk", "q_sim2_ann_lsh",
     "q_sim3_ivf", "q_sim5_ivf_int8", "q_sim5c_index_append",
-    "q_sim7_pq_error", "q_txt12_bm25", "q_rel14_topk",
+    "q_sim7_pq_error", "q_txt12_bm25", "q_rel29_merge_upsert",
+    "q_ml9_curation_funnel_v2", "q_rel14_topk",
 ]
 
 HEADER = '''# PLANS — executed physical plans of headline queries
 
 `graft.tools.Explain` output (sf0.001, the engine's own AQE-enabled
-session) for thirteen representative queries — the evidence behind SCALE.md's
+session) for fifteen representative queries — the evidence behind SCALE.md's
 shuffle-structure claims, regenerable any time with:
 
 ```bash
@@ -47,7 +48,10 @@ only plus the two one-row drift aggregates (SIM-5c), the per-subspace
 k-means whose every aggregate just carries `sub` in its grouping key and
 the partial-before-exchange argmin encode (SIM-7), the query-term IN
 filter sitting below the (doc, term) aggregate and the broadcast of the
-|terms|-row df table in the BM25 plan (TXT-12), and wide
+|terms|-row df table in the BM25 plan (TXT-12), the anti/left/union MERGE
+decomposition with every changeset arm a BroadcastHashJoin (REL-29), the
+v2 funnel's once-broadcast benchmark grams feeding both the
+decontamination join and the stage aggregates (ML-9), and wide
 `WholeStageCodegen` spans
 throughout.
 

@@ -1693,6 +1693,47 @@ object ExtensionQueries {
        |FROM d CROSS JOIN ext GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ---------------------------------------------------------------- ADV-7
+  /** PageRank over the MinHash near-dup pair graph
+    * ([[graft.operators.Graph.pageRank]], damping 0.85, 5 fixed
+    * rounds): duplicate-cluster HUBS — the documents most centrally
+    * embedded in near-dup structure, which curation pipelines rank to
+    * pick canonical representatives or audit template explosions. The
+    * oracle unrolls the identical five rounds in SQL over the same
+    * md5-parity pair pipeline. Output doubles are the per-round-rounded
+    * 9dp ranks themselves (bit-identical across engines by
+    * construction — no final re-rounding to introduce a boundary).
+    */
+  def pageRankTop(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashNearDups(Tables.documents(spark, dir),
+      threshold = 0.5, md5Parity = true)
+    graft.operators.Graph.pageRank(pairs)
+      .select(col("node"), col("rank").as("pr"))
+      .orderBy(col("pr").desc, col("node")).limit(25)
+  }
+
+  val pageRankSql: String = {
+    val (d, iters) = (0.85, 5)
+    def step(i: Int) =
+      s"""r$i AS (SELECT n.node,
+         |   round((1.0 - $d) / nn.n + $d * coalesce(s.s, 0.0), 9) AS pr
+         |   FROM nodes n CROSS JOIN nn
+         |   LEFT JOIN (SELECT sym.dst AS node, sum(p.pr / dg.deg) AS s
+         |              FROM sym JOIN r${i - 1} p ON sym.src = p.node
+         |              JOIN dg ON sym.src = dg.src GROUP BY 1) s
+         |     ON n.node = s.node)""".stripMargin
+    val steps = (1 to iters).map(step).mkString(",\n")
+    s"""WITH ${minhashPairsCtes()},
+       |sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |        UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |dg AS (SELECT src, count(*) AS deg FROM sym GROUP BY 1),
+       |nodes AS (SELECT src AS node FROM dg),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+       |r0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn),
+       |$steps
+       |SELECT node, pr FROM r$iters ORDER BY pr DESC, node LIMIT 25""".stripMargin
+  }
+
   // ----------------------------------------------------------------- ML-9
   /** Curation funnel v2 — this round's hygiene ops composed as ONE lazy
     * plan, the q_ml6 discipline applied to the eval-safety stages: raw →

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Generic iterative graph dataflow over pair tables — the weighted
+  * companion to [[Dedup.dupClusters]]'s min-label propagation. Inputs
+  * are the same near-dup pair graphs the DD family emits; at 100 TB the
+  * pair graph is the small verified-candidate output, so whole-graph
+  * iteration is cheap relative to the corpus passes that produced it.
+  */
+object Graph {
+
+  /** PageRank with a FIXED iteration count over an undirected pair
+    * graph (symmetrized internally; every node therefore has out-degree
+    * ≥ 1, so there is no dangling-mass term). Returns (`node`, `rank`)
+    * for every node in ≥ 1 pair.
+    *
+    * Deliberately a SINGLE lazy plan: with `iters` fixed there is no
+    * convergence count, so the whole computation — degree table,
+    * `iters` unrolled join+aggregate rounds, final projection — is one
+    * declarative composition with zero driver actions, the same
+    * discipline as q_ml6's funnel. Plan depth grows LINEARLY in
+    * `iters` (each round references the previous ranks once — unlike
+    * dupClusters' pointer jump there is no self-join doubling), so no
+    * lineage cap is needed at the shipped iteration counts; callers
+    * looping to convergence instead should adopt dupClusters'
+    * per-iteration lazy localCheckpoint.
+    *
+    * Cross-engine determinism (the q_adv7 oracle unrolls the identical
+    * rounds in SQL): per-round ranks are rounded to 9dp — neighbor-sum
+    * addition order differs between engines at ~1e-16 while rank mass
+    * sits at ≥ 1e-6, so the rounding absorbs it round by round instead
+    * of letting it compound across iterations.
+    */
+  def pageRank(pairs: DataFrame, aCol: String = "doc_a",
+      bCol: String = "doc_b", damping: Double = 0.85,
+      iters: Int = 5): DataFrame = {
+    require(iters >= 1, s"pageRank needs iters >= 1, got $iters")
+    val sym = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nodes = deg.select(col("src").as("node"))
+    val nn = nodes.agg(count(lit(1)).cast("double").as("n"))
+    val init = nodes.crossJoin(broadcast(nn))
+      .select(col("node"), (lit(1.0) / col("n")).as("rank"))
+    (1 to iters).foldLeft(init) { (ranks, _) =>
+      val contrib = sym
+        .join(ranks.select(col("node").as("src"), col("rank")), Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
+        .groupBy("node").agg(sum("c").as("s"))
+      nodes.join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(nn))
+        .select(col("node"),
+          round(lit(1.0 - damping) / col("n")
+            + lit(damping) * coalesce(col("s"), lit(0.0)), 9).as("rank"))
+    }
+  }
+}

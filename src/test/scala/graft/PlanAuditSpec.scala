@@ -177,6 +177,21 @@ class PlanAuditSpec extends SparkSpec {
       "query-term IN filter must survive in the plan: " + p.take(800))
   }
 
+  test("q_adv7: the repeated edge-list subtree compiles to ReusedExchange") {
+    // pageRank references the symmetrized pair pipeline 2 + 2*iters
+    // times in ONE plan; exchange reuse must dedupe those subtrees so
+    // the MinHash lineage executes once — the reason the operator can
+    // stay a single lazy composition with no persist (Graph.scala).
+    // AQE's pre-execution string only shows the initial plan, so the
+    // reuse is asserted on the static planner's output (same
+    // ReuseExchange rule AQE re-applies at runtime).
+    withConfs("spark.sql.adaptive.enabled" -> "false") {
+      val p = plan("q_adv7_pagerank")
+      assert(p.contains("ReusedExchange"),
+        "expected exchange reuse across the unrolled rounds: " + p.take(600))
+    }
+  }
+
   test("q_ml7: benchmark gram side broadcasts; corpus side never does") {
     val p = plan("q_ml7_ngram_contamination")
     assert(p.contains("BroadcastHashJoin"), p.take(500))

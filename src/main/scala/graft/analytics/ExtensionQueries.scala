@@ -1734,6 +1734,31 @@ object ExtensionQueries {
        |SELECT node, pr FROM r$iters ORDER BY pr DESC, node LIMIT 25""".stripMargin
   }
 
+  // ---------------------------------------------------------------- ADV-8
+  /** Triangle counts over the MinHash near-dup pair graph
+    * ([[graft.operators.Graph.triangleCounts]]): dup-family density —
+    * triangle-rich nodes sit in genuine pairwise-similar clusters,
+    * isolated edges are the chance-collision tail. All-integer, so the
+    * oracle (same wedge join + EXISTS closure) is exact with no float
+    * hygiene at all.
+    */
+  def triangleTop(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashNearDups(Tables.documents(spark, dir),
+      threshold = 0.5, md5Parity = true)
+    graft.operators.Graph.triangleCounts(pairs)
+      .orderBy(col("n_triangles").desc, col("node")).limit(25)
+  }
+
+  val triangleTopSql: String =
+    s"""WITH ${minhashPairsCtes()},
+       |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
+       |w AS (SELECT e1.a, e1.b, e2.b AS c FROM e e1 JOIN e e2 ON e1.b = e2.a),
+       |t AS (SELECT w.a, w.b, w.c FROM w
+       |      WHERE EXISTS (SELECT 1 FROM e WHERE e.a = w.a AND e.b = w.c)),
+       |m AS (SELECT unnest([a, b, c]) AS node FROM t)
+       |SELECT node, count(*) AS n_triangles FROM m
+       |GROUP BY 1 ORDER BY n_triangles DESC, node LIMIT 25""".stripMargin
+
   // ----------------------------------------------------------------- ML-9
   /** Curation funnel v2 — this round's hygiene ops composed as ONE lazy
     * plan, the q_ml6 discipline applied to the eval-safety stages: raw →

@@ -39,6 +39,34 @@ object Graph {
     * sits at ≥ 1e-6, so the rounding absorbs it round by round instead
     * of letting it compound across iterations.
     */
+  /** Per-node triangle counts over an undirected pair graph — the
+    * density signal that separates genuine duplicate FAMILIES (near-dup
+    * clusters are triangle-rich: pairwise-similar members) from chance
+    * LSH collisions (isolated edges close no triangles). Input pairs
+    * must be canonical (`aCol` < `bCol`, as every DD pair emitter
+    * produces); each triangle {a<b<c} is found exactly once as the path
+    * a→b→c closed by the a→c edge, then credited to all three members.
+    *
+    * All-integer arithmetic — no cross-engine float surface at all.
+    * Shape at scale: one self-join on the middle node (cost Σ deg² of
+    * the PAIR graph, not the corpus) + one semi-join closure + an
+    * explode-aggregate; this is the standard degree-ordered wedge
+    * enumeration, with the orientation given for free by the canonical
+    * id ordering.
+    */
+  def triangleCounts(pairs: DataFrame, aCol: String = "doc_a",
+      bCol: String = "doc_b"): DataFrame = {
+    val e = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+    val wedges = e.select(col("a"), col("b"))
+      .join(e.select(col("b").as("b2"), col("a").as("bmid")),
+        col("b") === col("bmid"))
+      .select(col("a"), col("b"), col("b2").as("c"))
+    val tris = wedges.join(e.select(col("a").as("ta"), col("b").as("tc")),
+      col("a") === col("ta") && col("c") === col("tc"), "left_semi")
+    tris.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
+
   def pageRank(pairs: DataFrame, aCol: String = "doc_a",
       bCol: String = "doc_b", damping: Double = 0.85,
       iters: Int = 5): DataFrame = {

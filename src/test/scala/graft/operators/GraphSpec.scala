@@ -24,6 +24,23 @@ class GraphSpec extends SparkSpec {
       s"no dangling nodes, so rank mass stays ~1: $mass")
   }
 
+  test("triangleCounts: planted triangle credited to all three members, pendant absent") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val r = Graph.triangleCounts(pairs).collect()
+      .map(row => row.getLong(0) -> row.getLong(1)).toMap
+    assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 1L),
+      s"exactly the triangle members, once each: $r")
+  }
+
+  test("triangleCounts: K4 gives three triangles per node") {
+    val nodes = Seq(1L, 2L, 3L, 4L)
+    val pairs = (for { a <- nodes; b <- nodes if a < b } yield (a, b))
+      .toDF("doc_a", "doc_b")
+    val r = Graph.triangleCounts(pairs).collect()
+      .map(row => row.getLong(0) -> row.getLong(1)).toMap
+    assert(nodes.forall(n => r(n) == 3L), s"each K4 node sits in C(3,2)=3 triangles: $r")
+  }
+
   test("pageRank: disconnected components rank independently") {
     // Two disjoint edges: all four nodes are structurally identical and
     // must receive the same rank.

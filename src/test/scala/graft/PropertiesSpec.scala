@@ -131,6 +131,27 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: triangleCounts ≡ brute-force triple enumeration on random graphs") {
+    // Random canonical edge sets vs the O(n³) reference; one Spark job
+    // per graph (5 graphs), Erdős–Rényi-ish with enough density to
+    // actually close triangles.
+    val rnd = new scala.util.Random(42)
+    for (g <- 1 to 5) {
+      val n = 8 + g * 2
+      val edges = (for { a <- 0 until n; b <- a + 1 until n
+        if rnd.nextDouble() < 0.35 } yield (a.toLong, b.toLong))
+      val has = edges.toSet
+      val expected = (for {
+        a <- 0L until n.toLong; b <- a + 1 until n.toLong; c <- b + 1 until n.toLong
+        if has((a, b)) && has((b, c)) && has((a, c))
+      } yield Seq(a, b, c)).flatten
+        .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val got = graft.operators.Graph.triangleCounts(edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"graph $g (n=$n, |E|=${edges.size}): $got vs $expected")
+    }
+  }
+
   test("property: native StringShingles ≡ HOF reference on random texts, n in 1..5") {
     // Random docs plus adversarial whitespace shapes the token generator
     // can't produce (empty, leading/trailing/double spaces, multibyte).

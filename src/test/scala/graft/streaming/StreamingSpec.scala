@@ -246,4 +246,30 @@ class StreamingSpec extends SparkSpec {
       assert(state.get == 0L)
     } finally q.stop()
   }
+
+  test("curation stream: cross-batch content dedup + quality gate, late dup dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val good = (0 until 12).map(i => s"tok$i").mkString(" ") // 12 distinct tokens
+    val short = "too short"                                   // < 8 tokens
+    val loop = Seq.fill(12)("spam").mkString(" ")             // uniq ratio 1/12
+    def at(s: String) = Timestamp.valueOf(s)
+    val curated = CurationStream.curationStream(
+      mem.toDF().toDF("doc_id", "text", "ts"))
+    val q = curated.writeStream.format("memory").queryName("curated_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, good, at("2024-01-01 10:00:00")),
+        (2L, good, at("2024-01-01 10:00:05")), // same content, same batch
+        (3L, short, at("2024-01-01 10:00:10")),
+        (4L, loop, at("2024-01-01 10:00:15")))
+      q.processAllAvailable()
+      mem.addData((5L, good, at("2024-01-01 10:05:00"))) // cross-batch dup
+      q.processAllAvailable()
+      val ids = spark.table("curated_out").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L),
+        s"only the first good doc survives dedup + gate: ${ids.mkString(",")}")
+    } finally q.stop()
+  }
 }

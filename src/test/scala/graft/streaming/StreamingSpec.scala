@@ -270,6 +270,19 @@ class StreamingSpec extends SparkSpec {
       val ids = spark.table("curated_out").collect().map(_.getLong(0)).sorted
       assert(ids.toSeq == Seq(1L),
         s"only the first good doc survives dedup + gate: ${ids.mkString(",")}")
+      // The bounded-state trade, pinned: advance the watermark far past
+      // the first arrivals so their fingerprints are EVICTED, then
+      // replay the same content — it is re-admitted (state follows the
+      // watermark window, not all time; exact all-time dedup is the
+      // documented sink-index join variant instead).
+      mem.addData((6L, (0 until 9).map(i => s"adv$i").mkString(" "),
+        at("2024-01-01 12:00:00"))) // watermark advancer, itself kept
+      q.processAllAvailable()
+      mem.addData((7L, good, at("2024-01-01 12:00:05"))) // beyond-window dup
+      q.processAllAvailable()
+      val after = spark.table("curated_out").collect().map(_.getLong(0)).sorted
+      assert(after.toSeq == Seq(1L, 6L, 7L),
+        s"post-eviction replay must be re-admitted: ${after.mkString(",")}")
     } finally q.stop()
   }
 }

@@ -285,4 +285,69 @@ class StreamingSpec extends SparkSpec {
         s"post-eviction replay must be re-admitted: ${after.mkString(",")}")
     } finally q.stop()
   }
+
+  test("full curation funnel stream ≡ batch survivors (dedup → decontam → sample)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{TextFunctions => TF}
+    implicit val sqlCtx = spark.sqlContext
+    def at(s: String) = Timestamp.valueOf(s)
+    // A bench doc (NOT fed to the stream — it is the contamination
+    // source) and a corpus with: a clean high-quality doc, a doc
+    // containing one of the bench doc's 8-grams, a spam doc (lowest
+    // quality ⇒ p = 0 ⇒ always sampled out), a second clean doc, and a
+    // cross-batch duplicate of doc 1 (min-id copy arrives first).
+    val benchText = (0 until 9).map(i => s"bench$i").mkString(" ")
+    val benchGrams = benchText.split(" ").sliding(8).map(_.mkString(" ")).toSet
+    val docA = (0 until 12).map(i => s"alpha$i").mkString(" ")
+    val docB = "xx " + benchText.split(" ").take(8).mkString(" ") + " yy"
+    val docC = Seq.fill(12)("spam").mkString(" ")
+    val docD = (0 until 12).map(i => s"delta$i").mkString(" ")
+    val corpus = Seq(
+      (1L, docA, at("2024-01-01 10:00:00")),
+      (2L, docB, at("2024-01-01 10:00:05")),
+      (3L, docC, at("2024-01-01 10:00:10")),
+      (4L, docD, at("2024-01-01 10:00:15")),
+      (5L, docA, at("2024-01-01 10:05:00"))) // cross-batch dup of doc 1
+    // Batch side — the q_ml9 stages over the same docs: min-id dedup,
+    // broadcast-gram decontamination, temperature sample with extrema
+    // taken over the clean set.
+    val static = corpus.toDF("doc_id", "text", "ts")
+    val keep = static.groupBy(TF.fingerprintMd5(col("text")).as("fp"))
+      .agg(min("doc_id").as("doc_id"))
+    val deduped = static.join(keep.select("doc_id"), Seq("doc_id"), "left_semi")
+    val contaminatedIds = deduped
+      .select(col("doc_id"), explode(TF.shingles(col("text"), 8)).as("gram"))
+      .join(broadcast(benchGrams.toSeq.toDF("gram")), "gram")
+      .select("doc_id").distinct()
+    val clean = deduped.join(contaminatedIds, Seq("doc_id"), "left_anti")
+      .withColumn("q", TF.qualityScore(col("text")))
+      .withColumn("u", round(TF.hexHash60(col("text")).cast("double") /
+        lit(1152921504606846976.0), 6))
+    val Array(qMin, qMax) = clean.agg(min("q"), max("q")).collect()(0)
+      .toSeq.map(_.asInstanceOf[Double]).toArray
+    val batchSurvivors = clean
+      .where(col("u") < round(pow((col("q") - qMin) / (qMax - qMin), 0.5), 6))
+      .collect().map(_.getLong(0)).toSet
+    assert(!batchSurvivors.contains(2L), "contaminated doc dropped in batch")
+    assert(!batchSurvivors.contains(3L), "qmin doc has p = 0, always sampled out")
+    assert(!batchSurvivors.contains(5L), "non-min dup dropped in batch")
+    assert(batchSurvivors.nonEmpty, "funnel must keep something")
+    // Stream side — same docs in id order across two micro-batches (the
+    // dup arrives late but inside the watermark), pinned to the batch
+    // run's calibration.
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val funnel = CurationStream.curationFunnelStream(
+      mem.toDF().toDF("doc_id", "text", "ts"), benchGrams, qMin, qMax)
+    val q = funnel.writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(corpus(0), corpus(1), corpus(2))
+      q.processAllAvailable()
+      mem.addData(corpus(3), corpus(4))
+      q.processAllAvailable()
+      val streamed = spark.table("funnel_out").collect().map(_.getLong(0)).toSet
+      assert(streamed == batchSurvivors,
+        s"stream ≡ batch: stream=${streamed.toSeq.sorted} batch=${batchSurvivors.toSeq.sorted}")
+    } finally q.stop()
+  }
 }

@@ -11,34 +11,6 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
-  /** PageRank with a FIXED iteration count over an undirected pair
-    * graph (symmetrized internally; every node therefore has out-degree
-    * ≥ 1, so there is no dangling-mass term). Returns (`node`, `rank`)
-    * for every node in ≥ 1 pair.
-    *
-    * Deliberately a SINGLE lazy plan: with `iters` fixed there is no
-    * convergence count, so the whole computation — degree table,
-    * `iters` unrolled join+aggregate rounds, final projection — is one
-    * declarative composition with zero driver actions. The edge list
-    * is referenced 2 + 2·iters times, but does NOT need caching:
-    * within one physical plan Spark replaces the identical subtrees
-    * with ReusedExchange, so the upstream pair pipeline executes once
-    * (measured on q_adv7: the lazy form beat an eager memoized edge
-    * list 3.3 s vs 4.6 s — the extra materialization pass bought
-    * nothing; contrast dupClusters, whose per-ITERATION actions are
-    * separate jobs and genuinely recompute without its persist). Plan
-    * depth grows LINEARLY in `iters` (each round references the
-    * previous ranks once — no pointer-jump self-join doubling), so no
-    * lineage cap is needed at the shipped iteration counts; callers
-    * looping to convergence instead should adopt dupClusters'
-    * per-iteration lazy localCheckpoint.
-    *
-    * Cross-engine determinism (the q_adv7 oracle unrolls the identical
-    * rounds in SQL): per-round ranks are rounded to 9dp — neighbor-sum
-    * addition order differs between engines at ~1e-16 while rank mass
-    * sits at ≥ 1e-6, so the rounding absorbs it round by round instead
-    * of letting it compound across iterations.
-    */
   /** Per-node triangle counts over an undirected pair graph — the
     * density signal that separates genuine duplicate FAMILIES (near-dup
     * clusters are triangle-rich: pairwise-similar members) from chance
@@ -67,22 +39,34 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
 
-  def pageRank(pairs: DataFrame, aCol: String = "doc_a",
-      bCol: String = "doc_b", damping: Double = 0.85,
-      iters: Int = 5): DataFrame = {
-    require(iters >= 1, s"pageRank needs iters >= 1, got $iters")
-    val sym = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+  /** The shared rank-iteration pieces over a symmetrized weighted edge
+    * table (src, dst, w): the 1/N init and one propagation round.
+    * `weightCol = None` in [[symmetrize]] degenerates to the classic
+    * uniform split (w ≡ 1.0, so wsum is the degree and rank·w/wsum is
+    * exactly rank/deg — multiplication by 1.0 is an fp identity, so the
+    * unweighted results are bit-identical to a count-based degree).
+    */
+  private final case class RankParts(step: DataFrame => DataFrame, init: DataFrame)
+
+  private def symmetrize(pairs: DataFrame, aCol: String, bCol: String,
+      weightCol: Option[String]): DataFrame = {
+    val w = weightCol.map(col).getOrElse(lit(1.0))
+    pairs.select(col(aCol).as("src"), col(bCol).as("dst"), w.as("w"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst"), w.as("w")))
+  }
+
+  private def rankParts(sym: DataFrame, damping: Double): RankParts = {
+    val deg = sym.groupBy("src").agg(sum("w").as("wsum"))
     val nodes = deg.select(col("src").as("node"))
     val nn = nodes.agg(count(lit(1)).cast("double").as("n"))
     val init = nodes.crossJoin(broadcast(nn))
       .select(col("node"), (lit(1.0) / col("n")).as("rank"))
-    (1 to iters).foldLeft(init) { (ranks, _) =>
+    def step(ranks: DataFrame): DataFrame = {
       val contrib = sym
         .join(ranks.select(col("node").as("src"), col("rank")), Seq("src"))
         .join(deg, Seq("src"))
-        .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
+        .select(col("dst").as("node"),
+          (col("rank") * col("w") / col("wsum")).as("c"))
         .groupBy("node").agg(sum("c").as("s"))
       nodes.join(contrib, Seq("node"), "left")
         .crossJoin(broadcast(nn))
@@ -90,5 +74,113 @@ object Graph {
           round(lit(1.0 - damping) / col("n")
             + lit(damping) * coalesce(col("s"), lit(0.0)), 9).as("rank"))
     }
+    RankParts(step, init)
+  }
+
+  /** PageRank with a FIXED iteration count over an undirected pair
+    * graph (symmetrized internally; every node therefore has out-degree
+    * ≥ 1, so there is no dangling-mass term). Returns (`node`, `rank`)
+    * for every node in ≥ 1 pair.
+    *
+    * Deliberately a SINGLE lazy plan: with `iters` fixed there is no
+    * convergence count, so the whole computation — degree table,
+    * `iters` unrolled join+aggregate rounds, final projection — is one
+    * declarative composition with zero driver actions. The edge list
+    * is referenced 2 + 2·iters times, but does NOT need caching:
+    * within one physical plan Spark replaces the identical subtrees
+    * with ReusedExchange, so the upstream pair pipeline executes once
+    * (measured on q_adv7: the lazy form beat an eager memoized edge
+    * list — the extra materialization pass bought nothing; contrast
+    * dupClusters, whose per-ITERATION actions are separate jobs and
+    * genuinely recompute without its persist). Plan depth grows
+    * LINEARLY in `iters` (each round references the previous ranks
+    * once — no pointer-jump self-join doubling), so no lineage cap is
+    * needed at the shipped iteration counts; unknown-diameter graphs
+    * use [[pageRankUntil]], which carries that discipline built in.
+    *
+    * Optional `weightCol`: edges carry a similarity weight (the DD pair
+    * graphs emit jaccard/cosine), and a node splits its rank among
+    * neighbors PROPORTIONALLY to edge weight (rank·w/Σw) instead of
+    * uniformly — near-identical documents then reinforce each other's
+    * centrality more than borderline collisions, so the top ranks are
+    * the template cores rather than the best-connected nodes. Weights
+    * must be ≥ 0 (a zero-weight edge still counts a node into the
+    * graph but contributes nothing).
+    *
+    * Cross-engine determinism (the q_adv7/q_adv7b oracles unroll the
+    * identical rounds in SQL): per-round ranks are rounded to 9dp —
+    * neighbor-sum addition order differs between engines at ~1e-16
+    * while rank mass sits at ≥ 1e-6, so the rounding absorbs it round
+    * by round instead of letting it compound across iterations.
+    */
+  def pageRank(pairs: DataFrame, aCol: String = "doc_a",
+      bCol: String = "doc_b", damping: Double = 0.85,
+      iters: Int = 5, weightCol: Option[String] = None): DataFrame = {
+    require(iters >= 1, s"pageRank needs iters >= 1, got $iters")
+    val parts = rankParts(symmetrize(pairs, aCol, bCol, weightCol), damping)
+    (1 to iters).foldLeft(parts.init)((ranks, _) => parts.step(ranks))
+  }
+
+  /** PageRank to CONVERGENCE — for pair graphs whose diameter/mixing is
+    * unknown, where guessing a fixed `iters` either wastes rounds or
+    * under-converges. Iterates until the max per-node rank change of a
+    * round is ≤ `eps` (the per-round 9dp rounding makes exact fixpoints
+    * reachable, so eps down to 1e-9 terminates) or `maxIters` is hit,
+    * whichever first.
+    *
+    * Unlike [[pageRank]]'s single lazy plan, each round here ends in a
+    * driver-side scalar action (the convergence max), so this adopts
+    * [[Dedup.dupClusters]]'s lineage discipline wholesale: edges and
+    * weight totals are persisted once (re-read every round — without it
+    * each round would re-run the whole upstream pair pipeline as a
+    * separate job), every generation ends in a LAZY `localCheckpoint`
+    * that the convergence aggregate materializes (plan depth stays one
+    * generation, not O(iters)), and the superseded generation's
+    * checkpoint blocks are unpersisted deterministically as soon as the
+    * new one is materialized — the one-generation executor-storage
+    * bound, not ContextCleaner-eventual.
+    *
+    * `onIter(iter, maxDelta)` is the diagnostic hook (GraphProbe /
+    * SCALE.md); default no-op.
+    */
+  def pageRankUntil(pairs: DataFrame, aCol: String = "doc_a",
+      bCol: String = "doc_b", damping: Double = 0.85,
+      eps: Double = 1e-6, maxIters: Int = 100,
+      weightCol: Option[String] = None,
+      onIter: (Int, Double) => Unit = (_, _) => ()): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    require(maxIters >= 1, s"pageRankUntil needs maxIters >= 1, got $maxIters")
+    require(eps >= 0.0, s"pageRankUntil needs eps >= 0, got $eps")
+    // Persist the SYMMETRIZED edges: every round's two joins and the
+    // degree/node/init tables all read the cache, so the upstream pair
+    // pipeline runs exactly once despite the per-round driver actions.
+    val sym = symmetrize(pairs, aCol, bCol, weightCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val parts = rankParts(sym, damping)
+      var ranks = parts.init
+      var ranksCheckpointed = false
+      def freeGeneration(gen: DataFrame): Unit =
+        if (ranksCheckpointed)
+          gen.queryExecution.analyzed.collectFirst {
+            case lr: org.apache.spark.sql.execution.LogicalRDD =>
+              lr.rdd.unpersist(blocking = false)
+          }
+      var iter = 0
+      var converged = false
+      while (!converged && iter < maxIters) {
+        val next = parts.step(ranks).localCheckpoint(eager = false)
+        val delta = next
+          .join(ranks.select(col("node"), col("rank").as("old")), Seq("node"))
+          .agg(max(abs(col("rank") - col("old")))).head().getDouble(0)
+        freeGeneration(ranks)
+        ranks = next
+        ranksCheckpointed = true
+        converged = delta <= eps
+        iter += 1
+        onIter(iter, delta)
+      }
+      ranks
+    } finally sym.unpersist(blocking = false)
   }
 }

@@ -48,4 +48,67 @@ class GraphSpec extends SparkSpec {
     val ranks = Graph.pageRank(pairs).collect().map(_.getDouble(1)).distinct
     assert(ranks.length == 1, s"symmetric nodes must tie: ${ranks.mkString(",")}")
   }
+
+  test("weighted pageRank: uniform weights reproduce the unweighted ranks exactly") {
+    // w ≡ 2.0 (a power of two, so wsum and rank·w/wsum scale exactly):
+    // proportional split with equal weights IS the uniform split.
+    val pairs = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val weighted = Graph.pageRank(pairs.withColumn("w", lit(2.0)),
+        weightCol = Some("w"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val plain = Graph.pageRank(pairs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(weighted == plain, s"uniform-weight ≠ unweighted: $weighted vs $plain")
+  }
+
+  test("weighted pageRank: rank follows the heavy edge") {
+    // Path 1—2—3 where 2's edge to 1 carries 9× the weight of its edge
+    // to 3: node 2 splits its rank 0.9/0.1, so 1 must out-rank 3 (the
+    // unweighted ranks would tie by symmetry).
+    val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.1)).toDF("doc_a", "doc_b", "w")
+    val r = Graph.pageRank(pairs, weightCol = Some("w"))
+      .collect().map(row => row.getLong(0) -> row.getDouble(1)).toMap
+    assert(r(1L) > r(3L), s"heavy-edge endpoint must out-rank the light one: $r")
+    val plain = Graph.pageRank(pairs)
+      .collect().map(row => row.getLong(0) -> row.getDouble(1)).toMap
+    assert(plain(1L) == plain(3L), s"unweighted path endpoints tie: $plain")
+  }
+
+  test("pageRankUntil ≡ fixed-iteration pageRank at the converged count") {
+    // A chain (diameter 5) so convergence takes several rounds; the
+    // eps-mode result must equal pageRank run for exactly the number of
+    // rounds the convergence loop performed (same rounded round
+    // sequence — the loop adds no arithmetic of its own).
+    val pairs = (0L until 5L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    var itersRun = 0
+    val converged = Graph.pageRankUntil(pairs, eps = 1e-9,
+        onIter = (i, _) => itersRun = i)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(itersRun > 2, s"chain must need several rounds, ran $itersRun")
+    val fixed = Graph.pageRank(pairs, iters = itersRun)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(converged == fixed,
+      s"converged ≠ fixed($itersRun): $converged vs $fixed")
+    val mass = converged.values.sum
+    assert(math.abs(mass - 1.0) < 1e-6, s"rank mass stays ~1: $mass")
+  }
+
+  test("pageRankUntil: plan depth stays one generation regardless of rounds") {
+    // The per-iteration lazy localCheckpoint must truncate lineage: the
+    // returned frame's analyzed plan is a checkpoint leaf, not O(iters)
+    // unrolled rounds — the discipline dupClusters pins for its loop.
+    val pairs = (0L until 8L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    var itersRun = 0
+    val res = Graph.pageRankUntil(pairs, eps = 1e-9, onIter = (i, _) => itersRun = i)
+    val planSize = res.queryExecution.analyzed.collect { case p => p }.size
+    assert(itersRun > 2, s"must iterate, ran $itersRun")
+    assert(planSize <= 3,
+      s"final plan must be a checkpoint leaf (+projection), got $planSize nodes:\n" +
+        res.queryExecution.analyzed.treeString)
+    // And the fixed-iteration single lazy plan DOES grow linearly — the
+    // contrast that justifies the checkpoint in the eps mode.
+    val lazySize = Graph.pageRank(pairs, iters = 5)
+      .queryExecution.analyzed.collect { case p => p }.size
+    assert(lazySize > planSize * 5, s"unrolled lazy plan should dwarf it: $lazySize")
+  }
 }

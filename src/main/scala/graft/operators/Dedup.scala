@@ -335,11 +335,20 @@ object Dedup {
       var labels = sym.groupBy(col("src").as("node")).agg(min("dst").as("nbr"))
         .select(col("node"), least(col("node"), col("nbr")).as("lbl"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      // Only the initial generation is persist-backed (unpersistable);
-      // every later generation is a localCheckpoint whose blocks ARE
-      // the data — those are freed by the ContextCleaner when the
-      // superseded generation goes out of scope, never unpersisted.
+      // The initial generation is persist-backed; every later one is a
+      // localCheckpoint whose blocks ARE the data. Both are explicitly
+      // unpersisted when superseded (the checkpointed RDD sits behind
+      // the generation's LogicalRDD leaf) — leaving them to the
+      // ContextCleaner keeps storage bounded only as fast as driver GC
+      // notices, so a long fixpoint under GC lag would accumulate every
+      // generation's blocks instead of holding the one-generation bound.
       var labelsPersisted = true
+      def freeGeneration(gen: DataFrame): Unit =
+        if (labelsPersisted) gen.unpersist(blocking = false)
+        else gen.queryExecution.analyzed.collectFirst {
+          case lr: org.apache.spark.sql.execution.LogicalRDD =>
+            lr.rdd.unpersist(blocking = false)
+        }
       var iter = 0
       var converged = false
       while (!converged && iter < maxIters) {
@@ -377,7 +386,10 @@ object Dedup {
         // iteration) over the two materialized generations.
         val changed = next.join(labels.select(col("node"), col("lbl").as("old")), Seq("node"))
           .where(col("lbl") =!= col("old")).count()
-        if (labelsPersisted) labels.unpersist()
+        // The count above materialized `next`, so the superseded
+        // generation's blocks can be freed NOW — deterministic
+        // one-generation storage, not ContextCleaner-eventual.
+        freeGeneration(labels)
         labels = next
         labelsPersisted = false
         converged = changed == 0L

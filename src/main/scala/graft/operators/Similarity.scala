@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -57,11 +57,14 @@ object Similarity {
     val slots = memoCache.entrySet().iterator()
     while (slots.hasNext) {
       val e = slots.next()
+      // remove() must stay INSIDE the lock: released outside it, a racing
+      // memoized() can computeIfAbsent the cleared-but-still-mapped LRU,
+      // persist an entry into it, and have the map orphaned untracked.
       memoLocks.computeIfAbsent(e.getKey, _ => new AnyRef).synchronized {
         e.getValue.values().forEach(safeUnpersist(_))
         e.getValue.clear()
+        slots.remove()
       }
-      slots.remove()
     }
   }
 
@@ -887,6 +890,82 @@ object Similarity {
         col("mn.d2").as("err"))
   }
 
+  /** INCREMENTAL PQ index maintenance — [[appendToInt8Index]]'s pattern
+    * for the PQ tier: new corpus vectors are encoded on the EXISTING
+    * codebooks (one pass over `newRows` only — broadcast codebooks, no
+    * retraining) and unioned onto the stored code table. Because the
+    * codebooks are fixed and the per-subspace argmin is deterministic
+    * (rounded d², ties to lowest cid), append ≡ encode-the-union with
+    * those codebooks (SimilaritySpec pins the equivalence; the q_sim9
+    * oracle replays encode-union from scratch). Codebook staleness is
+    * the trade — measure it with [[pqDrift]] and retrain when it says
+    * so.
+    */
+  def appendToPqIndex(newRows: DataFrame, codes: DataFrame,
+      codebooks: DataFrame, m: Int = 4, dim: Int = 64): DataFrame =
+    codes.select("vec_id", "sub", "code")
+      .unionByName(pqEncode(newRows, codebooks, m, dim)
+        .select("vec_id", "sub", "code"))
+
+  /** Drift metric for the PQ append path: do the FIXED codebooks still
+    * fit the incoming batch? The int8 tier's [[indexDrift]] compares
+    * reconstruction-fit per side; a PQ reconstruction IS its codewords
+    * (zero self-distance), so the artifact-only signal here is the
+    * per-subspace CODE-USAGE histogram instead: a distribution shift in
+    * the embeddings moves which codewords win the argmin, so the new
+    * batch's code histogram diverges from the indexed corpus's. Output
+    * is one row: `tv_max` = max over subspaces of the total-variation
+    * distance between the two histograms (0 = identical usage, 1 =
+    * disjoint), and `retrain` = 1 when tv_max > `maxTv`. Needs only the
+    * index artifact (codes + codebooks) plus the new batch — never the
+    * indexed corpus floats.
+    *
+    * Determinism: histogram counts are exact integers and both engines
+    * divide by the same totals, so each per-code term is bit-identical;
+    * terms are rounded to 9dp BEFORE the per-subspace sum (≤ ksub
+    * addends, fp error ≪ the 6dp half-boundary of the rounded tv), and
+    * max over subspaces is order-free — the repo's round-components-
+    * then-sum discipline.
+    *
+    * Scale: one encode pass over the new batch, then two (sub, code)
+    * histogram aggregates — map-side partials into m·ksub rows; the
+    * codebook spine join is a broadcast.
+    */
+  def pqDrift(newRows: DataFrame, codes: DataFrame, codebooks: DataFrame,
+      m: Int = 4, dim: Int = 64, maxTv: Double = 0.2): DataFrame = {
+    val newCodes = pqEncode(newRows, codebooks, m, dim)
+      .select("vec_id", "sub", "code")
+    val nNew = newCodes.agg(countDistinct("vec_id").cast("double").as("t_new"))
+    val nIdx = codes.agg(countDistinct("vec_id").cast("double").as("t_idx"))
+    val hNew = newCodes.groupBy("sub", "code").agg(count(lit(1)).as("n_new"))
+    val hIdx = codes.groupBy("sub", "code").agg(count(lit(1)).as("n_idx"))
+    // Spine = every (sub, cid) of the codebooks, so codes unused by one
+    // side still contribute their full probability mass to the other's.
+    val terms = codebooks.select(col("sub"), col("cid").as("code"))
+      .join(hNew, Seq("sub", "code"), "left")
+      .join(hIdx, Seq("sub", "code"), "left")
+      .crossJoin(broadcast(nNew)).crossJoin(broadcast(nIdx))
+      .select(col("sub"), round(abs(
+        coalesce(col("n_new"), lit(0L)).cast("double") / col("t_new")
+          - coalesce(col("n_idx"), lit(0L)).cast("double") / col("t_idx")), 9)
+        .as("t"))
+    terms.groupBy("sub").agg(round(sum("t") / 2.0, 6).as("tv"))
+      .agg(max("tv").as("tv_max"))
+      .select(col("tv_max"),
+        (col("tv_max") > lit(maxTv)).cast("long").as("retrain"))
+  }
+
+  /** Order-fixed sum of one value per subspace: m single-element
+    * conditional sums combined left-to-right (sub 0, then 1, …), so the
+    * float result is independent of shuffle arrival order — the same
+    * discipline [[pqError]]/bm25 use. A plain `sum()` over the m rows
+    * adds in group-iteration order, and a boundary-adjacent acos could
+    * flip candidate rank run-to-run after the 6dp round.
+    */
+  private def subspaceSum(m: Int, sub: Column, v: Column): Column =
+    (0 until m).map(i => sum(when(sub === i, v).otherwise(lit(0.0))))
+      .reduce(_ + _)
+
   /** Asymmetric-distance (ADC) top-k over PQ codes: each query computes
     * its m·ksub lookup table of subvector·codeword dot products ONCE
     * (queries × broadcast codebooks — tiny), then scores every corpus
@@ -916,7 +995,8 @@ object Similarity {
       .join(broadcast(lut),
         codes("sub") === lut("sub") && codes("code") === lut("cid"))
       .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
-      .agg(sum(col("qc")).as("dot"), sum(col("cc")).as("rn2"))
+      .agg(subspaceSum(m, codes("sub"), col("qc")).as("dot"),
+        subspaceSum(m, codes("sub"), col("cc")).as("rn2"))
     val w = Window.partitionBy("query_id").orderBy(col("acos").desc, col("neighbor_id"))
     scored
       .join(broadcast(qn), "query_id")
@@ -999,7 +1079,8 @@ object Similarity {
     val cands = codes.join(broadcast(probed), Seq("cell"))
       .join(broadcast(lut), Seq("query_id", "sub", "code"))
       .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
-      .agg(sum(col("qc")).as("dot"), sum(col("cc")).as("rn2"))
+      .agg(subspaceSum(m, col("sub"), col("qc")).as("dot"),
+        subspaceSum(m, col("sub"), col("cc")).as("rn2"))
       .join(broadcast(qn), "query_id")
       .where(col("query_id") =!= col("neighbor_id") && col("rn2") > 0)
       .withColumn("acos", round(col("dot") / (col("qn") * sqrt(col("rn2"))), 6))

@@ -303,6 +303,52 @@ class SimilaritySpec extends SparkSpec {
     assert(loud.getAs[Double]("fit_new") < quiet.getAs[Double]("fit_new"))
   }
 
+  test("appendToPqIndex ≡ encode of the union, given fixed codebooks") {
+    val all = (0 until 60).map { id =>
+      (id.toLong, Seq.tabulate(8)(d => 0.1f * ((id + d) % 13) - 0.5f))
+    }.toDF("vec_id", "embedding")
+    val base = all.where(col("vec_id") < 48)
+    val fresh = all.where(col("vec_id") >= 48)
+    val cb = Similarity.trainPqCodebooks(base, m = 2, ksub = 4, iters = 2,
+      trainN = 64, dim = 8)
+    val codes = Similarity.pqEncode(base, cb, m = 2, dim = 8)
+      .select("vec_id", "sub", "code")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.toList).toSet
+    val appended = rows(Similarity.appendToPqIndex(fresh, codes, cb, m = 2, dim = 8))
+    val rebuilt = rows(Similarity.pqEncode(all, cb, m = 2, dim = 8)
+      .select("vec_id", "sub", "code"))
+    assert(appended == rebuilt,
+      s"append diverged from rebuild: ${appended.diff(rebuilt)} / ${rebuilt.diff(appended)}")
+    assert(appended.size == 120, "60 vectors × 2 subspaces")
+  }
+
+  test("pqDrift: same-distribution append quiet, shifted batch trips retrain") {
+    val base = (0 until 48).map { id =>
+      (id.toLong, Seq.tabulate(8)(d => 0.1f * ((id + d) % 13) - 0.5f))
+    }.toDF("vec_id", "embedding")
+    val cb = Similarity.trainPqCodebooks(base, m = 2, ksub = 4, iters = 2,
+      trainN = 64, dim = 8)
+    val codes = Similarity.pqEncode(base, cb, m = 2, dim = 8)
+      .select("vec_id", "sub", "code")
+    // Same generator, new ids: code usage matches the index → quiet.
+    val same = (100 until 148).map { id =>
+      (id.toLong, Seq.tabulate(8)(d => 0.1f * ((id + d) % 13) - 0.5f))
+    }.toDF("vec_id", "embedding")
+    val quiet = Similarity.pqDrift(same, codes, cb, m = 2, dim = 8).head()
+    assert(quiet.getAs[Long]("retrain") == 0L,
+      s"same-distribution batch flagged for retrain: $quiet")
+    // Alternating-sign shifted batch: the argmin collapses onto whichever
+    // codeword is least unlike it → usage histogram diverges → retrain.
+    val shifted = (200 until 248).map { id =>
+      (id.toLong, Seq.tabulate(8)(d => if ((id + d) % 2 == 0) 5.0f else -5.0f))
+    }.toDF("vec_id", "embedding")
+    val loud = Similarity.pqDrift(shifted, codes, cb, m = 2, dim = 8).head()
+    assert(loud.getAs[Long]("retrain") == 1L,
+      s"shifted batch not flagged for retrain: $loud")
+    assert(loud.getAs[Double]("tv_max") > quiet.getAs[Double]("tv_max"))
+  }
+
   test("memoized: a miss on one slot does not block a different slot") {
     import java.util.concurrent.TimeUnit
     // The slow slot's materializing count() is held open by a latch

@@ -1061,6 +1061,81 @@ object ExtensionQueries {
        |FROM cd CROSS JOIN cbd""".stripMargin
   }
 
+  /** SIM-9: INCREMENTAL PQ index append + drift
+    * ([[Similarity.appendToPqIndex]] / [[Similarity.pqDrift]]) — the
+    * q_sim5c story for the PQ tier, so BOTH serving tiers now
+    * train-once/append-forever. The corpus splits 9:1 on id residue:
+    * codebooks train on the base 90%, the held-out 10% is APPENDED —
+    * encoded on the fixed codebooks, no retraining. Output: the
+    * appended code table's digest (row/vector counts + exact Σ(code+½)
+    * checksum — dyadic halves sum exactly in double) crossed with the
+    * code-usage drift row (max per-subspace total-variation distance +
+    * retrain flag). Because the codebooks are fixed and the argmin
+    * deterministic, append ≡ encode-the-union — exactly what the oracle
+    * replays (train on base, encode base ∪ new, digest, histogram), so
+    * a hash match proves the append path produces the artifact a
+    * from-scratch encode would. The same-distribution split pins
+    * retrain = 0; the planted-shift case where it flips to 1 is
+    * SimilaritySpec's.
+    */
+  def pqIndexAppend(spark: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.embeddings(spark, dir)
+    val base = embs.where(col("vec_id") % 10 =!= 0)
+    val fresh = embs.where(col("vec_id") % 10 === 0)
+    val cb = Similarity.trainPqCodebooks(base, m = 4, ksub = 16, iters = 2,
+      trainN = 1024, dim = 64)
+    val codes = Similarity.pqEncode(base, cb, m = 4, dim = 64)
+      .select("vec_id", "sub", "code")
+    val appended = Similarity.appendToPqIndex(fresh, codes, cb, m = 4, dim = 64)
+    val drift = Similarity.pqDrift(fresh, codes, cb, m = 4, dim = 64)
+    appended.agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct("vec_id").as("n_vecs"),
+        sum(col("code") + 0.5).as("code_sum"))
+      .crossJoin(drift)
+  }
+
+  val pqIndexAppendSql: String = {
+    val (m, subdim, ksub, iters, trainN) = (4, 16, 16, 2, 1024)
+    // Training CTEs see `v` = the BASE split only; the union view `vu`
+    // is what gets encoded — the from-scratch equivalent of the append.
+    val (training, cFinal) = pqTrainingCtes(m, subdim, ksub, iters, trainN)
+    val d2 = (s: String, c: String) =>
+      s"round(list_dot_product($s, $s) - 2 * list_dot_product($s, $c) " +
+        s"+ list_dot_product($c, $c), 6)"
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+       |           WHERE vec_id % 10 != 0),
+       |$training,
+       |vu AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+       |              vec_id % 10 = 0 AS is_new FROM embeddings),
+       |sv AS (SELECT vec_id, is_new, j.range AS sub,
+       |       list_slice(e, j.range * $subdim + 1, j.range * $subdim + $subdim) AS s
+       |       FROM vu CROSS JOIN range($m) j),
+       |enc AS (SELECT vec_id, is_new, sub, cid FROM (
+       |   SELECT t.vec_id, t.is_new, t.sub, c.cid,
+       |          row_number() OVER (PARTITION BY t.vec_id, t.sub
+       |            ORDER BY ${d2("t.s", "c.ce")}, c.cid) AS rn
+       |   FROM sv t JOIN $cFinal c ON t.sub = c.sub) WHERE rn = 1),
+       |tn AS (SELECT CAST(count(DISTINCT vec_id) AS DOUBLE) AS t FROM enc WHERE is_new),
+       |ti AS (SELECT CAST(count(DISTINCT vec_id) AS DOUBLE) AS t FROM enc WHERE NOT is_new),
+       |hn AS (SELECT sub, cid, count(*) AS n FROM enc WHERE is_new GROUP BY 1, 2),
+       |hx AS (SELECT sub, cid, count(*) AS n FROM enc WHERE NOT is_new GROUP BY 1, 2),
+       |terms AS (SELECT c.sub,
+       |          round(abs(coalesce(hn.n, 0) / tn.t - coalesce(hx.n, 0) / ti.t), 9) AS tt
+       |          FROM $cFinal c
+       |          LEFT JOIN hn ON c.sub = hn.sub AND c.cid = hn.cid
+       |          LEFT JOIN hx ON c.sub = hx.sub AND c.cid = hx.cid
+       |          CROSS JOIN tn CROSS JOIN ti),
+       |tv AS (SELECT sub, round(sum(tt) / 2.0, 6) AS tv FROM terms GROUP BY 1),
+       |dr AS (SELECT max(tv) AS tv_max,
+       |       CAST(max(tv) > 0.2 AS BIGINT) AS retrain FROM tv),
+       |dig AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       |        CAST(count(DISTINCT vec_id) AS BIGINT) AS n_vecs,
+       |        sum(cid + 0.5) AS code_sum FROM enc)
+       |SELECT n_rows, n_vecs, code_sum, tv_max, retrain
+       |FROM dig CROSS JOIN dr""".stripMargin
+  }
+
   /** SIM-5b: the int8 index as a DURABLE artifact — build
     * [[Similarity.int8Index]] (id + cell + one byte/dim) and its one-row
     * grid, WRITE both to parquet, read them back, and digest:
@@ -1662,9 +1737,12 @@ object ExtensionQueries {
       round(TF.hexHash60(col("text")).cast("double") /
         lit(1152921504606846976.0), 6).as("u"))
     val ext = d.agg(min("q").as("qmin"), max("q").as("qmax"))
+    // Degenerate corpus (qmax == qmin) keeps everything EXPLICITLY (p = 1,
+    // u ∈ [0,1)): without the guard p is NaN and `u < NaN` happens to be
+    // true under Spark/DuckDB NaN-ordering — same outcome, but by accident.
     d.crossJoin(broadcast(ext))
-      .withColumn("p",
-        round(pow((col("q") - col("qmin")) / (col("qmax") - col("qmin")), 0.5), 6))
+      .withColumn("p", when(col("qmax") === col("qmin"), lit(1.0)).otherwise(
+        round(pow((col("q") - col("qmin")) / (col("qmax") - col("qmin")), 0.5), 6)))
       .withColumn("keep", (col("u") < col("p")).cast("long"))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"), sum("keep").as("n_kept"),
@@ -1684,13 +1762,15 @@ object ExtensionQueries {
        |                 / len(string_split(text, ' ')), 6) AS q,
        |         round(${TF.hexHash60Sql("text")} / 1152921504606846976.0, 6) AS u
        |  FROM documents),
-       |ext AS (SELECT min(q) AS qmin, max(q) AS qmax FROM d)
+       |ext AS (SELECT min(q) AS qmin, max(q) AS qmax FROM d),
+       |p AS (SELECT lang, u, CASE WHEN qmax = qmin THEN 1.0
+       |        ELSE round(pow((q - qmin) / (qmax - qmin), 0.5), 6) END AS p
+       |      FROM d CROSS JOIN ext)
        |SELECT lang, count(*) AS n_docs,
-       |       CAST(sum(CASE WHEN u < round(pow((q - qmin) / (qmax - qmin), 0.5), 6)
-       |                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-       |       round(CAST(sum(CASE WHEN u < round(pow((q - qmin) / (qmax - qmin), 0.5), 6)
-       |                THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS keep_rate
-       |FROM d CROSS JOIN ext GROUP BY 1 ORDER BY 1""".stripMargin
+       |       CAST(sum(CASE WHEN u < p THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       round(CAST(sum(CASE WHEN u < p THEN 1 ELSE 0 END) AS DOUBLE)
+       |             / count(*), 6) AS keep_rate
+       |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   // ---------------------------------------------------------------- ADV-7
@@ -1727,6 +1807,46 @@ object ExtensionQueries {
        |sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
        |        UNION ALL SELECT doc_b, doc_a FROM pairs),
        |dg AS (SELECT src, count(*) AS deg FROM sym GROUP BY 1),
+       |nodes AS (SELECT src AS node FROM dg),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+       |r0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn),
+       |$steps
+       |SELECT node, pr FROM r$iters ORDER BY pr DESC, node LIMIT 25""".stripMargin
+  }
+
+  // --------------------------------------------------------------- ADV-7b
+  /** WEIGHTED PageRank over the same pair graph: rank splits among
+    * neighbors proportionally to the verified jaccard weight
+    * (rank·w/Σw) instead of uniformly, so template cores — members of
+    * tight high-similarity families — outrank merely well-connected
+    * borderline-collision nodes. The oracle unrolls the identical
+    * weighted rounds; jaccard is already 6dp-rounded by
+    * [[graft.operators.Dedup.minhashNearDups]] and ranks re-round to
+    * 9dp per round, the q_adv7 float hygiene unchanged.
+    */
+  def pageRankWeightedTop(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashNearDups(Tables.documents(spark, dir),
+      threshold = 0.5, md5Parity = true)
+    graft.operators.Graph.pageRank(pairs, weightCol = Some("jaccard"))
+      .select(col("node"), col("rank").as("pr"))
+      .orderBy(col("pr").desc, col("node")).limit(25)
+  }
+
+  val pageRankWeightedSql: String = {
+    val (d, iters) = (0.85, 5)
+    def step(i: Int) =
+      s"""r$i AS (SELECT n.node,
+         |   round((1.0 - $d) / nn.n + $d * coalesce(s.s, 0.0), 9) AS pr
+         |   FROM nodes n CROSS JOIN nn
+         |   LEFT JOIN (SELECT sym.dst AS node, sum(p.pr * sym.w / dg.wsum) AS s
+         |              FROM sym JOIN r${i - 1} p ON sym.src = p.node
+         |              JOIN dg ON sym.src = dg.src GROUP BY 1) s
+         |     ON n.node = s.node)""".stripMargin
+    val steps = (1 to iters).map(step).mkString(",\n")
+    s"""WITH ${minhashPairsCtes()},
+       |sym AS (SELECT doc_a AS src, doc_b AS dst, jaccard AS w FROM pairs
+       |        UNION ALL SELECT doc_b, doc_a, jaccard FROM pairs),
+       |dg AS (SELECT src, sum(w) AS wsum FROM sym GROUP BY 1),
        |nodes AS (SELECT src AS node FROM dg),
        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
        |r0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn),
@@ -1791,9 +1911,11 @@ object ExtensionQueries {
       round(TF.hexHash60(col("text")).cast("double") /
         lit(1152921504606846976.0), 6).as("u"))
     val ext = scored.agg(min("q").as("qmin"), max("q").as("qmax"))
+    // Same qmax == qmin guard as temperatureSample: degenerate quality
+    // spread keeps everything explicitly rather than via NaN-ordering luck.
     val sampled = scored.crossJoin(broadcast(ext))
-      .where(col("u") <
-        round(pow((col("q") - col("qmin")) / (col("qmax") - col("qmin")), 0.5), 6))
+      .where(col("u") < when(col("qmax") === col("qmin"), lit(1.0)).otherwise(
+        round(pow((col("q") - col("qmin")) / (col("qmax") - col("qmin")), 0.5), 6)))
     def stageRow(name: String, df: DataFrame): DataFrame =
       df.agg(count(lit(1)).as("n_docs"),
         coalesce(sum(TF.tokenCount(col("text"))), lit(0L)).as("total_tokens"))
@@ -1833,7 +1955,8 @@ object ExtensionQueries {
        |       FROM clean),
        |ex AS (SELECT min(q) AS qmin, max(q) AS qmax FROM sc),
        |samp AS (SELECT sc.* FROM sc CROSS JOIN ex
-       |         WHERE u < round(pow((q - qmin) / (qmax - qmin), 0.5), 6))
+       |         WHERE u < CASE WHEN qmax = qmin THEN 1.0
+       |           ELSE round(pow((q - qmin) / (qmax - qmin), 0.5), 6) END)
        |SELECT stage, n_docs, total_tokens FROM (
        |  SELECT '0_raw' AS stage, count(*) AS n_docs,
        |         CAST(coalesce(sum(len(string_split(text, ' '))), 0) AS BIGINT) AS total_tokens

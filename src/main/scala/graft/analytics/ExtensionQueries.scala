@@ -574,6 +574,43 @@ object ExtensionQueries {
        |       CAST(CASE WHEN node = cluster THEN 1 ELSE 0 END AS BIGINT) AS keep
        |FROM comp JOIN sizes USING (cluster) ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- DD-9b
+  /** Cluster resolution with the canonical member chosen by WEIGHTED
+    * PageRank ([[Dedup.resolveClustersByRank]]): within each connected
+    * component the keeper is the highest-rank member (ties to min id) —
+    * the template core its duplicates agree with most, instead of
+    * whichever happened to get the lowest id. The oracle composes the
+    * q_dd9 recursive-CTE transitive closure with the q_adv7b weighted
+    * rank rounds — two independent formulations of both halves.
+    */
+  def dupClustersByRank(spark: SparkSession, dir: String): DataFrame = {
+    // Pair graph consumed by the fixpoint AND the rank rounds:
+    // materialize once (q_adv7's checkpoint rationale).
+    val pairs = Dedup.minhashNearDups(Tables.documents(spark, dir),
+      threshold = 0.5, md5Parity = true).localCheckpoint()
+    Dedup.resolveClustersByRank(pairs, weightCol = Some("jaccard"))
+      .orderBy("doc_id")
+  }
+
+  val dupClustersByRankSql: String = {
+    val (ranks, rFinal) = weightedRankCtes()
+    s"""WITH RECURSIVE ${minhashPairsCtes()},
+       |$ranks,
+       |reach(node, lbl) AS (
+       |  SELECT src, src FROM sym
+       |  UNION
+       |  SELECT s.src, r.lbl FROM sym s JOIN reach r ON s.dst = r.node),
+       |comp AS (SELECT node, min(lbl) AS cluster FROM reach GROUP BY node),
+       |sizes AS (SELECT cluster, count(*) AS cluster_size FROM comp GROUP BY cluster)
+       |SELECT doc_id, cluster, cluster_size, pr, keep FROM (
+       |  SELECT c.node AS doc_id, c.cluster, s.cluster_size, r.pr,
+       |         CAST(CASE WHEN row_number() OVER (PARTITION BY c.cluster
+       |                ORDER BY r.pr DESC, c.node) = 1
+       |              THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |  FROM comp c JOIN sizes s USING (cluster) JOIN $rFinal r ON c.node = r.node)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- SIM-1
   /** Brute-force cosine top-10 for query vectors vec_id < 5 against the
     * full corpus (queries broadcast; ranked on the rounded similarity so
@@ -943,38 +980,42 @@ object ExtensionQueries {
     * [[ivfTrainingCtes]].
     */
   private def pqTrainingCtes(m: Int, subdim: Int, ksub: Int, iters: Int,
-      trainN: Int): (String, String) = {
+      trainN: Int, prefix: String = ""): (String, String) = {
+    // `prefix` namespaces every CTE so the block can coexist with
+    // ivfTrainingCtes (which also defines vn/tr/c$i) in one query —
+    // the q_sim10 oracle composes both training replays.
+    val p = prefix
     val d2 = (s: String, c: String) =>
       s"round(list_dot_product($s, $s) - 2 * list_dot_product($s, $c) " +
         s"+ list_dot_product($c, $c), 6)"
     def lloyd(i: Int): String =
-      s"""a$i AS (SELECT sub, cid, s FROM (
+      s"""${p}a$i AS (SELECT sub, cid, s FROM (
          |   SELECT t.vec_id, t.sub, t.s, c.cid,
          |          row_number() OVER (PARTITION BY t.vec_id, t.sub
          |            ORDER BY ${d2("t.s", "c.ce")}, c.cid) AS rn
-         |   FROM tsv t JOIN c${i - 1} c ON t.sub = c.sub) WHERE rn = 1),
-         |u$i AS (SELECT sub, cid, list(cx ORDER BY d) AS ce FROM (
+         |   FROM ${p}tsv t JOIN ${p}c${i - 1} c ON t.sub = c.sub) WHERE rn = 1),
+         |${p}u$i AS (SELECT sub, cid, list(cx ORDER BY d) AS ce FROM (
          |   SELECT sub, cid, d.range AS d, round(avg(s[d.range + 1]), 6) AS cx
-         |   FROM a$i CROSS JOIN range($subdim) d GROUP BY 1, 2, 3)
+         |   FROM ${p}a$i CROSS JOIN range($subdim) d GROUP BY 1, 2, 3)
          |   GROUP BY sub, cid),
-         |c$i AS (SELECT p.sub, p.cid, COALESCE(u.ce, p.ce) AS ce
-         |   FROM c${i - 1} p LEFT JOIN u$i u ON p.sub = u.sub AND p.cid = u.cid)"""
+         |${p}c$i AS (SELECT p.sub, p.cid, COALESCE(u.ce, p.ce) AS ce
+         |   FROM ${p}c${i - 1} p LEFT JOIN ${p}u$i u ON p.sub = u.sub AND p.cid = u.cid)"""
         .stripMargin
     val steps = (1 to iters).map(lloyd).mkString(",\n")
     val block =
-      s"""vn AS (SELECT vec_id, e, md5('pq:' || CAST(vec_id AS VARCHAR)) AS hk
+      s"""${p}vn AS (SELECT vec_id, e, md5('pq:' || CAST(vec_id AS VARCHAR)) AS hk
          |       FROM v WHERE list_dot_product(e, e) > 0),
-         |tr AS (SELECT vec_id, e, hk FROM (
+         |${p}tr AS (SELECT vec_id, e, hk FROM (
          |         SELECT vec_id, e, hk, row_number() OVER (ORDER BY hk, vec_id) AS rn
-         |         FROM vn) WHERE rn <= $trainN),
-         |tsv AS (SELECT vec_id, hk, j.range AS sub,
+         |         FROM ${p}vn) WHERE rn <= $trainN),
+         |${p}tsv AS (SELECT vec_id, hk, j.range AS sub,
          |        list_slice(e, j.range * $subdim + 1, j.range * $subdim + $subdim) AS s
-         |        FROM tr CROSS JOIN range($m) j),
-         |c0 AS (SELECT sub, CAST(rn - 1 AS BIGINT) AS cid, s AS ce FROM (
+         |        FROM ${p}tr CROSS JOIN range($m) j),
+         |${p}c0 AS (SELECT sub, CAST(rn - 1 AS BIGINT) AS cid, s AS ce FROM (
          |         SELECT sub, s, row_number() OVER (PARTITION BY sub
-         |           ORDER BY hk, vec_id) AS rn FROM tsv) WHERE rn <= $ksub),
+         |           ORDER BY hk, vec_id) AS rn FROM ${p}tsv) WHERE rn <= $ksub),
          |$steps""".stripMargin
-    (block, s"c$iters")
+    (block, s"${p}c$iters")
   }
 
   val pqErrorSql: String = {
@@ -1134,6 +1175,97 @@ object ExtensionQueries {
        |        sum(cid + 0.5) AS code_sum FROM enc)
        |SELECT n_rows, n_vecs, code_sum, tv_max, retrain
        |FROM dig CROSS JOIN dr""".stripMargin
+  }
+
+  /** SIM-10: the composed IVF×PQ serving path ([[Similarity.ivfPqTopK]]
+    * — FAISS's workhorse layout) ORACLED end-to-end: coarse k-means
+    * cells + per-subspace PQ codes, query probes its nProbe cells,
+    * ADC-scores only those cells' codes via the broadcast LUT, exact
+    * float re-rank of the survivors. The DuckDB oracle replays BOTH
+    * trainings (the q_sim3 coarse CTEs + the q_sim7 PQ CTEs, namespaced
+    * to coexist), the cell assignment, probe, fixed-order ADC sums, and
+    * the re-rank — so the full production serving composition, not just
+    * its parts, is hash-checked cross-engine.
+    */
+  def ivfPqServe(spark: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.embeddings(spark, dir)
+    Similarity.ivfPqTopK(embs.where(col("vec_id") < 5), embs, k = 10,
+        rerankDepth = 50, nCentroids = 16, nProbe = 4, lloydIters = 2,
+        trainN = 1024, seedPlanes = 6, m = 4, ksub = 16, dim = 64)
+      .orderBy("query_id", "rank")
+  }
+
+  val ivfPqServeSql: String = {
+    val (nc, np, iters, trainN, dim, k, rerank) = (16, 4, 2, 1024, 64, 10, 50)
+    val (m, subdim, ksub) = (4, 16, 16)
+    val (coarse, cFinal) = ivfTrainingCtes(nc, iters, trainN, seedPlanes = 6, dim = dim)
+    val (pqTrain, pqFinal) = pqTrainingCtes(m, subdim, ksub, iters, trainN, prefix = "pq")
+    val d2 = (s: String, c: String) =>
+      s"round(list_dot_product($s, $s) - 2 * list_dot_product($s, $c) " +
+        s"+ list_dot_product($c, $c), 6)"
+    // Fixed-order per-subspace sums — the SQL mirror of subspaceSum.
+    def fixedSum(v: String) = (0 until m)
+      .map(j => s"coalesce(sum(CASE WHEN sub = $j THEN $v END), 0)")
+      .mkString("\n       + ")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |$coarse,
+       |$pqTrain,
+       |cells AS (SELECT vec_id, cell FROM (
+       |   SELECT v.vec_id, c.cid AS cell,
+       |          row_number() OVER (PARTITION BY v.vec_id
+       |            ORDER BY round(list_cosine_similarity(v.e, c.ce), 6) DESC, c.cid) AS rn
+       |   FROM v CROSS JOIN $cFinal c
+       |   WHERE list_dot_product(v.e, v.e) > 0) WHERE rn = 1),
+       |sv AS (SELECT vec_id, j.range AS sub,
+       |       list_slice(e, j.range * $subdim + 1, j.range * $subdim + $subdim) AS s
+       |       FROM v CROSS JOIN range($m) j),
+       |enc AS (SELECT vec_id, sub, cid AS code FROM (
+       |   SELECT t.vec_id, t.sub, c.cid,
+       |          row_number() OVER (PARTITION BY t.vec_id, t.sub
+       |            ORDER BY ${d2("t.s", "c.ce")}, c.cid) AS rn
+       |   FROM sv t JOIN $pqFinal c ON t.sub = c.sub) WHERE rn = 1),
+       |q AS (SELECT vec_id, e FROM v
+       |      WHERE vec_id < 5 AND list_dot_product(e, e) > 0),
+       |probed AS (SELECT query_id, cell FROM (
+       |   SELECT q.vec_id AS query_id, c.cid AS cell,
+       |          row_number() OVER (PARTITION BY q.vec_id
+       |            ORDER BY round(list_cosine_similarity(q.e, c.ce), 6) DESC, c.cid) AS crn
+       |   FROM q CROSS JOIN $cFinal c) WHERE crn <= $np),
+       |qsv AS (SELECT vec_id AS query_id, j.range AS sub,
+       |        list_slice(e, j.range * $subdim + 1, j.range * $subdim + $subdim) AS s
+       |        FROM q CROSS JOIN range($m) j),
+       |lut AS (SELECT query_id, qsv.sub AS sub, c.cid AS code,
+       |        list_dot_product(s, c.ce) AS qc, list_dot_product(c.ce, c.ce) AS cc
+       |        FROM qsv JOIN $pqFinal c ON qsv.sub = c.sub),
+       |qn AS (SELECT query_id, sqrt(${fixedSum("ss")}) AS qn
+       |       FROM (SELECT query_id, sub, list_dot_product(s, s) AS ss FROM qsv)
+       |       GROUP BY query_id),
+       |pre AS (SELECT p.query_id, e2.vec_id AS neighbor_id, e2.sub, l.qc, l.cc
+       |        FROM enc e2 JOIN cells ON e2.vec_id = cells.vec_id
+       |        JOIN probed p ON cells.cell = p.cell
+       |        JOIN lut l ON l.query_id = p.query_id AND l.sub = e2.sub
+       |                  AND l.code = e2.code),
+       |adc AS (SELECT query_id, neighbor_id,
+       |        ${fixedSum("qc")} AS dot,
+       |        ${fixedSum("cc")} AS rn2
+       |        FROM pre GROUP BY 1, 2),
+       |cand AS (SELECT query_id, neighbor_id FROM (
+       |   SELECT a.query_id, a.neighbor_id,
+       |          row_number() OVER (PARTITION BY a.query_id
+       |            ORDER BY round(a.dot / (qn.qn * sqrt(a.rn2)), 6) DESC,
+       |                     a.neighbor_id) AS arank
+       |   FROM adc a JOIN qn USING (query_id)
+       |   WHERE a.query_id != a.neighbor_id AND a.rn2 > 0) WHERE arank <= $rerank)
+       |SELECT query_id, neighbor_id, cos, rank FROM (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |         round(list_cosine_similarity(q.e, c.e), 6) AS cos,
+       |         row_number() OVER (PARTITION BY cand.query_id
+       |           ORDER BY round(list_cosine_similarity(q.e, c.e), 6) DESC,
+       |                    cand.neighbor_id) AS rank
+       |  FROM cand JOIN q ON cand.query_id = q.vec_id
+       |            JOIN v c ON cand.neighbor_id = c.vec_id
+       |  WHERE list_dot_product(c.e, c.e) > 0)
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
   /** SIM-5b: the int8 index as a DURABLE artifact — build
@@ -1785,8 +1917,16 @@ object ExtensionQueries {
     * construction — no final re-rounding to introduce a boundary).
     */
   def pageRankTop(spark: SparkSession, dir: String): DataFrame = {
+    // Materialize the verified pair graph ONCE (eager localCheckpoint)
+    // before the 5 unrolled rounds reference it 2+2·5 times: measured
+    // under the bench's AQE session the expected cross-stage exchange
+    // reuse does NOT fire (GraphProbe round 7: 215 exchanges, 0 reused
+    // — the MinHash pipeline re-executed per reference; 3.0 s lazy vs
+    // 1.45 s checkpointed at sf0.1). The checkpoint holds only the
+    // verified pair list — small by the DD posture — so this is
+    // dupClusters' executor-storage trade, not a corpus materialization.
     val pairs = Dedup.minhashNearDups(Tables.documents(spark, dir),
-      threshold = 0.5, md5Parity = true)
+      threshold = 0.5, md5Parity = true).localCheckpoint()
     graft.operators.Graph.pageRank(pairs)
       .select(col("node"), col("rank").as("pr"))
       .orderBy(col("pr").desc, col("node")).limit(25)
@@ -1825,15 +1965,21 @@ object ExtensionQueries {
     * 9dp per round, the q_adv7 float hygiene unchanged.
     */
   def pageRankWeightedTop(spark: SparkSession, dir: String): DataFrame = {
+    // Same eager pair-graph checkpoint as q_adv7 (see pageRankTop).
     val pairs = Dedup.minhashNearDups(Tables.documents(spark, dir),
-      threshold = 0.5, md5Parity = true)
+      threshold = 0.5, md5Parity = true).localCheckpoint()
     graft.operators.Graph.pageRank(pairs, weightCol = Some("jaccard"))
       .select(col("node"), col("rank").as("pr"))
       .orderBy(col("pr").desc, col("node")).limit(25)
   }
 
-  val pageRankWeightedSql: String = {
-    val (d, iters) = (0.85, 5)
+  /** Shared weighted-PageRank CTE block over a `pairs(doc_a, doc_b,
+    * jaccard)` relation: symmetrized weighted edges, weight totals, the
+    * 1/N init, and `iters` unrolled rounds — the SQL mirror of
+    * [[graft.operators.Graph.pageRank]] with a weight column. Final
+    * ranks live in the returned relation name.
+    */
+  private def weightedRankCtes(d: Double = 0.85, iters: Int = 5): (String, String) = {
     def step(i: Int) =
       s"""r$i AS (SELECT n.node,
          |   round((1.0 - $d) / nn.n + $d * coalesce(s.s, 0.0), 9) AS pr
@@ -1842,16 +1988,22 @@ object ExtensionQueries {
          |              FROM sym JOIN r${i - 1} p ON sym.src = p.node
          |              JOIN dg ON sym.src = dg.src GROUP BY 1) s
          |     ON n.node = s.node)""".stripMargin
-    val steps = (1 to iters).map(step).mkString(",\n")
+    val block =
+      s"""sym AS (SELECT doc_a AS src, doc_b AS dst, jaccard AS w FROM pairs
+         |        UNION ALL SELECT doc_b, doc_a, jaccard FROM pairs),
+         |dg AS (SELECT src, sum(w) AS wsum FROM sym GROUP BY 1),
+         |nodes AS (SELECT src AS node FROM dg),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+         |r0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn),
+         |${(1 to iters).map(step).mkString(",\n")}""".stripMargin
+    (block, s"r$iters")
+  }
+
+  val pageRankWeightedSql: String = {
+    val (ranks, rFinal) = weightedRankCtes()
     s"""WITH ${minhashPairsCtes()},
-       |sym AS (SELECT doc_a AS src, doc_b AS dst, jaccard AS w FROM pairs
-       |        UNION ALL SELECT doc_b, doc_a, jaccard FROM pairs),
-       |dg AS (SELECT src, sum(w) AS wsum FROM sym GROUP BY 1),
-       |nodes AS (SELECT src AS node FROM dg),
-       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
-       |r0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn),
-       |$steps
-       |SELECT node, pr FROM r$iters ORDER BY pr DESC, node LIMIT 25""".stripMargin
+       |$ranks
+       |SELECT node, pr FROM $rFinal ORDER BY pr DESC, node LIMIT 25""".stripMargin
   }
 
   // ---------------------------------------------------------------- ADV-8

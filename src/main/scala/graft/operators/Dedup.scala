@@ -421,6 +421,36 @@ object Dedup {
         when(col("doc_id") === col("cluster"), 1L).otherwise(0L).as("keep"))
   }
 
+  /** [[resolveClusters]] with the canonical member chosen by (weighted)
+    * PageRank instead of min id: the keeper is the doc most centrally
+    * embedded in its duplicate family — the template core — rather
+    * than merely the oldest id; with `weightCol` the similarity
+    * weights the DD pair emitters already carry (jaccard/cosine) bias
+    * the pick toward the member its duplicates agree with most. Ties
+    * (equal 9dp rank) break to min doc id — fully deterministic.
+    * Output adds the member's `pr` to the resolveClusters columns.
+    *
+    * The pair graph is consumed by BOTH the cluster fixpoint and the
+    * rank rounds — callers with an expensive pair pipeline should pass
+    * a materialized `pairs` (`.localCheckpoint()`), exactly as q_adv7
+    * does ([[graft.operators.Graph.pageRank]]'s reuse note).
+    */
+  def resolveClustersByRank(pairs: DataFrame, weightCol: Option[String] = None,
+      aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = dupClusters(pairs, aCol, bCol)
+    val ranks = graft.operators.Graph.pageRank(pairs, aCol, bCol,
+      weightCol = weightCol)
+    val sizes = clusters.groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+    val w = Window.partitionBy("cluster").orderBy(col("pr").desc, col("doc_id"))
+    clusters
+      .join(ranks.select(col("node").as("doc_id"), col("rank").as("pr")),
+        Seq("doc_id"))
+      .join(sizes, Seq("cluster"))
+      .select(col("doc_id"), col("cluster"), col("cluster_size"), col("pr"),
+        (row_number().over(w) === 1).cast("long").as("keep"))
+  }
+
   /** DD near-dup on embeddings: cosine ≥ `threshold` pairs within a
     * pre-blocked subset (the all-pairs baseline;
     * [[embeddingNearDupsAnn]] is the corpus-scale path).

@@ -990,7 +990,7 @@ object Similarity {
         VF.dot(col("ce"), col("ce")).as("cc"))
     val qn = subvectors(queries, m, dim)
       .groupBy(col("vec_id").as("query_id"))
-      .agg(sqrt(sum(VF.dot(col("s"), col("s")))).as("qn"))
+      .agg(sqrt(subspaceSum(m, col("sub"), VF.dot(col("s"), col("s")))).as("qn"))
     val scored = codes
       .join(broadcast(lut),
         codes("sub") === lut("sub") && codes("code") === lut("cid"))
@@ -1075,7 +1075,7 @@ object Similarity {
     val wAdc = Window.partitionBy("query_id").orderBy(col("acos").desc, col("neighbor_id"))
     val qn = subvectors(queries, m, dim)
       .groupBy(col("vec_id").as("query_id"))
-      .agg(sqrt(sum(VF.dot(col("s"), col("s")))).as("qn"))
+      .agg(sqrt(subspaceSum(m, col("sub"), VF.dot(col("s"), col("s")))).as("qn"))
     val cands = codes.join(broadcast(probed), Seq("cell"))
       .join(broadcast(lut), Seq("query_id", "sub", "code"))
       .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))

@@ -177,18 +177,22 @@ class PlanAuditSpec extends SparkSpec {
       "query-term IN filter must survive in the plan: " + p.take(800))
   }
 
-  test("q_adv7: the repeated edge-list subtree compiles to ReusedExchange") {
-    // pageRank references the symmetrized pair pipeline 2 + 2*iters
-    // times in ONE plan; exchange reuse must dedupe those subtrees so
-    // the MinHash lineage executes once — the reason the operator can
-    // stay a single lazy composition with no persist (Graph.scala).
-    // AQE's pre-execution string only shows the initial plan, so the
-    // reuse is asserted on the static planner's output (same
-    // ReuseExchange rule AQE re-applies at runtime).
-    withConfs("spark.sql.adaptive.enabled" -> "false") {
-      val p = plan("q_adv7_pagerank")
-      assert(p.contains("ReusedExchange"),
-        "expected exchange reuse across the unrolled rounds: " + p.take(600))
+  test("q_adv7/7b: the unrolled rounds read a checkpointed edge list, not the pipeline") {
+    // pageRank references the pair graph 2 + 2*iters times. Static
+    // planning dedups the subtrees via ReusedExchange, but under AQE
+    // the runtime stage graph does NOT reuse them (GraphProbe round 7:
+    // 215 exchanges, 0 reused — the MinHash pipeline re-executed per
+    // reference, 2x the query time). So the query materializes the
+    // verified pairs ONCE via eager localCheckpoint, and this audit
+    // pins the shape: the plan's leaves are the checkpoint scan — the
+    // documents parquet scan (the expensive pipeline head) must not
+    // appear AT ALL in the pagerank plan.
+    for (q <- Seq("q_adv7_pagerank", "q_adv7b_pagerank_weighted")) {
+      val p = plan(q)
+      assert(p.contains("Scan ExistingRDD"),
+        s"$q must read the checkpointed pair graph: " + p.take(600))
+      assert(!p.contains("Scan parquet"),
+        s"$q must never re-run the pair pipeline per reference: " + p.take(600))
     }
   }
 

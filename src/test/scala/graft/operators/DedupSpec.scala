@@ -162,6 +162,24 @@ class DedupSpec extends SparkSpec {
     assert(resolved.forall { case (id, cl, _, keep) => (keep == 1L) == (id == cl) })
   }
 
+  test("resolveClustersByRank keeps the hub, not the min id; lone pairs keep min id") {
+    // Star centered at 25 with leaves 21..24: min-id resolution would
+    // keep 21 (the cluster label), but the hub holds most of the rank,
+    // so the rank-based pick must keep 25. The lone pair (30, 31) has
+    // symmetric ranks — the tie must break to the min id.
+    val pairs = Seq((21L, 25L), (22L, 25L), (23L, 25L), (24L, 25L), (30L, 31L))
+      .map { case (a, b) => (a, b, 0.8) }.toDF("doc_a", "doc_b", "jaccard")
+    val got = Dedup.resolveClustersByRank(pairs, weightCol = Some("jaccard"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(4)))
+      .toMap
+    assert(got(25L) == ((21L, 5L, 1L)), s"hub must be the keeper: $got")
+    assert((21L to 24L).forall(l => got(l) == ((21L, 5L, 0L))), s"leaves purge: $got")
+    assert(got(30L) == ((30L, 2L, 1L)) && got(31L) == ((30L, 2L, 0L)),
+      s"symmetric pair ties to min id: $got")
+    // Exactly one keeper per cluster, and cluster labels still min-id.
+    assert(got.values.count(_._3 == 1L) == 2)
+  }
+
   test("dupClusters converges on a long path (pointer jumping beats diameter)") {
     // A 33-node path: plain propagation needs 32 rounds; propagation +
     // pointer jumping must finish well inside maxIters=30 and still

@@ -930,21 +930,42 @@ object Similarity {
     * Scale: one encode pass over the new batch, then two (sub, code)
     * histogram aggregates — map-side partials into m·ksub rows; the
     * codebook spine join is a broadcast.
+    *
+    * Degenerate inputs: drift is UNDEFINED for an empty batch or an
+    * empty index — the 0/0 division surfaces as tv_max = NaN, and
+    * Spark's NaN ordering (NaN greater than everything) then fires
+    * retrain = 1. Treat a NaN row as "no signal", and gate empty
+    * batches before calling, as
+    * [[graft.streaming.IndexMaintenance.pqDriftMonitor]] does.
     */
   def pqDrift(newRows: DataFrame, codes: DataFrame, codebooks: DataFrame,
+      m: Int = 4, dim: Int = 64, maxTv: Double = 0.2): DataFrame =
+    pqDriftVsHistogram(newRows,
+      codes.groupBy("sub", "code").agg(count(lit(1)).as("n_idx")),
+      codes.agg(countDistinct("vec_id").cast("double").as("t_idx")),
+      codebooks, m, dim, maxTv)
+
+  /** [[pqDrift]] against a PRE-AGGREGATED index histogram (`hIdx`:
+    * (sub, code, n_idx); `tIdx`: one row (t_idx) = indexed vector
+    * count) — the separable form a streaming monitor needs: the stored
+    * index aggregates ONCE at monitor start, and each micro-batch then
+    * costs one encode pass over the batch plus an m·ksub-row broadcast
+    * join, never a re-scan of the stored code table
+    * ([[graft.streaming.IndexMaintenance.pqDriftMonitor]]).
+    */
+  def pqDriftVsHistogram(newRows: DataFrame, hIdx: DataFrame,
+      tIdx: DataFrame, codebooks: DataFrame,
       m: Int = 4, dim: Int = 64, maxTv: Double = 0.2): DataFrame = {
     val newCodes = pqEncode(newRows, codebooks, m, dim)
       .select("vec_id", "sub", "code")
     val nNew = newCodes.agg(countDistinct("vec_id").cast("double").as("t_new"))
-    val nIdx = codes.agg(countDistinct("vec_id").cast("double").as("t_idx"))
     val hNew = newCodes.groupBy("sub", "code").agg(count(lit(1)).as("n_new"))
-    val hIdx = codes.groupBy("sub", "code").agg(count(lit(1)).as("n_idx"))
     // Spine = every (sub, cid) of the codebooks, so codes unused by one
     // side still contribute their full probability mass to the other's.
     val terms = codebooks.select(col("sub"), col("cid").as("code"))
       .join(hNew, Seq("sub", "code"), "left")
       .join(hIdx, Seq("sub", "code"), "left")
-      .crossJoin(broadcast(nNew)).crossJoin(broadcast(nIdx))
+      .crossJoin(broadcast(nNew)).crossJoin(broadcast(tIdx))
       .select(col("sub"), round(abs(
         coalesce(col("n_new"), lit(0L)).cast("double") / col("t_new")
           - coalesce(col("n_idx"), lit(0L)).cast("double") / col("t_idx")), 9)

@@ -286,6 +286,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("pqDriftMonitor: per-batch drift rows land; shifted batch trips retrain") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    def vecs(ids: Range, f: (Int, Int) => Float) =
+      ids.map(id => (id.toLong, Seq.tabulate(8)(d => f(id, d))))
+    // PQ artifact trained on the base distribution.
+    val base = vecs(0 until 48, (id, d) => 0.1f * ((id + d) % 13) - 0.5f)
+      .toDF("vec_id", "embedding")
+    val cb = graft.operators.Similarity.trainPqCodebooks(base, m = 2, ksub = 4,
+      iters = 2, trainN = 64, dim = 8)
+    val codes = graft.operators.Similarity.pqEncode(base, cb, m = 2, dim = 8)
+      .select("vec_id", "sub", "code")
+    val sink = Files.createTempDirectory("graft-driftsink").toString
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = mem.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch(IndexMaintenance.pqDriftMonitor(codes, cb, sink,
+        m = 2, dim = 8))
+      .start()
+    try {
+      // Batch of the same distribution, then a shifted batch.
+      mem.addData(vecs(100 until 148, (id, d) => 0.1f * ((id + d) % 13) - 0.5f): _*)
+      q.processAllAvailable()
+      mem.addData(vecs(200 until 248,
+        (id, d) => if ((id + d) % 2 == 0) 5.0f else -5.0f): _*)
+      q.processAllAvailable()
+      val rows = spark.read.parquet(sink)
+        .orderBy("batch_id")
+        .collect().map(r => (r.getAs[Long]("n_rows"), r.getAs[Long]("retrain")))
+      assert(rows.length == 2, s"one monitor row per batch: ${rows.toSeq}")
+      assert(rows(0) == ((48L, 0L)), s"same-distribution batch quiet: ${rows.toSeq}")
+      assert(rows(1) == ((48L, 1L)), s"shifted batch must trip retrain: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("full curation funnel stream ≡ batch survivors (dedup → decontam → sample)") {
     import org.apache.spark.sql.functions._
     import graft.functions.{TextFunctions => TF}

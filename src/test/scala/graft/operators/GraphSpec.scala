@@ -74,6 +74,48 @@ class GraphSpec extends SparkSpec {
     assert(plain(1L) == plain(3L), s"unweighted path endpoints tie: $plain")
   }
 
+  test("pageRank matches an independent driver-side reference on random graphs") {
+    // Seeded pseudo-random weighted graphs; the reference is a plain
+    // Scala re-implementation (adjacency maps, same per-round 9dp
+    // rounding). Tolerance 1e-8: the only legitimate divergence is
+    // neighbor-sum addition order at ~1e-16, absorbed by the rounding
+    // except exactly at a boundary — 1e-8 admits one boundary flip of
+    // the 9dp round without masking a real formula error (rank mass
+    // per node is ≥ (1-d)/N ≈ 1e-2 on these graphs).
+    val rng = new scala.util.Random(7)
+    for (_ <- 1 to 5) {
+      val n = 5 + rng.nextInt(8)
+      val edges = (for {
+        a <- 0L until n.toLong; b <- (a + 1) until n.toLong
+        if rng.nextInt(3) == 0
+      } yield (a, b, 0.01 + math.rint(rng.nextDouble() * 100) / 100.0)).toVector
+      if (edges.nonEmpty) {
+        val iters = 1 + rng.nextInt(4)
+        // Reference: symmetrized weighted adjacency, uniform 1/N init.
+        val out = edges.flatMap { case (a, b, w) => Seq(a -> (b, w), b -> (a, w)) }
+          .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+        val nodes = out.keys.toVector.sorted
+        val nn = nodes.size.toDouble
+        def rnd9(x: Double) = BigDecimal(x)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+        var ranks = nodes.map(_ -> 1.0 / nn).toMap
+        for (_ <- 1 to iters) {
+          val contrib = collection.mutable.Map.empty[Long, Double].withDefaultValue(0.0)
+          for (u <- nodes; wsum = out(u).map(_._2).sum; (v, w) <- out(u))
+            contrib(v) += ranks(u) * w / wsum
+          ranks = nodes.map(nd => nd -> rnd9(0.15 / nn + 0.85 * contrib(nd))).toMap
+        }
+        val got = Graph.pageRank(edges.toDF("doc_a", "doc_b", "w"),
+            iters = iters, weightCol = Some("w"))
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        assert(got.keySet == ranks.keySet, s"node sets differ: $got vs $ranks")
+        for ((nd, r) <- ranks)
+          assert(math.abs(got(nd) - r) <= 1e-8,
+            s"node $nd: spark ${got(nd)} vs reference $r (n=$n iters=$iters edges=$edges)")
+      }
+    }
+  }
+
   test("pageRankUntil ≡ fixed-iteration pageRank at the converged count") {
     // A chain (diameter 5) so convergence takes several rounds; the
     // eps-mode result must equal pageRank run for exactly the number of

@@ -82,21 +82,23 @@ object Graph {
     * ≥ 1, so there is no dangling-mass term). Returns (`node`, `rank`)
     * for every node in ≥ 1 pair.
     *
-    * Deliberately a SINGLE lazy plan: with `iters` fixed there is no
-    * convergence count, so the whole computation — degree table,
-    * `iters` unrolled join+aggregate rounds, final projection — is one
-    * declarative composition with zero driver actions. The edge list
-    * is referenced 2 + 2·iters times, but does NOT need caching:
-    * within one physical plan Spark replaces the identical subtrees
-    * with ReusedExchange, so the upstream pair pipeline executes once
-    * (measured on q_adv7: the lazy form beat an eager memoized edge
-    * list — the extra materialization pass bought nothing; contrast
-    * dupClusters, whose per-ITERATION actions are separate jobs and
-    * genuinely recompute without its persist). Plan depth grows
-    * LINEARLY in `iters` (each round references the previous ranks
-    * once — no pointer-jump self-join doubling), so no lineage cap is
-    * needed at the shipped iteration counts; unknown-diameter graphs
-    * use [[pageRankUntil]], which carries that discipline built in.
+    * A SINGLE lazy plan: with `iters` fixed there is no convergence
+    * count, so the whole computation — degree table, `iters` unrolled
+    * join+aggregate rounds, final projection — is one declarative
+    * composition with zero driver actions. The edge list is referenced
+    * 2 + 2·iters times; callers whose pair PIPELINE is expensive must
+    * materialize it first (`pairs.localCheckpoint()`, as q_adv7 does):
+    * static planning dedups the identical subtrees via ReusedExchange,
+    * but measured under an AQE session the runtime stage graph does
+    * NOT reuse them (GraphProbe round 7: 215 exchanges, 0 reused — the
+    * upstream MinHash pipeline re-executed per reference; the
+    * checkpointed edge list halved q_adv7, 3.0 → 1.45 s at sf0.1).
+    * Over a cheap edge source the lazy form stays fine. Plan depth
+    * grows LINEARLY in `iters` (each round references the previous
+    * ranks once — no pointer-jump self-join doubling), so no lineage
+    * cap is needed at the shipped iteration counts; unknown-diameter
+    * graphs use [[pageRankUntil]], which persists the edges and
+    * truncates lineage built in.
     *
     * Optional `weightCol`: edges carry a similarity weight (the DD pair
     * graphs emit jaccard/cosine), and a node splits its rank among

@@ -17,12 +17,13 @@ QUERIES = [
     "q_sim3_ivf", "q_sim5_ivf_int8", "q_sim5c_index_append",
     "q_sim7_pq_error", "q_txt12_bm25", "q_rel29_merge_upsert",
     "q_ml9_curation_funnel_v2", "q_rel14_topk",
+    "q_adv7_pagerank", "q_sim10_ivfpq_serve",
 ]
 
 HEADER = '''# PLANS — executed physical plans of headline queries
 
 `graft.tools.Explain` output (sf0.001, the engine's own AQE-enabled
-session) for fifteen representative queries — the evidence behind SCALE.md's
+session) for seventeen representative queries — the evidence behind SCALE.md's
 shuffle-structure claims, regenerable any time with:
 
 ```bash
@@ -51,7 +52,11 @@ filter sitting below the (doc, term) aggregate and the broadcast of the
 |terms|-row df table in the BM25 plan (TXT-12), the anti/left/union MERGE
 decomposition with every changeset arm a BroadcastHashJoin (REL-29), the
 v2 funnel's once-broadcast benchmark grams feeding both the
-decontamination join and the stage aggregates (ML-9), and wide
+decontamination join and the stage aggregates (ML-9), the pagerank
+rounds reading `Scan ExistingRDD` checkpoint leaves — zero parquet
+scans, the round-7 fix for AQE's non-reuse of repeated subtrees
+(ADV-7), the composed IVF-PQ serve probing cells before any ADC
+scoring with the LUT and probe tables broadcast (SIM-10), and wide
 `WholeStageCodegen` spans
 throughout.
 

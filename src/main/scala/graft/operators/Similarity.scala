@@ -543,36 +543,62 @@ object Similarity {
     * upstream if an estimate suffices).
     */
   def indexDrift(newRows: DataFrame, index: DataFrame, grid: DataFrame,
-      centroids: DataFrame, retrainRatio: Double = 0.9): DataFrame = {
-    import graft.functions.{QuantExpressions => QE}
+      centroids: DataFrame, retrainRatio: Double = 0.9): DataFrame =
+    indexDriftVsBaseline(newRows, grid, centroids,
+      indexedFit(index, grid, centroids), retrainRatio)
+
+  /** Mean best-centroid cosine of a reconstructed-midpoint table — the
+    * per-side fit [[indexDrift]] compares. The ×nCentroids candidates
+    * collapse map-side in the max() partial. Determinism note: the mean
+    * is computed as round(sum, 6) / count, NOT round(avg, 6) — the
+    * per-row best values are 6dp decimals, so their true sum is a 6dp
+    * decimal and rounding the computed sum is boundary-safe (float
+    * error ≪ half-boundary), whereas sum/n lands exactly ON x.xxxxx5
+    * ties that engines round differently. After the rounded sum,
+    * division/subtraction/compare are raw IEEE over cross-engine-
+    * identical doubles — bit-identical with no rounding.
+    */
+  private def reconFit(recon: DataFrame, centroids: DataFrame,
+      alias: String): DataFrame = {
     val cents = broadcast(
       centroids.select(col("cid"), col("ce"), VF.l2Norm(col("ce")).as("cn")))
-    // Mean over rows of (best rounded cosine to any centroid); the
-    // ×nCentroids candidates collapse map-side in the max() partial.
-    // Determinism note: the mean is computed as round(sum, 6) / count,
-    // NOT round(avg, 6) — the per-row best values are 6dp decimals, so
-    // their true sum is a 6dp decimal and rounding the computed sum is
-    // boundary-safe (float error ≪ half-boundary), whereas sum/n lands
-    // exactly ON x.xxxxx5 ties that engines round differently. After
-    // the rounded sum, division/subtraction/compare are raw IEEE over
-    // cross-engine-identical doubles — bit-identical with no rounding.
-    def fit(recon: DataFrame, alias: String): DataFrame =
-      recon.withColumn("rn", VF.l2Norm(col("re")))
-        .where(col("rn") > 0)
-        .crossJoin(cents)
-        .withColumn("ccos",
-          round(VF.dot(col("re"), col("ce")) / (col("rn") * col("cn")), 6))
-        .groupBy(col("rid"))
-        .agg(max("ccos").as("best"))
-        .agg((round(sum("best"), 6) / count(lit(1))).as(alias))
+    recon.withColumn("rn", VF.l2Norm(col("re")))
+      .where(col("rn") > 0)
+      .crossJoin(cents)
+      .withColumn("ccos",
+        round(VF.dot(col("re"), col("ce")) / (col("rn") * col("cn")), 6))
+      .groupBy(col("rid"))
+      .agg(max("ccos").as("best"))
+      .agg((round(sum("best"), 6) / count(lit(1))).as(alias))
+  }
+
+  /** The indexed side's fit as a one-row table — CONSTANT for a fixed
+    * artifact, so a streaming monitor computes it once at start instead
+    * of re-scanning the stored index per micro-batch
+    * ([[graft.streaming.IndexMaintenance.int8DriftMonitor]]).
+    */
+  def indexedFit(index: DataFrame, grid: DataFrame,
+      centroids: DataFrame): DataFrame = {
+    import graft.functions.{QuantExpressions => QE}
+    reconFit(index.crossJoin(broadcast(grid))
+      .select(col("neighbor_id").as("rid"),
+        QE.int8Recon(col("qcode"), col("lo"), col("hi")).as("re")),
+      centroids, "fit_indexed")
+  }
+
+  /** [[indexDrift]] against a PRE-COMPUTED indexed-side fit (one row,
+    * `fit_indexed`) — the separable form: per batch, one encode+recon
+    * pass over the new rows against the broadcast centroids.
+    */
+  def indexDriftVsBaseline(newRows: DataFrame, grid: DataFrame,
+      centroids: DataFrame, fitIndexed: DataFrame,
+      retrainRatio: Double = 0.9): DataFrame = {
+    import graft.functions.{QuantExpressions => QE}
     val newRecon = newRows.crossJoin(broadcast(grid))
       .select(col("vec_id").as("rid"),
         QE.int8Recon(QE.quantizeInt8(col("embedding"), col("lo"), col("hi")),
           col("lo"), col("hi")).as("re"))
-    val idxRecon = index.crossJoin(broadcast(grid))
-      .select(col("neighbor_id").as("rid"),
-        QE.int8Recon(col("qcode"), col("lo"), col("hi")).as("re"))
-    fit(newRecon, "fit_new").crossJoin(fit(idxRecon, "fit_indexed"))
+    reconFit(newRecon, centroids, "fit_new").crossJoin(broadcast(fitIndexed))
       // drift stays UNROUNDED: the operands are already 6dp-rounded (so
       // cross-engine identical doubles) and raw IEEE subtraction of
       // identical doubles is bit-identical — re-rounding the difference

@@ -4,10 +4,10 @@ import org.apache.spark.sql.{DataFrame, Row}
 
 import graft.operators.Similarity
 
-/** Index maintenance as a STREAM — the serving tiers' drift operator
-  * ([[Similarity.pqDrift]]) driven per micro-batch, so a production
-  * index ingests new vectors continuously and the retrain trigger is a
-  * LIVE signal instead of a nightly audit.
+/** Index maintenance as a STREAM — both serving tiers' drift operators
+  * ([[Similarity.pqDrift]] / [[Similarity.indexDrift]]) driven per
+  * micro-batch, so a production index ingests new vectors continuously
+  * and the retrain trigger is a LIVE signal instead of a nightly audit.
   *
   * Shape: drift against a FIXED artifact is per-batch arithmetic with
   * no streaming state at all, so it composes as `foreachBatch`. The
@@ -26,6 +26,37 @@ object IndexMaintenance {
     * wire it to alerting or a retrain queue. Returns the function to
     * attach via `writeStream.foreachBatch(...)`.
     */
+  /** The int8 tier's monitor — same shape as [[pqDriftMonitor]] with
+    * the index-side baseline ([[Similarity.indexedFit]], a full scan of
+    * the stored codes) computed ONCE at monitor start; each micro-batch
+    * then pays one encode+recon pass against the broadcast centroids
+    * ([[Similarity.indexDriftVsBaseline]]). One (batch_id, n_rows,
+    * fit_new, drift, retrain) row per non-empty batch.
+    */
+  def int8DriftMonitor(index: DataFrame, grid: DataFrame,
+      centroids: DataFrame, sinkDir: String, retrainRatio: Double = 0.9,
+      onBatch: (Long, Row) => Unit = (_, _) => ())
+      : (DataFrame, Long) => Unit = {
+    import org.apache.spark.storage.StorageLevel
+    val baseline = Similarity.indexedFit(index, grid, centroids)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    baseline.count()
+    (batch: DataFrame, batchId: Long) => {
+      val n = batch.count()
+      if (n > 0) {
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val d = Similarity.indexDriftVsBaseline(batch, grid, centroids,
+          baseline, retrainRatio).head()
+        val row = (batchId, n, d.getAs[Double]("fit_new"),
+          d.getAs[Double]("drift"), d.getAs[Long]("retrain"))
+        onBatch(batchId, Row(row._1, row._2, row._3, row._4, row._5))
+        Seq(row).toDF("batch_id", "n_rows", "fit_new", "drift", "retrain")
+          .write.mode("append").parquet(sinkDir)
+      }
+    }
+  }
+
   def pqDriftMonitor(codes: DataFrame, codebooks: DataFrame,
       sinkDir: String, m: Int = 4, dim: Int = 64, maxTv: Double = 0.2,
       onBatch: (Long, Row) => Unit = (_, _) => ())

@@ -320,6 +320,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("int8DriftMonitor: baseline computed once, shifted batch trips retrain") {
+    implicit val sqlCtx = spark.sqlContext
+    def vecs(ids: Range, f: (Int, Int) => Float) =
+      ids.map(id => (id.toLong, Seq.tabulate(8)(d => f(id, d))))
+    val base = vecs(0 until 48, (id, d) => 0.1f * ((id + d) % 13) - 0.5f)
+      .toDF("vec_id", "embedding")
+    val cents = graft.operators.Similarity.trainCentroids(base, nCentroids = 4,
+      iters = 2, trainN = 64, seedPlanes = 4, dim = 8)
+    val grid = graft.operators.Similarity.int8Stats(base, dim = 8)
+    val index = graft.operators.Similarity.int8IndexWith(base, grid, cents)
+    val sink = Files.createTempDirectory("graft-i8driftsink").toString
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = mem.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch(IndexMaintenance.int8DriftMonitor(index, grid, cents, sink))
+      .start()
+    try {
+      mem.addData(vecs(100 until 112, (id, d) => 0.1f * ((id + d) % 13) - 0.5f): _*)
+      q.processAllAvailable()
+      mem.addData(vecs(200 until 212,
+        (id, d) => if ((id + d) % 2 == 0) 5.0f else -5.0f): _*)
+      q.processAllAvailable()
+      val rows = spark.read.parquet(sink).orderBy("batch_id")
+        .collect().map(r => (r.getAs[Long]("n_rows"), r.getAs[Long]("retrain")))
+      assert(rows.toSeq == Seq((12L, 0L), (12L, 1L)),
+        s"quiet then loud: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("full curation funnel stream ≡ batch survivors (dedup → decontam → sample)") {
     import org.apache.spark.sql.functions._
     import graft.functions.{TextFunctions => TF}

@@ -15,27 +15,49 @@ object Graph {
     * density signal that separates genuine duplicate FAMILIES (near-dup
     * clusters are triangle-rich: pairwise-similar members) from chance
     * LSH collisions (isolated edges close no triangles). Input pairs
-    * must be canonical (`aCol` < `bCol`, as every DD pair emitter
-    * produces); each triangle {a<b<c} is found exactly once as the path
-    * a→b→c closed by the a→c edge, then credited to all three members.
+    * must be canonical (`aCol` < `bCol`, distinct — as every DD pair
+    * emitter produces). All-integer arithmetic — no cross-engine float
+    * surface at all; output counts are identical for any orientation.
     *
-    * All-integer arithmetic — no cross-engine float surface at all.
-    * Shape at scale: one self-join on the middle node (cost Σ deg² of
-    * the PAIR graph, not the corpus) + one semi-join closure + an
-    * explode-aggregate; this is the standard degree-ordered wedge
-    * enumeration, with the orientation given for free by the canonical
-    * id ordering.
+    * Orientation is by DEGREE, not id (round 7): edges point from the
+    * (deg, id)-smaller endpoint to the larger, wedges are pairs of
+    * out-edges, and the closing edge is necessarily oriented too —
+    * each triangle found exactly once from its smallest corner. Under
+    * id ordering the wedge self-join costs Σ deg² and concentrates at
+    * hub nodes (a template doc near-dup to thousands); degree ordering
+    * bounds every node's OUT-degree by O(√m), so the wedge count drops
+    * to Σ outdeg² = O(m^1.5) worst case and the hub's wedges are
+    * spread across its (low-degree) neighbors — the standard
+    * compact-forward enumeration, and exactly the skew mitigation
+    * SCALE.md's graph section calls for. Cost: one degree aggregate +
+    * two broadcast-or-shuffle joins to attach orientation keys, then
+    * the wedge self-join + semi-join closure + explode-aggregate.
     */
   def triangleCounts(pairs: DataFrame, aCol: String = "doc_a",
       bCol: String = "doc_b"): DataFrame = {
     val e = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
-    val wedges = e.select(col("a"), col("b"))
-      .join(e.select(col("b").as("b2"), col("a").as("bmid")),
-        col("b") === col("bmid"))
-      .select(col("a"), col("b"), col("b2").as("c"))
-    val tris = wedges.join(e.select(col("a").as("ta"), col("b").as("tc")),
-      col("a") === col("ta") && col("c") === col("tc"), "left_semi")
-    tris.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+    val deg = e.select(explode(array(col("a"), col("b"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    // Total order ≺ = (degree, id); ka/kb are the sortable struct keys.
+    val keyed = e
+      .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
+      .select(struct(col("da").as("d"), col("a").as("n")).as("ka"),
+        struct(col("db").as("d"), col("b").as("n")).as("kb"))
+    val oriented = keyed.select(
+      when(col("ka") < col("kb"), col("ka")).otherwise(col("kb")).as("src"),
+      when(col("ka") < col("kb"), col("kb")).otherwise(col("ka")).as("dst"))
+    // Wedges from a common smallest corner; k1 ≺ k2 makes each unordered
+    // wedge appear once, and (k1, k2) — if an edge — is oriented k1→k2.
+    val wedges = oriented.select(col("src"), col("dst").as("k1"))
+      .join(oriented.select(col("src").as("src2"), col("dst").as("k2")),
+        col("src") === col("src2") && col("k1") < col("k2"))
+      .select(col("src"), col("k1"), col("k2"))
+    val tris = wedges.join(
+      oriented.select(col("src").as("cs"), col("dst").as("cd")),
+      col("k1") === col("cs") && col("k2") === col("cd"), "left_semi")
+    tris
+      .select(explode(array(col("src.n"), col("k1.n"), col("k2.n"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
 

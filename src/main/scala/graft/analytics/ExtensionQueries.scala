@@ -2015,8 +2015,12 @@ object ExtensionQueries {
     * hygiene at all.
     */
   def triangleTop(spark: SparkSession, dir: String): DataFrame = {
+    // Same eager pair-graph checkpoint as q_adv7 (pageRankTop): the
+    // degree-oriented enumeration references the edge list ~5 times
+    // (degrees, orientation, both wedge legs, closure), and AQE does
+    // not reuse the repeated pipeline subtrees at runtime.
     val pairs = Dedup.minhashNearDups(Tables.documents(spark, dir),
-      threshold = 0.5, md5Parity = true)
+      threshold = 0.5, md5Parity = true).localCheckpoint()
     graft.operators.Graph.triangleCounts(pairs)
       .orderBy(col("n_triangles").desc, col("node")).limit(25)
   }

@@ -32,6 +32,10 @@ object Graph {
     * SCALE.md's graph section calls for. Cost: one degree aggregate +
     * two broadcast-or-shuffle joins to attach orientation keys, then
     * the wedge self-join + semi-join closure + explode-aggregate.
+    * The edge list is referenced ~5 times and AQE does not reuse
+    * repeated pipeline subtrees at runtime ([[pageRank]]'s note) —
+    * callers with an expensive pair pipeline materialize it first
+    * (`pairs.localCheckpoint()`, as q_adv8 does).
     */
   def triangleCounts(pairs: DataFrame, aCol: String = "doc_a",
       bCol: String = "doc_b"): DataFrame = {

@@ -177,7 +177,7 @@ class PlanAuditSpec extends SparkSpec {
       "query-term IN filter must survive in the plan: " + p.take(800))
   }
 
-  test("q_adv7/7b: the unrolled rounds read a checkpointed edge list, not the pipeline") {
+  test("q_adv7/7b/8: graph ops read a checkpointed edge list, not the pipeline") {
     // pageRank references the pair graph 2 + 2*iters times. Static
     // planning dedups the subtrees via ReusedExchange, but under AQE
     // the runtime stage graph does NOT reuse them (GraphProbe round 7:
@@ -187,7 +187,8 @@ class PlanAuditSpec extends SparkSpec {
     // pins the shape: the plan's leaves are the checkpoint scan — the
     // documents parquet scan (the expensive pipeline head) must not
     // appear AT ALL in the pagerank plan.
-    for (q <- Seq("q_adv7_pagerank", "q_adv7b_pagerank_weighted")) {
+    for (q <- Seq("q_adv7_pagerank", "q_adv7b_pagerank_weighted",
+        "q_adv8_triangles")) {
       val p = plan(q)
       assert(p.contains("Scan ExistingRDD"),
         s"$q must read the checkpointed pair graph: " + p.take(600))

@@ -72,7 +72,14 @@ object Bench {
           System.err.println(s"[bench] query failed: ${e.getClass.getName}: ${e.getMessage}")
           false
       }
-      ((System.nanoTime() - t0) / 1e9, ok)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // Free the graph-family queries' eager pair-graph checkpoints
+      // deterministically after each rep's action — without this every
+      // rep stacks another copy in executor storage until the
+      // ContextCleaner notices. Outside the timed region (it's the
+      // next rep's hygiene, not this query's work).
+      graft.util.ScratchCheckpoints.drain()
+      (elapsed, ok)
     }
     def gcMillis: Long = {
       import scala.jdk.CollectionConverters._
@@ -132,6 +139,15 @@ object Bench {
       s""""queries_med":$qsMed,""" +
       s""""failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
+    // Memo-slot observability (stderr, opt-in): per-slot hit/miss since
+    // JVM start. A slot whose misses grow with passes is cycling its
+    // LRU — every miss is an eager corpus pass — while misses equal to
+    // the distinct config count mean the cache is doing its job.
+    if (sys.env.contains("SPARK_GRAFT_MEMOSTATS"))
+      graft.operators.Similarity.memoStats.toSeq.sortBy(_._1)
+        .foreach { case (s, (h, m)) =>
+          System.err.println(s"[memo] $s hits=$h misses=$m")
+        }
     // The driver captures only a bounded stdout TAIL — with 77+ queries
     // the head of the per-query map can fall outside the window (it did
     // in round 3). The file copy is the complete record.

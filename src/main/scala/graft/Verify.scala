@@ -28,6 +28,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // The graph-family queries eagerly checkpoint their pair graph;
+      // free those blocks now that this query's write (its final
+      // action) is done, instead of ContextCleaner-eventually.
+      graft.util.ScratchCheckpoints.drain()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

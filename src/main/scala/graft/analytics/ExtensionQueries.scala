@@ -586,8 +586,9 @@ object ExtensionQueries {
   def dupClustersByRank(spark: SparkSession, dir: String): DataFrame = {
     // Pair graph consumed by the fixpoint AND the rank rounds:
     // materialize once (q_adv7's checkpoint rationale).
-    val pairs = Dedup.minhashNearDups(Tables.documents(spark, dir),
-      threshold = 0.5, md5Parity = true).localCheckpoint()
+    val pairs = graft.util.ScratchCheckpoints.register(
+      Dedup.minhashNearDups(Tables.documents(spark, dir),
+        threshold = 0.5, md5Parity = true).localCheckpoint())
     Dedup.resolveClustersByRank(pairs, weightCol = Some("jaccard"))
       .orderBy("doc_id")
   }
@@ -959,7 +960,9 @@ object ExtensionQueries {
     val embs = Tables.embeddings(spark, dir)
     val cb = Similarity.trainPqCodebooks(embs, m = 4, ksub = 16, iters = 2,
       trainN = 1024, dim = 64)
-    val enc = Similarity.pqEncode(embs, cb, m = 4, dim = 64)
+    // The memoized corpus-code artifact — shared with q_sim8/q_sim10,
+    // which encode the identical (corpus, codebooks, m, dim).
+    val enc = Similarity.pqCodes(embs, cb, m = 4, dim = 64)
     val errSum = (0 until 4)
       .map(j => coalesce(sum(when(col("sub") === j, col("err"))), lit(0.0)))
       .reduceLeft(_ + _)
@@ -1063,7 +1066,7 @@ object ExtensionQueries {
     val base = RelationalQueries.scratchDir("sim8")
     val cb = Similarity.trainPqCodebooks(embs, m = 4, ksub = 16, iters = 2,
       trainN = 1024, dim = 64)
-    Similarity.pqEncode(embs, cb, m = 4, dim = 64)
+    Similarity.pqCodes(embs, cb, m = 4, dim = 64)
       .select("vec_id", "sub", "code")
       .write.mode("overwrite").parquet(s"$base/codes")
     cb.write.mode("overwrite").parquet(s"$base/codebooks")
@@ -1125,7 +1128,10 @@ object ExtensionQueries {
     val fresh = embs.where(col("vec_id") % 10 === 0)
     val cb = Similarity.trainPqCodebooks(base, m = 4, ksub = 16, iters = 2,
       trainN = 1024, dim = 64)
-    val codes = Similarity.pqEncode(base, cb, m = 4, dim = 64)
+    // The STORED-index side is a memoized build artifact (consumed by
+    // both the append and the drift histogram, and rep over rep); the
+    // arriving `fresh` side stays on the raw per-batch encode path.
+    val codes = Similarity.pqCodes(base, cb, m = 4, dim = 64)
       .select("vec_id", "sub", "code")
     val appended = Similarity.appendToPqIndex(fresh, codes, cb, m = 4, dim = 64)
     val drift = Similarity.pqDrift(fresh, codes, cb, m = 4, dim = 64)
@@ -1925,8 +1931,9 @@ object ExtensionQueries {
     // 1.45 s checkpointed at sf0.1). The checkpoint holds only the
     // verified pair list — small by the DD posture — so this is
     // dupClusters' executor-storage trade, not a corpus materialization.
-    val pairs = Dedup.minhashNearDups(Tables.documents(spark, dir),
-      threshold = 0.5, md5Parity = true).localCheckpoint()
+    val pairs = graft.util.ScratchCheckpoints.register(
+      Dedup.minhashNearDups(Tables.documents(spark, dir),
+        threshold = 0.5, md5Parity = true).localCheckpoint())
     graft.operators.Graph.pageRank(pairs)
       .select(col("node"), col("rank").as("pr"))
       .orderBy(col("pr").desc, col("node")).limit(25)
@@ -1966,8 +1973,9 @@ object ExtensionQueries {
     */
   def pageRankWeightedTop(spark: SparkSession, dir: String): DataFrame = {
     // Same eager pair-graph checkpoint as q_adv7 (see pageRankTop).
-    val pairs = Dedup.minhashNearDups(Tables.documents(spark, dir),
-      threshold = 0.5, md5Parity = true).localCheckpoint()
+    val pairs = graft.util.ScratchCheckpoints.register(
+      Dedup.minhashNearDups(Tables.documents(spark, dir),
+        threshold = 0.5, md5Parity = true).localCheckpoint())
     graft.operators.Graph.pageRank(pairs, weightCol = Some("jaccard"))
       .select(col("node"), col("rank").as("pr"))
       .orderBy(col("pr").desc, col("node")).limit(25)
@@ -2019,8 +2027,9 @@ object ExtensionQueries {
     // degree-oriented enumeration references the edge list ~5 times
     // (degrees, orientation, both wedge legs, closure), and AQE does
     // not reuse the repeated pipeline subtrees at runtime.
-    val pairs = Dedup.minhashNearDups(Tables.documents(spark, dir),
-      threshold = 0.5, md5Parity = true).localCheckpoint()
+    val pairs = graft.util.ScratchCheckpoints.register(
+      Dedup.minhashNearDups(Tables.documents(spark, dir),
+        threshold = 0.5, md5Parity = true).localCheckpoint())
     graft.operators.Graph.triangleCounts(pairs)
       .orderBy(col("n_triangles").desc, col("node")).limit(25)
   }

@@ -92,7 +92,13 @@ object Graph {
         .join(ranks.select(col("node").as("src"), col("rank")), Seq("src"))
         .join(deg, Seq("src"))
         .select(col("dst").as("node"),
-          (col("rank") * col("w") / col("wsum")).as("c"))
+          // wsum = 0 (a node whose edges are ALL zero-weight) would make
+          // rank·w/wsum = 0/0 = NaN and poison every reachable node's
+          // rank; such a node dangles instead — it keeps receiving rank
+          // but distributes none, matching the doc contract that a
+          // zero-weight edge contributes nothing.
+          when(col("wsum") > 0, col("rank") * col("w") / col("wsum"))
+            .otherwise(lit(0.0)).as("c"))
         .groupBy("node").agg(sum("c").as("s"))
       nodes.join(contrib, Seq("node"), "left")
         .crossJoin(broadcast(nn))
@@ -133,7 +139,9 @@ object Graph {
     * centrality more than borderline collisions, so the top ranks are
     * the template cores rather than the best-connected nodes. Weights
     * must be ≥ 0 (a zero-weight edge still counts a node into the
-    * graph but contributes nothing).
+    * graph but contributes nothing; a node whose edges are ALL
+    * zero-weight dangles — it receives rank but distributes none —
+    * rather than emitting 0/0 = NaN into the contribution sum).
     *
     * Cross-engine determinism (the q_adv7/q_adv7b oracles unroll the
     * identical rounds in SQL): per-round ranks are rounded to 9dp —
@@ -198,9 +206,14 @@ object Graph {
       var converged = false
       while (!converged && iter < maxIters) {
         val next = parts.step(ranks).localCheckpoint(eager = false)
-        val delta = next
+        // max over ZERO rows (an empty pair graph) aggregates to null;
+        // default it to 0.0 so the empty graph converges immediately and
+        // returns an empty frame — the same result the fixed-iteration
+        // pageRank produces for the same input — instead of throwing.
+        val delta = Option(next
           .join(ranks.select(col("node"), col("rank").as("old")), Seq("node"))
-          .agg(max(abs(col("rank") - col("old")))).head().getDouble(0)
+          .agg(max(abs(col("rank") - col("old")))).head().get(0))
+          .map(_.asInstanceOf[Double]).getOrElse(0.0)
         freeGeneration(ranks)
         ranks = next
         ranksCheckpointed = true

@@ -78,7 +78,16 @@ object CurationStream {
     *     expressions as q_ml8/q_ml9, so given the batch extrema the
     *     stream's keep decisions match the batch sampler's bit-for-bit.
     *     Degenerate calibration (qMax == qMin) keeps everything
-    *     explicitly, same guard as the batch side.
+    *     explicitly, same guard as the batch side. Unlike the batch
+    *     sampler — whose extrema come from the very corpus it scores, so
+    *     scores are in-range by construction — a STREAMED doc can drift
+    *     outside the pinned calibration; the normalized quality is
+    *     clamped to [0,1] before pow, so q < qMin ⇒ p = 0 (always
+    *     dropped) and q > qMax ⇒ p = 1 (always kept). Without the clamp,
+    *     q < qMin with invTemp = 0.5 yields pow(neg, 0.5) = NaN and
+    *     Spark's NaN ordering makes `u < NaN` TRUE — the worst
+    *     out-of-calibration docs would always be kept, the opposite of
+    *     the sampler's intent.
     *
     * Scale: stage 2's probe is O(grams(doc)) per row against an
     * executor-local hash set (bench suites are small — millions of
@@ -93,8 +102,9 @@ object CurationStream {
     val contaminated = udf((grams: Seq[String]) => grams.exists(bc.value.contains))
     val p =
       if (qMax == qMin) lit(1.0)
-      else round(pow((TF.qualityScore(col("text")) - lit(qMin)) /
-        lit(qMax - qMin), invTemp), 6)
+      else round(pow(least(greatest(
+        (TF.qualityScore(col("text")) - lit(qMin)) / lit(qMax - qMin),
+        lit(0.0)), lit(1.0)), invTemp), 6)
     val u = round(TF.hexHash60(col("text")).cast("double") /
       lit(1152921504606846976.0), 6)
     docs

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.storage.StorageLevel
 
 import graft.operators.Similarity
 
@@ -16,16 +17,23 @@ import graft.operators.Similarity
   * costs one encode pass over the batch plus an m·ksub-row broadcast
   * join, never a re-scan of the stored code table
   * ([[Similarity.pqDriftVsHistogram]]).
+  *
+  * Two tiers of composition:
+  *  - the *DriftMonitor pair: WATCH-only — drift rows land per batch,
+  *    the stored artifact is untouched;
+  *  - the *AppendPipeline pair: the CLOSED production loop — each
+  *    micro-batch is encoded ONCE on the pinned quantizer, the encoded
+  *    rows are appended to the stored parquet artifact, and the SAME
+  *    rows feed the drift row against the PRE-APPEND baseline (ingest →
+  *    append → drift → retrain signal, one foreachBatch). Because the
+  *    quantizer is fixed and the encode is per-row deterministic, the
+  *    artifact after N batches is exactly what one batch
+  *    [[Similarity.appendToInt8Index]]/[[Similarity.appendToPqIndex]]
+  *    over the union of the arrivals would produce — StreamingSpec pins
+  *    the equivalence cross-batch with a late arrival.
   */
 object IndexMaintenance {
 
-  /** One monitoring row (batch_id, n_rows, tv_max, retrain) appended to
-    * the parquet `sinkDir` per non-empty micro-batch of embedding
-    * arrivals. `codes`/`codebooks` are the persisted PQ artifact
-    * (q_sim8/q_sim9 shapes). `onBatch` receives each row as it lands —
-    * wire it to alerting or a retrain queue. Returns the function to
-    * attach via `writeStream.foreachBatch(...)`.
-    */
   /** The int8 tier's monitor — same shape as [[pqDriftMonitor]] with
     * the index-side baseline ([[Similarity.indexedFit]], a full scan of
     * the stored codes) computed ONCE at monitor start; each micro-batch
@@ -57,6 +65,13 @@ object IndexMaintenance {
     }
   }
 
+  /** One monitoring row (batch_id, n_rows, tv_max, retrain) appended to
+    * the parquet `sinkDir` per non-empty micro-batch of embedding
+    * arrivals. `codes`/`codebooks` are the persisted PQ artifact
+    * (q_sim8/q_sim9 shapes). `onBatch` receives each row as it lands —
+    * wire it to alerting or a retrain queue. Returns the function to
+    * attach via `writeStream.foreachBatch(...)`.
+    */
   def pqDriftMonitor(codes: DataFrame, codebooks: DataFrame,
       sinkDir: String, m: Int = 4, dim: Int = 64, maxTv: Double = 0.2,
       onBatch: (Long, Row) => Unit = (_, _) => ())
@@ -81,6 +96,109 @@ object IndexMaintenance {
         onBatch(batchId, Row(row._1, row._2, row._3, row._4))
         Seq(row).toDF("batch_id", "n_rows", "tv_max", "retrain")
           .write.mode("append").parquet(sinkDir)
+      }
+    }
+  }
+
+  /** The int8 tier's CLOSED loop: per non-empty micro-batch of
+    * embedding arrivals, encode on the pinned quantizer
+    * ([[Similarity.int8Encode]] — grid + centroids fixed, no
+    * retraining), append the encoded rows to the stored parquet
+    * artifact at `indexDir`, and emit one (batch_id, n_rows, fit_new,
+    * drift, retrain) row to `sinkDir` against the PRE-APPEND baseline
+    * ([[Similarity.indexedFit]] over `indexDir` as of pipeline start,
+    * computed once and persisted — appends never shift the yardstick
+    * they are measured against; retrain = 1 is the signal to rebuild
+    * both artifact and baseline). ONE encode pass per batch: the same
+    * persisted encoded rows feed the append write and the drift
+    * ([[Similarity.indexDriftFromCodes]]).
+    *
+    * At scale each batch costs O(batch) encode + an append write of the
+    * batch's own rows; the stored index is scanned exactly once, at
+    * start. `onBatch` receives each drift row — wire it to a retrain
+    * queue.
+    */
+  def int8AppendPipeline(indexDir: String, grid: DataFrame,
+      centroids: DataFrame, sinkDir: String, retrainRatio: Double = 0.9,
+      onBatch: (Long, Row) => Unit = (_, _) => ())
+      : (DataFrame, Long) => Unit = {
+    val spark = grid.sparkSession
+    import spark.implicits._
+    // The baseline is COLLECTED into a local one-row relation, not
+    // persisted over the parquet scan: each append write triggers
+    // Spark's refreshByPath on `indexDir`, which RE-CACHES any cached
+    // plan scanning that path — a persisted baseline would silently
+    // recompute over the grown artifact and measure every batch against
+    // a yardstick its own appends keep moving. A pinned scalar is also
+    // the production posture (calibration from a reference snapshot,
+    // refreshed on retrain — the curation funnel's qMin/qMax pattern).
+    val baseline = Seq(Similarity.indexedFit(spark.read.parquet(indexDir),
+        grid, centroids).head().getDouble(0))
+      .toDF("fit_indexed")
+    (batch: DataFrame, batchId: Long) => {
+      val n = batch.count()
+      if (n > 0) {
+        import spark.implicits._
+        val encoded = Similarity.int8Encode(batch, grid, centroids)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          encoded.write.mode("append").parquet(indexDir)
+          val d = Similarity.indexDriftFromCodes(encoded, grid, centroids,
+            baseline, retrainRatio).head()
+          val row = (batchId, n, d.getAs[Double]("fit_new"),
+            d.getAs[Double]("drift"), d.getAs[Long]("retrain"))
+          onBatch(batchId, Row(row._1, row._2, row._3, row._4, row._5))
+          Seq(row).toDF("batch_id", "n_rows", "fit_new", "drift", "retrain")
+            .write.mode("append").parquet(sinkDir)
+        } finally encoded.unpersist(blocking = false)
+      }
+    }
+  }
+
+  /** The PQ tier's CLOSED loop — [[int8AppendPipeline]]'s shape over
+    * the (vec_id, sub, code) artifact at `codesDir`: encode each batch
+    * once on the pinned `codebooks` ([[Similarity.pqEncode]]), append
+    * the codes to the stored table, and emit one (batch_id, n_rows,
+    * tv_max, retrain) row against the PRE-APPEND code-usage histogram
+    * (aggregated once at start; appends never shift the yardstick —
+    * retrain = 1 says rebuild codebooks, artifact, and histogram).
+    */
+  def pqAppendPipeline(codesDir: String, codebooks: DataFrame,
+      sinkDir: String, m: Int = 4, dim: Int = 64, maxTv: Double = 0.2,
+      onBatch: (Long, Row) => Unit = (_, _) => ())
+      : (DataFrame, Long) => Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = codebooks.sparkSession
+    import spark.implicits._
+    // Pinned as LOCAL relations, not persisted over the parquet scan —
+    // int8AppendPipeline's refreshByPath rationale: an append write
+    // re-caches any cached plan scanning `codesDir`, so a persisted
+    // histogram would recompute over the grown artifact. m·ksub + 1
+    // rows — driver-collectable by construction.
+    val codes0 = spark.read.parquet(codesDir)
+    val hIdx = codes0.groupBy("sub", "code").agg(count(lit(1)).as("n_idx"))
+      .select(col("sub").cast("int"), col("code").cast("int"), col("n_idx"))
+      .collect().toSeq
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      .toDF("sub", "code", "n_idx")
+    val tIdx = Seq(codes0.agg(countDistinct("vec_id").cast("double"))
+      .head().getDouble(0)).toDF("t_idx")
+    (batch: DataFrame, batchId: Long) => {
+      val n = batch.count()
+      if (n > 0) {
+        import spark.implicits._
+        val encoded = Similarity.pqEncode(batch, codebooks, m, dim)
+          .select("vec_id", "sub", "code")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          encoded.write.mode("append").parquet(codesDir)
+          val d = Similarity.pqDriftFromCodes(encoded, hIdx, tIdx,
+            codebooks, maxTv).head()
+          val row = (batchId, n, d.getAs[Double]("tv_max"), d.getAs[Long]("retrain"))
+          onBatch(batchId, Row(row._1, row._2, row._3, row._4))
+          Seq(row).toDF("batch_id", "n_rows", "tv_max", "retrain")
+            .write.mode("append").parquet(sinkDir)
+        } finally encoded.unpersist(blocking = false)
       }
     }
   }

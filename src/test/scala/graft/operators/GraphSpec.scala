@@ -135,6 +135,33 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(mass - 1.0) < 1e-6, s"rank mass stays ~1: $mass")
   }
 
+  test("weighted pageRank: an all-zero-weight node dangles instead of emitting NaN") {
+    // Node 2's only edges carry w=0, so its weight total is 0; the split
+    // rank·w/wsum must not become 0/0 = NaN (which would poison every
+    // reachable node's rank). Node 2 receives rank but distributes none.
+    val pairs = Seq((1L, 2L, 0.0), (2L, 3L, 0.0), (1L, 3L, 1.0))
+      .toDF("doc_a", "doc_b", "w")
+    val r = Graph.pageRank(pairs, weightCol = Some("w"))
+      .collect().map(row => row.getLong(0) -> row.getDouble(1)).toMap
+    assert(r.keySet == Set(1L, 2L, 3L), s"all paired nodes present: $r")
+    assert(r.values.forall(v => !v.isNaN), s"no NaN ranks: $r")
+    // 1 and 3 exchange rank over their w=1 edge; 2 only accumulates the
+    // teleport term (its zero-weight neighbors send nothing to it either
+    // — their whole split goes along nonzero edges, of which they have
+    // one each, to each other).
+    assert(r(1L) == r(3L), s"1 and 3 are symmetric: $r")
+    assert(r(2L) < r(1L), s"the dangling node keeps only teleport mass: $r")
+  }
+
+  test("pageRankUntil: empty pair graph converges to an empty frame, no throw") {
+    // max(abs(Δ)) over zero rows aggregates to null; the loop must treat
+    // that as converged (like fixed-iteration pageRank, which returns an
+    // empty frame for the same input) rather than NPE on getDouble.
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Graph.pageRankUntil(empty, eps = 1e-9).collect().isEmpty)
+    assert(Graph.pageRank(empty).collect().isEmpty)
+  }
+
   test("pageRankUntil: plan depth stays one generation regardless of rounds") {
     // The per-iteration lazy localCheckpoint must truncate lineage: the
     // returned frame's analyzed plan is a checkpoint leaf, not O(iters)

@@ -348,6 +348,108 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("int8AppendPipeline: streamed append ≡ batch encode-union; drift vs pre-append baseline") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    def vecs(ids: Seq[Int], f: (Int, Int) => Float) =
+      ids.map(id => (id.toLong, Seq.tabulate(8)(d => f(id, d))))
+    val sameDist = (id: Int, d: Int) => 0.1f * ((id + d) % 13) - 0.5f
+    val shifted = (id: Int, d: Int) => if ((id + d) % 2 == 0) 5.0f else -5.0f
+    val base = vecs(0 until 48, sameDist).toDF("vec_id", "embedding")
+    val cents = Similarity.trainCentroids(base, nCentroids = 4,
+      iters = 2, trainN = 64, seedPlanes = 4, dim = 8)
+    val grid = Similarity.int8Stats(base, dim = 8)
+    val index0 = Similarity.int8IndexWith(base, grid, cents)
+    val indexDir = Files.createTempDirectory("graft-i8appidx").toString
+    val sink = Files.createTempDirectory("graft-i8appsink").toString
+    index0.write.mode("overwrite").parquet(indexDir)
+    // Batch 1: same distribution. Batch 2: shifted, PLUS a late arrival
+    // (id 99 — below batch 1's id range, arriving a batch later).
+    val b1 = vecs(100 until 112, sameDist)
+    val b2 = vecs(200 until 212, shifted) ++ vecs(Seq(99), sameDist)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = mem.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch(IndexMaintenance.int8AppendPipeline(indexDir, grid,
+        cents, sink))
+      .start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    // The stored artifact after both batches must be EXACTLY what one
+    // batch append of the union would build (fixed quantizer → encode
+    // is per-row deterministic; order-free as a row set).
+    def rowSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Long]("cid"),
+        r.getAs[Array[Byte]]("qcode").toSeq)).toSet
+    val streamed = rowSet(spark.read.parquet(indexDir))
+    val batchUnion = rowSet(Similarity.appendToInt8Index(
+      (b1 ++ b2).toDF("vec_id", "embedding"), index0, grid, cents))
+    assert(streamed.size == 48 + 12 + 13, s"no dup/lost rows: ${streamed.size}")
+    assert(streamed == batchUnion, "streamed artifact ≡ batch append of the union")
+    // Drift rows: quiet batch then the shifted one trips retrain; and
+    // batch 2's numbers equal the BATCH drift against the ORIGINAL
+    // index — batch 1's append must not have moved the baseline.
+    val rows = spark.read.parquet(sink).orderBy("batch_id").collect()
+    assert(rows.map(r => (r.getAs[Long]("n_rows"), r.getAs[Long]("retrain")))
+      .toSeq == Seq((12L, 0L), (13L, 1L)),
+      s"quiet then loud: ${rows.toSeq}")
+    val batchDrift = Similarity.indexDrift(b2.toDF("vec_id", "embedding"),
+      index0, grid, cents).head()
+    assert(rows(1).getAs[Double]("fit_new") == batchDrift.getAs[Double]("fit_new") &&
+      rows(1).getAs[Double]("drift") == batchDrift.getAs[Double]("drift"),
+      s"batch-2 drift measured against the pre-append baseline: " +
+        s"${rows(1)} vs $batchDrift")
+  }
+
+  test("pqAppendPipeline: streamed append ≡ batch encode-union; drift vs pre-append histogram") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    def vecs(ids: Seq[Int], f: (Int, Int) => Float) =
+      ids.map(id => (id.toLong, Seq.tabulate(8)(d => f(id, d))))
+    val sameDist = (id: Int, d: Int) => 0.1f * ((id + d) % 13) - 0.5f
+    val shifted = (id: Int, d: Int) => if ((id + d) % 2 == 0) 5.0f else -5.0f
+    val base = vecs(0 until 48, sameDist).toDF("vec_id", "embedding")
+    val cb = Similarity.trainPqCodebooks(base, m = 2, ksub = 4,
+      iters = 2, trainN = 64, dim = 8)
+    val codes0 = Similarity.pqEncode(base, cb, m = 2, dim = 8)
+      .select("vec_id", "sub", "code")
+    val codesDir = Files.createTempDirectory("graft-pqappidx").toString
+    val sink = Files.createTempDirectory("graft-pqappsink").toString
+    codes0.write.mode("overwrite").parquet(codesDir)
+    val b1 = vecs(100 until 148, sameDist)
+    val b2 = vecs(200 until 248, shifted) ++ vecs(Seq(99), sameDist)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = mem.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch(IndexMaintenance.pqAppendPipeline(codesDir, cb, sink,
+        m = 2, dim = 8))
+      .start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    def rowSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("sub"),
+        r.getAs[Int]("code"))).toSet
+    val streamed = rowSet(spark.read.parquet(codesDir))
+    val batchUnion = rowSet(Similarity.appendToPqIndex(
+      (b1 ++ b2).toDF("vec_id", "embedding"), codes0, cb, m = 2, dim = 8))
+    assert(streamed.size == (48 + 48 + 49) * 2, s"m rows per vec: ${streamed.size}")
+    assert(streamed == batchUnion, "streamed artifact ≡ batch append of the union")
+    val rows = spark.read.parquet(sink).orderBy("batch_id").collect()
+    assert(rows.map(r => (r.getAs[Long]("n_rows"), r.getAs[Long]("retrain")))
+      .toSeq == Seq((48L, 0L), (49L, 1L)),
+      s"quiet then loud: ${rows.toSeq}")
+    // Batch 2's tv_max equals the batch drift against the ORIGINAL code
+    // table — batch 1's append must not have moved the histogram.
+    val batchDrift = Similarity.pqDrift(b2.toDF("vec_id", "embedding"),
+      codes0, cb, m = 2, dim = 8).head()
+    assert(rows(1).getAs[Double]("tv_max") == batchDrift.getAs[Double]("tv_max"),
+      s"batch-2 drift vs pre-append histogram: ${rows(1)} vs $batchDrift")
+  }
+
   test("full curation funnel stream ≡ batch survivors (dedup → decontam → sample)") {
     import org.apache.spark.sql.functions._
     import graft.functions.{TextFunctions => TF}
@@ -410,6 +512,44 @@ class StreamingSpec extends SparkSpec {
       val streamed = spark.table("funnel_out").collect().map(_.getLong(0)).toSet
       assert(streamed == batchSurvivors,
         s"stream ≡ batch: stream=${streamed.toSeq.sorted} batch=${batchSurvivors.toSeq.sorted}")
+    } finally q.stop()
+  }
+
+  test("curationFunnelStream: quality outside the pinned calibration clamps, never NaN-keeps") {
+    // A streamed doc can score OUTSIDE [qMin, qMax] (batch never can —
+    // its extrema come from the corpus it scores). Unclamped,
+    // q < qMin makes (q−qMin)/(qMax−qMin) negative, pow(neg, 0.5) NaN,
+    // and Spark's NaN ordering turns `u < NaN` TRUE — the worst
+    // out-of-calibration docs would always be KEPT. The clamp must send
+    // q < qMin to p = 0 (always dropped) and q > qMax to p = 1 (kept).
+    import org.apache.spark.sql.functions._
+    import graft.functions.{TextFunctions => TF}
+    def at(s: String) = Timestamp.valueOf(s)
+    val docLow = Seq.fill(12)("spam").mkString(" ")            // repetitive → low q
+    val docHigh = (0 until 12).map(i => s"word$i").mkString(" ") // diverse → high q
+    val Array(qLow, qHigh) = Seq(docLow, docHigh).toDF("text")
+      .select(TF.qualityScore(col("text"))).collect().map(_.getDouble(0))
+    assert(qLow < qHigh, s"planted quality gap: $qLow vs $qHigh")
+    val uHigh = Seq(docHigh).toDF("text")
+      .select(round(TF.hexHash60(col("text")).cast("double") /
+        lit(1152921504606846976.0), 6)).head().getDouble(0)
+    assert(uHigh < 1.0, s"p = 1 must beat the high doc's draw: u = $uHigh")
+    // Pin calibration STRICTLY INSIDE the gap: both docs are out of range.
+    val qMin = qLow + 0.6 * (qHigh - qLow)
+    val qMax = qLow + 0.7 * (qHigh - qLow)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val funnel = CurationStream.curationFunnelStream(
+      mem.toDF().toDF("doc_id", "text", "ts"), Set.empty, qMin, qMax)
+    val q = funnel.writeStream.format("memory").queryName("funnel_clamp")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, docLow, at("2024-01-01 10:00:00")),
+        (2L, docHigh, at("2024-01-01 10:00:05")))
+      q.processAllAvailable()
+      val streamed = spark.table("funnel_clamp").collect().map(_.getLong(0)).toSet
+      assert(streamed == Set(2L),
+        s"below-qMin dropped (p=0), above-qMax kept (p=1): got $streamed")
     } finally q.stop()
   }
 }

@@ -62,6 +62,169 @@ class IntegrationSpec extends SparkSpec {
     assert(top.getAs[Double]("cos") == 1.0)
   }
 
+  test("full kappa run: sensors → rule → fan-out → hourly sink + compaction; docs → funnel stream; vectors → index append") {
+    // The reference's architecture (README.md:5-8) composed as ONE
+    // pipeline at sf0.01: every stage below exists and is unit-tested on
+    // its own; this run is the cross-module contract — each leg's final
+    // artifact must equal its batch-computed oracle digest.
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.01"
+
+    // ---- Leg 1: the sensor story. At-least-once readings (one QoS1
+    // redelivery) → watermarked dedup → IoT-rule filter → fan-out into
+    // the hourly-partitioned parquet sink AND the buffered-JSON
+    // compaction sink (threshold fires mid-run).
+    def r(ts: String, count: Long, pressure: Double = 1012.0) =
+      SensorReading("raspberrypi", Timestamp.valueOf(ts), 50.0,
+        30.0 + count, pressure, 0.0, 0.0, 0.0, count)
+    val readings = (1L to 10L).map(i => r(s"2022-07-14 15:0$i:00", i)) ++
+      Seq(r("2022-07-14 15:05:00", 5),            // QoS1 duplicate of count=5
+        r("2022-07-14 16:01:00", 11), r("2022-07-14 16:02:00", 12),
+        r("2022-07-14 16:03:00", 13, pressure = 900.0)) // fails the rule
+    val mem = MemoryStream[SensorReading]
+    mem.addData(readings: _*)
+    val curated = SensorPipeline.ruleSelect(
+      SensorPipeline.dedupStream(mem.toDF(), watermark = "10 minutes"),
+      predicate = col("pressure") > 1000.0)
+    val sinkDir = Files.createTempDirectory("graft-kpipe-sink")
+    val logsDir = Files.createTempDirectory("graft-kpipe-logs")
+    val outBase = Files.createTempDirectory("graft-kpipe-compact")
+    val cp1 = Files.createTempDirectory("graft-kpipe-cp1")
+    val cp2 = Files.createTempDirectory("graft-kpipe-cp2")
+    val state = new graft.operators.Compaction.CounterState
+    import graft.schema.Schemas
+    import org.apache.spark.sql.streaming.Trigger
+    val (q1, q2) = SensorPipeline.fanOut(curated,
+      df => SensorPipeline.hourlyPartitionedWriter(df, sinkDir.toString, cp1.toString),
+      df => df.writeStream
+        .option("checkpointLocation", cp2.toString)
+        .foreachBatch(graft.operators.Compaction.streamingCompactorBatch(
+          state, logsDir.toString, outBase.toString, Schemas.sensor,
+          threshold = 2) _)
+        .trigger(Trigger.AvailableNow()))
+    q1.awaitTermination(120000); q1.stop()
+    q2.awaitTermination(120000); q2.stop()
+    // 12 unique rule-passing readings: the dup collapsed, pressure=900 dropped.
+    val sunk = spark.read.parquet(sinkDir.toString)
+    assert(sunk.count() == 12, "dedup collapses the redelivery; the rule drops one")
+    assert(sunk.select("hour").distinct().collect().map(_.getString(0)).sorted
+      .toSeq == Seq("2022-07-14-15", "2022-07-14-16"), "hourly index rotation")
+    // Compaction leg: same 12 rows, whether already compacted (gzip
+    // JSON) or still buffered as small files awaiting the threshold.
+    val compactedDirs = Files.list(outBase).toArray.map(_.toString)
+    assert(compactedDirs.nonEmpty, "threshold 2 must have fired at least once")
+    val compactedRows = spark.read.schema(Schemas.sensor)
+      .json(compactedDirs: _*).count()
+    val leftover = Files.list(logsDir).toArray.map(_.toString)
+      .count(_.endsWith(".json"))
+    val leftoverRows = if (leftover == 0) 0L
+      else spark.read.schema(Schemas.sensor).json(logsDir.toString).count()
+    assert(compactedRows + leftoverRows == 12,
+      s"compacted($compactedRows) + buffered($leftoverRows) must cover the leg")
+
+    // ---- Leg 2: the curation funnel as a stream over the sf0.01
+    // documents (id-ordered, two micro-batches), pinned to the batch
+    // run's own calibration — survivors must equal the batch funnel's.
+    import graft.functions.{TextFunctions => TF}
+    import graft.streaming.CurationStream
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .where(col("doc_id") < 300)
+      .select(col("doc_id"), col("text")).collect()
+      .map(row => (row.getLong(0), row.getString(1)))
+      .sortBy(_._1)
+      .map { case (id, text) =>
+        (id, text, Timestamp.valueOf(s"2024-01-01 10:00:${"%02d".format(id % 60)}")) }
+    val benchGrams = docs.filter(d => d._1 == 10 || d._1 == 20)
+      .flatMap(_._2.toLowerCase.split("\\W+").filter(_.nonEmpty)
+        .sliding(8).map(_.mkString(" "))).toSet
+    val static = docs.toSeq.toDF("doc_id", "text", "ts")
+    val keep = static.groupBy(TF.fingerprintMd5(col("text")).as("fp"))
+      .agg(min("doc_id").as("doc_id"))
+    val deduped = static.join(keep.select("doc_id"), Seq("doc_id"), "left_semi")
+    val contaminated = deduped
+      .select(col("doc_id"), explode(TF.shingles(col("text"), 8)).as("gram"))
+      .join(broadcast(benchGrams.toSeq.toDF("gram")), "gram")
+      .select("doc_id").distinct()
+    val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+      .withColumn("q", TF.qualityScore(col("text")))
+      .withColumn("u", round(TF.hexHash60(col("text")).cast("double") /
+        lit(1152921504606846976.0), 6))
+    val Array(qMin, qMax) = clean.agg(min("q"), max("q")).collect()(0)
+      .toSeq.map(_.asInstanceOf[Double]).toArray
+    val batchSurvivors = clean
+      .where(col("u") < round(pow((col("q") - qMin) / (qMax - qMin), 0.5), 6))
+      .collect().map(_.getLong(0)).toSet
+    assert(batchSurvivors.nonEmpty && batchSurvivors.size < docs.length,
+      "funnel must both keep and drop")
+    val dmem = MemoryStream[(Long, String, Timestamp)]
+    val funnel = CurationStream.curationFunnelStream(
+      dmem.toDF().toDF("doc_id", "text", "ts"), benchGrams, qMin, qMax)
+    val fq = funnel.writeStream.format("memory").queryName("kappa_funnel")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = docs.splitAt(docs.length / 2)
+      dmem.addData(b1: _*); fq.processAllAvailable()
+      dmem.addData(b2: _*); fq.processAllAvailable()
+      val streamed = spark.table("kappa_funnel").collect().map(_.getLong(0)).toSet
+      assert(streamed == batchSurvivors,
+        s"stream ≡ batch funnel: missing=${(batchSurvivors -- streamed).toSeq.sorted.take(5)} " +
+          s"extra=${(streamed -- batchSurvivors).toSeq.sorted.take(5)}")
+    } finally fq.stop()
+
+    // ---- Leg 3: curated vectors stream into the serving index — the
+    // closed append+drift loop over the sf0.01 embeddings. Artifact
+    // after two micro-batches (second carries a LATE low id) must equal
+    // the batch append of the union, and each batch's drift row must
+    // equal the batch-mode drift against the original index.
+    import graft.streaming.IndexMaintenance
+    val embs = graft.sources.Tables.embeddings(spark, sfDir)
+    val base = embs.where(col("vec_id") % 10 =!= 0)
+    val arrivals = embs.where(col("vec_id") % 10 === 0)
+      .select("vec_id", "embedding").collect()
+      .map(row => (row.getLong(0), row.getSeq[Float](1)))
+      .sortBy(_._1)
+    val cents = Similarity.trainCentroids(base, nCentroids = 16, iters = 2,
+      trainN = 1024, seedPlanes = 6, dim = 64)
+    val grid = Similarity.int8Stats(base, dim = 64)
+    val index0 = Similarity.int8IndexWith(base, grid, cents)
+    val indexDir = Files.createTempDirectory("graft-kpipe-idx").toString
+    val driftSink = Files.createTempDirectory("graft-kpipe-drift").toString
+    index0.write.mode("overwrite").parquet(indexDir)
+    val vmem = MemoryStream[(Long, Seq[Float])]
+    val vq = vmem.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch(IndexMaintenance.int8AppendPipeline(indexDir, grid,
+        cents, driftSink))
+      .start()
+    // Batch 1: all but the lowest two ids; batch 2: the stragglers.
+    val (late, onTime) = arrivals.splitAt(2)
+    try {
+      vmem.addData(onTime: _*); vq.processAllAvailable()
+      vmem.addData(late: _*); vq.processAllAvailable()
+    } finally vq.stop()
+    def digest(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(row => (row.getAs[Long]("neighbor_id"), row.getAs[Long]("cid"),
+        row.getAs[Array[Byte]]("qcode").toSeq)).toSet
+    val streamedIndex = digest(spark.read.parquet(indexDir))
+    val batchIndex = digest(Similarity.appendToInt8Index(
+      arrivals.toSeq.toDF("vec_id", "embedding"), index0, grid, cents))
+    assert(streamedIndex == batchIndex,
+      "streamed index artifact ≡ batch append of the union")
+    // Stream-vs-batch drift equivalence per batch (retrain itself is
+    // data-dependent — at this SF the 450-vector training makes the
+    // held-out fit ratio ~0.69, legitimately under the 0.9 default; the
+    // quiet/loud semantics are StreamingSpec's planted-shift tests).
+    val driftRows = spark.read.parquet(driftSink).orderBy("batch_id").collect()
+    assert(driftRows.length == 2, s"one drift row per batch: ${driftRows.toSeq}")
+    for ((batchData, i) <- Seq(onTime, late).zipWithIndex) {
+      val expected = Similarity.indexDrift(
+        batchData.toSeq.toDF("vec_id", "embedding"), index0, grid, cents).head()
+      assert(driftRows(i).getAs[Double]("fit_new") == expected.getAs[Double]("fit_new") &&
+        driftRows(i).getAs[Double]("drift") == expected.getAs[Double]("drift"),
+        s"batch $i drift ≡ batch-mode drift vs the pre-append index: " +
+          s"${driftRows(i)} vs $expected")
+    }
+  }
+
   test("driver contract: entry() returns rows; every query has a runnable entry") {
     assert(SparkEntry.entry(spark).count() > 0, "flagship must return rows")
     // Every oracleSql key must refer to a real query (a typo'd key would

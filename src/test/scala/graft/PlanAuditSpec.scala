@@ -48,6 +48,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(500))
   }
 
+  test("q_adv1: broadcast cust into orders, ONE orderkey shuffle, top-k without global sort") {
+    // Round-7 bench flagged a 1.6× median move on q_adv1 with no code
+    // change; this pins the plan shape so any future move must be
+    // environmental, not a silent plan regression. The intended shape:
+    // customer broadcasts into orders, the reduced orders side meets
+    // lineitem on a single orderkey exchange, and the top-10 compiles
+    // to TakeOrderedAndProject.
+    val p = plan("q_adv1_shipping_priority")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1,
+      "customer must broadcast into orders: " + p.take(500))
+    assert(p.contains("TakeOrderedAndProject"),
+      "limit 10 must not be a global sort: " + p.take(500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(500))
+    // One shuffle for the orderkey join + one for the final aggregate's
+    // grouping — nothing else (a third data exchange would mean the
+    // broadcast reduction stopped firing).
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 2,
+      s"expected <= 2 hash exchanges (orderkey join + group-by), got $exchanges:\n" +
+        p.take(1200))
+  }
+
   test("q_adv6: band join is a hash join with the range as residual, never nested-loop cartesian") {
     val p = plan("q_adv6_range_join")
     assert(!p.contains("CartesianProduct"), p.take(500))

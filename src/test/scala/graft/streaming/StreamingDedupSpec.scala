@@ -1,0 +1,126 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.Dedup
+
+/** Streamed MinHash near-dup dedup against the stored signature index.
+  * Spec band config: 64 perms / 32 bands (r = 2) so every planted pair
+  * down to Jaccard ≈ 0.5 is a CANDIDATE with near-certainty and the
+  * exact-Jaccard verify is the deciding stage — the operator's default
+  * (16 bands, r = 4) tunes the knee for production recall/cost, not for
+  * deterministic fixtures.
+  */
+class StreamingDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: Int) = Timestamp.valueOf(f"2024-01-01 10:00:$s%02d")
+  private def doc(words: Seq[String]) = words.mkString(" ")
+  private val base = (0 until 20).map(i => s"w$i")
+  // X replaces 6 of W's 20 tokens → J(X,W) = 14/26 ≈ 0.538 ≥ 0.5 (dup);
+  // Y replaces 6 OTHERS of X → J(Y,X) ≈ 0.538 (dup of X) but
+  // J(Y,W) = 8/32 = 0.25 < 0.5 (NOT a dup of W).
+  private val docW = doc(base)
+  private val docX = doc(base.zipWithIndex.map { case (w, i) => if (i < 6) s"x$i" else w })
+  private val docY = doc(base.zipWithIndex.map { case (w, i) =>
+    if (i < 6) s"x$i" else if (i < 12) s"y$i" else w })
+  private val docN = doc((0 until 20).map(i => s"n$i"))
+  private val docB = doc((0 until 20).map(i => s"b$i"))
+  private val docB2 = doc((0 until 20).map(i => if (i == 0) "bb0" else s"b$i"))
+  private val docC = doc((0 until 20).map(i => s"c$i"))
+
+  private def jaccard(a: String, b: String): Double = {
+    val (sa, sb) = (a.split(" ").toSet, b.split(" ").toSet)
+    sa.intersect(sb).size.toDouble / sa.union(sb).size
+  }
+
+  test("fixture preconditions: the planted Jaccard ladder") {
+    assert(jaccard(docX, docW) >= 0.5, s"X~W: ${jaccard(docX, docW)}")
+    assert(jaccard(docY, docX) >= 0.5, s"Y~X: ${jaccard(docY, docX)}")
+    assert(jaccard(docY, docW) < 0.5, s"Y!~W: ${jaccard(docY, docW)}")
+    assert(jaccard(docB2, docB) >= 0.5, s"B2~B: ${jaccard(docB2, docB)}")
+    assert(jaccard(docN, docW) == 0.0)
+  }
+
+  private def runStream(indexDir: String, survivorsDir: String,
+      batches: Seq[(Long, String, Timestamp)]*)(
+      onBatch: (Long, Long, Long) => Unit = (_, _, _) => ()): Unit = {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val q = mem.toDF().toDF("doc_id", "text", "ts").writeStream
+      .foreachBatch(StreamingDedup.minhashDedupPipeline(indexDir,
+        survivorsDir, numPerms = 64, bands = 32, onBatch = onBatch))
+      .start()
+    try batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    finally q.stop()
+  }
+
+  private def survivors(dir: String): Set[Long] =
+    spark.read.parquet(dir).select("doc_id").collect().map(_.getLong(0)).toSet
+
+  test("one batch ≡ the batch pipeline's near-dup stage") {
+    val idx = Files.createTempDirectory("graft-sdedup-idx1").toString
+    val out = Files.createTempDirectory("graft-sdedup-out1").toString
+    StreamingDedup.initMinhashIndex(spark, idx)
+    val docs = Seq((1L, docW, ts(0)), (2L, docX, ts(1)), (3L, docN, ts(2)))
+    runStream(idx, out, docs)()
+    // Batch reference over the same rows: min-id canonical per cluster.
+    val static = docs.toDF("doc_id", "text", "ts")
+    val pairs = Dedup.minhashNearDups(static, numPerms = 64, bands = 32)
+    val drop = Dedup.dupClusters(pairs)
+      .where(col("doc_id") =!= col("cluster"))
+      .collect().map(_.getLong(0)).toSet
+    val batchKeep = docs.map(_._1).toSet -- drop
+    assert(batchKeep == Set(1L, 3L), s"precondition: X collapses into W: $batchKeep")
+    assert(survivors(out) == batchKeep, "stream ≡ batch on a single batch")
+    // The index admitted exactly the survivors.
+    assert(spark.read.parquet(s"$idx/toks").count() == 2)
+  }
+
+  test("cross-batch: the index grows with novel docs and later dups hit it") {
+    val idx = Files.createTempDirectory("graft-sdedup-idx2").toString
+    val out = Files.createTempDirectory("graft-sdedup-out2").toString
+    StreamingDedup.initMinhashIndex(spark, idx)
+    var log = Vector.empty[(Long, Long, Long)]
+    runStream(idx, out,
+      Seq((1L, docW, ts(0)), (2L, docN, ts(1))),   // both novel
+      Seq((3L, docX, ts(2)), (4L, docB, ts(3))),   // X dups stored W; B novel
+      Seq((5L, docB2, ts(4)), (6L, docC, ts(5)))   // B2 dups batch-2's B; C novel
+    )((id, n, kept) => log :+= ((id, n, kept)))
+    assert(survivors(out) == Set(1L, 2L, 4L, 6L),
+      s"dups against the GROWING index dropped: ${survivors(out)}")
+    assert(log.map(t => (t._2, t._3)) == Vector((2L, 2L), (2L, 1L), (2L, 1L)),
+      s"per-batch (arrived, kept): $log")
+    // Stored signatures: one bands-row set + one toks row per survivor,
+    // none for dropped docs (signatures are computed once, at admission).
+    assert(spark.read.parquet(s"$idx/toks").count() == 4)
+    assert(spark.read.parquet(s"$idx/bands")
+      .select("doc_id").distinct().count() == 4)
+  }
+
+  test("greedy-prefix semantics: similar only to a DROPPED doc ⇒ kept") {
+    val idx = Files.createTempDirectory("graft-sdedup-idx3").toString
+    val out = Files.createTempDirectory("graft-sdedup-out3").toString
+    StreamingDedup.initMinhashIndex(spark, idx)
+    runStream(idx, out,
+      Seq((1L, docW, ts(0))),
+      Seq((2L, docX, ts(1))),   // dup of retained W → dropped
+      Seq((3L, docY, ts(2)))    // dup of DROPPED X only → kept (greedy)
+    )()
+    assert(survivors(out) == Set(1L, 3L),
+      "the index holds retained docs only, so Y survives — the documented " +
+        "greedy-prefix divergence from a full-corpus transitive closure " +
+        s"(which would keep W alone): ${survivors(out)}")
+    // And the batch run over the union indeed differs (keeps only W):
+    val static = Seq((1L, docW), (2L, docX), (3L, docY)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDups(static, numPerms = 64, bands = 32)
+    val batchDrop = Dedup.dupClusters(pairs)
+      .where(col("doc_id") =!= col("cluster")).collect().map(_.getLong(0)).toSet
+    assert(batchDrop == Set(2L, 3L), s"batch closure collapses the chain: $batchDrop")
+  }
+}

@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => TF}
@@ -1911,6 +1911,63 @@ object ExtensionQueries {
        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ---------------------------------------------------------------- ML-10
+  /** Fixed-window token chunking ([[graft.operators.Packing.tokenChunks]],
+    * window 32 / stride 24 — overlapping pretraining contexts): one row
+    * per chunk with an md5 over the rejoined chunk text, so the oracle
+    * pins every chunk's CONTENT and boundaries, not just counts. The
+    * whole op is map-side (sequence + posexplode + slice — no shuffle,
+    * no UDF).
+    */
+  def tokenChunks(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.tokenChunks(Tables.documents(spark, dir),
+        window = 32, stride = 24)
+      .orderBy("doc_id", "chunk_idx")
+
+  val tokenChunksSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+      |                  len(string_split(text, ' ')) AS n FROM documents),
+      |c AS (SELECT doc_id, toks, n,
+      |             unnest(generate_series(0, CAST(floor((n - 1) / 24) AS BIGINT) * 24, 24)) AS start
+      |      FROM t WHERE n > 0)
+      |SELECT doc_id, CAST(start / 24 AS BIGINT) AS chunk_idx,
+      |       CAST(least(32, n - start) AS BIGINT) AS n_tokens,
+      |       md5(array_to_string(list_slice(toks, start + 1, least(start + 32, n)), ' ')) AS chunk_md5
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // ---------------------------------------------------------------- ML-11
+  /** Concat-and-chunk sequence packing
+    * ([[graft.operators.Packing.concatPackWindows]], capacity 256): the
+    * padding-free packing pretraining pipelines use — documents
+    * concatenate in id order, the stream splits into fixed windows, a
+    * doc may straddle two. Spark computes document offsets with a
+    * TWO-LEVEL parallel prefix sum (bucket totals + intra-bucket
+    * windows — no single-task global window); the oracle uses the plain
+    * sequential running sum, so the hash match doubles as a proof the
+    * parallel decomposition equals the sequential offsets. All-integer
+    * arithmetic — no float surface.
+    */
+  def concatPacking(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.concatPackWindows(Tables.documents(spark, dir),
+      capacity = 256)
+
+  val concatPackingSql: String =
+    """WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n
+      |           FROM documents WHERE len(string_split(text, ' ')) > 0),
+      |o AS (SELECT doc_id, n,
+      |             sum(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+      |               AND CURRENT ROW) - n AS start
+      |      FROM d),
+      |e AS (SELECT doc_id, start, start + n - 1 AS fin FROM o),
+      |x AS (SELECT doc_id, start, fin,
+      |             unnest(generate_series(CAST(start // 256 AS BIGINT),
+      |                                    CAST(fin // 256 AS BIGINT))) AS window_id
+      |      FROM e)
+      |SELECT window_id, count(*) AS n_docs,
+      |       CAST(sum(least(fin, (window_id + 1) * 256 - 1)
+      |                - greatest(start, window_id * 256) + 1) AS BIGINT) AS n_tokens
+      |FROM x GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---------------------------------------------------------------- ADV-7
   /** PageRank over the MinHash near-dup pair graph
     * ([[graft.operators.Graph.pageRank]], damping 0.85, 5 fixed
@@ -2163,26 +2220,63 @@ object ExtensionQueries {
     val pairs = Dedup.minhashNearDups(exact, threshold = 0.5, md5Parity = true)
     val purge = Dedup.dupClusters(pairs)
       .where(col("doc_id") =!= col("cluster")).select("doc_id")
-    val deduped = exact.join(purge, Seq("doc_id"), "left_anti")
-    // Stage 3 — quality gate (same arithmetic as q_txt4's components).
+    // ONE flagged pass instead of five stage-filtered branches (round 8):
+    // the original union of per-stage aggregates re-executed each
+    // stage's upstream per branch (the doc scan and the exact-dedup
+    // join ran up to 4×; AQE does not reuse repeated subtrees at
+    // runtime — q_adv7's measured finding). Here every doc is tagged
+    // with its survival flags once — exact-canonical (broadcast-joined
+    // against the canonical-id set), near-dup-purged (broadcast anti
+    // set), quality — and a single aggregate emits every stage's
+    // (count, token) pair as conditional sums; the funnel's cost
+    // collapses to the pair pipeline + one corpus pass. Measured at
+    // sf0.1: 2.43/2.63 s → see SCALE.md. Stage semantics and the
+    // oracle are unchanged.
     val toks = TF.tokens(col("text"))
-    val curated = deduped.where(TF.tokenCount(col("text")) >= 8 &&
-      round(size(array_distinct(toks)).cast("double") /
-        size(toks).cast("double"), 6) >= 0.3)
-    // Stage 4 — reproducible split on the id residue (q_ml1's rule).
     val split = graft.operators.DataSplits.assignSplit(
       col("doc_id"), Seq("train" -> 80, "val" -> 10, "test" -> 10))
-    def stageRow(name: String, df: DataFrame): DataFrame =
-      df.agg(count(lit(1)).as("n_docs"),
-        coalesce(sum(TF.tokenCount(col("text"))), lit(0L)).as("total_tokens"))
-        .select(lit(name).as("stage"), col("n_docs"), col("total_tokens"))
-    stageRow("0_raw", docs)
-      .union(stageRow("1_exact_dedup", exact))
-      .union(stageRow("2_near_dedup", deduped))
-      .union(stageRow("3_quality", curated))
-      .union(curated.groupBy(concat(lit("4_"), split).as("stage"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(TF.tokenCount(col("text"))).as("total_tokens")))
+    // keepIds is corpus-cardinality (one row per distinct content) — a
+    // plain key join, never a broadcast; purge holds only the dropped
+    // near-dup ids, the small side by the DD posture.
+    val flagged = docs
+      .join(keepIds.select(col("doc_id"), lit(1).as("is_ex")),
+        Seq("doc_id"), "left")
+      .join(broadcast(purge.select(col("doc_id"), lit(1).as("is_purged"))),
+        Seq("doc_id"), "left")
+      .withColumn("tok", TF.tokenCount(col("text")))
+      .withColumn("f_ex", col("is_ex").isNotNull)
+      .withColumn("f_nd", col("f_ex") && col("is_purged").isNull)
+      .withColumn("f_q", col("f_nd") && TF.tokenCount(col("text")) >= 8 &&
+        round(size(array_distinct(toks)).cast("double") /
+          size(toks).cast("double"), 6) >= 0.3)
+      .withColumn("split", split)
+    def cnt(c: Column) = coalesce(sum(when(c, 1L)), lit(0L))
+    def tks(c: Column) = coalesce(sum(when(c, col("tok"))), lit(0L))
+    def stageStruct(name: String, n: Column, t: Column) =
+      struct(lit(name).as("stage"), n.as("n_docs"), t.as("total_tokens"))
+    val splits = Seq("test", "train", "val")
+    val aggs: Seq[org.apache.spark.sql.Column] = Seq(
+      count(lit(1)).as("n0"), coalesce(sum("tok"), lit(0L)).as("t0"),
+      cnt(col("f_ex")).as("n1"), tks(col("f_ex")).as("t1"),
+      cnt(col("f_nd")).as("n2"), tks(col("f_nd")).as("t2"),
+      cnt(col("f_q")).as("n3"), tks(col("f_q")).as("t3")) ++
+      splits.flatMap(s => Seq(
+        cnt(col("f_q") && col("split") === s).as(s"n4_$s"),
+        tks(col("f_q") && col("split") === s).as(s"t4_$s")))
+    flagged.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(
+        stageStruct("0_raw", col("n0"), col("t0")) +:
+        stageStruct("1_exact_dedup", col("n1"), col("t1")) +:
+        stageStruct("2_near_dedup", col("n2"), col("t2")) +:
+        stageStruct("3_quality", col("n3"), col("t3")) +:
+        splits.map(s =>
+          stageStruct(s"4_$s", col(s"n4_$s"), col(s"t4_$s"))): _*)).as("s"))
+      .select(col("s.stage").as("stage"), col("s.n_docs").as("n_docs"),
+        col("s.total_tokens").as("total_tokens"))
+      // The original's stage-4 groupBy emitted rows only for non-empty
+      // splits (and the oracle mirrors that); conditional sums emit
+      // zeros — filter them for exactly the same row set.
+      .where(!col("stage").startsWith("4_") || col("n_docs") > 0)
       .orderBy("stage")
   }
 

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF}
+
+/** Pretraining-window preparation: fixed-window document chunking and
+  * concat-and-chunk sequence packing — the two ops that turn a curated
+  * document table into model-ready training windows.
+  *
+  * Reference seam: none (the reference stops at log analytics); these
+  * belong to the training-data extension tier next to the dedup/
+  * curation family, downstream of q_ml9's survivors.
+  */
+object Packing {
+
+  /** Fixed-window token chunking with overlap: each document's token
+    * stream is cut at starts 0, stride, 2·stride, … (< n), each chunk
+    * spanning up to `window` tokens (stride < window ⇒ the standard
+    * overlapping-context windows; the final chunk is the natural
+    * remainder, never padded). One output row per chunk: (`doc_id`,
+    * `chunk_idx`, `n_tokens`, `chunk_md5`) — the md5 is over the
+    * space-rejoined chunk text, so the digest pins chunk CONTENT and
+    * boundaries exactly, not just counts.
+    *
+    * Scale: map-side only — a per-row `sequence` + `posexplode` over
+    * start offsets and a `slice` per chunk; no shuffle, no UDF, and the
+    * fan-out is n/stride rows per doc (bounded by document length, not
+    * corpus size). Catalyst keeps the whole thing in one
+    * WholeStageCodegen span over the scan.
+    */
+  def tokenChunks(docs: DataFrame, window: Int = 32,
+      stride: Int = 24): DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      s"need 1 <= stride <= window, got window=$window stride=$stride")
+    docs
+      .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .where(col("n") > 0)
+      .select(col("doc_id"), col("toks"), col("n"),
+        posexplode(sequence(lit(0),
+          ((col("n") - 1) / stride).cast("int") * stride, lit(stride)))
+          .as(Seq("chunk_idx", "start")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        least(lit(window), col("n") - col("start")).cast("long").as("n_tokens"),
+        md5(array_join(slice(col("toks"), col("start") + 1, lit(window)), " "))
+          .as("chunk_md5"))
+  }
+
+  /** Concat-and-chunk sequence packing: documents are concatenated in
+    * id order into one token stream, and the stream is split into
+    * fixed-`capacity` windows (the padding-free packing pretraining
+    * pipelines use — no bin-packing heuristics, deterministic, and a
+    * doc may straddle two windows). Output one row per window:
+    * (`window_id`, `n_docs` = documents contributing ≥ 1 token,
+    * `n_tokens` = capacity everywhere except the final partial window).
+    *
+    * The token OFFSET of each document is a prefix sum — the scale
+    * trap: `sum().over(Window.orderBy(...))` with no partition key
+    * funnels the whole table through ONE task. Computed here as the
+    * classic two-level parallel prefix sum instead: docs bucket by id
+    * range, per-bucket token totals aggregate map-side (`buckets` rows),
+    * the bucket-offset running sum is a window over those `buckets`
+    * rows only (driver-trivial), and the intra-bucket running sum is a
+    * window PARTITIONED by bucket — every per-row pass is parallel, and
+    * the only global ordering ever materialized is over `buckets` rows.
+    * The DuckDB oracle computes the same offsets with a plain
+    * single-sequence window, so the correctness gate doubles as a proof
+    * the two-level sum equals the sequential one.
+    */
+  def concatPackWindows(docs: DataFrame, capacity: Int = 256,
+      buckets: Int = 32): DataFrame = {
+    require(capacity >= 1 && buckets >= 1,
+      s"need capacity >= 1 and buckets >= 1, got $capacity/$buckets")
+    val counted = docs
+      .select(col("doc_id"), TF.tokenCount(col("text")).as("n"))
+      .where(col("n") > 0)
+    val maxId = counted.agg(max("doc_id").as("max_id"))
+    // Spark's `/` is fractional division — both the width and the
+    // bucket take an explicit floor. The bucket id is internal (any
+    // deterministic id-range split yields the same offsets), so only
+    // determinism matters here, not the exact boundaries.
+    val bucketed = counted.crossJoin(broadcast(maxId))
+      .withColumn("width",
+        floor((col("max_id") + buckets) / buckets).cast("long"))
+      .withColumn("bucket", floor(col("doc_id") / col("width")).cast("long"))
+      .drop("max_id", "width")
+    val bucketTotals = bucketed.groupBy("bucket").agg(sum("n").as("bn"))
+    val wBuckets = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bucketOffsets = bucketTotals
+      .withColumn("boff", sum("bn").over(wBuckets) - col("bn"))
+      .select("bucket", "boff")
+    val wIntra = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = bucketed
+      .withColumn("cum", sum("n").over(wIntra))
+      .join(broadcast(bucketOffsets), "bucket")
+      .select(col("doc_id"), col("n"),
+        (col("boff") + col("cum") - col("n")).as("start"))
+      .withColumn("end", col("start") + col("n") - 1)
+    offsets
+      .select(col("doc_id"), col("n"), col("start"), col("end"),
+        explode(sequence((col("start") / capacity).cast("long"),
+          (col("end") / capacity).cast("long"))).as("window_id"))
+      .groupBy("window_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(least(col("end"), (col("window_id") + 1) * capacity - 1)
+          - greatest(col("start"), col("window_id") * capacity) + 1)
+          .as("n_tokens"))
+      .orderBy("window_id")
+  }
+}

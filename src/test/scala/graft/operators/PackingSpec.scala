@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Planted-case semantics for [[Packing]] — the window arithmetic must
+  * come out exactly, independent of the oracle corpus.
+  */
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenChunks: overlap, remainder tail, short doc, boundaries") {
+    // 10 tokens, window 4 / stride 3 → starts 0,3,6,9: three full-ish
+    // chunks and a 1-token tail; a 2-token doc yields ONE short chunk.
+    val docs = Seq(
+      (1L, (0 until 10).map(i => s"t$i").mkString(" ")),
+      (2L, "a b")).toDF("doc_id", "text")
+    val r = Packing.tokenChunks(docs, window = 4, stride = 3).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).sorted
+    assert(r.toSeq == Seq((1L, 0L, 4L), (1L, 1L, 4L), (1L, 2L, 4L),
+      (1L, 3L, 1L), (2L, 0L, 2L)), s"chunk grid: ${r.toSeq}")
+    // Content digest: chunk 1 of doc 1 is exactly tokens 3..6.
+    val c1 = Packing.tokenChunks(docs, window = 4, stride = 3)
+      .where(col("doc_id") === 1 && col("chunk_idx") === 1)
+      .head().getString(3)
+    val expect = docs.sparkSession.sql("SELECT md5('t3 t4 t5 t6')").head().getString(0)
+    assert(c1 == expect, "chunk md5 pins content and boundaries")
+  }
+
+  test("tokenChunks: stride == window is exact non-overlapping tiling") {
+    val docs = Seq((1L, (0 until 9).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = Packing.tokenChunks(docs, window = 3, stride = 3).collect()
+    assert(r.length == 3 && r.forall(_.getLong(2) == 3L))
+  }
+
+  test("tokenChunks plan: map-side only — no exchange, no UDF") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val p = Packing.tokenChunks(docs).queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
+  }
+
+  test("concatPackWindows: straddling docs, exact window fills, partial tail") {
+    // Token counts 5,4,3,6 concatenated = 18 tokens; capacity 8 →
+    // windows [0..7], [8..15], [16..17]. Doc 2 (offsets 5..8) straddles
+    // w0/w1; doc 4 (offsets 12..17) straddles w1/w2.
+    val docs = Seq(
+      (1L, "a a a a a"), (2L, "b b b b"), (3L, "c c c"), (4L, "d d d d d d"))
+      .toDF("doc_id", "text")
+    val r = Packing.concatPackWindows(docs, capacity = 8, buckets = 2)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r.toSeq == Seq((0L, 2L, 8L), (1L, 3L, 8L), (2L, 1L, 2L)),
+      s"(window, docs, tokens): ${r.toSeq}")
+  }
+
+  test("concatPackWindows: bucketed prefix sum ≡ sequential offsets for any bucket count") {
+    val docs = (0L until 40L)
+      .map(i => (i, (0 until (1 + (i % 7)).toInt).map(_ => "w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val expected = Packing.concatPackWindows(docs, capacity = 16, buckets = 1)
+      .collect().map(_.toSeq).toSeq
+    for (b <- Seq(3, 8, 64)) {
+      val got = Packing.concatPackWindows(docs, capacity = 16, buckets = b)
+        .collect().map(_.toSeq).toSeq
+      assert(got == expected, s"buckets=$b diverged: $got vs $expected")
+    }
+  }
+}

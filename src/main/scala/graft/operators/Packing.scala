@@ -71,9 +71,24 @@ object Packing {
     * the two-level sum equals the sequential one.
     */
   def concatPackWindows(docs: DataFrame, capacity: Int = 256,
-      buckets: Int = 32): DataFrame = {
+      buckets: Int = 32): DataFrame =
+    concatPackWindowsFrom(docs, capacity, 0L, buckets)
+
+  /** [[concatPackWindows]] with the token stream starting at
+    * `startOffset` instead of 0 — the streaming form's continuation
+    * point: a micro-batch packs its documents as the NEXT slice of one
+    * unbounded stream, so windows straddle batch boundaries exactly as
+    * they straddle documents. Rows for a window split across calls are
+    * PARTIAL and merge downstream by summing (a document lives in
+    * exactly one call, so n_docs sums correctly too) —
+    * [[graft.streaming.PackingStream]] carries the offset and
+    * StreamingSpec proves merged-stream ≡ one batch pack of the union.
+    */
+  def concatPackWindowsFrom(docs: DataFrame, capacity: Int,
+      startOffset: Long, buckets: Int = 32): DataFrame = {
     require(capacity >= 1 && buckets >= 1,
       s"need capacity >= 1 and buckets >= 1, got $capacity/$buckets")
+    require(startOffset >= 0, s"startOffset must be >= 0, got $startOffset")
     val counted = docs
       .select(col("doc_id"), TF.tokenCount(col("text")).as("n"))
       .where(col("n") > 0)
@@ -99,7 +114,7 @@ object Packing {
       .withColumn("cum", sum("n").over(wIntra))
       .join(broadcast(bucketOffsets), "bucket")
       .select(col("doc_id"), col("n"),
-        (col("boff") + col("cum") - col("n")).as("start"))
+        (lit(startOffset) + col("boff") + col("cum") - col("n")).as("start"))
       .withColumn("end", col("start") + col("n") - 1)
     offsets
       .select(col("doc_id"), col("n"), col("start"), col("end"),

@@ -123,4 +123,33 @@ class StreamingDedupSpec extends SparkSpec {
       .where(col("doc_id") =!= col("cluster")).collect().map(_.getLong(0)).toSet
     assert(batchDrop == Set(2L, 3L), s"batch closure collapses the chain: $batchDrop")
   }
+
+  test("PackingStream: merged streamed windows ≡ one batch pack of the union") {
+    implicit val sqlCtx = spark.sqlContext
+    val windows = Files.createTempDirectory("graft-packw").toString
+    val offsets = Files.createTempDirectory("graft-packo").toString
+    // 9 docs × 7 tokens = 63 tokens at capacity 16 → windows straddle
+    // both document and BATCH boundaries (21 tokens per 3-doc batch).
+    val docs = (0L until 9L).map(i =>
+      (i, (0 until 7).map(j => s"d${i}t$j").mkString(" "), ts(i.toInt)))
+    var log = Vector.empty[(Long, Long)]
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val q = mem.toDF().toDF("doc_id", "text", "ts").writeStream
+      .foreachBatch(PackingStream.packPipeline(windows, offsets,
+        capacity = 16, onBatch = (_, n, t) => log :+= ((n, t))))
+      .start()
+    try docs.grouped(3).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    finally q.stop()
+    assert(log == Vector((3L, 21L), (3L, 21L), (3L, 21L)), s"per-batch: $log")
+    // At least one window was emitted as partials across two batches.
+    val partials = spark.read.parquet(windows)
+      .groupBy("window_id").count().where(col("count") > 1).count()
+    assert(partials > 0, "a straddled window must appear as partial rows")
+    val merged = PackingStream.mergedWindows(spark, windows)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val batch = graft.operators.Packing.concatPackWindows(
+        docs.toDF("doc_id", "text", "ts"), capacity = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(merged == batch, s"stream ≡ batch: $merged vs $batch")
+  }
 }

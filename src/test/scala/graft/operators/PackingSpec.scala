@@ -54,6 +54,46 @@ class PackingSpec extends SparkSpec {
       s"(window, docs, tokens): ${r.toSeq}")
   }
 
+  test("invariants on seeded random corpora: coverage, conservation, fullness") {
+    val rng = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val docs = (0L until (20 + rng.nextInt(30)).toLong).map { i =>
+        (i, (0 until 1 + rng.nextInt(40)).map(j => s"d${i}w$j").mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text")
+      val total = docs.map(_._2.split(" ").length.toLong).sum
+      val (window, stride) = (8, 5)
+      // Chunking: starts tile every token (last chunk ends at n), counts
+      // are window except possibly tails, and Σ over non-overlapped
+      // strides reconstructs n: chunks = ceil(max(n-window,0)/stride)+1… —
+      // asserted structurally instead: per doc, the chunk grid is
+      // exactly the starts 0,stride,… < n with n_tokens = min(window,
+      // n-start).
+      val chunks = Packing.tokenChunks(df, window, stride).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1)
+      for ((id, text) <- docs) {
+        val n = text.split(" ").length
+        val expected = (0 until n by stride).zipWithIndex
+          .map { case (s, i) => (id, i.toLong, math.min(window, n - s).toLong) }
+        assert(chunks(id).sortBy(_._2).toSeq == expected,
+          s"trial $trial doc $id grid mismatch")
+      }
+      // Packing: token conservation, every window full except the last,
+      // window ids contiguous from 0.
+      val cap = 16
+      val w = Packing.concatPackWindows(df, cap,
+        buckets = 1 + rng.nextInt(10)).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(w.map(_._3).sum == total, s"trial $trial token conservation")
+      assert(w.map(_._1).toSeq == w.indices.map(_.toLong).toSeq,
+        s"trial $trial contiguous window ids")
+      assert(w.dropRight(1).forall(_._3 == cap.toLong),
+        s"trial $trial all but last window full: ${w.toSeq}")
+      assert(w.forall(_._2 >= 1), s"trial $trial every window touches a doc")
+    }
+  }
+
   test("concatPackWindows: bucketed prefix sum ≡ sequential offsets for any bucket count") {
     val docs = (0L until 40L)
       .map(i => (i, (0 until (1 + (i % 7)).toInt).map(_ => "w").mkString(" ")))

@@ -2235,18 +2235,21 @@ object ExtensionQueries {
     val toks = TF.tokens(col("text"))
     val split = graft.operators.DataSplits.assignSplit(
       col("doc_id"), Seq("train" -> 80, "val" -> 10, "test" -> 10))
-    // keepIds is corpus-cardinality (one row per distinct content) — a
-    // plain key join, never a broadcast; purge holds only the dropped
-    // near-dup ids, the small side by the DD posture.
+    // keepIds is corpus-cardinality (one row per distinct content) and
+    // purge scales with the corpus's DUPLICATION RATE (a heavily
+    // duplicated crawl makes it corpus-scale too) — both stay plain key
+    // joins with no broadcast hint, so the planner can fall back to a
+    // shuffle join when the sides are large; AQE broadcasts them when
+    // runtime stats say they are small.
     val flagged = docs
       .join(keepIds.select(col("doc_id"), lit(1).as("is_ex")),
         Seq("doc_id"), "left")
-      .join(broadcast(purge.select(col("doc_id"), lit(1).as("is_purged"))),
+      .join(purge.select(col("doc_id"), lit(1).as("is_purged")),
         Seq("doc_id"), "left")
       .withColumn("tok", TF.tokenCount(col("text")))
       .withColumn("f_ex", col("is_ex").isNotNull)
       .withColumn("f_nd", col("f_ex") && col("is_purged").isNull)
-      .withColumn("f_q", col("f_nd") && TF.tokenCount(col("text")) >= 8 &&
+      .withColumn("f_q", col("f_nd") && col("tok") >= 8 &&
         round(size(array_distinct(toks)).cast("double") /
           size(toks).cast("double"), 6) >= 0.3)
       .withColumn("split", split)

@@ -81,8 +81,12 @@ object Packing {
     * they straddle documents. Rows for a window split across calls are
     * PARTIAL and merge downstream by summing (a document lives in
     * exactly one call, so n_docs sums correctly too) —
-    * [[graft.streaming.PackingStream]] carries the offset and
-    * StreamingSpec proves merged-stream ≡ one batch pack of the union.
+    * [[graft.streaming.PackingStream]] carries the offset, and the
+    * merged stream equals one batch pack of the union WHEN ids arrive
+    * in nondecreasing order across calls (within a call this orders by
+    * doc_id; across calls the order is the caller's). Out-of-order
+    * arrival still packs a valid token-conserving grid, just not the
+    * id-sorted one.
     */
   def concatPackWindowsFrom(docs: DataFrame, capacity: Int,
       startOffset: Long, buckets: Int = 32): DataFrame = {

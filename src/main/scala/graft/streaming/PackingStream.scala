@@ -1,9 +1,9 @@
 package graft.streaming
 
-import scala.util.Try
-
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.{TextFunctions => TF}
 import graft.operators.Packing
@@ -19,22 +19,37 @@ import graft.operators.Packing
   * windows straddle batch boundaries exactly as they straddle
   * documents; the rows for a straddled window are PARTIAL and merge
   * downstream by summing ([[mergedWindows]] — a doc lives in exactly
-  * one batch, so n_docs sums correctly too). StreamingSpec proves
-  * merged-stream ≡ one batch pack of the union.
+  * one batch, so n_docs sums correctly too). StreamingDedupSpec proves
+  * merged-stream ≡ one batch pack of the union — a claim that holds
+  * when doc ids arrive in nondecreasing order across batches (the
+  * monotonic-id ingest property every log pipeline has, the same
+  * assumption [[CurationStream.curationFunnelStream]]'s dedup
+  * equivalence documents): within a batch the packer orders by doc_id,
+  * across batches the order is arrival. Out-of-order arrivals still
+  * pack a valid, token-conserving grid — just not the id-sorted batch
+  * grid.
   *
-  * The offset is read before and rewritten after each batch's append —
-  * driver-sequential inside foreachBatch, so there is no concurrent
-  * writer by construction; crash-replay of a micro-batch re-reads the
-  * PRE-batch offset (the overwrite is the batch's last effect) and
-  * re-emits the same partials, which the idempotent merge absorbs as
-  * duplicates only if the windows append also committed — the standard
-  * at-least-once foreachBatch caveat, same as every parquet-append sink
-  * in this repo.
+  * Crash-replay (foreachBatch is at-least-once): the offset state is an
+  * APPEND-ONLY log of (batch_id, before, after) rows — one appended as
+  * each batch's last effect, the highest batch_id current. Appends are
+  * crash-safe where an overwrite is not (overwrite deletes the old
+  * state before committing the new — a crash in between loses the
+  * offset entirely), so every crash point replays consistently: died
+  * before the state append → the replay reads the previous batch's
+  * `after`, the same offset this attempt used; died after → the replay
+  * sees its OWN batch id and re-packs at `before`. Either way the
+  * window GRID never shifts. What replay cannot undo is a windows
+  * append that already committed: duplicated partial rows, the
+  * standard at-least-once caveat of every parquet-append sink in this
+  * repo (dedupe by rewriting the batch's partials to a
+  * batch-id-partitioned sink if the consumer needs exactly-once). The
+  * log grows one ~24-byte row per batch; compact it offline if a
+  * stream lives long enough to care.
   */
 object PackingStream {
 
   /** One foreachBatch: pack the batch at the carried offset, append the
-    * partial window rows to `windowsDir`, advance the offset in
+    * partial window rows to `windowsDir`, advance the offset state in
     * `offsetDir`. `onBatch(batchId, nDocs, nTokens)` is the monitor
     * hook.
     */
@@ -43,22 +58,44 @@ object PackingStream {
       onBatch: (Long, Long, Long) => Unit = (_, _, _) => ())
       : (DataFrame, Long) => Unit =
     (batch: DataFrame, batchId: Long) => {
-      val n = batch.count()
-      if (n > 0) {
-        val spark = batch.sparkSession
-        import spark.implicits._
-        val offset0 = Try(spark.read.parquet(offsetDir)
-          .head().getLong(0)).getOrElse(0L)
-        val batchTokens = batch
-          .agg(coalesce(sum(TF.tokenCount(col("text"))), lit(0L)))
-          .head().getLong(0)
-        Packing.concatPackWindowsFrom(batch.select("doc_id", "text"),
-            capacity, offset0)
-          .write.mode("append").parquet(windowsDir)
-        Seq(offset0 + batchTokens).toDF("offset")
-          .write.mode("overwrite").parquet(offsetDir)
-        onBatch(batchId, n, batchTokens)
-      }
+      val spark = batch.sparkSession
+      import spark.implicits._
+      val arrivals = batch.select(col("doc_id"), col("text"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val n = arrivals.count()
+        if (n > 0) {
+          // Missing/empty state dir = a fresh stream (offset 0; also
+          // the crash-mid-first-append replay, where nothing committed
+          // yet). An EXISTING state that fails to READ is a real error
+          // and must surface — swallowing it would silently restart
+          // the grid at offset 0 and overlap every existing window id.
+          val fs = new Path(offsetDir)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val offset0 =
+            if (!fs.exists(new Path(offsetDir)) ||
+                fs.listStatus(new Path(offsetDir))
+                  .forall(!_.getPath.getName.endsWith(".parquet"))) 0L
+            else {
+              val st = spark.read.parquet(offsetDir)
+                .orderBy(col("batch_id").desc)
+                .select("batch_id", "before", "after").head()
+              // Replay of this very batch after its state append:
+              // reuse the PRE-batch offset, reproducing the original
+              // placement instead of shifting the grid forward.
+              if (st.getLong(0) == batchId) st.getLong(1) else st.getLong(2)
+            }
+          val batchTokens = arrivals
+            .agg(coalesce(sum(TF.tokenCount(col("text"))), lit(0L)))
+            .head().getLong(0)
+          Packing.concatPackWindowsFrom(arrivals, capacity, offset0)
+            .write.mode("append").parquet(windowsDir)
+          Seq((batchId, offset0, offset0 + batchTokens))
+            .toDF("batch_id", "before", "after")
+            .write.mode("append").parquet(offsetDir)
+          onBatch(batchId, n, batchTokens)
+        }
+      } finally arrivals.unpersist(blocking = false)
     }
 
   /** Merge the partial rows of straddled windows: the consumer-side

@@ -44,6 +44,14 @@ import graft.operators.Dedup
   * broadcast of the batch's candidate id set at realistic batch sizes).
   * Appends write the batch's own novel rows only.
   *
+  * Crash-replay (foreachBatch is at-least-once): the per-batch appends
+  * are ordered survivors → toks → bands so that a replayed batch either
+  * self-matches against its own fully-committed admission (Jaccard 1 —
+  * absorbed idempotently) or re-admits and completes a partial one;
+  * survivors may duplicate under replay but are never lost, and the
+  * index always converges to findable + verifiable entries. See the
+  * append-order comment in [[minhashDedupPipeline]].
+  *
   * Reference seam: the reference dedups nothing (at-least-once pub is
   * its delivery floor, sensor_publish.py:46-83); this operator is part
   * of the training-data extension tier, the streaming form of DD-1/DD-2
@@ -129,13 +137,26 @@ object StreamingDedup {
               lr.rdd.unpersist(blocking = false)
           }
         try {
-          keepBanded.join(retained.select("doc_id"), Seq("doc_id"), "left_semi")
-            .select("doc_id", "band", "bucket")
-            .write.mode("append").parquet(s"$indexDir/bands")
+          // Append ORDER is the crash-replay contract (foreachBatch is
+          // at-least-once): survivors first, then toks, then bands —
+          // the admission becomes visible to future candidate joins
+          // (bands) only LAST. A replay after a full commit finds each
+          // retained doc as its own index match (bands + toks, Jaccard
+          // 1) and retains nothing — full batches absorb idempotently.
+          // A replay after a partial commit finds no bands row, admits
+          // the doc again, and completes the missing appends: the
+          // survivor may duplicate (the standard at-least-once parquet
+          // caveat) but is never LOST, and the index always converges
+          // to a findable, verifiable entry. Bands-first would instead
+          // strand docs findable-but-unverifiable, silently admitting
+          // their future near-dups.
+          retained.write.mode("append").parquet(survivorsDir)
           retained.select(col("doc_id"),
               array_distinct(TF.tokens(col("text"))).as("toks"))
             .write.mode("append").parquet(s"$indexDir/toks")
-          retained.write.mode("append").parquet(survivorsDir)
+          keepBanded.join(retained.select("doc_id"), Seq("doc_id"), "left_semi")
+            .select("doc_id", "band", "bucket")
+            .write.mode("append").parquet(s"$indexDir/bands")
           onBatch(batchId, n, kept)
         } finally {
           freeCheckpoint()

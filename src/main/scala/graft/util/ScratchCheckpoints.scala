@@ -24,33 +24,43 @@ import org.apache.spark.sql.execution.LogicalRDD
   * write) calls [[drain]] once the returned frame's FINAL action has
   * completed. A drained checkpoint cannot be recomputed
   * (`localCheckpoint` truncates lineage), so drain only ever runs after
-  * consumption — never between two actions on the same frame. Callers
-  * that never drain (ad-hoc shells, specs) just fall back to the
-  * ContextCleaner behavior this existed under before — registration is
-  * an upper bound on retention, not a new liveness requirement.
+  * consumption — never between two actions on the same frame; the
+  * registry is single-harness by contract (Bench and Verify are
+  * separate sequential JVM runs), never shared by concurrent
+  * consumers. Registration holds the RDD WEAKLY: callers that never
+  * drain (ad-hoc shells, specs) keep the exact pre-registry behavior —
+  * once their frames are unreachable the ContextCleaner collects the
+  * checkpoint blocks as before. A strong queue would invert that
+  * guarantee (the registry itself would keep every undrained
+  * checkpoint alive forever).
   */
 object ScratchCheckpoints {
 
-  private val pending = new ConcurrentLinkedQueue[RDD[_]]()
+  private val pending =
+    new ConcurrentLinkedQueue[java.lang.ref.WeakReference[RDD[_]]]()
 
   /** Register an eagerly `localCheckpoint()`-ed frame for deterministic
     * freeing at the next [[drain]]; returns the frame unchanged.
     */
   def register(checkpointed: DataFrame): DataFrame = {
     checkpointed.queryExecution.analyzed.collectFirst {
-      case lr: LogicalRDD => pending.add(lr.rdd)
+      case lr: LogicalRDD =>
+        pending.add(new java.lang.ref.WeakReference[RDD[_]](lr.rdd))
     }
     checkpointed
   }
 
-  /** Unpersist every registered checkpoint (non-blocking). Call ONLY
-    * after the consuming query's final action.
+  /** Unpersist every registered checkpoint still reachable
+    * (non-blocking; entries already garbage-collected were or will be
+    * freed by the ContextCleaner). Call ONLY after the consuming
+    * query's final action.
     */
   def drain(): Unit = {
-    var rdd = pending.poll()
-    while (rdd != null) {
-      rdd.unpersist(blocking = false)
-      rdd = pending.poll()
+    var ref = pending.poll()
+    while (ref != null) {
+      val rdd = ref.get()
+      if (rdd != null) rdd.unpersist(blocking = false)
+      ref = pending.poll()
     }
   }
 }

@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 import org.apache.spark.storage.StorageLevel
 
 import graft.functions.{SignatureExpressions, TextFunctions => TF}
@@ -27,30 +28,43 @@ import graft.operators.Dedup
   *    stream). StreamingSpec pins both the one-batch ≡ batch-pipeline
   *    case and the chain case where the semantics legitimately differ.
   *
-  * Index layout (two parquet tables under `indexDir`):
-  *  - `bands`: (doc_id, band, bucket) — the LSH blocking keys, computed
-  *    ONCE at admission by the same fused codegen generator as the
-  *    batch path ([[SignatureExpressions.minhashBands]]); never
-  *    recomputed for stored docs.
-  *  - `toks`: (doc_id, toks) — distinct token sets for the exact
-  *    Jaccard verify (candidates only, never all pairs).
+  * Index layout (two PARTITIONED parquet tables under `indexDir`) —
+  * partitioning is what keeps the per-batch cost O(batch), not
+  * O(index):
+  *  - `bands`: (doc_id, bucket) partitioned by (band, pslot) where
+  *    `pslot = pmod(bucket, bucketSlots)` — the LSH blocking keys,
+  *    computed ONCE at admission by the same fused codegen generator
+  *    as the batch path ([[SignatureExpressions.minhashBands]]); never
+  *    recomputed for stored docs. `band` alone cannot prune (every doc
+  *    emits one row PER band, so every batch touches every band value);
+  *    the fixed-width bucket slot is the axis that actually narrows the
+  *    scan to the partitions holding the batch's candidate buckets.
+  *  - `toks`: (doc_id, toks) partitioned by `tslot = pmod(doc_id,
+  *    idSlots)` — distinct token sets for the exact Jaccard verify,
+  *    read only for the slots that hold verified-candidate ids.
   *
   * Per-batch cost: one map-side signature pass over the batch, a
-  * bucket join of the batch's bands against the stored bands (at scale,
-  * store `bands` partitioned by `band` so the join prunes partitions —
-  * the stored side is read per batch but only candidate buckets carry
-  * rows through the shuffle), and an exact verify over candidates. The
-  * stored `toks` table joins only against verified candidate ids (a
-  * broadcast of the batch's candidate id set at realistic batch sizes).
-  * Appends write the batch's own novel rows only.
+  * bucket join of the batch's bands against the PRUNED stored bands
+  * (the scan carries partition filters for the batch's
+  * `band * bucketSlots + pslot` key set — [[prunedBands]], asserted in
+  * StreamingDedupSpec), and an exact verify over candidates joined to
+  * the PRUNED stored token sets ([[prunedToks]]). The two key-set
+  * collects that drive the pruning are BOUNDED by the fixed partition
+  * grid (≤ bands·bucketSlots and ≤ idSlots ints), never by data volume
+  * — the same justification as IndexMaintenance's baseline pin.
+  * Appends write the batch's own novel rows only, into their partition
+  * directories.
   *
   * Crash-replay (foreachBatch is at-least-once): the per-batch appends
   * are ordered survivors → toks → bands so that a replayed batch either
   * self-matches against its own fully-committed admission (Jaccard 1 —
   * absorbed idempotently) or re-admits and completes a partial one;
-  * survivors may duplicate under replay but are never lost, and the
-  * index always converges to findable + verifiable entries. See the
-  * append-order comment in [[minhashDedupPipeline]].
+  * survivors are batch-id-partitioned and dynamically OVERWRITTEN per
+  * batch, so a replay rewrites its own partition instead of appending
+  * duplicates — the survivor set is exactly-once (StreamingDedupSpec
+  * replay tests), and the index always converges to findable +
+  * verifiable entries. See the append-order comment in
+  * [[minhashDedupPipeline]].
   *
   * Reference seam: the reference dedups nothing (at-least-once pub is
   * its delivery floor, sensor_publish.py:46-83); this operator is part
@@ -59,29 +73,76 @@ import graft.operators.Dedup
   */
 object StreamingDedup {
 
+  /** Explicit read schemas (partition columns included): the stored
+    * tables are read with these rather than inferred, so a fresh index
+    * (zero files — an empty partitioned write emits none) reads as an
+    * empty relation instead of failing schema inference, and schema
+    * drift in the dirs surfaces as a read error, not silent coercion.
+    */
+  private val bandsSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("bucket", LongType),
+    StructField("band", IntegerType), StructField("pslot", IntegerType)))
+  private val toksSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("toks", ArrayType(StringType)),
+    StructField("tslot", IntegerType)))
+
   /** Create the empty signature index (idempotent only for a fresh
     * dir — call once before starting the stream).
     */
   def initMinhashIndex(spark: SparkSession, indexDir: String): Unit = {
     import spark.implicits._
-    Seq.empty[(Long, Int, Long)].toDF("doc_id", "band", "bucket")
-      .write.mode("overwrite").parquet(s"$indexDir/bands")
-    Seq.empty[(Long, Seq[String])].toDF("doc_id", "toks")
-      .write.mode("overwrite").parquet(s"$indexDir/toks")
+    Seq.empty[(Long, Long, Int, Int)].toDF("doc_id", "bucket", "band", "pslot")
+      .write.partitionBy("band", "pslot").mode("overwrite")
+      .parquet(s"$indexDir/bands")
+    Seq.empty[(Long, Seq[String], Int)].toDF("doc_id", "toks", "tslot")
+      .write.partitionBy("tslot").mode("overwrite")
+      .parquet(s"$indexDir/toks")
+  }
+
+  /** Stored-bands read pruned to the partitions whose
+    * `band * bucketSlots + pslot` key is in `keys`. The predicate
+    * references only partition columns, so Catalyst's partition pruning
+    * evaluates it against the directory listing — partitions outside
+    * the key set are never read (StreamingDedupSpec asserts
+    * `PartitionFilters` on the scan and a selected-partition count
+    * below the total).
+    */
+  def prunedBands(spark: SparkSession, indexDir: String,
+      bucketSlots: Int, keys: Seq[Int]): DataFrame = {
+    val stored = spark.read.schema(bandsSchema).parquet(s"$indexDir/bands")
+    if (keys.isEmpty) stored.where(lit(false))
+    else stored.where(
+      (col("band") * lit(bucketSlots) + col("pslot")).isin(keys: _*))
+  }
+
+  /** Stored-toks read pruned to the `tslot` partitions holding the
+    * verified-candidate ids.
+    */
+  def prunedToks(spark: SparkSession, indexDir: String,
+      slots: Seq[Int]): DataFrame = {
+    val stored = spark.read.schema(toksSchema).parquet(s"$indexDir/toks")
+    if (slots.isEmpty) stored.where(lit(false))
+    else stored.where(col("tslot").isin(slots: _*))
   }
 
   /** The foreachBatch function: batch-local near-dup resolution, then
     * the stored-index check, then append + emit. `survivorsDir`
-    * accumulates the retained (doc_id, text, ts) rows — the deduped
-    * stream a downstream curation funnel consumes. `onBatch(batchId,
-    * nArrived, nRetained)` is the monitoring hook.
+    * accumulates the retained (doc_id, text, ts) rows under
+    * `batch_id=` partitions — the deduped stream a downstream curation
+    * funnel consumes. `onBatch(batchId, nArrived, nRetained)` is the
+    * monitoring hook. `bucketSlots`/`idSlots` fix the index partition
+    * grid (bands·bucketSlots and idSlots leaf dirs) — they must stay
+    * constant for the life of one index.
     */
   def minhashDedupPipeline(indexDir: String, survivorsDir: String,
       numPerms: Int = 64, bands: Int = 16, shingleSize: Int = 3,
       threshold: Double = 0.5, md5Parity: Boolean = false,
+      bucketSlots: Int = 4, idSlots: Int = 64,
       onBatch: (Long, Long, Long) => Unit = (_, _, _) => ())
       : (DataFrame, Long) => Unit = {
     require(numPerms % bands == 0, "bands must divide numPerms")
+    require(bucketSlots > 0 && idSlots > 0, "slot counts must be positive")
     (batch: DataFrame, batchId: Long) => {
       val n = batch.count()
       if (n > 0) {
@@ -97,23 +158,38 @@ object StreamingDedup {
         val localKeep = arrivals.join(localDrop, Seq("doc_id"), "left_anti")
         // Stage 2 — stored-index check. Signatures for the batch's
         // local keepers (one map-side generator pass), bucket-joined
-        // against the stored bands; candidates verified by exact
-        // Jaccard against the stored token sets.
+        // against the stored bands PRUNED to the batch's partition
+        // keys; candidates verified by exact Jaccard against the
+        // stored token sets PRUNED to the candidates' id slots.
         val keepBanded = localKeep
           .select(col("doc_id"), posexplode(SignatureExpressions.minhashBands(
             TF.shingles(col("text"), shingleSize), numPerms, bands, md5Parity))
             .as(Seq("band", "bucket")))
+          .withColumn("pslot", pmod(col("bucket"), lit(bucketSlots)).cast("int"))
           .persist(StorageLevel.MEMORY_AND_DISK)
-        val storedBands = spark.read.parquet(s"$indexDir/bands")
-        val cand = keepBanded
+        // Bounded collect (≤ bands·bucketSlots ints — the partition
+        // grid, not the data): the batch's partition-key set, driving
+        // the stored-bands partition pruning below.
+        val batchKeys = keepBanded
+          .select((col("band") * lit(bucketSlots) + col("pslot"))
+            .cast("int").as("k"))
+          .distinct().collect().map(_.getInt(0)).toIndexedSeq
+        val storedBands = prunedBands(spark, indexDir, bucketSlots, batchKeys)
+        val candPairs = keepBanded
           .join(storedBands.select(col("band"), col("bucket"),
             col("doc_id").as("idx_id")), Seq("band", "bucket"))
           .select("doc_id", "idx_id").distinct()
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        // Bounded collect (≤ idSlots ints): the candidates' id-slot
+        // set, pruning the stored-toks verify read.
+        val candSlots = candPairs
+          .select(pmod(col("idx_id"), lit(idSlots)).cast("int").as("tslot"))
+          .distinct().collect().map(_.getInt(0)).toIndexedSeq
         val batchToks = localKeep.select(col("doc_id"),
           array_distinct(TF.tokens(col("text"))).as("ta"))
-        val storedToks = spark.read.parquet(s"$indexDir/toks")
+        val storedToks = prunedToks(spark, indexDir, candSlots)
           .select(col("doc_id").as("idx_id"), col("toks").as("tb"))
-        val dupIds = cand.join(batchToks, "doc_id").join(storedToks, "idx_id")
+        val dupIds = candPairs.join(batchToks, "doc_id").join(storedToks, "idx_id")
           .where(round(TF.jaccard(col("ta"), col("tb")), 6) >= threshold)
           .select("doc_id").distinct()
         // CHECKPOINT the retained set BEFORE appending to the paths this
@@ -142,28 +218,55 @@ object StreamingDedup {
           // the admission becomes visible to future candidate joins
           // (bands) only LAST. A replay after a full commit finds each
           // retained doc as its own index match (bands + toks, Jaccard
-          // 1) and retains nothing — full batches absorb idempotently.
-          // A replay after a partial commit finds no bands row, admits
-          // the doc again, and completes the missing appends: the
-          // survivor may duplicate (the standard at-least-once parquet
-          // caveat) but is never LOST, and the index always converges
-          // to a findable, verifiable entry. Bands-first would instead
-          // strand docs findable-but-unverifiable, silently admitting
-          // their future near-dups.
-          retained.write.mode("append").parquet(survivorsDir)
+          // 1) and retains nothing — full batches absorb idempotently
+          // (the dynamic overwrite of an EMPTY retained set is a no-op:
+          // zero rows touch zero partitions, so the committed survivors
+          // stand). A replay after a partial commit finds no bands row,
+          // admits the doc again, and OVERWRITES its own batch_id
+          // partition — identical rows, no duplicates (the exactly-once
+          // survivor sink the r8 verdict asked for) — then completes
+          // the missing index appends. Bands-first would instead strand
+          // docs findable-but-unverifiable, silently admitting their
+          // future near-dups.
+          withDynamicOverwrite(spark) {
+            retained.withColumn("batch_id", lit(batchId))
+              .write.partitionBy("batch_id").mode("overwrite")
+              .parquet(survivorsDir)
+          }
           retained.select(col("doc_id"),
               array_distinct(TF.tokens(col("text"))).as("toks"))
-            .write.mode("append").parquet(s"$indexDir/toks")
+            .withColumn("tslot", pmod(col("doc_id"), lit(idSlots)).cast("int"))
+            .write.partitionBy("tslot").mode("append").parquet(s"$indexDir/toks")
           keepBanded.join(retained.select("doc_id"), Seq("doc_id"), "left_semi")
-            .select("doc_id", "band", "bucket")
-            .write.mode("append").parquet(s"$indexDir/bands")
+            .select("doc_id", "bucket", "band", "pslot")
+            .write.partitionBy("band", "pslot").mode("append")
+            .parquet(s"$indexDir/bands")
           onBatch(batchId, n, kept)
         } finally {
           freeCheckpoint()
+          candPairs.unpersist(blocking = false)
           keepBanded.unpersist(blocking = false)
           arrivals.unpersist(blocking = false)
         }
       }
+    }
+  }
+
+  /** Run `body` with dynamic partition overwrite ON, restoring the
+    * prior mode after: `mode("overwrite")` + `partitionBy` then
+    * replaces ONLY the partitions the write touches — the idempotent
+    * replay primitive (a replayed batch rewrites its own `batch_id=`
+    * partition) — instead of truncating the whole sink.
+    */
+  private[streaming] def withDynamicOverwrite(spark: SparkSession)(
+      body: => Unit): Unit = {
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
     }
   }
 }

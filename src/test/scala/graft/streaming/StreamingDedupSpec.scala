@@ -124,6 +124,95 @@ class StreamingDedupSpec extends SparkSpec {
     assert(batchDrop == Set(2L, 3L), s"batch closure collapses the chain: $batchDrop")
   }
 
+  test("index layout: bands under band=/pslot= dirs, toks under tslot= dirs") {
+    val idx = Files.createTempDirectory("graft-sdedup-idxp").toString
+    val out = Files.createTempDirectory("graft-sdedup-outp").toString
+    StreamingDedup.initMinhashIndex(spark, idx)
+    val fn = StreamingDedup.minhashDedupPipeline(idx, out,
+      numPerms = 64, bands = 32)
+    val docs = (0L until 8L).map(i =>
+      (i, (0 until 20).map(j => s"p${i}w$j").mkString(" "), ts(i.toInt)))
+    fn(docs.toDF("doc_id", "text", "ts"), 0L)
+    def subdirs(p: String) = new java.io.File(p).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq
+    val bandDirs = subdirs(s"$idx/bands")
+    assert(bandDirs.nonEmpty && bandDirs.forall(_.startsWith("band=")),
+      s"bands partitioned by band: $bandDirs")
+    val slotDirs = subdirs(s"$idx/bands/${bandDirs.head}")
+    assert(slotDirs.nonEmpty && slotDirs.forall(_.startsWith("pslot=")),
+      s"second-level bucket-slot dirs: $slotDirs")
+    val tokDirs = subdirs(s"$idx/toks")
+    assert(tokDirs.nonEmpty && tokDirs.forall(_.startsWith("tslot=")),
+      s"toks partitioned by id slot: $tokDirs")
+    // Survivors land under batch_id= partitions (the exactly-once sink).
+    assert(subdirs(out).forall(_.startsWith("batch_id=")), subdirs(out))
+  }
+
+  test("the stored-bands scan carries partition filters and prunes") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val idx = Files.createTempDirectory("graft-sdedup-idxq").toString
+    val out = Files.createTempDirectory("graft-sdedup-outq").toString
+    StreamingDedup.initMinhashIndex(spark, idx)
+    val fn = StreamingDedup.minhashDedupPipeline(idx, out,
+      numPerms = 64, bands = 32)
+    // 8 novel docs spread signatures over many (band, pslot) partitions.
+    val docs = (0L until 8L).map(i =>
+      (i, (0 until 20).map(j => s"q${i}w$j").mkString(" "), ts(i.toInt)))
+    fn(docs.toDF("doc_id", "text", "ts"), 0L)
+    def leafDirs(p: String) = new java.io.File(p).listFiles()
+      .filter(_.isDirectory)
+      .flatMap(_.listFiles().filter(_.isDirectory)).length
+    val total = leafDirs(s"$idx/bands")
+    assert(total > 2, s"fixture writes a spread of partitions, got $total")
+    // A one-key read — the per-batch shape — must NOT scan the index.
+    val pruned = StreamingDedup.prunedBands(spark, idx,
+      bucketSlots = 4, keys = Seq(1))
+    val scan = pruned.queryExecution.executedPlan.collectFirst {
+      case s: FileSourceScanExec => s
+    }.getOrElse(fail("no FileSourceScanExec in " +
+      pruned.queryExecution.executedPlan))
+    assert(scan.partitionFilters.nonEmpty,
+      "the key predicate must reach the scan as a partition filter: " +
+        scan.toString)
+    assert(scan.selectedPartitions.partitionCount < total,
+      s"pruned ${scan.selectedPartitions.partitionCount} of $total " +
+        "partitions — the scan must not read the whole index")
+    // And the pruned read still finds exactly the band=b/pslot=s rows.
+    val keyRows = pruned.collect()
+    assert(keyRows.nonEmpty &&
+      keyRows.forall(r => r.getAs[Int]("band") * 4 + r.getAs[Int]("pslot") == 1))
+  }
+
+  test("replay after a PARTIAL commit leaves zero duplicate survivors") {
+    // Simulate a crash between the toks append and the bands append:
+    // run a batch, wipe the bands table back to empty (as if its append
+    // never committed), replay. The replay finds no candidate bands
+    // rows, re-admits both docs, and dynamic partition overwrite
+    // REWRITES batch_id=0 with identical rows instead of appending —
+    // the exactly-once survivor contract.
+    val idx = Files.createTempDirectory("graft-sdedup-idxpc").toString
+    val out = Files.createTempDirectory("graft-sdedup-outpc").toString
+    StreamingDedup.initMinhashIndex(spark, idx)
+    val fn = StreamingDedup.minhashDedupPipeline(idx, out,
+      numPerms = 64, bands = 32)
+    val b = Seq((1L, docW, ts(0)), (2L, docN, ts(1))).toDF("doc_id", "text", "ts")
+    fn(b, 0L)
+    assert(survivors(out) == Set(1L, 2L))
+    Seq.empty[(Long, Long, Int, Int)].toDF("doc_id", "bucket", "band", "pslot")
+      .write.partitionBy("band", "pslot").mode("overwrite")
+      .parquet(s"$idx/bands") // crash erased the bands commit
+    fn(b, 0L) // replay
+    assert(spark.read.parquet(out).count() == 2,
+      "the replayed batch rewrote its own partition — no duplicates")
+    assert(survivors(out) == Set(1L, 2L))
+    assert(spark.read.parquet(s"$idx/bands")
+      .select("doc_id").distinct().count() == 2,
+      "the replay completed the missing bands append")
+    // And the stream continues correctly: a dup of doc 1 is dropped.
+    fn(Seq((3L, docX, ts(2))).toDF("doc_id", "text", "ts"), 1L)
+    assert(survivors(out) == Set(1L, 2L))
+  }
+
   test("replay: a fully-committed dedup batch self-matches and absorbs idempotently") {
     // foreachBatch is at-least-once; the pipeline functions are plain
     // (DataFrame, batchId) closures, so a replay is literally calling

@@ -960,9 +960,15 @@ object ExtensionQueries {
     val embs = Tables.embeddings(spark, dir)
     val cb = Similarity.trainPqCodebooks(embs, m = 4, ksub = 16, iters = 2,
       trainN = 1024, dim = 64)
-    // The memoized corpus-code artifact — shared with q_sim8/q_sim10,
-    // which encode the identical (corpus, codebooks, m, dim).
-    val enc = Similarity.pqCodes(embs, cb, m = 4, dim = 64)
+    // LAZY encode, fused into this query's own plan (the int8Encode
+    // pattern): this audit is the code table's SINGLE consumer here —
+    // the whole per-subspace argmin feeds straight into the residual
+    // aggregate, and whole-stage codegen keeps that one pass cheaper
+    // than routing through the shared pqCodes memo slot (r8 measured
+    // the slot's eager persist + cached-table re-read at ~0.35 s over
+    // the fused form — the round's one perf regression, retired here).
+    // q_sim8/q_sim10 SERVE the code table repeatedly and keep the slot.
+    val enc = Similarity.pqEncode(embs, cb, m = 4, dim = 64)
     val errSum = (0 until 4)
       .map(j => coalesce(sum(when(col("sub") === j, col("err"))), lit(0.0)))
       .reduceLeft(_ + _)

@@ -978,12 +978,15 @@ object Similarity {
   /** The corpus-side PQ code table as a MEMOIZED build artifact —
     * [[int8IndexWith]]'s rationale for the PQ tier: the encoded corpus
     * is built once and served forever, and a session's serving-path
-    * builds (the q_sim7/q_sim8/q_sim10 shapes) all encode the SAME
+    * builds (the q_sim8/q_sim10 shapes) all encode the SAME
     * (corpus, codebooks, m, dim) — cached, the corpus-wide argmin pass
     * runs once per distinct build instead of once per query per rep.
-    * The append/drift paths keep calling [[pqEncode]] directly: every
+    * The append/drift paths keep calling [[pqEncode]] directly (every
     * micro-batch is a distinct frame consumed once, and memoizing it
-    * would only cycle the LRU with keys that can never hit again.
+    * would only cycle the LRU with keys that can never hit again), and
+    * so does the q_sim7 reconstruction audit: a SINGLE-consumer pass
+    * fused into its own plan beats the slot's eager persist + cached
+    * re-read (r8 measured ~0.35 s of pure slot overhead there).
     */
   def pqCodes(corpus: DataFrame, codebooks: DataFrame, m: Int = 4,
       dim: Int = 64): DataFrame =

@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.storage.StorageLevel
 
 import graft.operators.Similarity
@@ -199,6 +200,273 @@ object IndexMaintenance {
           Seq(row).toDF("batch_id", "n_rows", "tv_max", "retrain")
             .write.mode("append").parquet(sinkDir)
         } finally encoded.unpersist(blocking = false)
+      }
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // The RETRAIN leg — rebuild-and-swap, closing the loop the append
+  // pipelines open. The *AppendPipeline pair detects drift and emits
+  // retrain = 1; the *RebuildingPipeline pair ACTS on it: retrain the
+  // quantizer on the full vector log, rewrite the artifact, re-pin the
+  // baseline, resume appends on the new generation — all inside the
+  // same foreachBatch, so the loop is ingest → append → drift →
+  // rebuild → quiet with no operator runbook in between.
+  //
+  // Store layout (self-contained under one root):
+  //   root/vectors/            raw (vec_id, embedding) log — the
+  //                            corpus seed + every arrival; the
+  //                            authoritative retrain input (a rebuild
+  //                            is a corpus-scale job BY DESIGN — rare
+  //                            and signal-driven, it re-reads this log
+  //                            once; appends never do)
+  //   root/gen-N/...           one directory per quantizer GENERATION:
+  //                            int8 → grid/ centroids/ codes/;
+  //                            PQ   → codebooks/ codes/
+  //   root/gen-N/COMMITTED     marker written LAST — the swap's commit
+  //                            point. A crash mid-rebuild leaves an
+  //                            uncommitted gen dir that every reader
+  //                            ignores; the drift signal re-fires on
+  //                            the next batch and the retry overwrites
+  //                            the orphan. Readers always resolve
+  //                            [[latestGen]] = max committed N.
+  //
+  // Replay honesty: the vectors/codes appends stay at-least-once (the
+  // parquet-append caveat), so a replayed batch can duplicate rows in
+  // BOTH logs. Rebuilds neutralize what they can: training and
+  // re-encoding run over vectors deduped by vec_id, so each rebuild
+  // starts from a clean corpus and only inter-rebuild appends can carry
+  // duplicates.
+  // ------------------------------------------------------------------
+
+  private def hadoopFs(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def genDir(root: String, gen: Long) = s"$root/gen-$gen"
+
+  /** Highest COMMITTED generation under `root` — the one readers and
+    * appenders use. Fails loudly on a store with no committed
+    * generation (init first; an uncommitted orphan alone means a
+    * rebuild died before its commit point).
+    */
+  def latestGen(spark: SparkSession, root: String): Long = {
+    val fs = hadoopFs(spark, root)
+    val gens = fs.listStatus(new Path(root)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen-"))
+      .map(_.getPath.getName.stripPrefix("gen-").toLong)
+      .filter(g => fs.exists(new Path(s"${genDir(root, g)}/COMMITTED")))
+    require(gens.nonEmpty, s"no committed generation under $root — init the store first")
+    gens.max
+  }
+
+  private def commitGen(spark: SparkSession, root: String, gen: Long): Unit =
+    hadoopFs(spark, root)
+      .create(new Path(s"${genDir(root, gen)}/COMMITTED"), true).close()
+
+  /** Bounded driver pin: collect `df` (caller guarantees a small,
+    * construction-bounded row count — a 1-row grid, nCentroids
+    * centroids, m·ksub codebook rows) into a LOCAL relation, immune to
+    * the refreshByPath re-cache the append writes fire on the store
+    * paths ([[int8AppendPipeline]]'s rationale, SCALE.md's trap).
+    */
+  private def pinLocal(df: DataFrame): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    df.sparkSession.createDataFrame(df.collect().toSeq.asJava, df.schema)
+  }
+
+  /** Create an int8 generation store: seed the vector log with
+    * `corpus`, train generation 0 (grid + centroids), encode, commit.
+    */
+  def initInt8Store(spark: SparkSession, root: String, corpus: DataFrame,
+      nCentroids: Int = 16, lloydIters: Int = 2, trainN: Int = 4096,
+      seedPlanes: Int = 6, dim: Int = 64): Unit = {
+    corpus.select("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$root/vectors")
+    val vecs = spark.read.parquet(s"$root/vectors")
+    val grid = Similarity.int8Stats(vecs, dim)
+    val cents = Similarity.trainCentroids(vecs, nCentroids, lloydIters,
+      trainN, seedPlanes, dim)
+    writeInt8Gen(spark, root, 0L, vecs, grid, cents)
+  }
+
+  /** Write one full int8 generation (centroids → grid → codes →
+    * COMMITTED — the marker last, so a partial write is never
+    * resolvable) and return nothing; `vecs` is the deduped retrain
+    * input.
+    */
+  private def writeInt8Gen(spark: SparkSession, root: String, gen: Long,
+      vecs: DataFrame, grid: DataFrame, cents: DataFrame): Unit = {
+    val d = genDir(root, gen)
+    cents.write.mode("overwrite").parquet(s"$d/centroids")
+    grid.write.mode("overwrite").parquet(s"$d/grid")
+    Similarity.int8Encode(vecs, grid, cents)
+      .write.mode("overwrite").parquet(s"$d/codes")
+    commitGen(spark, root, gen)
+  }
+
+  /** [[int8AppendPipeline]] WITH the retrain leg: per batch, log the
+    * raw arrivals, encode on the CURRENT generation's pinned quantizer,
+    * append the codes, emit the drift row (now carrying `gen`) — and
+    * when it says retrain, rebuild generation N+1 from the full vector
+    * log (dedup → retrain grid + centroids → re-encode → commit),
+    * re-pin quantizer + baseline, and resume appends on the new
+    * generation. StreamingSpec drives a planted shift through the whole
+    * loop: quiet → retrain trips → rebuild → the next batches measure
+    * quiet against the NEW baseline.
+    *
+    * At scale: appends stay O(batch); a rebuild is one corpus-scale
+    * training + encode pass, paid only when the signal fires. The
+    * quantizer and baseline live as driver-local pins (grid 1 row,
+    * centroids nCentroids rows, fit 1 double — bounded by
+    * construction), re-pinned only on swap.
+    */
+  def int8RebuildingPipeline(spark: SparkSession, root: String,
+      sinkDir: String,
+      nCentroids: Int = 16, lloydIters: Int = 2, trainN: Int = 4096,
+      seedPlanes: Int = 6, dim: Int = 64, retrainRatio: Double = 0.9,
+      onBatch: (Long, Row) => Unit = (_, _) => (),
+      onRebuild: (Long, Long) => Unit = (_, _) => ())
+      : (DataFrame, Long) => Unit = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // Generation state, pinned ONCE at pipeline construction (and again
+    // only on swap): the stored index is scanned exactly once for the
+    // baseline fit, appends stay O(batch), and a restarted driver
+    // re-constructs the pipeline and re-pins from the committed store —
+    // no in-memory state to lose.
+    var gen = latestGen(spark, root)
+    var grid = pinLocal(spark.read.parquet(s"${genDir(root, gen)}/grid"))
+    var cents = pinLocal(spark.read.parquet(s"${genDir(root, gen)}/centroids"))
+    var baseline = Seq(Similarity.indexedFit(
+        spark.read.parquet(s"${genDir(root, gen)}/codes"), grid, cents)
+      .head().getDouble(0)).toDF("fit_indexed")
+    (batch: DataFrame, batchId: Long) => {
+      val n = batch.count()
+      if (n > 0) {
+        val arrivals = batch.select(col("vec_id"), col("embedding"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          arrivals.write.mode("append").parquet(s"$root/vectors")
+          val encoded = Similarity.int8Encode(arrivals, grid, cents)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          try {
+            encoded.write.mode("append").parquet(s"${genDir(root, gen)}/codes")
+            val d = Similarity.indexDriftFromCodes(encoded, grid, cents,
+              baseline, retrainRatio).head()
+            val row = (batchId, n, d.getAs[Double]("fit_new"),
+              d.getAs[Double]("drift"), d.getAs[Long]("retrain"), gen)
+            onBatch(batchId, Row(row._1, row._2, row._3, row._4, row._5, row._6))
+            Seq(row).toDF("batch_id", "n_rows", "fit_new", "drift",
+              "retrain", "gen").write.mode("append").parquet(sinkDir)
+            if (row._5 == 1L) {
+              // REBUILD: full vector log, deduped (replay insurance),
+              // trained and encoded into generation N+1; commit, then
+              // swap the pins. The next batch appends to gen N+1 and
+              // measures against the retrained baseline.
+              val vecs = spark.read.parquet(s"$root/vectors")
+                .dropDuplicates("vec_id")
+              val g2 = Similarity.int8Stats(vecs, dim)
+              val c2 = Similarity.trainCentroids(vecs, nCentroids,
+                lloydIters, trainN, seedPlanes, dim)
+              writeInt8Gen(spark, root, gen + 1, vecs, g2, c2)
+              gen += 1
+              grid = pinLocal(g2); cents = pinLocal(c2)
+              baseline = Seq(Similarity.indexedFit(
+                  spark.read.parquet(s"${genDir(root, gen)}/codes"), grid, cents)
+                .head().getDouble(0)).toDF("fit_indexed")
+              onRebuild(batchId, gen)
+            }
+          } finally encoded.unpersist(blocking = false)
+        } finally arrivals.unpersist(blocking = false)
+      }
+    }
+  }
+
+  /** Create a PQ generation store: seed the vector log, train
+    * generation-0 codebooks, encode, commit.
+    */
+  def initPqStore(spark: SparkSession, root: String, corpus: DataFrame,
+      m: Int = 4, ksub: Int = 16, iters: Int = 2, trainN: Int = 1024,
+      dim: Int = 64): Unit = {
+    corpus.select("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$root/vectors")
+    val vecs = spark.read.parquet(s"$root/vectors")
+    writePqGen(spark, root, 0L, vecs,
+      Similarity.trainPqCodebooks(vecs, m, ksub, iters, trainN, dim), m, dim)
+  }
+
+  private def writePqGen(spark: SparkSession, root: String, gen: Long,
+      vecs: DataFrame, codebooks: DataFrame, m: Int, dim: Int): Unit = {
+    val d = genDir(root, gen)
+    codebooks.write.mode("overwrite").parquet(s"$d/codebooks")
+    Similarity.pqEncode(vecs, codebooks, m, dim)
+      .select("vec_id", "sub", "code")
+      .write.mode("overwrite").parquet(s"$d/codes")
+    commitGen(spark, root, gen)
+  }
+
+  /** [[pqAppendPipeline]] WITH the retrain leg — [[int8RebuildingPipeline]]'s
+    * shape for the PQ tier: codebooks + code-usage histogram are the
+    * pinned generation state; a tripped tv_max rebuilds codebooks and
+    * codes from the deduped vector log into generation N+1 and re-pins
+    * the histogram, so post-rebuild batches of the (now indexed)
+    * steady-state mix measure quiet.
+    */
+  def pqRebuildingPipeline(spark: SparkSession, root: String,
+      sinkDir: String,
+      m: Int = 4, ksub: Int = 16, iters: Int = 2, trainN: Int = 1024,
+      dim: Int = 64, maxTv: Double = 0.2,
+      onBatch: (Long, Row) => Unit = (_, _) => (),
+      onRebuild: (Long, Long) => Unit = (_, _) => ())
+      : (DataFrame, Long) => Unit = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def pinHist(g: Long): (DataFrame, DataFrame, DataFrame) = {
+      val codes = spark.read.parquet(s"${genDir(root, g)}/codes")
+      // m·ksub + 1 rows — the bounded histogram pin
+      // ([[pqAppendPipeline]]'s refreshByPath rationale).
+      (pinLocal(spark.read.parquet(s"${genDir(root, g)}/codebooks")),
+        pinLocal(codes.groupBy("sub", "code")
+          .agg(count(lit(1)).as("n_idx"))),
+        Seq(codes.agg(countDistinct("vec_id").cast("double"))
+          .head().getDouble(0)).toDF("t_idx"))
+    }
+    // Generation state pinned once at construction —
+    // [[int8RebuildingPipeline]]'s restart-safe posture.
+    var gen = latestGen(spark, root)
+    var (codebooks, hIdx, tIdx) = pinHist(gen)
+    (batch: DataFrame, batchId: Long) => {
+      val n = batch.count()
+      if (n > 0) {
+        val arrivals = batch.select(col("vec_id"), col("embedding"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          arrivals.write.mode("append").parquet(s"$root/vectors")
+          val encoded = Similarity.pqEncode(arrivals, codebooks, m, dim)
+            .select("vec_id", "sub", "code")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          try {
+            encoded.write.mode("append").parquet(s"${genDir(root, gen)}/codes")
+            val d = Similarity.pqDriftFromCodes(encoded, hIdx, tIdx,
+              codebooks, maxTv).head()
+            val row = (batchId, n, d.getAs[Double]("tv_max"),
+              d.getAs[Long]("retrain"), gen)
+            onBatch(batchId, Row(row._1, row._2, row._3, row._4, row._5))
+            Seq(row).toDF("batch_id", "n_rows", "tv_max", "retrain", "gen")
+              .write.mode("append").parquet(sinkDir)
+            if (row._4 == 1L) {
+              val vecs = spark.read.parquet(s"$root/vectors")
+                .dropDuplicates("vec_id")
+              writePqGen(spark, root, gen + 1, vecs,
+                Similarity.trainPqCodebooks(vecs, m, ksub, iters, trainN, dim),
+                m, dim)
+              gen += 1
+              val swapped = pinHist(gen)
+              codebooks = swapped._1; hIdx = swapped._2; tIdx = swapped._3
+              onRebuild(batchId, gen)
+            }
+          } finally encoded.unpersist(blocking = false)
+        } finally arrivals.unpersist(blocking = false)
       }
     }
   }

@@ -450,6 +450,110 @@ class StreamingSpec extends SparkSpec {
       s"batch-2 drift vs pre-append histogram: ${rows(1)} vs $batchDrift")
   }
 
+  test("int8RebuildingPipeline: shift trips retrain, rebuild swaps the generation, drift returns quiet") {
+    import graft.operators.Similarity
+    def vecs(ids: Seq[Int], f: (Int, Int) => Float) =
+      ids.map(id => (id.toLong, Seq.tabulate(8)(d => f(id, d))))
+    val sameDist = (id: Int, d: Int) => 0.1f * ((id + d) % 13) - 0.5f
+    val shifted = (id: Int, d: Int) => if ((id + d) % 2 == 0) 5.0f else -5.0f
+    val root = Files.createTempDirectory("graft-i8gen").toString
+    val sink = Files.createTempDirectory("graft-i8gensink").toString
+    IndexMaintenance.initInt8Store(spark, root,
+      vecs(0 until 48, sameDist).toDF("vec_id", "embedding"),
+      nCentroids = 4, lloydIters = 2, trainN = 64, seedPlanes = 4, dim = 8)
+    assert(IndexMaintenance.latestGen(spark, root) == 0L)
+    var rebuilds = Vector.empty[(Long, Long)]
+    val fn = IndexMaintenance.int8RebuildingPipeline(spark, root, sink,
+      nCentroids = 4, lloydIters = 2, trainN = 64, seedPlanes = 4, dim = 8,
+      onRebuild = (b, g) => rebuilds :+= ((b, g)))
+    // Quiet batch on gen 0 → shifted batch trips retrain and REBUILDS →
+    // a post-rebuild batch of the steady-state mix (5:1 base:shifted,
+    // the store's own proportions after the rebuild) measures QUIET
+    // against the retrained baseline — the closed loop end to end.
+    fn(vecs(100 until 112, sameDist).toDF("vec_id", "embedding"), 0L)
+    fn(vecs(200 until 212, shifted).toDF("vec_id", "embedding"), 1L)
+    val b3 = vecs(300 until 330, sameDist) ++ vecs(400 until 406, shifted)
+    fn(b3.toDF("vec_id", "embedding"), 2L)
+    val rows = spark.read.parquet(sink).orderBy("batch_id").collect()
+      .map(r => (r.getAs[Long]("n_rows"), r.getAs[Long]("retrain"),
+        r.getAs[Long]("gen"))).toSeq
+    assert(rows == Seq((12L, 0L, 0L), (12L, 1L, 0L), (36L, 0L, 1L)),
+      s"quiet → trip → rebuilt-quiet: $rows")
+    assert(rebuilds == Vector((1L, 1L)), s"one rebuild, at the trip: $rebuilds")
+    assert(IndexMaintenance.latestGen(spark, root) == 1L)
+    // The vector log holds every arrival; the gen-1 artifact is the
+    // rebuild (72 rows re-encoded) plus batch 3's append (36) — and
+    // equals one batch encode of the whole log on the gen-1 quantizer
+    // (fixed-quantizer append ≡ encode-union).
+    assert(spark.read.parquet(s"$root/vectors").count() == 48 + 12 + 12 + 36)
+    val grid1 = spark.read.parquet(s"$root/gen-1/grid")
+    val cents1 = spark.read.parquet(s"$root/gen-1/centroids")
+    def rowSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Long]("cid"),
+        r.getAs[Array[Byte]]("qcode").toSeq)).toSet
+    assert(rowSet(spark.read.parquet(s"$root/gen-1/codes")) ==
+      rowSet(Similarity.int8Encode(spark.read.parquet(s"$root/vectors"),
+        grid1, cents1)),
+      "gen-1 artifact ≡ one encode of the full log on the gen-1 quantizer")
+  }
+
+  test("pqRebuildingPipeline: shift trips retrain, codebooks rebuild, drift returns quiet") {
+    import graft.operators.Similarity
+    def vecs(ids: Seq[Int], f: (Int, Int) => Float) =
+      ids.map(id => (id.toLong, Seq.tabulate(8)(d => f(id, d))))
+    val sameDist = (id: Int, d: Int) => 0.1f * ((id + d) % 13) - 0.5f
+    val shifted = (id: Int, d: Int) => if ((id + d) % 2 == 0) 5.0f else -5.0f
+    val root = Files.createTempDirectory("graft-pqgen").toString
+    val sink = Files.createTempDirectory("graft-pqgensink").toString
+    IndexMaintenance.initPqStore(spark, root,
+      vecs(0 until 48, sameDist).toDF("vec_id", "embedding"),
+      m = 2, ksub = 4, iters = 2, trainN = 64, dim = 8)
+    var rebuilds = Vector.empty[(Long, Long)]
+    val fn = IndexMaintenance.pqRebuildingPipeline(spark, root, sink,
+      m = 2, ksub = 4, iters = 2, trainN = 64, dim = 8,
+      onRebuild = (b, g) => rebuilds :+= ((b, g)))
+    // PQ drift is a USAGE-MIX signal, so post-rebuild quiet means: the
+    // steady-state arrival mix — which now includes the shifted
+    // population the rebuild indexed (2:1 base:shifted) — no longer
+    // diverges from the stored histogram.
+    fn(vecs(100 until 148, sameDist).toDF("vec_id", "embedding"), 0L)
+    fn(vecs(200 until 248, shifted).toDF("vec_id", "embedding"), 1L)
+    val b3 = vecs(300 until 332, sameDist) ++ vecs(400 until 416, shifted)
+    fn(b3.toDF("vec_id", "embedding"), 2L)
+    val rows = spark.read.parquet(sink).orderBy("batch_id").collect()
+      .map(r => (r.getAs[Long]("n_rows"), r.getAs[Long]("retrain"),
+        r.getAs[Long]("gen"))).toSeq
+    assert(rows == Seq((48L, 0L, 0L), (48L, 1L, 0L), (48L, 0L, 1L)),
+      s"quiet → trip → rebuilt-quiet: $rows")
+    assert(rebuilds == Vector((1L, 1L)) &&
+      IndexMaintenance.latestGen(spark, root) == 1L)
+    // gen-1 codes ≡ one encode of the full log on the gen-1 codebooks.
+    val cb1 = spark.read.parquet(s"$root/gen-1/codebooks")
+    def rowSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("sub"),
+        r.getAs[Int]("code"))).toSet
+    assert(rowSet(spark.read.parquet(s"$root/gen-1/codes")) ==
+      rowSet(Similarity.pqEncode(spark.read.parquet(s"$root/vectors"), cb1,
+          m = 2, dim = 8).select("vec_id", "sub", "code")),
+      "gen-1 artifact ≡ one encode of the full log on the gen-1 codebooks")
+  }
+
+  test("rebuild store: an uncommitted generation dir is ignored by latestGen") {
+    import graft.operators.Similarity
+    def vecs(ids: Seq[Int]) = ids.map(id =>
+      (id.toLong, Seq.tabulate(8)(d => 0.1f * ((id + d) % 13) - 0.5f)))
+    val root = Files.createTempDirectory("graft-i8orphan").toString
+    IndexMaintenance.initInt8Store(spark, root,
+      vecs(0 until 48).toDF("vec_id", "embedding"),
+      nCentroids = 4, lloydIters = 2, trainN = 64, seedPlanes = 4, dim = 8)
+    // A rebuild that died before its COMMITTED marker: partial dirs
+    // exist, no marker — readers must keep resolving gen 0.
+    vecs(0 until 4).toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$root/gen-1/codes")
+    assert(IndexMaintenance.latestGen(spark, root) == 0L,
+      "crash-orphaned generation must not be resolvable")
+  }
+
   test("full curation funnel stream ≡ batch survivors (dedup → decontam → sample)") {
     import org.apache.spark.sql.functions._
     import graft.functions.{TextFunctions => TF}

@@ -97,14 +97,14 @@ object Packing {
       .select(col("doc_id"), TF.tokenCount(col("text")).as("n"))
       .where(col("n") > 0)
     val maxId = counted.agg(max("doc_id").as("max_id"))
-    // Spark's `/` is fractional division — both the width and the
-    // bucket take an explicit floor. The bucket id is internal (any
-    // deterministic id-range split yields the same offsets), so only
-    // determinism matters here, not the exact boundaries.
+    // `div` is true integer division on longs. Spark's `/` (and
+    // floor-of-`/`) goes through double and loses exactness past 2^53 —
+    // and the streaming continuation is precisely the path where
+    // offsets and ids grow without bound, while the DuckDB oracle's
+    // `//` stays exact. Every quotient here is div for that reason.
     val bucketed = counted.crossJoin(broadcast(maxId))
-      .withColumn("width",
-        floor((col("max_id") + buckets) / buckets).cast("long"))
-      .withColumn("bucket", floor(col("doc_id") / col("width")).cast("long"))
+      .withColumn("width", expr(s"(max_id + $buckets) div $buckets"))
+      .withColumn("bucket", expr("doc_id div width"))
       .drop("max_id", "width")
     val bucketTotals = bucketed.groupBy("bucket").agg(sum("n").as("bn"))
     val wBuckets = Window.orderBy("bucket")
@@ -122,8 +122,8 @@ object Packing {
       .withColumn("end", col("start") + col("n") - 1)
     offsets
       .select(col("doc_id"), col("n"), col("start"), col("end"),
-        explode(sequence((col("start") / capacity).cast("long"),
-          (col("end") / capacity).cast("long"))).as("window_id"))
+        explode(sequence(expr(s"start div $capacity"),
+          expr(s"end div $capacity"))).as("window_id"))
       .groupBy("window_id")
       .agg(count(lit(1)).as("n_docs"),
         sum(least(col("end"), (col("window_id") + 1) * capacity - 1)

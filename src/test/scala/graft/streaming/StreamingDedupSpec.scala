@@ -236,7 +236,7 @@ class StreamingDedupSpec extends SparkSpec {
     assert(survivors(out) == Set(1L, 2L, 4L))
   }
 
-  test("replay: packing re-packs at the original offset — the grid never shifts") {
+  test("replay: packing re-packs at the original offset — the grid never shifts, zero duplicates") {
     val windows = Files.createTempDirectory("graft-packwr").toString
     val offsets = Files.createTempDirectory("graft-packor").toString
     val fn = PackingStream.packPipeline(windows, offsets, capacity = 16)
@@ -244,8 +244,7 @@ class StreamingDedupSpec extends SparkSpec {
     val b0 = Seq(doc(0), doc(1), doc(2)).toDF("doc_id", "text", "ts")
     val b1 = Seq(doc(3), doc(4), doc(5)).toDF("doc_id", "text", "ts")
     fn(b0, 0L); fn(b1, 1L)
-    def state() = spark.read.parquet(offsets)
-      .orderBy(col("batch_id").desc).head()
+    def state() = PackingStream.readOffsetState(spark, offsets).get
     val before = (state().getLong(0), state().getLong(1), state().getLong(2))
     val maxWin = spark.read.parquet(windows).agg(max("window_id")).head().getLong(0)
     fn(b1, 1L) // replay of the LAST batch, after its state commit
@@ -253,12 +252,70 @@ class StreamingDedupSpec extends SparkSpec {
       "replay reuses the pre-batch offset; the state row is re-appended unchanged")
     assert(spark.read.parquet(windows).agg(max("window_id")).head().getLong(0)
       == maxWin, "no forward shift: the replay emitted the same window ids")
-    // The duplicated partials are the documented at-least-once caveat;
-    // the GRID is intact: batch 2 at its original offset again.
+    // EXACTLY-ONCE: the replay rewrote its own batch_id= partition with
+    // identical rows — one row per (window, batch), no duplicates to
+    // vanish into mergedWindows' sums.
     val dup = spark.read.parquet(windows)
-      .groupBy("window_id", "n_docs", "n_tokens").count()
+      .groupBy("window_id", "batch_id").count()
       .where(col("count") > 1).count()
-    assert(dup > 0, "replayed partials duplicate rather than shift")
+    assert(dup == 0, "replayed partials rewrite, never duplicate")
+    val merged = PackingStream.mergedWindows(spark, windows)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val batch = graft.operators.Packing.concatPackWindows(
+        (Seq(doc(0), doc(1), doc(2)) ++ Seq(doc(3), doc(4), doc(5)))
+          .toDF("doc_id", "text", "ts"), capacity = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(merged == batch, "post-replay merged view ≡ the batch pack")
+  }
+
+  test("offset log compacts across generations; a replay across the boundary keeps the grid") {
+    val windows = Files.createTempDirectory("graft-packwc").toString
+    val offsets = Files.createTempDirectory("graft-packoc").toString
+    // compactEvery = 2 forces a compaction roughly every batch.
+    val fn = PackingStream.packPipeline(windows, offsets, capacity = 16,
+      compactEvery = 2)
+    def doc(i: Long) = (i, (0 until 7).map(j => s"d${i}t$j").mkString(" "), ts(i.toInt))
+    val docs = (0L until 15L).map(doc)
+    docs.grouped(3).zipWithIndex.foreach { case (b, i) =>
+      fn(b.toDF("doc_id", "text", "ts"), i.toLong)
+    }
+    val genDirs = new java.io.File(offsets).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq
+    assert(genDirs.forall(_.startsWith("gen-")) && genDirs.size == 1,
+      s"older generations deleted after compaction: $genDirs")
+    val st = PackingStream.readOffsetState(spark, offsets).get
+    assert(st.getLong(0) == 4L && st.getLong(2) == 15L * 7L,
+      s"state survives compaction: $st")
+    // Replay the last batch ACROSS the compaction boundary (its own
+    // replay triggers another compaction first): grid unchanged.
+    fn(docs.takeRight(3).toDF("doc_id", "text", "ts"), 4L)
+    val st2 = PackingStream.readOffsetState(spark, offsets).get
+    assert((st2.getLong(0), st2.getLong(1), st2.getLong(2)) ==
+      (st.getLong(0), st.getLong(1), st.getLong(2)),
+      s"replayed state identical through compaction: $st2")
+    val merged = PackingStream.mergedWindows(spark, windows)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val batch = graft.operators.Packing.concatPackWindows(
+        docs.toDF("doc_id", "text", "ts"), capacity = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(merged == batch, s"grid intact through compactions: $merged")
+  }
+
+  test("foreign offset-state layout fails loudly instead of restarting the grid") {
+    val windows = Files.createTempDirectory("graft-packwf").toString
+    val offsets = Files.createTempDirectory("graft-packof").toString
+    // An offline rewrite this reader does not understand: flat parquet
+    // under a non-generation subdir. Misreading it as a fresh stream
+    // would silently restart the grid at offset 0.
+    Seq((0L, 0L, 21L)).toDF("batch_id", "before", "after")
+      .write.parquet(s"$offsets/compacted")
+    intercept[IllegalStateException] {
+      PackingStream.readOffsetState(spark, offsets)
+    }
+    val fn = PackingStream.packPipeline(windows, offsets, capacity = 16)
+    intercept[IllegalStateException] {
+      fn(Seq((1L, "a b c", ts(0))).toDF("doc_id", "text", "ts"), 1L)
+    }
   }
 
   test("PackingStream: merged streamed windows ≡ one batch pack of the union") {

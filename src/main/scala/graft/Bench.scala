@@ -86,6 +86,18 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(_.getCollectionTime).filter(_ > 0).sum
     }
+    // Machine load (1/5/15-min averages) at run start and end, so a
+    // BENCH_rN is self-diagnosing: round 8 burned a full re-run proving
+    // a regression-looking window was load-poisoned — with start/end
+    // loadavg in the record, that postmortem is one field read. Best
+    // effort: absent /proc (non-Linux), report an empty list.
+    def loadavg: Seq[Double] =
+      try new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/loadavg")),
+          java.nio.charset.StandardCharsets.UTF_8)
+        .split("\\s+").take(3).toSeq.map(_.toDouble)
+      catch { case _: Throwable => Seq.empty }
+    val load0 = loadavg
     val gc0 = gcMillis
     // Interleaved passes: every pass visits all queries in sorted order,
     // so a transient load window hits one rep of many queries instead of
@@ -132,10 +144,12 @@ object Bench {
     val floor = if (results.nonEmpty) results.map(_._2).min else 0.0
     val adj = total - results.size * floor
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def loadJson(l: Seq[Double]): String = l.map(f3).mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,""" +
       s""""n":${results.size},"floor":${f3(floor)},"value_adj":${f3(adj)},""" +
       s""""total_med":${f3(totalMed)},"gc_sec":${f3(gcSec)},""" +
+      s""""load_start":${loadJson(load0)},"load_end":${loadJson(loadavg)},""" +
       s""""queries_med":$qsMed,""" +
       s""""failed":$failedJson,"sf":"$sfDir"}"""
     println(line)

@@ -1974,6 +1974,41 @@ object ExtensionQueries {
       |                - greatest(start, window_id * 256) + 1) AS BIGINT) AS n_tokens
       |FROM x GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- ML-12
+  /** The packing CONTINUATION form
+    * ([[graft.operators.Packing.concatPackWindowsFrom]] at a nonzero
+    * start offset — the exact per-micro-batch shape
+    * [[graft.streaming.PackingStream]] executes): the token stream
+    * resumes at offset 1000, deliberately NOT a capacity multiple, so
+    * the first window is partially pre-consumed and every boundary is
+    * mid-window-shifted. Oracling this directly proves the continuation
+    * math — two-level parallel prefix sum rebased at an arbitrary
+    * offset, integer-`div` window ids (r8 ADVICE: fractional division
+    * loses exactness past 2^53 on an unbounded stream) — equals the
+    * sequential oracle at a resume point, which is the algebraic core
+    * of the stream ≡ batch packing law.
+    */
+  def concatPackingResume(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.concatPackWindowsFrom(Tables.documents(spark, dir),
+      capacity = 256, startOffset = 1000L)
+
+  val concatPackingResumeSql: String =
+    """WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n
+      |           FROM documents WHERE len(string_split(text, ' ')) > 0),
+      |o AS (SELECT doc_id, n,
+      |             1000 + sum(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+      |               AND CURRENT ROW) - n AS start
+      |      FROM d),
+      |e AS (SELECT doc_id, start, start + n - 1 AS fin FROM o),
+      |x AS (SELECT doc_id, start, fin,
+      |             unnest(generate_series(CAST(start // 256 AS BIGINT),
+      |                                    CAST(fin // 256 AS BIGINT))) AS window_id
+      |      FROM e)
+      |SELECT window_id, count(*) AS n_docs,
+      |       CAST(sum(least(fin, (window_id + 1) * 256 - 1)
+      |                - greatest(start, window_id * 256) + 1) AS BIGINT) AS n_tokens
+      |FROM x GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---------------------------------------------------------------- ADV-7
   /** PageRank over the MinHash near-dup pair graph
     * ([[graft.operators.Graph.pageRank]], damping 0.85, 5 fixed

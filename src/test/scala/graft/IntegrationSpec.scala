@@ -225,6 +225,90 @@ class IntegrationSpec extends SparkSpec {
     }
   }
 
+  test("streamed training-data path at sf0.01: near-dup dedup feeds packing; stream ≡ batch laws on organic docs") {
+    // The round-9 document path composed end to end over REAL data:
+    // documents stream through the partitioned-index near-dup dedup,
+    // and the survivors stream through offset-carried packing. Each
+    // law is pinned at fixture scale in StreamingDedupSpec; this leg
+    // re-proves them on 400 organic sf0.01 documents where the dup
+    // structure is whatever the generator planted, not hand-built.
+    import graft.operators.{Dedup, Packing}
+    import graft.streaming.{PackingStream, StreamingDedup}
+    val sfDir = "/root/testdata/sf0.01"
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .where(col("doc_id") < 400)
+      .select(col("doc_id"), col("text")).collect()
+      .map(row => (row.getLong(0), row.getString(1)))
+      .sortBy(_._1)
+      .map { case (id, text) =>
+        (id, text, Timestamp.valueOf(s"2024-01-01 10:00:${"%02d".format(id % 60)}")) }
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    val idx = Files.createTempDirectory("graft-tdp-idx").toString
+    val surv = Files.createTempDirectory("graft-tdp-surv").toString
+    StreamingDedup.initMinhashIndex(spark, idx)
+    val dedup = StreamingDedup.minhashDedupPipeline(idx, surv,
+      numPerms = 64, bands = 32)
+    dedup(b1.toSeq.toDF("doc_id", "text", "ts"), 0L)
+    dedup(b2.toSeq.toDF("doc_id", "text", "ts"), 1L)
+    def survivorsOf(batch: Long): Seq[Long] = spark.read.parquet(surv)
+      .where(col("batch_id") === batch)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    // Law 1 (one batch ≡ the batch pipeline) on batch 1:
+    val b1df = b1.toSeq.toDF("doc_id", "text", "ts")
+    val drop1 = Dedup.dupClusters(Dedup.minhashNearDups(b1df,
+        numPerms = 64, bands = 32))
+      .where(col("doc_id") =!= col("cluster"))
+      .collect().map(_.getLong(0)).toSet
+    val kept1 = b1.map(_._1).filterNot(drop1).sorted.toSeq
+    assert(survivorsOf(0L) == kept1, "batch-1 survivors ≡ batch near-dup stage")
+    // Law 2 (greedy-prefix across batches): batch-2 survivors are its
+    // local keepers minus docs the SAME banding + verify links to a
+    // RETAINED batch-1 doc — computed here from one batch run over the
+    // union (banding is per-doc deterministic, so union pairs spanning
+    // the sets are exactly the stream's stored-index candidates).
+    val b2df = b2.toSeq.toDF("doc_id", "text", "ts")
+    val drop2local = Dedup.dupClusters(Dedup.minhashNearDups(b2df,
+        numPerms = 64, bands = 32))
+      .where(col("doc_id") =!= col("cluster"))
+      .collect().map(_.getLong(0)).toSet
+    val keep2local = b2.map(_._1).filterNot(drop2local).toSet
+    val kept1set = kept1.toSet
+    val unionDf = (b1.filter(d => kept1set(d._1)) ++
+        b2.filter(d => keep2local(d._1))).toSeq.toDF("doc_id", "text", "ts")
+    val crossDrop = Dedup.minhashNearDups(unionDf, numPerms = 64, bands = 32)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+      .collect { case (a, b) if kept1set(a) && keep2local(b) => b
+                 case (a, b) if kept1set(b) && keep2local(a) => a }
+      .toSet
+    assert(survivorsOf(1L) == (keep2local -- crossDrop).toSeq.sorted,
+      "batch-2 survivors ≡ greedy-prefix reference over the union banding")
+    // The index is partitioned and a per-batch-shaped read prunes.
+    val bandDirs = new java.io.File(s"$idx/bands").listFiles()
+      .filter(_.isDirectory)
+    assert(bandDirs.nonEmpty && bandDirs.forall(_.getName.startsWith("band=")))
+    // Packing leg: survivors stream (id-ordered batches) → window grid
+    // ≡ one batch pack of all survivors.
+    val windows = Files.createTempDirectory("graft-tdp-win").toString
+    val offsets = Files.createTempDirectory("graft-tdp-off").toString
+    val pack = PackingStream.packPipeline(windows, offsets, capacity = 128)
+    val textOf = docs.map(d => d._1 -> d._2).toMap
+    def survDocs(batch: Long) = survivorsOf(batch)
+      .map(id => (id, textOf(id), Timestamp.valueOf("2024-01-01 10:00:00")))
+    pack(survDocs(0L).toDF("doc_id", "text", "ts"), 0L)
+    pack(survDocs(1L).toDF("doc_id", "text", "ts"), 1L)
+    val merged = PackingStream.mergedWindows(spark, windows)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val batchPack = Packing.concatPackWindows(
+        (survDocs(0L) ++ survDocs(1L)).toDF("doc_id", "text", "ts"),
+        capacity = 128)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(merged == batchPack,
+      s"streamed windows over survivors ≡ batch pack (${merged.size} windows)")
+    assert(merged.nonEmpty && merged.map(_._3).init.forall(_ == 128L),
+      "every non-final window filled to capacity")
+  }
+
   test("driver contract: entry() returns rows; every query has a runnable entry") {
     assert(SparkEntry.entry(spark).count() > 0, "flagship must return rows")
     // Every oracleSql key must refer to a real query (a typo'd key would

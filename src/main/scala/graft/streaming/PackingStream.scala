@@ -176,13 +176,16 @@ object PackingStream {
             .head().getLong(0)
           // The batch's partials land in their own partition, replayed
           // idempotently via dynamic partition overwrite (an identical
-          // re-pack rewrites identical rows — never duplicates).
-          StreamingDedup.withDynamicOverwrite(spark) {
-            Packing.concatPackWindowsFrom(arrivals, capacity, offset0)
-              .withColumn("batch_id", lit(batchId))
-              .write.partitionBy("batch_id").mode("overwrite")
-              .parquet(windowsDir)
-          }
+          // re-pack rewrites identical rows — never duplicates). The
+          // mode is scoped to THIS write via the writer option, never
+          // the session conf: a session-wide toggle would silently
+          // change the overwrite semantics of any unrelated partitioned
+          // write that races the window.
+          Packing.concatPackWindowsFrom(arrivals, capacity, offset0)
+            .withColumn("batch_id", lit(batchId))
+            .write.partitionBy("batch_id").mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(windowsDir)
           Seq((batchId, offset0, offset0 + batchTokens))
             .toDF("batch_id", "before", "after")
             .write.mode("append").parquet(genDir(offsetDir, gen))

@@ -228,11 +228,10 @@ object StreamingDedup {
           // the missing index appends. Bands-first would instead strand
           // docs findable-but-unverifiable, silently admitting their
           // future near-dups.
-          withDynamicOverwrite(spark) {
-            retained.withColumn("batch_id", lit(batchId))
-              .write.partitionBy("batch_id").mode("overwrite")
-              .parquet(survivorsDir)
-          }
+          retained.withColumn("batch_id", lit(batchId))
+            .write.partitionBy("batch_id").mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(survivorsDir)
           retained.select(col("doc_id"),
               array_distinct(TF.tokens(col("text"))).as("toks"))
             .withColumn("tslot", pmod(col("doc_id"), lit(idSlots)).cast("int"))
@@ -252,21 +251,4 @@ object StreamingDedup {
     }
   }
 
-  /** Run `body` with dynamic partition overwrite ON, restoring the
-    * prior mode after: `mode("overwrite")` + `partitionBy` then
-    * replaces ONLY the partitions the write touches — the idempotent
-    * replay primitive (a replayed batch rewrites its own `batch_id=`
-    * partition) — instead of truncating the whole sink.
-    */
-  private[streaming] def withDynamicOverwrite(spark: SparkSession)(
-      body: => Unit): Unit = {
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try body
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
-  }
 }

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Shared generation-directory machinery for the streaming state
+  * stores ([[PackingStream]]'s offset log, [[IndexMaintenance]]'s
+  * quantizer stores, [[StreamingDedup]]'s signature index): state
+  * lives under `root/gen-N/`, a generation is resolvable only once its
+  * `COMMITTED` marker exists (written LAST, so a crash mid-write
+  * leaves an unresolvable orphan every reader ignores and a later
+  * retry overwrites), and readers always take the highest committed N.
+  * Factored here because three stores independently grew the same
+  * protocol; one implementation keeps the crash-ordering rules in one
+  * place.
+  */
+private[streaming] object GenStore {
+
+  def fs(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def dir(root: String, gen: Long): String = s"$root/gen-$gen"
+
+  /** Committed generations under `root`, ascending; empty for a
+    * missing or never-committed store.
+    */
+  def committed(spark: SparkSession, root: String): Seq[Long] = {
+    val hfs = fs(spark, root)
+    if (!hfs.exists(new Path(root))) Seq.empty
+    else hfs.listStatus(new Path(root)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen-"))
+      .map(_.getPath.getName.stripPrefix("gen-").toLong)
+      .filter(g => hfs.exists(new Path(s"${dir(root, g)}/COMMITTED")))
+      .sorted
+  }
+
+  /** Highest committed generation — fails loudly on a store with none
+    * (init first; an uncommitted orphan alone means a writer died
+    * before its commit point).
+    */
+  def latest(spark: SparkSession, root: String): Long = {
+    val gens = committed(spark, root)
+    require(gens.nonEmpty,
+      s"no committed generation under $root — init the store first")
+    gens.max
+  }
+
+  /** Write the `COMMITTED` marker — the commit point; idempotent. */
+  def commit(spark: SparkSession, root: String, gen: Long): Unit =
+    fs(spark, root).create(new Path(s"${dir(root, gen)}/COMMITTED"), true)
+      .close()
+
+  /** Delete every `gen-*` directory numbered below `keep` — committed
+    * predecessors and crash orphans alike (single-writer stores: an
+    * orphan below the surviving generation can only be a dead crash
+    * remnant, never a concurrent writer's work-in-progress).
+    */
+  def dropBelow(spark: SparkSession, root: String, keep: Long): Unit = {
+    val hfs = fs(spark, root)
+    hfs.listStatus(new Path(root)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen-"))
+      .filter(_.getPath.getName.stripPrefix("gen-").toLong < keep)
+      .foreach(s => hfs.delete(s.getPath, true))
+  }
+
+  /** Count data files under `path` (recursive, `_`-prefixed bookkeeping
+    * files excluded) — the compaction trigger's measure of small-file
+    * accretion. Cost is one directory walk, bounded post-compaction by
+    * the trigger threshold itself.
+    */
+  def dataFileCount(spark: SparkSession, path: String): Long = {
+    val hfs = fs(spark, path)
+    if (!hfs.exists(new Path(path))) 0L
+    else {
+      val it = hfs.listFiles(new Path(path), true)
+      var n = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        if (!f.getPath.getName.startsWith("_")) n += 1
+      }
+      n
+    }
+  }
+}

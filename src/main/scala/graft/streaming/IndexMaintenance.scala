@@ -239,29 +239,18 @@ object IndexMaintenance {
   // duplicates.
   // ------------------------------------------------------------------
 
-  private def hadoopFs(spark: SparkSession, path: String) =
-    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  private def genDir(root: String, gen: Long) = s"$root/gen-$gen"
+  private def genDir(root: String, gen: Long) = GenStore.dir(root, gen)
 
   /** Highest COMMITTED generation under `root` — the one readers and
     * appenders use. Fails loudly on a store with no committed
     * generation (init first; an uncommitted orphan alone means a
-    * rebuild died before its commit point).
+    * rebuild died before its commit point). [[GenStore]]'s protocol.
     */
-  def latestGen(spark: SparkSession, root: String): Long = {
-    val fs = hadoopFs(spark, root)
-    val gens = fs.listStatus(new Path(root)).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen-"))
-      .map(_.getPath.getName.stripPrefix("gen-").toLong)
-      .filter(g => fs.exists(new Path(s"${genDir(root, g)}/COMMITTED")))
-    require(gens.nonEmpty, s"no committed generation under $root — init the store first")
-    gens.max
-  }
+  def latestGen(spark: SparkSession, root: String): Long =
+    GenStore.latest(spark, root)
 
   private def commitGen(spark: SparkSession, root: String, gen: Long): Unit =
-    hadoopFs(spark, root)
-      .create(new Path(s"${genDir(root, gen)}/COMMITTED"), true).close()
+    GenStore.commit(spark, root, gen)
 
   /** Bounded driver pin: collect `df` (caller guarantees a small,
     * construction-bounded row count — a 1-row grid, nCentroids

@@ -72,22 +72,16 @@ object PackingStream {
     StructField("after", LongType)))
 
   private def hadoopFs(spark: SparkSession, path: String) =
-    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    GenStore.fs(spark, path)
 
-  private def genDir(root: String, gen: Long) = s"$root/gen-$gen"
+  private def genDir(root: String, gen: Long) = GenStore.dir(root, gen)
 
-  /** Committed generations under `offsetDir`, ascending (a generation
-    * is resolvable only once its COMMITTED marker exists).
+  /** Committed generations under `offsetDir`, ascending —
+    * [[GenStore]]'s protocol (a generation is resolvable only once its
+    * COMMITTED marker exists).
     */
-  private def committedGens(spark: SparkSession, offsetDir: String): Seq[Long] = {
-    val fs = hadoopFs(spark, offsetDir)
-    if (!fs.exists(new Path(offsetDir))) Seq.empty
-    else fs.listStatus(new Path(offsetDir)).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen-"))
-      .map(_.getPath.getName.stripPrefix("gen-").toLong)
-      .filter(g => fs.exists(new Path(s"${genDir(offsetDir, g)}/COMMITTED")))
-      .sorted
-  }
+  private def committedGens(spark: SparkSession, offsetDir: String): Seq[Long] =
+    GenStore.committed(spark, offsetDir)
 
   /** The current offset state: `None` = fresh stream (no state dir, an
     * empty one, or a committed-but-empty generation — all the shapes a

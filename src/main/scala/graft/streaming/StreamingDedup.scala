@@ -28,9 +28,13 @@ import graft.operators.Dedup
   *    stream). StreamingSpec pins both the one-batch ≡ batch-pipeline
   *    case and the chain case where the semantics legitimately differ.
   *
-  * Index layout (two PARTITIONED parquet tables under `indexDir`) —
-  * partitioning is what keeps the per-batch cost O(batch), not
-  * O(index):
+  * Index layout — a MANIFEST of the structural parameters at the
+  * root, then two PARTITIONED parquet tables per GENERATION
+  * (`indexDir/gen-N/bands`, `indexDir/gen-N/toks`, resolvable once
+  * `gen-N/COMMITTED` exists — [[GenStore]]'s protocol). Partitioning
+  * is what keeps the per-batch cost O(batch), not O(index);
+  * generations are what keep the FILE COUNT bounded (see compaction
+  * below):
   *  - `bands`: (doc_id, bucket) partitioned by (band, pslot) where
   *    `pslot = pmod(bucket, bucketSlots)` — the LSH blocking keys,
   *    computed ONCE at admission by the same fused codegen generator
@@ -54,6 +58,23 @@ import graft.operators.Dedup
   * — the same justification as IndexMaintenance's baseline pin.
   * Appends write the batch's own novel rows only, into their partition
   * directories.
+  *
+  * Small-file compaction: each batch's appends write one file per
+  * TOUCHED partition, so over a long stream the per-partition file
+  * count grows with batch count — directory listing and footer reads
+  * erode the O(batch) read even with pruning (the small-files disease
+  * the reference's compactor exists to cure, reference
+  * sensor-log-compactor.py:157-173). When the current generation's
+  * data-file count crosses `compactAtFiles`, the pipeline rewrites
+  * both tables into generation N+1 clustered one-file-per-partition
+  * (`repartition` on the partition keys), commits the marker, and
+  * drops the old generation — the same copy→commit→drop protocol as
+  * the offset log, so a crash at any point leaves either the old
+  * generation authoritative or both committed (reader takes the max).
+  * A compaction pass costs O(index) — amortized O(index/batches-per-
+  * trigger) per batch, and the trigger is file count, not time, so a
+  * quiet stream never pays it. Row contents are preserved exactly, so
+  * a replay across the boundary resolves identically.
   *
   * Crash-replay (foreachBatch is at-least-once): the per-batch appends
   * are ordered survivors → toks → bands so that a replayed batch either
@@ -87,18 +108,64 @@ object StreamingDedup {
     StructField("toks", ArrayType(StringType)),
     StructField("tslot", IntegerType)))
 
-  /** Create the empty signature index (idempotent only for a fresh
-    * dir — call once before starting the stream).
+  /** The six STRUCTURAL parameters persisted in the index MANIFEST:
+    * signature shape (`numPerms`/`bands`/`shingleSize`/`md5Parity` —
+    * stored signatures are computed once, at admission, so a different
+    * shape makes stored and new signatures incomparable) and pruning
+    * grid (`bucketSlots`/`idSlots` — a different grid silently prunes
+    * WRONG partitions, i.e. misses duplicates). `threshold` is a
+    * semantic knob (tightening future admissions is legal) and stays
+    * out.
     */
-  def initMinhashIndex(spark: SparkSession, indexDir: String): Unit = {
+  private def manifestEntries(numPerms: Int, bands: Int, shingleSize: Int,
+      md5Parity: Boolean, bucketSlots: Int, idSlots: Int)
+      : Seq[(String, String)] = Seq(
+    "kind" -> "minhash-dedup-index",
+    "numPerms" -> numPerms.toString, "bands" -> bands.toString,
+    "shingleSize" -> shingleSize.toString, "md5Parity" -> md5Parity.toString,
+    "bucketSlots" -> bucketSlots.toString, "idSlots" -> idSlots.toString)
+
+  /** Create the empty signature index: MANIFEST (the structural
+    * parameters every later pipeline construction is checked against),
+    * then empty generation-0 tables, then the COMMITTED marker. Call
+    * once before starting the stream; the parameters must match the
+    * pipeline's.
+    */
+  def initMinhashIndex(spark: SparkSession, indexDir: String,
+      numPerms: Int = 64, bands: Int = 16, shingleSize: Int = 3,
+      md5Parity: Boolean = false, bucketSlots: Int = 4,
+      idSlots: Int = 64): Unit = {
     import spark.implicits._
+    StoreManifest.write(spark, indexDir,
+      manifestEntries(numPerms, bands, shingleSize, md5Parity, bucketSlots,
+        idSlots))
+    val g0 = GenStore.dir(indexDir, 0L)
     Seq.empty[(Long, Long, Int, Int)].toDF("doc_id", "bucket", "band", "pslot")
       .write.partitionBy("band", "pslot").mode("overwrite")
-      .parquet(s"$indexDir/bands")
+      .parquet(s"$g0/bands")
     Seq.empty[(Long, Seq[String], Int)].toDF("doc_id", "toks", "tslot")
       .write.partitionBy("tslot").mode("overwrite")
-      .parquet(s"$indexDir/toks")
+      .parquet(s"$g0/toks")
+    GenStore.commit(spark, indexDir, 0L)
   }
+
+  /** The current (highest committed) generation's directory — where
+    * reads resolve and appends land between compactions.
+    */
+  def currentGenDir(spark: SparkSession, indexDir: String): String =
+    GenStore.dir(indexDir, GenStore.latest(spark, indexDir))
+
+  /** Full read of the current generation's bands table (consumer /
+    * test surface; the pipeline itself only ever reads pruned).
+    */
+  def bandsTable(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.schema(bandsSchema)
+      .parquet(s"${currentGenDir(spark, indexDir)}/bands")
+
+  /** Full read of the current generation's toks table. */
+  def toksTable(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.schema(toksSchema)
+      .parquet(s"${currentGenDir(spark, indexDir)}/toks")
 
   /** Stored-bands read pruned to the partitions whose
     * `band * bucketSlots + pslot` key is in `keys`. The predicate
@@ -110,7 +177,8 @@ object StreamingDedup {
     */
   def prunedBands(spark: SparkSession, indexDir: String,
       bucketSlots: Int, keys: Seq[Int]): DataFrame = {
-    val stored = spark.read.schema(bandsSchema).parquet(s"$indexDir/bands")
+    val stored = spark.read.schema(bandsSchema)
+      .parquet(s"${currentGenDir(spark, indexDir)}/bands")
     if (keys.isEmpty) stored.where(lit(false))
     else stored.where(
       (col("band") * lit(bucketSlots) + col("pslot")).isin(keys: _*))
@@ -121,9 +189,33 @@ object StreamingDedup {
     */
   def prunedToks(spark: SparkSession, indexDir: String,
       slots: Seq[Int]): DataFrame = {
-    val stored = spark.read.schema(toksSchema).parquet(s"$indexDir/toks")
+    val stored = spark.read.schema(toksSchema)
+      .parquet(s"${currentGenDir(spark, indexDir)}/toks")
     if (slots.isEmpty) stored.where(lit(false))
     else stored.where(col("tslot").isin(slots: _*))
+  }
+
+  /** Rewrite generation `gen`'s tables into `gen + 1`, clustered one
+    * file per partition (`repartition` on the partition keys puts each
+    * leaf's rows in exactly one task), commit, drop everything older —
+    * the offset log's copy→commit→drop protocol applied to the index.
+    * Returns the new generation.
+    */
+  private def compactIndex(spark: SparkSession, indexDir: String,
+      gen: Long): Long = {
+    val from = GenStore.dir(indexDir, gen)
+    val to = GenStore.dir(indexDir, gen + 1)
+    spark.read.schema(bandsSchema).parquet(s"$from/bands")
+      .repartition(col("band"), col("pslot"))
+      .write.partitionBy("band", "pslot").mode("overwrite")
+      .parquet(s"$to/bands")
+    spark.read.schema(toksSchema).parquet(s"$from/toks")
+      .repartition(col("tslot"))
+      .write.partitionBy("tslot").mode("overwrite")
+      .parquet(s"$to/toks")
+    GenStore.commit(spark, indexDir, gen + 1)
+    GenStore.dropBelow(spark, indexDir, gen + 1)
+    gen + 1
   }
 
   /** The foreachBatch function: batch-local near-dup resolution, then
@@ -133,20 +225,42 @@ object StreamingDedup {
     * funnel consumes. `onBatch(batchId, nArrived, nRetained)` is the
     * monitoring hook. `bucketSlots`/`idSlots` fix the index partition
     * grid (bands·bucketSlots and idSlots leaf dirs) — they must stay
-    * constant for the life of one index.
+    * constant for the life of one index, which is exactly what the
+    * construction-time MANIFEST check enforces: the structural
+    * parameters are compared against the persisted manifest and ANY
+    * mismatch throws, because a mismatched grid would silently prune
+    * wrong (missed duplicates) and a mismatched signature shape would
+    * make stored signatures unfindable. `compactAtFiles` bounds the
+    * index's small-file accretion (see the compaction note above);
+    * `Int.MaxValue` disables.
     */
-  def minhashDedupPipeline(indexDir: String, survivorsDir: String,
+  def minhashDedupPipeline(spark: SparkSession, indexDir: String,
+      survivorsDir: String,
       numPerms: Int = 64, bands: Int = 16, shingleSize: Int = 3,
       threshold: Double = 0.5, md5Parity: Boolean = false,
       bucketSlots: Int = 4, idSlots: Int = 64,
+      compactAtFiles: Int = 4096,
       onBatch: (Long, Long, Long) => Unit = (_, _, _) => ())
       : (DataFrame, Long) => Unit = {
     require(numPerms % bands == 0, "bands must divide numPerms")
     require(bucketSlots > 0 && idSlots > 0, "slot counts must be positive")
+    require(compactAtFiles > 0, "compactAtFiles must be positive")
+    StoreManifest.check(spark, indexDir,
+      manifestEntries(numPerms, bands, shingleSize, md5Parity, bucketSlots,
+        idSlots), "minhash dedup index")
     (batch: DataFrame, batchId: Long) => {
       val n = batch.count()
       if (n > 0) {
-        val spark = batch.sparkSession
+        // Resolve the generation at batch start, and compact FIRST if
+        // the file count has crossed the bound — so this batch's reads
+        // and appends all target the surviving generation.
+        var gen = GenStore.latest(spark, indexDir)
+        if (GenStore.dataFileCount(spark,
+              s"${GenStore.dir(indexDir, gen)}/bands") +
+            GenStore.dataFileCount(spark,
+              s"${GenStore.dir(indexDir, gen)}/toks") >= compactAtFiles)
+          gen = compactIndex(spark, indexDir, gen)
+        val genPath = GenStore.dir(indexDir, gen)
         val arrivals = batch.select(col("doc_id"), col("text"), col("ts"))
           .persist(StorageLevel.MEMORY_AND_DISK)
         // Stage 1 — batch-local near-dup: the batch pair graph resolved
@@ -235,11 +349,11 @@ object StreamingDedup {
           retained.select(col("doc_id"),
               array_distinct(TF.tokens(col("text"))).as("toks"))
             .withColumn("tslot", pmod(col("doc_id"), lit(idSlots)).cast("int"))
-            .write.partitionBy("tslot").mode("append").parquet(s"$indexDir/toks")
+            .write.partitionBy("tslot").mode("append").parquet(s"$genPath/toks")
           keepBanded.join(retained.select("doc_id"), Seq("doc_id"), "left_semi")
             .select("doc_id", "bucket", "band", "pslot")
             .write.partitionBy("band", "pslot").mode("append")
-            .parquet(s"$indexDir/bands")
+            .parquet(s"$genPath/bands")
           onBatch(batchId, n, kept)
         } finally {
           freeCheckpoint()

@@ -245,8 +245,8 @@ class IntegrationSpec extends SparkSpec {
     val (b1, b2) = docs.splitAt(docs.length / 2)
     val idx = Files.createTempDirectory("graft-tdp-idx").toString
     val surv = Files.createTempDirectory("graft-tdp-surv").toString
-    StreamingDedup.initMinhashIndex(spark, idx)
-    val dedup = StreamingDedup.minhashDedupPipeline(idx, surv,
+    StreamingDedup.initMinhashIndex(spark, idx, numPerms = 64, bands = 32)
+    val dedup = StreamingDedup.minhashDedupPipeline(spark, idx, surv,
       numPerms = 64, bands = 32)
     dedup(b1.toSeq.toDF("doc_id", "text", "ts"), 0L)
     dedup(b2.toSeq.toDF("doc_id", "text", "ts"), 1L)
@@ -284,7 +284,8 @@ class IntegrationSpec extends SparkSpec {
     assert(survivorsOf(1L) == (keep2local -- crossDrop).toSeq.sorted,
       "batch-2 survivors ≡ greedy-prefix reference over the union banding")
     // The index is partitioned and a per-batch-shaped read prunes.
-    val bandDirs = new java.io.File(s"$idx/bands").listFiles()
+    val bandDirs = new java.io.File(
+        s"${StreamingDedup.currentGenDir(spark, idx)}/bands").listFiles()
       .filter(_.isDirectory)
     assert(bandDirs.nonEmpty && bandDirs.forall(_.getName.startsWith("band=")))
     // Packing leg: survivors stream (id-ordered batches) → window grid

@@ -53,7 +53,7 @@ class StreamingDedupSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, Timestamp)]
     val q = mem.toDF().toDF("doc_id", "text", "ts").writeStream
-      .foreachBatch(StreamingDedup.minhashDedupPipeline(indexDir,
+      .foreachBatch(StreamingDedup.minhashDedupPipeline(spark, indexDir,
         survivorsDir, numPerms = 64, bands = 32, onBatch = onBatch))
       .start()
     try batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
@@ -66,7 +66,7 @@ class StreamingDedupSpec extends SparkSpec {
   test("one batch ≡ the batch pipeline's near-dup stage") {
     val idx = Files.createTempDirectory("graft-sdedup-idx1").toString
     val out = Files.createTempDirectory("graft-sdedup-out1").toString
-    StreamingDedup.initMinhashIndex(spark, idx)
+    StreamingDedup.initMinhashIndex(spark, idx, numPerms = 64, bands = 32)
     val docs = Seq((1L, docW, ts(0)), (2L, docX, ts(1)), (3L, docN, ts(2)))
     runStream(idx, out, docs)()
     // Batch reference over the same rows: min-id canonical per cluster.
@@ -79,13 +79,13 @@ class StreamingDedupSpec extends SparkSpec {
     assert(batchKeep == Set(1L, 3L), s"precondition: X collapses into W: $batchKeep")
     assert(survivors(out) == batchKeep, "stream ≡ batch on a single batch")
     // The index admitted exactly the survivors.
-    assert(spark.read.parquet(s"$idx/toks").count() == 2)
+    assert(StreamingDedup.toksTable(spark, idx).count() == 2)
   }
 
   test("cross-batch: the index grows with novel docs and later dups hit it") {
     val idx = Files.createTempDirectory("graft-sdedup-idx2").toString
     val out = Files.createTempDirectory("graft-sdedup-out2").toString
-    StreamingDedup.initMinhashIndex(spark, idx)
+    StreamingDedup.initMinhashIndex(spark, idx, numPerms = 64, bands = 32)
     var log = Vector.empty[(Long, Long, Long)]
     runStream(idx, out,
       Seq((1L, docW, ts(0)), (2L, docN, ts(1))),   // both novel
@@ -98,15 +98,15 @@ class StreamingDedupSpec extends SparkSpec {
       s"per-batch (arrived, kept): $log")
     // Stored signatures: one bands-row set + one toks row per survivor,
     // none for dropped docs (signatures are computed once, at admission).
-    assert(spark.read.parquet(s"$idx/toks").count() == 4)
-    assert(spark.read.parquet(s"$idx/bands")
+    assert(StreamingDedup.toksTable(spark, idx).count() == 4)
+    assert(StreamingDedup.bandsTable(spark, idx)
       .select("doc_id").distinct().count() == 4)
   }
 
   test("greedy-prefix semantics: similar only to a DROPPED doc ⇒ kept") {
     val idx = Files.createTempDirectory("graft-sdedup-idx3").toString
     val out = Files.createTempDirectory("graft-sdedup-out3").toString
-    StreamingDedup.initMinhashIndex(spark, idx)
+    StreamingDedup.initMinhashIndex(spark, idx, numPerms = 64, bands = 32)
     runStream(idx, out,
       Seq((1L, docW, ts(0))),
       Seq((2L, docX, ts(1))),   // dup of retained W → dropped
@@ -127,21 +127,22 @@ class StreamingDedupSpec extends SparkSpec {
   test("index layout: bands under band=/pslot= dirs, toks under tslot= dirs") {
     val idx = Files.createTempDirectory("graft-sdedup-idxp").toString
     val out = Files.createTempDirectory("graft-sdedup-outp").toString
-    StreamingDedup.initMinhashIndex(spark, idx)
-    val fn = StreamingDedup.minhashDedupPipeline(idx, out,
+    StreamingDedup.initMinhashIndex(spark, idx, numPerms = 64, bands = 32)
+    val fn = StreamingDedup.minhashDedupPipeline(spark, idx, out,
       numPerms = 64, bands = 32)
     val docs = (0L until 8L).map(i =>
       (i, (0 until 20).map(j => s"p${i}w$j").mkString(" "), ts(i.toInt)))
     fn(docs.toDF("doc_id", "text", "ts"), 0L)
     def subdirs(p: String) = new java.io.File(p).listFiles()
       .filter(_.isDirectory).map(_.getName).toSeq
-    val bandDirs = subdirs(s"$idx/bands")
+    val gd = StreamingDedup.currentGenDir(spark, idx)
+    val bandDirs = subdirs(s"$gd/bands")
     assert(bandDirs.nonEmpty && bandDirs.forall(_.startsWith("band=")),
       s"bands partitioned by band: $bandDirs")
-    val slotDirs = subdirs(s"$idx/bands/${bandDirs.head}")
+    val slotDirs = subdirs(s"$gd/bands/${bandDirs.head}")
     assert(slotDirs.nonEmpty && slotDirs.forall(_.startsWith("pslot=")),
       s"second-level bucket-slot dirs: $slotDirs")
-    val tokDirs = subdirs(s"$idx/toks")
+    val tokDirs = subdirs(s"$gd/toks")
     assert(tokDirs.nonEmpty && tokDirs.forall(_.startsWith("tslot=")),
       s"toks partitioned by id slot: $tokDirs")
     // Survivors land under batch_id= partitions (the exactly-once sink).
@@ -152,8 +153,8 @@ class StreamingDedupSpec extends SparkSpec {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val idx = Files.createTempDirectory("graft-sdedup-idxq").toString
     val out = Files.createTempDirectory("graft-sdedup-outq").toString
-    StreamingDedup.initMinhashIndex(spark, idx)
-    val fn = StreamingDedup.minhashDedupPipeline(idx, out,
+    StreamingDedup.initMinhashIndex(spark, idx, numPerms = 64, bands = 32)
+    val fn = StreamingDedup.minhashDedupPipeline(spark, idx, out,
       numPerms = 64, bands = 32)
     // 8 novel docs spread signatures over many (band, pslot) partitions.
     val docs = (0L until 8L).map(i =>
@@ -162,7 +163,7 @@ class StreamingDedupSpec extends SparkSpec {
     def leafDirs(p: String) = new java.io.File(p).listFiles()
       .filter(_.isDirectory)
       .flatMap(_.listFiles().filter(_.isDirectory)).length
-    val total = leafDirs(s"$idx/bands")
+    val total = leafDirs(s"${StreamingDedup.currentGenDir(spark, idx)}/bands")
     assert(total > 2, s"fixture writes a spread of partitions, got $total")
     // A one-key read — the per-batch shape — must NOT scan the index.
     val pruned = StreamingDedup.prunedBands(spark, idx,
@@ -192,25 +193,114 @@ class StreamingDedupSpec extends SparkSpec {
     // the exactly-once survivor contract.
     val idx = Files.createTempDirectory("graft-sdedup-idxpc").toString
     val out = Files.createTempDirectory("graft-sdedup-outpc").toString
-    StreamingDedup.initMinhashIndex(spark, idx)
-    val fn = StreamingDedup.minhashDedupPipeline(idx, out,
+    StreamingDedup.initMinhashIndex(spark, idx, numPerms = 64, bands = 32)
+    val fn = StreamingDedup.minhashDedupPipeline(spark, idx, out,
       numPerms = 64, bands = 32)
     val b = Seq((1L, docW, ts(0)), (2L, docN, ts(1))).toDF("doc_id", "text", "ts")
     fn(b, 0L)
     assert(survivors(out) == Set(1L, 2L))
     Seq.empty[(Long, Long, Int, Int)].toDF("doc_id", "bucket", "band", "pslot")
       .write.partitionBy("band", "pslot").mode("overwrite")
-      .parquet(s"$idx/bands") // crash erased the bands commit
+      .parquet(s"${StreamingDedup.currentGenDir(spark, idx)}/bands") // crash erased the bands commit
     fn(b, 0L) // replay
     assert(spark.read.parquet(out).count() == 2,
       "the replayed batch rewrote its own partition — no duplicates")
     assert(survivors(out) == Set(1L, 2L))
-    assert(spark.read.parquet(s"$idx/bands")
+    assert(StreamingDedup.bandsTable(spark, idx)
       .select("doc_id").distinct().count() == 2,
       "the replay completed the missing bands append")
     // And the stream continues correctly: a dup of doc 1 is dropped.
     fn(Seq((3L, docX, ts(2))).toDF("doc_id", "text", "ts"), 1L)
     assert(survivors(out) == Set(1L, 2L))
+  }
+
+  test("a mismatched structural layout fails loudly at pipeline construction") {
+    val idx = Files.createTempDirectory("graft-sdedup-idxm").toString
+    val out = Files.createTempDirectory("graft-sdedup-outm").toString
+    StreamingDedup.initMinhashIndex(spark, idx, numPerms = 64, bands = 32)
+    // A different pruning grid would silently prune WRONG partitions
+    // (missed duplicates) — construction must refuse, naming the key.
+    val e = intercept[IllegalStateException] {
+      StreamingDedup.minhashDedupPipeline(spark, idx, out,
+        numPerms = 64, bands = 32, bucketSlots = 8)
+    }
+    assert(e.getMessage.contains("bucketSlots"), e.getMessage)
+    // A different signature shape makes stored signatures unfindable.
+    val e2 = intercept[IllegalStateException] {
+      StreamingDedup.minhashDedupPipeline(spark, idx, out,
+        numPerms = 64, bands = 16)
+    }
+    assert(e2.getMessage.contains("bands"), e2.getMessage)
+    // An unmanifested dir refuses construction outright.
+    val bare = Files.createTempDirectory("graft-sdedup-bare").toString
+    intercept[IllegalStateException] {
+      StreamingDedup.minhashDedupPipeline(spark, bare, out,
+        numPerms = 64, bands = 32)
+    }
+    // Matching parameters construct and run; threshold is a semantic
+    // knob, NOT structural — a retuned threshold constructs fine.
+    val fn = StreamingDedup.minhashDedupPipeline(spark, idx, out,
+      numPerms = 64, bands = 32, threshold = 0.7)
+    fn(Seq((1L, docW, ts(0))).toDF("doc_id", "text", "ts"), 0L)
+    assert(survivors(out) == Set(1L))
+  }
+
+  test("index compaction: generations roll, files shrink, dedup memory intact") {
+    val idx = Files.createTempDirectory("graft-sdedup-idxc").toString
+    val out = Files.createTempDirectory("graft-sdedup-outc").toString
+    val idx2 = Files.createTempDirectory("graft-sdedup-idxc2").toString
+    val out2 = Files.createTempDirectory("graft-sdedup-outc2").toString
+    StreamingDedup.initMinhashIndex(spark, idx, numPerms = 64, bands = 32)
+    StreamingDedup.initMinhashIndex(spark, idx2, numPerms = 64, bands = 32)
+    // compactAtFiles = 1: every batch after the first finds files and
+    // compacts before processing — maximum boundary stress.
+    val fn = StreamingDedup.minhashDedupPipeline(spark, idx, out,
+      numPerms = 64, bands = 32, compactAtFiles = 1)
+    val un = StreamingDedup.minhashDedupPipeline(spark, idx2, out2,
+      numPerms = 64, bands = 32, compactAtFiles = Int.MaxValue)
+    val batches = Seq(
+      Seq((1L, docW, ts(0)), (2L, docN, ts(1))),  // both novel
+      Seq((3L, docX, ts(2)), (4L, docB, ts(3))),  // X dups COMPACTED W
+      Seq((5L, docB2, ts(4)), (6L, docC, ts(5)))) // B2 dups compacted B
+    batches.zipWithIndex.foreach { case (b, i) =>
+      fn(b.toDF("doc_id", "text", "ts"), i.toLong)
+      un(b.toDF("doc_id", "text", "ts"), i.toLong)
+    }
+    // Dedup semantics identical to the uncompacted run: dups planted
+    // against PRE-compaction admissions are still found and verified
+    // through the rewritten generations.
+    assert(survivors(out) == Set(1L, 2L, 4L, 6L), survivors(out).toString)
+    assert(survivors(out) == survivors(out2))
+    // Exactly one generation survives, and it is not gen-0 (older
+    // generations were dropped after each commit).
+    val gens = new java.io.File(idx).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("gen-")).toSeq
+    assert(gens.size == 1 && gens.head != "gen-0", gens.toString)
+    // Index content (rows) is preserved exactly through compactions.
+    assert(StreamingDedup.toksTable(spark, idx).count() ==
+      StreamingDedup.toksTable(spark, idx2).count())
+    assert(StreamingDedup.bandsTable(spark, idx)
+        .orderBy("doc_id", "band").collect().toSeq ==
+      StreamingDedup.bandsTable(spark, idx2)
+        .orderBy("doc_id", "band").collect().toSeq)
+    // The compacted store holds FEWER data files than the append-only
+    // one — the point of the exercise.
+    def files(root: String) = {
+      val gd = StreamingDedup.currentGenDir(spark, root)
+      GenStore.dataFileCount(spark, s"$gd/bands") +
+        GenStore.dataFileCount(spark, s"$gd/toks")
+    }
+    assert(files(idx) < files(idx2),
+      s"compacted ${files(idx)} vs append-only ${files(idx2)}")
+    // Replay ACROSS a compaction boundary: re-running the last batch
+    // (which itself triggers another compaction first) changes nothing.
+    fn(batches.last.toDF("doc_id", "text", "ts"), 2L)
+    assert(spark.read.parquet(out).count() == 4)
+    assert(survivors(out) == Set(1L, 2L, 4L, 6L))
+    // And the pruned per-batch read shape still prunes post-compaction.
+    fn(Seq((7L, docX, ts(6))).toDF("doc_id", "text", "ts"), 3L)
+    assert(survivors(out) == Set(1L, 2L, 4L, 6L),
+      "a dup of the earliest (multiply-compacted) admission still drops")
   }
 
   test("replay: a fully-committed dedup batch self-matches and absorbs idempotently") {
@@ -219,8 +309,8 @@ class StreamingDedupSpec extends SparkSpec {
     // the function again with the same inputs.
     val idx = Files.createTempDirectory("graft-sdedup-idxr").toString
     val out = Files.createTempDirectory("graft-sdedup-outr").toString
-    StreamingDedup.initMinhashIndex(spark, idx)
-    val fn = StreamingDedup.minhashDedupPipeline(idx, out,
+    StreamingDedup.initMinhashIndex(spark, idx, numPerms = 64, bands = 32)
+    val fn = StreamingDedup.minhashDedupPipeline(spark, idx, out,
       numPerms = 64, bands = 32)
     val b = Seq((1L, docW, ts(0)), (2L, docN, ts(1))).toDF("doc_id", "text", "ts")
     fn(b, 0L)
@@ -228,7 +318,7 @@ class StreamingDedupSpec extends SparkSpec {
     fn(b, 0L) // replay after full commit
     assert(spark.read.parquet(out).count() == 2,
       "replayed docs self-match their committed admission — nothing re-emitted")
-    assert(spark.read.parquet(s"$idx/toks").count() == 2,
+    assert(StreamingDedup.toksTable(spark, idx).count() == 2,
       "index unchanged by the replay")
     // And the stream still works past the replay: a novel doc is
     // admitted, a dup of the original is dropped.

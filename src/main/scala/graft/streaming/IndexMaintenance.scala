@@ -35,6 +35,56 @@ import graft.operators.Similarity
   */
 object IndexMaintenance {
 
+  // ------------------------------------------------------------------
+  // Structural-parameter manifests ([[StoreManifest]]): the generation
+  // store roots persist the artifact SHAPE (`dim`/`nCentroids` for
+  // int8, `dim`/`m`/`ksub` for PQ — written at init, checked at every
+  // rebuilding-pipeline construction), so reconstructing a pipeline
+  // over an existing store with different values refuses loudly
+  // instead of silently mis-encoding future generations. Training
+  // knobs (`lloydIters`/`iters`/`trainN`/`seedPlanes`) are SEMANTIC —
+  // retuning them between runs is legal — and stay out.
+  //
+  // The append tiers take a bare, already-written code artifact (no
+  // init call), so their gate is [[StoreManifest.sealOrCheck]] with an
+  // in-dir `_MANIFEST`: first construction seals, later constructions
+  // verify. Because an append artifact's contract is "the quantizer is
+  // FIXED for the life of the store", the seal also carries a VALUE
+  // digest of the pinned quantizer — a same-shaped but different-valued
+  // grid/centroids/codebooks (the mismatch shape params cannot see)
+  // refuses too.
+  // ------------------------------------------------------------------
+
+  private def int8StoreEntries(dim: Int, nCentroids: Int) = Seq(
+    "kind" -> "int8-vector-store", "dim" -> dim.toString,
+    "nCentroids" -> nCentroids.toString)
+
+  private def pqStoreEntries(dim: Int, m: Int, ksub: Int) = Seq(
+    "kind" -> "pq-vector-store", "dim" -> dim.toString,
+    "m" -> m.toString, "ksub" -> ksub.toString)
+
+  /** MD5 over the sorted canonical rows of bounded quantizer tables
+    * (a 1-row grid, nCentroids centroids, m·ksub codebook rows — all
+    * construction-bounded collects). Row order and column order are
+    * canonicalized so the digest identifies the quantizer's VALUES,
+    * not the plan that produced them.
+    */
+  private def quantizerDigest(parts: Seq[DataFrame]): String = {
+    import org.apache.spark.sql.functions.col
+    val md = java.security.MessageDigest.getInstance("MD5")
+    parts.foreach { df =>
+      val cols = df.columns.sorted.map(col(_))
+      df.select(cols.toIndexedSeq: _*).collect()
+        .map(_.toSeq.map {
+          case s: scala.collection.Seq[_] => s.mkString("[", ",", "]")
+          case x => String.valueOf(x)
+        }.mkString("|"))
+        .sorted
+        .foreach(r => md.update((r + "\n").getBytes("UTF-8")))
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
   /** The int8 tier's monitor — same shape as [[pqDriftMonitor]] with
     * the index-side baseline ([[Similarity.indexedFit]], a full scan of
     * the stored codes) computed ONCE at monitor start; each micro-batch
@@ -125,6 +175,16 @@ object IndexMaintenance {
       : (DataFrame, Long) => Unit = {
     val spark = grid.sparkSession
     import spark.implicits._
+    // Seal-or-check the artifact against the pinned quantizer: shape
+    // (dim from the grid row, centroid count) plus the value digest —
+    // a reconstruction with ANY different quantizer over these codes
+    // would silently mis-encode every future append.
+    val dim = grid.head().getAs[scala.collection.Seq[Double]]("lo").size
+    StoreManifest.sealOrCheck(spark, indexDir, Seq(
+        "kind" -> "int8-codes", "dim" -> dim.toString,
+        "nCentroids" -> centroids.count().toString,
+        "quantizerDigest" -> quantizerDigest(Seq(grid, centroids))),
+      "int8 code artifact", StoreManifest.InlineFileName)
     // The baseline is COLLECTED into a local one-row relation, not
     // persisted over the parquet scan: each append write triggers
     // Spark's refreshByPath on `indexDir`, which RE-CACHES any cached
@@ -171,6 +231,14 @@ object IndexMaintenance {
     import org.apache.spark.sql.functions._
     val spark = codebooks.sparkSession
     import spark.implicits._
+    // Seal-or-check against the pinned codebooks — int8AppendPipeline's
+    // gate for the PQ tier (ksub derived from the trained table, which
+    // may legitimately hold fewer codewords than requested).
+    StoreManifest.sealOrCheck(spark, codesDir, Seq(
+        "kind" -> "pq-codes", "dim" -> dim.toString, "m" -> m.toString,
+        "ksub" -> (codebooks.count() / m).toString,
+        "quantizerDigest" -> quantizerDigest(Seq(codebooks))),
+      "pq code artifact", StoreManifest.InlineFileName)
     // Pinned as LOCAL relations, not persisted over the parquet scan —
     // int8AppendPipeline's refreshByPath rationale: an append write
     // re-caches any cached plan scanning `codesDir`, so a persisted
@@ -263,12 +331,36 @@ object IndexMaintenance {
     df.sparkSession.createDataFrame(df.collect().toSeq.asJava, df.schema)
   }
 
-  /** Create an int8 generation store: seed the vector log with
-    * `corpus`, train generation 0 (grid + centroids), encode, commit.
+  /** Refuse to init over a LIVE store (any committed generation):
+    * re-initing would overwrite the manifest and the vector log while
+    * the highest committed generation — laid out under the OLD
+    * parameters — stays the one readers resolve, exactly the silent
+    * divergence the manifest exists to prevent. A manifest with no
+    * committed generation is a crashed init: completing it is legal iff
+    * the parameters match what the first attempt recorded.
+    */
+  private def guardInit(spark: SparkSession, root: String,
+      entries: Seq[(String, String)], store: String): Unit = {
+    val gens = GenStore.committed(spark, root)
+    if (gens.nonEmpty) throw new IllegalStateException(
+      s"$store at $root already has committed generation(s) " +
+        s"${gens.mkString(", ")} — refusing to re-init over live data " +
+        "(point at a fresh root, or construct the pipeline instead)")
+    if (StoreManifest.read(spark, root).isDefined)
+      StoreManifest.check(spark, root, entries, store)
+    else StoreManifest.write(spark, root, entries)
+  }
+
+  /** Create an int8 generation store: persist the MANIFEST (shape
+    * parameters every later pipeline construction is checked against),
+    * seed the vector log with `corpus`, train generation 0
+    * (grid + centroids), encode, commit. Refuses a root that already
+    * holds a committed generation (see [[guardInit]]).
     */
   def initInt8Store(spark: SparkSession, root: String, corpus: DataFrame,
       nCentroids: Int = 16, lloydIters: Int = 2, trainN: Int = 4096,
       seedPlanes: Int = 6, dim: Int = 64): Unit = {
+    guardInit(spark, root, int8StoreEntries(dim, nCentroids), "int8 store")
     corpus.select("vec_id", "embedding")
       .write.mode("overwrite").parquet(s"$root/vectors")
     val vecs = spark.read.parquet(s"$root/vectors")
@@ -281,14 +373,19 @@ object IndexMaintenance {
   /** Write one full int8 generation (centroids → grid → codes →
     * COMMITTED — the marker last, so a partial write is never
     * resolvable) and return nothing; `vecs` is the deduped retrain
-    * input.
+    * input. The codes are encoded on the WRITTEN centroids/grid read
+    * back from parquet, not on the training plans: each training plan
+    * executes exactly once (its own write), and codes ≡ committed
+    * quantizer holds by construction instead of resting on the plans
+    * re-executing deterministically.
     */
   private def writeInt8Gen(spark: SparkSession, root: String, gen: Long,
       vecs: DataFrame, grid: DataFrame, cents: DataFrame): Unit = {
     val d = genDir(root, gen)
     cents.write.mode("overwrite").parquet(s"$d/centroids")
     grid.write.mode("overwrite").parquet(s"$d/grid")
-    Similarity.int8Encode(vecs, grid, cents)
+    Similarity.int8Encode(vecs,
+        spark.read.parquet(s"$d/grid"), spark.read.parquet(s"$d/centroids"))
       .write.mode("overwrite").parquet(s"$d/codes")
     commitGen(spark, root, gen)
   }
@@ -318,6 +415,12 @@ object IndexMaintenance {
       : (DataFrame, Long) => Unit = {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
+    // Construction-time gate: the store's persisted shape must match
+    // this pipeline's parameters — a mismatched `dim`/`nCentroids`
+    // reconstruction would mis-encode every append and train wrongly
+    // shaped future generations.
+    StoreManifest.check(spark, root, int8StoreEntries(dim, nCentroids),
+      "int8 store")
     // Generation state, pinned ONCE at pipeline construction (and again
     // only on swap): the stored index is scanned exactly once for the
     // baseline fit, appends stay O(batch), and a restarted driver
@@ -350,16 +453,22 @@ object IndexMaintenance {
             if (row._5 == 1L) {
               // REBUILD: full vector log, deduped (replay insurance),
               // trained and encoded into generation N+1; commit, then
-              // swap the pins. The next batch appends to gen N+1 and
-              // measures against the retrained baseline.
+              // swap the pins — READ BACK from the committed store, not
+              // from the training plans (re-executing those would run
+              // training twice and rest committed-codes/pinned-quantizer
+              // consistency on plan determinism; pqRebuildingPipeline's
+              // pinHist is the same posture). The next batch appends to
+              // gen N+1 and measures against the retrained baseline.
               val vecs = spark.read.parquet(s"$root/vectors")
                 .dropDuplicates("vec_id")
-              val g2 = Similarity.int8Stats(vecs, dim)
-              val c2 = Similarity.trainCentroids(vecs, nCentroids,
-                lloydIters, trainN, seedPlanes, dim)
-              writeInt8Gen(spark, root, gen + 1, vecs, g2, c2)
+              writeInt8Gen(spark, root, gen + 1, vecs,
+                Similarity.int8Stats(vecs, dim),
+                Similarity.trainCentroids(vecs, nCentroids,
+                  lloydIters, trainN, seedPlanes, dim))
               gen += 1
-              grid = pinLocal(g2); cents = pinLocal(c2)
+              grid = pinLocal(spark.read.parquet(s"${genDir(root, gen)}/grid"))
+              cents = pinLocal(
+                spark.read.parquet(s"${genDir(root, gen)}/centroids"))
               baseline = Seq(Similarity.indexedFit(
                   spark.read.parquet(s"${genDir(root, gen)}/codes"), grid, cents)
                 .head().getDouble(0)).toDF("fit_indexed")
@@ -371,12 +480,14 @@ object IndexMaintenance {
     }
   }
 
-  /** Create a PQ generation store: seed the vector log, train
-    * generation-0 codebooks, encode, commit.
+  /** Create a PQ generation store: persist the MANIFEST, seed the
+    * vector log, train generation-0 codebooks, encode, commit. Refuses
+    * a root that already holds a committed generation ([[guardInit]]).
     */
   def initPqStore(spark: SparkSession, root: String, corpus: DataFrame,
       m: Int = 4, ksub: Int = 16, iters: Int = 2, trainN: Int = 1024,
       dim: Int = 64): Unit = {
+    guardInit(spark, root, pqStoreEntries(dim, m, ksub), "pq store")
     corpus.select("vec_id", "embedding")
       .write.mode("overwrite").parquet(s"$root/vectors")
     val vecs = spark.read.parquet(s"$root/vectors")
@@ -384,11 +495,15 @@ object IndexMaintenance {
       Similarity.trainPqCodebooks(vecs, m, ksub, iters, trainN, dim), m, dim)
   }
 
+  /** [[writeInt8Gen]]'s shape for PQ: codes are encoded on the WRITTEN
+    * codebooks read back from parquet — training executes once, codes
+    * ≡ committed codebooks by construction.
+    */
   private def writePqGen(spark: SparkSession, root: String, gen: Long,
       vecs: DataFrame, codebooks: DataFrame, m: Int, dim: Int): Unit = {
     val d = genDir(root, gen)
     codebooks.write.mode("overwrite").parquet(s"$d/codebooks")
-    Similarity.pqEncode(vecs, codebooks, m, dim)
+    Similarity.pqEncode(vecs, spark.read.parquet(s"$d/codebooks"), m, dim)
       .select("vec_id", "sub", "code")
       .write.mode("overwrite").parquet(s"$d/codes")
     commitGen(spark, root, gen)
@@ -410,6 +525,10 @@ object IndexMaintenance {
       : (DataFrame, Long) => Unit = {
     import org.apache.spark.sql.functions._
     import spark.implicits._
+    // Construction-time gate — int8RebuildingPipeline's rationale for
+    // the PQ shape (`dim`/`m`/`ksub`).
+    StoreManifest.check(spark, root, pqStoreEntries(dim, m, ksub),
+      "pq store")
     def pinHist(g: Long): (DataFrame, DataFrame, DataFrame) = {
       val codes = spark.read.parquet(s"${genDir(root, g)}/codes")
       // m·ksub + 1 rows — the bounded histogram pin

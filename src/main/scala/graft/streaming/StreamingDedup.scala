@@ -64,8 +64,11 @@ import graft.operators.Dedup
   * count grows with batch count — directory listing and footer reads
   * erode the O(batch) read even with pruning (the small-files disease
   * the reference's compactor exists to cure, reference
-  * sensor-log-compactor.py:157-173). When the current generation's
-  * data-file count crosses `compactAtFiles`, the pipeline rewrites
+  * sensor-log-compactor.py:157-173). When `compactAtFiles` data files
+  * have ACCRETED since the last compaction (growth, not absolute
+  * size — the post-compaction count floors at one file per non-empty
+  * leaf, so an absolute threshold at or below that floor would compact
+  * every batch forever), the pipeline rewrites
   * both tables into generation N+1 clustered one-file-per-partition
   * (`repartition` on the partition keys), commits the marker, and
   * drops the old generation — the same copy→commit→drop protocol as
@@ -130,23 +133,38 @@ object StreamingDedup {
     * then empty generation-0 tables, then the COMMITTED marker. Call
     * once before starting the stream; the parameters must match the
     * pipeline's.
+    *
+    * Over an EXISTING store, init never overwrites the manifest —
+    * readers take the highest committed generation, so a re-init with
+    * different structural parameters would leave old-layout data
+    * authoritative while the construction check passes against the new
+    * values, exactly the silent mis-prune the manifest exists to
+    * prevent. Matching parameters verify-and-no-op (idempotent init; a
+    * crashed first init — manifest written, no committed generation —
+    * completes); mismatched parameters, or committed generations with
+    * no manifest at all, refuse loudly.
     */
   def initMinhashIndex(spark: SparkSession, indexDir: String,
       numPerms: Int = 64, bands: Int = 16, shingleSize: Int = 3,
       md5Parity: Boolean = false, bucketSlots: Int = 4,
       idSlots: Int = 64): Unit = {
     import spark.implicits._
-    StoreManifest.write(spark, indexDir,
-      manifestEntries(numPerms, bands, shingleSize, md5Parity, bucketSlots,
-        idSlots))
-    val g0 = GenStore.dir(indexDir, 0L)
-    Seq.empty[(Long, Long, Int, Int)].toDF("doc_id", "bucket", "band", "pslot")
-      .write.partitionBy("band", "pslot").mode("overwrite")
-      .parquet(s"$g0/bands")
-    Seq.empty[(Long, Seq[String], Int)].toDF("doc_id", "toks", "tslot")
-      .write.partitionBy("tslot").mode("overwrite")
-      .parquet(s"$g0/toks")
-    GenStore.commit(spark, indexDir, 0L)
+    val entries = manifestEntries(numPerms, bands, shingleSize, md5Parity,
+      bucketSlots, idSlots)
+    val gens = GenStore.committed(spark, indexDir)
+    if (gens.nonEmpty || StoreManifest.read(spark, indexDir).isDefined)
+      StoreManifest.check(spark, indexDir, entries, "minhash dedup index")
+    else StoreManifest.write(spark, indexDir, entries)
+    if (gens.isEmpty) {
+      val g0 = GenStore.dir(indexDir, 0L)
+      Seq.empty[(Long, Long, Int, Int)].toDF("doc_id", "bucket", "band", "pslot")
+        .write.partitionBy("band", "pslot").mode("overwrite")
+        .parquet(s"$g0/bands")
+      Seq.empty[(Long, Seq[String], Int)].toDF("doc_id", "toks", "tslot")
+        .write.partitionBy("tslot").mode("overwrite")
+        .parquet(s"$g0/toks")
+      GenStore.commit(spark, indexDir, 0L)
+    }
   }
 
   /** The current (highest committed) generation's directory — where
@@ -248,18 +266,41 @@ object StreamingDedup {
     StoreManifest.check(spark, indexDir,
       manifestEntries(numPerms, bands, shingleSize, md5Parity, bucketSlots,
         idSlots), "minhash dedup index")
+    // Reap stale generations a crashed compaction left behind (died
+    // after commit, before dropBelow — the old generation persists
+    // forever on a store that never re-triggers; correctness is
+    // unaffected since readers take the max, this reclaims the disk).
+    GenStore.committed(spark, indexDir) match {
+      case gens if gens.nonEmpty => GenStore.dropBelow(spark, indexDir, gens.max)
+      case _ =>
+    }
+    def genFiles(gen: Long): Long =
+      GenStore.dataFileCount(spark, s"${GenStore.dir(indexDir, gen)}/bands") +
+        GenStore.dataFileCount(spark, s"${GenStore.dir(indexDir, gen)}/toks")
+    // The compaction trigger measures GROWTH, not absolute size: the
+    // post-compaction file count floors at one file per non-empty leaf
+    // (up to bands·bucketSlots + idSlots), so an absolute threshold at
+    // or below that floor would pay an O(index) compaction EVERY batch
+    // forever. Compacting only when `compactAtFiles` files have
+    // accreted since the last compaction cannot sit below the
+    // steady-state count. The floor is learned at the first compaction
+    // (a restarted pipeline re-learns it at the cost of at most one
+    // early compaction).
+    var lastPostCompact = -1L
     (batch: DataFrame, batchId: Long) => {
       val n = batch.count()
       if (n > 0) {
         // Resolve the generation at batch start, and compact FIRST if
-        // the file count has crossed the bound — so this batch's reads
-        // and appends all target the surviving generation.
+        // the growth bound is crossed — so this batch's reads and
+        // appends all target the surviving generation.
         var gen = GenStore.latest(spark, indexDir)
-        if (GenStore.dataFileCount(spark,
-              s"${GenStore.dir(indexDir, gen)}/bands") +
-            GenStore.dataFileCount(spark,
-              s"${GenStore.dir(indexDir, gen)}/toks") >= compactAtFiles)
+        val grown = genFiles(gen) >=
+          (if (lastPostCompact < 0) compactAtFiles.toLong
+           else lastPostCompact + compactAtFiles)
+        if (grown) {
           gen = compactIndex(spark, indexDir, gen)
+          lastPostCompact = genFiles(gen)
+        }
         val genPath = GenStore.dir(indexDir, gen)
         val arrivals = batch.select(col("doc_id"), col("text"), col("ts"))
           .persist(StorageLevel.MEMORY_AND_DISK)

@@ -303,6 +303,91 @@ class StreamingDedupSpec extends SparkSpec {
       "a dup of the earliest (multiply-compacted) admission still drops")
   }
 
+  test("re-init over an existing index: verify-and-no-op on match, refusal on mismatch") {
+    // ADVICE r10: init used to overwrite the MANIFEST unconditionally —
+    // a re-init with different structural params would leave old-layout
+    // generations authoritative while the construction check passed
+    // against the NEW params, resurrecting the silent mis-prune.
+    val idx = Files.createTempDirectory("graft-sdedup-reinit").toString
+    val out = Files.createTempDirectory("graft-sdedup-reinitout").toString
+    StreamingDedup.initMinhashIndex(spark, idx, numPerms = 64, bands = 32)
+    val fn = StreamingDedup.minhashDedupPipeline(spark, idx, out,
+      numPerms = 64, bands = 32)
+    fn(Seq((1L, docW, ts(0)), (2L, docN, ts(1))).toDF("doc_id", "text", "ts"), 0L)
+    // Matching re-init is an idempotent no-op: index data survives.
+    StreamingDedup.initMinhashIndex(spark, idx, numPerms = 64, bands = 32)
+    assert(StreamingDedup.toksTable(spark, idx).count() == 2,
+      "matching re-init must not clobber the live index")
+    // Mismatched structural params refuse, naming the key.
+    val e = intercept[IllegalStateException] {
+      StreamingDedup.initMinhashIndex(spark, idx, numPerms = 64, bands = 16)
+    }
+    assert(e.getMessage.contains("bands"), e.getMessage)
+    // Committed generations with no manifest (foreign layout) refuse
+    // rather than silently adopting the caller's params.
+    assert(new java.io.File(s"$idx/MANIFEST").delete())
+    intercept[IllegalStateException] {
+      StreamingDedup.initMinhashIndex(spark, idx, numPerms = 64, bands = 32)
+    }
+  }
+
+  test("construction reaps generations stranded by a crashed compaction") {
+    val idx = Files.createTempDirectory("graft-sdedup-reap").toString
+    val out = Files.createTempDirectory("graft-sdedup-reapout").toString
+    StreamingDedup.initMinhashIndex(spark, idx, numPerms = 64, bands = 32)
+    val fn0 = StreamingDedup.minhashDedupPipeline(spark, idx, out,
+      numPerms = 64, bands = 32)
+    fn0(Seq((1L, docW, ts(0))).toDF("doc_id", "text", "ts"), 0L)
+    // Simulate a compaction that died AFTER committing gen-1 but BEFORE
+    // dropping gen-0: copy the tables forward and commit the marker.
+    StreamingDedup.bandsTable(spark, idx)
+      .write.partitionBy("band", "pslot").parquet(s"$idx/gen-1/bands")
+    StreamingDedup.toksTable(spark, idx)
+      .write.partitionBy("tslot").parquet(s"$idx/gen-1/toks")
+    GenStore.commit(spark, idx, 1L)
+    def gens() = new java.io.File(idx).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("gen-")).toSeq.sorted
+    assert(gens() == Seq("gen-0", "gen-1"), gens().toString)
+    // The next pipeline construction reaps the stale generation.
+    val fn = StreamingDedup.minhashDedupPipeline(spark, idx, out,
+      numPerms = 64, bands = 32)
+    assert(gens() == Seq("gen-1"), s"stale gen-0 reaped: ${gens()}")
+    // And the surviving generation still dedups.
+    fn(Seq((3L, docX, ts(2))).toDF("doc_id", "text", "ts"), 1L)
+    assert(survivors(out) == Set(1L), survivors(out).toString)
+  }
+
+  test("compaction triggers on GROWTH, not absolute size — the floor cannot re-trigger") {
+    // ADVICE r10: post-compaction the count floors at one file per
+    // non-empty leaf; with compactAtFiles at or below that floor the
+    // old absolute trigger compacted every batch forever. A batch that
+    // appends NOTHING (all dups) must therefore not re-trigger.
+    val idx = Files.createTempDirectory("graft-sdedup-grw").toString
+    val out = Files.createTempDirectory("graft-sdedup-grwout").toString
+    StreamingDedup.initMinhashIndex(spark, idx, numPerms = 64, bands = 32)
+    val fn = StreamingDedup.minhashDedupPipeline(spark, idx, out,
+      numPerms = 64, bands = 32, compactAtFiles = 1)
+    def gen() = StreamingDedup.currentGenDir(spark, idx).split("gen-").last.toLong
+    fn(Seq((1L, docW, ts(0)), (2L, docN, ts(1))).toDF("doc_id", "text", "ts"), 0L)
+    assert(gen() == 0L, "first batch finds an empty index — no compaction")
+    // Batch 1 compacts at start (absolute trigger learns the floor),
+    // then retains nothing (pure dup) — zero files appended.
+    fn(Seq((3L, docX, ts(2))).toDF("doc_id", "text", "ts"), 1L)
+    assert(gen() == 1L, "threshold crossed — one compaction")
+    // Batch 2 is another pure dup: the count sits AT the floor (>= the
+    // compactAtFiles=1 absolute threshold), but growth since the last
+    // compaction is zero — must NOT compact.
+    fn(Seq((4L, docX, ts(3))).toDF("doc_id", "text", "ts"), 2L)
+    assert(gen() == 1L,
+      "no growth since the last compaction — the floor must not re-trigger")
+    // A batch that admits a novel doc grows the index; the following
+    // batch compacts again.
+    fn(Seq((5L, docB, ts(4))).toDF("doc_id", "text", "ts"), 3L)
+    fn(Seq((6L, docB2, ts(5))).toDF("doc_id", "text", "ts"), 4L)
+    assert(gen() == 2L, "growth crossed the bound — compaction resumed")
+    assert(survivors(out) == Set(1L, 2L, 5L), survivors(out).toString)
+  }
+
   test("replay: a fully-committed dedup batch self-matches and absorbs idempotently") {
     // foreachBatch is at-least-once; the pipeline functions are plain
     // (DataFrame, batchId) closures, so a replay is literally calling

@@ -538,6 +538,187 @@ class StreamingSpec extends SparkSpec {
       "gen-1 artifact ≡ one encode of the full log on the gen-1 codebooks")
   }
 
+  test("generation stores: a mismatched shape fails loudly at pipeline construction") {
+    // StreamingDedupSpec's manifest law for the IndexMaintenance
+    // stores: `dim`/`nCentroids` (int8) and `dim`/`m`/`ksub` (PQ) are
+    // STRUCTURAL — a reconstruction with different values would
+    // mis-encode appends and train wrongly shaped generations — while
+    // training knobs (lloydIters/iters/trainN) are semantic retunes.
+    def vecs(ids: Seq[Int]) = ids.map(id =>
+      (id.toLong, Seq.tabulate(8)(d => 0.1f * ((id + d) % 13) - 0.5f)))
+    val root = Files.createTempDirectory("graft-i8man").toString
+    val sink = Files.createTempDirectory("graft-i8mansink").toString
+    IndexMaintenance.initInt8Store(spark, root,
+      vecs(0 until 48).toDF("vec_id", "embedding"),
+      nCentroids = 4, lloydIters = 2, trainN = 64, seedPlanes = 4, dim = 8)
+    val e = intercept[IllegalStateException] {
+      IndexMaintenance.int8RebuildingPipeline(spark, root, sink,
+        nCentroids = 8, lloydIters = 2, trainN = 64, seedPlanes = 4, dim = 8)
+    }
+    assert(e.getMessage.contains("nCentroids"), e.getMessage)
+    val e2 = intercept[IllegalStateException] {
+      IndexMaintenance.int8RebuildingPipeline(spark, root, sink,
+        nCentroids = 4, lloydIters = 2, trainN = 64, seedPlanes = 4, dim = 16)
+    }
+    assert(e2.getMessage.contains("dim"), e2.getMessage)
+    // An unmanifested root refuses construction outright.
+    intercept[IllegalStateException] {
+      IndexMaintenance.int8RebuildingPipeline(spark,
+        Files.createTempDirectory("graft-i8bare").toString, sink,
+        nCentroids = 4, dim = 8)
+    }
+    // Matching shape constructs; retuned TRAINING knobs are legal.
+    IndexMaintenance.int8RebuildingPipeline(spark, root, sink,
+      nCentroids = 4, lloydIters = 5, trainN = 128, seedPlanes = 4, dim = 8)
+    // Re-init over a LIVE store refuses — the old committed generation
+    // would stay authoritative under new parameters.
+    val e3 = intercept[IllegalStateException] {
+      IndexMaintenance.initInt8Store(spark, root,
+        vecs(0 until 8).toDF("vec_id", "embedding"), nCentroids = 4, dim = 8)
+    }
+    assert(e3.getMessage.contains("re-init"), e3.getMessage)
+    // The PQ store mirrors all three refusals.
+    val proot = Files.createTempDirectory("graft-pqman").toString
+    IndexMaintenance.initPqStore(spark, proot,
+      vecs(0 until 48).toDF("vec_id", "embedding"),
+      m = 2, ksub = 4, iters = 2, trainN = 64, dim = 8)
+    val e4 = intercept[IllegalStateException] {
+      IndexMaintenance.pqRebuildingPipeline(spark, proot, sink,
+        m = 4, ksub = 4, dim = 8)
+    }
+    assert(e4.getMessage.contains("m:"), e4.getMessage)
+    val e5 = intercept[IllegalStateException] {
+      IndexMaintenance.pqRebuildingPipeline(spark, proot, sink,
+        m = 2, ksub = 8, dim = 8)
+    }
+    assert(e5.getMessage.contains("ksub"), e5.getMessage)
+    IndexMaintenance.pqRebuildingPipeline(spark, proot, sink,
+      m = 2, ksub = 4, iters = 5, trainN = 128, dim = 8)
+  }
+
+  test("append artifacts self-seal: a different quantizer refuses reconstruction") {
+    import graft.operators.Similarity
+    def vecs(ids: Seq[Int], salt: Int = 0) = ids.map(id =>
+      (id.toLong, Seq.tabulate(8)(d => 0.1f * ((id + d + salt) % 13) - 0.5f)))
+    val base = vecs(0 until 48).toDF("vec_id", "embedding")
+    val cents = Similarity.trainCentroids(base, nCentroids = 4,
+      iters = 2, trainN = 64, seedPlanes = 4, dim = 8)
+    val grid = Similarity.int8Stats(base, dim = 8)
+    val indexDir = Files.createTempDirectory("graft-i8seal").toString
+    val sink = Files.createTempDirectory("graft-i8sealsink").toString
+    Similarity.int8IndexWith(base, grid, cents)
+      .write.mode("overwrite").parquet(indexDir)
+    // First construction SEALS the bare artifact (shape + quantizer
+    // value digest); an identical reconstruction passes.
+    IndexMaintenance.int8AppendPipeline(indexDir, grid, cents, sink)
+    IndexMaintenance.int8AppendPipeline(indexDir, grid, cents, sink)
+    // A same-shaped but different-VALUED quantizer (trained on shifted
+    // data — the mismatch shape params alone cannot see) refuses.
+    val other = vecs(0 until 48, salt = 7).toDF("vec_id", "embedding")
+    val cents2 = Similarity.trainCentroids(other, nCentroids = 4,
+      iters = 2, trainN = 64, seedPlanes = 4, dim = 8)
+    val e = intercept[IllegalStateException] {
+      IndexMaintenance.int8AppendPipeline(indexDir,
+        Similarity.int8Stats(other, dim = 8), cents2, sink)
+    }
+    assert(e.getMessage.contains("quantizerDigest"), e.getMessage)
+    // And the parquet read of the sealed dir still works — the marker
+    // is bookkeeping (`_`-prefixed), invisible to the scan.
+    assert(spark.read.parquet(indexDir).count() == 48)
+    // PQ tier: same seal, same refusal.
+    val cb = Similarity.trainPqCodebooks(base, m = 2, ksub = 4,
+      iters = 2, trainN = 64, dim = 8)
+    val codesDir = Files.createTempDirectory("graft-pqseal").toString
+    Similarity.pqEncode(base, cb, m = 2, dim = 8)
+      .select("vec_id", "sub", "code")
+      .write.mode("overwrite").parquet(codesDir)
+    IndexMaintenance.pqAppendPipeline(codesDir, cb, sink, m = 2, dim = 8)
+    val cb2 = Similarity.trainPqCodebooks(other, m = 2, ksub = 4,
+      iters = 2, trainN = 64, dim = 8)
+    val e2 = intercept[IllegalStateException] {
+      IndexMaintenance.pqAppendPipeline(codesDir, cb2, sink, m = 2, dim = 8)
+    }
+    assert(e2.getMessage.contains("quantizerDigest"), e2.getMessage)
+    assert(spark.read.parquet(codesDir).count() == 48 * 2)
+  }
+
+  test("int8 rebuild pins the COMMITTED artifact: one training pass over the vector log") {
+    // ADVICE r9 #2: the rebuild used to re-execute the int8Stats/
+    // trainCentroids plans for its pins AFTER writeInt8Gen had already
+    // run them — training twice per rebuild, with committed-codes /
+    // pinned-quantizer consistency resting on plan determinism. Now the
+    // pins read the committed parquet, so the vector log is scanned
+    // exactly twice outside the memoized training (the grid pass and
+    // the re-encode pass): counted here as FileSourceScan nodes over
+    // the store's vectors path across every execution of the
+    // rebuild-triggering batch. The old re-derivation shape counted 4.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    def vecs(ids: Seq[Int], f: (Int, Int) => Float) =
+      ids.map(id => (id.toLong, Seq.tabulate(8)(d => f(id, d))))
+    val sameDist = (id: Int, d: Int) => 0.1f * ((id + d) % 13) - 0.5f
+    val shifted = (id: Int, d: Int) => if ((id + d) % 2 == 0) 5.0f else -5.0f
+    val root = Files.createTempDirectory("graft-i8once").toString
+    val sink = Files.createTempDirectory("graft-i8oncesink").toString
+    IndexMaintenance.initInt8Store(spark, root,
+      vecs(0 until 48, sameDist).toDF("vec_id", "embedding"),
+      nCentroids = 4, lloydIters = 2, trainN = 64, seedPlanes = 4, dim = 8)
+    val fn = IndexMaintenance.int8RebuildingPipeline(spark, root, sink,
+      nCentroids = 4, lloydIters = 2, trainN = 64, seedPlanes = 4, dim = 8)
+    fn(vecs(100 until 112, sameDist).toDF("vec_id", "embedding"), 0L)
+    val vecPath = s"$root/vectors"
+    def countScans(p: SparkPlan): Int = {
+      val self = p match {
+        case s: FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains(vecPath)) => 1
+        case _ => 0
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      self + kids.map(countScans).sum
+    }
+    val scans = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+          durationNs: Long): Unit =
+        scans.addAndGet(countScans(qe.executedPlan))
+      override def onFailure(funcName: String, qe: QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      fn(vecs(200 until 212, shifted).toDF("vec_id", "embedding"), 1L) // trips retrain
+      // The listener bus is asynchronous — wait for the count to settle.
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      var last = -1
+      while (System.nanoTime() < deadline && scans.get() != last) {
+        last = scans.get(); Thread.sleep(300)
+      }
+    } finally spark.listenerManager.unregister(listener)
+    assert(IndexMaintenance.latestGen(spark, root) == 1L, "rebuild committed")
+    assert(scans.get() == 2,
+      s"expected exactly 2 vector-log scan nodes during the rebuild batch " +
+        s"(grid pass + re-encode; training reads its memoized sample, pins " +
+        s"read the committed parquet) — got ${scans.get()}")
+    // Consistency is structural, not coincidental: the committed codes
+    // equal one encode of the deduped log on the COMMITTED quantizer.
+    import graft.operators.Similarity
+    def rowSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Long]("cid"),
+        r.getAs[Array[Byte]]("qcode").toSeq)).toSet
+    assert(rowSet(spark.read.parquet(s"$root/gen-1/codes")) ==
+      rowSet(Similarity.int8Encode(
+        spark.read.parquet(s"$root/vectors").dropDuplicates("vec_id"),
+        spark.read.parquet(s"$root/gen-1/grid"),
+        spark.read.parquet(s"$root/gen-1/centroids"))),
+      "gen-1 codes ≡ encode on the committed gen-1 quantizer")
+  }
+
   test("rebuild store: an uncommitted generation dir is ignored by latestGen") {
     import graft.operators.Similarity
     def vecs(ids: Seq[Int]) = ids.map(id =>

@@ -247,6 +247,55 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges: " + p.take(800))
   }
 
+  test("q_sim10: serve path reads memoized artifacts; every ranking window is per-query") {
+    // The IVF×PQ serving composition's scale claims (Similarity.ivfPqTopK):
+    // the corpus-wide build passes (cells, codes, centroids, codebooks)
+    // are memoized artifacts — the serve plan must read them from cache,
+    // not re-run the trainings — and every row_number window must
+    // partition by query_id (probe rank, ADC rank, final re-rank: three,
+    // each bounded per query). A window creeping onto a corpus key
+    // (vec_id/neighbor_id) is the full-shuffle-and-sort shape that
+    // round 3 removed from the cell assignment; this pins it out of the
+    // whole composition.
+    val p = plan("q_sim10_ivfpq_serve")
+    assert(!p.contains("CartesianProduct"), p.take(500))
+    assert(p.contains("InMemoryTableScan"),
+      "cells/codes/trainings must be served from the memoized tables: " + p.take(600))
+    assert(!p.contains("windowspecdefinition(vec_id") &&
+      !p.contains("windowspecdefinition(neighbor_id"),
+      "no ranking window may partition by a corpus key — corpus-side " +
+        "assignment is the agg argmax, candidate ranks are per-query")
+    val qWindows = "windowspecdefinition\\(query_id".r.findAllIn(p).size
+    assert(qWindows == 3,
+      s"expected exactly the probe/ADC/re-rank per-query windows, got $qWindows")
+  }
+
+  test("q_ml6: ONE flagged corpus pass, checkpointed purge set, single-aggregate funnel") {
+    // The round-8 rewrite's cost model: the funnel reads documents
+    // exactly TWICE (the canonical-min-id aggregate + the single
+    // flagged pass whose conditional sums emit every stage) instead of
+    // re-executing per-stage branches; the near-dup purge side enters
+    // as the eagerly-checkpointed cluster labels (Scan ExistingRDD),
+    // never re-running the MinHash pair pipeline per reference; and the
+    // seven stage rows come out of one partial+final aggregate over a
+    // SinglePartition exchange, not seven scans.
+    val p = plan("q_ml6_curation_funnel")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(500))
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 2,
+      s"documents must be scanned exactly twice (canonical agg + flagged pass), got $scans:\n" +
+        p.take(1200))
+    assert(p.contains("Scan ExistingRDD"),
+      "purge labels must come from the checkpointed dupClusters fixpoint: " + p.take(600))
+    assert(p.contains("Exchange SinglePartition"),
+      "the stage rows must collapse into one global conditional-sum aggregate: " + p.take(600))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 3,
+      s"expected <= 3 hash exchanges (canonical agg + outer-join sides), got $exchanges:\n" +
+        p.take(1200))
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
     // Spark's InjectRuntimeFilter: a selective filter on one side of a
     // shuffle join builds a bloom filter that pre-prunes the other

@@ -31,12 +31,14 @@ import graft.operators.Packing
   * grid.
   *
   * EXACTLY-ONCE window rows: each batch's partials land in their own
-  * `batch_id=` partition written with dynamic partition overwrite, so a
-  * replayed batch (foreachBatch is at-least-once) REWRITES its own
+  * `live/batch_id=` partition written with dynamic partition overwrite,
+  * so a replayed batch (foreachBatch is at-least-once) REWRITES its own
   * partition with identical rows instead of appending duplicates —
   * without this, replayed partials would vanish into [[mergedWindows]]'
   * sums with no recovery path (un-dedupable double counts, the r8
-  * ADVICE finding).
+  * ADVICE finding). Closed partitions are folded into sealed segments
+  * every `foldWindowsEvery` batches ([[FoldStore]]) so the store's
+  * directory count stays O(batches/foldEvery), not one-per-batch.
   *
   * Crash-replay of the OFFSET state: an APPEND-ONLY log of (batch_id,
   * before, after) rows under a generation dir — one row appended as
@@ -70,6 +72,9 @@ object PackingStream {
   private val stateSchema = StructType(Seq(
     StructField("batch_id", LongType), StructField("before", LongType),
     StructField("after", LongType)))
+  private val windowsSchema = StructType(Seq(
+    StructField("window_id", LongType), StructField("n_docs", LongType),
+    StructField("n_tokens", LongType), StructField("batch_id", LongType)))
 
   private def hadoopFs(spark: SparkSession, path: String) =
     GenStore.fs(spark, path)
@@ -126,6 +131,7 @@ object PackingStream {
     */
   def packPipeline(windowsDir: String, offsetDir: String,
       capacity: Int = 256, compactEvery: Int = 64,
+      foldWindowsEvery: Int = 64,
       onBatch: (Long, Long, Long) => Unit = (_, _, _) => ())
       : (DataFrame, Long) => Unit = {
     require(compactEvery >= 1, s"compactEvery must be >= 1, got $compactEvery")
@@ -168,18 +174,23 @@ object PackingStream {
           val batchTokens = arrivals
             .agg(coalesce(sum(TF.tokenCount(col("text"))), lit(0L)))
             .head().getLong(0)
-          // The batch's partials land in their own partition, replayed
-          // idempotently via dynamic partition overwrite (an identical
-          // re-pack rewrites identical rows — never duplicates). The
-          // mode is scoped to THIS write via the writer option, never
-          // the session conf: a session-wide toggle would silently
-          // change the overwrite semantics of any unrelated partitioned
-          // write that races the window.
-          Packing.concatPackWindowsFrom(arrivals, capacity, offset0)
-            .withColumn("batch_id", lit(batchId))
-            .write.partitionBy("batch_id").mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .parquet(windowsDir)
+          // Fold closed window partitions into a sealed segment every
+          // `foldWindowsEvery` batches ([[FoldStore]] — the window
+          // store's directory count stays O(batches/foldEvery));
+          // strictly below this batch's id, so the replay overwrite
+          // below always lands in a live partition.
+          FoldStore.maybeFold(spark, windowsDir, batchId,
+            foldWindowsEvery, windowsSchema)
+          // The batch's partials land in their own live partition,
+          // replayed idempotently via dynamic partition overwrite (an
+          // identical re-pack rewrites identical rows — never
+          // duplicates). The mode is scoped to the write via the writer
+          // option, never the session conf: a session-wide toggle would
+          // silently change the overwrite semantics of any unrelated
+          // partitioned write that races the window.
+          FoldStore.writeLive(
+            Packing.concatPackWindowsFrom(arrivals, capacity, offset0),
+            windowsDir, batchId)
           Seq((batchId, offset0, offset0 + batchTokens))
             .toDF("batch_id", "before", "after")
             .write.mode("append").parquet(genDir(offsetDir, gen))
@@ -196,10 +207,11 @@ object PackingStream {
 
   /** Merge the partial rows of straddled windows: the consumer-side
     * view that equals a batch [[Packing.concatPackWindows]] over the
-    * whole arrival sequence.
+    * whole arrival sequence. Reads the full folded store — every
+    * committed segment plus the live tail ([[FoldStore]]).
     */
   def mergedWindows(spark: SparkSession, windowsDir: String): DataFrame =
-    spark.read.parquet(windowsDir)
+    FoldStore.read(spark, windowsDir, windowsSchema)
       .groupBy("window_id")
       .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"))
       .orderBy("window_id")

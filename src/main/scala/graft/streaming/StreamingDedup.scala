@@ -88,7 +88,10 @@ import graft.operators.Dedup
   * duplicates — the survivor set is exactly-once (StreamingDedupSpec
   * replay tests), and the index always converges to findable +
   * verifiable entries. See the append-order comment in
-  * [[minhashDedupPipeline]].
+  * [[minhashDedupPipeline]]. The survivors store is itself folded into
+  * sealed segments ([[FoldStore]]) so its directory count does not grow
+  * one-per-batch forever — the output-store counterpart of the index
+  * compaction.
   *
   * Reference seam: the reference dedups nothing (at-least-once pub is
   * its delivery floor, sensor_publish.py:46-83); this operator is part
@@ -110,6 +113,9 @@ object StreamingDedup {
     StructField("doc_id", LongType),
     StructField("toks", ArrayType(StringType)),
     StructField("tslot", IntegerType)))
+  private val survivorsSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("ts", TimestampType), StructField("batch_id", LongType)))
 
   /** The six STRUCTURAL parameters persisted in the index MANIFEST:
     * signature shape (`numPerms`/`bands`/`shingleSize`/`md5Parity` —
@@ -185,6 +191,13 @@ object StreamingDedup {
     spark.read.schema(toksSchema)
       .parquet(s"${currentGenDir(spark, indexDir)}/toks")
 
+  /** The deduped output stream — every committed survivors segment
+    * plus the live `batch_id=` tail ([[FoldStore]]'s union view; the
+    * consumer surface a downstream curation funnel reads).
+    */
+  def survivorsTable(spark: SparkSession, survivorsDir: String): DataFrame =
+    FoldStore.read(spark, survivorsDir, survivorsSchema)
+
   /** Stored-bands read pruned to the partitions whose
     * `band * bucketSlots + pslot` key is in `keys`. The predicate
     * references only partition columns, so Catalyst's partition pruning
@@ -239,8 +252,11 @@ object StreamingDedup {
   /** The foreachBatch function: batch-local near-dup resolution, then
     * the stored-index check, then append + emit. `survivorsDir`
     * accumulates the retained (doc_id, text, ts) rows under
-    * `batch_id=` partitions — the deduped stream a downstream curation
-    * funnel consumes. `onBatch(batchId, nArrived, nRetained)` is the
+    * `live/batch_id=` partitions, folded into sealed segments every
+    * `foldSurvivorsEvery` closed batches ([[FoldStore]] — directory
+    * count O(batches/foldEvery), each row written at most twice) — the
+    * deduped stream a downstream curation funnel consumes via
+    * [[survivorsTable]]. `onBatch(batchId, nArrived, nRetained)` is the
     * monitoring hook. `bucketSlots`/`idSlots` fix the index partition
     * grid (bands·bucketSlots and idSlots leaf dirs) — they must stay
     * constant for the life of one index, which is exactly what the
@@ -257,7 +273,7 @@ object StreamingDedup {
       numPerms: Int = 64, bands: Int = 16, shingleSize: Int = 3,
       threshold: Double = 0.5, md5Parity: Boolean = false,
       bucketSlots: Int = 4, idSlots: Int = 64,
-      compactAtFiles: Int = 4096,
+      compactAtFiles: Int = 4096, foldSurvivorsEvery: Int = 64,
       onBatch: (Long, Long, Long) => Unit = (_, _, _) => ())
       : (DataFrame, Long) => Unit = {
     require(numPerms % bands == 0, "bands must divide numPerms")
@@ -301,6 +317,13 @@ object StreamingDedup {
           gen = compactIndex(spark, indexDir, gen)
           lastPostCompact = genFiles(gen)
         }
+        // Fold closed survivor partitions into a sealed segment every
+        // `foldSurvivorsEvery` batches (the output-store analog of the
+        // index compaction above — see [[FoldStore]]); strictly below
+        // this batch's id, so the replay overwrite below always lands
+        // in a live partition.
+        FoldStore.maybeFold(spark, survivorsDir, batchId,
+          foldSurvivorsEvery, survivorsSchema)
         val genPath = GenStore.dir(indexDir, gen)
         val arrivals = batch.select(col("doc_id"), col("text"), col("ts"))
           .persist(StorageLevel.MEMORY_AND_DISK)
@@ -383,10 +406,7 @@ object StreamingDedup {
           // the missing index appends. Bands-first would instead strand
           // docs findable-but-unverifiable, silently admitting their
           // future near-dups.
-          retained.withColumn("batch_id", lit(batchId))
-            .write.partitionBy("batch_id").mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .parquet(survivorsDir)
+          FoldStore.writeLive(retained, survivorsDir, batchId)
           retained.select(col("doc_id"),
               array_distinct(TF.tokens(col("text"))).as("toks"))
             .withColumn("tslot", pmod(col("doc_id"), lit(idSlots)).cast("int"))

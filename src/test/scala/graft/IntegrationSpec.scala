@@ -250,9 +250,10 @@ class IntegrationSpec extends SparkSpec {
       numPerms = 64, bands = 32)
     dedup(b1.toSeq.toDF("doc_id", "text", "ts"), 0L)
     dedup(b2.toSeq.toDF("doc_id", "text", "ts"), 1L)
-    def survivorsOf(batch: Long): Seq[Long] = spark.read.parquet(surv)
-      .where(col("batch_id") === batch)
-      .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    def survivorsOf(batch: Long): Seq[Long] =
+      StreamingDedup.survivorsTable(spark, surv)
+        .where(col("batch_id") === batch)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
     // Law 1 (one batch ≡ the batch pipeline) on batch 1:
     val b1df = b1.toSeq.toDF("doc_id", "text", "ts")
     val drop1 = Dedup.dupClusters(Dedup.minhashNearDups(b1df,

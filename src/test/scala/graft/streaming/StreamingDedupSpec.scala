@@ -61,7 +61,22 @@ class StreamingDedupSpec extends SparkSpec {
   }
 
   private def survivors(dir: String): Set[Long] =
-    spark.read.parquet(dir).select("doc_id").collect().map(_.getLong(0)).toSet
+    StreamingDedup.survivorsTable(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+  // The windows store's folded union view (the spec-side mirror of
+  // mergedWindows' read, kept raw to inspect per-batch partial rows).
+  private val windowsViewSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("window_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("n_docs",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("n_tokens",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("batch_id",
+      org.apache.spark.sql.types.LongType)))
+  private def windowsView(dir: String) =
+    FoldStore.read(spark, dir, windowsViewSchema)
 
   test("one batch ≡ the batch pipeline's near-dup stage") {
     val idx = Files.createTempDirectory("graft-sdedup-idx1").toString
@@ -145,8 +160,10 @@ class StreamingDedupSpec extends SparkSpec {
     val tokDirs = subdirs(s"$gd/toks")
     assert(tokDirs.nonEmpty && tokDirs.forall(_.startsWith("tslot=")),
       s"toks partitioned by id slot: $tokDirs")
-    // Survivors land under batch_id= partitions (the exactly-once sink).
-    assert(subdirs(out).forall(_.startsWith("batch_id=")), subdirs(out))
+    // Survivors land under live/batch_id= partitions (the exactly-once
+    // sink; closed partitions fold into sealed gen- segments).
+    assert(subdirs(s"$out/live").forall(_.startsWith("batch_id=")),
+      subdirs(s"$out/live"))
   }
 
   test("the stored-bands scan carries partition filters and prunes") {
@@ -203,7 +220,7 @@ class StreamingDedupSpec extends SparkSpec {
       .write.partitionBy("band", "pslot").mode("overwrite")
       .parquet(s"${StreamingDedup.currentGenDir(spark, idx)}/bands") // crash erased the bands commit
     fn(b, 0L) // replay
-    assert(spark.read.parquet(out).count() == 2,
+    assert(StreamingDedup.survivorsTable(spark, out).count() == 2,
       "the replayed batch rewrote its own partition — no duplicates")
     assert(survivors(out) == Set(1L, 2L))
     assert(StreamingDedup.bandsTable(spark, idx)
@@ -295,7 +312,7 @@ class StreamingDedupSpec extends SparkSpec {
     // Replay ACROSS a compaction boundary: re-running the last batch
     // (which itself triggers another compaction first) changes nothing.
     fn(batches.last.toDF("doc_id", "text", "ts"), 2L)
-    assert(spark.read.parquet(out).count() == 4)
+    assert(StreamingDedup.survivorsTable(spark, out).count() == 4)
     assert(survivors(out) == Set(1L, 2L, 4L, 6L))
     // And the pruned per-batch read shape still prunes post-compaction.
     fn(Seq((7L, docX, ts(6))).toDF("doc_id", "text", "ts"), 3L)
@@ -401,7 +418,7 @@ class StreamingDedupSpec extends SparkSpec {
     fn(b, 0L)
     assert(survivors(out) == Set(1L, 2L))
     fn(b, 0L) // replay after full commit
-    assert(spark.read.parquet(out).count() == 2,
+    assert(StreamingDedup.survivorsTable(spark, out).count() == 2,
       "replayed docs self-match their committed admission — nothing re-emitted")
     assert(StreamingDedup.toksTable(spark, idx).count() == 2,
       "index unchanged by the replay")
@@ -421,16 +438,16 @@ class StreamingDedupSpec extends SparkSpec {
     fn(b0, 0L); fn(b1, 1L)
     def state() = PackingStream.readOffsetState(spark, offsets).get
     val before = (state().getLong(0), state().getLong(1), state().getLong(2))
-    val maxWin = spark.read.parquet(windows).agg(max("window_id")).head().getLong(0)
+    val maxWin = windowsView(windows).agg(max("window_id")).head().getLong(0)
     fn(b1, 1L) // replay of the LAST batch, after its state commit
     assert((state().getLong(0), state().getLong(1), state().getLong(2)) == before,
       "replay reuses the pre-batch offset; the state row is re-appended unchanged")
-    assert(spark.read.parquet(windows).agg(max("window_id")).head().getLong(0)
+    assert(windowsView(windows).agg(max("window_id")).head().getLong(0)
       == maxWin, "no forward shift: the replay emitted the same window ids")
     // EXACTLY-ONCE: the replay rewrote its own batch_id= partition with
     // identical rows — one row per (window, batch), no duplicates to
     // vanish into mergedWindows' sums.
-    val dup = spark.read.parquet(windows)
+    val dup = windowsView(windows)
       .groupBy("window_id", "batch_id").count()
       .where(col("count") > 1).count()
     assert(dup == 0, "replayed partials rewrite, never duplicate")
@@ -511,7 +528,7 @@ class StreamingDedupSpec extends SparkSpec {
     finally q.stop()
     assert(log == Vector((3L, 21L), (3L, 21L), (3L, 21L)), s"per-batch: $log")
     // At least one window was emitted as partials across two batches.
-    val partials = spark.read.parquet(windows)
+    val partials = windowsView(windows)
       .groupBy("window_id").count().where(col("count") > 1).count()
     assert(partials > 0, "a straddled window must appear as partial rows")
     val merged = PackingStream.mergedWindows(spark, windows)
@@ -520,5 +537,119 @@ class StreamingDedupSpec extends SparkSpec {
         docs.toDF("doc_id", "text", "ts"), capacity = 16)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(merged == batch, s"stream ≡ batch: $merged vs $batch")
+  }
+
+  private def livePartDirs(root: String): Seq[String] = {
+    val d = new java.io.File(s"$root/live")
+    if (!d.exists()) Seq.empty
+    else d.listFiles().filter(_.isDirectory).map(_.getName).toSeq.sorted
+  }
+
+  test("survivors fold: sealed segments ≡ unfolded store, replay across the boundary") {
+    // foldSurvivorsEvery = 1 folds the closed partitions before EVERY
+    // batch — maximum boundary stress — differentially against an
+    // unfolded run of the same batches.
+    val batches = Seq(
+      Seq((1L, docW, ts(0)), (2L, docN, ts(1))),
+      Seq((3L, docX, ts(2)), (4L, docB, ts(3))),
+      Seq((5L, docB2, ts(4)), (6L, docC, ts(5))))
+    def run(foldEvery: Int): ((org.apache.spark.sql.DataFrame, Long) => Unit, String) = {
+      val idx = Files.createTempDirectory("graft-sfold-idx").toString
+      val out = Files.createTempDirectory("graft-sfold-out").toString
+      StreamingDedup.initMinhashIndex(spark, idx, numPerms = 64, bands = 32)
+      val fn = StreamingDedup.minhashDedupPipeline(spark, idx, out,
+        numPerms = 64, bands = 32, foldSurvivorsEvery = foldEvery)
+      batches.zipWithIndex.foreach { case (b, i) =>
+        fn(b.toDF("doc_id", "text", "ts"), i.toLong)
+      }
+      (fn, out)
+    }
+    val (fnF, folded) = run(1)
+    val (_, unfolded) = run(Int.MaxValue)
+    def rows(dir: String) = StreamingDedup.survivorsTable(spark, dir)
+      .select("doc_id", "text", "ts", "batch_id")
+      .collect().map(_.toSeq).toSeq.sortBy(_.head.toString)
+    assert(rows(folded) == rows(unfolded),
+      "folding must not change a single survivor row (batch ids included)")
+    assert(survivors(folded) == Set(1L, 2L, 4L, 6L))
+    // Two folds happened (before batches 1 and 2); only the newest
+    // batch partition is still live, the folded ones are deleted.
+    assert(GenStore.committed(spark, folded) == Seq(0L, 1L))
+    assert(livePartDirs(folded) == Seq("batch_id=2"),
+      s"folded live partitions must be deleted: ${livePartDirs(folded)}")
+    assert(FoldStore.maxWatermark(spark, folded) == 1L)
+    // Replay of the newest batch: its id sits above every watermark by
+    // construction (folds cover ids strictly below the in-flight
+    // batch), so the overwrite lands LIVE and rewrites its own
+    // partition — survivors unchanged, no duplicates, segments sealed.
+    fnF(batches.last.toDF("doc_id", "text", "ts"), 2L)
+    assert(rows(folded) == rows(unfolded),
+      "replay across the fold boundary is idempotent")
+    assert(GenStore.committed(spark, folded) == Seq(0L, 1L),
+      "a replay must not grow new segments")
+  }
+
+  test("survivors fold: a crash between commit and delete is filtered, then reaped") {
+    val idx = Files.createTempDirectory("graft-sfoldc-idx").toString
+    val out = Files.createTempDirectory("graft-sfoldc-out").toString
+    StreamingDedup.initMinhashIndex(spark, idx, numPerms = 64, bands = 32)
+    val fn = StreamingDedup.minhashDedupPipeline(spark, idx, out,
+      numPerms = 64, bands = 32, foldSurvivorsEvery = 1)
+    fn(Seq((1L, docW, ts(0))).toDF("doc_id", "text", "ts"), 0L)
+    fn(Seq((2L, docN, ts(1))).toDF("doc_id", "text", "ts"), 1L) // folds batch 0
+    assert(FoldStore.maxWatermark(spark, out) == 0L)
+    assert(livePartDirs(out) == Seq("batch_id=1"))
+    // Simulate the crash window: batch 0's rows sealed in the segment
+    // AND still live (fold died after COMMITTED, before the delete).
+    Seq((1L, docW, ts(0)))
+      .toDF("doc_id", "text", "ts").withColumn("batch_id", lit(0L))
+      .write.partitionBy("batch_id").mode("append").parquet(s"$out/live")
+    assert(livePartDirs(out).contains("batch_id=0"))
+    assert(StreamingDedup.survivorsTable(spark, out).count() == 2,
+      "the reader filters live rows at or below the watermark — no double count")
+    // The next batch's fold reaps the stranded partition.
+    fn(Seq((3L, docB, ts(2))).toDF("doc_id", "text", "ts"), 2L)
+    assert(!livePartDirs(out).contains("batch_id=0"),
+      s"stale live partition reaped: ${livePartDirs(out)}")
+    assert(survivors(out) == Set(1L, 2L, 3L))
+  }
+
+  test("windows fold: directory count bounded, merged view ≡ batch pack through folds") {
+    val windows = Files.createTempDirectory("graft-packfw").toString
+    val offsets = Files.createTempDirectory("graft-packfo").toString
+    val fn = PackingStream.packPipeline(windows, offsets, capacity = 16,
+      foldWindowsEvery = 2)
+    def doc(i: Long) = (i, (0 until 7).map(j => s"d${i}t$j").mkString(" "), ts(i.toInt))
+    val docs = (0L until 15L).map(doc)
+    docs.grouped(3).zipWithIndex.foreach { case (b, i) =>
+      fn(b.toDF("doc_id", "text", "ts"), i.toLong)
+    }
+    // Folds fired before batches 2 and 4 (two closed partitions each):
+    // two sealed segments, ONE live partition — 3 directories where the
+    // unfolded store would hold 5, and the ratio keeps shrinking with
+    // stream length (O(batches/foldEvery), each row written at most
+    // twice — never the O(corpus)-per-fold cumulative rewrite, which is
+    // the wrong trade for an append-only output store).
+    assert(GenStore.committed(spark, windows) == Seq(0L, 1L))
+    assert(livePartDirs(windows) == Seq("batch_id=4"),
+      s"folded window partitions must be deleted: ${livePartDirs(windows)}")
+    assert(FoldStore.maxWatermark(spark, windows) == 3L)
+    // No partial row lost or duplicated across the two fold boundaries.
+    val dup = windowsView(windows).groupBy("window_id", "batch_id")
+      .count().where(col("count") > 1).count()
+    assert(dup == 0)
+    val merged = PackingStream.mergedWindows(spark, windows)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val batch = graft.operators.Packing.concatPackWindows(
+        docs.toDF("doc_id", "text", "ts"), capacity = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(merged == batch, s"grid intact through folds: $merged")
+    // Replay of the newest batch across the fold boundary: lands live,
+    // rewrites its own partition, seals nothing new.
+    fn(docs.takeRight(3).toDF("doc_id", "text", "ts"), 4L)
+    assert(GenStore.committed(spark, windows) == Seq(0L, 1L))
+    val merged2 = PackingStream.mergedWindows(spark, windows)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(merged2 == batch, "replay through the folded store is idempotent")
   }
 }

@@ -29,21 +29,35 @@ object Tables {
   /** `events` is the sensor-stream analog (FIXTURES.md: ts/value/event_id/
     * user_id ≅ timestamp/temperature/count/client_id).
     *
-    * The parquet stores `ts` as TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects outright ([PARQUET_TYPE_ILLEGAL]). We read it as a raw
-    * nanosecond epoch long (`spark.sql.legacy.parquet.nanosAsLong`) and
-    * expose BOTH representations:
-    *   - `ts_ns`: exact int64 nanoseconds (lossless; use for ordering and
-    *     for oracle-comparable output via DuckDB's `epoch_ns`),
-    *   - `ts`: TimestampType truncated to microseconds (Spark's native
-    *     precision; use for time bucketing — `date_trunc`, `window`).
-    * The truncation uses integer `div`, not double division: epoch-ns
-    * values (~1.7e18) exceed a double's 53-bit mantissa.
+    * The loader normalizes BOTH physical layouts the driver has generated
+    * to one logical schema, so every downstream query sees:
+    *   - `ts_ns`: int64 epoch nanoseconds (use for total ordering and for
+    *     oracle-comparable µs output via `ts_ns div 1000` ≡ DuckDB's
+    *     `epoch_us(ts)`),
+    *   - `ts`: TimestampType at Spark's native µs precision (use for time
+    *     bucketing — `date_trunc`, `window`).
+    *
+    * Layouts seen: (a) TIMESTAMP(NANOS), which Spark's vectorized reader
+    * rejects outright ([PARQUET_TYPE_ILLEGAL]) — read as a raw nanosecond
+    * epoch long via `spark.sql.legacy.parquet.nanosAsLong` (the conf is
+    * inert when no nanos column is present) and truncate with integer
+    * `div`, not double division (epoch-ns ~1.7e18 exceeds a double's
+    * 53-bit mantissa); (b) plain TIMESTAMP(MICROS) with
+    * isAdjustedToUTC=false, which Spark reads as TIMESTAMP_NTZ — cast to
+    * TimestampType (naive ≡ instant under the project-wide UTC session
+    * timezone, matching DuckDB's naive-as-UTC `epoch_us`) and derive the
+    * nanosecond long from `unix_micros`.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case _ => // TIMESTAMP_NTZ (or already-instant TIMESTAMP)
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+          .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+    }
   }
 }

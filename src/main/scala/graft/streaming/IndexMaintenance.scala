@@ -309,6 +309,36 @@ object IndexMaintenance {
 
   private def genDir(root: String, gen: Long) = GenStore.dir(root, gen)
 
+  /** Raw-arrival staging for an in-flight OFF-PATH rebuild (`async =
+    * true`): while generation `gen` is being built from a frozen
+    * snapshot, each batch's arrivals are also parked here so the swap
+    * can encode exactly the build-window rows on the new quantizer.
+    * Lives UNDER the generation dir, so a crashed build's staging is
+    * reaped with its orphan by the next submission's delete.
+    */
+  private def stagingDir(root: String, gen: Long) =
+    s"${genDir(root, gen)}/pending-vectors"
+
+  /** The vector log's data-file list at this instant. Taken in the
+    * STREAM thread at rebuild submission — the single writer — so the
+    * listing cannot race an append; the builder thread then reads
+    * exactly these files for every pass. A plain directory read would
+    * re-list per action and see different corpora between Lloyd
+    * iterations (and between training and encode), silently desyncing
+    * quantizer and codes.
+    */
+  private def vectorSnapshot(spark: SparkSession, root: String): Seq[String] = {
+    val hfs = GenStore.fs(spark, s"$root/vectors")
+    hfs.listStatus(new Path(s"$root/vectors")).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+      .map(_.getPath.toString)
+  }
+
+  private def deleteQuiet(spark: SparkSession, path: String): Unit = {
+    val hfs = GenStore.fs(spark, path)
+    if (hfs.exists(new Path(path))) hfs.delete(new Path(path), true)
+  }
+
   /** Highest COMMITTED generation under `root` — the one readers and
     * appenders use. Fails loudly on a store with no committed
     * generation (init first; an uncommitted orphan alone means a
@@ -380,14 +410,15 @@ object IndexMaintenance {
     * re-executing deterministically.
     */
   private def writeInt8Gen(spark: SparkSession, root: String, gen: Long,
-      vecs: DataFrame, grid: DataFrame, cents: DataFrame): Unit = {
+      vecs: DataFrame, grid: DataFrame, cents: DataFrame,
+      commit: Boolean = true): Unit = {
     val d = genDir(root, gen)
     cents.write.mode("overwrite").parquet(s"$d/centroids")
     grid.write.mode("overwrite").parquet(s"$d/grid")
     Similarity.int8Encode(vecs,
         spark.read.parquet(s"$d/grid"), spark.read.parquet(s"$d/centroids"))
       .write.mode("overwrite").parquet(s"$d/codes")
-    commitGen(spark, root, gen)
+    if (commit) commitGen(spark, root, gen)
   }
 
   /** [[int8AppendPipeline]] WITH the retrain leg: per batch, log the
@@ -405,13 +436,39 @@ object IndexMaintenance {
     * quantizer and baseline live as driver-local pins (grid 1 row,
     * centroids nCentroids rows, fit 1 double — bounded by
     * construction), re-pinned only on swap.
+    *
+    * `async = true` moves the corpus-scale rebuild OFF the batch path
+    * (the 100 TB availability stance — inline, a rebuild stalls
+    * ingestion for the full train+encode; see SCALE.md). The retrain
+    * signal SUBMITS a build of generation N+1 to a daemon thread over a
+    * file-list snapshot of the vector log (taken in the stream thread —
+    * the single writer — so it cannot race an append) while batches
+    * keep appending to generation N; each build-window batch also
+    * parks its raw arrivals under `gen-(N+1)/pending-vectors`. The
+    * first batch after the build finishes runs the SWAP, still in the
+    * stream thread: encode the staged build-window arrivals on the new
+    * quantizer, append to the new codes, write `COMMITTED` (the atomic
+    * swap point, covering the catch-up), re-pin, delete staging. Swap
+    * cost is O(build-window arrivals) + one scan of the COMPACT code
+    * table for the new baseline — never the raw corpus. Crash at any
+    * point: an uncommitted gen dir (staging included) is invisible to
+    * readers and deleted by the next submission; the still-firing
+    * drift signal guarantees that submission happens. A build failure
+    * is surfaced through `onBuildError` on the next batch (default
+    * rethrows; an overriding hook may log and return, after which the
+    * drift signal re-submits — self-healing). `rebuildGate` runs in
+    * the builder thread before any read: a test hook to hold the build
+    * window open deterministically.
     */
   def int8RebuildingPipeline(spark: SparkSession, root: String,
       sinkDir: String,
       nCentroids: Int = 16, lloydIters: Int = 2, trainN: Int = 4096,
       seedPlanes: Int = 6, dim: Int = 64, retrainRatio: Double = 0.9,
       onBatch: (Long, Row) => Unit = (_, _) => (),
-      onRebuild: (Long, Long) => Unit = (_, _) => ())
+      onRebuild: (Long, Long) => Unit = (_, _) => (),
+      async: Boolean = false,
+      rebuildGate: () => Unit = () => (),
+      onBuildError: (Long, Throwable) => Unit = (_, e) => throw e)
       : (DataFrame, Long) => Unit = {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
@@ -432,13 +489,62 @@ object IndexMaintenance {
     var baseline = Seq(Similarity.indexedFit(
         spark.read.parquet(s"${genDir(root, gen)}/codes"), grid, cents)
       .head().getDouble(0)).toDF("fit_indexed")
+    // A staging dir on the LATEST (committed) generation is a crash
+    // between the swap's commit and its staging delete — the rows were
+    // already folded into the codes before the commit; reap it.
+    deleteQuiet(spark, stagingDir(root, gen))
+    // Off-path build state. `built`/`failed` cross the builder→stream
+    // thread boundary; `buildingGen` is touched by the stream thread
+    // only (-1 = no build in flight).
+    val built = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val failed =
+      new java.util.concurrent.atomic.AtomicReference[(Long, Throwable)](null)
+    var buildingGen = -1L
     (batch: DataFrame, batchId: Long) => {
       val n = batch.count()
       if (n > 0) {
+        if (async) {
+          // Surface a failed build before anything else; clearing
+          // `buildingGen` re-arms submission for the still-firing
+          // drift signal.
+          val f = failed.getAndSet(null)
+          if (f != null) { buildingGen = -1L; onBuildError(f._1, f._2) }
+          // SWAP: a build finished since the last batch. Encode the
+          // staged build-window arrivals on the new quantizer, commit
+          // (the atomic point — covers the catch-up), re-pin from the
+          // committed store, reap staging. Runs before this batch is
+          // processed, so the batch lands on the new generation.
+          val g2 = built.get()
+          if (g2 >= 0) {
+            val sd = stagingDir(root, g2)
+            val newGrid =
+              pinLocal(spark.read.parquet(s"${genDir(root, g2)}/grid"))
+            val newCents =
+              pinLocal(spark.read.parquet(s"${genDir(root, g2)}/centroids"))
+            if (GenStore.fs(spark, sd).exists(new Path(sd)))
+              Similarity.int8Encode(
+                  spark.read.parquet(sd).dropDuplicates("vec_id"),
+                  newGrid, newCents)
+                .write.mode("append").parquet(s"${genDir(root, g2)}/codes")
+            commitGen(spark, root, g2)
+            deleteQuiet(spark, sd)
+            gen = g2; grid = newGrid; cents = newCents
+            baseline = Seq(Similarity.indexedFit(
+                spark.read.parquet(s"${genDir(root, gen)}/codes"), grid, cents)
+              .head().getDouble(0)).toDF("fit_indexed")
+            built.set(-1L); buildingGen = -1L
+            onRebuild(batchId, gen)
+          }
+        }
         val arrivals = batch.select(col("vec_id"), col("embedding"))
           .persist(StorageLevel.MEMORY_AND_DISK)
         try {
           arrivals.write.mode("append").parquet(s"$root/vectors")
+          // An in-flight build's snapshot is frozen — park this batch's
+          // raw arrivals for the swap's catch-up encode.
+          if (async && buildingGen >= 0)
+            arrivals.write.mode("append")
+              .parquet(stagingDir(root, buildingGen))
           val encoded = Similarity.int8Encode(arrivals, grid, cents)
             .persist(StorageLevel.MEMORY_AND_DISK)
           try {
@@ -450,15 +556,16 @@ object IndexMaintenance {
             onBatch(batchId, Row(row._1, row._2, row._3, row._4, row._5, row._6))
             Seq(row).toDF("batch_id", "n_rows", "fit_new", "drift",
               "retrain", "gen").write.mode("append").parquet(sinkDir)
-            if (row._5 == 1L) {
-              // REBUILD: full vector log, deduped (replay insurance),
-              // trained and encoded into generation N+1; commit, then
-              // swap the pins — READ BACK from the committed store, not
-              // from the training plans (re-executing those would run
-              // training twice and rest committed-codes/pinned-quantizer
-              // consistency on plan determinism; pqRebuildingPipeline's
-              // pinHist is the same posture). The next batch appends to
-              // gen N+1 and measures against the retrained baseline.
+            if (row._5 == 1L && !async) {
+              // INLINE REBUILD: full vector log, deduped (replay
+              // insurance), trained and encoded into generation N+1;
+              // commit, then swap the pins — READ BACK from the
+              // committed store, not from the training plans
+              // (re-executing those would run training twice and rest
+              // committed-codes/pinned-quantizer consistency on plan
+              // determinism; pqRebuildingPipeline's pinHist is the same
+              // posture). The next batch appends to gen N+1 and
+              // measures against the retrained baseline.
               val vecs = spark.read.parquet(s"$root/vectors")
                 .dropDuplicates("vec_id")
               writeInt8Gen(spark, root, gen + 1, vecs,
@@ -473,6 +580,32 @@ object IndexMaintenance {
                   spark.read.parquet(s"${genDir(root, gen)}/codes"), grid, cents)
                 .head().getDouble(0)).toDF("fit_indexed")
               onRebuild(batchId, gen)
+            } else if (row._5 == 1L && buildingGen < 0) {
+              // SUBMIT the off-path build: snapshot the vector log's
+              // file list HERE (single-writer thread — no append can
+              // race the listing), clear any crash orphan of the target
+              // generation (stale staging included), hand the frozen
+              // snapshot to a daemon builder. Batches keep landing on
+              // gen N until the build finishes.
+              buildingGen = gen + 1
+              val target = buildingGen
+              deleteQuiet(spark, genDir(root, target))
+              val snapshot = vectorSnapshot(spark, root)
+              val t = new Thread(() => {
+                try {
+                  rebuildGate()
+                  val vecs = spark.read.parquet(snapshot: _*)
+                    .dropDuplicates("vec_id")
+                  writeInt8Gen(spark, root, target, vecs,
+                    Similarity.int8Stats(vecs, dim),
+                    Similarity.trainCentroids(vecs, nCentroids,
+                      lloydIters, trainN, seedPlanes, dim),
+                    commit = false)
+                  built.set(target)
+                } catch { case e: Throwable => failed.set((batchId, e)) }
+              }, s"graft-int8-rebuild-gen-$target")
+              t.setDaemon(true)
+              t.start()
             }
           } finally encoded.unpersist(blocking = false)
         } finally arrivals.unpersist(blocking = false)
@@ -500,13 +633,14 @@ object IndexMaintenance {
     * ≡ committed codebooks by construction.
     */
   private def writePqGen(spark: SparkSession, root: String, gen: Long,
-      vecs: DataFrame, codebooks: DataFrame, m: Int, dim: Int): Unit = {
+      vecs: DataFrame, codebooks: DataFrame, m: Int, dim: Int,
+      commit: Boolean = true): Unit = {
     val d = genDir(root, gen)
     codebooks.write.mode("overwrite").parquet(s"$d/codebooks")
     Similarity.pqEncode(vecs, spark.read.parquet(s"$d/codebooks"), m, dim)
       .select("vec_id", "sub", "code")
       .write.mode("overwrite").parquet(s"$d/codes")
-    commitGen(spark, root, gen)
+    if (commit) commitGen(spark, root, gen)
   }
 
   /** [[pqAppendPipeline]] WITH the retrain leg — [[int8RebuildingPipeline]]'s
@@ -514,14 +648,21 @@ object IndexMaintenance {
     * pinned generation state; a tripped tv_max rebuilds codebooks and
     * codes from the deduped vector log into generation N+1 and re-pins
     * the histogram, so post-rebuild batches of the (now indexed)
-    * steady-state mix measure quiet.
+    * steady-state mix measure quiet. `async`/`rebuildGate`/
+    * `onBuildError` are [[int8RebuildingPipeline]]'s off-path protocol:
+    * snapshot → daemon build → staged build-window catch-up → commit →
+    * re-pin, with the swap paying O(window) + one scan of the compact
+    * code table, never the raw corpus.
     */
   def pqRebuildingPipeline(spark: SparkSession, root: String,
       sinkDir: String,
       m: Int = 4, ksub: Int = 16, iters: Int = 2, trainN: Int = 1024,
       dim: Int = 64, maxTv: Double = 0.2,
       onBatch: (Long, Row) => Unit = (_, _) => (),
-      onRebuild: (Long, Long) => Unit = (_, _) => ())
+      onRebuild: (Long, Long) => Unit = (_, _) => (),
+      async: Boolean = false,
+      rebuildGate: () => Unit = () => (),
+      onBuildError: (Long, Throwable) => Unit = (_, e) => throw e)
       : (DataFrame, Long) => Unit = {
     import org.apache.spark.sql.functions._
     import spark.implicits._
@@ -543,13 +684,47 @@ object IndexMaintenance {
     // [[int8RebuildingPipeline]]'s restart-safe posture.
     var gen = latestGen(spark, root)
     var (codebooks, hIdx, tIdx) = pinHist(gen)
+    deleteQuiet(spark, stagingDir(root, gen))
+    val built = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val failed =
+      new java.util.concurrent.atomic.AtomicReference[(Long, Throwable)](null)
+    var buildingGen = -1L
     (batch: DataFrame, batchId: Long) => {
       val n = batch.count()
       if (n > 0) {
+        if (async) {
+          val f = failed.getAndSet(null)
+          if (f != null) { buildingGen = -1L; onBuildError(f._1, f._2) }
+          // SWAP — [[int8RebuildingPipeline]]'s protocol: staged
+          // catch-up encode on the new codebooks, commit, re-pin the
+          // histogram over the full (snapshot + catch-up) code table.
+          val g2 = built.get()
+          if (g2 >= 0) {
+            val sd = stagingDir(root, g2)
+            val newCb =
+              pinLocal(spark.read.parquet(s"${genDir(root, g2)}/codebooks"))
+            if (GenStore.fs(spark, sd).exists(new Path(sd)))
+              Similarity.pqEncode(
+                  spark.read.parquet(sd).dropDuplicates("vec_id"),
+                  newCb, m, dim)
+                .select("vec_id", "sub", "code")
+                .write.mode("append").parquet(s"${genDir(root, g2)}/codes")
+            commitGen(spark, root, g2)
+            deleteQuiet(spark, sd)
+            gen = g2
+            val swapped = pinHist(gen)
+            codebooks = swapped._1; hIdx = swapped._2; tIdx = swapped._3
+            built.set(-1L); buildingGen = -1L
+            onRebuild(batchId, gen)
+          }
+        }
         val arrivals = batch.select(col("vec_id"), col("embedding"))
           .persist(StorageLevel.MEMORY_AND_DISK)
         try {
           arrivals.write.mode("append").parquet(s"$root/vectors")
+          if (async && buildingGen >= 0)
+            arrivals.write.mode("append")
+              .parquet(stagingDir(root, buildingGen))
           val encoded = Similarity.pqEncode(arrivals, codebooks, m, dim)
             .select("vec_id", "sub", "code")
             .persist(StorageLevel.MEMORY_AND_DISK)
@@ -562,7 +737,7 @@ object IndexMaintenance {
             onBatch(batchId, Row(row._1, row._2, row._3, row._4, row._5))
             Seq(row).toDF("batch_id", "n_rows", "tv_max", "retrain", "gen")
               .write.mode("append").parquet(sinkDir)
-            if (row._4 == 1L) {
+            if (row._4 == 1L && !async) {
               val vecs = spark.read.parquet(s"$root/vectors")
                 .dropDuplicates("vec_id")
               writePqGen(spark, root, gen + 1, vecs,
@@ -572,6 +747,26 @@ object IndexMaintenance {
               val swapped = pinHist(gen)
               codebooks = swapped._1; hIdx = swapped._2; tIdx = swapped._3
               onRebuild(batchId, gen)
+            } else if (row._4 == 1L && buildingGen < 0) {
+              // SUBMIT — int8RebuildingPipeline's off-path protocol.
+              buildingGen = gen + 1
+              val target = buildingGen
+              deleteQuiet(spark, genDir(root, target))
+              val snapshot = vectorSnapshot(spark, root)
+              val t = new Thread(() => {
+                try {
+                  rebuildGate()
+                  val vecs = spark.read.parquet(snapshot: _*)
+                    .dropDuplicates("vec_id")
+                  writePqGen(spark, root, target, vecs,
+                    Similarity.trainPqCodebooks(vecs, m, ksub, iters,
+                      trainN, dim),
+                    m, dim, commit = false)
+                  built.set(target)
+                } catch { case e: Throwable => failed.set((batchId, e)) }
+              }, s"graft-pq-rebuild-gen-$target")
+              t.setDaemon(true)
+              t.start()
             }
           } finally encoded.unpersist(blocking = false)
         } finally arrivals.unpersist(blocking = false)

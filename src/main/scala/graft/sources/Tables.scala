@@ -49,13 +49,28 @@ object Tables {
     * nanosecond long from `unix_micros`.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
+        // TIMESTAMP(NANOS) layout: the conf MUST stay set for the life
+        // of any DataFrame derived from this read — the parquet reader
+        // consults the session conf again at execution time, so a
+        // set/restore scope here would fail every derived plan at task
+        // launch. This is the one loader-persistent conf, and it is
+        // inert for every other read (no other table has a nanos
+        // column).
         raw.withColumnRenamed("ts", "ts_ns")
           .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
       case _ => // TIMESTAMP_NTZ (or already-instant TIMESTAMP)
+        // The conf was inert (no nanos column) — restore the caller's
+        // session state rather than leak a global toggle from a loader.
+        prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
         raw.withColumn("ts", col("ts").cast("timestamp"))
           .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
     }

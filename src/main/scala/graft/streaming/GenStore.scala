@@ -63,6 +63,28 @@ private[streaming] object GenStore {
       .foreach(s => hfs.delete(s.getPath, true))
   }
 
+  /** Delete every UNCOMMITTED `gen-*` directory numbered above `keep` —
+    * crash orphans from a writer (an off-path rebuild) that died before
+    * its commit point. Safe only when no build is in flight: the
+    * single-writer stores call this at pipeline construction, where an
+    * uncommitted generation above the committed frontier can only be a
+    * dead remnant — invisible to readers but holding disk (and, for a
+    * rebuild orphan, a staging dir that stale appends could keep
+    * growing).
+    */
+  def dropUncommittedAbove(spark: SparkSession, root: String,
+      keep: Long): Unit = {
+    val hfs = fs(spark, root)
+    if (hfs.exists(new Path(root)))
+      hfs.listStatus(new Path(root)).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen-"))
+        .filter { s =>
+          val g = s.getPath.getName.stripPrefix("gen-").toLong
+          g > keep && !hfs.exists(new Path(s"${dir(root, g)}/COMMITTED"))
+        }
+        .foreach(s => hfs.delete(s.getPath, true))
+  }
+
   /** Count data files under `path` (recursive, `_`-prefixed bookkeeping
     * files excluded) — the compaction trigger's measure of small-file
     * accretion. Cost is one directory walk, bounded post-compaction by

@@ -65,24 +65,41 @@ object IndexMaintenance {
 
   /** MD5 over the sorted canonical rows of bounded quantizer tables
     * (a 1-row grid, nCentroids centroids, m·ksub codebook rows — all
-    * construction-bounded collects). Row order and column order are
-    * canonicalized so the digest identifies the quantizer's VALUES,
-    * not the plan that produced them.
+    * construction-bounded). Row order and column order are canonicalized
+    * so the digest identifies the quantizer's VALUES, not the plan that
+    * produced them. Operates on ALREADY-COLLECTED rows: the append
+    * pipelines pin their quantizer once ([[pinWithRows]]) and the digest
+    * reuses those rows — an arbitrary caller plan (e.g. a training DAG)
+    * is never re-executed just to seal the store.
     */
-  private def quantizerDigest(parts: Seq[DataFrame]): String = {
-    import org.apache.spark.sql.functions.col
+  private def quantizerDigest(
+      parts: Seq[(org.apache.spark.sql.types.StructType, Array[Row])])
+      : String = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    parts.foreach { df =>
-      val cols = df.columns.sorted.map(col(_))
-      df.select(cols.toIndexedSeq: _*).collect()
-        .map(_.toSeq.map {
-          case s: scala.collection.Seq[_] => s.mkString("[", ",", "]")
-          case x => String.valueOf(x)
+    parts.foreach { case (schema, rows) =>
+      val order = schema.fieldNames.zipWithIndex.sortBy(_._1).map(_._2)
+      rows
+        .map(row => order.map { i =>
+          row.get(i) match {
+            case s: scala.collection.Seq[_] => s.mkString("[", ",", "]")
+            case x => String.valueOf(x)
+          }
         }.mkString("|"))
         .sorted
         .foreach(r => md.update((r + "\n").getBytes("UTF-8")))
     }
     md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** [[pinLocal]] that also hands back the collected rows, so a caller
+    * needing both the pinned relation and driver-side access (dim /
+    * row-count / digest derivation) pays exactly ONE execution of the
+    * source plan.
+    */
+  private def pinWithRows(df: DataFrame): (DataFrame, Array[Row]) = {
+    import scala.jdk.CollectionConverters._
+    val rows = df.collect()
+    (df.sparkSession.createDataFrame(rows.toSeq.asJava, df.schema), rows)
   }
 
   /** The int8 tier's monitor — same shape as [[pqDriftMonitor]] with
@@ -175,15 +192,24 @@ object IndexMaintenance {
       : (DataFrame, Long) => Unit = {
     val spark = grid.sparkSession
     import spark.implicits._
+    // Pin the quantizer ONCE (a 1-row grid + nCentroids centroids —
+    // bounded by construction). The pinned rows drive the seal-or-check
+    // below with no further jobs, and every per-batch encode runs on
+    // the LOCAL relations — an expensive caller plan (a training DAG
+    // handed in as `centroids`) executes exactly once per pipeline
+    // construction, never once per seal field plus once per batch.
+    val (gridL, gridRows) = pinWithRows(grid)
+    val (centsL, centRows) = pinWithRows(centroids)
     // Seal-or-check the artifact against the pinned quantizer: shape
     // (dim from the grid row, centroid count) plus the value digest —
     // a reconstruction with ANY different quantizer over these codes
     // would silently mis-encode every future append.
-    val dim = grid.head().getAs[scala.collection.Seq[Double]]("lo").size
+    val dim = gridRows(0).getAs[scala.collection.Seq[Double]]("lo").size
     StoreManifest.sealOrCheck(spark, indexDir, Seq(
         "kind" -> "int8-codes", "dim" -> dim.toString,
-        "nCentroids" -> centroids.count().toString,
-        "quantizerDigest" -> quantizerDigest(Seq(grid, centroids))),
+        "nCentroids" -> centRows.length.toString,
+        "quantizerDigest" -> quantizerDigest(Seq(
+          (grid.schema, gridRows), (centroids.schema, centRows)))),
       "int8 code artifact", StoreManifest.InlineFileName)
     // The baseline is COLLECTED into a local one-row relation, not
     // persisted over the parquet scan: each append write triggers
@@ -194,17 +220,17 @@ object IndexMaintenance {
     // the production posture (calibration from a reference snapshot,
     // refreshed on retrain — the curation funnel's qMin/qMax pattern).
     val baseline = Seq(Similarity.indexedFit(spark.read.parquet(indexDir),
-        grid, centroids).head().getDouble(0))
+        gridL, centsL).head().getDouble(0))
       .toDF("fit_indexed")
     (batch: DataFrame, batchId: Long) => {
       val n = batch.count()
       if (n > 0) {
         import spark.implicits._
-        val encoded = Similarity.int8Encode(batch, grid, centroids)
+        val encoded = Similarity.int8Encode(batch, gridL, centsL)
           .persist(StorageLevel.MEMORY_AND_DISK)
         try {
           encoded.write.mode("append").parquet(indexDir)
-          val d = Similarity.indexDriftFromCodes(encoded, grid, centroids,
+          val d = Similarity.indexDriftFromCodes(encoded, gridL, centsL,
             baseline, retrainRatio).head()
           val row = (batchId, n, d.getAs[Double]("fit_new"),
             d.getAs[Double]("drift"), d.getAs[Long]("retrain"))
@@ -231,13 +257,19 @@ object IndexMaintenance {
     import org.apache.spark.sql.functions._
     val spark = codebooks.sparkSession
     import spark.implicits._
+    // Pin the codebooks ONCE (m·ksub rows — bounded by construction);
+    // int8AppendPipeline's rationale: the pinned rows drive the seal
+    // with no further jobs and the per-batch encodes run on the local
+    // relation, so a training DAG handed in as `codebooks` executes
+    // exactly once per pipeline construction.
+    val (cbL, cbRows) = pinWithRows(codebooks)
     // Seal-or-check against the pinned codebooks — int8AppendPipeline's
     // gate for the PQ tier (ksub derived from the trained table, which
     // may legitimately hold fewer codewords than requested).
     StoreManifest.sealOrCheck(spark, codesDir, Seq(
         "kind" -> "pq-codes", "dim" -> dim.toString, "m" -> m.toString,
-        "ksub" -> (codebooks.count() / m).toString,
-        "quantizerDigest" -> quantizerDigest(Seq(codebooks))),
+        "ksub" -> (cbRows.length / m).toString,
+        "quantizerDigest" -> quantizerDigest(Seq((codebooks.schema, cbRows)))),
       "pq code artifact", StoreManifest.InlineFileName)
     // Pinned as LOCAL relations, not persisted over the parquet scan —
     // int8AppendPipeline's refreshByPath rationale: an append write
@@ -256,13 +288,13 @@ object IndexMaintenance {
       val n = batch.count()
       if (n > 0) {
         import spark.implicits._
-        val encoded = Similarity.pqEncode(batch, codebooks, m, dim)
+        val encoded = Similarity.pqEncode(batch, cbL, m, dim)
           .select("vec_id", "sub", "code")
           .persist(StorageLevel.MEMORY_AND_DISK)
         try {
           encoded.write.mode("append").parquet(codesDir)
           val d = Similarity.pqDriftFromCodes(encoded, hIdx, tIdx,
-            codebooks, maxTv).head()
+            cbL, maxTv).head()
           val row = (batchId, n, d.getAs[Double]("tv_max"), d.getAs[Long]("retrain"))
           onBatch(batchId, Row(row._1, row._2, row._3, row._4))
           Seq(row).toDF("batch_id", "n_rows", "tv_max", "retrain")
@@ -450,15 +482,20 @@ object IndexMaintenance {
     * quantizer, append to the new codes, write `COMMITTED` (the atomic
     * swap point, covering the catch-up), re-pin, delete staging. Swap
     * cost is O(build-window arrivals) + one scan of the COMPACT code
-    * table for the new baseline — never the raw corpus. Crash at any
-    * point: an uncommitted gen dir (staging included) is invisible to
-    * readers and deleted by the next submission; the still-firing
-    * drift signal guarantees that submission happens. A build failure
-    * is surfaced through `onBuildError` on the next batch (default
-    * rethrows; an overriding hook may log and return, after which the
-    * drift signal re-submits — self-healing). `rebuildGate` runs in
-    * the builder thread before any read: a test hook to hold the build
-    * window open deterministically.
+    * table for the new baseline — never the raw corpus. The catch-up
+    * encode anti-joins staging against the built snapshot's codes, so
+    * a vec_id re-sent during the build window is encoded once —
+    * async ≡ inline, which dedups the full log. Crash at any point: an
+    * uncommitted gen dir (staging included) is invisible to readers
+    * and reaped at the next pipeline construction, by the next
+    * submission, or — for a surfaced build failure — in the failure
+    * branch itself, so an orphan never outlives the next observation
+    * even if drift subsides. A build failure is surfaced through
+    * `onBuildError` on the next batch (default rethrows; an overriding
+    * hook may log and return, after which the drift signal re-submits —
+    * self-healing). `rebuildGate` runs in the builder thread before
+    * any read: a test hook to hold the build window open
+    * deterministically.
     */
   def int8RebuildingPipeline(spark: SparkSession, root: String,
       sinkDir: String,
@@ -491,24 +528,36 @@ object IndexMaintenance {
       .head().getDouble(0)).toDF("fit_indexed")
     // A staging dir on the LATEST (committed) generation is a crash
     // between the swap's commit and its staging delete — the rows were
-    // already folded into the codes before the commit; reap it.
+    // already folded into the codes before the commit; reap it. And an
+    // UNCOMMITTED generation above the committed frontier is a build
+    // that died before its commit point — single-writer, so nothing is
+    // in flight at construction; reap it too (it holds a partial
+    // artifact plus a staging dir, and if drift has subsided no future
+    // submission would ever overwrite it).
     deleteQuiet(spark, stagingDir(root, gen))
+    GenStore.dropUncommittedAbove(spark, root, gen)
     // Off-path build state. `built`/`failed` cross the builder→stream
     // thread boundary; `buildingGen` is touched by the stream thread
-    // only (-1 = no build in flight).
+    // only (-1 = no build in flight). `failed` carries (batchId,
+    // targetGen, error) so the surfacing branch can reap the orphan.
     val built = new java.util.concurrent.atomic.AtomicLong(-1L)
-    val failed =
-      new java.util.concurrent.atomic.AtomicReference[(Long, Throwable)](null)
+    val failed = new java.util.concurrent.atomic
+      .AtomicReference[(Long, Long, Throwable)](null)
     var buildingGen = -1L
     (batch: DataFrame, batchId: Long) => {
       val n = batch.count()
       if (n > 0) {
         if (async) {
-          // Surface a failed build before anything else; clearing
-          // `buildingGen` re-arms submission for the still-firing
-          // drift signal.
+          // Surface a failed build before anything else: reap the
+          // orphan target dir eagerly (if drift has subsided it would
+          // otherwise persist indefinitely), then clear `buildingGen`
+          // to re-arm submission for the still-firing drift signal.
           val f = failed.getAndSet(null)
-          if (f != null) { buildingGen = -1L; onBuildError(f._1, f._2) }
+          if (f != null) {
+            deleteQuiet(spark, genDir(root, f._2))
+            buildingGen = -1L
+            onBuildError(f._1, f._3)
+          }
           // SWAP: a build finished since the last batch. Encode the
           // staged build-window arrivals on the new quantizer, commit
           // (the atomic point — covers the catch-up), re-pin from the
@@ -521,9 +570,19 @@ object IndexMaintenance {
               pinLocal(spark.read.parquet(s"${genDir(root, g2)}/grid"))
             val newCents =
               pinLocal(spark.read.parquet(s"${genDir(root, g2)}/centroids"))
+            // Catch-up = staged rows the SNAPSHOT didn't already cover:
+            // a vec_id re-sent during the build window is in both the
+            // frozen snapshot (its first arrival) and staging (its
+            // replay) — without the anti-join it would be encoded twice
+            // in gen N+1, where the inline rebuild (which dedups the
+            // full log) encodes it once. One anti-join against the
+            // compact built code table keeps async ≡ inline.
             if (GenStore.fs(spark, sd).exists(new Path(sd)))
               Similarity.int8Encode(
-                  spark.read.parquet(sd).dropDuplicates("vec_id"),
+                  spark.read.parquet(sd).dropDuplicates("vec_id")
+                    .join(spark.read.parquet(s"${genDir(root, g2)}/codes")
+                        .select(col("neighbor_id").as("vec_id")),
+                      Seq("vec_id"), "left_anti"),
                   newGrid, newCents)
                 .write.mode("append").parquet(s"${genDir(root, g2)}/codes")
             commitGen(spark, root, g2)
@@ -602,7 +661,9 @@ object IndexMaintenance {
                       lloydIters, trainN, seedPlanes, dim),
                     commit = false)
                   built.set(target)
-                } catch { case e: Throwable => failed.set((batchId, e)) }
+                } catch {
+                  case e: Throwable => failed.set((batchId, target, e))
+                }
               }, s"graft-int8-rebuild-gen-$target")
               t.setDaemon(true)
               t.start()
@@ -684,17 +745,26 @@ object IndexMaintenance {
     // [[int8RebuildingPipeline]]'s restart-safe posture.
     var gen = latestGen(spark, root)
     var (codebooks, hIdx, tIdx) = pinHist(gen)
+    // Crash reaping at construction — int8RebuildingPipeline's
+    // rationale: a committed-gen staging dir is a crash between commit
+    // and staging delete; an uncommitted gen above the frontier is a
+    // build that died before its commit point.
     deleteQuiet(spark, stagingDir(root, gen))
+    GenStore.dropUncommittedAbove(spark, root, gen)
     val built = new java.util.concurrent.atomic.AtomicLong(-1L)
-    val failed =
-      new java.util.concurrent.atomic.AtomicReference[(Long, Throwable)](null)
+    val failed = new java.util.concurrent.atomic
+      .AtomicReference[(Long, Long, Throwable)](null)
     var buildingGen = -1L
     (batch: DataFrame, batchId: Long) => {
       val n = batch.count()
       if (n > 0) {
         if (async) {
           val f = failed.getAndSet(null)
-          if (f != null) { buildingGen = -1L; onBuildError(f._1, f._2) }
+          if (f != null) {
+            deleteQuiet(spark, genDir(root, f._2))
+            buildingGen = -1L
+            onBuildError(f._1, f._3)
+          }
           // SWAP — [[int8RebuildingPipeline]]'s protocol: staged
           // catch-up encode on the new codebooks, commit, re-pin the
           // histogram over the full (snapshot + catch-up) code table.
@@ -703,9 +773,17 @@ object IndexMaintenance {
             val sd = stagingDir(root, g2)
             val newCb =
               pinLocal(spark.read.parquet(s"${genDir(root, g2)}/codebooks"))
+            // Anti-join the staged catch-up against the built snapshot's
+            // codes — int8RebuildingPipeline's rationale: a vec_id
+            // re-sent during the build window must not be encoded twice
+            // in gen N+1 (async ≡ inline, which dedups the full log).
             if (GenStore.fs(spark, sd).exists(new Path(sd)))
               Similarity.pqEncode(
-                  spark.read.parquet(sd).dropDuplicates("vec_id"),
+                  spark.read.parquet(sd).dropDuplicates("vec_id")
+                    .join(spark.read
+                        .parquet(s"${genDir(root, g2)}/codes")
+                        .select("vec_id"),
+                      Seq("vec_id"), "left_anti"),
                   newCb, m, dim)
                 .select("vec_id", "sub", "code")
                 .write.mode("append").parquet(s"${genDir(root, g2)}/codes")
@@ -763,7 +841,9 @@ object IndexMaintenance {
                       trainN, dim),
                     m, dim, commit = false)
                   built.set(target)
-                } catch { case e: Throwable => failed.set((batchId, e)) }
+                } catch {
+                  case e: Throwable => failed.set((batchId, target, e))
+                }
               }, s"graft-pq-rebuild-gen-$target")
               t.setDaemon(true)
               t.start()

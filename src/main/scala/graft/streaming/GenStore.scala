@@ -90,17 +90,33 @@ private[streaming] object GenStore {
     * accretion. Cost is one directory walk, bounded post-compaction by
     * the trigger threshold itself.
     */
-  def dataFileCount(spark: SparkSession, path: String): Long = {
+  def dataFileCount(spark: SparkSession, path: String): Long =
+    dataFiles(spark, path).size.toLong
+
+  /** The data-file paths under `path` (recursive, `_`-prefixed
+    * bookkeeping excluded). Taken in the single-writer thread, this is
+    * a consistent snapshot an off-path job can read while the writer
+    * keeps appending — and the set difference of a later listing
+    * against it is exactly the appends made in between (the async
+    * compaction's catch-up delta).
+    */
+  def dataFiles(spark: SparkSession, path: String): Seq[String] = {
     val hfs = fs(spark, path)
-    if (!hfs.exists(new Path(path))) 0L
+    if (!hfs.exists(new Path(path))) Seq.empty
     else {
       val it = hfs.listFiles(new Path(path), true)
-      var n = 0L
+      val out = Seq.newBuilder[String]
       while (it.hasNext) {
         val f = it.next()
-        if (!f.getPath.getName.startsWith("_")) n += 1
+        if (!f.getPath.getName.startsWith("_")) out += f.getPath.toString
       }
-      n
+      out.result()
     }
+  }
+
+  /** Recursive delete, quiet on a missing path. */
+  def deleteQuiet(spark: SparkSession, path: String): Unit = {
+    val hfs = fs(spark, path)
+    if (hfs.exists(new Path(path))) hfs.delete(new Path(path), true)
   }
 }

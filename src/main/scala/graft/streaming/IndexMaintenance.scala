@@ -366,10 +366,8 @@ object IndexMaintenance {
       .map(_.getPath.toString)
   }
 
-  private def deleteQuiet(spark: SparkSession, path: String): Unit = {
-    val hfs = GenStore.fs(spark, path)
-    if (hfs.exists(new Path(path))) hfs.delete(new Path(path), true)
-  }
+  private def deleteQuiet(spark: SparkSession, path: String): Unit =
+    GenStore.deleteQuiet(spark, path)
 
   /** Highest COMMITTED generation under `root` — the one readers and
     * appenders use. Fails loudly on a store with no committed

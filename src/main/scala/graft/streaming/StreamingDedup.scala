@@ -77,7 +77,11 @@ import graft.operators.Dedup
   * A compaction pass costs O(index) — amortized O(index/batches-per-
   * trigger) per batch, and the trigger is file count, not time, so a
   * quiet stream never pays it. Row contents are preserved exactly, so
-  * a replay across the boundary resolves identically.
+  * a replay across the boundary resolves identically. With
+  * `asyncCompact` the rewrite runs off the batch path entirely — a
+  * daemon copier over a frozen file-list snapshot, the stream
+  * continuing on the old generation, and a swap that carries the
+  * window's appends as a listing delta (see [[minhashDedupPipeline]]).
   *
   * Crash-replay (foreachBatch is at-least-once): the per-batch appends
   * are ordered survivors → toks → bands so that a replayed batch either
@@ -234,20 +238,50 @@ object StreamingDedup {
     */
   private def compactIndex(spark: SparkSession, indexDir: String,
       gen: Long): Long = {
-    val from = GenStore.dir(indexDir, gen)
-    val to = GenStore.dir(indexDir, gen + 1)
-    spark.read.schema(bandsSchema).parquet(s"$from/bands")
-      .repartition(col("band"), col("pslot"))
-      .write.partitionBy("band", "pslot").mode("overwrite")
-      .parquet(s"$to/bands")
-    spark.read.schema(toksSchema).parquet(s"$from/toks")
-      .repartition(col("tslot"))
-      .write.partitionBy("tslot").mode("overwrite")
-      .parquet(s"$to/toks")
+    writeCompacted(spark, indexDir, gen + 1,
+      GenStore.dataFiles(spark, s"${GenStore.dir(indexDir, gen)}/bands"),
+      GenStore.dataFiles(spark, s"${GenStore.dir(indexDir, gen)}/toks"),
+      GenStore.dir(indexDir, gen))
     GenStore.commit(spark, indexDir, gen + 1)
     GenStore.dropBelow(spark, indexDir, gen + 1)
     gen + 1
   }
+
+  /** The compaction's COPY half: cluster exactly `bandFiles`/`tokFiles`
+    * (a frozen file-list snapshot of generation `target - 1`) into
+    * generation `target`, one file per partition, WITHOUT committing.
+    * Reading the explicit snapshot files (with `basePath` so the
+    * partition columns still parse from the paths) rather than the
+    * directory is what makes this safe to run OFF-PATH: the single
+    * writer keeps appending new files to the old generation, and the
+    * copy cannot see a torn corpus — the appends it misses are exactly
+    * the listing delta the swap carries over.
+    */
+  private def writeCompacted(spark: SparkSession, indexDir: String,
+      target: Long, bandFiles: Seq[String], tokFiles: Seq[String],
+      fromDir: String): Unit = {
+    val to = GenStore.dir(indexDir, target)
+    readFiles(spark, bandsSchema, s"$fromDir/bands", bandFiles)
+      .repartition(col("band"), col("pslot"))
+      .write.partitionBy("band", "pslot").mode("overwrite")
+      .parquet(s"$to/bands")
+    readFiles(spark, toksSchema, s"$fromDir/toks", tokFiles)
+      .repartition(col("tslot"))
+      .write.partitionBy("tslot").mode("overwrite")
+      .parquet(s"$to/toks")
+  }
+
+  /** Read an explicit parquet file list under `basePath` (partition
+    * columns parsed from the paths); an empty list is an empty relation
+    * — a fresh index has zero data files.
+    */
+  private def readFiles(spark: SparkSession, schema: StructType,
+      basePath: String, files: Seq[String]): DataFrame =
+    if (files.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        schema)
+    else spark.read.schema(schema).option("basePath", basePath)
+      .parquet(files: _*)
 
   /** The foreachBatch function: batch-local near-dup resolution, then
     * the stored-index check, then append + emit. `survivorsDir`
@@ -267,6 +301,27 @@ object StreamingDedup {
     * make stored signatures unfindable. `compactAtFiles` bounds the
     * index's small-file accretion (see the compaction note above);
     * `Int.MaxValue` disables.
+    *
+    * `asyncCompact = true` moves the O(index) rewrite OFF the batch
+    * path — [[IndexMaintenance]]'s off-path rebuild protocol applied to
+    * the compaction (the 100 TB availability stance: inline, the
+    * rewrite stalls ingestion for the full index copy; see SCALE.md).
+    * The growth trigger SUBMITS a clustered copy of a frozen file-list
+    * snapshot of generation N to a daemon thread (the listing taken in
+    * the stream thread — the single writer — so it cannot race an
+    * append) while batches keep reading and appending generation N. The
+    * first batch after the copy finishes runs the SWAP in the stream
+    * thread: the files appended to gen N since the snapshot — exactly
+    * the listing delta, no staging needed because compaction is pure
+    * file movement — are appended into gen N+1 as-is, the marker
+    * commits, gen N drops. Swap cost is O(window appends), never
+    * O(index). Crash orphans (an uncommitted target gen) are reaped at
+    * construction, at resubmission, and in the failure branch; a copy
+    * failure surfaces via `onCompactError` on the next batch (default
+    * rethrows) and the still-standing growth trigger re-submits.
+    * `compactGate` runs in the copier thread before any read (the
+    * deterministic-window test hook); `onCompact(batchId, newGen)`
+    * fires after each swap.
     */
   def minhashDedupPipeline(spark: SparkSession, indexDir: String,
       survivorsDir: String,
@@ -274,7 +329,11 @@ object StreamingDedup {
       threshold: Double = 0.5, md5Parity: Boolean = false,
       bucketSlots: Int = 4, idSlots: Int = 64,
       compactAtFiles: Int = 4096, foldSurvivorsEvery: Int = 64,
-      onBatch: (Long, Long, Long) => Unit = (_, _, _) => ())
+      onBatch: (Long, Long, Long) => Unit = (_, _, _) => (),
+      asyncCompact: Boolean = false,
+      onCompact: (Long, Long) => Unit = (_, _) => (),
+      compactGate: () => Unit = () => (),
+      onCompactError: (Long, Throwable) => Unit = (_, e) => throw e)
       : (DataFrame, Long) => Unit = {
     require(numPerms % bands == 0, "bands must divide numPerms")
     require(bucketSlots > 0 && idSlots > 0, "slot counts must be positive")
@@ -287,7 +346,12 @@ object StreamingDedup {
     // forever on a store that never re-triggers; correctness is
     // unaffected since readers take the max, this reclaims the disk).
     GenStore.committed(spark, indexDir) match {
-      case gens if gens.nonEmpty => GenStore.dropBelow(spark, indexDir, gens.max)
+      case gens if gens.nonEmpty =>
+        GenStore.dropBelow(spark, indexDir, gens.max)
+        // And reap an uncommitted orphan ABOVE the frontier — an async
+        // compaction that died before its commit point (single-writer:
+        // nothing is in flight at construction).
+        GenStore.dropUncommittedAbove(spark, indexDir, gens.max)
       case _ =>
     }
     def genFiles(gen: Long): Long =
@@ -303,19 +367,99 @@ object StreamingDedup {
     // (a restarted pipeline re-learns it at the cost of at most one
     // early compaction).
     var lastPostCompact = -1L
+    // Off-path compaction state — [[IndexMaintenance]]'s protocol:
+    // `built`/`failed` cross the copier→stream thread boundary;
+    // `compactingGen` and the snapshot file sets are stream-thread-only
+    // (-1 = no copy in flight). `failed` carries (batchId, targetGen,
+    // error) so the surfacing branch can reap the orphan.
+    val built = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val failed = new java.util.concurrent.atomic
+      .AtomicReference[(Long, Long, Throwable)](null)
+    var compactingGen = -1L
+    var snapBands: Set[String] = Set.empty
+    var snapToks: Set[String] = Set.empty
     (batch: DataFrame, batchId: Long) => {
       val n = batch.count()
       if (n > 0) {
+        if (asyncCompact) {
+          // Surface a failed copy before anything else: reap the orphan
+          // target dir, clear the in-flight flag so the still-standing
+          // growth trigger re-submits.
+          val f = failed.getAndSet(null)
+          if (f != null) {
+            GenStore.deleteQuiet(spark, GenStore.dir(indexDir, f._2))
+            compactingGen = -1L
+            onCompactError(f._1, f._3)
+          }
+          // SWAP: the copy finished since the last batch. Carry the
+          // listing delta — every file appended to the old generation
+          // during the copy window — into the new generation AS-IS
+          // (pure file movement; clustering the window's few small
+          // files can wait for the next compaction), then commit, drop
+          // the old generation, and re-learn the post-compaction floor.
+          val g2 = built.get()
+          if (g2 >= 0) {
+            val from = GenStore.dir(indexDir, g2 - 1)
+            val to = GenStore.dir(indexDir, g2)
+            val deltaBands = GenStore.dataFiles(spark, s"$from/bands")
+              .filterNot(snapBands.contains)
+            val deltaToks = GenStore.dataFiles(spark, s"$from/toks")
+              .filterNot(snapToks.contains)
+            if (deltaBands.nonEmpty)
+              readFiles(spark, bandsSchema, s"$from/bands", deltaBands)
+                .write.partitionBy("band", "pslot").mode("append")
+                .parquet(s"$to/bands")
+            if (deltaToks.nonEmpty)
+              readFiles(spark, toksSchema, s"$from/toks", deltaToks)
+                .write.partitionBy("tslot").mode("append")
+                .parquet(s"$to/toks")
+            GenStore.commit(spark, indexDir, g2)
+            GenStore.dropBelow(spark, indexDir, g2)
+            lastPostCompact = genFiles(g2)
+            built.set(-1L); compactingGen = -1L
+            snapBands = Set.empty; snapToks = Set.empty
+            onCompact(batchId, g2)
+          }
+        }
         // Resolve the generation at batch start, and compact FIRST if
         // the growth bound is crossed — so this batch's reads and
-        // appends all target the surviving generation.
+        // appends all target the surviving generation (inline mode; in
+        // async mode the trigger submits and this batch proceeds on the
+        // old generation).
         var gen = GenStore.latest(spark, indexDir)
         val grown = genFiles(gen) >=
           (if (lastPostCompact < 0) compactAtFiles.toLong
            else lastPostCompact + compactAtFiles)
         if (grown) {
-          gen = compactIndex(spark, indexDir, gen)
-          lastPostCompact = genFiles(gen)
+          if (!asyncCompact) {
+            gen = compactIndex(spark, indexDir, gen)
+            lastPostCompact = genFiles(gen)
+          } else if (compactingGen < 0) {
+            // SUBMIT the off-path copy: snapshot the file lists HERE
+            // (single-writer thread — no append can race the listing),
+            // clear any crash orphan of the target, hand the frozen
+            // lists to a daemon copier.
+            compactingGen = gen + 1
+            val target = compactingGen
+            GenStore.deleteQuiet(spark, GenStore.dir(indexDir, target))
+            val fromDir = GenStore.dir(indexDir, gen)
+            val bandSnap = GenStore.dataFiles(spark, s"$fromDir/bands")
+            val tokSnap = GenStore.dataFiles(spark, s"$fromDir/toks")
+            snapBands = bandSnap.toSet
+            snapToks = tokSnap.toSet
+            val t = new Thread(() => {
+              try {
+                compactGate()
+                writeCompacted(spark, indexDir, target, bandSnap, tokSnap,
+                  fromDir)
+                built.set(target)
+              } catch {
+                case e: Throwable => failed.set((batchId, target, e))
+              }
+            }, s"graft-index-compact-gen-$target")
+            t.setDaemon(true)
+            t.start()
+          }
         }
         // Fold closed survivor partitions into a sealed segment every
         // `foldSurvivorsEvery` batches (the output-store analog of the

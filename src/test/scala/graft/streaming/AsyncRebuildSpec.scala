@@ -184,6 +184,64 @@ class AsyncRebuildSpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/gen-0/codes").count() == 48 + 12)
   }
 
+  test("int8 async rebuild under the streaming engine: the closed loop " +
+      "converges end-to-end with natural build timing") {
+    // The latch-gated tests above prove the protocol deterministically;
+    // this leg drives the SAME pipeline through writeStream.foreachBatch
+    // with the build running at its own pace — the micro-batch engine's
+    // thread is the single writer the protocol assumes. Only the first
+    // build runs; tail re-submissions park on a never-released latch
+    // (daemon threads — reaped at JVM exit before starting any job).
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = Files.createTempDirectory("graft-i8asyncstream").toString
+    val sink = Files.createTempDirectory("graft-i8asyncstreamsink").toString
+    IndexMaintenance.initInt8Store(spark, root,
+      vecs(0 until 48, sameDist).toDF("vec_id", "embedding"),
+      nCentroids = 4, lloydIters = 2, trainN = 64, seedPlanes = 4, dim = 8)
+    val parked = new CountDownLatch(1)
+    val attempt = new AtomicInteger(0)
+    var rebuilds = Vector.empty[(Long, Long)]
+    val fn = IndexMaintenance.int8RebuildingPipeline(spark, root, sink,
+      nCentroids = 4, lloydIters = 2, trainN = 64, seedPlanes = 4, dim = 8,
+      onRebuild = (b, g) => rebuilds :+= ((b, g)),
+      async = true,
+      rebuildGate = () => if (attempt.incrementAndGet() > 1) parked.await())
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = mem.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch(fn).start()
+    try {
+      mem.addData(vecs(100 until 112, sameDist): _*)
+      q.processAllAvailable()
+      // Shifted batches trip retrain; the submitted build races the
+      // stream at natural speed — keep feeding until the swap lands.
+      var id = 200
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (IndexMaintenance.latestGen(spark, root) == 0L &&
+          System.nanoTime() < deadline) {
+        mem.addData(vecs(id until (id + 12), shifted): _*)
+        q.processAllAvailable()
+        id += 12
+      }
+    } finally q.stop()
+    assert(IndexMaintenance.latestGen(spark, root) == 1L, "swap committed")
+    assert(rebuilds.map(_._2) == Vector(1L), s"one swap, to gen 1: $rebuilds")
+    assert(!exists(s"$root/gen-1/pending-vectors"), "staging reaped")
+    // The full differential still holds under engine-driven batching:
+    // every arrival (snapshot, build-window staging, post-swap appends)
+    // collapses into one encode of the deduped log on the committed
+    // gen-1 quantizer.
+    def rowSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Long]("cid"),
+        r.getAs[Array[Byte]]("qcode").toSeq)).toSet
+    assert(rowSet(spark.read.parquet(s"$root/gen-1/codes")) ==
+      rowSet(Similarity.int8Encode(
+        spark.read.parquet(s"$root/vectors").dropDuplicates("vec_id"),
+        spark.read.parquet(s"$root/gen-1/grid"),
+        spark.read.parquet(s"$root/gen-1/centroids"))),
+      "gen-1 codes ≡ one encode of the deduped log on the gen-1 quantizer")
+  }
+
   test("pq async rebuild: build-window staging, anti-joined catch-up, " +
       "atomic swap — the int8 protocol on the PQ tier") {
     val root = Files.createTempDirectory("graft-pqasync").toString

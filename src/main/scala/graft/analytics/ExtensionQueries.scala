@@ -2009,6 +2009,62 @@ object ExtensionQueries {
       |                - greatest(start, window_id * 256) + 1) AS BIGINT) AS n_tokens
       |FROM x GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- ML-13
+  /** Domain-balanced MIXTURE construction under a token budget — the
+    * data-mixing step of pretraining corpus assembly: give every
+    * `source` domain an equal share of a global token budget (40% of
+    * the corpus here, so the budget binds at every SF) and take each
+    * domain's documents in a deterministic pseudo-random order (md5 of
+    * the doc id — engine-portable, so the oracle replays the identical
+    * selection) until the share is exhausted; a domain smaller than its
+    * share contributes everything it has. Output is the per-domain
+    * audit row (docs taken, tokens taken, the share).
+    *
+    * Shape at 100 TB: token counts are map-side arithmetic on the scan;
+    * the greedy prefix is ONE shuffle — partition by `source`, sort by
+    * the hash within each domain partition, running-sum window — and
+    * the budget is a two-scalar column-pruned aggregate broadcast back
+    * (one cheap extra pass; no collect, no driver loop). Domains
+    * parallelize independently; a skewed domain is one partition's
+    * sort, the same cost class as the packing family's prefix sums.
+    */
+  def mixtureConstruction(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, dir).select(
+      col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"),
+      md5(col("doc_id").cast("string")).as("h"))
+    val budget = d.agg(
+      floor(sum("n_tok") * lit(0.4) / countDistinct("source"))
+        .cast("long").as("budget_tokens"))
+    val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.withColumn("run", sum("n_tok").over(w))
+      .crossJoin(broadcast(budget))
+      .where(col("run") <= col("budget_tokens"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+        max("budget_tokens").as("budget_tokens"))
+      .orderBy("source")
+  }
+
+  val mixtureConstructionSql: String =
+    """WITH t AS (SELECT doc_id, source,
+      |            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |            md5(CAST(doc_id AS VARCHAR)) AS h
+      |     FROM documents),
+      |b AS (SELECT CAST(floor(sum(n_tok) * 0.4 / count(DISTINCT source))
+      |             AS BIGINT) AS budget_tokens FROM t),
+      |c AS (SELECT source, n_tok,
+      |             sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      |      FROM t)
+      |SELECT c.source AS source, count(*) AS n_docs,
+      |       CAST(sum(c.n_tok) AS BIGINT) AS n_tokens,
+      |       max(b.budget_tokens) AS budget_tokens
+      |FROM c, b WHERE c.run <= b.budget_tokens
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---------------------------------------------------------------- ADV-7
   /** PageRank over the MinHash near-dup pair graph
     * ([[graft.operators.Graph.pageRank]], damping 0.85, 5 fixed

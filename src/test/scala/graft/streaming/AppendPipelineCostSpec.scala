@@ -96,6 +96,30 @@ class AppendPipelineCostSpec extends SparkSpec {
     assert(spark.read.parquet(indexDir).count() == 48 + 24)
   }
 
+  test("seal digest is canonical: column order and row order do not " +
+      "change the quantizer's identity") {
+    // The digest claims to identify the quantizer's VALUES, not the
+    // plan that produced them — so re-opening a sealed artifact with
+    // the same quantizer presented in a different column order (or a
+    // plan that returns rows in a different order) must PASS the seal
+    // check, while a different-valued quantizer still refuses
+    // (StreamingSpec "append artifacts self-seal" pins the refusal).
+    import org.apache.spark.sql.functions.col
+    val base = vecs(0 until 48).toDF("vec_id", "embedding")
+    val cb = Similarity.trainPqCodebooks(base, m = 2, ksub = 4,
+      iters = 2, trainN = 64, dim = 8)
+    val codesDir = Files.createTempDirectory("graft-pqcanon-idx").toString
+    val sink = Files.createTempDirectory("graft-pqcanon-sink").toString
+    Similarity.pqEncode(base, cb, m = 2, dim = 8)
+      .select("vec_id", "sub", "code")
+      .write.mode("overwrite").parquet(codesDir)
+    IndexMaintenance.pqAppendPipeline(codesDir, cb, sink, m = 2, dim = 8)
+    val reordered = cb.select(cb.columns.reverse.map(col).toIndexedSeq: _*)
+    val shuffled = cb.orderBy(col("cid").desc, col("sub").desc)
+    IndexMaintenance.pqAppendPipeline(codesDir, reordered, sink, m = 2, dim = 8)
+    IndexMaintenance.pqAppendPipeline(codesDir, shuffled, sink, m = 2, dim = 8)
+  }
+
   test("pqAppendPipeline: codebook plan executes once at construction, " +
       "never per batch") {
     val base = vecs(0 until 48).toDF("vec_id", "embedding")

@@ -296,6 +296,29 @@ class PlanAuditSpec extends SparkSpec {
         p.take(1200))
   }
 
+  test("q_ml13: one corpus shuffle on the domain key; budget joins as a 1-row broadcast") {
+    // The mixture construction's scale shape: token counts are map-side
+    // on the scan, the greedy prefix is ONE shuffle (hash by source →
+    // in-partition sort → running-sum window), the per-domain groupBy
+    // REUSES that partitioning (partial+final with no intervening
+    // exchange), and the budget scalars enter as a broadcast 1-row
+    // cross join — never a data-sized nested loop. Exchange census:
+    // corpus window (1) + the budget countDistinct's two-phase (1 hash
+    // + 1 single-partition) + the ~n_sources output sort's range.
+    val p = plan("q_ml13_mixture")
+    assert(!p.contains("CartesianProduct"), p.take(500))
+    val windows = "windowspecdefinition\\(source".r.findAllIn(p).size
+    assert(windows == 1,
+      s"exactly one running-sum window partitioned by source, got $windows")
+    val hashEx = "Exchange hashpartitioning\\(source".r.findAllIn(p).size
+    assert(hashEx == 2,
+      s"one corpus shuffle + one distinct-agg shuffle on source, got $hashEx:\n" +
+        p.take(1200))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 1 &&
+      p.contains("BroadcastExchange"),
+      "the two-scalar budget must broadcast into the corpus side: " + p.take(800))
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
     // Spark's InjectRuntimeFilter: a selective filter on one side of a
     // shuffle join builds a bloom filter that pre-prunes the other

@@ -124,6 +124,15 @@ class AsyncCompactionSpec extends SparkSpec {
       "bands rows ≡ uncompacted twin")
     assert(StreamingDedup.toksTable(spark, idx).count() ==
       StreamingDedup.toksTable(spark, idx2).count())
+    // Replay ACROSS the async boundary — the inline test's replay law:
+    // re-running a pre-swap batch (same batch id) after the swap finds
+    // its own admissions in the carried-over generation, self-matches,
+    // and changes nothing.
+    val before = survivors(out)
+    fn(Seq((5L, docB2, ts(4)), (6L, docC, ts(5)))
+      .toDF("doc_id", "text", "ts"), 2L)
+    assert(survivors(out) == before,
+      "a pre-swap batch replayed post-swap absorbs idempotently")
   }
 
   test("async compaction: a failed copy surfaces with its orphan reaped, " +

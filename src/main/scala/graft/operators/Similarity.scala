@@ -1166,6 +1166,31 @@ object Similarity {
     * the cell join pre-filtering candidates; the re-rank tail is
     * [[pqTopKReranked]]'s id-keyed float join.
     */
+  /** Coarse-cell assignment — the IVF build/append primitive: cosine
+    * argmax of every corpus vector against the (broadcast) centroid
+    * table, ties to the lower cid, zero-norm vectors dropped. ONE
+    * map-side pass over `corpus` followed by the partial-before-
+    * exchange struct-argmax ([[ivfTopK]]'s shape): the per-row
+    * candidate fan-out is combined map-side, so the shuffle carries one
+    * row per vector, not one per (vector, centroid). `centroids` needs
+    * (cid, ce); a precomputed `cn` norm column is recomputed
+    * harmlessly. Returns (vec_id, cell).
+    */
+  def ivfCellAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val c = broadcast(centroids.select(col("cid"), col("ce"),
+      VF.l2Norm(col("ce")).as("cn")))
+    corpus
+      .select(col("vec_id"), col("embedding"),
+        VF.l2Norm(col("embedding")).as("nrm"))
+      .where(col("nrm") > 0)
+      .crossJoin(c)
+      .withColumn("ccos",
+        round(VF.dot(col("embedding"), col("ce")) / (col("nrm") * col("cn")), 6))
+      .groupBy("vec_id")
+      .agg(max(struct(col("ccos"), (-col("cid")).as("negcid"))).as("mx"))
+      .select(col("vec_id"), (-col("mx.negcid")).as("cell"))
+  }
+
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       rerankDepth: Int = 50, nCentroids: Int = 16, nProbe: Int = 4,
       lloydIters: Int = 2, trainN: Int = 1024, seedPlanes: Int = 6,
@@ -1179,15 +1204,7 @@ object Similarity {
     // forever" state, and without the cache every serve rep re-ran both
     // full-corpus passes (measured: the two passes, not the serving
     // probe, dominated q_sim10's bench median).
-    val cells = memoized("ivfcells", corpus
-      .select(col("vec_id"), col("embedding"), VF.l2Norm(col("embedding")).as("nrm"))
-      .where(col("nrm") > 0)
-      .crossJoin(broadcast(centroids))
-      .withColumn("ccos",
-        round(VF.dot(col("embedding"), col("ce")) / (col("nrm") * col("cn")), 6))
-      .groupBy("vec_id")
-      .agg(max(struct(col("ccos"), (-col("cid")).as("negcid"))).as("mx"))
-      .select(col("vec_id"), (-col("mx.negcid")).as("cell")))
+    val cells = memoized("ivfcells", ivfCellAssign(corpus, centroids))
     val cb = trainPqCodebooks(corpus, m, ksub, lloydIters, trainN, dim)
     val codes = pqCodes(corpus, cb, m, dim).join(cells, "vec_id")
     val wProbe = Window.partitionBy("query_id").orderBy(col("ccos").desc, col("cid"))

@@ -304,6 +304,90 @@ object IndexMaintenance {
     }
   }
 
+  /** The IVF-PQ serving tier's CLOSED loop — [[pqAppendPipeline]]'s
+    * shape over q_sim10's composite artifact, a (vec_id, sub, code,
+    * cell) table at `codesDir`: per non-empty micro-batch, assign
+    * coarse cells on the pinned centroids
+    * ([[Similarity.ivfCellAssign]] — broadcast argmax, one map-side
+    * pass), PQ-encode on the pinned codebooks, join, append — and emit
+    * one (batch_id, n_rows, tv_cell, retrain) drift row against the
+    * PRE-APPEND cell-usage histogram.
+    *
+    * The drift signal is the IVF analog of the PQ tier's code-usage
+    * total variation: tv_cell = ½·Σ|p_batch(cell) − p_index(cell)|.
+    * A coarse partition whose arrival mix diverges from the indexed
+    * mix is the serving-tier failure mode — probes concentrate on hot
+    * cells and the bounded-candidate guarantee erodes — and that is
+    * precisely a distribution distance on the cell id, computable from
+    * the batch's own assignments with no corpus access. The histogram
+    * is aggregated ONCE at construction (nCentroids rows, pinned
+    * local; the refreshByPath rationale of the flat tiers), so appends
+    * never move the yardstick they are measured against; retrain = 1
+    * says rebuild centroids + codebooks + artifact (the corpus-scale
+    * job, off-path by the [[int8RebuildingPipeline]] protocol).
+    *
+    * At scale each batch costs O(batch): one broadcast argmax pass,
+    * one broadcast-LUT encode pass, one append of the batch's own
+    * rows, one nCentroids-row drift join. The stored artifact is read
+    * exactly once, at construction.
+    */
+  def ivfPqAppendPipeline(codesDir: String, centroids: DataFrame,
+      codebooks: DataFrame, sinkDir: String, m: Int = 4, dim: Int = 64,
+      maxTv: Double = 0.2,
+      onBatch: (Long, Row) => Unit = (_, _) => ())
+      : (DataFrame, Long) => Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = codebooks.sparkSession
+    import spark.implicits._
+    // Pin BOTH quantizer tables once ([[pqAppendPipeline]]'s posture):
+    // the pinned rows drive the seal, and per-batch assign/encode run
+    // on the local relations.
+    val (centsL, centRows) = pinWithRows(centroids)
+    val (cbL, cbRows) = pinWithRows(codebooks)
+    StoreManifest.sealOrCheck(spark, codesDir, Seq(
+        "kind" -> "ivfpq-codes", "dim" -> dim.toString, "m" -> m.toString,
+        "ksub" -> (cbRows.length / m).toString,
+        "nCentroids" -> centRows.length.toString,
+        "quantizerDigest" -> quantizerDigest(Seq(
+          (centroids.schema, centRows), (codebooks.schema, cbRows)))),
+      "ivf-pq code artifact", StoreManifest.InlineFileName)
+    // Pre-append cell-usage histogram, pinned local (≤ nCentroids + 1
+    // rows — the artifact carries `cell` on every (vec, sub) row, so
+    // distinct vec first).
+    val codes0 = spark.read.parquet(codesDir)
+    val hIdx = pinLocal(codes0.select("vec_id", "cell").distinct()
+      .groupBy("cell").agg(count(lit(1)).as("n_idx")))
+    val tIdx = codes0.agg(countDistinct("vec_id").cast("double"))
+      .head().getDouble(0)
+    (batch: DataFrame, batchId: Long) => {
+      val n = batch.count()
+      if (n > 0) {
+        import spark.implicits._
+        val cells = Similarity.ivfCellAssign(batch, centsL)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          val encoded = Similarity.pqEncode(batch, cbL, m, dim)
+            .select("vec_id", "sub", "code")
+            .join(cells, "vec_id")
+          encoded.write.mode("append").parquet(codesDir)
+          // tv_cell over the full outer histogram join; absent cells on
+          // either side contribute their whole mass.
+          val bHist = cells.groupBy("cell").agg(count(lit(1)).as("n_new"))
+          val nNew = cells.count().toDouble
+          val tv = bHist.join(hIdx, Seq("cell"), "full_outer")
+            .na.fill(0L, Seq("n_new", "n_idx"))
+            .agg((sum(abs(col("n_new") / lit(nNew)
+              - col("n_idx") / lit(tIdx))) / 2.0).as("tv"))
+            .head().getDouble(0)
+          val row = (batchId, n, tv, if (tv > maxTv) 1L else 0L)
+          onBatch(batchId, Row(row._1, row._2, row._3, row._4))
+          Seq(row).toDF("batch_id", "n_rows", "tv_cell", "retrain")
+            .write.mode("append").parquet(sinkDir)
+        } finally cells.unpersist(blocking = false)
+      }
+    }
+  }
+
   // ------------------------------------------------------------------
   // The RETRAIN leg — rebuild-and-swap, closing the loop the append
   // pipelines open. The *AppendPipeline pair detects drift and emits

@@ -450,6 +450,82 @@ class StreamingSpec extends SparkSpec {
       s"batch-2 drift vs pre-append histogram: ${rows(1)} vs $batchDrift")
   }
 
+  test("ivfPqAppendPipeline: streamed append ≡ batch assign+encode union; " +
+      "cell-usage drift vs the pre-append histogram") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    def vecs(ids: Seq[Int], f: (Int, Int) => Float) =
+      ids.map(id => (id.toLong, Seq.tabulate(8)(d => f(id, d))))
+    val sameDist = (id: Int, d: Int) => 0.1f * ((id + d) % 13) - 0.5f
+    val shifted = (id: Int, d: Int) => if ((id + d) % 2 == 0) 5.0f else -5.0f
+    val base = vecs(0 until 48, sameDist).toDF("vec_id", "embedding")
+    val cents = Similarity.trainCentroids(base, nCentroids = 4,
+      iters = 2, trainN = 64, seedPlanes = 4, dim = 8)
+    val cb = Similarity.trainPqCodebooks(base, m = 2, ksub = 4,
+      iters = 2, trainN = 64, dim = 8)
+    def assignEncode(df: org.apache.spark.sql.DataFrame) =
+      Similarity.pqEncode(df, cb, m = 2, dim = 8)
+        .select("vec_id", "sub", "code")
+        .join(Similarity.ivfCellAssign(df, cents), "vec_id")
+    val codes0 = assignEncode(base)
+    val codesDir = Files.createTempDirectory("graft-ivfpqappidx").toString
+    val sink = Files.createTempDirectory("graft-ivfpqappsink").toString
+    codes0.write.mode("overwrite").parquet(codesDir)
+    val b1 = vecs(100 until 148, sameDist)
+    val b2 = vecs(200 until 248, shifted)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = mem.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch(IndexMaintenance.ivfPqAppendPipeline(codesDir, cents, cb,
+        sink, m = 2, dim = 8))
+      .start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    // Fixed quantizers → streamed artifact ≡ one batch assign+encode of
+    // the union appended to the seed.
+    def rowSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("sub"),
+        r.getAs[Int]("code"), r.getAs[Long]("cell"))).toSet
+    assert(rowSet(spark.read.parquet(codesDir)) ==
+      rowSet(codes0.union(assignEncode(
+        (b1 ++ b2).toDF("vec_id", "embedding")))),
+      "streamed artifact ≡ batch assign+encode of the union")
+    // Drift rows: the steady-state batch stays quiet, the shifted batch
+    // trips, and BOTH tv values equal the direct formula against the
+    // ORIGINAL histogram — batch 1's append must not have moved it.
+    def tvVs(batch: Seq[(Long, Seq[Float])]): Double = {
+      val bc = Similarity.ivfCellAssign(
+          batch.toDF("vec_id", "embedding"), cents)
+        .groupBy("cell").agg(count(lit(1)).as("n_new"))
+      val ic = codes0.select("vec_id", "cell").distinct()
+        .groupBy("cell").agg(count(lit(1)).as("n_idx"))
+      bc.join(ic, Seq("cell"), "full_outer")
+        .na.fill(0L, Seq("n_new", "n_idx"))
+        .agg(sum(abs(col("n_new") / lit(48.0) - col("n_idx") / lit(48.0))) / 2.0)
+        .head().getDouble(0)
+    }
+    val rows = spark.read.parquet(sink).orderBy("batch_id").collect()
+      .map(r => (r.getAs[Long]("n_rows"), r.getAs[Double]("tv_cell"),
+        r.getAs[Long]("retrain"))).toSeq
+    assert(rows.map(_._1) == Seq(48L, 48L))
+    assert(rows(0)._2 == tvVs(b1) && rows(1)._2 == tvVs(b2),
+      s"tv vs the pre-append histogram: $rows vs ${tvVs(b1)}/${tvVs(b2)}")
+    assert(rows(0)._3 == 0L && rows(1)._3 == 1L,
+      s"steady quiet, shifted loud: $rows")
+    // The seal refuses a different-valued quantizer pair on re-open.
+    val other = vecs(0 until 48, (id, d) => 0.1f * ((id + d + 7) % 13) - 0.5f)
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalStateException] {
+      IndexMaintenance.ivfPqAppendPipeline(codesDir,
+        Similarity.trainCentroids(other, nCentroids = 4, iters = 2,
+          trainN = 64, seedPlanes = 4, dim = 8),
+        cb, sink, m = 2, dim = 8)
+    }
+    assert(e.getMessage.contains("quantizerDigest"), e.getMessage)
+  }
+
   test("int8RebuildingPipeline: shift trips retrain, rebuild swaps the generation, drift returns quiet") {
     import graft.operators.Similarity
     def vecs(ids: Seq[Int], f: (Int, Int) => Float) =

@@ -2039,11 +2039,18 @@ object ExtensionQueries {
         .cast("long").as("budget_tokens"))
     val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // The greedy prefix as CONDITIONAL aggregates, not a filter: a
+    // domain whose first hash-ordered document alone exceeds the share
+    // still gets its audit row (0 docs, 0 tokens) — the per-domain
+    // audit contract — and the plan keeps the exact one-shuffle shape
+    // (no post-selection join back onto the domain list).
     d.withColumn("run", sum("n_tok").over(w))
       .crossJoin(broadcast(budget))
-      .where(col("run") <= col("budget_tokens"))
       .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+      .agg(
+        count(when(col("run") <= col("budget_tokens"), 1)).as("n_docs"),
+        coalesce(sum(when(col("run") <= col("budget_tokens"), col("n_tok"))),
+          lit(0L)).as("n_tokens"),
         max("budget_tokens").as("budget_tokens"))
       .orderBy("source")
   }
@@ -2059,10 +2066,12 @@ object ExtensionQueries {
       |             sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
       |      FROM t)
-      |SELECT c.source AS source, count(*) AS n_docs,
-      |       CAST(sum(c.n_tok) AS BIGINT) AS n_tokens,
+      |SELECT c.source AS source,
+      |       count(CASE WHEN c.run <= b.budget_tokens THEN 1 END) AS n_docs,
+      |       CAST(coalesce(sum(CASE WHEN c.run <= b.budget_tokens
+      |                              THEN c.n_tok END), 0) AS BIGINT) AS n_tokens,
       |       max(b.budget_tokens) AS budget_tokens
-      |FROM c, b WHERE c.run <= b.budget_tokens
+      |FROM c, b
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------- ADV-7

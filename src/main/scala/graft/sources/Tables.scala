@@ -51,28 +51,36 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     val prev = spark.conf.getOption(key)
+    def restore(): Unit = prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
     spark.conf.set(key, "true")
-    val raw = spark.read.parquet(s"$dir/events.parquet")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        // TIMESTAMP(NANOS) layout: the conf MUST stay set for the life
-        // of any DataFrame derived from this read — the parquet reader
-        // consults the session conf again at execution time, so a
-        // set/restore scope here would fail every derived plan at task
-        // launch. This is the one loader-persistent conf, and it is
-        // inert for every other read (no other table has a nanos
-        // column).
-        raw.withColumnRenamed("ts", "ts_ns")
-          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
-      case _ => // TIMESTAMP_NTZ (or already-instant TIMESTAMP)
-        // The conf was inert (no nanos column) — restore the caller's
-        // session state rather than leak a global toggle from a loader.
-        prev match {
-          case Some(v) => spark.conf.set(key, v)
-          case None => spark.conf.unset(key)
-        }
-        raw.withColumn("ts", col("ts").cast("timestamp"))
-          .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+    // Any failure before the nanos-layout case commits to keeping the
+    // conf (missing/corrupt file, unexpected schema) must not leak the
+    // toggle into the caller's session.
+    try {
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          // TIMESTAMP(NANOS) layout: the conf MUST stay set for the life
+          // of any DataFrame derived from this read — the parquet reader
+          // consults the session conf again at execution time, so a
+          // set/restore scope here would fail every derived plan at task
+          // launch. This is the one loader-persistent conf, and it is
+          // inert for every other read (no other table has a nanos
+          // column).
+          raw.withColumnRenamed("ts", "ts_ns")
+            .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+        case _ => // TIMESTAMP_NTZ (or already-instant TIMESTAMP)
+          // The conf was inert (no nanos column) — restore the caller's
+          // session state rather than leak a global toggle from a loader.
+          restore()
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+            .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+      }
+    } catch {
+      case e: Throwable => restore(); throw e
     }
   }
 }

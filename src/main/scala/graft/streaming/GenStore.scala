@@ -21,6 +21,16 @@ private[streaming] object GenStore {
 
   def dir(root: String, gen: Long): String = s"$root/gen-$gen"
 
+  /** `gen-<digits>` names only: a stray non-numeric `gen-*` directory
+    * (hand-made `gen-tmp`, an editor backup) must be ignored by every
+    * listing, not crash it with NumberFormatException at pipeline
+    * construction.
+    */
+  private def genNumber(name: String): Option[Long] = {
+    val s = name.stripPrefix("gen-")
+    if (s.nonEmpty && s.forall(_.isDigit)) Some(s.toLong) else None
+  }
+
   /** Committed generations under `root`, ascending; empty for a
     * missing or never-committed store.
     */
@@ -28,8 +38,8 @@ private[streaming] object GenStore {
     val hfs = fs(spark, root)
     if (!hfs.exists(new Path(root))) Seq.empty
     else hfs.listStatus(new Path(root)).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen-"))
-      .map(_.getPath.getName.stripPrefix("gen-").toLong)
+      .filter(_.isDirectory)
+      .flatMap(s => genNumber(s.getPath.getName))
       .filter(g => hfs.exists(new Path(s"${dir(root, g)}/COMMITTED")))
       .sorted
   }
@@ -58,8 +68,8 @@ private[streaming] object GenStore {
   def dropBelow(spark: SparkSession, root: String, keep: Long): Unit = {
     val hfs = fs(spark, root)
     hfs.listStatus(new Path(root)).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen-"))
-      .filter(_.getPath.getName.stripPrefix("gen-").toLong < keep)
+      .filter(s => s.isDirectory &&
+        genNumber(s.getPath.getName).exists(_ < keep))
       .foreach(s => hfs.delete(s.getPath, true))
   }
 
@@ -77,11 +87,9 @@ private[streaming] object GenStore {
     val hfs = fs(spark, root)
     if (hfs.exists(new Path(root)))
       hfs.listStatus(new Path(root)).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen-"))
-        .filter { s =>
-          val g = s.getPath.getName.stripPrefix("gen-").toLong
-          g > keep && !hfs.exists(new Path(s"${dir(root, g)}/COMMITTED"))
-        }
+        .filter(s => s.isDirectory &&
+          genNumber(s.getPath.getName).exists(g =>
+            g > keep && !hfs.exists(new Path(s"${dir(root, g)}/COMMITTED"))))
         .foreach(s => hfs.delete(s.getPath, true))
   }
 

@@ -359,6 +359,11 @@ object IndexMaintenance {
       .groupBy("cell").agg(count(lit(1)).as("n_idx")))
     val tIdx = codes0.agg(countDistinct("vec_id").cast("double"))
       .head().getDouble(0)
+    // Fail-loudly posture of latestGen: an empty seed artifact would
+    // make every per-batch tv division NaN — drift silently disabled.
+    require(tIdx > 0,
+      s"ivf-pq code artifact at $codesDir holds no vectors — " +
+        "seed the index before constructing the append pipeline")
     (batch: DataFrame, batchId: Long) => {
       val n = batch.count()
       if (n > 0) {

@@ -63,6 +63,30 @@ object IndexMaintenance {
     "kind" -> "pq-vector-store", "dim" -> dim.toString,
     "m" -> m.toString, "ksub" -> ksub.toString)
 
+  private def ivfPqStoreEntries(dim: Int, m: Int, ksub: Int,
+      nCentroids: Int) = Seq(
+    "kind" -> "ivfpq-vector-store", "dim" -> dim.toString,
+    "m" -> m.toString, "ksub" -> ksub.toString,
+    "nCentroids" -> nCentroids.toString)
+
+  /** Cell-usage total variation of one batch's coarse assignments
+    * against the pinned index-side histogram: ½·Σ|p_new − p_idx| over
+    * the full-outer cell join (absent cells on either side contribute
+    * their whole mass). `cells` is the batch's (vec_id, cell) table —
+    * caller persists it; ≤ nCentroids + 1 rows move after the groupBy.
+    */
+  private def cellTv(cells: DataFrame, hIdx: DataFrame,
+      tIdx: Double): Double = {
+    import org.apache.spark.sql.functions._
+    val nNew = cells.count().toDouble
+    cells.groupBy("cell").agg(count(lit(1)).as("n_new"))
+      .join(hIdx, Seq("cell"), "full_outer")
+      .na.fill(0L, Seq("n_new", "n_idx"))
+      .agg((sum(abs(col("n_new") / lit(nNew)
+        - col("n_idx") / lit(tIdx))) / 2.0).as("tv"))
+      .head().getDouble(0)
+  }
+
   /** MD5 over the sorted canonical rows of bounded quantizer tables
     * (a 1-row grid, nCentroids centroids, m·ksub codebook rows — all
     * construction-bounded). Row order and column order are canonicalized
@@ -323,8 +347,10 @@ object IndexMaintenance {
     * is aggregated ONCE at construction (nCentroids rows, pinned
     * local; the refreshByPath rationale of the flat tiers), so appends
     * never move the yardstick they are measured against; retrain = 1
-    * says rebuild centroids + codebooks + artifact (the corpus-scale
-    * job, off-path by the [[int8RebuildingPipeline]] protocol).
+    * says rebuild centroids + codebooks + artifact — the corpus-scale
+    * job [[ivfPqRebuildingPipeline]] closes over a generation store
+    * (inline or off-path), for callers owning a bare code artifact
+    * rather than a store to act on themselves.
     *
     * At scale each batch costs O(batch): one broadcast argmax pass,
     * one broadcast-LUT encode pass, one append of the batch's own
@@ -375,15 +401,7 @@ object IndexMaintenance {
             .select("vec_id", "sub", "code")
             .join(cells, "vec_id")
           encoded.write.mode("append").parquet(codesDir)
-          // tv_cell over the full outer histogram join; absent cells on
-          // either side contribute their whole mass.
-          val bHist = cells.groupBy("cell").agg(count(lit(1)).as("n_new"))
-          val nNew = cells.count().toDouble
-          val tv = bHist.join(hIdx, Seq("cell"), "full_outer")
-            .na.fill(0L, Seq("n_new", "n_idx"))
-            .agg((sum(abs(col("n_new") / lit(nNew)
-              - col("n_idx") / lit(tIdx))) / 2.0).as("tv"))
-            .head().getDouble(0)
+          val tv = cellTv(cells, hIdx, tIdx)
           val row = (batchId, n, tv, if (tv > maxTv) 1L else 0L)
           onBatch(batchId, Row(row._1, row._2, row._3, row._4))
           Seq(row).toDF("batch_id", "n_rows", "tv_cell", "retrain")
@@ -936,6 +954,229 @@ object IndexMaintenance {
               t.start()
             }
           } finally encoded.unpersist(blocking = false)
+        } finally arrivals.unpersist(blocking = false)
+      }
+    }
+  }
+
+  /** Create an IVF-PQ generation store — the q_sim10 serving tier's
+    * composite artifact under the [[GenStore]] protocol: persist the
+    * MANIFEST (`dim`/`m`/`ksub`/`nCentroids` — the shape every later
+    * pipeline construction is checked against), seed the vector log,
+    * train generation-0 coarse centroids AND PQ codebooks, assign +
+    * encode, commit. Refuses a root that already holds a committed
+    * generation ([[guardInit]]). One `trainN` drives both trainers —
+    * both sample by the same hash-top-N discipline.
+    */
+  def initIvfPqStore(spark: SparkSession, root: String, corpus: DataFrame,
+      nCentroids: Int = 16, m: Int = 4, ksub: Int = 16,
+      lloydIters: Int = 2, trainN: Int = 1024, seedPlanes: Int = 6,
+      dim: Int = 64): Unit = {
+    guardInit(spark, root, ivfPqStoreEntries(dim, m, ksub, nCentroids),
+      "ivf-pq store")
+    corpus.select("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$root/vectors")
+    val vecs = spark.read.parquet(s"$root/vectors")
+    writeIvfPqGen(spark, root, 0L, vecs,
+      Similarity.trainCentroids(vecs, nCentroids, lloydIters, trainN,
+        seedPlanes, dim),
+      Similarity.trainPqCodebooks(vecs, m, ksub, lloydIters, trainN, dim),
+      m, dim)
+  }
+
+  /** [[writeInt8Gen]]'s shape for the composite tier: centroids and
+    * codebooks are written first, the (vec_id, sub, code, cell) codes
+    * are produced on the WRITTEN quantizers read back from parquet —
+    * each training plan executes exactly once (its own write), and
+    * codes ≡ committed quantizers holds by construction. The cell join
+    * is inner on vec_id, so zero-norm vectors (which
+    * [[Similarity.ivfCellAssign]] drops) never enter the artifact —
+    * the same exclusion the append path applies.
+    */
+  private def writeIvfPqGen(spark: SparkSession, root: String, gen: Long,
+      vecs: DataFrame, cents: DataFrame, codebooks: DataFrame, m: Int,
+      dim: Int, commit: Boolean = true): Unit = {
+    val d = genDir(root, gen)
+    cents.write.mode("overwrite").parquet(s"$d/centroids")
+    codebooks.write.mode("overwrite").parquet(s"$d/codebooks")
+    Similarity.pqEncode(vecs, spark.read.parquet(s"$d/codebooks"), m, dim)
+      .select("vec_id", "sub", "code")
+      .join(Similarity.ivfCellAssign(vecs,
+        spark.read.parquet(s"$d/centroids")), "vec_id")
+      .write.mode("overwrite").parquet(s"$d/codes")
+    if (commit) commitGen(spark, root, gen)
+  }
+
+  /** [[ivfPqAppendPipeline]] WITH the retrain leg — the serving tier's
+    * drift signal finally has its actuator ([[int8RebuildingPipeline]]'s
+    * protocol on the composite artifact): per batch, log the raw
+    * arrivals, assign coarse cells + PQ-encode on the CURRENT
+    * generation's pinned quantizer pair, append the (vec_id, sub, code,
+    * cell) rows, emit the (batch_id, n_rows, tv_cell, retrain, gen)
+    * drift row — and when tv_cell trips, rebuild generation N+1 from
+    * the deduped vector log (retrain centroids AND codebooks, re-assign
+    * + re-encode, commit) and re-pin quantizers + cell histogram, so
+    * post-rebuild batches of the now-indexed mix measure quiet.
+    *
+    * `async`/`rebuildGate`/`onBuildError` are the off-path protocol:
+    * the trip SUBMITS a daemon build over a frozen file-list snapshot
+    * while batches keep appending to gen N and parking raw arrivals in
+    * `gen-(N+1)/pending-vectors`; the first batch after the build
+    * finishes swaps — catch-up assign+encode of the staged window
+    * (anti-joined against the built snapshot's vec_ids, so a replayed
+    * vec_id encodes once: async ≡ inline, which dedups the full log),
+    * COMMITTED marker (the atomic point), re-pin, staging reaped. This
+    * tier's rebuild is the most expensive of the three (two trainings +
+    * two corpus passes), which is exactly why it must be off-path at
+    * 100 TB: the swap pays O(build-window) + one scan of the compact
+    * code table, never the raw corpus.
+    */
+  def ivfPqRebuildingPipeline(spark: SparkSession, root: String,
+      sinkDir: String,
+      nCentroids: Int = 16, m: Int = 4, ksub: Int = 16,
+      lloydIters: Int = 2, trainN: Int = 1024, seedPlanes: Int = 6,
+      dim: Int = 64, maxTv: Double = 0.2,
+      onBatch: (Long, Row) => Unit = (_, _) => (),
+      onRebuild: (Long, Long) => Unit = (_, _) => (),
+      async: Boolean = false,
+      rebuildGate: () => Unit = () => (),
+      onBuildError: (Long, Throwable) => Unit = (_, e) => throw e)
+      : (DataFrame, Long) => Unit = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    StoreManifest.check(spark, root,
+      ivfPqStoreEntries(dim, m, ksub, nCentroids), "ivf-pq store")
+    // Generation state: BOTH quantizer tables plus the cell-usage
+    // histogram, pinned local at construction and re-pinned only on
+    // swap ([[int8RebuildingPipeline]]'s restart-safe posture; the
+    // histogram is ≤ nCentroids + 1 rows, the refreshByPath rationale).
+    def pinState(g: Long): (DataFrame, DataFrame, DataFrame, Double) = {
+      val codes = spark.read.parquet(s"${genDir(root, g)}/codes")
+      (pinLocal(spark.read.parquet(s"${genDir(root, g)}/centroids")),
+        pinLocal(spark.read.parquet(s"${genDir(root, g)}/codebooks")),
+        pinLocal(codes.select("vec_id", "cell").distinct()
+          .groupBy("cell").agg(count(lit(1)).as("n_idx"))),
+        codes.agg(countDistinct("vec_id").cast("double"))
+          .head().getDouble(0))
+    }
+    var gen = latestGen(spark, root)
+    var (cents, codebooks, hIdx, tIdx) = pinState(gen)
+    deleteQuiet(spark, stagingDir(root, gen))
+    GenStore.dropUncommittedAbove(spark, root, gen)
+    val built = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val failed = new java.util.concurrent.atomic
+      .AtomicReference[(Long, Long, Throwable)](null)
+    var buildingGen = -1L
+    // The batch's composite encode — shared by the append path and the
+    // swap's catch-up: PQ codes joined with the coarse assignment, both
+    // on the GIVEN (pinned) quantizers.
+    def assignEncode(rows: DataFrame, cn: DataFrame,
+        cb: DataFrame): DataFrame =
+      Similarity.pqEncode(rows, cb, m, dim)
+        .select("vec_id", "sub", "code")
+        .join(Similarity.ivfCellAssign(rows, cn), "vec_id")
+    (batch: DataFrame, batchId: Long) => {
+      val n = batch.count()
+      if (n > 0) {
+        if (async) {
+          val f = failed.getAndSet(null)
+          if (f != null) {
+            deleteQuiet(spark, genDir(root, f._2))
+            buildingGen = -1L
+            onBuildError(f._1, f._3)
+          }
+          // SWAP — the off-path protocol's commit point on this tier.
+          val g2 = built.get()
+          if (g2 >= 0) {
+            val sd = stagingDir(root, g2)
+            val newCents =
+              pinLocal(spark.read.parquet(s"${genDir(root, g2)}/centroids"))
+            val newCb =
+              pinLocal(spark.read.parquet(s"${genDir(root, g2)}/codebooks"))
+            if (GenStore.fs(spark, sd).exists(new Path(sd))) {
+              // Anti-join against the built snapshot's vec_ids
+              // ([[int8RebuildingPipeline]]'s rationale): a vec_id
+              // re-sent during the build window encodes exactly once.
+              val fresh = spark.read.parquet(sd).dropDuplicates("vec_id")
+                .join(spark.read.parquet(s"${genDir(root, g2)}/codes")
+                    .select("vec_id"),
+                  Seq("vec_id"), "left_anti")
+              assignEncode(fresh, newCents, newCb)
+                .write.mode("append").parquet(s"${genDir(root, g2)}/codes")
+            }
+            commitGen(spark, root, g2)
+            deleteQuiet(spark, sd)
+            gen = g2
+            val swapped = pinState(gen)
+            cents = swapped._1; codebooks = swapped._2
+            hIdx = swapped._3; tIdx = swapped._4
+            built.set(-1L); buildingGen = -1L
+            onRebuild(batchId, gen)
+          }
+        }
+        val arrivals = batch.select(col("vec_id"), col("embedding"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          arrivals.write.mode("append").parquet(s"$root/vectors")
+          if (async && buildingGen >= 0)
+            arrivals.write.mode("append")
+              .parquet(stagingDir(root, buildingGen))
+          val cells = Similarity.ivfCellAssign(arrivals, cents)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          try {
+            Similarity.pqEncode(arrivals, codebooks, m, dim)
+              .select("vec_id", "sub", "code")
+              .join(cells, "vec_id")
+              .write.mode("append").parquet(s"${genDir(root, gen)}/codes")
+            val tv = cellTv(cells, hIdx, tIdx)
+            val row = (batchId, n, tv, if (tv > maxTv) 1L else 0L, gen)
+            onBatch(batchId, Row(row._1, row._2, row._3, row._4, row._5))
+            Seq(row).toDF("batch_id", "n_rows", "tv_cell", "retrain", "gen")
+              .write.mode("append").parquet(sinkDir)
+            if (row._4 == 1L && !async) {
+              // INLINE REBUILD: both trainings over the deduped log,
+              // re-assign + re-encode into gen N+1, commit, re-pin —
+              // training plans execute once via [[writeIvfPqGen]]'s
+              // written-quantizer read-back.
+              val vecs = spark.read.parquet(s"$root/vectors")
+                .dropDuplicates("vec_id")
+              writeIvfPqGen(spark, root, gen + 1, vecs,
+                Similarity.trainCentroids(vecs, nCentroids, lloydIters,
+                  trainN, seedPlanes, dim),
+                Similarity.trainPqCodebooks(vecs, m, ksub, lloydIters,
+                  trainN, dim),
+                m, dim)
+              gen += 1
+              val swapped = pinState(gen)
+              cents = swapped._1; codebooks = swapped._2
+              hIdx = swapped._3; tIdx = swapped._4
+              onRebuild(batchId, gen)
+            } else if (row._4 == 1L && buildingGen < 0) {
+              // SUBMIT — the off-path protocol, verbatim.
+              buildingGen = gen + 1
+              val target = buildingGen
+              deleteQuiet(spark, genDir(root, target))
+              val snapshot = vectorSnapshot(spark, root)
+              val t = new Thread(() => {
+                try {
+                  rebuildGate()
+                  val vecs = spark.read.parquet(snapshot: _*)
+                    .dropDuplicates("vec_id")
+                  writeIvfPqGen(spark, root, target, vecs,
+                    Similarity.trainCentroids(vecs, nCentroids, lloydIters,
+                      trainN, seedPlanes, dim),
+                    Similarity.trainPqCodebooks(vecs, m, ksub, lloydIters,
+                      trainN, dim),
+                    m, dim, commit = false)
+                  built.set(target)
+                } catch {
+                  case e: Throwable => failed.set((batchId, target, e))
+                }
+              }, s"graft-ivfpq-rebuild-gen-$target")
+              t.setDaemon(true)
+              t.start()
+            }
+          } finally cells.unpersist(blocking = false)
         } finally arrivals.unpersist(blocking = false)
       }
     }

@@ -292,4 +292,67 @@ class AsyncRebuildSpec extends SparkSpec {
     assert(gen1.where("vec_id = 210").count() == 2,
       "a re-sent vec_id carries exactly m sub-codes — encoded once")
   }
+
+  test("ivf-pq async rebuild: build-window staging, anti-joined catch-up, " +
+      "atomic swap — the protocol on the composite serving tier") {
+    val root = Files.createTempDirectory("graft-ivfpqasync").toString
+    val sink = Files.createTempDirectory("graft-ivfpqasyncsink").toString
+    IndexMaintenance.initIvfPqStore(spark, root,
+      vecs(0 until 48, sameDist).toDF("vec_id", "embedding"),
+      nCentroids = 4, m = 2, ksub = 4, lloydIters = 2, trainN = 64,
+      seedPlanes = 4, dim = 8)
+    val started = new CountDownLatch(1)
+    val hold = new CountDownLatch(1)
+    var rebuilds = Vector.empty[(Long, Long)]
+    val fn = IndexMaintenance.ivfPqRebuildingPipeline(spark, root, sink,
+      nCentroids = 4, m = 2, ksub = 4, lloydIters = 2, trainN = 64,
+      seedPlanes = 4, dim = 8,
+      onRebuild = (b, g) => rebuilds :+= ((b, g)),
+      async = true,
+      rebuildGate = () => { started.countDown(); hold.await() })
+    fn(vecs(100 until 148, sameDist).toDF("vec_id", "embedding"), 0L)
+    fn(vecs(200 until 248, shifted).toDF("vec_id", "embedding"), 1L)
+    assert(started.await(60, TimeUnit.SECONDS), "builder never reached the gate")
+    // Build window: fresh vectors plus a re-sent vec_id 210 (in the
+    // snapshot via batch 1 — the replay the anti-join must not encode
+    // twice).
+    val windowBatch = vecs(500 until 506, shifted) ++ vecs(Seq(210), shifted)
+    fn(windowBatch.toDF("vec_id", "embedding"), 2L)
+    assert(IndexMaintenance.latestGen(spark, root) == 0L,
+      "mid-build, readers must still resolve gen 0")
+    assert(spark.read.parquet(s"$root/gen-1/pending-vectors").count() == 7)
+    assert(rebuilds.isEmpty, "no swap while the build window is open")
+    hold.countDown()
+    var probeId = 600
+    var batchId = 3L
+    val deadline = System.nanoTime() + 90L * 1000 * 1000 * 1000
+    while (IndexMaintenance.latestGen(spark, root) == 0L &&
+        System.nanoTime() < deadline) {
+      fn(vecs(Seq(probeId), sameDist).toDF("vec_id", "embedding"), batchId)
+      probeId += 1; batchId += 1
+      Thread.sleep(100)
+    }
+    assert(IndexMaintenance.latestGen(spark, root) == 1L, "swap committed")
+    assert(rebuilds.map(_._2) == Vector(1L), s"one swap, to gen 1: $rebuilds")
+    assert(!exists(s"$root/gen-1/pending-vectors"), "staging reaped")
+    // Async ≡ inline: gen-1 codes equal one assign+encode of the
+    // deduped log on BOTH committed gen-1 quantizers — snapshot rows,
+    // anti-joined staged catch-up, and post-swap appends all collapse
+    // into it.
+    val cents1 = spark.read.parquet(s"$root/gen-1/centroids")
+    val cb1 = spark.read.parquet(s"$root/gen-1/codebooks")
+    val dedupLog = spark.read.parquet(s"$root/vectors")
+      .dropDuplicates("vec_id")
+    def rowSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("sub"),
+        r.getAs[Int]("code"), r.getAs[Long]("cell"))).toSet
+    val gen1 = spark.read.parquet(s"$root/gen-1/codes")
+    assert(rowSet(gen1) ==
+      rowSet(Similarity.pqEncode(dedupLog, cb1, m = 2, dim = 8)
+        .select("vec_id", "sub", "code")
+        .join(Similarity.ivfCellAssign(dedupLog, cents1), "vec_id")),
+      "gen-1 codes ≡ one assign+encode of the deduped log on the gen-1 quantizers")
+    assert(gen1.where("vec_id = 210").count() == 2,
+      "a re-sent vec_id carries exactly m (sub, code, cell) rows — encoded once")
+  }
 }

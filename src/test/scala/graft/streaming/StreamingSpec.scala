@@ -614,6 +614,55 @@ class StreamingSpec extends SparkSpec {
       "gen-1 artifact ≡ one encode of the full log on the gen-1 codebooks")
   }
 
+  test("ivfPqRebuildingPipeline: cell-usage shift trips retrain, both quantizers rebuild, drift returns quiet") {
+    import graft.operators.Similarity
+    def vecs(ids: Seq[Int], f: (Int, Int) => Float) =
+      ids.map(id => (id.toLong, Seq.tabulate(8)(d => f(id, d))))
+    val sameDist = (id: Int, d: Int) => 0.1f * ((id + d) % 13) - 0.5f
+    val shifted = (id: Int, d: Int) => if ((id + d) % 2 == 0) 5.0f else -5.0f
+    val root = Files.createTempDirectory("graft-ivfpqgen").toString
+    val sink = Files.createTempDirectory("graft-ivfpqgensink").toString
+    IndexMaintenance.initIvfPqStore(spark, root,
+      vecs(0 until 48, sameDist).toDF("vec_id", "embedding"),
+      nCentroids = 4, m = 2, ksub = 4, lloydIters = 2, trainN = 64,
+      seedPlanes = 4, dim = 8)
+    assert(IndexMaintenance.latestGen(spark, root) == 0L)
+    var rebuilds = Vector.empty[(Long, Long)]
+    val fn = IndexMaintenance.ivfPqRebuildingPipeline(spark, root, sink,
+      nCentroids = 4, m = 2, ksub = 4, lloydIters = 2, trainN = 64,
+      seedPlanes = 4, dim = 8,
+      onRebuild = (b, g) => rebuilds :+= ((b, g)))
+    // tv_cell is a USAGE-MIX signal (the pq tier's posture): quiet on
+    // the steady-state mix, loud on the shifted population, and — after
+    // the rebuild indexes that population (2:1 base:shifted) — quiet
+    // again on a batch of the now-indexed proportions.
+    fn(vecs(100 until 148, sameDist).toDF("vec_id", "embedding"), 0L)
+    fn(vecs(200 until 248, shifted).toDF("vec_id", "embedding"), 1L)
+    val b3 = vecs(300 until 332, sameDist) ++ vecs(400 until 416, shifted)
+    fn(b3.toDF("vec_id", "embedding"), 2L)
+    val rows = spark.read.parquet(sink).orderBy("batch_id").collect()
+      .map(r => (r.getAs[Long]("n_rows"), r.getAs[Long]("retrain"),
+        r.getAs[Long]("gen"))).toSeq
+    assert(rows == Seq((48L, 0L, 0L), (48L, 1L, 0L), (48L, 0L, 1L)),
+      s"quiet → trip → rebuilt-quiet: $rows")
+    assert(rebuilds == Vector((1L, 1L)) &&
+      IndexMaintenance.latestGen(spark, root) == 1L)
+    // gen-1 codes ≡ one assign+encode of the full log on BOTH gen-1
+    // quantizers — the composite artifact stays consistent through the
+    // rebuild.
+    val cents1 = spark.read.parquet(s"$root/gen-1/centroids")
+    val cb1 = spark.read.parquet(s"$root/gen-1/codebooks")
+    val log = spark.read.parquet(s"$root/vectors")
+    def rowSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("sub"),
+        r.getAs[Int]("code"), r.getAs[Long]("cell"))).toSet
+    assert(rowSet(spark.read.parquet(s"$root/gen-1/codes")) ==
+      rowSet(Similarity.pqEncode(log, cb1, m = 2, dim = 8)
+        .select("vec_id", "sub", "code")
+        .join(Similarity.ivfCellAssign(log, cents1), "vec_id")),
+      "gen-1 artifact ≡ one assign+encode of the full log on the gen-1 quantizers")
+  }
+
   test("generation stores: a mismatched shape fails loudly at pipeline construction") {
     // StreamingDedupSpec's manifest law for the IndexMaintenance
     // stores: `dim`/`nCentroids` (int8) and `dim`/`m`/`ksub` (PQ) are
@@ -670,6 +719,26 @@ class StreamingSpec extends SparkSpec {
     assert(e5.getMessage.contains("ksub"), e5.getMessage)
     IndexMaintenance.pqRebuildingPipeline(spark, proot, sink,
       m = 2, ksub = 4, iters = 5, trainN = 128, dim = 8)
+    // The IVF-PQ store mirrors the refusals on its composite shape
+    // (nCentroids AND m are structural); retuned training knobs legal.
+    val iroot = Files.createTempDirectory("graft-ivfpqman").toString
+    IndexMaintenance.initIvfPqStore(spark, iroot,
+      vecs(0 until 48).toDF("vec_id", "embedding"),
+      nCentroids = 4, m = 2, ksub = 4, lloydIters = 2, trainN = 64,
+      seedPlanes = 4, dim = 8)
+    val e6 = intercept[IllegalStateException] {
+      IndexMaintenance.ivfPqRebuildingPipeline(spark, iroot, sink,
+        nCentroids = 8, m = 2, ksub = 4, dim = 8)
+    }
+    assert(e6.getMessage.contains("nCentroids"), e6.getMessage)
+    val e7 = intercept[IllegalStateException] {
+      IndexMaintenance.ivfPqRebuildingPipeline(spark, iroot, sink,
+        nCentroids = 4, m = 4, ksub = 4, dim = 8)
+    }
+    assert(e7.getMessage.contains("m:"), e7.getMessage)
+    IndexMaintenance.ivfPqRebuildingPipeline(spark, iroot, sink,
+      nCentroids = 4, m = 2, ksub = 4, lloydIters = 5, trainN = 128,
+      seedPlanes = 4, dim = 8)
   }
 
   test("append artifacts self-seal: a different quantizer refuses reconstruction") {

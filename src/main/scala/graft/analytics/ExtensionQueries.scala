@@ -1820,6 +1820,72 @@ object ExtensionQueries {
       |             / n_words, 4) AS intercept
       |FROM s""".stripMargin
 
+  // ---------------------------------------------------------------- TXT-14
+  /** The demo merge table for [[subwordTokens]] — a trained-offline BPE
+    * vocabulary standing in as a plan-time constant (real tables ship
+    * as artifacts; the OPERATOR is the deterministic apply). Entries
+    * deliberately cover every greedy path: full words ("table" beats
+    * its own prefixes "tab"/"ta"), chained merges ("cust"+"om"+"er"),
+    * mixed fallback ("row" = fallback 'r' + merge "ow"), single-char
+    * entries ("a"), and pure fallback ("dup").
+    */
+  val SubwordMerges: Seq[String] = Seq(
+    "table", "tab", "ta", "ble", "le", "ba", "tch", "wind", "ow",
+    "str", "eam", "cust", "om", "er", "vec", "tor", "col", "umn",
+    "que", "ry", "val", "ue", "fil", "ter", "or", "der", "so", "rt",
+    "sm", "all", "mer", "ge", "gr", "oup", "sp", "ark", "ha", "sh",
+    "sc", "an", "sl", "fast", "the", "a", "gg", "jo", "in", "key",
+    "li", "ne", "da", "part")
+
+  /** Subword (BPE-style) token accounting over the corpus
+    * ([[graft.functions.SubwordTokenCount]] — greedy longest-match
+    * against the broadcast merge table, native + codegen'd): per
+    * document, the whitespace word count and the subword token count —
+    * the REAL token budget q_ml10-13's packing math meters against a
+    * trained vocabulary instead of the whitespace proxy.
+    *
+    * Shape at 100 TB: tokenization is map-side arithmetic fused into
+    * the scan (one codegen'd call per word, no shuffle before the
+    * per-doc aggregate, vocab in the references array — never a join);
+    * the DuckDB oracle replays the identical greedy walk as a
+    * recursive CTE over DISTINCT words joined back to occurrences —
+    * a correctness form, not the scale form.
+    */
+  def subwordTokens(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Subword
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "")
+      .select(col("doc_id"),
+        Subword.wordCount(col("w"), SubwordMerges).as("nt"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("nt").cast("long")).as("n_subtok"))
+      .orderBy("doc_id")
+  }
+
+  val subwordTokensSql: String = {
+    val vocabValues = SubwordMerges.map(t => s"('$t')").mkString(", ")
+    s"""WITH RECURSIVE vocab(tok) AS (VALUES $vocabValues),
+       |wi AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |       FROM documents),
+       |wnz AS (SELECT doc_id, w FROM wi WHERE w <> ''),
+       |dw AS (SELECT DISTINCT w FROM wnz),
+       |st AS (
+       |  SELECT w, 0 AS pos, 0 AS ntok FROM dw
+       |  UNION ALL
+       |  SELECT w,
+       |         pos + coalesce((SELECT max(len(tok)) FROM vocab
+       |                         WHERE substr(w, pos + 1, len(tok)) = tok), 1),
+       |         ntok + 1
+       |  FROM st WHERE pos < len(w)),
+       |wc AS (SELECT w, max(ntok) AS nt FROM st GROUP BY 1)
+       |SELECT wnz.doc_id AS doc_id, count(*) AS n_words,
+       |       CAST(sum(wc.nt) AS BIGINT) AS n_subtok
+       |FROM wnz JOIN wc USING (w)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   // ----------------------------------------------------------------- ML-7
   /** Benchmark decontamination by 8-gram overlap — the standard eval-
     * leakage scan (n-gram collision against a held-out benchmark set)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -71,8 +71,9 @@ object Packing {
     * the two-level sum equals the sequential one.
     */
   def concatPackWindows(docs: DataFrame, capacity: Int = 256,
-      buckets: Int = 32): DataFrame =
-    concatPackWindowsFrom(docs, capacity, 0L, buckets)
+      buckets: Int = 32,
+      tokenCount: Column => Column = TF.tokenCount): DataFrame =
+    concatPackWindowsFrom(docs, capacity, 0L, buckets, tokenCount)
 
   /** [[concatPackWindows]] with the token stream starting at
     * `startOffset` instead of 0 — the streaming form's continuation
@@ -89,12 +90,17 @@ object Packing {
     * id-sorted one.
     */
   def concatPackWindowsFrom(docs: DataFrame, capacity: Int,
-      startOffset: Long, buckets: Int = 32): DataFrame = {
+      startOffset: Long, buckets: Int = 32,
+      tokenCount: Column => Column = TF.tokenCount): DataFrame = {
     require(capacity >= 1 && buckets >= 1,
       s"need capacity >= 1 and buckets >= 1, got $capacity/$buckets")
     require(startOffset >= 0, s"startOffset must be >= 0, got $startOffset")
+    // `tokenCount` is the pluggable token METER (default: whitespace
+    // count; [[graft.functions.Subword.textCount]] for a trained merge
+    // table) — the packing math downstream only ever sees `n`, so any
+    // deterministic long-valued meter preserves the stream ≡ batch law.
     val counted = docs
-      .select(col("doc_id"), TF.tokenCount(col("text")).as("n"))
+      .select(col("doc_id"), tokenCount(col("text")).cast("long").as("n"))
       .where(col("n") > 0)
     val maxId = counted.agg(max("doc_id").as("max_id"))
     // `div` is true integer division on longs. Spark's `/` (and

@@ -57,12 +57,41 @@ object AsyncSwapProbe {
       (System.nanoTime() - t0) / 1e9
     }
     val fs = new Path("/tmp").getFileSystem(spark.sparkContext.hadoopConfiguration)
-    for (n <- Seq(5000, 50000, 500000)) {
+    // All three generation-store tiers share the protocol; each decade
+    // row measures one tier on fresh identical stores per mode. The
+    // IVF-PQ rebuild is the most expensive (two trainings + two corpus
+    // passes) — exactly the tier where the off-path stance matters most.
+    val tiers: Seq[(String,
+        (String, DataFrame) => Unit,
+        (String, String, Boolean, (Long, Long) => Unit)
+          => (DataFrame, Long) => Unit)] = Seq(
+      ("int8",
+        (root, corpus) => IndexMaintenance.initInt8Store(spark, root, corpus,
+          nCentroids = 16, lloydIters = 2, trainN = 4096, seedPlanes = 6,
+          dim = 32),
+        (root, sink, async, onReb) =>
+          IndexMaintenance.int8RebuildingPipeline(spark, root, sink,
+            nCentroids = 16, lloydIters = 2, trainN = 4096, seedPlanes = 6,
+            dim = 32, async = async, onRebuild = onReb)),
+      ("pq",
+        (root, corpus) => IndexMaintenance.initPqStore(spark, root, corpus,
+          m = 4, ksub = 16, iters = 2, trainN = 1024, dim = 32),
+        (root, sink, async, onReb) =>
+          IndexMaintenance.pqRebuildingPipeline(spark, root, sink,
+            m = 4, ksub = 16, iters = 2, trainN = 1024, dim = 32,
+            async = async, onRebuild = onReb)),
+      ("ivfpq",
+        (root, corpus) => IndexMaintenance.initIvfPqStore(spark, root, corpus,
+          nCentroids = 16, m = 4, ksub = 16, lloydIters = 2, trainN = 1024,
+          seedPlanes = 6, dim = 32),
+        (root, sink, async, onReb) =>
+          IndexMaintenance.ivfPqRebuildingPipeline(spark, root, sink,
+            nCentroids = 16, m = 4, ksub = 16, lloydIters = 2, trainN = 1024,
+            seedPlanes = 6, dim = 32, async = async, onRebuild = onReb)))
+    for ((tier, init, pipeline) <- tiers; n <- Seq(5000, 50000, 500000)) {
       def freshStore(tag: String): String = {
-        val root = Files.createTempDirectory(s"graft-swapprobe-$tag").toString
-        IndexMaintenance.initInt8Store(spark, root,
-          synthVecs(spark, 0 until n, shifted = false), nCentroids = 16,
-          lloydIters = 2, trainN = 4096, seedPlanes = 6, dim = 32)
+        val root = Files.createTempDirectory(s"graft-swapprobe-$tier-$tag").toString
+        init(root, synthVecs(spark, 0 until n, shifted = false))
         root
       }
       val window = 200 // fixed arrival batch — the async swap's only O(·)
@@ -70,37 +99,36 @@ object AsyncSwapProbe {
       val rootI = freshStore("inline")
       val sinkI = Files.createTempDirectory("graft-swapprobe-sinki").toString
       var inlineRebuilt = false
-      val fnI = IndexMaintenance.int8RebuildingPipeline(spark, rootI, sinkI,
-        nCentroids = 16, lloydIters = 2, trainN = 4096, seedPlanes = 6,
-        dim = 32, onRebuild = (_, _) => inlineRebuilt = true)
+      val fnI = pipeline(rootI, sinkI, false,
+        (_, _) => inlineRebuilt = true)
       val tInline = time(
         fnI(synthVecs(spark, n until (n + window), shifted = true), 0L))
-      require(inlineRebuilt, s"n=$n: the shifted batch must trip the retrain")
+      require(inlineRebuilt,
+        s"$tier n=$n: the shifted batch must trip the retrain")
       // ASYNC: same store shape; the triggering batch submits, the
       // daemon builds, the NEXT batch swaps.
       val rootA = freshStore("async")
       val sinkA = Files.createTempDirectory("graft-swapprobe-sinka").toString
-      val fnA = IndexMaintenance.int8RebuildingPipeline(spark, rootA, sinkA,
-        nCentroids = 16, lloydIters = 2, trainN = 4096, seedPlanes = 6,
-        dim = 32, async = true)
+      val fnA = pipeline(rootA, sinkA, true, (_, _) => ())
       val t0 = System.nanoTime()
       fnA(synthVecs(spark, n until (n + window), shifted = true), 0L) // submit
       // Build completion: the codes table's _SUCCESS is the builder's
-      // last write; the built-flag store follows within microseconds.
-      // Bounded poll — a build that never lands (signal not tripped, or
-      // a builder failure) must fail the probe loudly, not hang it.
+      // last write in every tier's write*Gen; the built-flag store
+      // follows within microseconds. Bounded poll — a build that never
+      // lands (signal not tripped, or a builder failure) must fail the
+      // probe loudly, not hang it.
       val codesOk = new Path(s"$rootA/gen-1/codes/_SUCCESS")
       val buildDeadline = System.nanoTime() + 1800L * 1000 * 1000 * 1000
       while (!fs.exists(codesOk) && System.nanoTime() < buildDeadline)
         Thread.sleep(100)
-      require(fs.exists(codesOk), s"n=$n: async build did not land")
+      require(fs.exists(codesOk), s"$tier n=$n: async build did not land")
       val tBuild = (System.nanoTime() - t0) / 1e9
       Thread.sleep(500)
       val tSwap = time(
         fnA(synthVecs(spark, (n + window) until (n + 2 * window),
           shifted = true), 1L))
-      println(f"[swap-probe] n=$n%7d window=$window t_inline=$tInline%6.2fs " +
-        f"t_build=$tBuild%6.2fs t_swap=$tSwap%6.2fs " +
+      println(f"[swap-probe] tier=$tier%-5s n=$n%7d window=$window " +
+        f"t_inline=$tInline%6.2fs t_build=$tBuild%6.2fs t_swap=$tSwap%6.2fs " +
         f"stall_ratio=${tInline / tSwap}%5.1fx")
     }
     spark.stop()

@@ -48,16 +48,24 @@ import graft.operators.Dedup
   *    read only for the slots that hold verified-candidate ids.
   *
   * Per-batch cost: one map-side signature pass over the batch, a
-  * bucket join of the batch's bands against the PRUNED stored bands
-  * (the scan carries partition filters for the batch's
-  * `band * bucketSlots + pslot` key set — [[prunedBands]], asserted in
-  * StreamingDedupSpec), and an exact verify over candidates joined to
-  * the PRUNED stored token sets ([[prunedToks]]). The two key-set
-  * collects that drive the pruning are BOUNDED by the fixed partition
-  * grid (≤ bands·bucketSlots and ≤ idSlots ints), never by data volume
-  * — the same justification as IndexMaintenance's baseline pin.
-  * Appends write the batch's own novel rows only, into their partition
-  * directories.
+  * bucket join of the batch's bands against the PRUNED stored bands,
+  * and an exact verify over candidates joined to the PRUNED stored
+  * token sets. The two key-set collects that drive the pruning are
+  * BOUNDED by the fixed partition grid (≤ bands·bucketSlots and
+  * ≤ idSlots ints), never by data volume — the same justification as
+  * IndexMaintenance's baseline pin. The pipeline's own reads prune off
+  * a driver-side FILE-LIST CACHE (exact under the single-writer
+  * contract: full listing on generation change, touched-leaf extension
+  * after each append), so a batch opens exactly the matching files
+  * with ZERO directory walking — round 12's probe measured ~14 s/batch
+  * of fixed cost dominated by per-batch listings (the growth trigger's
+  * recursive walk + each read's grid-leaf listing), which this removes.
+  * The directory-walking forms remain the consumer/test surface
+  * ([[prunedBands]]/[[prunedToks]], partition-filter pruning asserted
+  * in StreamingDedupSpec); crash-replay correctness is unchanged
+  * because a restarted driver reconstructs the pipeline and re-lists
+  * (the crash model the replay specs drive). Appends write the batch's
+  * own novel rows only, into their partition directories.
   *
   * Small-file compaction: each batch's appends write one file per
   * TOUCHED partition, so over a long stream the per-partition file
@@ -354,9 +362,53 @@ object StreamingDedup {
         GenStore.dropUncommittedAbove(spark, indexDir, gens.max)
       case _ =>
     }
-    def genFiles(gen: Long): Long =
-      GenStore.dataFileCount(spark, s"${GenStore.dir(indexDir, gen)}/bands") +
-        GenStore.dataFileCount(spark, s"${GenStore.dir(indexDir, gen)}/toks")
+    // -------------------------------------------------------------
+    // Driver-side FILE-LIST CACHE of the current generation — the
+    // per-batch listing cut (StreamingDedupProbe measured a ~14 s/batch
+    // fixed floor at 500k docs, dominated by per-batch directory
+    // listings: the growth trigger's recursive walk plus each pruned
+    // read's ~grid-leaf listing). The cache is EXACT under the
+    // single-writer contract: rebuilt by one full listing on generation
+    // change, extended after each append by listing ONLY the touched
+    // partition directories (bounded by the batch's key sets, never the
+    // index). Batch reads then open explicit file lists (zero listing),
+    // our own path-parsed pruning replacing Catalyst's directory-walk
+    // partition pruning — same selected set, no walk — and the growth
+    // trigger reads two vector sizes.
+    // -------------------------------------------------------------
+    var cacheGen = -1L
+    var bandFiles = Vector.empty[String]
+    var toksFiles = Vector.empty[String]
+    def refreshCache(gen: Long): Unit = {
+      bandFiles = GenStore.dataFiles(spark,
+        s"${GenStore.dir(indexDir, gen)}/bands").toVector
+      toksFiles = GenStore.dataFiles(spark,
+        s"${GenStore.dir(indexDir, gen)}/toks").toVector
+      cacheGen = gen
+    }
+    val bandKeyRe = ".*/band=(\\d+)/pslot=(\\d+)/[^/]+$".r
+    val tslotRe = ".*/tslot=(\\d+)/[^/]+$".r
+    def bandKeyOf(path: String): Int = path match {
+      case bandKeyRe(b, p) => b.toInt * bucketSlots + p.toInt
+      case _ => -1
+    }
+    def tslotOf(path: String): Int = path match {
+      case tslotRe(s) => s.toInt
+      case _ => -1
+    }
+    /** Non-recursive data-file listing of explicit leaf dirs (missing
+      * dirs skipped) — the bounded post-append cache extension.
+      */
+    def listLeafDirs(dirs: Seq[String]): Seq[String] = {
+      val hfs = GenStore.fs(spark, indexDir)
+      dirs.flatMap { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        if (!hfs.exists(p)) Seq.empty
+        else hfs.listStatus(p).toSeq
+          .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+          .map(_.getPath.toString)
+      }
+    }
     // The compaction trigger measures GROWTH, not absolute size: the
     // post-compaction file count floors at one file per non-empty leaf
     // (up to bands·bucketSlots + idSlots), so an absolute threshold at
@@ -379,8 +431,13 @@ object StreamingDedup {
     var snapBands: Set[String] = Set.empty
     var snapToks: Set[String] = Set.empty
     (batch: DataFrame, batchId: Long) => {
-      val n = batch.count()
-      if (n > 0) {
+      val arrivals0 = batch.select(col("doc_id"), col("text"), col("ts"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // One pass both counts and materializes the batch (the old
+      // pre-select count paid an extra scan of the raw batch).
+      val n = arrivals0.count()
+      if (n == 0) arrivals0.unpersist(blocking = false)
+      else {
         if (asyncCompact) {
           // Surface a failed copy before anything else: reap the orphan
           // target dir, clear the in-flight flag so the still-standing
@@ -397,14 +454,15 @@ object StreamingDedup {
           // (pure file movement; clustering the window's few small
           // files can wait for the next compaction), then commit, drop
           // the old generation, and re-learn the post-compaction floor.
+          // The delta comes from the CACHE (kept exact through the copy
+          // window), not a directory walk.
           val g2 = built.get()
           if (g2 >= 0) {
             val from = GenStore.dir(indexDir, g2 - 1)
             val to = GenStore.dir(indexDir, g2)
-            val deltaBands = GenStore.dataFiles(spark, s"$from/bands")
-              .filterNot(snapBands.contains)
-            val deltaToks = GenStore.dataFiles(spark, s"$from/toks")
-              .filterNot(snapToks.contains)
+            if (cacheGen != g2 - 1) refreshCache(g2 - 1)
+            val deltaBands = bandFiles.filterNot(snapBands.contains)
+            val deltaToks = toksFiles.filterNot(snapToks.contains)
             if (deltaBands.nonEmpty)
               readFiles(spark, bandsSchema, s"$from/bands", deltaBands)
                 .write.partitionBy("band", "pslot").mode("append")
@@ -415,7 +473,8 @@ object StreamingDedup {
                 .parquet(s"$to/toks")
             GenStore.commit(spark, indexDir, g2)
             GenStore.dropBelow(spark, indexDir, g2)
-            lastPostCompact = genFiles(g2)
+            refreshCache(g2)
+            lastPostCompact = (bandFiles.size + toksFiles.size).toLong
             built.set(-1L); compactingGen = -1L
             snapBands = Set.empty; snapToks = Set.empty
             onCompact(batchId, g2)
@@ -425,26 +484,28 @@ object StreamingDedup {
         // the growth bound is crossed — so this batch's reads and
         // appends all target the surviving generation (inline mode; in
         // async mode the trigger submits and this batch proceeds on the
-        // old generation).
+        // old generation). The trigger reads cache sizes — no walk.
         var gen = GenStore.latest(spark, indexDir)
-        val grown = genFiles(gen) >=
+        if (gen != cacheGen) refreshCache(gen)
+        val grown = (bandFiles.size + toksFiles.size).toLong >=
           (if (lastPostCompact < 0) compactAtFiles.toLong
            else lastPostCompact + compactAtFiles)
         if (grown) {
           if (!asyncCompact) {
             gen = compactIndex(spark, indexDir, gen)
-            lastPostCompact = genFiles(gen)
+            refreshCache(gen)
+            lastPostCompact = (bandFiles.size + toksFiles.size).toLong
           } else if (compactingGen < 0) {
             // SUBMIT the off-path copy: snapshot the file lists HERE
-            // (single-writer thread — no append can race the listing),
+            // (single-writer thread — no append can race the cache),
             // clear any crash orphan of the target, hand the frozen
-            // lists to a daemon copier.
+            // lists to a daemon copier. The snapshot IS the cache.
             compactingGen = gen + 1
             val target = compactingGen
             GenStore.deleteQuiet(spark, GenStore.dir(indexDir, target))
             val fromDir = GenStore.dir(indexDir, gen)
-            val bandSnap = GenStore.dataFiles(spark, s"$fromDir/bands")
-            val tokSnap = GenStore.dataFiles(spark, s"$fromDir/toks")
+            val bandSnap = bandFiles
+            val tokSnap = toksFiles
             snapBands = bandSnap.toSet
             snapToks = tokSnap.toSet
             val t = new Thread(() => {
@@ -469,8 +530,7 @@ object StreamingDedup {
         FoldStore.maybeFold(spark, survivorsDir, batchId,
           foldSurvivorsEvery, survivorsSchema)
         val genPath = GenStore.dir(indexDir, gen)
-        val arrivals = batch.select(col("doc_id"), col("text"), col("ts"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
+        val arrivals = arrivals0
         // Stage 1 — batch-local near-dup: the batch pair graph resolved
         // to min-id canonicals (identical machinery to the batch path).
         val localPairs = Dedup.minhashNearDups(arrivals, numPerms,
@@ -496,7 +556,14 @@ object StreamingDedup {
           .select((col("band") * lit(bucketSlots) + col("pslot"))
             .cast("int").as("k"))
           .distinct().collect().map(_.getInt(0)).toIndexedSeq
-        val storedBands = prunedBands(spark, indexDir, bucketSlots, batchKeys)
+        // Pruned read off the CACHE: the key filter applies to parsed
+        // file paths on the driver, and the scan opens exactly the
+        // matching files — same selected set as Catalyst's partition
+        // pruning ([[prunedBands]], the consumer surface), zero
+        // directory walk.
+        val batchKeySet = batchKeys.toSet
+        val storedBands = readFiles(spark, bandsSchema, s"$genPath/bands",
+          bandFiles.filter(f => batchKeySet.contains(bandKeyOf(f))))
         val candPairs = keepBanded
           .join(storedBands.select(col("band"), col("bucket"),
             col("doc_id").as("idx_id")), Seq("band", "bucket"))
@@ -509,7 +576,9 @@ object StreamingDedup {
           .distinct().collect().map(_.getInt(0)).toIndexedSeq
         val batchToks = localKeep.select(col("doc_id"),
           array_distinct(TF.tokens(col("text"))).as("ta"))
-        val storedToks = prunedToks(spark, indexDir, candSlots)
+        val candSlotSet = candSlots.toSet
+        val storedToks = readFiles(spark, toksSchema, s"$genPath/toks",
+            toksFiles.filter(f => candSlotSet.contains(tslotOf(f))))
           .select(col("doc_id").as("idx_id"), col("toks").as("tb"))
         val dupIds = candPairs.join(batchToks, "doc_id").join(storedToks, "idx_id")
           .where(round(TF.jaccard(col("ta"), col("tb")), 6) >= threshold)
@@ -559,6 +628,21 @@ object StreamingDedup {
             .select("doc_id", "bucket", "band", "pslot")
             .write.partitionBy("band", "pslot").mode("append")
             .parquet(s"$genPath/bands")
+          if (kept > 0) {
+            // Extend the cache EXACTLY: the appends above can only have
+            // touched the batch's band-key dirs and the retained docs'
+            // tslot dirs — list those leaves (bounded by the batch's
+            // key sets), merge by path. A zero-retained batch appended
+            // nothing, so the cache already stands.
+            val retainedSlots = retained
+              .select(pmod(col("doc_id"), lit(idSlots)).cast("int").as("s"))
+              .distinct().collect().map(_.getInt(0)).toIndexedSeq
+            val bandDirs = batchKeys.map(k =>
+              s"$genPath/bands/band=${k / bucketSlots}/pslot=${k % bucketSlots}")
+            val tokDirs = retainedSlots.map(s => s"$genPath/toks/tslot=$s")
+            bandFiles = (bandFiles.toSet ++ listLeafDirs(bandDirs)).toVector
+            toksFiles = (toksFiles.toSet ++ listLeafDirs(tokDirs)).toVector
+          }
           onBatch(batchId, n, kept)
         } finally {
           freeCheckpoint()

@@ -204,10 +204,13 @@ class StreamingDedupSpec extends SparkSpec {
   test("replay after a PARTIAL commit leaves zero duplicate survivors") {
     // Simulate a crash between the toks append and the bands append:
     // run a batch, wipe the bands table back to empty (as if its append
-    // never committed), replay. The replay finds no candidate bands
-    // rows, re-admits both docs, and dynamic partition overwrite
-    // REWRITES batch_id=0 with identical rows instead of appending —
-    // the exactly-once survivor contract.
+    // never committed), and replay on a RECONSTRUCTED pipeline — the
+    // real crash model (the driver died, the restarted stream rebuilds
+    // the pipeline, which re-lists the index into a fresh file cache;
+    // the crashed instance's in-memory listing died with it). The
+    // replay finds no candidate bands rows, re-admits both docs, and
+    // dynamic partition overwrite REWRITES batch_id=0 with identical
+    // rows instead of appending — the exactly-once survivor contract.
     val idx = Files.createTempDirectory("graft-sdedup-idxpc").toString
     val out = Files.createTempDirectory("graft-sdedup-outpc").toString
     StreamingDedup.initMinhashIndex(spark, idx, numPerms = 64, bands = 32)
@@ -219,15 +222,18 @@ class StreamingDedupSpec extends SparkSpec {
     Seq.empty[(Long, Long, Int, Int)].toDF("doc_id", "bucket", "band", "pslot")
       .write.partitionBy("band", "pslot").mode("overwrite")
       .parquet(s"${StreamingDedup.currentGenDir(spark, idx)}/bands") // crash erased the bands commit
-    fn(b, 0L) // replay
+    val fn2 = StreamingDedup.minhashDedupPipeline(spark, idx, out,
+      numPerms = 64, bands = 32) // restart
+    fn2(b, 0L) // replay
     assert(StreamingDedup.survivorsTable(spark, out).count() == 2,
       "the replayed batch rewrote its own partition — no duplicates")
     assert(survivors(out) == Set(1L, 2L))
     assert(StreamingDedup.bandsTable(spark, idx)
       .select("doc_id").distinct().count() == 2,
       "the replay completed the missing bands append")
-    // And the stream continues correctly: a dup of doc 1 is dropped.
-    fn(Seq((3L, docX, ts(2))).toDF("doc_id", "text", "ts"), 1L)
+    // And the restarted stream continues correctly: a dup of doc 1 is
+    // dropped.
+    fn2(Seq((3L, docX, ts(2))).toDF("doc_id", "text", "ts"), 1L)
     assert(survivors(out) == Set(1L, 2L))
   }
 

@@ -1886,6 +1886,59 @@ object ExtensionQueries {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ---------------------------------------------------------------- ML-14
+  /** Concat-and-chunk packing METERED BY THE SUBWORD TOKENIZER — the
+    * q_ml11 window math under [[SubwordMerges]] instead of the
+    * whitespace proxy, i.e. the packing family's `tokenCount` parameter
+    * exercised end-to-end against an oracle: window boundaries now fall
+    * where a trained merge vocabulary says the token budget falls,
+    * which is what an actual pretraining pipeline packs by. Same scale
+    * shape as q_ml11 (two-level parallel prefix sum, integer `div`,
+    * map-side token counts — the subword count is one codegen'd
+    * aggregate over the split array); the oracle derives each doc's
+    * count from the recursive-CTE greedy walk and replays the identical
+    * sequential window math.
+    */
+  def subwordPacking(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Subword
+    graft.operators.Packing.concatPackWindows(
+      Tables.documents(spark, dir), capacity = 256,
+      tokenCount = Subword.textCount(_, SubwordMerges))
+  }
+
+  val subwordPackingSql: String = {
+    val vocabValues = SubwordMerges.map(t => s"('$t')").mkString(", ")
+    s"""WITH RECURSIVE vocab(tok) AS (VALUES $vocabValues),
+       |wi AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |       FROM documents),
+       |wnz AS (SELECT doc_id, w FROM wi WHERE w <> ''),
+       |dw AS (SELECT DISTINCT w FROM wnz),
+       |st AS (
+       |  SELECT w, 0 AS pos, 0 AS ntok FROM dw
+       |  UNION ALL
+       |  SELECT w,
+       |         pos + coalesce((SELECT max(len(tok)) FROM vocab
+       |                         WHERE substr(w, pos + 1, len(tok)) = tok), 1),
+       |         ntok + 1
+       |  FROM st WHERE pos < len(w)),
+       |wc AS (SELECT w, max(ntok) AS nt FROM st GROUP BY 1),
+       |d AS (SELECT wnz.doc_id AS doc_id, CAST(sum(wc.nt) AS BIGINT) AS n
+       |      FROM wnz JOIN wc USING (w) GROUP BY 1),
+       |o AS (SELECT doc_id, n,
+       |             sum(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+       |               AND CURRENT ROW) - n AS start
+       |      FROM d WHERE n > 0),
+       |e AS (SELECT doc_id, start, start + n - 1 AS fin FROM o),
+       |x AS (SELECT doc_id, start, fin,
+       |             unnest(generate_series(CAST(start // 256 AS BIGINT),
+       |                                    CAST(fin // 256 AS BIGINT))) AS window_id
+       |      FROM e)
+       |SELECT window_id, count(*) AS n_docs,
+       |       CAST(sum(least(fin, (window_id + 1) * 256 - 1)
+       |                - greatest(start, window_id * 256) + 1) AS BIGINT) AS n_tokens
+       |FROM x GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   // ----------------------------------------------------------------- ML-7
   /** Benchmark decontamination by 8-gram overlap — the standard eval-
     * leakage scan (n-gram collision against a held-out benchmark set)

@@ -99,9 +99,19 @@ object Packing {
     // count; [[graft.functions.Subword.textCount]] for a trained merge
     // table) — the packing math downstream only ever sees `n`, so any
     // deterministic long-valued meter preserves the stream ≡ batch law.
-    val counted = docs
+    //
+    // CHECKPOINTED eagerly (the pageRankTop pattern, registered for
+    // harness-side freeing): the plan below references `counted` four
+    // times (the max-id pass + three consumers of the bucketing), and
+    // AQE does not reuse repeated pipeline subtrees — lazy, every
+    // reference re-scanned the corpus and re-ran the meter (4 corpus
+    // scans; PlanAuditSpec q_ml14 caught it under the subword meter).
+    // The checkpoint holds only (doc_id, n) — 16 bytes/row, always a
+    // tiny fraction of the corpus it meters.
+    val counted = graft.util.ScratchCheckpoints.register(docs
       .select(col("doc_id"), tokenCount(col("text")).cast("long").as("n"))
       .where(col("n") > 0)
+      .localCheckpoint())
     val maxId = counted.agg(max("doc_id").as("max_id"))
     // `div` is true integer division on longs. Spark's `/` (and
     // floor-of-`/`) goes through double and loses exactness past 2^53 —

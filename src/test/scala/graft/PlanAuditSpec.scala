@@ -406,4 +406,46 @@ class PlanAuditSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
     }
   }
+
+  test("q_txt14: subword tokenization is one scan, zero joins, vocab never shuffles") {
+    // The merge-table apply's scale claim: tokenization is map-side
+    // arithmetic fused into the scan (the vocab rides the expression's
+    // references array — never a join, never a broadcast), so the only
+    // exchanges are the per-doc aggregate's shuffle and the output
+    // sort's range partitioning.
+    val p = plan("q_txt14_subword_tokens")
+    assert(p.contains("subword_token_count"),
+      "the native expression must be in the plan: " + p.take(600))
+    assert(!p.contains("Join"), "no join anywhere: " + p.take(600))
+    assert(!p.contains("BroadcastExchange"),
+      "the vocab must not broadcast: " + p.take(600))
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"documents scanned exactly once, got $scans")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1,
+      s"one per-doc aggregate shuffle, got $hashEx:\n" + p.take(1000))
+  }
+
+  test("q_ml14: subword-metered packing runs the meter in ONE corpus pass") {
+    // The packing plan references its counted (doc_id, n) table four
+    // times (max-id pass + three bucketing consumers); lazy, each
+    // reference re-scanned the corpus and re-ran the meter — this pin
+    // caught exactly that under the subword meter. The operator now
+    // checkpoints the counted projection eagerly (16 bytes/row), so the
+    // meter runs in the ONE materialization pass and the final plan's
+    // leaves are all ExistingRDD scans of it — zero parquet re-scans,
+    // no cartesian.
+    val p = plan("q_ml14_subword_packing")
+    assert(p.contains("Scan ExistingRDD"),
+      "consumers must read the checkpointed counted table: " + p.take(600))
+    assert(!p.contains("CartesianProduct"), p.take(500))
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 0,
+      s"the corpus is scanned only in the checkpoint pass, got $scans re-scans:\n" +
+        p.take(1000))
+    // The bucket-offset running sum is the only global window; it runs
+    // over `buckets` rows, not the corpus (the two-level prefix sum).
+    val windows = "Window".r.findAllIn(p).size
+    assert(windows >= 1, "the prefix-sum windows must be present")
+  }
 }

@@ -355,4 +355,63 @@ class AsyncRebuildSpec extends SparkSpec {
     assert(gen1.where("vec_id = 210").count() == 2,
       "a re-sent vec_id carries exactly m (sub, code, cell) rows — encoded once")
   }
+
+  test("ivf-pq async rebuild under the streaming engine: the closed loop " +
+      "converges end-to-end with natural build timing") {
+    // The int8 engine-driven leg's mirror for the composite tier: the
+    // latch-gated test above proves the protocol deterministically;
+    // this one drives the SAME pipeline through writeStream.foreachBatch
+    // with the build racing the stream at its own pace. Only the first
+    // build runs; tail re-submissions park on a never-released latch.
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = Files.createTempDirectory("graft-ivfpqasyncstream").toString
+    val sink = Files.createTempDirectory("graft-ivfpqasyncstreamsink").toString
+    IndexMaintenance.initIvfPqStore(spark, root,
+      vecs(0 until 48, sameDist).toDF("vec_id", "embedding"),
+      nCentroids = 4, m = 2, ksub = 4, lloydIters = 2, trainN = 64,
+      seedPlanes = 4, dim = 8)
+    val parked = new CountDownLatch(1)
+    val attempt = new AtomicInteger(0)
+    var rebuilds = Vector.empty[(Long, Long)]
+    val fn = IndexMaintenance.ivfPqRebuildingPipeline(spark, root, sink,
+      nCentroids = 4, m = 2, ksub = 4, lloydIters = 2, trainN = 64,
+      seedPlanes = 4, dim = 8,
+      onRebuild = (b, g) => rebuilds :+= ((b, g)),
+      async = true,
+      rebuildGate = () => if (attempt.incrementAndGet() > 1) parked.await())
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = mem.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch(fn).start()
+    try {
+      mem.addData(vecs(100 until 148, sameDist): _*)
+      q.processAllAvailable()
+      var id = 200
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (IndexMaintenance.latestGen(spark, root) == 0L &&
+          System.nanoTime() < deadline) {
+        mem.addData(vecs(id until (id + 48), shifted): _*)
+        q.processAllAvailable()
+        id += 48
+      }
+    } finally q.stop()
+    assert(IndexMaintenance.latestGen(spark, root) == 1L, "swap committed")
+    assert(rebuilds.map(_._2) == Vector(1L), s"one swap, to gen 1: $rebuilds")
+    assert(!exists(s"$root/gen-1/pending-vectors"), "staging reaped")
+    // The full differential under engine-driven batching: every arrival
+    // collapses into one assign+encode of the deduped log on the
+    // committed gen-1 quantizer pair.
+    val cents1 = spark.read.parquet(s"$root/gen-1/centroids")
+    val cb1 = spark.read.parquet(s"$root/gen-1/codebooks")
+    val dedupLog = spark.read.parquet(s"$root/vectors")
+      .dropDuplicates("vec_id")
+    def rowSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("sub"),
+        r.getAs[Int]("code"), r.getAs[Long]("cell"))).toSet
+    assert(rowSet(spark.read.parquet(s"$root/gen-1/codes")) ==
+      rowSet(Similarity.pqEncode(dedupLog, cb1, m = 2, dim = 8)
+        .select("vec_id", "sub", "code")
+        .join(Similarity.ivfCellAssign(dedupLog, cents1), "vec_id")),
+      "gen-1 codes ≡ one assign+encode of the deduped log on the gen-1 quantizers")
+  }
 }

@@ -92,6 +92,29 @@ class MixtureStreamSpec extends SparkSpec {
       auditBefore, "replay must not change the audit")
   }
 
+  test("under the streaming engine: MemoryStream batches reproduce the batch selection") {
+    // The direct-driven tests prove the law deterministically; this leg
+    // runs the SAME pipeline through writeStream.foreachBatch — the
+    // micro-batch engine's thread is the single writer the state
+    // protocol assumes.
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val sdir = Files.createTempDirectory("graft-mixsurv4").toString
+    val state = Files.createTempDirectory("graft-mixstate4").toString
+    val fn = MixtureStream.mixturePipeline(sdir, state, sharePerDomain = 20L)
+    val b1 = docs(0 until 4, "srcA") ++ docs(100 until 102, "srcB")
+    val b2 = docs(4 until 10, "srcA") ++ docs(102 until 104, "srcB")
+    val mem = MemoryStream[(Long, String, String)]
+    val q = mem.toDF().toDF("doc_id", "source", "text").writeStream
+      .foreachBatch(fn).start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(streamSurvivors(sdir) == batchSelection(b1 ++ b2, 20L),
+      "engine-driven stream ≡ batch greedy prefix")
+  }
+
   test("state log compacts to one row per domain; selection law survives the boundary") {
     val sdir = Files.createTempDirectory("graft-mixsurv3").toString
     val state = Files.createTempDirectory("graft-mixstate3").toString

@@ -1886,6 +1886,53 @@ object ExtensionQueries {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ---------------------------------------------------------------- TXT-15
+  /** Unigram language-model log-probability scoring — the LM-based
+    * quality filter of curation pipelines (CCNet's shape: score each
+    * document by a language model trained on a reference corpus; here
+    * the corpus itself is the reference, making the oracle exact): the
+    * LM is the corpus wordcount with add-one smoothing, a document's
+    * score is the mean log-probability of its words, and low scores
+    * flag out-of-distribution text. Rounded once at 6dp (the repo's
+    * double-aggregate rule; the sum's order sensitivity is ~1e-15,
+    * nine orders below the rounding).
+    *
+    * Shape at 100 TB: training is ONE wordcount shuffle; the LM table
+    * is vocabulary-sized (always a tiny fraction of the corpus), so
+    * scoring is a broadcast join back onto the word stream plus a
+    * per-doc aggregate — two corpus passes total, no corpus-keyed
+    * window, no driver loop.
+    */
+  def unigramLogProb(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "")
+    val lm = words.groupBy("w")
+      .agg(count(lit(1)).cast("double").as("cnt"))
+    val totals = lm.agg(sum("cnt").as("total"),
+      count(lit(1)).cast("double").as("v"))
+    words
+      .join(broadcast(lm), "w")
+      .crossJoin(broadcast(totals))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        round(avg(log((col("cnt") + 1.0) / (col("total") + col("v")))), 6)
+          .as("logprob"))
+      .orderBy("doc_id")
+  }
+
+  val unigramLogProbSql: String =
+    """WITH wi AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |            FROM documents),
+      |wnz AS (SELECT doc_id, w FROM wi WHERE w <> ''),
+      |lm AS (SELECT w, CAST(count(*) AS DOUBLE) AS cnt FROM wnz GROUP BY 1),
+      |t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total,
+      |             CAST(count(*) AS DOUBLE) AS v FROM lm)
+      |SELECT wnz.doc_id AS doc_id, count(*) AS n_words,
+      |       round(avg(ln((lm.cnt + 1) / (t.total + t.v))), 6) AS logprob
+      |FROM wnz JOIN lm USING (w) CROSS JOIN t
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---------------------------------------------------------------- ML-14
   /** Concat-and-chunk packing METERED BY THE SUBWORD TOKENIZER — the
     * q_ml11 window math under [[SubwordMerges]] instead of the

@@ -161,14 +161,56 @@ class IntegrationSpec extends SparkSpec {
       dmem.toDF().toDF("doc_id", "text", "ts"), benchGrams, qMin, qMax)
     val fq = funnel.writeStream.format("memory").queryName("kappa_funnel")
       .outputMode("append").start()
+    // ---- Leg 2b: the funnel's survivors chain into the MIXTURE stage
+    // (curation → mixture, the training-data path's order): each funnel
+    // micro-batch's output feeds the streamed per-domain token budget,
+    // and the end-to-end survivor set must equal the batch greedy
+    // prefix over the funnel's own survivors in arrival order.
+    val srcByDoc = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "source")
+    val mixSurv = Files.createTempDirectory("graft-kpipe-mixsurv").toString
+    val mixState = Files.createTempDirectory("graft-kpipe-mixstate").toString
+    val share = 400L
+    val mixFn = graft.streaming.MixtureStream.mixturePipeline(
+      mixSurv, mixState, sharePerDomain = share)
     try {
       val (b1, b2) = docs.splitAt(docs.length / 2)
-      dmem.addData(b1: _*); fq.processAllAvailable()
-      dmem.addData(b2: _*); fq.processAllAvailable()
+      var fed = Set.empty[Long]
+      for (((batch, mixBatchId)) <- Seq((b1, 0L), (b2, 1L))) {
+        dmem.addData(batch: _*); fq.processAllAvailable()
+        val nowOut = spark.table("kappa_funnel")
+          .select("doc_id", "text").collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSeq
+        val newRows = nowOut.filterNot(d => fed.contains(d._1))
+        fed ++= newRows.map(_._1)
+        mixFn(newRows.toDF("doc_id", "text")
+          .join(srcByDoc, "doc_id")
+          .select("doc_id", "source", "text"), mixBatchId)
+      }
       val streamed = spark.table("kappa_funnel").collect().map(_.getLong(0)).toSet
       assert(streamed == batchSurvivors,
         s"stream ≡ batch funnel: missing=${(batchSurvivors -- streamed).toSeq.sorted.take(5)} " +
           s"extra=${(streamed -- batchSurvivors).toSeq.sorted.take(5)}")
+      // Mixture ≡ batch greedy prefix over the funnel survivors in
+      // doc_id order (ids arrive ordered across the two batches).
+      val expectedMix = {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        static.join(batchSurvivors.toSeq.toDF("doc_id"), Seq("doc_id"), "left_semi")
+          .join(srcByDoc, "doc_id")
+          .select(col("doc_id"), col("source"),
+            TF.tokenCount(col("text")).as("n"))
+          .withColumn("run", sum("n").over(w))
+          .where(col("run") <= share)
+          .collect().map(_.getLong(0)).toSet
+      }
+      val mixStreamed = graft.streaming.MixtureStream.survivors(spark, mixSurv)
+        .collect().map(_.getLong(0)).toSet
+      assert(expectedMix.nonEmpty && mixStreamed == expectedMix,
+        s"chained mixture ≡ batch greedy prefix over the funnel survivors: " +
+          s"missing=${(expectedMix -- mixStreamed).toSeq.sorted.take(5)} " +
+          s"extra=${(mixStreamed -- expectedMix).toSeq.sorted.take(5)}")
     } finally fq.stop()
 
     // ---- Leg 3: curated vectors stream into the serving index — the

@@ -1886,6 +1886,55 @@ object ExtensionQueries {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ---------------------------------------------------------------- ML-15
+  /** SEMANTIC eval-set decontamination — q_ml2/q_ml7's n-gram
+    * contamination scans miss paraphrases; this is the embedding-space
+    * form (the SemDeDup/decontamination pairing real pipelines run):
+    * flag every corpus vector whose cosine against ANY benchmark
+    * vector (the deterministic vec_id % 10 slice, q_ml2's convention)
+    * reaches the threshold, with the hit count and the worst match.
+    *
+    * Shape at 100 TB: benchmark suites are tiny next to the corpus, so
+    * the bench side BROADCASTS and the corpus streams map-only through
+    * one cosine pass + a per-vec aggregate — the embedding analog of
+    * q_ml7's broadcast gram probe; no corpus shuffle, no all-pairs.
+    * (For a benchmark too big to broadcast, the ANN cell-blocking
+    * route is q_dd8's.) Cosine arithmetic and 6dp rounding mirror
+    * q_dd7's, which the DuckDB list_cosine_similarity oracle replays
+    * exactly.
+    */
+  def semanticContamination(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{VectorFunctions => VF}
+    val embs = Tables.embeddings(spark, dir)
+    val bench = embs.where(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("bench_id"), col("embedding").as("eb"),
+        VF.l2Norm(col("embedding")).as("nb"))
+      .where(col("nb") > 0)
+    embs.where(col("vec_id") % 10 =!= 0)
+      .select(col("vec_id"), col("embedding"),
+        VF.l2Norm(col("embedding")).as("na"))
+      .where(col("na") > 0)
+      .crossJoin(broadcast(bench))
+      .withColumn("cos",
+        round(VF.dot(col("embedding"), col("eb")) / (col("na") * col("nb")), 6))
+      .where(col("cos") >= 0.25)
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_bench_hits"), max("cos").as("max_cos"))
+      .orderBy("vec_id")
+  }
+
+  val semanticContaminationSql: String =
+    """SELECT vec_id, count(*) AS n_bench_hits, max(cos) AS max_cos FROM (
+      |  SELECT a.vec_id,
+      |         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                                      CAST(b.embedding AS DOUBLE[])), 6) AS cos
+      |  FROM (SELECT * FROM embeddings WHERE vec_id % 10 != 0
+      |        AND len(list_filter(embedding, x -> x != 0)) > 0) a
+      |  JOIN (SELECT * FROM embeddings WHERE vec_id % 10 = 0
+      |        AND len(list_filter(embedding, x -> x != 0)) > 0) b ON true
+      |) WHERE cos >= 0.25
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---------------------------------------------------------------- TXT-15
   /** Unigram language-model log-probability scoring — the LM-based
     * quality filter of curation pipelines (CCNet's shape: score each

@@ -1935,6 +1935,57 @@ object ExtensionQueries {
       |) WHERE cos >= 0.25
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- ML-16
+  /** Corpus DRIFT audit between two snapshots — the check a pipeline
+    * runs when a new crawl lands: compare the word distributions of
+    * the old and new slices (the deterministic doc_id-parity split
+    * standing in for consecutive snapshots) and report the most
+    * divergent words with both probabilities. The summary statistic is
+    * the same total-variation form the PQ/IVF drift monitors use on
+    * code/cell usage, here on the vocabulary; the per-word rows are
+    * the actionable output (which tokens exploded or vanished).
+    *
+    * Engine-parity note: per-word probabilities are single IEEE
+    * divisions of exact integer counts — bit-identical across engines
+    * — so ordering on the unrounded |diff| is stable and only the
+    * OUTPUT is rounded. Shape at scale: two wordcounts in ONE
+    * conditional aggregate over one corpus scan, a vocabulary-sized
+    * full-outer merge, top-k = TakeOrderedAndProject.
+    */
+  def corpusDrift(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "")
+    val counts = words
+      .groupBy("w")
+      .agg(count(when(col("doc_id") % 2 === 0, 1)).cast("double").as("c_old"),
+        count(when(col("doc_id") % 2 === 1, 1)).cast("double").as("c_new"))
+    val totals = counts.agg(sum("c_old").as("t_old"), sum("c_new").as("t_new"))
+    counts.crossJoin(broadcast(totals))
+      .withColumn("p_old", col("c_old") / col("t_old"))
+      .withColumn("p_new", col("c_new") / col("t_new"))
+      .withColumn("d", abs(col("p_old") - col("p_new")))
+      .orderBy(col("d").desc, col("w")).limit(10)
+      .select(col("w"), round(col("p_old"), 6).as("p_old"),
+        round(col("p_new"), 6).as("p_new"), round(col("d"), 6).as("absdiff"))
+  }
+
+  val corpusDriftSql: String =
+    """WITH wi AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |            FROM documents),
+      |wnz AS (SELECT doc_id, w FROM wi WHERE w <> ''),
+      |c AS (SELECT w,
+      |             CAST(count(CASE WHEN doc_id % 2 = 0 THEN 1 END) AS DOUBLE) AS c_old,
+      |             CAST(count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS DOUBLE) AS c_new
+      |      FROM wnz GROUP BY 1),
+      |t AS (SELECT sum(c_old) AS t_old, sum(c_new) AS t_new FROM c),
+      |d AS (SELECT w, c_old / t_old AS p_old, c_new / t_new AS p_new,
+      |             abs(c_old / t_old - c_new / t_new) AS d
+      |      FROM c CROSS JOIN t)
+      |SELECT w, round(p_old, 6) AS p_old, round(p_new, 6) AS p_new,
+      |       round(d, 6) AS absdiff
+      |FROM d ORDER BY d DESC, w LIMIT 10""".stripMargin
+
   // ---------------------------------------------------------------- TXT-15
   /** Unigram language-model log-probability scoring — the LM-based
     * quality filter of curation pipelines (CCNet's shape: score each

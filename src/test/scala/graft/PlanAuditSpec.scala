@@ -448,4 +448,28 @@ class PlanAuditSpec extends SparkSpec {
     val windows = "Window".r.findAllIn(p).size
     assert(windows >= 1, "the prefix-sum windows must be present")
   }
+
+  test("q_ml15: the benchmark side broadcasts; the corpus never shuffles for the probe") {
+    // Semantic decontamination's scale shape: bench suites are tiny, so
+    // the cosine probe is a broadcast nested-loop over the corpus scan
+    // (the embedding analog of q_ml7's broadcast gram join) — never a
+    // shuffle join, never an unbroadcast cartesian.
+    val p = plan("q_ml15_semantic_contamination")
+    assert(p.contains("BroadcastNestedLoopJoin") && p.contains("BroadcastExchange"),
+      "bench must broadcast into the corpus pass: " + p.take(800))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      "no unbroadcast corpus join: " + p.take(500))
+  }
+
+  test("q_ml16: one corpus scan, top-k as TakeOrderedAndProject") {
+    // The drift audit's two wordcounts are ONE conditional aggregate
+    // over one scan; the divergence top-10 must not globally sort the
+    // vocabulary.
+    val p = plan("q_ml16_corpus_drift")
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans <= 2,
+      s"documents scanned once per aggregate tree at most, got $scans:\n" + p.take(800))
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-10 must compile to TakeOrderedAndProject: " + p.take(600))
+  }
 }

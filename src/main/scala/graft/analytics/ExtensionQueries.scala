@@ -612,6 +612,60 @@ object ExtensionQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- DD-10
+  /** Substring-level exact dedup (Lee et al. 2022 ExactSubstr, k = 8
+    * tokens): duplicated k-window detection over the whole corpus,
+    * maximal-span merge, and span removal —
+    * [[graft.operators.Dedup.stripDuplicateSpans]]. One summary row per
+    * document (clean docs included — the per-doc audit contract), the
+    * cleaned text pinned by md5 so the oracle proves the REMOVAL, not
+    * just the counts. The DuckDB oracle replays the identical pipeline:
+    * same rolling md5 grams, same >1 duplication rule (cross-doc OR
+    * within-doc), same gaps-and-islands merge, same indexed strip.
+    */
+  def substringDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.stripDuplicateSpans(Tables.documents(spark, dir), k = 8)
+      .select(col("doc_id"), col("n_tokens"), col("n_spans"),
+        col("n_removed"), md5(col("clean_text")).as("clean_fp"))
+      .orderBy("doc_id")
+
+  val substringDedupSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |grams AS (SELECT doc_id, g.pos AS pos, g.h AS h FROM (
+      |  SELECT doc_id, unnest(list_transform(range(greatest(len(t) - 7, 0)),
+      |    i -> {'pos': CAST(i AS BIGINT),
+      |          'h': md5(array_to_string(list_slice(t, i + 1, i + 8), ' '))})) AS g
+      |  FROM toks)),
+      |dup AS (SELECT h FROM grams GROUP BY h HAVING count(*) > 1),
+      |flagged AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (h)),
+      |isl AS (SELECT doc_id, pos,
+      |  CASE WHEN max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+      |       OR pos > max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |  THEN 1 ELSE 0 END AS new_island FROM flagged),
+      |isl2 AS (SELECT doc_id, pos,
+      |  sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM isl),
+      |spans AS (SELECT doc_id, island, min(pos) AS s, max(pos + 8) AS e
+      |          FROM isl2 GROUP BY doc_id, island),
+      |agg AS (SELECT doc_id, count(*) AS n_spans, sum(e - s) AS n_removed
+      |        FROM spans GROUP BY doc_id),
+      |tokrows AS (SELECT doc_id, tr.idx AS idx, tr.tok AS tok FROM (
+      |  SELECT doc_id, unnest(list_transform(range(len(t)),
+      |    i -> {'idx': CAST(i AS BIGINT), 'tok': t[i + 1]})) AS tr
+      |  FROM toks)),
+      |keptrows AS (SELECT tr.doc_id, tr.idx, tr.tok FROM tokrows tr
+      |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+      |    WHERE sp.doc_id = tr.doc_id AND tr.idx >= sp.s AND tr.idx < sp.e)),
+      |clean AS (SELECT doc_id, md5(string_agg(tok, ' ' ORDER BY idx)) AS fp
+      |          FROM keptrows GROUP BY doc_id)
+      |SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+      |       CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans,
+      |       CAST(coalesce(a.n_removed, 0) AS BIGINT) AS n_removed,
+      |       coalesce(c.fp, md5('')) AS clean_fp
+      |FROM toks t LEFT JOIN agg a USING (doc_id) LEFT JOIN clean c USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- SIM-1
   /** Brute-force cosine top-10 for query vectors vec_id < 5 against the
     * full corpus (queries broadcast; ranked on the rounded similarity so

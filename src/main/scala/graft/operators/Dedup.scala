@@ -451,6 +451,96 @@ object Dedup {
         (row_number().over(w) === 1).cast("long").as("keep"))
   }
 
+  // ------------------------------------------------------------ DD-10
+  /** Rolling k-token gram hashes: one `(doc_id, pos, h)` row per
+    * length-`k` token window, `h` = md5 of the space-joined window,
+    * `pos` = 0-based start-token index. Entirely map-side (split +
+    * transform + posexplode — the gram stream is produced inside the
+    * scan stage; the md5s are computed before any exchange). Documents
+    * shorter than `k` tokens produce no grams.
+    */
+  def duplicateSpanGrams(docs: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"span gram size must be >= 2, got $k")
+    docs.select(col("doc_id"), TF.tokens(col("text")).as("t"))
+      .where(size(col("t")) >= k)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(1), size(col("t")) - (k - 1)),
+          i => md5(concat_ws(" ", slice(col("t"), i, lit(k))))))
+        .as(Seq("pos", "h")))
+  }
+
+  /** Maximal duplicated spans per document — the detection half of the
+    * substring-level exact dedup of Lee et al. 2022 ("Deduplicating
+    * Training Data Makes Language Models Better"). The paper builds a
+    * corpus-wide suffix array (single-machine, O(corpus) memory); the
+    * distributed re-expression is rolling k-gram hashes: a k-token
+    * window that occurs more than once ANYWHERE in the corpus
+    * (cross-document or within-document) is duplicated, and every
+    * repeated run of >= k tokens contains at least one duplicated
+    * k-window, so detection recall matches the suffix-array form at
+    * granularity k. Overlapping or touching duplicated windows merge
+    * (gaps-and-islands over window starts) into maximal
+    * `[start, end)` token spans.
+    *
+    * Shuffle census at corpus scale: (1) the gram count is a wordcount
+    * shape — partial+final HashAggregate on `h`, so the exchange
+    * carries (hash, partial count), not the token stream; (2) the
+    * flagged-window join grams ⋈ dup-hashes is left to AQE (the
+    * duplicated-hash side is collision-sized and typically broadcasts
+    * at runtime); (3) one doc_id exchange feeds the island window, and
+    * the two aggregates above it reuse that partitioning (doc_id is a
+    * subset of their grouping keys — no further exchange).
+    */
+  def duplicateSpans(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = duplicateSpanGrams(docs, k)
+    val dup = grams.groupBy("h").agg(count(lit(1)).as("n"))
+      .where(col("n") > 1).select("h")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val prevEnd = max(col("pos") + k)
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    grams.join(dup, "h")
+      .select(col("doc_id"), col("pos"))
+      .withColumn("new_island",
+        when(prevEnd.isNull || col("pos") > prevEnd, 1).otherwise(0))
+      .withColumn("island", sum(col("new_island")).over(w))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("s"), max(col("pos") + k).as("e"))
+      .select("doc_id", "s", "e")
+  }
+
+  /** Substring-level exact dedup, removal half: cut every duplicated
+    * span ([[duplicateSpans]]) out of its document. One row per INPUT
+    * document: `doc_id`, `n_tokens`, `n_spans` / `n_removed` (0 for
+    * clean docs), and `clean_text` — the surviving tokens re-joined
+    * (empty string when the whole document is duplicated text, the
+    * boilerplate/template case this operator exists to kill).
+    *
+    * The span list is collected per document (bounded: disjoint spans
+    * of length >= k, so at most n_tokens / k entries — row-local, never
+    * driver-side) and the strip is a single indexed higher-order
+    * `filter` over the token array, map-side after the one doc_id join.
+    */
+  def stripDuplicateSpans(docs: DataFrame, k: Int): DataFrame = {
+    val spans = duplicateSpans(docs, k)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("spans"),
+        count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s")).cast("long").as("n_removed"))
+    docs.select(col("doc_id"), TF.tokens(col("text")).as("t"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        when(col("spans").isNull, concat_ws(" ", col("t")))
+          .otherwise(concat_ws(" ", filter(col("t"), (_, i) =>
+            !exists(col("spans"),
+              s => i >= s.getField("s") && i < s.getField("e")))))
+          .as("clean_text"))
+  }
+
   /** DD near-dup on embeddings: cosine ≥ `threshold` pairs within a
     * pre-blocked subset (the all-pairs baseline;
     * [[embeddingNearDupsAnn]] is the corpus-scale path).

@@ -461,6 +461,28 @@ class PlanAuditSpec extends SparkSpec {
       "no unbroadcast corpus join: " + p.take(500))
   }
 
+  test("q_dd10: gram count is partial+final; ONE doc_id exchange feeds windows and both span aggregates") {
+    // The substring dedup's scale shape: the duplicated-hash side is a
+    // grouped count (the exchange carries (hash, partial count), never
+    // the raw gram stream), the flagged join is a hash join (no
+    // nested-loop fallback), and the island window's doc_id exchange is
+    // REUSED by the (doc_id, island) span aggregate and the per-doc
+    // collect (doc_id is a subset of both grouping keys — zero further
+    // hash exchanges above the window).
+    val p = plan("q_dd10_substring_dedup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(600))
+    assert(p.contains("partial_count"),
+      "gram dedup must be a partial+final count on h: " + p.take(600))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 2,
+      s"exactly the gram-count exchange + the doc_id window exchange, " +
+        s"got $hashEx:\n" + p.take(1200))
+    val windows = "windowspecdefinition\\(doc_id".r.findAllIn(p).size
+    assert(windows >= 1 && "Window".r.findAllIn(p).size <= 3,
+      "island merge runs per-doc windows only: " + p.take(800))
+  }
+
   test("q_ml16: one corpus scan, top-k as TakeOrderedAndProject") {
     // The drift audit's two wordcounts are ONE conditional aggregate
     // over one scan; the divergence top-10 must not globally sort the

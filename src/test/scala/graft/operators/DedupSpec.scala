@@ -215,6 +215,85 @@ class DedupSpec extends SparkSpec {
     assert(nodes < 450, s"plan not lineage-capped: $nodes nodes\n${plan.treeString}")
   }
 
+  // ------------------------------------------------------------- DD-10
+  // Substring-level exact dedup (ExactSubstr shape). Driver-side
+  // reference implementation for the differential test: literal
+  // k-gram counting + island merge + indexed strip over Scala
+  // collections — an independent formulation of every stage.
+  private def refStrip(ds: Seq[(Long, String)], k: Int)
+      : Map[Long, (Long, Long, Long, String)] = {
+    val toks = ds.map { case (id, t) => id -> t.split(" ", -1).toSeq }
+    val counts = scala.collection.mutable.Map.empty[Seq[String], Int]
+    for ((_, t) <- toks; i <- 0 to t.length - k)
+      counts.updateWith(t.slice(i, i + k))(c => Some(c.getOrElse(0) + 1))
+    toks.map { case (id, t) =>
+      val flagged = (0 to t.length - k).filter(i => counts(t.slice(i, i + k)) > 1)
+      val spans = flagged.foldLeft(List.empty[(Int, Int)]) { (acc, p) =>
+        acc match {
+          case (s, e) :: rest if p <= e => (s, math.max(e, p + k)) :: rest
+          case _ => (p, p + k) :: acc
+        }
+      }.reverse
+      val covered = spans.flatMap { case (s, e) => s until e }.toSet
+      val kept = t.zipWithIndex.collect { case (tok, i) if !covered(i) => tok }
+      id -> (t.length.toLong, spans.length.toLong, covered.size.toLong,
+        kept.mkString(" "))
+    }.toMap
+  }
+
+  private def collectStrip(df: org.apache.spark.sql.DataFrame)
+      : Map[Long, (Long, Long, Long, String)] =
+    df.collect().map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_spans"),
+        r.getAs[Long]("n_removed"), r.getAs[String]("clean_text")))).toMap
+
+  test("stripDuplicateSpans: cross-doc shared run cut as one maximal span") {
+    // Docs 0 and 1 share a 12-token run with unique flanks; doc 2 clean.
+    val run = (1 to 12).map(i => s"dup$i").mkString(" ")
+    val d = Seq(
+      (0L, s"a1 a2 a3 $run z1 z2"),
+      (1L, s"b1 b2 $run y1 y2 y3"),
+      (2L, (1 to 20).map(i => s"c$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = collectStrip(Dedup.stripDuplicateSpans(d, k = 8))
+    // Only windows fully inside the shared run are duplicated (the
+    // flanks differ), so the merged span is exactly the 12-token run.
+    assert(got(0L) == ((17L, 1L, 12L, "a1 a2 a3 z1 z2")), got(0L).toString)
+    assert(got(1L) == ((17L, 1L, 12L, "b1 b2 y1 y2 y3")), got(1L).toString)
+    assert(got(2L) == ((20L, 0L, 0L, (1 to 20).map(i => s"c$i").mkString(" "))))
+  }
+
+  test("stripDuplicateSpans: within-doc repeat flagged; exact dup fully removed; short doc untouched") {
+    val phrase = (1 to 8).map(i => s"p$i").mkString(" ")
+    val whole = (1 to 30).map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      (0L, s"u1 u2 u3 $phrase m1 m2 m3 $phrase v1 v2 v3"), // twice in one doc
+      (1L, whole), (2L, whole),                            // exact dup pair
+      (3L, "s1 s2 s3 s4 s5"))                              // shorter than k
+      .toDF("doc_id", "text")
+    val got = collectStrip(Dedup.stripDuplicateSpans(d, k = 8))
+    assert(got(0L) == ((25L, 2L, 16L, "u1 u2 u3 m1 m2 m3 v1 v2 v3")), got(0L).toString)
+    assert(got(1L) == ((30L, 1L, 30L, "")) && got(2L) == ((30L, 1L, 30L, "")))
+    assert(got(3L) == ((5L, 0L, 0L, "s1 s2 s3 s4 s5")))
+  }
+
+  test("stripDuplicateSpans ≡ driver-side reference on a seeded random corpus") {
+    // Deterministic corpus from a tiny vocab so k-gram collisions are
+    // plentiful: repeats within docs, across docs, and none at all.
+    val rnd = new scala.util.Random(20260814L)
+    val vocab = Array("aa", "bb", "cc", "dd")
+    val corpus = (0L until 40L).map { id =>
+      val n = 6 + rnd.nextInt(30)
+      id -> Array.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    }
+    val k = 5
+    val expected = refStrip(corpus, k)
+    val got = collectStrip(
+      Dedup.stripDuplicateSpans(corpus.toDF("doc_id", "text"), k))
+    assert(got == expected,
+      s"diff: ${got.toSet.diff(expected.toSet)} vs ${expected.toSet.diff(got.toSet)}")
+  }
+
   test("embeddingNearDups finds the planted near-identical vector pair") {
     val v = Array.tabulate(8)(i => 0.1f * (i + 1))
     val nearly = v.clone(); nearly(7) = nearly(7) * 1.01f

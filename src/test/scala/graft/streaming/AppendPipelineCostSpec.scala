@@ -56,6 +56,22 @@ class AppendPipelineCostSpec extends SparkSpec {
     }
   }
 
+  /** Flush the async ExecutionListenerBus before registering a counter.
+    * Listener events deliver asynchronously: under full-suite load a
+    * PRE-registration query's onSuccess (e.g. the index-build write,
+    * whose plan scans the quantizer parquet) can arrive AFTER the
+    * counter registers and inflate its count — the exact flake a
+    * backlogged bus produced in a 31-suite run. waitUntilEmpty() is
+    * private[spark] (public bytecode), hence the reflective call.
+    */
+  private def drainListenerBus(): Unit = {
+    val bus = spark.sparkContext.getClass.getMethod("listenerBus")
+      .invoke(spark.sparkContext)
+    bus.getClass.getMethods
+      .find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 0)
+      .foreach(_.invoke(bus))
+  }
+
   test("int8AppendPipeline: quantizer plan executes once at construction, " +
       "never per batch") {
     val base = vecs(0 until 48).toDF("vec_id", "embedding")
@@ -72,6 +88,7 @@ class AppendPipelineCostSpec extends SparkSpec {
         spark.read.parquet(s"$qdir/centroids"))
       .write.mode("overwrite").parquet(indexDir)
     val counter = new ScanCounter(qdir)
+    drainListenerBus()
     spark.listenerManager.register(counter)
     val fn =
       try {
@@ -85,6 +102,7 @@ class AppendPipelineCostSpec extends SparkSpec {
         f
       } finally spark.listenerManager.unregister(counter)
     val counter2 = new ScanCounter(qdir)
+    drainListenerBus()
     spark.listenerManager.register(counter2)
     try {
       fn(vecs(100 until 112).toDF("vec_id", "embedding"), 0L)
@@ -134,6 +152,7 @@ class AppendPipelineCostSpec extends SparkSpec {
       .select("vec_id", "sub", "code")
       .write.mode("overwrite").parquet(codesDir)
     val counter = new ScanCounter(qdir)
+    drainListenerBus()
     spark.listenerManager.register(counter)
     val fn =
       try {
@@ -145,6 +164,7 @@ class AppendPipelineCostSpec extends SparkSpec {
         f
       } finally spark.listenerManager.unregister(counter)
     val counter2 = new ScanCounter(qdir)
+    drainListenerBus()
     spark.listenerManager.register(counter2)
     try {
       fn(vecs(100 until 112).toDF("vec_id", "embedding"), 0L)

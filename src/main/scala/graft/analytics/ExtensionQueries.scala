@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => TF}
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{DataSplits, Dedup, Similarity}
 import graft.sources.Tables
 
 /** Training-data-pipeline extension queries (SURVEY.md §2.6 TXT and DD rows/
@@ -393,9 +393,11 @@ object ExtensionQueries {
     * `doc_id`, `text`). Shared by the q_dd5 oracle and the cluster /
     * curation-pipeline oracles layered on top of the same pair graph.
     */
-  private[analytics] def minhashPairsCtes(fromExpr: String = "documents"): String = {
+  private[analytics] def minhashPairsCtes(fromExpr: String = "documents",
+      shingleSize: Int = 3): String = {
     val (as, bs) = TF.minhashParams(64)
     val P = TF.MinhashPrime
+    val n = shingleSize
     val minExprs = (0 until 64).map(i =>
       s"list_min(list_transform(hl, h -> (h * ${as(i)} + ${bs(i)}) % $P)) AS m$i")
       .mkString(", ")
@@ -407,9 +409,9 @@ object ExtensionQueries {
     }.mkString(" ")
     s"""sh AS (
        |  SELECT doc_id, text,
-       |         CASE WHEN len(t) >= 3
-       |           THEN list_transform(range(len(t) - 2),
-       |                i -> array_to_string(list_slice(t, i + 1, i + 3), ' '))
+       |         CASE WHEN len(t) >= $n
+       |           THEN list_transform(range(len(t) - ${n - 1}),
+       |                i -> array_to_string(list_slice(t, i + 1, i + $n), ' '))
        |           ELSE [text] END AS shingles
        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM $fromExpr)),
        |hs AS (SELECT doc_id,
@@ -436,6 +438,68 @@ object ExtensionQueries {
   val minhashDedupSql: String =
     s"""WITH ${minhashPairsCtes()}
        |SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------- DD-11
+  /** Recall/precision audit of the MinHash-LSH banding against the exact
+    * Jaccard ground truth — the measurement that justifies (or retunes)
+    * the 64-perm/16-band knee before a 100 TB dedup run. Both pipelines
+    * run over the SAME blocked subset (`doc_id % 20 = 0`, q_dd4's block
+    * — ground truth is all-pairs by definition, so the audit is bounded
+    * by construction; the conclusion transfers because banding
+    * probability depends only on pair Jaccard, not corpus size).
+    *
+    * The MinHash runs at `shingleSize = 1` so signature and truth
+    * measure the SAME set (token sets — [[Dedup.jaccardPairs]]'s
+    * granularity, and the verify stage's). Auditing the 3-shingle
+    * default against token-set truth conflates banding loss with the
+    * granularity gap: this block's docs share vocabulary but almost no
+    * 3-token runs, so the 3-shingle banding correctly surfaces ~none of
+    * the token-level pairs — a true statement about shingling, not a
+    * recall measurement of the banding knee.
+    *
+    * `recall` = banded candidates ∩ true pairs / true pairs (what the
+    * LSH would MISS at scale); `precision` = that intersection /
+    * candidate volume (the wasted exact-verify work — the COST axis).
+    * One full-outer join of the two pair sets feeds a single aggregate;
+    * neither side is computed twice.
+    */
+  def lshRecallAudit(spark: SparkSession, dir: String): DataFrame = {
+    val blocked = Tables.documents(spark, dir).where(col("doc_id") % 20 === 0)
+    val truth = Dedup.jaccardPairs(blocked, threshold = 0.5)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("t"))
+    val cand = Dedup.minhashCandidates(blocked, shingleSize = 1, md5Parity = true)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("c"))
+    cand.join(truth, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(sum(coalesce(col("t"), lit(0L))).as("n_true"),
+        sum(coalesce(col("c"), lit(0L))).as("n_cand"),
+        sum(coalesce(col("t"), lit(0L)) * coalesce(col("c"), lit(0L)))
+          .as("n_hit"))
+      .select(col("n_true"), col("n_cand"), col("n_hit"),
+        (col("n_true") - col("n_hit")).as("n_missed"),
+        round(col("n_hit").cast("double") / col("n_true"), 6).as("recall"),
+        round(col("n_hit").cast("double") / col("n_cand"), 6).as("precision"))
+  }
+
+  val lshRecallAuditSql: String =
+    s"""WITH blk AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
+       |${minhashPairsCtes("blk", shingleSize = 1)},
+       |truth AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM (SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM blk) a
+       |  JOIN (SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM blk) b
+       |    ON a.doc_id < b.doc_id
+       |  WHERE round(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+       |              / len(list_distinct(list_concat(a.t, b.t))), 6) >= 0.5),
+       |fj AS (SELECT coalesce(c.c, 0) AS c, coalesce(t.t, 0) AS t
+       |       FROM (SELECT doc_a, doc_b, 1 AS c FROM cand) c
+       |       FULL OUTER JOIN (SELECT doc_a, doc_b, 1 AS t FROM truth) t
+       |         USING (doc_a, doc_b)),
+       |ag AS (SELECT CAST(sum(t) AS BIGINT) AS n_true,
+       |              CAST(sum(c) AS BIGINT) AS n_cand,
+       |              CAST(sum(t * c) AS BIGINT) AS n_hit FROM fj)
+       |SELECT n_true, n_cand, n_hit, n_true - n_hit AS n_missed,
+       |       round(CAST(n_hit AS DOUBLE) / n_true, 6) AS recall,
+       |       round(CAST(n_hit AS DOUBLE) / n_cand, 6) AS precision
+       |FROM ag""".stripMargin
 
   // ----------------------------------------------------------------- DD-6
   /** SimHash near-dup pairs over the 60-bit cross-engine hash — the
@@ -2087,6 +2151,161 @@ object ExtensionQueries {
       |FROM wnz JOIN lm USING (w) CROSS JOIN t
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- TXT-16
+  /** CCNet-style perplexity bucketing over the unigram LM scores
+    * (q_txt15's scoring stage): documents fall into head / middle /
+    * tail buckets at the tertiles of the score distribution, the split
+    * CCNet uses to keep the head and drop (or down-sample) the tail.
+    *
+    * Scale shape: the thresholds are CALIBRATED FROM A SAMPLE
+    * (doc_id % 5 — deterministic, engine-independent), never from a
+    * corpus-wide sort: the only sort-window runs over the sample
+    * (corpus/5 rows here; a production deployment caps the residue so
+    * the sample is bounded), the two tertiles come out of ONE
+    * conditional aggregate over it with the interpolation arithmetic
+    * written out explicitly (identical text in the oracle — no reliance
+    * on two engines' percentile() agreeing bit-for-bit), and the full
+    * corpus is then bucketed map-side against the broadcast 2-scalar
+    * threshold row. The scored relation is computed ONCE and eagerly
+    * checkpointed (q_ml14's rationale): the sample branch, the
+    * threshold aggregate, and the final bucket aggregate all read the
+    * checkpoint instead of re-running the LM join per consumer.
+    * Scores and thresholds are rounded to 6dp BEFORE comparison, so a
+    * boundary document buckets identically in both engines.
+    */
+  def lmBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "")
+    val lm = words.groupBy("w")
+      .agg(count(lit(1)).cast("double").as("cnt"))
+    val totals = lm.agg(sum("cnt").as("total"),
+      count(lit(1)).cast("double").as("v"))
+    val scored = graft.util.ScratchCheckpoints.register(
+      words.join(broadcast(lm), "w").crossJoin(broadcast(totals))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          round(avg(log((col("cnt") + 1.0) / (col("total") + col("v")))), 6)
+            .as("lp"))
+        .localCheckpoint())
+    val samp = scored.where(col("doc_id") % 5 === 0)
+      .withColumn("rn", row_number().over(Window.orderBy("lp", "doc_id")))
+    val withN = samp.crossJoin(broadcast(samp.groupBy().agg(count(lit(1)).as("n"))))
+      .withColumn("r1", lit(1.0) / 3 * (col("n") - 1))
+      .withColumn("r2", lit(2.0) / 3 * (col("n") - 1))
+    def tertile(r: Column): Column = {
+      val vLo = min(when(col("rn") === floor(r) + 1, col("lp")))
+      val vHi = min(when(col("rn") === least(floor(r) + 2, col("n")), col("lp")))
+      round(vLo + (min(r) - floor(min(r))) * (vHi - vLo), 6)
+    }
+    val thr = withN.agg(tertile(col("r1")).as("t_low"),
+      tertile(col("r2")).as("t_high"))
+    scored.crossJoin(broadcast(thr))
+      .withColumn("bucket", when(col("lp") >= col("t_high"), "head")
+        .when(col("lp") >= col("t_low"), "middle").otherwise("tail"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n_words").as("n_words"),
+        round(avg("lp"), 6).as("avg_logprob"),
+        min("lp").as("min_logprob"), max("lp").as("max_logprob"))
+      .orderBy("bucket")
+  }
+
+  val lmBucketsSql: String =
+    """WITH wi AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |            FROM documents),
+      |wnz AS (SELECT doc_id, w FROM wi WHERE w <> ''),
+      |lm AS (SELECT w, CAST(count(*) AS DOUBLE) AS cnt FROM wnz GROUP BY 1),
+      |t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total,
+      |             CAST(count(*) AS DOUBLE) AS v FROM lm),
+      |scored AS (SELECT wnz.doc_id AS doc_id, count(*) AS n_words,
+      |           round(avg(ln((lm.cnt + 1) / (t.total + t.v))), 6) AS lp
+      |           FROM wnz JOIN lm USING (w) CROSS JOIN t GROUP BY 1),
+      |samp AS (SELECT lp, row_number() OVER (ORDER BY lp, doc_id) AS rn
+      |         FROM scored WHERE doc_id % 5 = 0),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM samp),
+      |thr AS (SELECT
+      |  round((SELECT lp FROM samp WHERE rn = CAST(floor(1.0/3 * (n.n - 1)) AS BIGINT) + 1)
+      |    + (1.0/3 * (n.n - 1) - floor(1.0/3 * (n.n - 1)))
+      |    * ((SELECT lp FROM samp WHERE rn = least(CAST(floor(1.0/3 * (n.n - 1)) AS BIGINT) + 2, n.n))
+      |       - (SELECT lp FROM samp WHERE rn = CAST(floor(1.0/3 * (n.n - 1)) AS BIGINT) + 1)), 6) AS t_low,
+      |  round((SELECT lp FROM samp WHERE rn = CAST(floor(2.0/3 * (n.n - 1)) AS BIGINT) + 1)
+      |    + (2.0/3 * (n.n - 1) - floor(2.0/3 * (n.n - 1)))
+      |    * ((SELECT lp FROM samp WHERE rn = least(CAST(floor(2.0/3 * (n.n - 1)) AS BIGINT) + 2, n.n))
+      |       - (SELECT lp FROM samp WHERE rn = CAST(floor(2.0/3 * (n.n - 1)) AS BIGINT) + 1)), 6) AS t_high
+      |  FROM n)
+      |SELECT CASE WHEN lp >= t_high THEN 'head'
+      |            WHEN lp >= t_low THEN 'middle' ELSE 'tail' END AS bucket,
+      |       count(*) AS n_docs, CAST(sum(n_words) AS BIGINT) AS n_words,
+      |       round(avg(lp), 6) AS avg_logprob,
+      |       min(lp) AS min_logprob, max(lp) AS max_logprob
+      |FROM scored CROSS JOIN thr GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- SIM-11
+  /** ANN recall/cost curve ([[Similarity.ivfRecallAudit]]): recall@10 of
+    * the q_sim3 IVF index at probe depths 1/2/4 against brute-force
+    * ground truth, over a held-out query sample (`vec_id % 10 = 7` —
+    * disjoint from q_sim3's `vec_id < 5` serving set). The quantizer
+    * trains once; each depth is a filter over one candidate join; the
+    * `n_cand` column is the scored-candidate volume that the probe
+    * depth buys the recall with.
+    */
+  def ivfRecallAudit(spark: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.embeddings(spark, dir)
+    Similarity.ivfRecallAudit(embs.where(col("vec_id") % 10 === 7), embs,
+      k = 10, nProbes = Seq(1, 2, 4), nCentroids = 16, lloydIters = 2,
+      trainN = 1024, seedPlanes = 6, dim = 64)
+  }
+
+  val ivfRecallAuditSql: String = {
+    val (nc, iters, trainN, dim, k) = (16, 2, 1024, 64, 10)
+    val (training, cFinal) = ivfTrainingCtes(nc, iters, trainN, seedPlanes = 6, dim = dim)
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |$training,
+       |exact AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY round(list_cosine_similarity(q.e, c.e), 6) DESC,
+       |                      c.vec_id) AS rank
+       |    FROM (SELECT * FROM v WHERE vec_id % 10 = 7
+       |          AND list_dot_product(e, e) > 0) q
+       |    JOIN (SELECT * FROM v WHERE list_dot_product(e, e) > 0) c
+       |      ON q.vec_id != c.vec_id)
+       |  WHERE rank <= $k),
+       |ca AS (SELECT vec_id AS neighbor_id, e AS ne, cid FROM (
+       |    SELECT v.vec_id, v.e, c.cid,
+       |           row_number() OVER (PARTITION BY v.vec_id
+       |             ORDER BY round(list_cosine_similarity(v.e, c.ce), 6) DESC, c.cid) AS rn
+       |    FROM v CROSS JOIN $cFinal c)
+       |  WHERE rn = 1 AND list_dot_product(e, e) > 0),
+       |qa AS (SELECT vec_id AS query_id, e AS qe, cid, rn AS crank FROM (
+       |    SELECT v.vec_id, v.e, c.cid,
+       |           row_number() OVER (PARTITION BY v.vec_id
+       |             ORDER BY round(list_cosine_similarity(v.e, c.ce), 6) DESC, c.cid) AS rn
+       |    FROM v CROSS JOIN $cFinal c WHERE v.vec_id % 10 = 7)
+       |  WHERE rn <= 4 AND list_dot_product(e, e) > 0),
+       |np AS (SELECT unnest([1, 2, 4]) AS nprobe),
+       |cand AS (SELECT np.nprobe, qa.query_id, ca.neighbor_id,
+       |         round(list_cosine_similarity(qa.qe, ca.ne), 6) AS cos
+       |         FROM ca JOIN qa USING (cid) CROSS JOIN np
+       |         WHERE qa.crank <= np.nprobe AND qa.query_id != ca.neighbor_id),
+       |apx AS (SELECT nprobe, query_id, neighbor_id FROM (
+       |    SELECT nprobe, query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY nprobe, query_id
+       |             ORDER BY cos DESC, neighbor_id) AS rank FROM cand)
+       |  WHERE rank <= $k),
+       |t AS (SELECT count(*) AS n_truth, count(DISTINCT query_id) AS n_queries
+       |      FROM exact),
+       |h AS (SELECT nprobe, count(*) AS n_hit FROM apx
+       |      JOIN exact USING (query_id, neighbor_id) GROUP BY 1),
+       |cc AS (SELECT nprobe, count(*) AS n_cand FROM cand GROUP BY 1)
+       |SELECT cc.nprobe, t.n_queries, t.n_truth,
+       |       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+       |       round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / t.n_truth, 6) AS recall,
+       |       cc.n_cand
+       |FROM cc LEFT JOIN h USING (nprobe) CROSS JOIN t ORDER BY nprobe""".stripMargin
+  }
+
   // ---------------------------------------------------------------- ML-14
   /** Concat-and-chunk packing METERED BY THE SUBWORD TOKENIZER — the
     * q_ml11 window math under [[SubwordMerges]] instead of the
@@ -2393,6 +2612,93 @@ object ExtensionQueries {
       |       max(b.budget_tokens) AS budget_tokens
       |FROM c, b
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- ML-18
+  /** Leakage-free split audit ([[DataSplits.clusterAwareSplits]]): the
+    * near-dup pair graph (q_dd5's exact md5-parity pipeline) drives
+    * cluster-aware train/val/test assignment, and the output row per
+    * split carries the PROOF — `leaky_pairs` counts near-dup pairs
+    * whose endpoints landed in different splits (0 by construction
+    * under cluster assignment, and the query computes it from the
+    * assigned splits rather than asserting it) next to
+    * `naive_leaky_pairs`, the same count under per-document residue
+    * assignment — the leakage the operator exists to prevent. A pair's
+    * endpoints always share a cluster, hence a split, so attributing
+    * pairs by `split_a` is unambiguous.
+    *
+    * The pair graph is checkpointed once and feeds both the component
+    * fixpoint and the leak join (q_adv7's AQE-non-reuse rationale); the
+    * naive counterfactual needs NO second assignment pass — it is a
+    * pure projection of the pair's own ids.
+    */
+  def leakageFreeSplits(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = graft.util.ScratchCheckpoints.register(
+      Dedup.minhashNearDups(docs, threshold = 0.5, md5Parity = true)
+        .localCheckpoint())
+    val naive = (id: Column) => DataSplits.assignSplit(id,
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+    val assigned = DataSplits.clusterAwareSplits(
+      docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_words")), pairs)
+    val sp = assigned.select(col("doc_id"), col("split"))
+    val pairAgg = pairs
+      .join(sp.select(col("doc_id").as("doc_a"), col("split").as("split_a")),
+        "doc_a")
+      .join(sp.select(col("doc_id").as("doc_b"), col("split").as("split_b")),
+        "doc_b")
+      .groupBy(col("split_a").as("split"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum((col("split_a") =!= col("split_b")).cast("long")).as("leaky_pairs"),
+        sum((naive(col("doc_a")) =!= naive(col("doc_b"))).cast("long"))
+          .as("naive_leaky_pairs"))
+    assigned.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("cluster").as("n_clusters"),
+        sum("n_words").as("n_words"))
+      .join(pairAgg, Seq("split"), "left")
+      .select(col("split"), col("n_docs"), col("n_clusters"), col("n_words"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("leaky_pairs"), lit(0L)).as("leaky_pairs"),
+        coalesce(col("naive_leaky_pairs"), lit(0L)).as("naive_leaky_pairs"))
+      .orderBy("split")
+  }
+
+  val leakageFreeSplitsSql: String =
+    s"""WITH RECURSIVE ${minhashPairsCtes()},
+       |sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |        UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(node, lbl) AS (
+       |  SELECT src, src FROM sym
+       |  UNION
+       |  SELECT s.src, r.lbl FROM sym s JOIN reach r ON s.dst = r.node),
+       |comp AS (SELECT node, min(lbl) AS cluster FROM reach GROUP BY node),
+       |assigned AS (SELECT d.doc_id,
+       |  coalesce(c.cluster, d.doc_id) AS cluster,
+       |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_words,
+       |  CASE WHEN coalesce(c.cluster, d.doc_id) % 100 < 80 THEN 'train'
+       |       WHEN coalesce(c.cluster, d.doc_id) % 100 < 90 THEN 'val'
+       |       ELSE 'test' END AS split
+       |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+       |pa AS (SELECT sa.split AS split, count(*) AS n_pairs,
+       |  sum(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END) AS leaky_pairs,
+       |  sum(CASE WHEN (CASE WHEN p.doc_a % 100 < 80 THEN 'train'
+       |                      WHEN p.doc_a % 100 < 90 THEN 'val' ELSE 'test' END)
+       |            <> (CASE WHEN p.doc_b % 100 < 80 THEN 'train'
+       |                     WHEN p.doc_b % 100 < 90 THEN 'val' ELSE 'test' END)
+       |           THEN 1 ELSE 0 END) AS naive_leaky_pairs
+       |  FROM pairs p JOIN assigned sa ON p.doc_a = sa.doc_id
+       |               JOIN assigned sb ON p.doc_b = sb.doc_id
+       |  GROUP BY 1),
+       |da AS (SELECT split, count(*) AS n_docs,
+       |       count(DISTINCT cluster) AS n_clusters, sum(n_words) AS n_words
+       |       FROM assigned GROUP BY 1)
+       |SELECT da.split, da.n_docs, da.n_clusters,
+       |       CAST(da.n_words AS BIGINT) AS n_words,
+       |       CAST(coalesce(pa.n_pairs, 0) AS BIGINT) AS n_pairs,
+       |       CAST(coalesce(pa.leaky_pairs, 0) AS BIGINT) AS leaky_pairs,
+       |       CAST(coalesce(pa.naive_leaky_pairs, 0) AS BIGINT) AS naive_leaky_pairs
+       |FROM da LEFT JOIN pa USING (split) ORDER BY split""".stripMargin
 
   // ---------------------------------------------------------------- ADV-7
   /** PageRank over the MinHash near-dup pair graph

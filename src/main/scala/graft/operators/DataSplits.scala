@@ -66,4 +66,29 @@ object DataSplits {
       .join(evalFps, "fp")
       .select(col("doc_id"), col("fp"))
   }
+
+  /** Leakage-free (cluster-aware) split assignment: near-duplicate
+    * documents must never straddle train/eval — a test doc whose
+    * near-copy sits in train is contamination that per-DOCUMENT
+    * assignment cannot prevent. The fix is to assign the split to the
+    * duplicate CLUSTER: label every document with its near-dup
+    * connected component ([[Dedup.dupClusters]] over `pairs`; documents
+    * in no pair are their own singleton cluster) and derive the split
+    * from the CLUSTER id's residue ([[assignSplit]]), so a template and
+    * all its near-copies land in the same split by construction.
+    *
+    * Returns `docs` + (`cluster`, `split`). Scale shape: the component
+    * fixpoint is the existing bounded-lineage operator; the label
+    * join-back is one shuffle on doc_id (the component table is
+    * cluster-member-sized, usually far smaller than the corpus); the
+    * split derivation is a pure projection.
+    */
+  def clusterAwareSplits(docs: DataFrame, pairs: DataFrame,
+      fractions: Seq[(String, Int)] =
+        Seq("train" -> 80, "val" -> 10, "test" -> 10)): DataFrame =
+    docs
+      .join(Dedup.dupClusters(pairs).select(col("doc_id"), col("cluster")),
+        Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+      .withColumn("split", assignSplit(col("cluster"), fractions))
 }

@@ -449,6 +449,101 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
+  /** Recall@k audit of the IVF probe against brute-force ground truth —
+    * the serving-quality measurement a production ANN deployment runs
+    * whenever the index or the probe budget changes (the docstring
+    * curve on [[autoCentroids]] came from exactly this computation,
+    * here made a first-class oracled operator).
+    *
+    * One row per entry of `nProbes`: `n_hit` counts ground-truth
+    * neighbors the probe recovered (`recall` = n_hit/n_truth), and
+    * `n_cand` is the candidate volume scored at that probe depth — the
+    * COST axis of the recall/cost curve.
+    *
+    * Scale shape: the quantizer trains ONCE (not once per probe depth);
+    * query cells are ranked to `max(nProbes)` in a single window and the
+    * per-depth views are residues of that one candidate join (a
+    * broadcast nProbes-row level table, `crank <= nprobe`), so corpus
+    * work is identical to one `ivfTopK` call at the deepest setting.
+    * Candidates and ground truth are each computed once
+    * (localCheckpoint) and feed both the hit join and the count
+    * aggregates. Ground truth is O(|corpus|·|queries|) by definition —
+    * the audit runs on a bounded held-out query sample, never the
+    * corpus against itself.
+    */
+  def ivfRecallAudit(queries: DataFrame, corpus: DataFrame, k: Int,
+      nProbes: Seq[Int], nCentroids: Int = 16,
+      lloydIters: Int = 2, trainN: Int = 4096,
+      seedPlanes: Int = 6, dim: Int = 64): DataFrame = {
+    require(nProbes.nonEmpty, "nProbes must be non-empty")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val maxProbe = nProbes.max
+
+    val exact = graft.util.ScratchCheckpoints.register(
+      bruteForceTopK(queries, corpus, k)
+        .select(col("query_id"), col("neighbor_id")).localCheckpoint())
+
+    val centroids = trainCentroids(corpus, nCentroids, lloydIters, trainN,
+        seedPlanes, dim)
+      .select(col("cid"), col("ce"), VF.l2Norm(col("ce")).as("cn"))
+    def scored(df: DataFrame, idCol: String): DataFrame = df
+      .select(col("vec_id").as(idCol), col("embedding"),
+        VF.l2Norm(col("embedding")).as("nrm"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("ccos",
+        round(VF.dot(col("embedding"), col("ce")) / (col("nrm") * col("cn")), 6))
+    // Corpus cells: the same agg-argmax as ivfTopK (one row per vector
+    // crosses the exchange).
+    val corpusCells = scored(corpus, "neighbor_id")
+      .groupBy(col("neighbor_id"))
+      .agg(max(struct(col("ccos"), (-col("cid")).as("negcid"),
+        col("embedding"), col("nrm"))).as("m"))
+      .select(col("neighbor_id"), col("m.embedding").as("ne"),
+        col("m.nrm").as("nn"), (-col("m.negcid")).as("cid"))
+    // Query cells ranked to the DEEPEST probe; crank survives so every
+    // shallower depth is a filter, not a recomputation.
+    val qw = Window.partitionBy("query_id").orderBy(col("ccos").desc, col("cid"))
+    val queryCells = scored(queries, "query_id")
+      .withColumn("crank", row_number().over(qw))
+      .where(col("crank") <= maxProbe)
+      .select(col("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("cid"), col("crank"))
+
+    val levels = broadcast(nProbes.sorted.toDF("nprobe"))
+    val cand = graft.util.ScratchCheckpoints.register(
+      corpusCells.where(col("nn") > 0)
+        .join(broadcast(queryCells.where(col("qn") > 0)), Seq("cid"))
+        .where(col("query_id") =!= col("neighbor_id"))
+        .withColumn("cos",
+          round(VF.dot(col("qe"), col("ne")) / (col("qn") * col("nn")), 6))
+        .join(levels, col("crank") <= col("nprobe"))
+        .select("nprobe", "query_id", "neighbor_id", "cos")
+        .localCheckpoint())
+
+    val apw = Window.partitionBy("nprobe", "query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val approx = cand
+      .withColumn("rank", row_number().over(apw))
+      .where(col("rank") <= k)
+      .select("nprobe", "query_id", "neighbor_id")
+
+    val truthAgg = exact.agg(count(lit(1)).as("n_truth"),
+      countDistinct("query_id").as("n_queries"))
+    val hitAgg = approx
+      .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("nprobe").agg(count(lit(1)).as("n_hit"))
+    cand.groupBy("nprobe").agg(count(lit(1)).as("n_cand"))
+      .join(hitAgg, Seq("nprobe"), "left")
+      .crossJoin(broadcast(truthAgg))
+      .select(col("nprobe"), col("n_queries"), col("n_truth"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_truth"), 6)
+          .as("recall"),
+        col("n_cand"))
+      .orderBy("nprobe")
+  }
+
   /** Per-dimension quantization grid for the int8 index: ONE row with
     * (`lo`, `hi`) array<double> columns — the corpus min/max per
     * dimension, exactly the grid q_sim4's error audit measures. One

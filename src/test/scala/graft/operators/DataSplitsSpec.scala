@@ -56,4 +56,23 @@ class DataSplitsSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
     }
   }
+
+  test("clusterAwareSplits: components share a split; singletons keep their residue; a naive-straddling pair is healed") {
+    // Docs 79 and 80 straddle the naive train/val boundary (79 % 100 ->
+    // train, 80 % 100 -> val); as a near-dup pair their cluster label is
+    // 79, so BOTH must land in train. 85-86-90 chain a component whose
+    // label 85 is val even though 90's own residue says test. 300 is a
+    // singleton -> its own residue (train).
+    val docs = Seq(79L, 80L, 85L, 86L, 90L, 300L).map(id => (id, s"text $id"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((79L, 80L), (85L, 86L), (86L, 90L)).toDF("doc_a", "doc_b")
+    val got = DataSplits.clusterAwareSplits(docs, pairs)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("cluster"), r.getAs[String]("split")))).toMap
+    assert(got(79L) == ((79L, "train")) && got(80L) == ((79L, "train")),
+      s"pair healed into the label's split: $got")
+    assert(got(85L) == ((85L, "val")) && got(86L) == ((85L, "val")) &&
+      got(90L) == ((85L, "val")), s"transitive component shares the split: $got")
+    assert(got(300L) == ((300L, "train")), s"singleton keeps its residue: $got")
+  }
 }

@@ -35,6 +35,23 @@ class DedupSpec extends SparkSpec {
     assert(pairs.find(p => (p._1, p._2) == (0L, 1L)).get._3 == 1.0)
   }
 
+  test("minhashCandidates cover every truth pair the verify stage keeps (audit invariant)") {
+    // The q_dd11 audit's recall numerator counts truth pairs the banding
+    // surfaced; identical shingle sets hash to identical signatures, so
+    // exact dups MUST collide in every band — candidate recall 1.0 on
+    // them — and the verified pair set is a subset of the candidates by
+    // construction.
+    val truth = Dedup.jaccardPairs(docs, threshold = 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = Dedup.minhashCandidates(docs, md5Parity = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty && truth.contains((0L, 1L)))
+    assert(truth.subsetOf(cand), s"missed truth pairs: ${truth -- cand}")
+    val verified = Dedup.minhashNearDups(docs, threshold = 0.5, md5Parity = true)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified.subsetOf(cand))
+  }
+
   test("simhashNearDups: exact dups at hamming 0; small-edit near dup found; unrelated absent") {
     // SimHash bit stability needs enough tokens for the per-bit majority
     // to have margin — use a 64-token doc with a single-token edit.

@@ -68,6 +68,24 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.75, s"recall $recall too low: exact=$exact approx=$approx")
   }
 
+  test("ivfRecallAudit: recall and candidate volume rise with probe depth; full probe is exhaustive") {
+    val q = clustered.where(col("vec_id") < 2)
+    val rows = Similarity.ivfRecallAudit(q, clustered, k = 4,
+        nProbes = Seq(1, 2, 3), nCentroids = 3, dim = 8)
+      .collect().map(r => (r.getAs[Int]("nprobe"), r.getAs[Long]("n_queries"),
+        r.getAs[Long]("n_truth"), r.getAs[Long]("n_hit"),
+        r.getAs[Double]("recall"), r.getAs[Long]("n_cand")))
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 3), s"one ordered row per depth: ${rows.toSeq}")
+    rows.foreach { r =>
+      assert(r._2 == 2 && r._3 == 8, s"2 queries x k=4 ground truth: $r")
+      assert(r._4 <= r._3 && r._5 == r._4.toDouble / r._3, s"recall = hits/truth: $r")
+    }
+    assert(rows.sliding(2).forall(w => w(0)._5 <= w(1)._5), s"recall monotone: ${rows.toSeq}")
+    assert(rows.sliding(2).forall(w => w(0)._6 < w(1)._6), s"candidates grow: ${rows.toSeq}")
+    // Probing all 3 cells scores every non-self vector: exhaustive ⇒ recall 1.
+    assert(rows.last._5 == 1.0 && rows.last._6 == 2L * 14, s"full probe exhaustive: ${rows.toSeq}")
+  }
+
   test("lshTopK recall: finds the brute-force top-4 for a clustered query") {
     val q = clustered.where(col("vec_id") === 0)
     val exact = Similarity.bruteForceTopK(q, clustered, k = 4)

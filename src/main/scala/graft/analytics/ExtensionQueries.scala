@@ -2638,9 +2638,16 @@ object ExtensionQueries {
         .localCheckpoint())
     val naive = (id: Column) => DataSplits.assignSplit(id,
       Seq("train" -> 80, "val" -> 10, "test" -> 10))
-    val assigned = DataSplits.clusterAwareSplits(
-      docs.select(col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n_words")), pairs)
+    // The slim assignment (4 columns) is computed ONCE and checkpointed:
+    // its three consumers (the per-split aggregate and the two pair
+    // join-backs) would otherwise each re-scan the corpus and re-run
+    // the cluster join — the q_ml14 counted-checkpoint rationale.
+    val assigned = graft.util.ScratchCheckpoints.register(
+      DataSplits.clusterAwareSplits(
+        docs.select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_words")), pairs)
+        .select("doc_id", "cluster", "split", "n_words")
+        .localCheckpoint())
     val sp = assigned.select(col("doc_id"), col("split"))
     val pairAgg = pairs
       .join(sp.select(col("doc_id").as("doc_a"), col("split").as("split_a")),

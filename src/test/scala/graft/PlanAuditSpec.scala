@@ -483,6 +483,68 @@ class PlanAuditSpec extends SparkSpec {
       "island merge runs per-doc windows only: " + p.take(800))
   }
 
+  test("q_txt16: all three consumers read the scored checkpoint; thresholds broadcast") {
+    // The bucketing's scale shape: the LM scoring runs ONCE (eager
+    // localCheckpoint at construction) — the sample window, the
+    // tertile aggregate, and the final bucket aggregate are all
+    // ExistingRDD consumers; the only Window runs over the filtered
+    // SAMPLE; the 2-scalar threshold row reaches the corpus as a
+    // broadcast, never a shuffle.
+    val p = plan("q_txt16_lm_buckets")
+    assert(!p.contains("Scan parquet"),
+      "no corpus re-scan past the checkpoint: " + p.take(800))
+    assert("Scan ExistingRDD".r.findAllIn(p).size >= 3,
+      "sample, tertile, and bucket consumers all read the checkpoint: " + p.take(800))
+    assert("Window".r.findAllIn(p).size == 1,
+      "exactly the sample ranking window: " + p.take(800))
+    assert(p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "threshold row broadcasts: " + p.take(600))
+  }
+
+  test("q_ml17: split audit reads the checkpointed assignment; no corpus re-scan") {
+    // The pair graph AND the slim cluster assignment are each computed
+    // once (localCheckpoint); the per-split aggregate and both pair
+    // join-backs consume the checkpoints — zero parquet scans, no
+    // cartesian anywhere in the audit.
+    val p = plan("q_ml17_leakage_free_splits")
+    assert(!p.contains("Scan parquet"),
+      "assignment computed once, consumers read the checkpoint: " + p.take(800))
+    assert("Scan ExistingRDD".r.findAllIn(p).size >= 4, p.take(800))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(600))
+  }
+
+  test("q_dd11: band join is a hash join; the only nested-loop is the bounded truth baseline") {
+    // The audit's approximate side must keep the production shape (band
+    // self-join on (band, bucket) as a hash join with a partial+final
+    // distinct); the exact side is the documented all-pairs baseline
+    // over the bounded block — exactly ONE nested-loop join in the
+    // whole plan, and nothing unbounded.
+    val p = plan("q_dd11_lsh_recall")
+    assert("BroadcastNestedLoopJoin|CartesianProduct".r.findAllIn(p).size == 1,
+      "exactly the bounded truth cross: " + p.take(800))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin Inner") ||
+      p.contains("ShuffledHashJoin"),
+      "band join must stay a hash join: " + p.take(800))
+  }
+
+  test("q_sim11: per-depth ranking reuses ONE checkpointed candidate join; rank limit pushes down") {
+    // The recall audit trains the quantizer once and checkpoints both
+    // the candidate join and the ground truth — the final plan reads
+    // ONLY ExistingRDDs (zero parquet scans, zero retraining), the
+    // per-depth top-k carries a WindowGroupLimit (rank pushdown, no
+    // full per-query sort), and the 1-row truth aggregate broadcasts.
+    val p = plan("q_sim11_ivf_recall")
+    assert(!p.contains("Scan parquet"),
+      "training and candidates must not re-run per depth: " + p.take(800))
+    assert("Scan ExistingRDD".r.findAllIn(p).size >= 2, p.take(800))
+    assert(p.contains("WindowGroupLimit"),
+      "top-k rank filter must push into the window sort: " + p.take(800))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 1 &&
+      !p.contains("CartesianProduct"),
+      "only the 1-row truth broadcast crosses: " + p.take(600))
+  }
+
   test("q_ml16: one corpus scan, top-k as TakeOrderedAndProject") {
     // The drift audit's two wordcounts are ONE conditional aggregate
     // over one scan; the divergence top-10 must not globally sort the

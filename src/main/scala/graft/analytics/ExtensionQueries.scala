@@ -2306,6 +2306,44 @@ object ExtensionQueries {
        |FROM cc LEFT JOIN h USING (nprobe) CROSS JOIN t ORDER BY nprobe""".stripMargin
   }
 
+  // ---------------------------------------------------------------- TXT-17
+  /** BPE merge-table learning ([[graft.operators.Bpe.learnMerges]]): the
+    * 6 highest-count merges over the corpus word frequencies, each
+    * applied before the next is counted — the training counterpart of
+    * q_txt14's merge-table apply. The oracle unrolls the 6 rounds as
+    * CTE layers (the Lloyd-unroll pattern of [[ivfTrainingCtes]]) with
+    * the identical space-prefixed `replace` application and identical
+    * (cnt DESC, l, r) tie-break.
+    */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Bpe.learnMerges(Tables.documents(spark, dir), nMerges = 6)
+
+  val bpeMergesSql: String = {
+    val n = 6
+    def iter(i: Int): String =
+      s"""py$i AS (SELECT freq, unnest(list_transform(range(len(s) - 1),
+         |            j -> struct_pack(l := s[j + 1], r := s[j + 2]))) AS p
+         |         FROM (SELECT freq, string_split(substr(state, 2), ' ') AS s
+         |               FROM st${i - 1})),
+         |pr$i AS (SELECT p.l AS l, p.r AS r, CAST(sum(freq) AS BIGINT) AS cnt
+         |         FROM py$i GROUP BY 1, 2),
+         |best$i AS (SELECT l, r, cnt FROM pr$i ORDER BY cnt DESC, l, r LIMIT 1),
+         |st$i AS (SELECT replace(state, ' ' || b.l || ' ' || b.r,
+         |                        ' ' || b.l || b.r) AS state, freq
+         |         FROM st${i - 1} CROSS JOIN best$i b)""".stripMargin
+    val iters = (1 to n).map(iter).mkString(",\n")
+    val finals = (1 to n)
+      .map(i => s"SELECT $i AS rank, l AS lhs, r AS rhs, l || r AS merged, cnt FROM best$i")
+      .mkString(" UNION ALL ")
+    s"""WITH wf AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+       |  SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE w <> '' GROUP BY 1),
+       |st0 AS (SELECT ' ' || array_to_string(string_split(w, ''), ' ') AS state,
+       |        freq FROM wf),
+       |$iters
+       |SELECT * FROM ($finals) ORDER BY rank""".stripMargin
+  }
+
   // ---------------------------------------------------------------- ML-14
   /** Concat-and-chunk packing METERED BY THE SUBWORD TOKENIZER — the
     * q_ml11 window math under [[SubwordMerges]] instead of the

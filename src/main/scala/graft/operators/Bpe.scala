@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** BPE merge-table LEARNING (Sennrich et al. 2016 shape) — the training
+  * counterpart of the merge-table APPLY in
+  * [[graft.functions.SubwordExpressions]] (q_txt14): learn, from corpus
+  * word frequencies, the `nMerges` highest-count adjacent symbol pairs,
+  * each merged greedily into the working vocabulary before the next
+  * round is counted (so later merges compose earlier ones — "m"+"er"
+  * after "e"+"r").
+  *
+  * Scale shape: the corpus is touched ONCE (the word-frequency
+  * aggregate — the same wordcount shuffle every TXT operator bottoms
+  * out in); every learning round then runs over the VOCABULARY table
+  * (bounded: unique words, not corpus rows), which is checkpointed at
+  * entry. Per round: one vocabulary-keyed pair-count aggregate, a
+  * top-1 (TakeOrderedAndProject — never a global sort), and a narrow
+  * per-row merge apply. The winning pair is collected to the driver —
+  * a documented bounded pin (exactly ONE row per round, `nMerges`
+  * total), the same posture as the quantizer pins in
+  * [[graft.streaming.IndexMaintenance]]; the alternative (a broadcast
+  * cross-join per round) would stack `nMerges` limit-subqueries into
+  * one lineage and re-execute the prefix exponentially.
+  *
+  * Symbol states are SPACE-PREFIXED strings (`" l o w"`), so applying
+  * a merge is a literal non-overlapping left-to-right
+  * `replace(" l r" → " lr")` — exactly greedy BPE application, with
+  * identical semantics in any engine with literal `replace` (the
+  * DuckDB oracle replays it verbatim). The leading separator makes a
+  * symbol-BOUNDARY anchor: `" a b"` cannot match inside `" xa b"`,
+  * and consuming no trailing separator means `" a a a a"` merges to
+  * `" aa aa"`, not `" aa a a"`. Pair counts are over all adjacent
+  * positions (overlapping, the reference implementation's zip count).
+  *
+  * Returns (`rank`, `lhs`, `rhs`, `merged`, `cnt`) — one row per
+  * learned merge, in learning order.
+  */
+object Bpe {
+
+  def learnMerges(docs: DataFrame, nMerges: Int): DataFrame = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val wf = docs.select(explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    val base = graft.util.ScratchCheckpoints.register(
+      wf.select(
+        concat(lit(" "), concat_ws(" ", split(col("w"), ""))).as("state"),
+        col("freq"))
+        .localCheckpoint())
+
+    var state = base
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    for (i <- 1 to nMerges) {
+      val pairs = state
+        .select(col("freq"), split(expr("substring(state, 2)"), " ").as("s"))
+        .select(col("freq"), explode(
+          transform(slice(col("s"), lit(1), size(col("s")) - 1),
+            (x, j) => struct(x.as("l"), element_at(col("s"), j + 2).as("r"))))
+          .as("p"))
+      val top: Array[Row] = pairs
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1)
+        .collect() // bounded pin: ONE row per round (see scaladoc)
+      require(top.nonEmpty,
+        s"BPE round $i found no adjacent pairs — corpus has no multi-char words")
+      val (l, r, cnt) =
+        (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+      merges += ((i, l, r, l + r, cnt))
+      state = state.withColumn("state",
+        replace(col("state"), lit(s" $l $r"), lit(s" $l$r")))
+    }
+    merges.result().toDF("rank", "lhs", "rhs", "merged", "cnt")
+  }
+}

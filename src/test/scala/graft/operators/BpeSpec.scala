@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def merges(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getAs[Int]("rank"), r.getAs[String]("lhs"),
+      r.getAs[String]("rhs"), r.getAs[String]("merged"), r.getAs[Long]("cnt")))
+
+  test("learnMerges: overlap counting vs non-overlapping application ('aaaa')") {
+    // Pair COUNTS are over all adjacent positions ("aaaa" contributes
+    // (a,a) x3 per occurrence), but APPLICATION is greedy left-to-right
+    // non-overlapping: after merge 1 the word is [aa, aa], so round 2
+    // must learn (aa, aa) with the word frequency 3, not (aa, a).
+    val docs = Seq((0L, "aaaa aaaa aaaa")).toDF("doc_id", "text")
+    val got = merges(Bpe.learnMerges(docs, nMerges = 2))
+    assert(got(0) == ((1, "a", "a", "aa", 9L)), s"round 1: ${got.toSeq}")
+    assert(got(1) == ((2, "aa", "aa", "aaaa", 3L)), s"round 2: ${got.toSeq}")
+  }
+
+  test("learnMerges: count ties break lexicographically on (lhs, rhs)") {
+    // (a,b) and (c,d) both count 2 -> (a,b) wins round 1.
+    val docs = Seq((0L, "ab cd"), (1L, "cd ab")).toDF("doc_id", "text")
+    val got = merges(Bpe.learnMerges(docs, nMerges = 2))
+    assert(got(0) == ((1, "a", "b", "ab", 2L)), s"round 1: ${got.toSeq}")
+    assert(got(1) == ((2, "c", "d", "cd", 2L)), s"round 2: ${got.toSeq}")
+  }
+
+  test("learnMerges: later merges compose earlier ones (classic low/lower/newest)") {
+    // 'lo' then 'low' should emerge from the repeated 'low' prefix
+    // before anything from the rarer words; the boundary anchor keeps
+    // 'w e' (inside lower/newest) distinct from any cross-word pair.
+    val docs = Seq(
+      (0L, "low low low low low low low"),
+      (1L, "lower lower"),
+      (2L, "newest newest newest")).toDF("doc_id", "text")
+    val got = merges(Bpe.learnMerges(docs, nMerges = 3))
+    assert(got(0)._4 == "lo" && got(0)._5 == 9L,
+      s"l+o spans low(7)+lower(2): ${got.toSeq}")
+    assert(got(1)._4 == "low" && got(1)._5 == 9L,
+      s"lo+w composes the round-1 symbol: ${got.toSeq}")
+    assert(got.map(_._4).toSet.size == 3, s"distinct merges: ${got.toSeq}")
+  }
+
+  test("learnMerges refuses a corpus with no adjacent pairs") {
+    val docs = Seq((0L, "a b c")).toDF("doc_id", "text")
+    val e = intercept[Exception](Bpe.learnMerges(docs, nMerges = 1))
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(_.contains("no adjacent pairs")), e.getMessage)
+  }
+}

@@ -2318,8 +2318,13 @@ object ExtensionQueries {
   def bpeMerges(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Bpe.learnMerges(Tables.documents(spark, dir), nMerges = 6)
 
-  val bpeMergesSql: String = {
-    val n = 6
+  /** Generated CTE chain replaying [[graft.operators.Bpe]]'s learning
+    * loop — `wf`/`st0` through `best$n`/`st$n` (per-word states carry
+    * `w`), each round a CTE layer (the Lloyd-unroll pattern of
+    * [[ivfTrainingCtes]]). Shared by the q_txt17 (merge table) and
+    * q_txt18 (tokenize) oracles.
+    */
+  private def bpeCtes(n: Int): String = {
     def iter(i: Int): String =
       s"""py$i AS (SELECT freq, unnest(list_transform(range(len(s) - 1),
          |            j -> struct_pack(l := s[j + 1], r := s[j + 2]))) AS p
@@ -2328,21 +2333,52 @@ object ExtensionQueries {
          |pr$i AS (SELECT p.l AS l, p.r AS r, CAST(sum(freq) AS BIGINT) AS cnt
          |         FROM py$i GROUP BY 1, 2),
          |best$i AS (SELECT l, r, cnt FROM pr$i ORDER BY cnt DESC, l, r LIMIT 1),
-         |st$i AS (SELECT replace(state, ' ' || b.l || ' ' || b.r,
+         |st$i AS (SELECT w, replace(state, ' ' || b.l || ' ' || b.r,
          |                        ' ' || b.l || b.r) AS state, freq
          |         FROM st${i - 1} CROSS JOIN best$i b)""".stripMargin
-    val iters = (1 to n).map(iter).mkString(",\n")
+    s"""wf AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+       |  SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE w <> '' GROUP BY 1),
+       |st0 AS (SELECT w,
+       |        ' ' || array_to_string(string_split(w, ''), ' ') AS state,
+       |        freq FROM wf),
+       |${(1 to n).map(iter).mkString(",\n")}""".stripMargin
+  }
+
+  val bpeMergesSql: String = {
+    val n = 6
     val finals = (1 to n)
       .map(i => s"SELECT $i AS rank, l AS lhs, r AS rhs, l || r AS merged, cnt FROM best$i")
       .mkString(" UNION ALL ")
-    s"""WITH wf AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
-       |  SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-       |  WHERE w <> '' GROUP BY 1),
-       |st0 AS (SELECT ' ' || array_to_string(string_split(w, ''), ' ') AS state,
-       |        freq FROM wf),
-       |$iters
+    s"""WITH ${bpeCtes(n)}
        |SELECT * FROM ($finals) ORDER BY rank""".stripMargin
   }
+
+  // ---------------------------------------------------------------- TXT-18
+  /** Per-document token counts under the LEARNED BPE tokenizer
+    * ([[graft.operators.Bpe.tokenCounts]]) — the merge sequence applied
+    * in learning order (true BPE application, distinct from q_txt14's
+    * greedy longest-match). The trained per-word state joins the word
+    * stream once (vocabulary is the small side); documents with no
+    * words have no row.
+    */
+  def bpeTokenize(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Bpe.tokenCounts(Tables.documents(spark, dir), nMerges = 6)
+
+  val bpeTokenizeSql: String =
+    s"""WITH ${bpeCtes(6)},
+       |tok AS (SELECT w,
+       |        CAST(len(string_split(substr(state, 2), ' ')) AS BIGINT) AS n_tok
+       |        FROM st6),
+       |di AS (SELECT doc_id, w FROM (
+       |         SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |         FROM documents) WHERE w <> '')
+       |SELECT di.doc_id AS doc_id, count(*) AS n_words,
+       |       CAST(sum(length(di.w)) AS BIGINT) AS n_chars,
+       |       CAST(sum(tok.n_tok) AS BIGINT) AS n_tokens,
+       |       round(CAST(sum(length(di.w)) AS DOUBLE) / sum(tok.n_tok), 6)
+       |         AS compression
+       |FROM di JOIN tok USING (w) GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------- ML-14
   /** Concat-and-chunk packing METERED BY THE SUBWORD TOKENIZER — the

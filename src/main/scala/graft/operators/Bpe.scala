@@ -39,16 +39,20 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
-  def learnMerges(docs: DataFrame, nMerges: Int): DataFrame = {
+  /** The learning loop: returns the learned merge rows AND the final
+    * per-word symbol state (`w`, `state`, `freq`) with every merge
+    * applied — the trained tokenizer's view of the vocabulary, consumed
+    * by [[tokenCounts]].
+    */
+  private def learn(docs: DataFrame, nMerges: Int)
+      : (Seq[(Int, String, String, String, Long)], DataFrame) = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
-    val spark = docs.sparkSession
-    import spark.implicits._
 
     val wf = docs.select(explode(split(col("text"), " ")).as("w"))
       .where(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("freq"))
     val base = graft.util.ScratchCheckpoints.register(
-      wf.select(
+      wf.select(col("w"),
         concat(lit(" "), concat_ws(" ", split(col("w"), ""))).as("state"),
         col("freq"))
         .localCheckpoint())
@@ -76,6 +80,40 @@ object Bpe {
       state = state.withColumn("state",
         replace(col("state"), lit(s" $l $r"), lit(s" $l$r")))
     }
-    merges.result().toDF("rank", "lhs", "rhs", "merged", "cnt")
+    (merges.result(), state)
+  }
+
+  def learnMerges(docs: DataFrame, nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    learn(docs, nMerges)._1.toDF("rank", "lhs", "rhs", "merged", "cnt")
+  }
+
+  /** Per-document token counts under the LEARNED tokenizer — true BPE
+    * application (the merge sequence in learning order), not the greedy
+    * longest-match of [[graft.functions.SubwordExpressions]] (the two
+    * disagree in general; this is the one the learned table defines).
+    *
+    * The trained per-word state is vocabulary-sized; the corpus pass is
+    * one explode + one hash join on the word (vocabulary side is the
+    * SMALL side at scale) + a per-doc aggregate. Documents with no
+    * words (empty text) have no rows, matching the word explode.
+    * Returns (`doc_id`, `n_words`, `n_chars`, `n_tokens`,
+    * `compression` = chars/token, 6dp).
+    */
+  def tokenCounts(docs: DataFrame, nMerges: Int): DataFrame = {
+    val trained = learn(docs, nMerges)._2
+      .select(col("w"),
+        size(split(expr("substring(state, 2)"), " ")).cast("long").as("n_tok"))
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "")
+      .join(trained, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w")).cast("long")).as("n_chars"),
+        sum(col("n_tok")).as("n_tokens"))
+      .withColumn("compression",
+        round(col("n_chars").cast("double") / col("n_tokens"), 6))
+      .orderBy("doc_id")
   }
 }

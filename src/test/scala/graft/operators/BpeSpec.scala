@@ -44,6 +44,20 @@ class BpeSpec extends SparkSpec {
     assert(got.map(_._4).toSet.size == 3, s"distinct merges: ${got.toSeq}")
   }
 
+  test("tokenCounts: merge-order application, per-doc sums, empty doc absent") {
+    // After 2 merges on 'aaaa' (aa, then aaaa) every 'aaaa' is ONE
+    // token; 'ab' never merges (below every aaaa count) so stays 2.
+    val docs = Seq((0L, "aaaa aaaa ab"), (1L, "aaaa"), (2L, ""))
+      .toDF("doc_id", "text")
+    val got = Bpe.tokenCounts(docs, nMerges = 2)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_chars"), r.getAs[Long]("n_tokens"),
+        r.getAs[Double]("compression")))
+    assert(got.toSeq == Seq(
+      (0L, 3L, 10L, 4L, 2.5), (1L, 1L, 4L, 1L, 4.0)),
+      s"doc 2 (no words) absent; merge-order counts: ${got.toSeq}")
+  }
+
   test("learnMerges refuses a corpus with no adjacent pairs") {
     val docs = Seq((0L, "a b c")).toDF("doc_id", "text")
     val e = intercept[Exception](Bpe.learnMerges(docs, nMerges = 1))

@@ -676,6 +676,70 @@ object ExtensionQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- DD-12
+  /** Quality-canonical dedup retention
+    * ([[Dedup.resolveClustersByScore]] under the q_txt4 quality score):
+    * per near-dup cluster, keep the highest-quality member and account
+    * for what retention costs — `dropped_tokens` is the token mass
+    * removed, and `minid_quality` (what naive lowest-id retention would
+    * have kept — the cluster label is its own min-id member) sits next
+    * to `keep_quality` so the audit shows the policy's gain directly.
+    * Pair graph checkpointed once (q_adv7's rationale); the retention
+    * window and the summary aggregate both run over the
+    * cluster-member table, not the corpus.
+    */
+  def qualityRetention(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = graft.util.ScratchCheckpoints.register(
+      Dedup.minhashNearDups(docs, threshold = 0.5, md5Parity = true)
+        .localCheckpoint())
+    val scores = docs.select(col("doc_id"),
+      TF.qualityScore(col("text")).as("quality"),
+      TF.tokenCount(col("text")).as("n_tokens"))
+    Dedup.resolveClustersByScore(pairs, scores)
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("cluster_size"),
+        min(when(col("keep") === 1, col("doc_id"))).as("keep_doc"),
+        min(when(col("keep") === 1, col("quality"))).as("keep_quality"),
+        min(when(col("doc_id") === col("cluster"), col("quality")))
+          .as("minid_quality"),
+        sum(when(col("keep") === 0, col("n_tokens")).otherwise(0L))
+          .as("dropped_tokens"))
+      .orderBy("cluster")
+  }
+
+  val qualityRetentionSql: String = {
+    val stop = TF.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH RECURSIVE ${minhashPairsCtes()},
+       |sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |        UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(node, lbl) AS (
+       |  SELECT src, src FROM sym
+       |  UNION
+       |  SELECT s.src, r.lbl FROM sym s JOIN reach r ON s.dst = r.node),
+       |comp AS (SELECT node, min(lbl) AS cluster FROM reach GROUP BY node),
+       |q AS (SELECT doc_id,
+       |      round(ln(len(string_split(text, ' ')) + 1.0)
+       |            + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |              / len(string_split(text, ' '))
+       |            - CAST(len(list_filter(string_split(text, ' '),
+       |              x -> list_contains($stop, x))) AS DOUBLE)
+       |              / len(string_split(text, ' ')), 6) AS quality,
+       |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |      FROM documents),
+       |m AS (SELECT c.node AS doc_id, c.cluster, q.quality, q.n_tokens,
+       |      row_number() OVER (PARTITION BY c.cluster
+       |        ORDER BY q.quality DESC, c.node) AS rn
+       |      FROM comp c JOIN q ON c.node = q.doc_id)
+       |SELECT cluster, count(*) AS cluster_size,
+       |       min(CASE WHEN rn = 1 THEN doc_id END) AS keep_doc,
+       |       min(CASE WHEN rn = 1 THEN quality END) AS keep_quality,
+       |       min(CASE WHEN doc_id = cluster THEN quality END) AS minid_quality,
+       |       CAST(sum(CASE WHEN rn > 1 THEN n_tokens ELSE 0 END) AS BIGINT)
+       |         AS dropped_tokens
+       |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   // --------------------------------------------------------------- DD-10
   /** Substring-level exact dedup (Lee et al. 2022 ExactSubstr, k = 8
     * tokens): duplicated k-window detection over the whole corpus,

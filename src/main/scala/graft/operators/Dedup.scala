@@ -451,6 +451,31 @@ object Dedup {
         (row_number().over(w) === 1).cast("long").as("keep"))
   }
 
+  /** Cluster resolution with the canonical member chosen by a
+    * caller-supplied per-document SCORE — retention by quality, the
+    * production policy ([[resolveClustersByRank]]'s graph-centrality
+    * variant keeps the template core; this one keeps the member you'd
+    * actually want in the training set: longest / most diverse / least
+    * boilerplate, whatever `scoreCol` encodes). Ties break to the
+    * lowest doc id.
+    *
+    * Returns every clustered doc with ALL of `scores`' columns plus
+    * (`cluster`, `keep`). Scale shape: the fixpoint is
+    * [[dupClusters]]'s bounded-lineage operator; the score join and the
+    * per-cluster argmax window are one shuffle each over the
+    * cluster-member table (pair-connected docs only — far smaller than
+    * the corpus).
+    */
+  def resolveClustersByScore(pairs: DataFrame, scores: DataFrame,
+      scoreCol: String = "quality",
+      aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("cluster").orderBy(col(scoreCol).desc, col("doc_id"))
+    dupClusters(pairs, aCol, bCol)
+      .join(scores, Seq("doc_id"))
+      .withColumn("keep", (row_number().over(w) === 1).cast("long"))
+  }
+
   // ------------------------------------------------------------ DD-10
   /** Rolling k-token gram hashes: one `(doc_id, pos, h)` row per
     * length-`k` token window, `h` = md5 of the space-joined window,

@@ -197,6 +197,21 @@ class DedupSpec extends SparkSpec {
     assert(got.values.count(_._3 == 1L) == 2)
   }
 
+  test("resolveClustersByScore keeps the best-scored member, not the min id; ties to min id") {
+    // Component {1,2,3}: doc 3 has the top score -> keep=3, minid 1
+    // dropped. Component {10,11}: equal scores -> tie to min id 10.
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val scores = Seq((1L, 0.5), (2L, 0.7), (3L, 0.9), (10L, 0.4), (11L, 0.4))
+      .toDF("doc_id", "quality")
+    val got = Dedup.resolveClustersByScore(pairs, scores)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("cluster"), r.getAs[Long]("keep")))).toMap
+    assert(got(3L) == ((1L, 1L)) && got(1L) == ((1L, 0L)) && got(2L) == ((1L, 0L)),
+      s"best quality wins over min id: $got")
+    assert(got(10L) == ((10L, 1L)) && got(11L) == ((10L, 0L)),
+      s"score tie breaks to min id: $got")
+  }
+
   test("dupClusters converges on a long path (pointer jumping beats diameter)") {
     // A 33-node path: plain propagation needs 32 rounds; propagation +
     // pointer jumping must finish well inside maxIters=30 and still

@@ -382,6 +382,10 @@ object ExtensionQueries {
     * default xxhash64 hasher stays the hot path for non-oracled use.)
     */
   def minhashDedup(spark: SparkSession, dir: String): DataFrame =
+    // Deliberately the DIRECT pipeline (not nearDupPairsMemo): q_dd5 is
+    // the canonical place the minhash build PLAN is exposed and audited
+    // (PlanAuditSpec's map-side-signature pin); the cluster/graph/audit
+    // consumers read the memoized artifact instead.
     Dedup.minhashNearDups(Tables.documents(spark, dir), threshold = 0.5,
       md5Parity = true)
       .orderBy("doc_a", "doc_b")
@@ -618,7 +622,7 @@ object ExtensionQueries {
     * not a replay of itself.
     */
   def dupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.minhashNearDups(Tables.documents(spark, dir),
+    val pairs = Dedup.nearDupPairsMemo(Tables.documents(spark, dir),
       threshold = 0.5, md5Parity = true)
     Dedup.resolveClusters(Dedup.dupClusters(pairs))
       .orderBy("doc_id")
@@ -650,9 +654,8 @@ object ExtensionQueries {
   def dupClustersByRank(spark: SparkSession, dir: String): DataFrame = {
     // Pair graph consumed by the fixpoint AND the rank rounds:
     // materialize once (q_adv7's checkpoint rationale).
-    val pairs = graft.util.ScratchCheckpoints.register(
-      Dedup.minhashNearDups(Tables.documents(spark, dir),
-        threshold = 0.5, md5Parity = true).localCheckpoint())
+    val pairs = Dedup.nearDupPairsMemo(Tables.documents(spark, dir),
+      threshold = 0.5, md5Parity = true)
     Dedup.resolveClustersByRank(pairs, weightCol = Some("jaccard"))
       .orderBy("doc_id")
   }
@@ -690,9 +693,7 @@ object ExtensionQueries {
     */
   def qualityRetention(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val pairs = graft.util.ScratchCheckpoints.register(
-      Dedup.minhashNearDups(docs, threshold = 0.5, md5Parity = true)
-        .localCheckpoint())
+    val pairs = Dedup.nearDupPairsMemo(docs, threshold = 0.5, md5Parity = true)
     val scores = docs.select(col("doc_id"),
       TF.qualityScore(col("text")).as("quality"),
       TF.tokenCount(col("text")).as("n_tokens"))
@@ -2771,9 +2772,7 @@ object ExtensionQueries {
     */
   def leakageFreeSplits(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val pairs = graft.util.ScratchCheckpoints.register(
-      Dedup.minhashNearDups(docs, threshold = 0.5, md5Parity = true)
-        .localCheckpoint())
+    val pairs = Dedup.nearDupPairsMemo(docs, threshold = 0.5, md5Parity = true)
     val naive = (id: Column) => DataSplits.assignSplit(id,
       Seq("train" -> 80, "val" -> 10, "test" -> 10))
     // The slim assignment (4 columns) is computed ONCE and checkpointed:
@@ -2865,9 +2864,8 @@ object ExtensionQueries {
     // 1.45 s checkpointed at sf0.1). The checkpoint holds only the
     // verified pair list — small by the DD posture — so this is
     // dupClusters' executor-storage trade, not a corpus materialization.
-    val pairs = graft.util.ScratchCheckpoints.register(
-      Dedup.minhashNearDups(Tables.documents(spark, dir),
-        threshold = 0.5, md5Parity = true).localCheckpoint())
+    val pairs = Dedup.nearDupPairsMemo(Tables.documents(spark, dir),
+      threshold = 0.5, md5Parity = true)
     graft.operators.Graph.pageRank(pairs)
       .select(col("node"), col("rank").as("pr"))
       .orderBy(col("pr").desc, col("node")).limit(25)
@@ -2907,9 +2905,8 @@ object ExtensionQueries {
     */
   def pageRankWeightedTop(spark: SparkSession, dir: String): DataFrame = {
     // Same eager pair-graph checkpoint as q_adv7 (see pageRankTop).
-    val pairs = graft.util.ScratchCheckpoints.register(
-      Dedup.minhashNearDups(Tables.documents(spark, dir),
-        threshold = 0.5, md5Parity = true).localCheckpoint())
+    val pairs = Dedup.nearDupPairsMemo(Tables.documents(spark, dir),
+      threshold = 0.5, md5Parity = true)
     graft.operators.Graph.pageRank(pairs, weightCol = Some("jaccard"))
       .select(col("node"), col("rank").as("pr"))
       .orderBy(col("pr").desc, col("node")).limit(25)
@@ -2961,9 +2958,8 @@ object ExtensionQueries {
     // degree-oriented enumeration references the edge list ~5 times
     // (degrees, orientation, both wedge legs, closure), and AQE does
     // not reuse the repeated pipeline subtrees at runtime.
-    val pairs = graft.util.ScratchCheckpoints.register(
-      Dedup.minhashNearDups(Tables.documents(spark, dir),
-        threshold = 0.5, md5Parity = true).localCheckpoint())
+    val pairs = Dedup.nearDupPairsMemo(Tables.documents(spark, dir),
+      threshold = 0.5, md5Parity = true)
     graft.operators.Graph.triangleCounts(pairs)
       .orderBy(col("n_triangles").desc, col("node")).limit(25)
   }
@@ -3094,7 +3090,7 @@ object ExtensionQueries {
     val exact = docs.join(keepIds.select("doc_id"), Seq("doc_id"), "left_semi")
     // Stage 2 — near-dup purge over exact survivors: cluster the
     // MinHash-LSH pair graph, drop every non-canonical member.
-    val pairs = Dedup.minhashNearDups(exact, threshold = 0.5, md5Parity = true)
+    val pairs = Dedup.nearDupPairsMemo(exact, threshold = 0.5, md5Parity = true)
     val purge = Dedup.dupClusters(pairs)
       .where(col("doc_id") =!= col("cluster")).select("doc_id")
     // ONE flagged pass instead of five stage-filtered branches (round 8):

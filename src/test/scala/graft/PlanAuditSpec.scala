@@ -205,16 +205,18 @@ class PlanAuditSpec extends SparkSpec {
     // planning dedups the subtrees via ReusedExchange, but under AQE
     // the runtime stage graph does NOT reuse them (GraphProbe round 7:
     // 215 exchanges, 0 reused — the MinHash pipeline re-executed per
-    // reference, 2x the query time). So the query materializes the
-    // verified pairs ONCE via eager localCheckpoint, and this audit
-    // pins the shape: the plan's leaves are the checkpoint scan — the
-    // documents parquet scan (the expensive pipeline head) must not
-    // appear AT ALL in the pagerank plan.
+    // reference, 2x the query time). So the pair graph is MATERIALIZED
+    // ONCE — since round 13 as the memoized pair-index table
+    // (Dedup.nearDupPairsMemo: persisted + shared across the nine
+    // pair-graph queries), previously a per-query localCheckpoint — and
+    // this audit pins the shape: every pair-graph reference is a cache
+    // scan; the documents parquet scan (the expensive pipeline head)
+    // must not appear AT ALL in the pagerank plan.
     for (q <- Seq("q_adv7_pagerank", "q_adv7b_pagerank_weighted",
         "q_adv8_triangles")) {
       val p = plan(q)
-      assert(p.contains("Scan ExistingRDD"),
-        s"$q must read the checkpointed pair graph: " + p.take(600))
+      assert(p.contains("InMemoryTableScan") || p.contains("Scan ExistingRDD"),
+        s"$q must read the materialized pair graph: " + p.take(600))
       assert(!p.contains("Scan parquet"),
         s"$q must never re-run the pair pipeline per reference: " + p.take(600))
     }
@@ -501,15 +503,16 @@ class PlanAuditSpec extends SparkSpec {
       "threshold row broadcasts: " + p.take(600))
   }
 
-  test("q_ml17: split audit reads the checkpointed assignment; no corpus re-scan") {
-    // The pair graph AND the slim cluster assignment are each computed
-    // once (localCheckpoint); the per-split aggregate and both pair
-    // join-backs consume the checkpoints — zero parquet scans, no
-    // cartesian anywhere in the audit.
+  test("q_ml17: split audit reads the memoized pairs + checkpointed assignment; no corpus re-scan") {
+    // The pair graph is the shared memoized pair-index table and the
+    // slim cluster assignment is localCheckpoint-ed once; the per-split
+    // aggregate and both pair join-backs consume those materialized
+    // leaves — zero parquet scans, no cartesian anywhere in the audit.
     val p = plan("q_ml17_leakage_free_splits")
     assert(!p.contains("Scan parquet"),
-      "assignment computed once, consumers read the checkpoint: " + p.take(800))
-    assert("Scan ExistingRDD".r.findAllIn(p).size >= 4, p.take(800))
+      "assignment computed once, consumers read the materialized leaves: " + p.take(800))
+    assert("Scan ExistingRDD".r.findAllIn(p).size +
+      "InMemoryTableScan".r.findAllIn(p).size >= 4, p.take(800))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       p.take(600))
   }

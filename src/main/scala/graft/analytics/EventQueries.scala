@@ -278,6 +278,33 @@ object EventQueries {
       |        FROM events WINDOW w AS (PARTITION BY user_id)))
       |WHERE sd > 0 AND abs(z) > 2.5 ORDER BY event_id""".stripMargin
 
+  /** AGG-7 (sliding / hopping windows): 1-hour windows advancing every
+    * 15 minutes per event type — the overlapping-window form of AGG-1's
+    * tumbling hour (a trend chart that updates 4× per hour), via
+    * Spark's native `window(slide)` generator: each event lands in
+    * exactly duration/slide = 4 windows map-side (no self-join, no
+    * spine build), then one shuffle on (window, type). Epoch-aligned
+    * starts (Spark's default, identical to integer floor arithmetic in
+    * the oracle); output as epoch-µs integers per the timestamp rule.
+    */
+  def slidingWindows(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(avg("value"), 6).as("avg_value"))
+      .select(unix_micros(col("w.start")).as("ws_us"), col("event_type"),
+        col("n"), col("avg_value"))
+      .orderBy("ws_us", "event_type")
+
+  val slidingWindowsSql: String =
+    """SELECT ws_us, event_type, count(*) AS n,
+      |       round(avg(value), 6) AS avg_value
+      |FROM (SELECT ((epoch_us(ts) // 900000000) * 900
+      |              - k.range * 900) * 1000000 AS ws_us,
+      |             event_type, value
+      |      FROM events CROSS JOIN range(4) k)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** CMP round-trip as one oracled query (CMP-3/4/5/7 + SNK-1/3 + SRC-6):
     * land a deterministic slice of `events` as small JSON log files, run
     * the real compactor — dynamic projection (drops `props`),

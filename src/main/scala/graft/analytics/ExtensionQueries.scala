@@ -2445,6 +2445,110 @@ object ExtensionQueries {
        |         AS compression
        |FROM di JOIN tok USING (w) GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- SIM-12
+  /** ADC recall audit — q_sim11's measurement for the QUANTIZED tier:
+    * recall@10 of the pure-ADC ranking ([[Similarity.pqAdcTopK]], the
+    * q_sim7 codebooks) against brute-force float ground truth, at
+    * depths 10 and 30 over the same held-out query sample. The depth-30
+    * row is exactly what the rerank path recovers (`pqTopKReranked`
+    * takes the depth-30 ADC survivors and re-ranks on floats, losing
+    * nothing), so the two rows read as "ADC alone" vs "ADC + exact
+    * re-rank at the shipped depth". One ADC scoring pass; each depth is
+    * a broadcast-level residue of the same checkpointed ranking.
+    */
+  def adcRecallAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val embs = Tables.embeddings(spark, dir)
+    val queries = embs.where(col("vec_id") % 10 === 7)
+    val exact = graft.util.ScratchCheckpoints.register(
+      Similarity.bruteForceTopK(queries, embs, k = 10)
+        .select(col("query_id"), col("neighbor_id")).localCheckpoint())
+    val cb = Similarity.trainPqCodebooks(embs, m = 4, ksub = 16, iters = 2,
+      trainN = 1024, dim = 64)
+    val codes = Similarity.pqCodes(embs, cb, m = 4, dim = 64)
+      .select("vec_id", "sub", "code")
+    val adc = graft.util.ScratchCheckpoints.register(
+      Similarity.pqAdcTopK(queries, codes, cb, k = 30, m = 4, dim = 64)
+        .select("query_id", "neighbor_id", "rank").localCheckpoint())
+    val depths = broadcast(Seq(10, 30).toDF("depth"))
+    val truthAgg = exact.agg(count(lit(1)).as("n_truth"),
+      countDistinct("query_id").as("n_queries"))
+    val hits = adc.join(depths, col("rank") <= col("depth"))
+      .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("depth").agg(count(lit(1)).as("n_hit"))
+    depths.join(hits, Seq("depth"), "left")
+      .crossJoin(broadcast(truthAgg))
+      .select(col("depth"), col("n_queries"), col("n_truth"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_truth"), 6)
+          .as("recall"))
+      .orderBy("depth")
+  }
+
+  val adcRecallAuditSql: String = {
+    val (m, subdim, ksub, iters, trainN, k) = (4, 16, 16, 2, 1024, 10)
+    val (training, cFinal) = pqTrainingCtes(m, subdim, ksub, iters, trainN)
+    val d2 = (s: String, c: String) =>
+      s"round(list_dot_product($s, $s) - 2 * list_dot_product($s, $c) " +
+        s"+ list_dot_product($c, $c), 6)"
+    // subspaceSum parity: m single-sub conditional sums combined in sub
+    // order, so the float total is identical to Spark's order-fixed fold.
+    def orderedSum(expr: String): String =
+      (0 until m).map(i =>
+        s"sum(CASE WHEN e.sub = $i THEN $expr ELSE 0.0 END)").mkString(" + ")
+    val qnSum = (0 until m).map(i =>
+      s"sum(CASE WHEN sub = $i THEN list_dot_product(s, s) ELSE 0.0 END)")
+      .mkString(" + ")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |$training,
+       |sv AS (SELECT vec_id, j.range AS sub,
+       |       list_slice(e, j.range * $subdim + 1, j.range * $subdim + $subdim) AS s
+       |       FROM v CROSS JOIN range($m) j),
+       |enc AS (SELECT vec_id, sub, cid FROM (
+       |   SELECT t.vec_id, t.sub, c.cid,
+       |          row_number() OVER (PARTITION BY t.vec_id, t.sub
+       |            ORDER BY ${d2("t.s", "c.ce")}, c.cid) AS rn
+       |   FROM sv t JOIN $cFinal c ON t.sub = c.sub) WHERE rn = 1),
+       |qsv AS (SELECT * FROM sv WHERE vec_id % 10 = 7),
+       |qn AS (SELECT vec_id AS query_id, sqrt($qnSum) AS qn
+       |       FROM qsv GROUP BY vec_id),
+       |sc AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |       ${orderedSum("list_dot_product(q.s, c.ce)")} AS dot,
+       |       ${orderedSum("list_dot_product(c.ce, c.ce)")} AS rn2
+       |       FROM enc e JOIN $cFinal c ON e.sub = c.sub AND e.cid = c.cid
+       |            JOIN qsv q ON q.sub = e.sub
+       |       GROUP BY 1, 2),
+       |adc AS (SELECT query_id, neighbor_id, rank FROM (
+       |   SELECT sc.query_id, sc.neighbor_id,
+       |          row_number() OVER (PARTITION BY sc.query_id
+       |            ORDER BY round(sc.dot / (qn.qn * sqrt(sc.rn2)), 6) DESC,
+       |                     sc.neighbor_id) AS rank
+       |   FROM sc JOIN qn USING (query_id)
+       |   WHERE sc.rn2 > 0 AND qn.qn > 0 AND sc.query_id != sc.neighbor_id)
+       |  WHERE rank <= 30),
+       |exact AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY round(list_cosine_similarity(q.e, c.e), 6) DESC,
+       |                      c.vec_id) AS rank
+       |    FROM (SELECT * FROM v WHERE vec_id % 10 = 7
+       |          AND list_dot_product(e, e) > 0) q
+       |    JOIN (SELECT * FROM v WHERE list_dot_product(e, e) > 0) c
+       |      ON q.vec_id != c.vec_id)
+       |  WHERE rank <= $k),
+       |t AS (SELECT count(*) AS n_truth, count(DISTINCT query_id) AS n_queries
+       |      FROM exact),
+       |dp AS (SELECT unnest([10, 30]) AS depth),
+       |h AS (SELECT dp.depth, count(*) AS n_hit
+       |      FROM adc CROSS JOIN dp
+       |      JOIN exact USING (query_id, neighbor_id)
+       |      WHERE adc.rank <= dp.depth GROUP BY 1)
+       |SELECT dp.depth, t.n_queries, t.n_truth,
+       |       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+       |       round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / t.n_truth, 6) AS recall
+       |FROM dp LEFT JOIN h USING (depth) CROSS JOIN t ORDER BY depth""".stripMargin
+  }
+
   // ---------------------------------------------------------------- ML-14
   /** Concat-and-chunk packing METERED BY THE SUBWORD TOKENIZER — the
     * q_ml11 window math under [[SubwordMerges]] instead of the

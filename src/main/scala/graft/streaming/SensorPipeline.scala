@@ -226,7 +226,8 @@ object SensorPipeline {
     * would buffer both streams forever.
     */
   def streamStreamJoin(left: DataFrame, right: DataFrame,
-      withinSeconds: Int, watermark: String = "1 minute"): DataFrame = {
+      withinSeconds: Int, watermark: String = "1 minute",
+      joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark("timestamp", watermark)
     val r = right.select(
       col("client_id").as("r_client_id"),
@@ -234,10 +235,16 @@ object SensorPipeline {
       col("temperature").as("r_temperature"),
       col("count").as("r_count"))
       .withWatermark("r_timestamp", watermark)
+    // `leftOuter` is the enrich-or-emit form: a left record whose join
+    // window closes unmatched (both watermarks past its interval) emits
+    // ONCE with null right columns instead of being dropped — Spark
+    // holds it in state exactly until the time bound + watermark proves
+    // no match can still arrive, so outer state is as bounded as inner.
     l.join(r,
       col("client_id") === col("r_client_id")
         && col("r_timestamp") >= col("timestamp") - expr(s"INTERVAL $withinSeconds SECONDS")
-        && col("r_timestamp") < col("timestamp"))
+        && col("r_timestamp") < col("timestamp"),
+      joinType)
   }
 
   /** SRC-5: Kinesis-style fan-out — one logical stream, two independent

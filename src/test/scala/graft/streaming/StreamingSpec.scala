@@ -142,6 +142,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER join: unmatched left emits null-padded once its window closes; matches stay inner-identical") {
+    implicit val sqlCtx = spark.sqlContext
+    val lmem = MemoryStream[SensorReading]
+    val rmem = MemoryStream[SensorReading]
+    val joined = SensorPipeline.streamStreamJoin(
+      lmem.toDF(), rmem.toDF(), withinSeconds = 60, joinType = "leftOuter")
+      .select($"count", $"r_count")
+    val q = joined.writeStream.format("memory").queryName("ssj_outer")
+      .outputMode("append").start()
+    try {
+      rmem.addData(reading("2022-07-14 15:00:00", 100))
+      lmem.addData(
+        reading("2022-07-14 15:00:30", 1), // matches r 100
+        reading("2022-07-14 15:10:00", 3)) // no right record in its window
+      q.processAllAvailable()
+      // The unmatched row CANNOT emit yet: a matching right record could
+      // still arrive until both watermarks pass its interval.
+      val early = spark.table("ssj_outer").collect()
+        .map(r => (r.getAs[Long]("count"), Option(r.getAs[Any]("r_count")))).toSet
+      assert(!early.exists(p => p._1 == 3L && p._2.isEmpty),
+        s"outer row emitted before its window closed: $early")
+      // Advance both watermarks far past 15:10 -> the unmatched left row
+      // finalizes as a null-padded emission, exactly once.
+      lmem.addData(reading("2022-07-14 16:00:00", 9))
+      rmem.addData(reading("2022-07-14 16:00:00", 999))
+      q.processAllAvailable()
+      lmem.addData(reading("2022-07-14 16:30:00", 10))
+      rmem.addData(reading("2022-07-14 16:30:00", 998))
+      q.processAllAvailable()
+      val rows = spark.table("ssj_outer").collect()
+        .map(r => (r.getAs[Long]("count"), Option(r.getAs[Any]("r_count"))))
+      assert(rows.count(p => p._1 == 3L && p._2.isEmpty) == 1,
+        s"unmatched left must null-pad exactly once: ${rows.toSeq}")
+      assert(rows.toSet.contains((1L, Some(100L))),
+        s"matched pair identical to the inner form: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("pluggable WireSource: FileWire drives the same parse + fan-out path") {
     // The kappa claim as a test: wire frames written by toWire (the
     // producer's JSON) land as files; ingest(FileWire) must yield the

@@ -2602,6 +2602,47 @@ object ExtensionQueries {
        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ---------------------------------------------------------------- ML-18
+  /** Concat-and-chunk packing metered by the LEARNED BPE tokenizer —
+    * the full loop learn → apply → pack in one oracled query: q_txt17's
+    * merge table (collected: 6 rows, the documented bounded pin) turns
+    * into a map-side scalar meter ([[graft.operators.Bpe.textCount]] —
+    * chained plan-time `replace`s, no join) driving q_ml11's window
+    * grid. The oracle derives per-doc counts from the unrolled BPE CTE
+    * chain and replays q_ml14's sequential window math verbatim.
+    */
+  def bpePacking(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val merges = graft.operators.Bpe.learnMerges(docs, nMerges = 6)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    graft.operators.Packing.concatPackWindows(docs, capacity = 256,
+      tokenCount = graft.operators.Bpe.textCount(merges))
+  }
+
+  val bpePackingSql: String =
+    s"""WITH ${bpeCtes(6)},
+       |wc AS (SELECT w,
+       |       CAST(len(string_split(substr(state, 2), ' ')) AS BIGINT) AS nt
+       |       FROM st6),
+       |wi AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |       FROM documents),
+       |wnz AS (SELECT doc_id, w FROM wi WHERE w <> ''),
+       |d AS (SELECT wnz.doc_id AS doc_id, CAST(sum(wc.nt) AS BIGINT) AS n
+       |      FROM wnz JOIN wc USING (w) GROUP BY 1),
+       |o AS (SELECT doc_id, n,
+       |             sum(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+       |               AND CURRENT ROW) - n AS start
+       |      FROM d WHERE n > 0),
+       |e AS (SELECT doc_id, start, start + n - 1 AS fin FROM o),
+       |x AS (SELECT doc_id, start, fin,
+       |             unnest(generate_series(CAST(start // 256 AS BIGINT),
+       |                                    CAST(fin // 256 AS BIGINT))) AS window_id
+       |      FROM e)
+       |SELECT window_id, count(*) AS n_docs,
+       |       CAST(sum(least(fin, (window_id + 1) * 256 - 1)
+       |                - greatest(start, window_id * 256) + 1) AS BIGINT) AS n_tokens
+       |FROM x GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ----------------------------------------------------------------- ML-7
   /** Benchmark decontamination by 8-gram overlap — the standard eval-
     * leakage scan (n-gram collision against a held-out benchmark set)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** BPE merge-table LEARNING (Sennrich et al. 2016 shape) — the training
@@ -88,6 +88,27 @@ object Bpe {
     import spark.implicits._
     learn(docs, nMerges)._1.toDF("rank", "lhs", "rhs", "merged", "cnt")
   }
+
+  /** Scalar (map-side) token-count meter under a FIXED merge list — the
+    * packing family's `tokenCount` parameter driven by a LEARNED
+    * tokenizer: per word, rebuild the space-prefixed symbol state,
+    * apply the merges in learning order as chained literal `replace`s
+    * (plan-time literals — no join, no state table; the per-row cost is
+    * `merges.length` scans of a short string), count the symbols, sum
+    * over the split array. Counts are identical to [[tokenCounts]]'s
+    * join form by construction — same fold per word.
+    */
+  def textCount(merges: Seq[(String, String)])(text: Column): Column =
+    aggregate(
+      filter(split(text, " "), w => w =!= ""),
+      lit(0L),
+      (acc, w) => {
+        val st0 = concat(lit(" "), concat_ws(" ", split(w, "")))
+        val stN = merges.foldLeft(st0) { case (st, (l, r)) =>
+          replace(st, lit(s" $l $r"), lit(s" $l$r"))
+        }
+        acc + size(split(substring(stN, 2, Integer.MAX_VALUE), " ")).cast("long")
+      })
 
   /** Per-document token counts under the LEARNED tokenizer — true BPE
     * application (the merge sequence in learning order), not the greedy

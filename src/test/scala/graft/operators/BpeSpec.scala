@@ -58,6 +58,21 @@ class BpeSpec extends SparkSpec {
       s"doc 2 (no words) absent; merge-order counts: ${got.toSeq}")
   }
 
+  test("textCount meter ≡ tokenCounts join form (same fold per word)") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq((0L, "aaaa aaaa ab"), (1L, "aaaa"), (2L, "low lower low"))
+      .toDF("doc_id", "text")
+    val merges = Bpe.learnMerges(docs, nMerges = 3)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val viaJoin = Bpe.tokenCounts(docs, nMerges = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap
+    val viaMeter = docs
+      .select(col("doc_id"), Bpe.textCount(merges)(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaJoin.nonEmpty && viaJoin.forall { case (k, v) => viaMeter(k) == v },
+      s"join=$viaJoin meter=$viaMeter")
+  }
+
   test("learnMerges refuses a corpus with no adjacent pairs") {
     val docs = Seq((0L, "a b c")).toDF("doc_id", "text")
     val e = intercept[Exception](Bpe.learnMerges(docs, nMerges = 1))

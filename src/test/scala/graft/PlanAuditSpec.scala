@@ -485,6 +485,18 @@ class PlanAuditSpec extends SparkSpec {
       "island merge runs per-doc windows only: " + p.take(800))
   }
 
+  test("q_ml18: the learned-BPE meter runs in the ONE counted pass, like q_ml14") {
+    // Same contract as the q_ml14 pin, under the learned meter: the
+    // chained-replace token count (a scalar, no join) executes only in
+    // the packing operator's counted-projection checkpoint; the final
+    // plan reads ExistingRDD leaves only.
+    val p = plan("q_ml18_bpe_packing")
+    assert(p.contains("Scan ExistingRDD") && !p.contains("CartesianProduct"),
+      p.take(600))
+    assert("FileScan parquet".r.findAllIn(p).size == 0,
+      "the corpus is scanned only in the checkpoint pass: " + p.take(1000))
+  }
+
   test("q_txt16: all three consumers read the scored checkpoint; thresholds broadcast") {
     // The bucketing's scale shape: the LM scoring runs ONCE (eager
     // localCheckpoint at construction) — the sample window, the

@@ -2549,6 +2549,69 @@ object ExtensionQueries {
        |FROM dp LEFT JOIN h USING (depth) CROSS JOIN t ORDER BY depth""".stripMargin
   }
 
+  // ---------------------------------------------------------------- TXT-19
+  /** Exact corpus heavy hitters ([[graft.operators.HeavyHitters]]): the
+    * tokens holding ≥ 3% of the corpus token mass, found by a
+    * Misra-Gries sketch pass (bounded m=64 counters per map task, one
+    * sketch per partition over the exchange) plus an exact semi-joined
+    * verification count — the two-pass shape that stays EXACT in
+    * bounded memory at 100 TB, where the candidate set a naive
+    * `GROUP BY` would shuffle is unbounded. On this corpus the 3%
+    * threshold splits the 30 template tokens (~3.4% each) from the rare
+    * marker token (~0.1%); the sketch's eviction behavior under real
+    * skew is exercised in HeavyHittersSpec's planted-Zipf tests. The
+    * keep decision is integer arithmetic (`n·100 ≥ N·3`) so both
+    * engines agree bit-for-bit.
+    */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select(explode(TF.tokens(col("text"))).as("item"))
+      .as[String]
+    graft.operators.HeavyHitters.frequentItems(toks, num = 3, denom = 100, m = 64)
+  }
+
+  val heavyHittersSql: String =
+    """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS item FROM documents),
+      |tot AS (SELECT count(*) AS n FROM toks),
+      |cnt AS (SELECT item, count(*) AS n FROM toks GROUP BY 1)
+      |SELECT c.item, c.n, round(CAST(c.n AS DOUBLE) / t.n, 6) AS share
+      |FROM cnt c CROSS JOIN tot t
+      |WHERE c.n * 100 >= t.n * 3
+      |ORDER BY c.n DESC, c.item""".stripMargin
+
+  // ---------------------------------------------------------------- SIM-13
+  /** Hard-negative mining ([[Similarity.hardNegatives]]): for a 4%
+    * query sample (vec_id % 25 == 3), the top-5 most-cosine-similar
+    * corpus vectors with a DIFFERENT label — the contrastive-training
+    * negatives that sit closest to the boundary. Exact (brute-force)
+    * scoring with the label inequality fused into the join, so ranks
+    * are computed only over genuine negatives; at 100 TB the scoring
+    * join swaps to an ANN candidate tier, this form is the audit
+    * baseline.
+    */
+  def hardNegativeMining(spark: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.embeddings(spark, dir)
+    Similarity.hardNegatives(embs.where(col("vec_id") % 25 === 3), embs, k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  val hardNegativeMiningSql: String =
+    """SELECT query_id, query_label, neighbor_id, neighbor_label, cos, rank FROM (
+      |  SELECT q.vec_id AS query_id, q.label AS query_label,
+      |         c.vec_id AS neighbor_id, c.label AS neighbor_label,
+      |         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                      CAST(c.embedding AS DOUBLE[])), 6) AS cos,
+      |         row_number() OVER (PARTITION BY q.vec_id
+      |           ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                          CAST(c.embedding AS DOUBLE[])), 6) DESC, c.vec_id) AS rank
+      |  FROM (SELECT * FROM embeddings WHERE vec_id % 25 = 3
+      |        AND len(list_filter(embedding, x -> x != 0)) > 0) q
+      |  JOIN (SELECT * FROM embeddings
+      |        WHERE len(list_filter(embedding, x -> x != 0)) > 0) c
+      |    ON q.vec_id != c.vec_id AND q.label != c.label
+      |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   // ---------------------------------------------------------------- ML-14
   /** Concat-and-chunk packing METERED BY THE SUBWORD TOKENIZER — the
     * q_ml11 window math under [[SubwordMerges]] instead of the

@@ -187,6 +187,57 @@ object Similarity {
       .toDF("query_id", "neighbor_id", "cos", "rank")
   }
 
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the top-k most-similar corpus vectors whose `label`
+    * DIFFERS from the query's — the "hard" negatives that sit closest
+    * to the decision boundary and carry most of the gradient signal in
+    * a contrastive loss. Both inputs need (`vec_id`, `embedding`,
+    * `label`).
+    *
+    * Shape: identical to [[bruteForceTopK]] (query side broadcast, the
+    * corpus never shuffles for the scoring join, single-pass bounded
+    * top-k so the exchange carries k·partitions rows per query) with
+    * the label inequality fused into the join condition — mismatched
+    * labels are dropped BEFORE scoring, not filtered after ranking, so
+    * every returned rank is a genuine negative and no top-k slot is
+    * wasted on a positive. Labels are re-attached to the k·|queries|
+    * result rows from 2-column pruned scans of the inputs (AQE
+    * broadcasts whichever side is small); at full-corpus mining scale
+    * that re-join is a shuffle on `vec_id` over k·n skinny rows —
+    * negligible next to the scoring pass. At 100 TB the exact scoring
+    * join is replaced by any of the ANN candidate tiers (IVF / int8 /
+    * PQ) feeding the same label-filtered re-rank; this form is the
+    * ground-truth baseline those tiers are audited against
+    * (q_sim11/q_sim12 pattern).
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+      col("label").as("q_lab"), VF.l2Norm(col("embedding")).as("qn"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"),
+      col("label").as("c_lab"), VF.l2Norm(col("embedding")).as("nn"))
+    val scored = c.where(col("nn") > 0).join(broadcast(q.where(col("qn") > 0)),
+        col("query_id") =!= col("neighbor_id") && col("q_lab") =!= col("c_lab"))
+      .withColumn("cos",
+        round(VF.dot(col("qe"), col("ne")) / (col("qn") * col("nn")), 6))
+    val topk = scored.select(col("query_id"), col("neighbor_id"), col("cos"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .agg(new TopKAggregator.TopK(k).toColumn.name("topk"))
+      .flatMap { case (qid, items) =>
+        items.zipWithIndex.map { case (s, i) => (qid, s.id, s.score, (i + 1).toLong) }
+      }
+      .toDF("query_id", "neighbor_id", "cos", "rank")
+    val qLab = queries.select(col("vec_id").as("query_id"),
+      col("label").as("query_label"))
+    val nLab = corpus.select(col("vec_id").as("neighbor_id"),
+      col("label").as("neighbor_label"))
+    topk.join(qLab, "query_id").join(nLab, "neighbor_id")
+      .select(col("query_id"), col("query_label"), col("neighbor_id"),
+        col("neighbor_label"), col("cos"), col("rank"))
+  }
+
   /** Deterministic pseudo-random hyperplane weights in [-1, 1] (both
     * endpoints attainable: h % M == 0 gives exactly -1.0) for a
     * (table, plane): md5 of the literal key "plane:t:p:d" folded to a
@@ -1302,6 +1353,37 @@ object Similarity {
     val cells = memoized("ivfcells", ivfCellAssign(corpus, centroids))
     val cb = trainPqCodebooks(corpus, m, ksub, lloydIters, trainN, dim)
     val codes = pqCodes(corpus, cb, m, dim).join(cells, "vec_id")
+    ivfPqQuery(queries, codes, centroids, cb, corpus, k, rerankDepth,
+      nProbe, m, dim)
+  }
+
+  /** Serve top-k from a PERSISTED IVF-PQ artifact — the production read
+    * path for the composite tier: `codes` carries (`vec_id`, `sub`,
+    * `code`, `cell`) as written by the generation store, `centroids`
+    * (`cid`, `ce`), `codebooks` (`sub`, `cid`, `ce`), and `corpus` is
+    * the float log consulted only for the ≤ rerankDepth·|queries|
+    * re-rank rows. Identical plan tail to [[ivfPqTopK]] (which builds
+    * the same tables in-plan), so results match the in-plan build
+    * bit-for-bit on the same artifacts.
+    */
+  def queryIvfPqIndex(queries: DataFrame, codes: DataFrame,
+      centroids: DataFrame, codebooks: DataFrame, corpus: DataFrame,
+      k: Int, rerankDepth: Int = 50, nProbe: Int = 4,
+      m: Int = 4, dim: Int = 64): DataFrame = {
+    require(rerankDepth >= k, s"rerankDepth=$rerankDepth must cover k=$k")
+    val cents = centroids.select(col("cid"), col("ce"),
+      VF.l2Norm(col("ce")).as("cn"))
+    ivfPqQuery(queries, codes, cents, codebooks, corpus, k, rerankDepth,
+      nProbe, m, dim)
+  }
+
+  /** Query tail shared by [[ivfPqTopK]] (in-plan build) and
+    * [[queryIvfPqIndex]] (persisted store): coarse probe → ADC over the
+    * probed cells' codes → exact float re-rank of the survivors.
+    */
+  private def ivfPqQuery(queries: DataFrame, codes: DataFrame,
+      centroids: DataFrame, cb: DataFrame, corpus: DataFrame, k: Int,
+      rerankDepth: Int, nProbe: Int, m: Int, dim: Int): DataFrame = {
     val wProbe = Window.partitionBy("query_id").orderBy(col("ccos").desc, col("cid"))
     val probed = queries
       .select(col("vec_id").as("query_id"), col("embedding"),

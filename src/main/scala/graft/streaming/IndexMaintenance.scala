@@ -779,6 +779,93 @@ object IndexMaintenance {
     }
   }
 
+  /** Streamed SERVING leg for the int8 generation store — the read path
+    * that completes the tier's lifecycle (init → append → drift-driven
+    * rebuild → SERVE): each query micro-batch runs
+    * [[Similarity.queryInt8Index]] (float probe → int8 candidate rank →
+    * exact float re-rank) against the artifacts of the latest COMMITTED
+    * generation, and `onResult` receives (batchId, gen, top-k rows).
+    *
+    * Generation awareness is per batch and O(1): `latestGen` is one
+    * marker-file listing, and only when it MOVES (a rebuild swapped
+    * underneath the server) are the small artifacts re-pinned — grid
+    * 1 row, centroids `nCentroids` rows, the bounded-driver-pin
+    * pattern. The corpus-scale tables (codes, the float re-rank log)
+    * are never pinned: they're read lazily per batch from the committed
+    * generation dir, so a served batch always sees a commit-consistent
+    * quantizer+codes pair (the COMMITTED marker is written only after
+    * the catch-up encode lands). Serving is read-only — replay of a
+    * query batch just re-serves it, so no staging or offset state is
+    * needed on this leg.
+    *
+    * At 100 TB: per batch the probe is |queries|×nCentroids, the
+    * candidate rank touches only the probed cells' code rows, and the
+    * float log is consulted for ≤ rerankDepth·|queries| re-rank rows —
+    * the same residue discipline as the batch serve (q_sim10's plan
+    * pin); nothing scales with corpus size except the pruned candidate
+    * scan itself.
+    */
+  def int8ServingPipeline(spark: SparkSession, root: String,
+      k: Int = 10, rerankDepth: Int = 30, nProbe: Int = 8,
+      nCentroids: Int = 16, dim: Int = 64,
+      onResult: (Long, Long, DataFrame) => Unit): (DataFrame, Long) => Unit = {
+    StoreManifest.check(spark, root, int8StoreEntries(dim, nCentroids),
+      "int8 store")
+    var gen = -1L
+    var grid: DataFrame = null
+    var cents: DataFrame = null
+    (batch: DataFrame, batchId: Long) => {
+      val g = latestGen(spark, root)
+      if (g != gen) { // first batch, or a rebuild swapped generations
+        grid = pinLocal(spark.read.parquet(s"${genDir(root, g)}/grid"))
+        cents = pinLocal(spark.read.parquet(s"${genDir(root, g)}/centroids"))
+        gen = g
+      }
+      val codes = spark.read.parquet(s"${genDir(root, gen)}/codes")
+      // The float log may hold replayed (duplicate) vec_ids; the re-rank
+      // join must see each neighbor once.
+      val corpus = spark.read.parquet(s"$root/vectors").dropDuplicates("vec_id")
+      onResult(batchId, gen,
+        Similarity.queryInt8Index(batch, codes, grid, cents, corpus,
+          k, rerankDepth, nProbe))
+    }
+  }
+
+  /** [[int8ServingPipeline]]'s twin for the IVF-PQ generation store —
+    * the composite serving tier (q_sim10's artifact) gains its streamed
+    * read path: per query micro-batch, [[Similarity.queryIvfPqIndex]]
+    * (coarse probe → ADC over the probed cells → exact float re-rank)
+    * over the latest COMMITTED generation, with the small quantizer
+    * tables (centroids + codebooks — nCentroids + m·ksub rows)
+    * re-pinned only when a rebuild moves the generation marker. Codes
+    * and the float re-rank log stay lazy per-batch reads of the
+    * committed dir, so serving always sees a commit-consistent
+    * (centroids, codebooks, codes) triple.
+    */
+  def ivfPqServingPipeline(spark: SparkSession, root: String,
+      k: Int = 10, rerankDepth: Int = 50, nProbe: Int = 4,
+      nCentroids: Int = 16, m: Int = 4, ksub: Int = 16, dim: Int = 64,
+      onResult: (Long, Long, DataFrame) => Unit): (DataFrame, Long) => Unit = {
+    StoreManifest.check(spark, root,
+      ivfPqStoreEntries(dim, m, ksub, nCentroids), "ivfpq store")
+    var gen = -1L
+    var cents: DataFrame = null
+    var cb: DataFrame = null
+    (batch: DataFrame, batchId: Long) => {
+      val g = latestGen(spark, root)
+      if (g != gen) {
+        cents = pinLocal(spark.read.parquet(s"${genDir(root, g)}/centroids"))
+        cb = pinLocal(spark.read.parquet(s"${genDir(root, g)}/codebooks"))
+        gen = g
+      }
+      val codes = spark.read.parquet(s"${genDir(root, gen)}/codes")
+      val corpus = spark.read.parquet(s"$root/vectors").dropDuplicates("vec_id")
+      onResult(batchId, gen,
+        Similarity.queryIvfPqIndex(batch, codes, cents, cb, corpus,
+          k, rerankDepth, nProbe, m, dim))
+    }
+  }
+
   /** Create a PQ generation store: persist the MANIFEST, seed the
     * vector log, train generation-0 codebooks, encode, commit. Refuses
     * a root that already holds a committed generation ([[guardInit]]).

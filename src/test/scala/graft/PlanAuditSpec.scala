@@ -571,4 +571,41 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"),
       "top-10 must compile to TakeOrderedAndProject: " + p.take(600))
   }
+
+  test("q_sim13: label filter is fused into the scoring join; ranking is the bounded aggregator") {
+    // Hard negatives keep q_sim1's scale shape: the query sample
+    // broadcasts into the corpus (ONE nested-loop join, the brute-force
+    // scoring pass — the corpus itself never shuffles for it), the
+    // label inequality rides that join's condition instead of a
+    // post-rank filter, and the per-query top-k is the bounded
+    // TopKAggregator (no window sort over the scored pairs).
+    val p = plan("q_sim13_hard_negatives")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 1 &&
+      !p.contains("CartesianProduct"),
+      "exactly the broadcast scoring join may cross: " + p.take(800))
+    assert(!p.contains("windowspecdefinition"),
+      "top-k must stay the bounded aggregator, not a window rank: " + p.take(600))
+    assert(p.contains("ObjectHashAggregate"),
+      "TopKAggregator must aggregate, map-side partials included: " + p.take(600))
+    assert(!p.contains("SortMergeJoin"),
+      "label re-attachment joins must broadcast at this scale: " + p.take(600))
+  }
+
+  test("q_txt19: verification pass is a broadcast semi join + partial/final aggregate") {
+    // Pass 2 of the heavy hitters: the ≤ m sketch candidates broadcast
+    // back as a LeftSemi prune BEFORE the exact count — the token
+    // stream is filtered map-side to candidate rows only, and the
+    // count itself is the ordinary partial+final pair. A plain
+    // GROUP BY over all distinct tokens (the unbounded-shuffle shape
+    // this operator exists to avoid) would show here as a semi-join-less
+    // aggregate.
+    val p = plan("q_txt19_heavy_hitters")
+    assert(p.contains("LeftSemi"),
+      "candidate prune must be a semi join: " + p.take(800))
+    assert(p.contains("BroadcastHashJoin"),
+      "the ≤ m candidate set must broadcast: " + p.take(800))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "exact count must be partial+final: " + p.take(600))
+    assert(!p.contains("SortMergeJoin"), p.take(600))
+  }
 }

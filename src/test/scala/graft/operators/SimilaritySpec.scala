@@ -511,6 +511,35 @@ class SimilaritySpec extends SparkSpec {
     Similarity.releaseCaches()
     assert(snapshot() == first, "retraining after a cache drop must reproduce the codebooks")
   }
+
+  test("hardNegatives excludes same-label vectors however close they rank") {
+    // label = cluster id: the query's own cluster is its nearest
+    // neighborhood, so an after-the-fact filter would surface it; the
+    // fused join condition must never let it into the ranking.
+    val labeled = clustered.withColumn("label",
+      (col("vec_id") / 5).cast("int"))
+    val q = labeled.where(col("vec_id") === 0)
+    val res = Similarity.hardNegatives(q, labeled, k = 6).collect()
+    assert(res.length == 6)
+    assert(res.forall(r => r.getInt(1) == 0), "query_label carried through")
+    assert(res.forall(r => r.getInt(3) != 0),
+      "no own-cluster (same-label) vector may appear as a negative")
+    assert(res.map(_.getLong(5)).sorted.toSeq == (1L to 6L),
+      "ranks are contiguous 1..k")
+  }
+
+  test("hardNegatives ≡ bruteForceTopK over the label-filtered corpus") {
+    val labeled = clustered.withColumn("label",
+      (col("vec_id") / 5).cast("int"))
+    val q = labeled.where(col("vec_id") === 7) // label 1
+    val mined = Similarity.hardNegatives(q, labeled, k = 5)
+      .select("query_id", "neighbor_id", "cos", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val ref = Similarity.bruteForceTopK(q, labeled.where(col("label") =!= 1), k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(mined == ref)
+  }
 }
 
 object SimilaritySpec {

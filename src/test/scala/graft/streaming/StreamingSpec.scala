@@ -611,6 +611,62 @@ class StreamingSpec extends SparkSpec {
       "gen-1 artifact ≡ one encode of the full log on the gen-1 quantizer")
   }
 
+  test("int8ServingPipeline: batches serve the committed generation and follow a swap") {
+    import graft.operators.Similarity
+    def vecs(ids: Seq[Int], f: (Int, Int) => Float) =
+      ids.map(id => (id.toLong, Seq.tabulate(8)(d => f(id, d))))
+    val sameDist = (id: Int, d: Int) => 0.1f * ((id + d) % 13) - 0.5f
+    val shifted = (id: Int, d: Int) => if ((id + d) % 2 == 0) 5.0f else -5.0f
+    val root = Files.createTempDirectory("graft-i8serve").toString
+    val sink = Files.createTempDirectory("graft-i8servesink").toString
+    IndexMaintenance.initInt8Store(spark, root,
+      vecs(0 until 48, sameDist).toDF("vec_id", "embedding"),
+      nCentroids = 4, lloydIters = 2, trainN = 64, seedPlanes = 4, dim = 8)
+    var served = Vector.empty[(Long, Long, Set[(Long, Long, Long)])]
+    val serve = IndexMaintenance.int8ServingPipeline(spark, root,
+      k = 3, rerankDepth = 6, nProbe = 4, nCentroids = 4, dim = 8,
+      onResult = (b, g, df) => served :+=
+        ((b, g, df.collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getAs[Long]("rank"))).toSet)))
+    val queries = vecs(Seq(1000, 1001, 1002), sameDist)
+      .toDF("vec_id", "embedding")
+    // Differential: the streamed serve of batch 0 must equal a direct
+    // batch read of the gen-0 artifacts.
+    def batchServe(gen: Long): Set[(Long, Long, Long)] =
+      Similarity.queryInt8Index(queries,
+          spark.read.parquet(s"$root/gen-$gen/codes"),
+          spark.read.parquet(s"$root/gen-$gen/grid"),
+          spark.read.parquet(s"$root/gen-$gen/centroids"),
+          spark.read.parquet(s"$root/vectors").dropDuplicates("vec_id"),
+          k = 3, rerankDepth = 6, nProbe = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getAs[Long]("rank"))).toSet
+    serve(queries, 0L)
+    assert(served.head._2 == 0L, "first batch serves generation 0")
+    assert(served.head._3 == batchServe(0L),
+      "streamed serve ≡ batch read of the committed artifacts")
+    assert(served.head._3.nonEmpty)
+    // A rebuild swaps the generation underneath the server...
+    val fn = IndexMaintenance.int8RebuildingPipeline(spark, root, sink,
+      nCentroids = 4, lloydIters = 2, trainN = 64, seedPlanes = 4, dim = 8)
+    fn(vecs(200 until 224, shifted).toDF("vec_id", "embedding"), 0L)
+    assert(IndexMaintenance.latestGen(spark, root) == 1L,
+      "planted shift must trip an inline rebuild")
+    // ...and the next served batch re-pins ONCE and reflects both the
+    // new quantizer and the appended vectors.
+    serve(queries, 1L)
+    val after = served(1)
+    assert(after._2 == 1L, "second batch serves the swapped generation")
+    assert(after._3 == batchServe(1L))
+    // A query from the shifted distribution must find the vectors the
+    // rebuild ingested — proof the server reads the NEW generation's
+    // codes, not a stale pin.
+    val shiftedQ = vecs(Seq(2000, 2001), shifted).toDF("vec_id", "embedding")
+    serve(shiftedQ, 2L)
+    assert(served(2)._3.map(_._2).exists(id => id >= 200L && id < 224L),
+      "appended (shifted) vectors are servable after the swap")
+  }
+
   test("pqRebuildingPipeline: shift trips retrain, codebooks rebuild, drift returns quiet") {
     import graft.operators.Similarity
     def vecs(ids: Seq[Int], f: (Int, Int) => Float) =
@@ -699,6 +755,57 @@ class StreamingSpec extends SparkSpec {
         .select("vec_id", "sub", "code")
         .join(Similarity.ivfCellAssign(log, cents1), "vec_id")),
       "gen-1 artifact ≡ one assign+encode of the full log on the gen-1 quantizers")
+  }
+
+  test("ivfPqServingPipeline: batches serve the committed composite artifact and follow a swap") {
+    import graft.operators.Similarity
+    def vecs(ids: Seq[Int], f: (Int, Int) => Float) =
+      ids.map(id => (id.toLong, Seq.tabulate(8)(d => f(id, d))))
+    val sameDist = (id: Int, d: Int) => 0.1f * ((id + d) % 13) - 0.5f
+    val shifted = (id: Int, d: Int) => if ((id + d) % 2 == 0) 5.0f else -5.0f
+    val root = Files.createTempDirectory("graft-ivfpqserve").toString
+    val sink = Files.createTempDirectory("graft-ivfpqservesink").toString
+    IndexMaintenance.initIvfPqStore(spark, root,
+      vecs(0 until 48, sameDist).toDF("vec_id", "embedding"),
+      nCentroids = 4, m = 2, ksub = 4, lloydIters = 2, trainN = 64,
+      seedPlanes = 4, dim = 8)
+    var served = Vector.empty[(Long, Long, Set[(Long, Long, Long)])]
+    val serve = IndexMaintenance.ivfPqServingPipeline(spark, root,
+      k = 3, rerankDepth = 6, nProbe = 4, nCentroids = 4, m = 2, ksub = 4,
+      dim = 8,
+      onResult = (b, g, df) => served :+=
+        ((b, g, df.collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getAs[Long]("rank"))).toSet)))
+    val queries = vecs(Seq(1000, 1001, 1002), sameDist)
+      .toDF("vec_id", "embedding")
+    def batchServe(gen: Long): Set[(Long, Long, Long)] =
+      Similarity.queryIvfPqIndex(queries,
+          spark.read.parquet(s"$root/gen-$gen/codes"),
+          spark.read.parquet(s"$root/gen-$gen/centroids"),
+          spark.read.parquet(s"$root/gen-$gen/codebooks"),
+          spark.read.parquet(s"$root/vectors").dropDuplicates("vec_id"),
+          k = 3, rerankDepth = 6, nProbe = 4, m = 2, dim = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getAs[Long]("rank"))).toSet
+    serve(queries, 0L)
+    assert(served.head._2 == 0L, "first batch serves generation 0")
+    assert(served.head._3 == batchServe(0L),
+      "streamed serve ≡ batch read of the committed artifacts")
+    assert(served.head._3.nonEmpty)
+    // A cell-usage-tripped rebuild swaps both quantizers underneath...
+    val fn = IndexMaintenance.ivfPqRebuildingPipeline(spark, root, sink,
+      nCentroids = 4, m = 2, ksub = 4, lloydIters = 2, trainN = 64,
+      seedPlanes = 4, dim = 8)
+    fn(vecs(200 until 248, shifted).toDF("vec_id", "embedding"), 0L)
+    assert(IndexMaintenance.latestGen(spark, root) == 1L,
+      "planted usage shift must trip an inline rebuild")
+    // ...and the server re-pins once and serves the new generation.
+    serve(queries, 1L)
+    assert(served(1)._2 == 1L && served(1)._3 == batchServe(1L))
+    val shiftedQ = vecs(Seq(2000, 2001), shifted).toDF("vec_id", "embedding")
+    serve(shiftedQ, 2L)
+    assert(served(2)._3.map(_._2).exists(id => id >= 200L && id < 248L),
+      "vectors ingested by the rebuild are servable after the swap")
   }
 
   test("generation stores: a mismatched shape fails loudly at pipeline construction") {

@@ -2612,6 +2612,79 @@ object ExtensionQueries {
       |    ON q.vec_id != c.vec_id AND q.label != c.label
       |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- SIM-14
+  /** q_sim13's SCALE path ([[Similarity.hardNegativesInt8]]): the same
+    * 4% query sample mined against the int8 candidate tier — coarse
+    * probe (nProbe=4 of 16 cells) → int8 candidate rank with the label
+    * inequality AT the candidate stage (no rerankDepth slot wasted on a
+    * positive) → exact float re-rank. One shared label-agnostic index
+    * serves this and plain ANN; q_sim13's exact form is the audit
+    * baseline (SimilaritySpec pins full-probe ≡ exact).
+    */
+  def hardNegativeMiningAnn(spark: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.embeddings(spark, dir)
+    Similarity.hardNegativesInt8(embs.where(col("vec_id") % 25 === 3), embs,
+        k = 5, rerankDepth = 30, nCentroids = 16, nProbe = 4, lloydIters = 2,
+        trainN = 1024, seedPlanes = 6, dim = 64)
+      .orderBy("query_id", "rank")
+  }
+
+  val hardNegativeMiningAnnSql: String = {
+    val (nc, np, iters, trainN, dim, k, rerank) = (16, 4, 2, 1024, 64, 5, 30)
+    val (training, cFinal) = ivfTrainingCtes(nc, iters, trainN, seedPlanes = 6, dim = dim)
+    // The q_sim5 replay (quantize → midpoint recon → cell assign →
+    // probe → candidate rank → float re-rank) with the label
+    // inequality in the candidate stage, exactly where the Spark side
+    // fuses it.
+    s"""WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |$training,
+       |st AS (SELECT list(lo ORDER BY d) AS lo, list(hi ORDER BY d) AS hi FROM (
+       |         SELECT d.range AS d, min(v.e[d.range + 1]) AS lo,
+       |                max(v.e[d.range + 1]) AS hi
+       |         FROM v CROSS JOIN range($dim) d GROUP BY 1)),
+       |re AS (SELECT v.vec_id, list_transform(range($dim), d ->
+       |         CASE WHEN st.hi[d + 1] > st.lo[d + 1]
+       |              THEN st.lo[d + 1] +
+       |                   (LEAST(GREATEST(floor((v.e[d + 1] - st.lo[d + 1])
+       |                      / (st.hi[d + 1] - st.lo[d + 1]) * 255.0), 0.0), 255.0)
+       |                    + 0.5) * (st.hi[d + 1] - st.lo[d + 1]) / 256.0
+       |              ELSE st.lo[d + 1] END) AS re
+       |       FROM v CROSS JOIN st),
+       |rz AS (SELECT vec_id, re FROM re WHERE list_dot_product(re, re) > 0),
+       |caq AS (SELECT vec_id AS neighbor_id, re, cid FROM (
+       |    SELECT r.vec_id, r.re, c.cid,
+       |           row_number() OVER (PARTITION BY r.vec_id
+       |             ORDER BY round(list_cosine_similarity(r.re, c.ce), 6) DESC, c.cid) AS rn
+       |    FROM rz r CROSS JOIN $cFinal c)
+       |  WHERE rn = 1),
+       |qa AS (SELECT vec_id AS query_id, lab AS q_lab, e AS qe, cid FROM (
+       |    SELECT v.vec_id, v.label AS lab, v.e, c.cid,
+       |           row_number() OVER (PARTITION BY v.vec_id
+       |             ORDER BY round(list_cosine_similarity(v.e, c.ce), 6) DESC, c.cid) AS rn
+       |    FROM v CROSS JOIN $cFinal c WHERE v.vec_id % 25 = 3)
+       |  WHERE rn <= $np AND list_dot_product(e, e) > 0),
+       |cand AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT qa.query_id, caq.neighbor_id,
+       |           row_number() OVER (PARTITION BY qa.query_id
+       |             ORDER BY round(list_cosine_similarity(qa.qe, caq.re), 6) DESC,
+       |                      caq.neighbor_id) AS arank
+       |    FROM caq JOIN qa USING (cid)
+       |         JOIN v nl ON caq.neighbor_id = nl.vec_id
+       |    WHERE qa.query_id != caq.neighbor_id AND qa.q_lab != nl.label)
+       |  WHERE arank <= $rerank)
+       |SELECT query_id, query_label, neighbor_id, neighbor_label, cos, rank FROM (
+       |  SELECT cand.query_id, q.label AS query_label, cand.neighbor_id,
+       |         c.label AS neighbor_label,
+       |         round(list_cosine_similarity(q.e, c.e), 6) AS cos,
+       |         row_number() OVER (PARTITION BY cand.query_id
+       |           ORDER BY round(list_cosine_similarity(q.e, c.e), 6) DESC,
+       |                    cand.neighbor_id) AS rank
+       |  FROM cand JOIN v q ON cand.query_id = q.vec_id
+       |            JOIN v c ON cand.neighbor_id = c.vec_id
+       |  WHERE list_dot_product(q.e, q.e) > 0 AND list_dot_product(c.e, c.e) > 0)
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   // ---------------------------------------------------------------- ML-14
   /** Concat-and-chunk packing METERED BY THE SUBWORD TOKENIZER — the
     * q_ml11 window math under [[SubwordMerges]] instead of the

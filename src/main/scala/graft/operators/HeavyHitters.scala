@@ -55,24 +55,14 @@ object HeavyHitters {
       b
     }
 
-    /** Merge = add counts, then restore the ≤ m bound by subtracting the
-      * (m+1)-th largest count from every counter (the standard
-      * Agarwal et al. mergeable-summaries step — equivalent to that many
-      * rounds of the streaming decrement, so the N/(m+1) undercount
-      * bound is preserved).
+    /** Merge = add counts, then restore the ≤ m bound
+      * ([[HeavyHitters.mergeCounters]] — the standard Agarwal et al.
+      * mergeable-summaries step, so the N/(m+1) undercount bound is
+      * preserved).
       */
     def merge(a: MG, b: MG): MG = {
-      for ((k, v) <- b.counters)
-        a.counters.update(k, a.counters.getOrElse(k, 0L) + v)
+      mergeCounters(a.counters, b.counters, m)
       a.total += b.total
-      if (a.counters.size > m) {
-        val kth = a.counters.values.toArray.sorted(Ordering[Long].reverse)(m)
-        val keep = a.counters.collect {
-          case (k, v) if v > kth => k -> (v - kth)
-        }
-        a.counters.clear()
-        a.counters ++= keep
-      }
       a
     }
 
@@ -88,6 +78,27 @@ object HeavyHitters {
     def bufferEncoder: Encoder[MG] = Encoders.kryo[MG]
     def outputEncoder: Encoder[(Map[String, Long], Long)] =
       Encoders.product[(Map[String, Long], Long)]
+  }
+
+  /** Merge `b`'s counters into `a`, then restore the ≤ m bound by
+    * subtracting the (m+1)-th largest count from every counter and
+    * dropping the non-positive ones — equivalent to that many rounds of
+    * the streaming decrement, so two merged summaries keep the combined
+    * N/(m+1) undercount guarantee (Agarwal et al., Mergeable
+    * Summaries). Shared by the [[MisraGries]] aggregator's reduce-side
+    * merge and the cross-batch state merge in
+    * [[graft.streaming.HeavyHitterStream]].
+    */
+  private[graft] def mergeCounters(a: mutable.Map[String, Long],
+      b: Iterable[(String, Long)], m: Int): Unit = {
+    for ((k, v) <- b)
+      a.update(k, a.getOrElse(k, 0L) + v)
+    if (a.size > m) {
+      val kth = a.values.toArray.sorted(Ordering[Long].reverse)(m)
+      val keep = a.collect { case (k, v) if v > kth => k -> (v - kth) }
+      a.clear()
+      a ++= keep
+    }
   }
 
   /** Exact { item : freq ≥ num/denom · N } with exact counts and shares.

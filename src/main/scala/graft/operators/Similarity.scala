@@ -238,6 +238,75 @@ object Similarity {
         col("neighbor_label"), col("cos"), col("rank"))
   }
 
+  /** [[hardNegatives]]' SCALE path: the int8 candidate tier
+    * ([[ivfTopKInt8]]'s probe → int8 rank → float re-rank) with the
+    * label inequality applied at the CANDIDATE stage — mismatched
+    * labels never occupy a rerankDepth slot, mirroring the exact form's
+    * fused-join stance. The corpus-side work (quantize, cell assign) is
+    * label-agnostic and shared with every other int8 consumer; only the
+    * per-query candidate rank carries the label filter, so one stored
+    * index serves both plain ANN and mining. The exact
+    * [[hardNegatives]] is the audit baseline (SimilaritySpec pins
+    * full-probe ANN ≡ exact on the clustered corpus).
+    */
+  def hardNegativesInt8(queries: DataFrame, corpus: DataFrame, k: Int,
+      rerankDepth: Int = 30, nCentroids: Int = 16, nProbe: Int = 4,
+      lloydIters: Int = 2, trainN: Int = 1024,
+      seedPlanes: Int = 6, dim: Int = 64): DataFrame = {
+    require(rerankDepth >= k, s"rerankDepth ($rerankDepth) must be >= k ($k)")
+    val centroids = trainCentroids(corpus, nCentroids, lloydIters, trainN,
+        seedPlanes, dim)
+      .select(col("cid"), col("ce"), VF.l2Norm(col("ce")).as("cn"))
+    val stats = int8Stats(corpus, dim)
+    val assigned = int8CorpusCells(corpus, centroids, stats)
+      .select("neighbor_id", "re", "rn", "cid")
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+        col("label").as("n_lab")), "neighbor_id")
+
+    val wq = Window.partitionBy("query_id").orderBy(col("ccos").desc, col("cid"))
+    val queryCells = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("label").as("q_lab"), VF.l2Norm(col("embedding")).as("qn"))
+      .where(col("qn") > 0)
+      .crossJoin(broadcast(centroids))
+      .withColumn("ccos",
+        round(VF.dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
+      .withColumn("crank", row_number().over(wq))
+      .where(col("crank") <= nProbe)
+      .select(col("query_id"), col("qe"), col("qn"), col("q_lab"), col("cid"))
+
+    // Candidate rank over probed cells, DIFFERENT-label rows only — the
+    // label test rides the candidate filter so every rerankDepth slot
+    // holds a genuine negative.
+    val wa = Window.partitionBy("query_id").orderBy(col("acos").desc, col("neighbor_id"))
+    val survivors = assigned
+      .join(broadcast(queryCells), Seq("cid"))
+      .where(col("query_id") =!= col("neighbor_id") &&
+        col("q_lab") =!= col("n_lab"))
+      .withColumn("acos",
+        round(VF.dot(col("qe"), col("re")) / (col("qn") * col("rn")), 6))
+      .withColumn("arank", row_number().over(wa))
+      .where(col("arank") <= rerankDepth)
+      .select("query_id", "neighbor_id")
+
+    val qv = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qe"), col("label").as("query_label"),
+      VF.l2Norm(col("embedding")).as("qfn")).where(col("qfn") > 0)
+    val cv = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ne"), col("label").as("neighbor_label"),
+      VF.l2Norm(col("embedding")).as("nn")).where(col("nn") > 0)
+    val wf = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    survivors
+      .join(broadcast(qv), "query_id")
+      .join(cv, "neighbor_id")
+      .withColumn("cos",
+        round(VF.dot(col("qe"), col("ne")) / (col("qfn") * col("nn")), 6))
+      .withColumn("rank", row_number().over(wf).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "query_label", "neighbor_id", "neighbor_label",
+        "cos", "rank")
+  }
+
   /** Deterministic pseudo-random hyperplane weights in [-1, 1] (both
     * endpoints attainable: h % M == 0 gives exactly -1.0) for a
     * (table, plane): md5 of the literal key "plane:t:p:d" folded to a

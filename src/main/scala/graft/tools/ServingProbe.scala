@@ -1,0 +1,84 @@
+package graft.tools
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.streaming.IndexMaintenance
+
+/** Decade-scaling probe for the streamed SERVING legs
+  * (IndexMaintenance.int8ServingPipeline / ivfPqServingPipeline —
+  * SCALE.md evidence): as the stored corpus grows 5k → 50k → 500k
+  * vectors with the query batch FIXED at 64, per-batch serve cost must
+  * follow the PROBED fraction, not the corpus.
+  *
+  * The centroid count follows the engine's own √n rule
+  * ([[graft.operators.Similarity.autoCentroids]]) per decade, so at
+  * fixed nProbe the candidate rows a query batch touches grow as
+  * nProbe·n/√n = nProbe·√n — each ×10 corpus decade should cost the
+  * serve ~√10 ≈ 3.2×, not 10×. The float re-rank is a
+  * rerankDepth·|queries| residue regardless of n (its only corpus-size
+  * term is the column-pruned scan feeding the id join).
+  *
+  * Measured per decade and tier, fresh store each:
+  *  - `t_first`: the first served batch — includes the generation pin
+  *    (grid/centroids/codebooks collect) and plan warmup, the
+  *    worst-case batch a real stream pays once per swap.
+  *  - `t_steady`: min of 3 subsequent identical batches — the
+  *    steady-state per-batch serve cost the table's scaling claim is
+  *    about.
+  *
+  * Diagnostic main, not an operator: `runMain graft.tools.ServingProbe`.
+  */
+object ServingProbe {
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time[A](f: => A): Double = {
+      val t0 = System.nanoTime(); f
+      (System.nanoTime() - t0) / 1e9
+    }
+    val batch = 64 // fixed query batch — the serve's only intended O(·)
+    for (n <- Seq(5000, 50000, 500000)) {
+      val nc = graft.operators.Similarity.autoCentroids(n)
+      val corpus = AsyncSwapProbe.synthVecs(spark, 0 until n, shifted = false)
+      val queries = AsyncSwapProbe
+        .synthVecs(spark, 1000000 until (1000000 + batch), shifted = false)
+      val tiers: Seq[(String, String => Unit,
+          ((Long, Long, DataFrame) => Unit) => (DataFrame, Long) => Unit)] = {
+        lazy val rootI = Files.createTempDirectory(s"graft-serveprobe-i8-$n").toString
+        lazy val rootP = Files.createTempDirectory(s"graft-serveprobe-pq-$n").toString
+        Seq(
+          ("int8",
+            _ => IndexMaintenance.initInt8Store(spark, rootI, corpus,
+              nCentroids = nc, lloydIters = 2, trainN = 4096, seedPlanes = 6,
+              dim = 32),
+            onRes => IndexMaintenance.int8ServingPipeline(spark, rootI,
+              k = 10, rerankDepth = 30, nProbe = 8, nCentroids = nc, dim = 32,
+              onResult = onRes)),
+          ("ivfpq",
+            _ => IndexMaintenance.initIvfPqStore(spark, rootP, corpus,
+              nCentroids = nc, m = 4, ksub = 16, lloydIters = 2, trainN = 1024,
+              seedPlanes = 6, dim = 32),
+            onRes => IndexMaintenance.ivfPqServingPipeline(spark, rootP,
+              k = 10, rerankDepth = 30, nProbe = 8, nCentroids = nc,
+              m = 4, ksub = 16, dim = 32, onResult = onRes)))
+      }
+      for ((tier, init, mkServe) <- tiers) {
+        val tInit = time(init(""))
+        var rows = -1L
+        val serve = mkServe((_, _, df) => rows = df.count())
+        val tFirst = time(serve(queries, 0L))
+        require(rows > 0, s"$tier n=$n: serve returned no rows")
+        val tSteady = (1 to 3).map(b => time(serve(queries, b.toLong))).min
+        println(f"[serve-probe] tier=$tier%-5s n=$n%7d nc=$nc%4d batch=$batch " +
+          f"t_init=$tInit%7.2f t_first=$tFirst%6.2f t_steady=$tSteady%6.2f")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -528,6 +528,27 @@ class SimilaritySpec extends SparkSpec {
       "ranks are contiguous 1..k")
   }
 
+  test("hardNegativesInt8: full probe + full depth ≡ exact; default probe label-sound") {
+    val embs = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val q = embs.where(col("vec_id") >= 100 && col("vec_id") < 110)
+    // Default probe: every mined row is a genuine negative with
+    // contiguous ranks — the label test rides the candidate stage.
+    val mined = Similarity.hardNegativesInt8(q, embs, k = 5).collect()
+    assert(mined.nonEmpty)
+    assert(mined.forall(r => r.getAs[Int]("query_label") !=
+      r.getAs[Int]("neighbor_label")), "candidate-stage label filter")
+    // Audit law: probing ALL cells at uncut depth makes the tier exact —
+    // the float re-rank then sees every different-label candidate, so
+    // the result must equal the exact miner row for row.
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Long]("rank"))).toSet
+    val full = keyed(Similarity.hardNegativesInt8(q, embs, k = 5,
+      rerankDepth = 4096, nProbe = 16))
+    val exact = keyed(Similarity.hardNegatives(q, embs, k = 5))
+    assert(full == exact, "full-probe ANN mining must reproduce the exact form")
+  }
+
   test("hardNegatives ≡ bruteForceTopK over the label-filtered corpus") {
     val labeled = clustered.withColumn("label",
       (col("vec_id") / 5).cast("int"))

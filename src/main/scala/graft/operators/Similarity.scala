@@ -1446,6 +1446,31 @@ object Similarity {
       nProbe, m, dim)
   }
 
+  /** The DISTINCT coarse cells a query batch will probe — the same
+    * ranking the query tails compute ((cosine, cid) row_number ≤
+    * nProbe), collected as a bounded driver pin (≤ |queries|·nProbe
+    * ids, ≤ nCentroids distinct). A cell-PARTITIONED code table
+    * (IndexMaintenance's `pcid=`/`pcell=` layout) filters on this set
+    * so the serve scans only the probed cells' files; because the
+    * ranking is identical to the tails', the pruned table still holds
+    * every row the candidate join would touch.
+    */
+  def probedCells(queries: DataFrame, centroids: DataFrame,
+      nProbe: Int): Seq[Long] = {
+    val cents = centroids.select(col("cid"), col("ce"),
+      VF.l2Norm(col("ce")).as("cn"))
+    val wq = Window.partitionBy("query_id").orderBy(col("ccos").desc, col("cid"))
+    queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        VF.l2Norm(col("embedding")).as("qn"))
+      .where(col("qn") > 0)
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        round(VF.dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
+      .withColumn("crank", row_number().over(wq))
+      .where(col("crank") <= nProbe)
+      .select("cid").distinct().collect().map(_.getLong(0)).toSeq
+  }
+
   /** Query tail shared by [[ivfPqTopK]] (in-plan build) and
     * [[queryIvfPqIndex]] (persisted store): coarse probe → ADC over the
     * probed cells' codes → exact float re-rank of the survivors.

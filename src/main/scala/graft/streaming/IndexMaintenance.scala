@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.storage.StorageLevel
 
 import graft.operators.Similarity
@@ -448,6 +449,45 @@ object IndexMaintenance {
 
   private def genDir(root: String, gen: Long) = GenStore.dir(root, gen)
 
+  /** Generation-store code tables are CELL-PARTITIONED on disk: the
+    * partition column (`pcid` int8 / `pcell` ivf-pq) DUPLICATES the
+    * in-row cell column, so every existing reader (pins, histograms,
+    * catch-up anti-joins, spec differentials) sees the same data
+    * columns it always did, while a pruning reader filters on the
+    * partition column and scans only the probed cells' files. The
+    * round-13 ServingProbe measured why: at n=500k the ivf-pq serve
+    * paid 20 s/batch scanning all n·m code rows before the cell join
+    * pruned — the probed-cells arithmetic held for the JOIN, not the
+    * I/O. With `pcell=` dirs the scan itself becomes
+    * O(n·m·nProbe/nCentroids).
+    */
+  private def writeCellPartitioned(df: DataFrame, cellCol: String,
+      partCol: String, dir: String, mode: String): Unit =
+    df.withColumn(partCol, df(cellCol))
+      .write.partitionBy(partCol).mode(mode).parquet(dir)
+
+  /** Prune a cell-partitioned code table to `cells`, dropping the
+    * partition column; a FLAT table (pre-partitioning layout, or an
+    * artifact written by the standalone append pipelines) is returned
+    * unpruned — layout is an optimization, never a correctness gate.
+    *
+    * The prune is CONDITIONAL on selectivity: when the batch's probed
+    * union covers half the cells or more (a large random query batch —
+    * the bulk-mining regime), filtering buys nothing the scan wouldn't
+    * read anyway and the per-partition file overhead costs (round-13
+    * ServingProbe: int8 n=500k, batch=64·nProbe=8 probes 512/707 cells
+    * — the "pruned" serve measured 2.8× the flat one). Below half —
+    * the latency regime (small batches) and clustered workloads — the
+    * filter skips whole partitions at scan time.
+    */
+  private def pruneCells(codes: DataFrame, partCol: String,
+      cells: Seq[Long], nCentroids: Int): DataFrame =
+    if (codes.columns.contains(partCol)) {
+      if (cells.size * 2 <= nCentroids)
+        codes.where(col(partCol).isin(cells: _*)).drop(partCol)
+      else codes.drop(partCol)
+    } else codes
+
   /** Raw-arrival staging for an in-flight OFF-PATH rebuild (`async =
     * true`): while generation `gen` is being built from a frozen
     * snapshot, each batch's arrivals are also parked here so the swap
@@ -552,9 +592,9 @@ object IndexMaintenance {
     val d = genDir(root, gen)
     cents.write.mode("overwrite").parquet(s"$d/centroids")
     grid.write.mode("overwrite").parquet(s"$d/grid")
-    Similarity.int8Encode(vecs,
-        spark.read.parquet(s"$d/grid"), spark.read.parquet(s"$d/centroids"))
-      .write.mode("overwrite").parquet(s"$d/codes")
+    writeCellPartitioned(Similarity.int8Encode(vecs,
+        spark.read.parquet(s"$d/grid"), spark.read.parquet(s"$d/centroids")),
+      "cid", "pcid", s"$d/codes", "overwrite")
     if (commit) commitGen(spark, root, gen)
   }
 
@@ -683,13 +723,13 @@ object IndexMaintenance {
             // full log) encodes it once. One anti-join against the
             // compact built code table keeps async ≡ inline.
             if (GenStore.fs(spark, sd).exists(new Path(sd)))
-              Similarity.int8Encode(
+              writeCellPartitioned(Similarity.int8Encode(
                   spark.read.parquet(sd).dropDuplicates("vec_id")
                     .join(spark.read.parquet(s"${genDir(root, g2)}/codes")
                         .select(col("neighbor_id").as("vec_id")),
                       Seq("vec_id"), "left_anti"),
-                  newGrid, newCents)
-                .write.mode("append").parquet(s"${genDir(root, g2)}/codes")
+                  newGrid, newCents),
+                "cid", "pcid", s"${genDir(root, g2)}/codes", "append")
             commitGen(spark, root, g2)
             deleteQuiet(spark, sd)
             gen = g2; grid = newGrid; cents = newCents
@@ -712,7 +752,8 @@ object IndexMaintenance {
           val encoded = Similarity.int8Encode(arrivals, grid, cents)
             .persist(StorageLevel.MEMORY_AND_DISK)
           try {
-            encoded.write.mode("append").parquet(s"${genDir(root, gen)}/codes")
+            writeCellPartitioned(encoded, "cid", "pcid",
+              s"${genDir(root, gen)}/codes", "append")
             val d = Similarity.indexDriftFromCodes(encoded, grid, cents,
               baseline, retrainRatio).head()
             val row = (batchId, n, d.getAs[Double]("fit_new"),
@@ -821,7 +862,14 @@ object IndexMaintenance {
         cents = pinLocal(spark.read.parquet(s"${genDir(root, g)}/centroids"))
         gen = g
       }
-      val codes = spark.read.parquet(s"${genDir(root, gen)}/codes")
+      // Cell-pruned scan: the batch's probed cells (a ≤ |batch|·nProbe
+      // driver pin, the same ranking the query tail computes) filter
+      // the partitioned code table BEFORE the scan — per batch the
+      // files read are the probed cells', O(n·nProbe/nCentroids) rows,
+      // not the artifact (ServingProbe's round-13 diagnosis).
+      val codes = pruneCells(
+        spark.read.parquet(s"${genDir(root, gen)}/codes"), "pcid",
+        Similarity.probedCells(batch, cents, nProbe), nCentroids)
       // The float log may hold replayed (duplicate) vec_ids; the re-rank
       // join must see each neighbor once.
       val corpus = spark.read.parquet(s"$root/vectors").dropDuplicates("vec_id")
@@ -858,7 +906,13 @@ object IndexMaintenance {
         cb = pinLocal(spark.read.parquet(s"${genDir(root, g)}/codebooks"))
         gen = g
       }
-      val codes = spark.read.parquet(s"${genDir(root, gen)}/codes")
+      // Same cell-pruned scan as the int8 serve — this tier is where
+      // ServingProbe measured the unpruned n·m-row scan dominating
+      // (20 s/batch at n=500k); the `pcell=` filter makes the scan
+      // itself O(n·m·nProbe/nCentroids).
+      val codes = pruneCells(
+        spark.read.parquet(s"${genDir(root, gen)}/codes"), "pcell",
+        Similarity.probedCells(batch, cents, nProbe), nCentroids)
       val corpus = spark.read.parquet(s"$root/vectors").dropDuplicates("vec_id")
       onResult(batchId, gen,
         Similarity.queryIvfPqIndex(batch, codes, cents, cb, corpus,
@@ -1086,11 +1140,12 @@ object IndexMaintenance {
     val d = genDir(root, gen)
     cents.write.mode("overwrite").parquet(s"$d/centroids")
     codebooks.write.mode("overwrite").parquet(s"$d/codebooks")
-    Similarity.pqEncode(vecs, spark.read.parquet(s"$d/codebooks"), m, dim)
-      .select("vec_id", "sub", "code")
-      .join(Similarity.ivfCellAssign(vecs,
-        spark.read.parquet(s"$d/centroids")), "vec_id")
-      .write.mode("overwrite").parquet(s"$d/codes")
+    writeCellPartitioned(
+      Similarity.pqEncode(vecs, spark.read.parquet(s"$d/codebooks"), m, dim)
+        .select("vec_id", "sub", "code")
+        .join(Similarity.ivfCellAssign(vecs,
+          spark.read.parquet(s"$d/centroids")), "vec_id"),
+      "cell", "pcell", s"$d/codes", "overwrite")
     if (commit) commitGen(spark, root, gen)
   }
 
@@ -1188,8 +1243,8 @@ object IndexMaintenance {
                 .join(spark.read.parquet(s"${genDir(root, g2)}/codes")
                     .select("vec_id"),
                   Seq("vec_id"), "left_anti")
-              assignEncode(fresh, newCents, newCb)
-                .write.mode("append").parquet(s"${genDir(root, g2)}/codes")
+              writeCellPartitioned(assignEncode(fresh, newCents, newCb),
+                "cell", "pcell", s"${genDir(root, g2)}/codes", "append")
             }
             commitGen(spark, root, g2)
             deleteQuiet(spark, sd)
@@ -1211,10 +1266,11 @@ object IndexMaintenance {
           val cells = Similarity.ivfCellAssign(arrivals, cents)
             .persist(StorageLevel.MEMORY_AND_DISK)
           try {
-            Similarity.pqEncode(arrivals, codebooks, m, dim)
-              .select("vec_id", "sub", "code")
-              .join(cells, "vec_id")
-              .write.mode("append").parquet(s"${genDir(root, gen)}/codes")
+            writeCellPartitioned(
+              Similarity.pqEncode(arrivals, codebooks, m, dim)
+                .select("vec_id", "sub", "code")
+                .join(cells, "vec_id"),
+              "cell", "pcell", s"${genDir(root, gen)}/codes", "append")
             val tv = cellTv(cells, hIdx, tIdx)
             val row = (batchId, n, tv, if (tv > maxTv) 1L else 0L, gen)
             onBatch(batchId, Row(row._1, row._2, row._3, row._4, row._5))

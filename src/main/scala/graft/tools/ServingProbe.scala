@@ -42,12 +42,14 @@ object ServingProbe {
       val t0 = System.nanoTime(); f
       (System.nanoTime() - t0) / 1e9
     }
-    val batch = 64 // fixed query batch — the serve's only intended O(·)
+    // Two regimes per decade: BULK (batch 64 — a random batch probes
+    // most cells, the conditional prune skips itself) and LATENCY
+    // (batch 4 — the probed union is a small cell fraction, partition
+    // pruning skips most of the scan).
+    val batches = Seq(64, 4)
     for (n <- Seq(5000, 50000, 500000)) {
       val nc = graft.operators.Similarity.autoCentroids(n)
       val corpus = AsyncSwapProbe.synthVecs(spark, 0 until n, shifted = false)
-      val queries = AsyncSwapProbe
-        .synthVecs(spark, 1000000 until (1000000 + batch), shifted = false)
       val tiers: Seq[(String, String => Unit,
           ((Long, Long, DataFrame) => Unit) => (DataFrame, Long) => Unit)] = {
         lazy val rootI = Files.createTempDirectory(s"graft-serveprobe-i8-$n").toString
@@ -72,11 +74,15 @@ object ServingProbe {
         val tInit = time(init(""))
         var rows = -1L
         val serve = mkServe((_, _, df) => rows = df.count())
-        val tFirst = time(serve(queries, 0L))
-        require(rows > 0, s"$tier n=$n: serve returned no rows")
-        val tSteady = (1 to 3).map(b => time(serve(queries, b.toLong))).min
-        println(f"[serve-probe] tier=$tier%-5s n=$n%7d nc=$nc%4d batch=$batch " +
-          f"t_init=$tInit%7.2f t_first=$tFirst%6.2f t_steady=$tSteady%6.2f")
+        for (batch <- batches) {
+          val queries = AsyncSwapProbe
+            .synthVecs(spark, 1000000 until (1000000 + batch), shifted = false)
+          val tFirst = time(serve(queries, 0L))
+          require(rows > 0, s"$tier n=$n: serve returned no rows")
+          val tSteady = (1 to 3).map(b => time(serve(queries, b.toLong))).min
+          println(f"[serve-probe] tier=$tier%-5s n=$n%7d nc=$nc%4d batch=$batch%2d " +
+            f"t_init=$tInit%7.2f t_first=$tFirst%6.2f t_steady=$tSteady%6.2f")
+        }
       }
     }
     spark.stop()

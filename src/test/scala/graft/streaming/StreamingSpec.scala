@@ -665,6 +665,16 @@ class StreamingSpec extends SparkSpec {
     serve(shiftedQ, 2L)
     assert(served(2)._3.map(_._2).exists(id => id >= 200L && id < 224L),
       "appended (shifted) vectors are servable after the swap")
+    // Legacy FLAT code layout (a store written before cell
+    // partitioning): the serve must fall back to the unpruned scan
+    // with identical results — layout is an optimization, never a
+    // correctness gate.
+    val flat = spark.read.parquet(s"$root/gen-1/codes").drop("pcid")
+      .localCheckpoint()
+    flat.write.mode("overwrite").parquet(s"$root/gen-1/codes")
+    serve(queries, 3L)
+    assert(served(3)._3 == served(1)._3,
+      "flat-layout serve ≡ partitioned-layout serve")
   }
 
   test("pqRebuildingPipeline: shift trips retrain, codebooks rebuild, drift returns quiet") {

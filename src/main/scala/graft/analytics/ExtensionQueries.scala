@@ -2685,6 +2685,70 @@ object ExtensionQueries {
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- ML-19
+  /** Length-bucketed DYNAMIC batching with a padding-waste audit — the
+    * inference/eval counterpart of the packing family (q_ml10-14 pack a
+    * concatenated token stream; serving and evaluation batch WHOLE
+    * sequences and pay padding to the longest in each batch). Docs are
+    * bucketed by token count to the next multiple of 64 (capped at 512
+    * — longer docs truncate, the standard max-length policy), ordered
+    * deterministically inside each bucket (md5, doc_id), cut into
+    * batches of 8, and padded to the BATCH max. Output per bucket:
+    * docs, batches, real vs padded token mass, waste share — the
+    * numbers that decide a bucketing config before anyone pays for the
+    * padding FLOPs.
+    *
+    * Shape at scale: one corpus pass computes the meter map-side; the
+    * ONLY shuffle is the bucket exchange feeding the in-bucket rank
+    * (reused by the batch and bucket aggregates — same key); both
+    * aggregates are partial+final. The oracle replays the identical
+    * integer arithmetic and (md5, doc_id) order.
+    */
+  def lengthBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("bucket_len")
+      .orderBy(col("hk"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        least(TF.tokenCount(col("text")), lit(512L)).as("n_tok"),
+        md5(concat(lit("batch:"), col("doc_id").cast("string"))).as("hk"))
+      .withColumn("bucket_len",
+        least(ceil(col("n_tok").cast("double") / 64.0).cast("long") * 64, lit(512L)))
+      .withColumn("batch_id", floor((row_number().over(w) - 1) / lit(8)).cast("long"))
+      .groupBy("bucket_len", "batch_id")
+      .agg(count(lit(1)).as("bn"), max("n_tok").as("bmax"),
+        sum("n_tok").as("breal"))
+      .groupBy("bucket_len")
+      .agg(sum("bn").cast("long").as("n_docs"),
+        count(lit(1)).as("n_batches"),
+        sum("breal").cast("long").as("real_tokens"),
+        sum(col("bmax") * col("bn")).cast("long").as("padded_tokens"))
+      .withColumn("waste_pct",
+        round((col("padded_tokens") - col("real_tokens")).cast("double") /
+          col("padded_tokens"), 6))
+      .orderBy("bucket_len")
+  }
+
+  val lengthBucketsSql: String =
+    """WITH d AS (SELECT doc_id,
+      |    LEAST(CAST(len(string_split(text, ' ')) AS BIGINT), 512) AS n_tok,
+      |    md5('batch:' || CAST(doc_id AS VARCHAR)) AS hk
+      |  FROM documents),
+      |b AS (SELECT doc_id, n_tok, hk,
+      |    LEAST(CAST(ceil(CAST(n_tok AS DOUBLE) / 64.0) AS BIGINT) * 64, 512)
+      |      AS bucket_len FROM d),
+      |r AS (SELECT bucket_len, n_tok,
+      |    CAST((row_number() OVER (PARTITION BY bucket_len
+      |      ORDER BY hk, doc_id) - 1) // 8 AS BIGINT) AS batch_id FROM b),
+      |ba AS (SELECT bucket_len, batch_id, count(*) AS bn, max(n_tok) AS bmax,
+      |    sum(n_tok) AS breal FROM r GROUP BY 1, 2)
+      |SELECT bucket_len, CAST(sum(bn) AS BIGINT) AS n_docs,
+      |    count(*) AS n_batches, CAST(sum(breal) AS BIGINT) AS real_tokens,
+      |    CAST(sum(bmax * bn) AS BIGINT) AS padded_tokens,
+      |    round(CAST(sum(bmax * bn) - sum(breal) AS DOUBLE)
+      |      / sum(bmax * bn), 6) AS waste_pct
+      |FROM ba GROUP BY 1 ORDER BY bucket_len""".stripMargin
+
   // ---------------------------------------------------------------- ML-14
   /** Concat-and-chunk packing METERED BY THE SUBWORD TOKENIZER — the
     * q_ml11 window math under [[SubwordMerges]] instead of the

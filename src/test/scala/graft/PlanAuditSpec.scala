@@ -591,6 +591,22 @@ class PlanAuditSpec extends SparkSpec {
       "label re-attachment joins must broadcast at this scale: " + p.take(600))
   }
 
+  test("q_ml19: one bucket exchange feeds the window and BOTH aggregates") {
+    // The in-bucket rank partitions by bucket_len; both downstream
+    // aggregates group by supersets/equals of that key, so hash
+    // partitioning on bucket_len satisfies their distribution and
+    // neither re-shuffles — one hash exchange total (plus the final
+    // order's range exchange), meter computed map-side in the scan
+    // stage.
+    val p = plan("q_ml19_length_buckets")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n" + p.take(800))
+    assert(p.contains("Window"), p.take(400))
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "both aggregates partial+final: " + p.take(600))
+    assert(!p.contains("Join"), "no join anywhere in the audit: " + p.take(400))
+  }
+
   test("q_txt19: verification pass is a broadcast semi join + partial/final aggregate") {
     // Pass 2 of the heavy hitters: the ≤ m sketch candidates broadcast
     // back as a LeftSemi prune BEFORE the exact count — the token

@@ -106,4 +106,28 @@ class PackingSpec extends SparkSpec {
       assert(got == expected, s"buckets=$b diverged: $got vs $expected")
     }
   }
+
+  test("lengthBuckets: bucket caps, truncation, batch cuts, and padding math") {
+    // Planted corpus with ORDER-INDEPENDENT expectations (within-bucket
+    // lengths uniform where batch membership varies by md5; mixed
+    // lengths only in a single-batch bucket where padded = max·n
+    // regardless of order):
+    //  - 9 docs × 10 tokens  → bucket 64, 2 batches (8+1), zero waste
+    //  - docs of 70/80/90 tokens → bucket 128, one batch,
+    //    padded = 90·3 = 270 vs real 240 → waste 30/270
+    //  - 1 doc × 600 tokens  → truncated to 512, bucket 512
+    def doc(id: Long, n: Int) = (id, Seq.fill(n)("w").mkString(" "))
+    val docs = ((0L until 9L).map(doc(_, 10)) ++
+      Seq(doc(20L, 70), doc(21L, 80), doc(22L, 90), doc(30L, 600)))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-lenbuck").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+    val rows = graft.analytics.ExtensionQueries.lengthBuckets(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    assert(rows == Seq(
+      (64L, 9L, 2L, 90L, 90L, 0.0),
+      (128L, 3L, 1L, 240L, 270L, 0.111111),
+      (512L, 1L, 1L, 512L, 512L, 0.0)), rows.toString)
+  }
 }

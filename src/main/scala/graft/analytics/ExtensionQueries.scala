@@ -2685,6 +2685,38 @@ object ExtensionQueries {
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- DD-13
+  /** Exact set-similarity self-join ([[Dedup.prefixJaccardJoin]]):
+    * every document pair with 3-shingle Jaccard ≥ 4/5, found by
+    * df-ordered prefix filtering — the LOSSLESS candidate generator
+    * (q_dd5's MinHash-LSH is the probabilistic one; q_dd11 measures
+    * what banding loses, this operator loses nothing by proof). The
+    * oracle replays the NAIVE all-pairs form with the same integer
+    * keep decision (|∩|·5 ≥ |∪|·4) — a hash match certifies the prune
+    * exact, not just plausible.
+    */
+  def prefixJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.prefixJaccardJoin(Tables.documents(spark, dir), tNum = 4, tDen = 5)
+      .orderBy("doc_a", "doc_b")
+
+  val prefixJaccardSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(t) >= 3
+      |           THEN list_transform(range(len(t) - 2),
+      |                i -> array_to_string(list_slice(t, i + 1, i + 3), ' '))
+      |           ELSE [text] END AS shingles
+      |  FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)),
+      |ds AS (SELECT doc_id, list_distinct(shingles) AS ss FROM sh),
+      |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |        CAST(len(list_intersect(a.ss, b.ss)) AS BIGINT) AS i,
+      |        CAST(len(a.ss) AS BIGINT) AS sa, CAST(len(b.ss) AS BIGINT) AS sb
+      |      FROM ds a JOIN ds b ON a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b,
+      |       round(CAST(i AS DOUBLE) / (sa + sb - i), 6) AS jaccard
+      |FROM p WHERE i * 5 >= (sa + sb - i) * 4
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   // ---------------------------------------------------------------- ML-19
   /** Length-bucketed DYNAMIC batching with a padding-waste audit — the
     * inference/eval counterpart of the packing family (q_ml10-14 pack a

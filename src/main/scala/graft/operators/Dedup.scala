@@ -92,6 +92,73 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** EXACT set-similarity self-join via document-frequency-ordered
+    * PREFIX FILTERING (the SSJoin/Bayardo-style All-Pairs family,
+    * distributed as in Vernica et al., SIGMOD'10) — the LOSSLESS
+    * complement to [[minhashCandidates]]: where MinHash-LSH trades
+    * recall for collision-bound candidate volume, prefix filtering
+    * keeps EVERY qualifying pair, shrinking candidates with a
+    * provable-only-safe prune instead of a probabilistic one.
+    *
+    * The filter: order each document's `shingleSize`-shingle set by
+    * global rarity (df asc, shingle asc — one total order, so the
+    * least-ordered element of any intersection lies in BOTH prefixes);
+    * if Jaccard(A,B) ≥ t then |A∩B| ≥ t/(1+t)·(|A|+|B|) ≥ t·|A|, so A
+    * has at most |A| − ⌈t·|A|⌉ elements outside the intersection and
+    * its first |A| − ⌈t·|A|⌉ + 1 df-ordered elements must hit it —
+    * candidate pairs are exactly the prefix-sharing pairs, further cut
+    * by the length filter t ≤ |B|/|A| ≤ 1/t. The threshold is a
+    * RATIONAL tNum/tDen and every pruning + keep decision is integer
+    * arithmetic (⌈t·sz⌉ = (sz·tNum + tDen − 1) div tDen; keep iff
+    * |∩|·tDen ≥ |∪|·tNum), so the result is bit-deterministic and the
+    * oracle can replay the naive form with the same integers.
+    *
+    * Shape at scale: shingle sets build map-side (fused
+    * [[graft.functions.StringShingles]]); df is a wordcount aggregate;
+    * the rarity rank is one doc_id exchange; the candidate join is a
+    * HASH join on the prefix shingle whose volume follows rare-shingle
+    * collisions (rare by construction — prefixes hold each doc's
+    * LOWEST-df shingles, so the hot posting lists of common shingles
+    * never enter the join); the verify touches candidate pairs only.
+    * All-pairs never materializes anywhere.
+    */
+  def prefixJaccardJoin(docs: DataFrame, tNum: Int = 4, tDen: Int = 5,
+      shingleSize: Int = 3): DataFrame = {
+    require(tNum > 0 && tDen >= tNum,
+      s"threshold $tNum/$tDen must be a fraction in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val arrs = docs.select(col("doc_id"),
+      array_distinct(graft.functions.StringShingles.shingles(col("text"),
+        shingleSize)).as("ss"))
+      .withColumn("sz", size(col("ss")).cast("long"))
+    val sets = arrs.select(col("doc_id"), col("sz"), explode(col("ss")).as("sh"))
+    val dfreq = sets.groupBy("sh").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))
+    val prefix = sets.join(dfreq, "sh")
+      .withColumn("rs", row_number().over(w))
+      // L = sz − ⌈t·sz⌉ + 1, all-integer
+      .where(col("rs") <=
+        col("sz") - ((col("sz") * tNum + (tDen - 1)) / tDen).cast("long") + 1)
+      .select(col("doc_id"), col("sz"), col("sh"))
+    val cands = prefix.as("a").join(prefix.as("b"),
+        col("a.sh") === col("b.sh") &&
+        col("a.doc_id") < col("b.doc_id") &&
+        col("b.sz") * tDen >= col("a.sz") * tNum &&
+        col("a.sz") * tDen >= col("b.sz") * tNum)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cands
+      .join(arrs.select(col("doc_id").as("doc_a"), col("ss").as("sa"),
+        col("sz").as("sza")), "doc_a")
+      .join(arrs.select(col("doc_id").as("doc_b"), col("ss").as("sb"),
+        col("sz").as("szb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("uni", col("sza") + col("szb") - col("inter"))
+      .where(col("inter") * tDen >= col("uni") * tNum)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") / col("uni"), 6).as("jaccard"))
+  }
+
   /** MinHash-LSH candidate pairs BEFORE the exact-Jaccard verify — the
     * banding stage of [[minhashNearDups]], exposed (like
     * [[simhashCandidates]]) so candidate volume is measurable directly.

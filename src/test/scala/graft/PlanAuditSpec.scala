@@ -607,6 +607,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), "no join anywhere in the audit: " + p.take(400))
   }
 
+  test("q_dd13: prefix-filter join stays a hash join — all-pairs never materializes") {
+    // The lossless similarity join's whole point at scale: candidates
+    // come from a HASH self-join on the df-ordered prefix shingles, the
+    // verify touches candidate pairs only, and no operator in the plan
+    // is a cartesian/nested-loop product.
+    val p = plan("q_dd13_prefix_jaccard")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "all-pairs must never materialize: " + p.take(800))
+    assert(p.contains("Window"), "df-ordered prefix rank present: " + p.take(400))
+  }
+
   test("q_txt19: verification pass is a broadcast semi join + partial/final aggregate") {
     // Pass 2 of the heavy hitters: the ≤ m sketch candidates broadcast
     // back as a LeftSemi prune BEFORE the exact count — the token

@@ -326,6 +326,50 @@ class DedupSpec extends SparkSpec {
       s"diff: ${got.toSet.diff(expected.toSet)} vs ${expected.toSet.diff(got.toSet)}")
   }
 
+  test("prefixJaccardJoin: planted dups found, near-dup thresholds honored, nothing else") {
+    // 3-shingle Jaccard on the planted corpus: 0/1 exact (J=1.0);
+    // 2 differs from 0 in the LAST token only → exactly one of the 10
+    // shingles changes, J = 9/11 ≈ 0.818 — above 4/5, below 9/10.
+    val at45 = Dedup.prefixJaccardJoin(docs, tNum = 4, tDen = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(at45 == Set((0L, 1L), (0L, 2L), (1L, 2L)), at45.toString)
+    val strict = Dedup.prefixJaccardJoin(docs, tNum = 9, tDen = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strict == Set((0L, 1L)), strict.toString)
+  }
+
+  test("prefixJaccardJoin ≡ naive all-pairs on a seeded random corpus (losslessness)") {
+    // The prune must be EXACT: same seeded low-vocab corpus style as the
+    // strip differential, compared against the brute-force shingle-set
+    // join at two thresholds.
+    val rnd = new scala.util.Random(20260814L)
+    val vocab = Array("aa", "bb", "cc", "dd", "ee")
+    val corpus = (0L until 50L).map { id =>
+      val n = 4 + rnd.nextInt(12)
+      id -> Array.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    }.toDF("doc_id", "text")
+    def naive(tNum: Int, tDen: Int): Set[(Long, Long, Double)] = {
+      import org.apache.spark.sql.functions._
+      val a = corpus.select(col("doc_id").as("doc_a"),
+        array_distinct(graft.functions.StringShingles.shingles(col("text"), 3)).as("sa"))
+      val b = corpus.select(col("doc_id").as("doc_b"),
+        array_distinct(graft.functions.StringShingles.shingles(col("text"), 3)).as("sb"))
+      a.crossJoin(b).where(col("doc_a") < col("doc_b"))
+        .withColumn("i", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+        .withColumn("u", size(col("sa")) + size(col("sb")) - col("i"))
+        .where(col("i") * tDen >= col("u") * tNum)
+        .select(col("doc_a"), col("doc_b"),
+          round(col("i").cast("double") / col("u"), 6).as("j"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    }
+    for ((tn, td) <- Seq((4, 5), (3, 5))) {
+      val got = Dedup.prefixJaccardJoin(corpus, tn, td)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == naive(tn, td),
+        s"t=$tn/$td lost or invented pairs: ${got.diff(naive(tn, td))} / ${naive(tn, td).diff(got)}")
+    }
+  }
+
   test("embeddingNearDups finds the planted near-identical vector pair") {
     val v = Array.tabulate(8)(i => 0.1f * (i + 1))
     val nearly = v.clone(); nearly(7) = nearly(7) * 1.01f

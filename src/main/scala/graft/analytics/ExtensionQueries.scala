@@ -2717,6 +2717,80 @@ object ExtensionQueries {
       |FROM p WHERE i * 5 >= (sa + sb - i) * 4
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------------------------------------------------------------- DD-14
+  /** Candidate-generator audit: the two near-dup candidate stages —
+    * LOSSLESS prefix filtering ([[Dedup.prefixCandidates]]) and
+    * probabilistic MinHash-LSH banding ([[Dedup.minhashCandidates]],
+    * md5-parity base hash) — measured against the same exact
+    * shingle-Jaccard ≥ 4/5 truth: candidate volume, hits, misses, and
+    * hit rate per generator. This is the decision table for a 100 TB
+    * dedup run: prefix filtering guarantees hit_rate 1.0 at whatever
+    * candidate volume the corpus's rare-shingle collisions produce,
+    * banding fixes candidate volume at the knee and pays the measured
+    * recall. Truth comes from the prefix join itself (exact by the
+    * losslessness proof + q_dd13's oracle); the DuckDB replay computes
+    * truth naively, so a hash match re-certifies that equivalence too.
+    */
+  def candidateAudit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val truth = graft.util.ScratchCheckpoints.register(
+      Dedup.prefixJaccardJoin(docs, tNum = 4, tDen = 5)
+        .select("doc_a", "doc_b").localCheckpoint())
+    def audit(name: String, cand: DataFrame): DataFrame = {
+      val c = graft.util.ScratchCheckpoints.register(
+        cand.select("doc_a", "doc_b").localCheckpoint())
+      c.agg(count(lit(1)).as("n_cand"))
+        .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_true"))))
+        .crossJoin(broadcast(
+          c.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+            .agg(count(lit(1)).as("n_hit"))))
+        .select(lit(name).as("generator"), col("n_cand"), col("n_true"),
+          col("n_hit"), (col("n_true") - col("n_hit")).as("n_missed"),
+          round(col("n_hit").cast("double") / col("n_true"), 6).as("hit_rate"))
+    }
+    audit("minhash_lsh", Dedup.minhashCandidates(docs, md5Parity = true))
+      .unionAll(audit("prefix_filter",
+        Dedup.prefixCandidates(docs, tNum = 4, tDen = 5)))
+      .orderBy("generator")
+  }
+
+  val candidateAuditSql: String =
+    s"""WITH ${minhashPairsCtes()},
+       |pds AS (SELECT doc_id, list_distinct(shingles) AS ss FROM sh),
+       |pex AS (SELECT doc_id, CAST(len(ss) AS BIGINT) AS sz, unnest(ss) AS psh
+       |        FROM pds),
+       |pdf AS (SELECT psh, count(*) AS df FROM pex GROUP BY 1),
+       |prk AS (SELECT e.doc_id, e.sz, e.psh,
+       |        row_number() OVER (PARTITION BY e.doc_id
+       |          ORDER BY d.df, e.psh) AS rs
+       |        FROM pex e JOIN pdf d USING (psh)),
+       |ppf AS (SELECT doc_id, sz, psh FROM prk
+       |        WHERE rs <= sz - ((sz * 4 + 4) // 5) + 1),
+       |pcand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |          FROM ppf a JOIN ppf b
+       |            ON a.psh = b.psh AND a.doc_id < b.doc_id
+       |           AND b.sz * 5 >= a.sz * 4 AND a.sz * 5 >= b.sz * 4),
+       |tr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |       FROM pds a JOIN pds b ON a.doc_id < b.doc_id
+       |       WHERE CAST(len(list_intersect(a.ss, b.ss)) AS BIGINT) * 5 >=
+       |         (CAST(len(a.ss) AS BIGINT) + len(b.ss)
+       |          - len(list_intersect(a.ss, b.ss))) * 4),
+       |u AS (
+       |  SELECT 'minhash_lsh' AS generator,
+       |         (SELECT count(*) FROM cand) AS n_cand,
+       |         (SELECT count(*) FROM tr) AS n_true,
+       |         (SELECT count(*) FROM cand JOIN tr USING (doc_a, doc_b)) AS n_hit
+       |  UNION ALL
+       |  SELECT 'prefix_filter',
+       |         (SELECT count(*) FROM pcand),
+       |         (SELECT count(*) FROM tr),
+       |         (SELECT count(*) FROM pcand JOIN tr USING (doc_a, doc_b)))
+       |SELECT generator, CAST(n_cand AS BIGINT) AS n_cand,
+       |       CAST(n_true AS BIGINT) AS n_true, CAST(n_hit AS BIGINT) AS n_hit,
+       |       CAST(n_true - n_hit AS BIGINT) AS n_missed,
+       |       round(CAST(n_hit AS DOUBLE) / n_true, 6) AS hit_rate
+       |FROM u ORDER BY generator""".stripMargin
+
   // ---------------------------------------------------------------- ML-19
   /** Length-bucketed DYNAMIC batching with a padding-waste audit — the
     * inference/eval counterpart of the packing family (q_ml10-14 pack a

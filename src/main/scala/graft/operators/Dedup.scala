@@ -120,17 +120,27 @@ object Dedup {
     * collisions (rare by construction — prefixes hold each doc's
     * LOWEST-df shingles, so the hot posting lists of common shingles
     * never enter the join); the verify touches candidate pairs only.
-    * All-pairs never materializes anywhere.
+    * All-pairs never materializes anywhere. (Implementation spans
+    * [[shingleSets]] → [[prefixCandidates]] → the verify below.)
     */
-  def prefixJaccardJoin(docs: DataFrame, tNum: Int = 4, tDen: Int = 5,
+  private def shingleSets(docs: DataFrame, shingleSize: Int): DataFrame =
+    docs.select(col("doc_id"),
+      array_distinct(graft.functions.StringShingles.shingles(col("text"),
+        shingleSize)).as("ss"))
+      .withColumn("sz", size(col("ss")).cast("long"))
+
+  /** The CANDIDATE stage of [[prefixJaccardJoin]], exposed (like
+    * [[minhashCandidates]]) so the two generators' volumes and recall
+    * are directly comparable (q_dd14's audit). Distinct (doc_a, doc_b)
+    * pairs sharing a df-ordered prefix shingle and passing the integer
+    * length filter — a PROVEN superset of the ≥ tNum/tDen pairs.
+    */
+  def prefixCandidates(docs: DataFrame, tNum: Int = 4, tDen: Int = 5,
       shingleSize: Int = 3): DataFrame = {
     require(tNum > 0 && tDen >= tNum,
       s"threshold $tNum/$tDen must be a fraction in (0, 1]")
     import org.apache.spark.sql.expressions.Window
-    val arrs = docs.select(col("doc_id"),
-      array_distinct(graft.functions.StringShingles.shingles(col("text"),
-        shingleSize)).as("ss"))
-      .withColumn("sz", size(col("ss")).cast("long"))
+    val arrs = shingleSets(docs, shingleSize)
     val sets = arrs.select(col("doc_id"), col("sz"), explode(col("ss")).as("sh"))
     val dfreq = sets.groupBy("sh").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))
@@ -140,13 +150,19 @@ object Dedup {
       .where(col("rs") <=
         col("sz") - ((col("sz") * tNum + (tDen - 1)) / tDen).cast("long") + 1)
       .select(col("doc_id"), col("sz"), col("sh"))
-    val cands = prefix.as("a").join(prefix.as("b"),
+    prefix.as("a").join(prefix.as("b"),
         col("a.sh") === col("b.sh") &&
         col("a.doc_id") < col("b.doc_id") &&
         col("b.sz") * tDen >= col("a.sz") * tNum &&
         col("a.sz") * tDen >= col("b.sz") * tNum)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  def prefixJaccardJoin(docs: DataFrame, tNum: Int = 4, tDen: Int = 5,
+      shingleSize: Int = 3): DataFrame = {
+    val arrs = shingleSets(docs, shingleSize)
+    val cands = prefixCandidates(docs, tNum, tDen, shingleSize)
     cands
       .join(arrs.select(col("doc_id").as("doc_a"), col("ss").as("sa"),
         col("sz").as("sza")), "doc_a")

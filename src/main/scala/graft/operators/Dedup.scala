@@ -116,12 +116,23 @@ object Dedup {
     * Shape at scale: shingle sets build map-side (fused
     * [[graft.functions.StringShingles]]); df is a wordcount aggregate;
     * the rarity rank is one doc_id exchange; the candidate join is a
-    * HASH join on the prefix shingle whose volume follows rare-shingle
-    * collisions (rare by construction — prefixes hold each doc's
+    * HASH join on the prefix shingle (prefixes hold each doc's
     * LOWEST-df shingles, so the hot posting lists of common shingles
     * never enter the join); the verify touches candidate pairs only.
-    * All-pairs never materializes anywhere. (Implementation spans
-    * [[shingleSets]] → [[prefixCandidates]] → the verify below.)
+    * All-pairs never materializes anywhere.
+    *
+    * MEASURED caveat (SCALE.md prefix-vs-MinHash decade table): the
+    * prune's power is rare-shingle SELECTIVITY, which depends on the
+    * shingle universe growing with the corpus. On diverse real text it
+    * does; on templated/low-entropy corpora it does not, and posting
+    * lists — hence candidates — grow ~n²/|universe| (sf0.1: 43,543
+    * candidates for 256 true pairs, vs MinHash's collision-bound 258).
+    * That trade is the operator's contract: PROOF-complete candidates
+    * at a corpus-structure-dependent volume, vs banding's fixed volume
+    * at measured recall (q_dd14 is the per-corpus decision table;
+    * [[nearDups]] keeps MinHash the scale-safe default for exactly
+    * this reason). (Implementation spans [[shingleSets]] →
+    * [[prefixCandidates]] → the verify below.)
     */
   private def shingleSets(docs: DataFrame, shingleSize: Int): DataFrame =
     docs.select(col("doc_id"),

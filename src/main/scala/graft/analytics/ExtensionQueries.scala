@@ -2764,12 +2764,14 @@ object ExtensionQueries {
        |        row_number() OVER (PARTITION BY e.doc_id
        |          ORDER BY d.df, e.psh) AS rs
        |        FROM pex e JOIN pdf d USING (psh)),
-       |ppf AS (SELECT doc_id, sz, psh FROM prk
+       |ppf AS (SELECT doc_id, sz, psh, CAST(rs AS BIGINT) AS rs FROM prk
        |        WHERE rs <= sz - ((sz * 4 + 4) // 5) + 1),
        |pcand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |          FROM ppf a JOIN ppf b
        |            ON a.psh = b.psh AND a.doc_id < b.doc_id
-       |           AND b.sz * 5 >= a.sz * 4 AND a.sz * 5 >= b.sz * 4),
+       |           AND b.sz * 5 >= a.sz * 4 AND a.sz * 5 >= b.sz * 4
+       |           AND 1 + LEAST(a.sz - a.rs, b.sz - b.rs) >=
+       |               ((a.sz + b.sz) * 4 + 8) // 9),
        |tr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
        |       FROM pds a JOIN pds b ON a.doc_id < b.doc_id
        |       WHERE CAST(len(list_intersect(a.ss, b.ss)) AS BIGINT) * 5 >=

@@ -126,7 +126,8 @@ object Dedup {
     * shingle universe growing with the corpus. On diverse real text it
     * does; on templated/low-entropy corpora it does not, and posting
     * lists — hence candidates — grow ~n²/|universe| (sf0.1: 43,543
-    * candidates for 256 true pairs, vs MinHash's collision-bound 258).
+    * plain-prefix candidates for 256 true pairs, cut to 12,784 by the
+    * positional PPJoin filter, vs MinHash's collision-bound 258).
     * That trade is the operator's contract: PROOF-complete candidates
     * at a corpus-structure-dependent volume, vs banding's fixed volume
     * at measured recall (q_dd14 is the per-corpus decision table;
@@ -144,7 +145,18 @@ object Dedup {
     * [[minhashCandidates]]) so the two generators' volumes and recall
     * are directly comparable (q_dd14's audit). Distinct (doc_a, doc_b)
     * pairs sharing a df-ordered prefix shingle and passing the integer
-    * length filter — a PROVEN superset of the ≥ tNum/tDen pairs.
+    * length AND positional filters — a PROVEN superset of the
+    * ≥ tNum/tDen pairs.
+    *
+    * The POSITIONAL filter is the PPJoin upgrade (Xiao et al., WWW'08):
+    * Jaccard ≥ t needs overlap α = ⌈t/(1+t)·(|A|+|B|)⌉, and a shared
+    * prefix element at df-order ranks (pa, pb) caps the achievable
+    * overlap at 1 + min(|A|−pa, |B|−pb) (only suffix elements can still
+    * match). A pair whose every prefix collision fails that cap cannot
+    * reach α — dropping it per-collision BEFORE the distinct is
+    * lossless because the FIRST shared element of a truly-similar
+    * pair's intersection always passes (everything of A∩B sits at or
+    * after it in both suffixes).
     */
   def prefixCandidates(docs: DataFrame, tNum: Int = 4, tDen: Int = 5,
       shingleSize: Int = 3): DataFrame = {
@@ -156,16 +168,21 @@ object Dedup {
     val dfreq = sets.groupBy("sh").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))
     val prefix = sets.join(dfreq, "sh")
-      .withColumn("rs", row_number().over(w))
+      .withColumn("rs", row_number().over(w).cast("long"))
       // L = sz − ⌈t·sz⌉ + 1, all-integer
       .where(col("rs") <=
         col("sz") - ((col("sz") * tNum + (tDen - 1)) / tDen).cast("long") + 1)
-      .select(col("doc_id"), col("sz"), col("sh"))
+      .select(col("doc_id"), col("sz"), col("sh"), col("rs"))
+    // α = ⌈tNum·(sza+szb) / (tNum+tDen)⌉, integer
+    val alpha = (((col("a.sz") + col("b.sz")) * tNum + (tNum + tDen - 1)) /
+      (tNum + tDen)).cast("long")
     prefix.as("a").join(prefix.as("b"),
         col("a.sh") === col("b.sh") &&
         col("a.doc_id") < col("b.doc_id") &&
         col("b.sz") * tDen >= col("a.sz") * tNum &&
-        col("a.sz") * tDen >= col("b.sz") * tNum)
+        col("a.sz") * tDen >= col("b.sz") * tNum &&
+        lit(1L) + least(col("a.sz") - col("a.rs"), col("b.sz") - col("b.rs"))
+          >= alpha)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
   }

@@ -83,6 +83,30 @@ class HeavyHitterStreamSpec extends SparkSpec {
     assert(exact.nonEmpty && exact.subsetOf(streamCands), s"$exact vs $streamCands")
   }
 
+  test("under the streaming engine: MemoryStream batches converge to the same summary") {
+    // Direct-driven tests prove the contract; this leg runs the SAME
+    // pipeline through writeStream.foreachBatch — the engine thread is
+    // the single writer the generation protocol assumes.
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = Files.createTempDirectory("graft-hhengine").toString
+    val fn = HeavyHitterStream.pipeline(dir, m = 32)
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch(fn).start()
+    try {
+      slices.foreach { s =>
+        mem.addData(docs(s).collect().map(r =>
+          (r.getLong(0), r.getString(1))).toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val (counters, total, _) = HeavyHitterStream.readState(spark, dir).get
+    assert(total == 10000L)
+    assert((0 until 5).forall(i => counters.contains(s"h$i")),
+      s"engine-driven summary keeps every planted heavy: ${counters.keySet}")
+  }
+
   test("foreign counterless state fails loudly") {
     val dir = Files.createTempDirectory("graft-hhforeign").toString
     Seq(("x", 1L, 1L, 0L)).toDF("item", "cnt", "total", "batch_id")

@@ -2717,6 +2717,76 @@ object ExtensionQueries {
       |FROM p WHERE i * 5 >= (sa + sb - i) * 4
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------------------------------------------------------------- ML-20
+  /** Popularity-corrected NEGATIVE SAMPLING (the word2vec/NCE unigram^α
+    * table, α = 3/4) as a declarative inverse-CDF lookup — the random
+    * half of the negative-sampling toolkit (q_sim13/14 mine the HARD
+    * half). The sampling table: corpus unigram counts raised to 0.75
+    * (rounded 6dp — the one cross-engine pow risk, documented), summed
+    * into cumulative [lo, hi) shares in word order (fixed fold order,
+    * the subspaceSum discipline); draws: 20 contexts × 5 negatives,
+    * u = md5("neg:ctx:draw") folded to a rational in [0,1) — exact in
+    * both engines — matched to its word by the interval containment
+    * join. Output proves the draw law end to end: (ctx, draw, word, u).
+    *
+    * Scale shape: the table is one wordcount aggregate + one window
+    * cumsum, bounded by DISTINCT words and broadcast into the draw
+    * stream (at a 10M-word real vocabulary it is still a ~200 MB
+    * broadcast; past that the containment join becomes a bucketed
+    * [[graft.operators.RangeJoin]]-style band join on share buckets —
+    * same semantics, one shuffle). Draws are embarrassingly parallel.
+    */
+  def negativeSampling(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(spark, dir)
+      .select(explode(TF.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .withColumn("w", round(pow(col("n").cast("double"), 0.75), 6))
+    val tot = Window.orderBy("word")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.orderBy("word")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val table = counts
+      .withColumn("hi_w", sum("w").over(tot))
+      .withColumn("tot_w", sum("w").over(all))
+      .select(col("word"), ((col("hi_w") - col("w")) / col("tot_w")).as("lo"),
+        (col("hi_w") / col("tot_w")).as("hi"))
+    val m = TF.MinhashPrime
+    val draws = spark.range(20).select(col("id").as("ctx"))
+      .crossJoin(spark.range(5).select(col("id").as("draw")))
+      .withColumn("u",
+        pmod(TF.hexHash60(concat(lit("neg:"), col("ctx").cast("string"),
+          lit(":"), col("draw").cast("string"))), lit(m)).cast("double") / m)
+    draws.join(broadcast(table), col("u") >= col("lo") && col("u") < col("hi"))
+      .select(col("ctx"), col("draw"), col("word"), round(col("u"), 6).as("u"))
+      .orderBy("ctx", "draw")
+  }
+
+  val negativeSamplingSql: String = {
+    val m = TF.MinhashPrime
+    s"""WITH cnt AS (SELECT word, count(*) AS n FROM
+       |    (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |    GROUP BY 1),
+       |wt AS (SELECT word, round(pow(CAST(n AS DOUBLE), 0.75), 6) AS w FROM cnt),
+       |tb AS (SELECT word,
+       |    (sum(w) OVER (ORDER BY word ROWS BETWEEN UNBOUNDED PRECEDING
+       |       AND CURRENT ROW) - w) /
+       |    (sum(w) OVER (ORDER BY word ROWS BETWEEN UNBOUNDED PRECEDING
+       |       AND UNBOUNDED FOLLOWING)) AS lo,
+       |    sum(w) OVER (ORDER BY word ROWS BETWEEN UNBOUNDED PRECEDING
+       |       AND CURRENT ROW) /
+       |    (sum(w) OVER (ORDER BY word ROWS BETWEEN UNBOUNDED PRECEDING
+       |       AND UNBOUNDED FOLLOWING)) AS hi
+       |  FROM wt),
+       |dr AS (SELECT c.range AS ctx, d.range AS draw,
+       |    CAST(${TF.hexHash60Sql(
+               "'neg:' || c.range || ':' || d.range")} % $m AS DOUBLE) / $m AS u
+       |  FROM range(20) c CROSS JOIN range(5) d)
+       |SELECT dr.ctx, dr.draw, tb.word, round(dr.u, 6) AS u
+       |FROM dr JOIN tb ON dr.u >= tb.lo AND dr.u < tb.hi
+       |ORDER BY ctx, draw""".stripMargin
+  }
+
   // ---------------------------------------------------------------- DD-14
   /** Candidate-generator audit: the two near-dup candidate stages —
     * LOSSLESS prefix filtering ([[Dedup.prefixCandidates]]) and
@@ -2733,8 +2803,16 @@ object ExtensionQueries {
     */
   def candidateAudit(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    // The prefix candidate table is built ONCE (checkpointed) and
+    // serves double duty: its own volume row, and — verified — the
+    // exact truth (lossless by proof, so verify(prefix candidates) IS
+    // the full answer; rebuilding the candidate stage inside a second
+    // prefixJaccardJoin would re-run the df/rank/join pipeline).
+    val cPrefix = graft.util.ScratchCheckpoints.register(
+      Dedup.prefixCandidates(docs, tNum = 4, tDen = 5)
+        .localCheckpoint())
     val truth = graft.util.ScratchCheckpoints.register(
-      Dedup.prefixJaccardJoin(docs, tNum = 4, tDen = 5)
+      Dedup.prefixJaccardVerify(docs, cPrefix, tNum = 4, tDen = 5)
         .select("doc_a", "doc_b").localCheckpoint())
     def audit(name: String, cand: DataFrame): DataFrame = {
       val c = graft.util.ScratchCheckpoints.register(
@@ -2749,8 +2827,7 @@ object ExtensionQueries {
           round(col("n_hit").cast("double") / col("n_true"), 6).as("hit_rate"))
     }
     audit("minhash_lsh", Dedup.minhashCandidates(docs, md5Parity = true))
-      .unionAll(audit("prefix_filter",
-        Dedup.prefixCandidates(docs, tNum = 4, tDen = 5)))
+      .unionAll(audit("prefix_filter", cPrefix))
       .orderBy("generator")
   }
 

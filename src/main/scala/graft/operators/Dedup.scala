@@ -187,10 +187,14 @@ object Dedup {
       .distinct()
   }
 
-  def prefixJaccardJoin(docs: DataFrame, tNum: Int = 4, tDen: Int = 5,
-      shingleSize: Int = 3): DataFrame = {
+  /** Exact verify of candidate pairs against the shingle sets — the
+    * tail of [[prefixJaccardJoin]], exposed so an already-materialized
+    * candidate table (q_dd14's audit checkpoints one) is verified
+    * WITHOUT rebuilding the candidate stage.
+    */
+  def prefixJaccardVerify(docs: DataFrame, cands: DataFrame,
+      tNum: Int = 4, tDen: Int = 5, shingleSize: Int = 3): DataFrame = {
     val arrs = shingleSets(docs, shingleSize)
-    val cands = prefixCandidates(docs, tNum, tDen, shingleSize)
     cands
       .join(arrs.select(col("doc_id").as("doc_a"), col("ss").as("sa"),
         col("sz").as("sza")), "doc_a")
@@ -202,6 +206,11 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         round(col("inter").cast("double") / col("uni"), 6).as("jaccard"))
   }
+
+  def prefixJaccardJoin(docs: DataFrame, tNum: Int = 4, tDen: Int = 5,
+      shingleSize: Int = 3): DataFrame =
+    prefixJaccardVerify(docs, prefixCandidates(docs, tNum, tDen, shingleSize),
+      tNum, tDen, shingleSize)
 
   /** MinHash-LSH candidate pairs BEFORE the exact-Jaccard verify — the
     * banding stage of [[minhashNearDups]], exposed (like

@@ -74,4 +74,32 @@ class TextQualitySpec extends SparkSpec {
       }
     }
   }
+
+  test("negativeSampling: intervals tile [0,1), every draw maps once, popularity wins") {
+    // Planted skew: counts 81/16/1 → unigram^0.75 weights 27/8/1 →
+    // shares 75%/22%/3%. 100 deterministic draws.
+    val text =
+      (Seq.fill(81)("aa") ++ Seq.fill(16)("bb") ++ Seq("cc")).mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft-negsamp").toString
+    Seq((0L, text)).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = ExtensionQueries.negativeSampling(spark, dir).collect()
+    // Exactly one word per (ctx, draw): the cumulative intervals tile
+    // [0,1) with no gap or overlap, so the containment join is a
+    // function.
+    assert(rows.length == 100, s"every draw maps exactly once: ${rows.length}")
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).distinct.length == 100)
+    val freq = rows.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    assert(freq.keySet.subsetOf(Set("aa", "bb", "cc")))
+    // Popularity correction: the 75%-share word must dominate the
+    // 22%-share word (deterministic draws — this is a fixed fact of the
+    // md5 sequence, not a statistical hope).
+    assert(freq.getOrElse("aa", 0) > freq.getOrElse("bb", 0),
+      s"popularity-corrected draws: $freq")
+    assert(freq.getOrElse("aa", 0) >= 60 && freq.getOrElse("aa", 0) <= 90,
+      s"share ~75% of 100 draws: $freq")
+    // Determinism: a second run reproduces the draws bit-for-bit.
+    val again = ExtensionQueries.negativeSampling(spark, dir).collect()
+    assert(again.map(_.toSeq).toSeq == rows.map(_.toSeq).toSeq)
+  }
 }

@@ -619,6 +619,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Window"), "df-ordered prefix rank present: " + p.take(400))
   }
 
+  test("q_dd14: audit reads checkpointed candidate/truth tables, not rebuilt pipelines") {
+    // The candidate table is built once and checkpointed; truth is its
+    // verify; every count in the final plan must bottom out in
+    // ExistingRDD scans — a regression that re-derives candidates or
+    // truth per aggregate would show parquet scans multiplying here.
+    val p = plan("q_dd14_candidate_audit")
+    assert("Scan ExistingRDD".r.findAllIn(p).size >= 4,
+      "counts must read the checkpoints: " + p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(400))
+  }
+
   test("q_txt19: verification pass is a broadcast semi join + partial/final aggregate") {
     // Pass 2 of the heavy hitters: the ≤ m sketch candidates broadcast
     // back as a LeftSemi prune BEFORE the exact count — the token

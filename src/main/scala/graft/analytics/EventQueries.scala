@@ -291,19 +291,35 @@ object EventQueries {
     Tables.events(spark, dir)
       .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
         col("event_type"))
-      .agg(count(lit(1)).as("n"), round(avg("value"), 6).as("avg_value"))
+      // avg in EXACT integer micro-units (event values are 2dp
+      // money-style readings): the original double-sum avg was
+      // order-dependent — at sf0.1 fp noise flipped the 6dp rounding on
+      // 6 of 14,415 rows between engines, and after an exact-cents sum
+      // ONE group remained whose true mean is a representable half
+      // (…3125), where Spark's HALF_UP and DuckDB's double round()
+      // still disagree (round-13 gate). So no float rounding survives
+      // at all: the cents sum is a BIGINT, and avg_micro =
+      // ⌊(2·10⁴·cents + n) / (2n)⌋ is HALF_UP(10⁶·avg) in pure integer
+      // arithmetic — bit-identical on any engine, at any scale, in any
+      // fold order.
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("cents"))
       .select(unix_micros(col("w.start")).as("ws_us"), col("event_type"),
-        col("n"), col("avg_value"))
+        col("n"),
+        expr("(cents * 20000 + n) div (n * 2)").as("avg_micro"))
       .orderBy("ws_us", "event_type")
 
   val slidingWindowsSql: String =
-    """SELECT ws_us, event_type, count(*) AS n,
-      |       round(avg(value), 6) AS avg_value
-      |FROM (SELECT ((epoch_us(ts) // 900000000) * 900
-      |              - k.range * 900) * 1000000 AS ws_us,
-      |             event_type, value
-      |      FROM events CROSS JOIN range(4) k)
-      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    """SELECT ws_us, event_type, n,
+      |       CAST((cents * 20000 + n) // (n * 2) AS BIGINT) AS avg_micro
+      |FROM (SELECT ws_us, event_type, count(*) AS n,
+      |             sum(CAST(round(value * 100) AS BIGINT)) AS cents
+      |      FROM (SELECT ((epoch_us(ts) // 900000000) * 900
+      |                    - k.range * 900) * 1000000 AS ws_us,
+      |                   event_type, value
+      |            FROM events CROSS JOIN range(4) k)
+      |      GROUP BY 1, 2)
+      |ORDER BY 1, 2""".stripMargin
 
   /** CMP round-trip as one oracled query (CMP-3/4/5/7 + SNK-1/3 + SRC-6):
     * land a deterministic slice of `events` as small JSON log files, run

@@ -18,12 +18,13 @@ QUERIES = [
     "q_sim7_pq_error", "q_txt12_bm25", "q_rel29_merge_upsert",
     "q_ml9_curation_funnel_v2", "q_rel14_topk",
     "q_adv7_pagerank", "q_sim10_ivfpq_serve",
+    "q_dd13_prefix_jaccard", "q_ml19_length_buckets",
 ]
 
 HEADER = '''# PLANS — executed physical plans of headline queries
 
 `graft.tools.Explain` output (sf0.001, the engine's own AQE-enabled
-session) for seventeen representative queries — the evidence behind SCALE.md's
+session) for nineteen representative queries — the evidence behind SCALE.md's
 shuffle-structure claims, regenerable any time with:
 
 ```bash
@@ -56,7 +57,11 @@ decontamination join and the stage aggregates (ML-9), the pagerank
 rounds reading `Scan ExistingRDD` checkpoint leaves — zero parquet
 scans, the round-7 fix for AQE's non-reuse of repeated subtrees
 (ADV-7), the composed IVF-PQ serve probing cells before any ADC
-scoring with the LUT and probe tables broadcast (SIM-10), and wide
+scoring with the LUT and probe tables broadcast (SIM-10), the
+prefix-filter join's df-ordered rank feeding a HASH self-join with the
+PPJoin positional condition — no cartesian anywhere (DD-13), the
+length-bucket audit's single hash exchange whose partitioning satisfies
+the window AND both aggregates (ML-19), and wide
 `WholeStageCodegen` spans
 throughout.
 

@@ -302,6 +302,14 @@ object EventQueries {
       // ⌊(2·10⁴·cents + n) / (2n)⌋ is HALF_UP(10⁶·avg) in pure integer
       // arithmetic — bit-identical on any engine, at any scale, in any
       // fold order.
+      //
+      // PRECONDITION: value >= 0 (sensor-style readings; the events
+      // fixture's min is 0.0). Both cross-engine identities the formula
+      // rests on hold ONLY for a non-negative numerator: Spark's `div`
+      // truncates toward zero while DuckDB's `//` floors (they diverge
+      // below 0), and ⌊(2a+n)/(2n)⌋ = HALF_UP only for a >= 0. A signed
+      // variant would need floor-division on both engines plus HALF_EVEN
+      // care — out of scope while the domain is readings >= 0.
       .agg(count(lit(1)).as("n"),
         sum(round(col("value") * 100).cast("long")).as("cents"))
       .select(unix_micros(col("w.start")).as("ws_us"), col("event_type"),

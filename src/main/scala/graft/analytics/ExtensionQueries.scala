@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => TF}
+import graft.multimodal.{Multimodal => MM}
 import graft.operators.{DataSplits, Dedup, Similarity}
 import graft.sources.Tables
 
@@ -1735,6 +1736,163 @@ object ExtensionQueries {
       |WHERE strlen(frame) > 0
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ----------------------------------------------------------------- MM-3
+  /** REAL WAV decode ([[graft.multimodal.WavCodec]]): per doc, PCM-16
+    * samples synthesized by an integer law ([[MM.wavSamples]]) are
+    * encoded into genuine RIFF/WAVE bytes and the features come from
+    * the DECODED payload — chunk walk, fmt validation, sample
+    * reconstruction. The oracle replays only the generating formula,
+    * so a hash match certifies the binary round-trip (including the
+    * position-weighted Σ(i+1)·sᵢ that pins sample order — an
+    * endianness or offset bug keeps the sums but not this).
+    */
+  def wavDecode(spark: SparkSession, dir: String): DataFrame =
+    MM.decodeWavFeatures(MM.synthWavAssets(Tables.documents(spark, dir)))
+      .orderBy("media_id")
+
+  val wavDecodeSql: String =
+    """WITH p AS (SELECT doc_id, 64 + doc_id % 64 AS n,
+      |                  8000 + 1000 * (doc_id % 4) AS rate FROM documents),
+      |s AS (SELECT p.doc_id, p.rate, i.range AS i,
+      |             ((p.doc_id * 31 + i.range * 7) % 4096) - 2048 AS sv
+      |      FROM p CROSS JOIN range(128) i WHERE i.range < p.n)
+      |SELECT doc_id AS media_id, CAST(any_value(rate) AS BIGINT) AS sample_rate,
+      |       CAST(count(*) AS BIGINT) AS n_samples,
+      |       CAST(sum(sv) AS BIGINT) AS sum_s,
+      |       CAST(min(sv) AS BIGINT) AS min_s,
+      |       CAST(max(sv) AS BIGINT) AS max_s,
+      |       CAST(sum((i + 1) * sv) AS BIGINT) AS wsum
+      |FROM s GROUP BY doc_id ORDER BY media_id""".stripMargin
+
+  // ----------------------------------------------------------------- MM-4
+  /** REAL BMP decode ([[graft.multimodal.BmpCodec]]): 24-bit DIB
+    * payloads synthesized by an integer law ([[MM.bmpImage]] — widths
+    * 5..8 exercise all three row-padding amounts, heights 3..5) are
+    * decoded back through header parse, padded-row walk, and bottom-up
+    * undo. The weighted Σ(y·w+x+1)·r feature breaks under any padding
+    * or row-order slip; the oracle replays the pixel formula only.
+    */
+  def bmpDecode(spark: SparkSession, dir: String): DataFrame =
+    MM.decodeBmpFeatures(MM.synthBmpAssets(Tables.documents(spark, dir),
+      MM.bmpImage))
+      .orderBy("media_id")
+
+  val bmpDecodeSql: String =
+    """WITH g AS (SELECT doc_id, 5 + doc_id % 4 AS w, 3 + doc_id % 3 AS h
+      |           FROM documents),
+      |px AS (SELECT g.doc_id, g.w, g.h, x.range AS x, y.range AS y
+      |       FROM g CROSS JOIN range(8) x CROSS JOIN range(5) y
+      |       WHERE x.range < g.w AND y.range < g.h)
+      |SELECT doc_id AS media_id, CAST(any_value(w) AS BIGINT) AS width,
+      |       CAST(any_value(h) AS BIGINT) AS height,
+      |       CAST(count(*) AS BIGINT) AS n_pixels,
+      |       CAST(sum((doc_id + 3 * x + 7 * y) % 256) AS BIGINT) AS sum_b,
+      |       CAST(sum((2 * doc_id + 5 * x + y) % 256) AS BIGINT) AS sum_g,
+      |       CAST(sum((3 * doc_id + x + 11 * y) % 256) AS BIGINT) AS sum_r,
+      |       CAST(sum((y * w + x + 1) * ((3 * doc_id + x + 11 * y) % 256))
+      |         AS BIGINT) AS wsum_r
+      |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin
+
+  // ----------------------------------------------------------------- MM-5
+  /** Cross-modal INTEGRITY audit — the caption↔asset hygiene pass a
+    * paired dataset runs before training: every caption must have a
+    * DECODABLE asset, every decodable asset a caption, and mangled
+    * assets are surfaced as their own population. Assets exist for
+    * doc_id % 3 ≠ 0 and are deterministically truncated (20 bytes — a
+    * torn transfer) for doc_id % 7 = 3; captions exist for
+    * doc_id % 5 ≠ 2. Decodability on the Spark side is a REAL
+    * [[graft.multimodal.WavCodec.tryDecode]] attempt per payload; the
+    * oracle predicts it purely from the residues — equality proves the
+    * decoder accepts exactly the well-formed population. Anti-joins
+    * both directions (REL-7 machinery), one decode pass over assets.
+    */
+  def crossmodalIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val assets = MM.synthWavAssets(docs.where(col("doc_id") % 3 =!= 0),
+      corruptMod = 7, corruptRes = 3)
+    val decoded = assets.mapPartitions(rows => rows.map(m =>
+        (m.media_id, graft.multimodal.WavCodec.tryDecode(m.payload).isDefined)))
+      .toDF("media_id", "ok")
+    val captions = docs.where(col("doc_id") % 5 =!= 2).select("doc_id")
+    val good = decoded.where(col("ok")).select("media_id")
+    captions.join(good, captions("doc_id") === good("media_id"), "left_anti")
+      .select(col("doc_id"), lit("caption_no_decodable_asset").as("issue"))
+      .unionByName(
+        good.join(captions, good("media_id") === captions("doc_id"), "left_anti")
+          .select(col("media_id").as("doc_id"), lit("asset_no_caption").as("issue")))
+      .unionByName(
+        decoded.where(!col("ok"))
+          .select(col("media_id").as("doc_id"), lit("asset_undecodable").as("issue")))
+      .orderBy("doc_id", "issue")
+  }
+
+  val crossmodalIntegritySql: String =
+    """WITH cap AS (SELECT doc_id FROM documents WHERE doc_id % 5 != 2),
+      |a AS (SELECT doc_id FROM documents WHERE doc_id % 3 != 0),
+      |good AS (SELECT doc_id FROM a WHERE doc_id % 7 != 3)
+      |SELECT doc_id, issue FROM (
+      |  SELECT doc_id, 'caption_no_decodable_asset' AS issue FROM cap
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM good)
+      |  UNION ALL
+      |  SELECT doc_id, 'asset_no_caption' FROM good
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM cap)
+      |  UNION ALL
+      |  SELECT doc_id, 'asset_undecodable' FROM a WHERE doc_id % 7 = 3)
+      |ORDER BY doc_id, issue""".stripMargin
+
+  // ----------------------------------------------------------------- MM-6
+  /** MODALITY near-dup: image near-duplicate detection wired through
+    * the EXISTING embedding-ANN dedup tier ([[Dedup.embeddingNearDupsAnn]]
+    * — q_dd8's exact machinery), with the embeddings coming from
+    * DECODED image bytes instead of the embeddings table: class-
+    * structured BMPs ([[MM.bmpClassImage]] — 16 near-duplicate families
+    * differing by one pixel) are decoded and probed at 8 fixed
+    * coordinates ([[MM.bmpProbeEmbeddings]] — the most decode-sensitive
+    * embedding possible). The trained-IVF cells block the corpus, exact
+    * cosine ≥ 0.98 verifies within cells. The oracle replays feature
+    * formula + the shared IVF training CTEs — the same replay q_dd8
+    * certifies against. Subset doc_id % 9 = 4 bounds pair volume (the
+    * within-cell join is the operator's documented quadratic-in-cell
+    * cost, not the query's); 9 is COPRIME with the class
+    * modulus 16, so all 16 near-dup families stay represented (an even
+    * subset modulus reaches only the odd classes).
+    */
+  def imageNearDupAnn(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDupsAnn(
+        MM.bmpProbeEmbeddings(MM.synthBmpAssets(
+          Tables.documents(spark, dir).where(col("doc_id") % 9 === 4),
+          MM.bmpClassImage)),
+        threshold = 0.98, nCentroids = 16, lloydIters = 2, trainN = 1024,
+        seedPlanes = 6, dim = 8)
+      .orderBy("vec_a", "vec_b")
+
+  val imageNearDupAnnSql: String = {
+    val (training, cFinal) = ivfTrainingCtes(16, 2, 1024, seedPlanes = 6, dim = 8)
+    s"""WITH v AS (SELECT doc_id AS vec_id,
+       |    list_transform(range(8), j -> CAST(2 * (
+       |      CASE WHEN j % 3 = 0 THEN
+       |             ((doc_id % 16) * 17 + 3 * (j % 5)) % 255
+       |             + CASE WHEN j = 0 THEN (doc_id // 16) % 2 ELSE 0 END
+       |           WHEN j % 3 = 1 THEN
+       |             ((doc_id % 16) * 29 + 5 * (j % 5) + 1) % 255
+       |           ELSE ((doc_id % 16) * 41 + (j % 5) + 22) % 255
+       |      END) - 255 AS DOUBLE)) AS e
+       |  FROM documents WHERE doc_id % 9 = 4),
+       |$training,
+       |ca AS (SELECT vec_id, e, cid FROM (
+       |    SELECT v.vec_id, v.e, c.cid,
+       |           row_number() OVER (PARTITION BY v.vec_id
+       |             ORDER BY round(list_cosine_similarity(v.e, c.ce), 6) DESC, c.cid) AS rn
+       |    FROM v CROSS JOIN $cFinal c)
+       |  WHERE rn = 1 AND list_dot_product(e, e) > 0)
+       |SELECT vec_a, vec_b, cos FROM (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |         round(list_cosine_similarity(a.e, b.e), 6) AS cos
+       |  FROM ca a JOIN ca b ON a.cid = b.cid AND a.vec_id < b.vec_id)
+       |WHERE cos >= 0.98 ORDER BY vec_a, vec_b""".stripMargin
+  }
+
   // ---------------------------------------------------------------- TXT-7
   /** Denylist scrubbing — the PII-redaction operator shape (regex replace
     * + per-group audit counts) over the corpus' own vocabulary (the
@@ -2562,6 +2720,16 @@ object ExtensionQueries {
     * skew is exercised in HeavyHittersSpec's planted-Zipf tests. The
     * keep decision is integer arithmetic (`n·100 ≥ N·3`) so both
     * engines agree bit-for-bit.
+    *
+    * EAGER CONSTRUCTION: [[HeavyHitters.frequentItems]] executes
+    * sketch pass 1 at call time (a `head()` over the corpus to collect
+    * the single merged ≤ m-entry summary — bounded by construction),
+    * so this entry pays a corpus scan at DataFrame CONSTRUCTION, unlike
+    * every other `queries` entry (lazy plans). Bench and Verify both
+    * time construction+execution together per query (the constructor
+    * runs inside the timed block), so the scan is attributed to this
+    * query either way; plan-audit tooling must not assume construction
+    * is free here.
     */
   def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -2746,11 +2914,18 @@ object ExtensionQueries {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val all = Window.orderBy("word")
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // lo = lag(hi), NOT (cumsum − w)/tot: by fp cancellation the latter
+    // need not equal the previous row's hi, so interval endpoints could
+    // leave ulp-scale gaps/overlaps (a draw matching 0 or 2 words).
+    // lag makes the [0,1) tiling exact BY CONSTRUCTION — each interval
+    // starts exactly where the previous one ends.
     val table = counts
       .withColumn("hi_w", sum("w").over(tot))
       .withColumn("tot_w", sum("w").over(all))
-      .select(col("word"), ((col("hi_w") - col("w")) / col("tot_w")).as("lo"),
-        (col("hi_w") / col("tot_w")).as("hi"))
+      .withColumn("hi", col("hi_w") / col("tot_w"))
+      .withColumn("lo",
+        coalesce(lag("hi", 1).over(Window.orderBy("word")), lit(0.0)))
+      .select("word", "lo", "hi")
     val m = TF.MinhashPrime
     val draws = spark.range(20).select(col("id").as("ctx"))
       .crossJoin(spark.range(5).select(col("id").as("draw")))
@@ -2768,16 +2943,15 @@ object ExtensionQueries {
        |    (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
        |    GROUP BY 1),
        |wt AS (SELECT word, round(pow(CAST(n AS DOUBLE), 0.75), 6) AS w FROM cnt),
-       |tb AS (SELECT word,
-       |    (sum(w) OVER (ORDER BY word ROWS BETWEEN UNBOUNDED PRECEDING
-       |       AND CURRENT ROW) - w) /
-       |    (sum(w) OVER (ORDER BY word ROWS BETWEEN UNBOUNDED PRECEDING
-       |       AND UNBOUNDED FOLLOWING)) AS lo,
+       |tb0 AS (SELECT word,
        |    sum(w) OVER (ORDER BY word ROWS BETWEEN UNBOUNDED PRECEDING
        |       AND CURRENT ROW) /
        |    (sum(w) OVER (ORDER BY word ROWS BETWEEN UNBOUNDED PRECEDING
        |       AND UNBOUNDED FOLLOWING)) AS hi
        |  FROM wt),
+       |tb AS (SELECT word,
+       |    coalesce(lag(hi) OVER (ORDER BY word), 0.0) AS lo, hi
+       |  FROM tb0),
        |dr AS (SELECT c.range AS ctx, d.range AS draw,
        |    CAST(${TF.hexHash60Sql(
                "'neg:' || c.range || ':' || d.range")} % $m AS DOUBLE) / $m AS u

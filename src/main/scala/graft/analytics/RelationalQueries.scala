@@ -208,6 +208,49 @@ object RelationalQueries {
         approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
         approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
 
+  /** REL-10d: the HLL error-bound AUDIT as a green-oracle row — the
+    * companion that makes the approx path's guarantee itself a
+    * CORRECTNESS entry. q_rel10b stays rows-only by contract (the
+    * sketch values have no DuckDB equivalent); this query reduces the
+    * sketch to the one thing both engines CAN agree on: whether
+    * |approx − exact| ≤ 5·rsd·exact (the EventSemanticsSpec tolerance,
+    * now certified per run by the oracle compare). The oracle computes
+    * the exact counts and pins `within_bound = 1`; a hash match
+    * therefore asserts the estimate honored its bound on this corpus.
+    * One pass over lineitem computes all six aggregates.
+    */
+  def approxDistinctAudit(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .agg(
+        approx_count_distinct(col("l_orderkey"), 0.01).as("a_ord"),
+        countDistinct(col("l_orderkey")).as("e_ord"),
+        approx_count_distinct(col("l_partkey"), 0.01).as("a_part"),
+        countDistinct(col("l_partkey")).as("e_part"),
+        approx_count_distinct(col("l_suppkey"), 0.01).as("a_supp"),
+        countDistinct(col("l_suppkey")).as("e_supp"))
+      .select(explode(array(
+        struct(lit("l_orderkey").as("metric"), col("e_ord").as("n_exact"),
+          (abs(col("a_ord") - col("e_ord")) <= col("e_ord") * 0.05)
+            .cast("long").as("within_bound")),
+        struct(lit("l_partkey").as("metric"), col("e_part").as("n_exact"),
+          (abs(col("a_part") - col("e_part")) <= col("e_part") * 0.05)
+            .cast("long").as("within_bound")),
+        struct(lit("l_suppkey").as("metric"), col("e_supp").as("n_exact"),
+          (abs(col("a_supp") - col("e_supp")) <= col("e_supp") * 0.05)
+            .cast("long").as("within_bound")))).as("r"))
+      .select("r.*")
+      .orderBy("metric")
+
+  val approxDistinctAuditSql: String =
+    """SELECT metric, n_exact, CAST(1 AS BIGINT) AS within_bound FROM (
+      |  SELECT 'l_orderkey' AS metric,
+      |         count(DISTINCT l_orderkey) AS n_exact FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_partkey', count(DISTINCT l_partkey) FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_suppkey', count(DISTINCT l_suppkey) FROM lineitem)
+      |ORDER BY metric""".stripMargin
+
   /** REL-9/10 extension: order-statistics battery — exact interpolated
     * percentiles (both engines use linear interpolation over the sorted
     * group) and sample stddev (rounded: Welford accumulation order

@@ -78,4 +78,198 @@ object Multimodal {
       array((0 until maxFrames).map(i =>
         substring(col("payload"), i * stride + 1, frameSize)): _*)).as(Seq("frame_no", "frame")))
       .where(length(col("frame")) > 0)
+
+  // ------------------------------------------------------------------
+  // REAL-format decode tier ([[WavCodec]] / [[BmpCodec]]): payloads are
+  // synthesized from doc_id by pure INTEGER formulas, encoded into
+  // genuine WAV/BMP bytes, and features are extracted from the DECODED
+  // bytes — never from the formula. The DuckDB oracle replays only the
+  // generating formula, so a hash match certifies the entire binary
+  // path: header layout, chunk walking, BMP row padding (widths 5..8
+  // pad 1,2,3,0 bytes) and bottom-up row order. Every stage is
+  // `mapPartitions` (per-partition codec amortization, zero driver
+  // state) — the shape a real image/audio decode runs at 100 TB.
+  // ------------------------------------------------------------------
+
+  /** Synthesized audio law (shared by [[synthWavAssets]] and the q_mm3
+    * oracle): n = 64 + d%64 samples at rate 8000 + 1000·(d%4) Hz,
+    * sample i = ((d·31 + i·7) mod 4096) − 2048. Integer-only, so the
+    * oracle states it in SQL verbatim.
+    */
+  def wavSamples(d: Long): (Int, Array[Short]) = {
+    val n = (64 + d % 64).toInt
+    val samples = Array.tabulate(n)(i => (((d * 31 + i * 7) % 4096) - 2048).toShort)
+    ((8000 + 1000 * (d % 4)).toInt, samples)
+  }
+
+  /** WAV assets over `docs`: one mono PCM-16 payload per doc_id via
+    * [[WavCodec.encode]]. When `corruptMod > 0`, payloads of doc_id ≡
+    * `corruptRes` (mod `corruptMod`) are truncated to 20 bytes — a
+    * deterministic "transfer-mangled asset" population for the
+    * integrity audit (20 < the 44-byte header, so [[WavCodec.decode]]
+    * genuinely rejects them, and the oracle predicts which by residue).
+    */
+  def synthWavAssets(docs: DataFrame, corruptMod: Int = 0,
+      corruptRes: Int = 0): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { d =>
+        val (rate, samples) = wavSamples(d)
+        val full = WavCodec.encode(samples, rate)
+        val payload =
+          if (corruptMod > 0 && d % corruptMod == corruptRes) full.take(20)
+          else full
+        MediaRecord(d, payload, "audio/wav", payload.length.toLong)
+      }
+    }
+  }
+
+  /** Decode WAV assets ([[WavCodec.decode]] — throws on malformed) and
+    * emit integer features of the decoded samples: count, rate, sum,
+    * min, max, and the position-weighted Σ(i+1)·sᵢ that pins sample
+    * ORDER (an endianness or offset bug preserves the sums but not the
+    * weighted sum).
+    */
+  def decodeWavFeatures(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val a = WavCodec.decode(m.payload)
+        var (sum, wsum) = (0L, 0L)
+        var (mn, mx) = (Int.MaxValue, Int.MinValue)
+        var i = 0
+        while (i < a.samples.length) {
+          val s = a.samples(i).toInt
+          sum += s; wsum += (i + 1).toLong * s
+          if (s < mn) mn = s
+          if (s > mx) mx = s
+          i += 1
+        }
+        (m.media_id, a.sampleRate.toLong, a.samples.length.toLong, sum,
+          mn.toLong, mx.toLong, wsum)
+      }
+    }.toDF("media_id", "sample_rate", "n_samples", "sum_s", "min_s",
+      "max_s", "wsum")
+  }
+
+  /** Synthesized image law (shared with the q_mm4 oracle): w = 5 + d%4
+    * (exercising all three BMP pad widths), h = 3 + d%3, channels
+    * b = (d + 3x + 7y) % 256, g = (2d + 5x + y) % 256,
+    * r = (3d + x + 11y) % 256, top-down row-major.
+    */
+  def bmpImage(d: Long): BmpCodec.BmpImage = {
+    val w = (5 + d % 4).toInt
+    val h = (3 + d % 3).toInt
+    val n = w * h
+    val (b, g, r) = (new Array[Int](n), new Array[Int](n), new Array[Int](n))
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val i = y * w + x
+        b(i) = ((d + 3 * x + 7 * y) % 256).toInt
+        g(i) = ((2 * d + 5 * x + y) % 256).toInt
+        r(i) = ((3 * d + x + 11 * y) % 256).toInt
+        x += 1
+      }
+      y += 1
+    }
+    BmpCodec.BmpImage(w, h, b, g, r)
+  }
+
+  /** Class-structured image law for the modality near-dup tier (q_mm6):
+    * the pattern depends on the CLASS c = d % 16 (w = 5 + c%4,
+    * h = 3 + c%3, channels linear in (c, x, y) mod 255), plus a 1-count
+    * perturbation of pixel (0,0)'s blue channel for odd d/16 — so every
+    * class is a near-duplicate family (same image up to one pixel) and
+    * distinct classes are unrelated patterns.
+    */
+  def bmpClassImage(d: Long): BmpCodec.BmpImage = {
+    val c = d % 16
+    val w = (5 + c % 4).toInt
+    val h = (3 + c % 3).toInt
+    val n = w * h
+    val (b, g, r) = (new Array[Int](n), new Array[Int](n), new Array[Int](n))
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val i = y * w + x
+        b(i) = ((c * 17 + 3 * x + 7 * y) % 255).toInt
+        g(i) = ((c * 29 + 5 * x + y) % 255).toInt
+        r(i) = ((c * 41 + x + 11 * y) % 255).toInt
+        x += 1
+      }
+      y += 1
+    }
+    b(0) += ((d / 16) % 2).toInt // ≤ 254 + 1: still a valid byte
+    BmpCodec.BmpImage(w, h, b, g, r)
+  }
+
+  /** BMP assets over `docs` via `imageOf` (one of the laws above) +
+    * [[BmpCodec.encode]].
+    */
+  def synthBmpAssets(docs: DataFrame, imageOf: Long => BmpCodec.BmpImage)
+      : Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { d =>
+        val payload = BmpCodec.encode(imageOf(d))
+        MediaRecord(d, payload, "image/bmp", payload.length.toLong)
+      }
+    }
+  }
+
+  /** Decode BMP assets and emit integer features: dimensions, per-
+    * channel sums, and the position-weighted Σ(y·w+x+1)·r(x,y) — the
+    * feature that breaks if padding is mis-skipped or bottom-up order
+    * is not undone (both shift which byte lands at which (x, y)).
+    */
+  def decodeBmpFeatures(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val img = BmpCodec.decode(m.payload)
+        var (sb, sg, sr, wr) = (0L, 0L, 0L, 0L)
+        var i = 0
+        while (i < img.b.length) {
+          sb += img.b(i); sg += img.g(i); sr += img.r(i)
+          wr += (i + 1).toLong * img.r(i)
+          i += 1
+        }
+        (m.media_id, img.width.toLong, img.height.toLong,
+          (img.width * img.height).toLong, sb, sg, sr, wr)
+      }
+    }.toDF("media_id", "width", "height", "n_pixels", "sum_b", "sum_g",
+      "sum_r", "wsum_r")
+  }
+
+  /** Image-probe embedding from DECODED pixels: 8 fixed probe sites
+    * (xⱼ, yⱼ) = (j mod 5, j mod 3) — in-bounds for every class since
+    * w ≥ 5, h ≥ 3 — cycling channels b, g, r; each feature is the
+    * signed 2·ch − 255. Probing exact coordinates is the most
+    * decode-sensitive embedding possible (any padding/row-order slip
+    * reads a different byte), and the signed recentering spreads class
+    * directions so cosine near-dup separates families cleanly. Output
+    * (vec_id, embedding float[8]) — integer-valued, so the float cast
+    * is exact and the DuckDB replay agrees bit-for-bit.
+    */
+  def bmpProbeEmbeddings(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val img = BmpCodec.decode(m.payload)
+        val feats = Array.tabulate(8) { j =>
+          val i = (j % 3) * img.width + (j % 5)
+          val ch = (j % 3) match {
+            case 0 => img.b(i)
+            case 1 => img.g(i)
+            case _ => img.r(i)
+          }
+          (2 * ch - 255).toFloat
+        }
+        (m.media_id, feats)
+      }
+    }.toDF("vec_id", "embedding")
+  }
 }

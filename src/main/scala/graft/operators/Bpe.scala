@@ -89,6 +89,173 @@ object Bpe {
     learn(docs, nMerges)._1.toDF("rank", "lhs", "rhs", "merged", "cnt")
   }
 
+  // ------------------------------------------------------------------
+  // VOCAB-SCALE STANCE. [[learnMerges]] runs one Spark job + one 1-row
+  // collect PER MERGE ROUND — bounded and correct, but a production
+  // vocabulary is ~32k merges = 32k sequential jobs; the driver loop,
+  // not the data, becomes the clock. The 100 TB path is
+  // [[learnMergesLocal]]: ONE corpus wordcount shuffle (the same
+  // aggregate every TXT operator bottoms out in), ONE bounded driver
+  // collect of the frequency-pruned vocabulary (`minFreq`/`maxVocab` —
+  // the pruning every production tokenizer trainer applies; unpruned,
+  // the pin is all distinct words, which Sennrich-style training
+  // assumes fits memory anyway), then the full merge loop IN MEMORY
+  // with incremental pair-count maintenance — zero jobs per round —
+  // and distributed exact APPLY via [[textCount]]/[[tokenCounts]]'
+  // literal-replace meter. Learned tables are IDENTICAL to the
+  // distributed loop's by construction (spec-pinned, quirk included —
+  // see applyMerge); rounds cost microseconds instead of jobs, so
+  // nMerges 6 → 32k changes the driver loop's length, not the
+  // cluster's work. BpeProbe measures both laws at nMerges 6/64/256.
+  // ------------------------------------------------------------------
+
+  /** Unsigned UTF-8 byte comparison — Spark's binary string ordering,
+    * so in-memory tie-breaks match `orderBy(cnt desc, l, r)` exactly
+    * (java String compareTo diverges on non-ASCII code points).
+    */
+  private def ltUtf8(a: String, b: String): Boolean = {
+    val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** The literal-replace merge law on a symbol array — EXACTLY what
+    * `replace(state, " l r", " lr")` does to the space-joined state,
+    * quirk included: the pattern consumes no trailing separator, so it
+    * fires when `syms(i) == l` and `syms(i+1)` merely STARTS WITH `r`,
+    * fusing the whole next symbol (" a ba" + merge (a,b) → " aba").
+    * Left-to-right, non-overlapping, scan resumes after the fused pair.
+    * The in-memory learner must reproduce this byte-for-byte or its
+    * table diverges from [[learnMerges]]'/the oracle's — BpeSpec pins
+    * the quirk corpus.
+    */
+  private def applyMerge(syms: Array[String], l: String, r: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == l && syms(i + 1).startsWith(r)) {
+        out += syms(i) + syms(i + 1)
+        i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** In-memory merge-table learning over a collected (word, freq)
+    * vocabulary: identical output to [[learnMerges]] on the same
+    * vocabulary, zero Spark jobs per round. Incremental bookkeeping:
+    * exact adjacent-pair counts (overlapping positions, the zip count)
+    * in a tree ordered by (cnt desc, l, r) for O(log) best-pair
+    * selection, plus an occurrence index keyed by (left symbol, first
+    * char of right symbol) — the superset the replace quirk requires
+    * (an exact-pair index would miss the " a ba" fusion sites).
+    */
+  private[graft] def learnLocal(vocab: Array[(String, Long)], nMerges: Int)
+      : Seq[(Int, String, String, String, Long)] = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    import scala.collection.mutable
+    val syms = vocab.map { case (w, _) => w.map(_.toString).toArray }
+    val freq = vocab.map(_._2)
+    val cnt = mutable.HashMap.empty[(String, String), Long]
+    val byLF = mutable.HashMap.empty[(String, Char), mutable.Set[Int]]
+    implicit val ord: Ordering[(Long, String, String)] =
+      new Ordering[(Long, String, String)] {
+        def compare(a: (Long, String, String), b: (Long, String, String)): Int = {
+          if (a._1 != b._1) return if (a._1 > b._1) -1 else 1 // cnt DESC
+          if (a._2 != b._2) return if (ltUtf8(a._2, b._2)) -1 else 1
+          if (a._3 != b._3) return if (ltUtf8(a._3, b._3)) -1 else 1
+          0
+        }
+      }
+    val heap = mutable.TreeSet.empty[(Long, String, String)]
+    def addWord(idx: Int, sign: Long, deltas: mutable.Map[(String, String), Long]): Unit = {
+      val s = syms(idx)
+      var i = 0
+      while (i < s.length - 1) {
+        val p = (s(i), s(i + 1))
+        deltas(p) = deltas.getOrElse(p, 0L) + sign * freq(idx)
+        val k = (s(i), s(i + 1).head)
+        if (sign > 0) byLF.getOrElseUpdate(k, mutable.Set.empty) += idx
+        i += 1
+      }
+      if (sign < 0) {
+        i = 0
+        while (i < s.length - 1) {
+          byLF.get((s(i), s(i + 1).head)).foreach(_ -= idx)
+          i += 1
+        }
+      }
+    }
+    def commit(deltas: mutable.Map[(String, String), Long]): Unit =
+      deltas.foreach { case (p, d) =>
+        if (d != 0L) {
+          val old = cnt.getOrElse(p, 0L)
+          if (old != 0L) heap.remove((old, p._1, p._2))
+          val nw = old + d
+          if (nw != 0L) { cnt(p) = nw; heap.add((nw, p._1, p._2)) }
+          else cnt.remove(p)
+        }
+      }
+    val init = mutable.HashMap.empty[(String, String), Long]
+    syms.indices.foreach(addWord(_, 1L, init))
+    commit(init)
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    for (round <- 1 to nMerges) {
+      require(heap.nonEmpty,
+        s"BPE round $round found no adjacent pairs — corpus has no multi-char words")
+      val (c, l, r) = heap.head
+      merges += ((round, l, r, l + r, c))
+      val deltas = mutable.HashMap.empty[(String, String), Long]
+      // Candidates: every word with an adjacent (l, x) where x could
+      // start with r (byLF superset); re-check per word.
+      byLF.get((l, r.head)).map(_.toArray).getOrElse(Array.empty).foreach { idx =>
+        val s = syms(idx)
+        var affected = false
+        var i = 0
+        while (!affected && i < s.length - 1) {
+          affected = s(i) == l && s(i + 1).startsWith(r)
+          i += 1
+        }
+        if (affected) {
+          addWord(idx, -1L, deltas)
+          syms(idx) = applyMerge(s, l, r)
+          addWord(idx, 1L, deltas)
+        }
+      }
+      commit(deltas)
+    }
+    merges.result()
+  }
+
+  /** The production learning path (see the stance block above): one
+    * corpus wordcount, one bounded vocabulary collect (`minFreq` drops
+    * hapax-class words, `maxVocab` hard-caps the pin — deterministic
+    * freq-desc/word tie-break), then [[learnLocal]]. With no pruning
+    * the table is IDENTICAL to [[learnMerges]] (BpeSpec); with pruning
+    * it is the standard trainer trade (rare words cannot influence
+    * merges anyway at sensible thresholds).
+    */
+  def learnMergesLocal(docs: DataFrame, nMerges: Int, minFreq: Long = 1L,
+      maxVocab: Int = 1 << 22): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab = docs.select(explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .where(col("freq") >= minFreq)
+      .orderBy(col("freq").desc, col("w"))
+      .limit(maxVocab)
+      .as[(String, Long)]
+      .collect() // bounded pin: the pruned vocabulary (see stance block)
+    learnLocal(vocab, nMerges).toDF("rank", "lhs", "rhs", "merged", "cnt")
+  }
+
   /** Scalar (map-side) token-count meter under a FIXED merge list — the
     * packing family's `tokenCount` parameter driven by a LEARNED
     * tokenizer: per word, rebuild the space-prefixed symbol state,

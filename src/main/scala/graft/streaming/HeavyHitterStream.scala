@@ -26,7 +26,11 @@ import graft.operators.HeavyHitters
   * `batch_id`. foreachBatch is at-least-once; a replay of the committed
   * batch id SKIPS the merge (the state already includes that batch) and
   * just re-emits — merging twice would double-count every token in the
-  * replayed batch and silently break the undercount bound.
+  * replayed batch and silently break the undercount bound. A batch id
+  * BELOW the high-water (a checkpoint restored from an older snapshot
+  * than the state dir) throws instead: the summary has moved past that
+  * batch, so neither merging (double-count) nor re-emitting (wrong
+  * as-of state) is faithful — the divergence is made loud.
   *
   * What the state means (and does not): every item whose true stream
   * frequency exceeds N/(m+1) is PRESENT in the summary, undercounted by
@@ -84,6 +88,21 @@ object HeavyHitterStream {
           // Replay after the state commit: the summary already includes
           // this batch — merging again would double-count it.
           onBatch(batchId, total, counters)
+        case Some((_, _, hw)) if batchId < hw =>
+          // A batch id BELOW the committed high-water is a replay too —
+          // but one the skip-and-re-emit path cannot serve faithfully
+          // (the committed summary has moved past this batch, so there
+          // is no "state as of batch_id" to re-emit). It means the
+          // streaming checkpoint was restored from an older snapshot
+          // than the state dir — merging would double-count every token
+          // in the batch and silently break the N/(m+1) undercount
+          // bound, so refuse loudly instead.
+          throw new IllegalStateException(
+            s"heavy-hitter state at $stateDir is ahead of the stream: " +
+              s"committed high-water batch $hw > replayed batch $batchId " +
+              "— the streaming checkpoint was restored from an older " +
+              "snapshot than the state dir; restore a matching pair " +
+              "(merging would double-count the batch)")
         case _ =>
           val (bCounters, bTotal) = batch
             .select(explode(graft.functions.TextFunctions.tokens(col("text")))

@@ -56,19 +56,32 @@ object IndexMaintenance {
   // refuses too.
   // ------------------------------------------------------------------
 
+  // `codesLayout` is STRUCTURAL, not a tuning knob: the generation
+  // stores whose code tables are cell-partitioned on disk (int8,
+  // ivf-pq — [[writeCellPartitioned]]) must never be appended to by a
+  // writer that would lay files out flat, and vice versa — Spark's
+  // partition discovery rejects a mixed flat+partitioned directory
+  // ("conflicting directory structures"), and the failure would be
+  // silent at write time and surface only at the next read. Recording
+  // the layout in the manifest makes every pipeline construction over
+  // a store with a different (or absent — i.e. pre-layout) marker
+  // refuse loudly before a single mixed file is written.
   private def int8StoreEntries(dim: Int, nCentroids: Int) = Seq(
     "kind" -> "int8-vector-store", "dim" -> dim.toString,
-    "nCentroids" -> nCentroids.toString)
+    "nCentroids" -> nCentroids.toString,
+    "codesLayout" -> "cell-partitioned")
 
   private def pqStoreEntries(dim: Int, m: Int, ksub: Int) = Seq(
     "kind" -> "pq-vector-store", "dim" -> dim.toString,
-    "m" -> m.toString, "ksub" -> ksub.toString)
+    "m" -> m.toString, "ksub" -> ksub.toString,
+    "codesLayout" -> "flat")
 
   private def ivfPqStoreEntries(dim: Int, m: Int, ksub: Int,
       nCentroids: Int) = Seq(
     "kind" -> "ivfpq-vector-store", "dim" -> dim.toString,
     "m" -> m.toString, "ksub" -> ksub.toString,
-    "nCentroids" -> nCentroids.toString)
+    "nCentroids" -> nCentroids.toString,
+    "codesLayout" -> "cell-partitioned")
 
   /** Cell-usage total variation of one batch's coarse assignments
     * against the pinned index-side histogram: ½·Σ|p_new − p_idx| over

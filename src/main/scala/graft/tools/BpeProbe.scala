@@ -44,6 +44,29 @@ object BpeProbe {
       time(s"corpus x$n vocab x1") { Bpe.learnMerges(replicate(n, false), 6).count() }
     for (n <- Seq(1, 4, 16))
       time(s"corpus x$n vocab x$n") { Bpe.learnMerges(replicate(n, true), 6).count() }
+    // The nMerges axis — the vocab-scale question (a production vocab
+    // is ~32k merges): the distributed loop pays one job + one 1-row
+    // collect PER ROUND (and a lineage one replace deeper each round),
+    // so its cost law is linear-or-worse in nMerges; learnMergesLocal
+    // pays ONE wordcount + ONE vocab collect and then in-memory rounds,
+    // so nMerges moves only the driver loop. Distributed capped at 64
+    // rounds (the law is visible by then and 256 rounds of job latency
+    // is probe budget, not signal); local runs the full ladder.
+    def timeOnce(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime(); f
+      scala.Console.out.println(
+        f"PROBE $name%-28s once=${(System.nanoTime() - t0) / 1e9}%.3f s")
+    }
+    for (m <- Seq(6, 64))
+      timeOnce(s"distributed nMerges=$m") { Bpe.learnMerges(base, m).count() }
+    for (m <- Seq(6, 64, 256, 4096))
+      timeOnce(s"local nMerges=$m") {
+        // A small probe corpus can exhaust its pairs before m merges —
+        // that IS the vocabulary bound, report it rather than abort.
+        try Bpe.learnMergesLocal(base, m).count()
+        catch { case e: IllegalArgumentException =>
+          scala.Console.out.println(s"  (exhausted: ${e.getMessage})") }
+      }
     spark.stop()
   }
 }

@@ -80,4 +80,47 @@ class BpeSpec extends SparkSpec {
       Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
     assert(messages(e).exists(_.contains("no adjacent pairs")), e.getMessage)
   }
+
+  test("learnMergesLocal ≡ learnMerges on a real corpus (the vocab-scale path)") {
+    // The 100 TB stance: one wordcount shuffle + bounded vocab collect
+    // + in-memory rounds must learn the IDENTICAL table the
+    // job-per-round distributed loop learns.
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    assert(merges(Bpe.learnMergesLocal(docs, nMerges = 12)).toSeq ==
+      merges(Bpe.learnMerges(docs, nMerges = 12)).toSeq)
+  }
+
+  test("learnMergesLocal reproduces the replace fuse quirk (' a ba' + (a,b) → 'aba')") {
+    // The literal replace consumes no trailing separator: merge (a,b)
+    // applied to state " a ba" fuses the WHOLE next symbol. Corpus
+    // engineered so round 1 = (b,a) [16 = ba:10 + aba:6], round 2 =
+    // (a,b) [8 from 'ab'; (a,ba) has only 6] — whose application must
+    // also collapse 'aba' ([a, ba] after round 1) to a single symbol,
+    // leaving (a,ba) count 0; an exact-pair-only apply would leave it
+    // at 6 and learn it in round 3 instead of (x,y).
+    val words =
+      Seq.fill(10)("ba") ++ Seq.fill(6)("aba") ++ Seq.fill(8)("ab") ++
+        Seq.fill(3)("xy")
+    val docs = Seq((0L, words.mkString(" "))).toDF("doc_id", "text")
+    val dist = merges(Bpe.learnMerges(docs, nMerges = 3)).toSeq
+    val local = merges(Bpe.learnMergesLocal(docs, nMerges = 3)).toSeq
+    assert(local == dist, s"local=$local dist=$dist")
+    assert(dist(0) == ((1, "b", "a", "ba", 16L)), dist.toString)
+    assert(dist(1) == ((2, "a", "b", "ab", 8L)), dist.toString)
+    assert(dist(2) == ((3, "x", "y", "xy", 3L)),
+      s"round 3 must see the quirk-collapsed 'aba': $dist")
+  }
+
+  test("learnMergesLocal: minFreq pruning drops hapax-class words from training") {
+    // With minFreq=2 the singleton 'qz' cannot contribute a pair; the
+    // frequent material trains unchanged.
+    val docs = Seq((0L, "aaaa aaaa aaaa qz")).toDF("doc_id", "text")
+    val got = merges(Bpe.learnMergesLocal(docs, nMerges = 2, minFreq = 2L))
+    assert(got(0) == ((1, "a", "a", "aa", 9L)), got.toSeq.toString)
+    assert(got(1) == ((2, "aa", "aa", "aaaa", 3L)), got.toSeq.toString)
+    val e = intercept[Exception](
+      Bpe.learnMergesLocal(docs, nMerges = 3, minFreq = 2L))
+    assert(e.getMessage.contains("no adjacent pairs"),
+      "pruned vocab exhausts after the aaaa merges")
+  }
 }

@@ -68,6 +68,24 @@ class HeavyHitterStreamSpec extends SparkSpec {
       "replaying the high-water batch must leave the summary untouched")
   }
 
+  test("a batch below the committed high-water refuses loudly") {
+    // A checkpoint restored from an OLDER snapshot than the state dir
+    // replays a batch the summary has already moved past — neither
+    // merging (double-count) nor re-emitting (wrong as-of state) is
+    // faithful, so the pipeline throws instead of silently breaking
+    // the N/(m+1) undercount bound.
+    val dir = Files.createTempDirectory("graft-hhstale").toString
+    val fn = HeavyHitterStream.pipeline(dir, m = 32)
+    slices.zipWithIndex.foreach { case (s, i) => fn(docs(s), i.toLong) }
+    val before = HeavyHitterStream.readState(spark, dir).get
+    val e = intercept[IllegalStateException] {
+      fn(docs(slices.head), 0L) // stale: high-water is 2
+    }
+    assert(e.getMessage.contains("older snapshot"), e.getMessage)
+    assert(HeavyHitterStream.readState(spark, dir).get == before,
+      "the refused batch must not touch the committed state")
+  }
+
   test("composition: exact heavy hitters over the archive are all stream candidates") {
     val dir = Files.createTempDirectory("graft-hhcompose").toString
     val fn = HeavyHitterStream.pipeline(dir, m = 32)

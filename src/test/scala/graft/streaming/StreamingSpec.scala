@@ -894,6 +894,27 @@ class StreamingSpec extends SparkSpec {
     IndexMaintenance.ivfPqRebuildingPipeline(spark, iroot, sink,
       nCentroids = 4, m = 2, ksub = 4, lloydIters = 5, trainN = 128,
       seedPlanes = 4, dim = 8)
+    // codesLayout is structural too: a store whose manifest records a
+    // different (or absent — pre-layout era) codes layout refuses at
+    // construction, BEFORE an append could mix flat and partitioned
+    // files in one codes dir (Spark partition discovery rejects the
+    // mix, and the corruption would be silent at write time).
+    StoreManifest.write(spark, root, Seq(
+      "kind" -> "int8-vector-store", "dim" -> "8",
+      "nCentroids" -> "4", "codesLayout" -> "flat"))
+    val e8 = intercept[IllegalStateException] {
+      IndexMaintenance.int8RebuildingPipeline(spark, root, sink,
+        nCentroids = 4, lloydIters = 2, trainN = 64, seedPlanes = 4, dim = 8)
+    }
+    assert(e8.getMessage.contains("codesLayout"), e8.getMessage)
+    StoreManifest.write(spark, root, Seq(
+      "kind" -> "int8-vector-store", "dim" -> "8", "nCentroids" -> "4"))
+    val e9 = intercept[IllegalStateException] {
+      IndexMaintenance.int8RebuildingPipeline(spark, root, sink,
+        nCentroids = 4, lloydIters = 2, trainN = 64, seedPlanes = 4, dim = 8)
+    }
+    assert(e9.getMessage.contains("codesLayout") &&
+      e9.getMessage.contains("<absent>"), e9.getMessage)
   }
 
   test("append artifacts self-seal: a different quantizer refuses reconstruction") {

@@ -1893,6 +1893,123 @@ object ExtensionQueries {
        |WHERE cos >= 0.98 ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  // ----------------------------------------------------------------- MM-7
+  /** Image RESIZE — the remaining verb of the multimodal tier's
+    * decode / feature-extract / resize / frame-sample set:
+    * [[MM.resizeHalf]], an integer 2×2 box filter (out pixel = floor
+    * mean of the input block, odd trailing row/column dropped), run
+    * decode → resize → RE-ENCODE → decode → features, so the resized
+    * image travels back through the codec before features are taken
+    * (w2 ∈ {2,3,4} exercises row pads 2,3,0 — a different pad
+    * population than q_mm4's full-size assets). All-integer, so the
+    * oracle replays formula + box arithmetic with `//` floor division
+    * (operands non-negative — the documented `div` caveat does not
+    * bite).
+    */
+  def imageResize(spark: SparkSession, dir: String): DataFrame =
+    MM.resizeBmpFeatures(MM.synthBmpAssets(Tables.documents(spark, dir),
+      MM.bmpImage))
+      .orderBy("media_id")
+
+  val imageResizeSql: String =
+    """WITH g AS (SELECT doc_id, 5 + doc_id % 4 AS w, 3 + doc_id % 3 AS h
+      |           FROM documents),
+      |px AS (SELECT g.doc_id, g.w // 2 AS w2, g.h // 2 AS h2,
+      |              x2.range AS x2, y2.range AS y2,
+      |              dx.range AS dx, dy.range AS dy
+      |       FROM g CROSS JOIN range(4) x2 CROSS JOIN range(2) y2
+      |              CROSS JOIN range(2) dx CROSS JOIN range(2) dy
+      |       WHERE x2.range < g.w // 2 AND y2.range < g.h // 2),
+      |q AS (SELECT doc_id, w2, h2, x2, y2,
+      |        sum((doc_id + 3 * (2 * x2 + dx) + 7 * (2 * y2 + dy)) % 256) // 4 AS b2,
+      |        sum((2 * doc_id + 5 * (2 * x2 + dx) + (2 * y2 + dy)) % 256) // 4 AS g2,
+      |        sum((3 * doc_id + (2 * x2 + dx) + 11 * (2 * y2 + dy)) % 256) // 4 AS r2
+      |      FROM px GROUP BY 1, 2, 3, 4, 5)
+      |SELECT doc_id AS media_id, CAST(any_value(w2) AS BIGINT) AS width,
+      |       CAST(any_value(h2) AS BIGINT) AS height,
+      |       CAST(count(*) AS BIGINT) AS n_pixels,
+      |       CAST(sum(b2) AS BIGINT) AS sum_b,
+      |       CAST(sum(g2) AS BIGINT) AS sum_g,
+      |       CAST(sum(r2) AS BIGINT) AS sum_r,
+      |       CAST(sum((y2 * w2 + x2 + 1) * r2) AS BIGINT) AS wsum_r
+      |FROM q GROUP BY doc_id ORDER BY media_id""".stripMargin
+
+  // ----------------------------------------------------------------- MM-8
+  /** Audio frame features over DECODED samples —
+    * [[MM.audioFrameFeatures]]: complete 16-sample windows of the
+    * reconstructed PCM stream, per frame Σ|s| (energy proxy), max |s|
+    * (clip detection), zero-crossing count (sign-product law — the
+    * voiced/unvoiced discriminator), incomplete tail dropped. q_mm2
+    * frame-samples raw BYTES; this frame-samples the decoded SIGNAL —
+    * together they cover the frame-sample verb on both sides of the
+    * codec. Integer-exact; the oracle's lag() window partitions by
+    * (doc, frame) so crossings never straddle a frame boundary,
+    * matching the Spark side's per-frame scan.
+    */
+  def audioFrames(spark: SparkSession, dir: String): DataFrame =
+    MM.audioFrameFeatures(MM.synthWavAssets(Tables.documents(spark, dir)),
+      frameLen = 16)
+      .orderBy("media_id", "frame_no")
+
+  val audioFramesSql: String =
+    """WITH p AS (SELECT doc_id, 64 + doc_id % 64 AS n FROM documents),
+      |s AS (SELECT p.doc_id, i.range AS i,
+      |             ((p.doc_id * 31 + i.range * 7) % 4096) - 2048 AS sv
+      |      FROM p CROSS JOIN range(128) i
+      |      WHERE i.range < (p.n // 16) * 16),
+      |f AS (SELECT doc_id, i // 16 AS frame_no, sv,
+      |             lag(sv) OVER (PARTITION BY doc_id, i // 16 ORDER BY i) AS prev
+      |      FROM s)
+      |SELECT doc_id AS media_id, CAST(frame_no AS BIGINT) AS frame_no,
+      |       CAST(sum(abs(sv)) AS BIGINT) AS sum_abs,
+      |       CAST(max(abs(sv)) AS BIGINT) AS max_abs,
+      |       CAST(count(*) FILTER (WHERE prev IS NOT NULL AND prev * sv < 0)
+      |         AS BIGINT) AS crossings
+      |FROM f GROUP BY 1, 2 ORDER BY media_id, frame_no""".stripMargin
+
+  // ----------------------------------------------------------------- MM-9
+  /** AUDIO near-dup — q_mm6's wiring claim made modality-complete: the
+    * same [[Dedup.embeddingNearDupsAnn]] tier, embeddings probed from
+    * DECODED WAV samples ([[MM.wavProbeEmbeddings]] — 8 fixed sample
+    * indices of the reconstructed PCM stream) over class-structured
+    * audio ([[MM.wavClassSamples]] — 16 near-dup families differing by
+    * one sample count). One dedup engine, three modalities (text
+    * embeddings q_dd8, image q_mm6, audio here); only the probe
+    * changes. Subset doc_id % 9 = 4 (coprime with the class modulus,
+    * all families represented), trained-IVF cells block, exact cosine
+    * ≥ 0.98 verifies within cells.
+    */
+  def audioNearDupAnn(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDupsAnn(
+        MM.wavProbeEmbeddings(MM.synthWavAssetsBy(
+          Tables.documents(spark, dir).where(col("doc_id") % 9 === 4),
+          MM.wavClassSamples)),
+        threshold = 0.98, nCentroids = 16, lloydIters = 2, trainN = 1024,
+        seedPlanes = 6, dim = 8)
+      .orderBy("vec_a", "vec_b")
+
+  val audioNearDupAnnSql: String = {
+    val (training, cFinal) = ivfTrainingCtes(16, 2, 1024, seedPlanes = 6, dim = 8)
+    s"""WITH v AS (SELECT doc_id AS vec_id,
+       |    list_transform(range(8), j -> CAST(
+       |      ((doc_id % 16) * 31 + 7 * j * 7) % 4096 - 2048
+       |      + CASE WHEN j = 0 THEN (doc_id // 16) % 2 ELSE 0 END
+       |      AS DOUBLE)) AS e
+       |  FROM documents WHERE doc_id % 9 = 4),
+       |$training,
+       |ca AS (SELECT vec_id, e, cid FROM (
+       |    SELECT v.vec_id, v.e, c.cid,
+       |           row_number() OVER (PARTITION BY v.vec_id
+       |             ORDER BY round(list_cosine_similarity(v.e, c.ce), 6) DESC, c.cid) AS rn
+       |    FROM v CROSS JOIN $cFinal c)
+       |  WHERE rn = 1 AND list_dot_product(e, e) > 0)
+       |SELECT vec_a, vec_b, cos FROM (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |         round(list_cosine_similarity(a.e, b.e), 6) AS cos
+       |  FROM ca a JOIN ca b ON a.cid = b.cid AND a.vec_id < b.vec_id)
+       |WHERE cos >= 0.98 ORDER BY vec_a, vec_b""".stripMargin
+  }
+
   // ---------------------------------------------------------------- TXT-7
   /** Denylist scrubbing — the PII-redaction operator shape (regex replace
     * + per-group audit counts) over the corpus' own vocabulary (the

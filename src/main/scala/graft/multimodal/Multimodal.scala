@@ -244,6 +244,148 @@ object Multimodal {
       "sum_r", "wsum_r")
   }
 
+  /** Integer 2×2 box-filter downsample — the RESIZE verb of the
+    * multimodal tier, pure integer arithmetic so the oracle replays it
+    * exactly: out pixel (x2, y2) = floor of the mean of the input 2×2
+    * block at (2x2.., 2y2..), per channel; odd trailing row/column
+    * dropped (floor dims). Stateless per-image work, mapPartitions
+    * territory like the codecs.
+    */
+  def resizeHalf(img: BmpCodec.BmpImage): BmpCodec.BmpImage = {
+    val w2 = img.width / 2
+    val h2 = img.height / 2
+    require(w2 > 0 && h2 > 0,
+      s"resizeHalf needs dims >= 2, got ${img.width}x${img.height}")
+    val n = w2 * h2
+    val (b, g, r) = (new Array[Int](n), new Array[Int](n), new Array[Int](n))
+    var y2 = 0
+    while (y2 < h2) {
+      var x2 = 0
+      while (x2 < w2) {
+        val i00 = (2 * y2) * img.width + 2 * x2
+        val i10 = i00 + 1
+        val i01 = i00 + img.width
+        val i11 = i01 + 1
+        val o = y2 * w2 + x2
+        b(o) = (img.b(i00) + img.b(i10) + img.b(i01) + img.b(i11)) / 4
+        g(o) = (img.g(i00) + img.g(i10) + img.g(i01) + img.g(i11)) / 4
+        r(o) = (img.r(i00) + img.r(i10) + img.r(i01) + img.r(i11)) / 4
+        x2 += 1
+      }
+      y2 += 1
+    }
+    BmpCodec.BmpImage(w2, h2, b, g, r)
+  }
+
+  /** Decode → [[resizeHalf]] → RE-ENCODE → decode → features: the
+    * resized image travels back through the codec before features are
+    * taken, so the round-trip certifies the encoder on the resized
+    * dimension set too (w2 ∈ {2,3,4} exercises row pads 2,3,0 — a
+    * different pad population than the full-size assets'). Feature
+    * schema mirrors [[decodeBmpFeatures]] on the RESIZED image.
+    */
+  def resizeBmpFeatures(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val img = BmpCodec.decode(
+          BmpCodec.encode(resizeHalf(BmpCodec.decode(m.payload))))
+        var (sb, sg, sr, wr) = (0L, 0L, 0L, 0L)
+        var i = 0
+        while (i < img.b.length) {
+          sb += img.b(i); sg += img.g(i); sr += img.r(i)
+          wr += (i + 1).toLong * img.r(i)
+          i += 1
+        }
+        (m.media_id, img.width.toLong, img.height.toLong,
+          (img.width * img.height).toLong, sb, sg, sr, wr)
+      }
+    }.toDF("media_id", "width", "height", "n_pixels", "sum_b", "sum_g",
+      "sum_r", "wsum_r")
+  }
+
+  /** Frame features over DECODED samples — the frame-sample verb at
+    * sample level (q_mm2 slices raw bytes; this slices the decoded PCM
+    * stream): complete windows of `frameLen` samples, per frame the
+    * integer features an audio curation pass bins on — Σ|s| (energy
+    * proxy), max |s| (clip detection), zero-crossing count (the
+    * classic voiced/unvoiced discriminator), all integer-exact so the
+    * oracle replays them. Incomplete tail window dropped (floor
+    * count), matching the oracle's `(n div frameLen) · frameLen` cut.
+    */
+  def audioFrameFeatures(media: Dataset[MediaRecord], frameLen: Int)
+      : DataFrame = {
+    import media.sparkSession.implicits._
+    require(frameLen >= 2, s"frameLen must be >= 2, got $frameLen")
+    media.mapPartitions { rows =>
+      rows.flatMap { m =>
+        val a = WavCodec.decode(m.payload)
+        val nf = a.samples.length / frameLen
+        (0 until nf).iterator.map { f =>
+          val base = f * frameLen
+          var (sumAbs, maxAbs, crossings) = (0L, 0L, 0L)
+          var i = 0
+          while (i < frameLen) {
+            val s = a.samples(base + i).toInt
+            val abs = math.abs(s).toLong
+            sumAbs += abs
+            if (abs > maxAbs) maxAbs = abs
+            if (i > 0 && a.samples(base + i - 1).toInt * s < 0) crossings += 1
+            i += 1
+          }
+          (m.media_id, f.toLong, sumAbs, maxAbs, crossings)
+        }
+      }
+    }.toDF("media_id", "frame_no", "sum_abs", "max_abs", "crossings")
+  }
+
+  /** Class-structured audio law for the audio near-dup leg (q_mm9),
+    * [[bmpClassImage]]'s shape on the WAV side: the sample pattern
+    * depends on the CLASS c = d % 16 (n = 64 + 16·(c % 4) samples,
+    * rate 8000 + 1000·(c % 4), sample i = ((c·31 + i·7) mod 4096) −
+    * 2048), plus a 1-count perturbation of sample 0 for odd d/16 — 16
+    * near-duplicate families, unrelated across classes.
+    */
+  def wavClassSamples(d: Long): (Int, Array[Short]) = {
+    val c = d % 16
+    val n = (64 + 16 * (c % 4)).toInt
+    val samples = Array.tabulate(n)(i =>
+      (((c * 31 + i * 7) % 4096) - 2048).toShort)
+    samples(0) = (samples(0) + ((d / 16) % 2).toInt).toShort // ≤ 2047+1: no wrap at these values
+    ((8000 + 1000 * (c % 4)).toInt, samples)
+  }
+
+  /** WAV assets under a pluggable sample law. */
+  def synthWavAssetsBy(docs: DataFrame, samplesOf: Long => (Int, Array[Short]))
+      : Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { d =>
+        val (rate, samples) = samplesOf(d)
+        val payload = WavCodec.encode(samples, rate)
+        MediaRecord(d, payload, "audio/wav", payload.length.toLong)
+      }
+    }
+  }
+
+  /** Audio-probe embedding from DECODED samples, [[bmpProbeEmbeddings]]'
+    * discipline on the WAV side: 8 fixed probe indices i = 7·j (within
+    * bounds for every class since n ≥ 64) read the reconstructed PCM
+    * stream directly — any header/offset/endianness slip reads a
+    * different sample. Signed 16-bit values are already spread; the
+    * float cast is exact (|s| ≤ 2048 ≪ 2^24).
+    */
+  def wavProbeEmbeddings(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val a = WavCodec.decode(m.payload)
+        val feats = Array.tabulate(8)(j => a.samples(7 * j).toFloat)
+        (m.media_id, feats)
+      }
+    }.toDF("vec_id", "embedding")
+  }
+
   /** Image-probe embedding from DECODED pixels: 8 fixed probe sites
     * (xⱼ, yⱼ) = (j mod 5, j mod 3) — in-bounds for every class since
     * w ≥ 5, h ≥ 3 — cycling channels b, g, r; each feature is the

@@ -473,11 +473,32 @@ object IndexMaintenance {
     * pruned — the probed-cells arithmetic held for the JOIN, not the
     * I/O. With `pcell=` dirs the scan itself becomes
     * O(n·m·nProbe/nCentroids).
+    *
+    * `compact = true` (full-GENERATION writes: init and rebuild)
+    * clusters rows by the partition column before the write, so each
+    * cell lands as ONE file instead of one file per (cell × writing
+    * task) — without it a w-task writer fragments every cell w ways,
+    * and the per-file open/footer overhead multiplies exactly where
+    * the bulk-serve regime scans everything (round-14 ServingProbe
+    * measures the two layouts side by side; SCALE.md). Appends keep
+    * `compact = false`: a micro-batch is small, and paying a shuffle
+    * per batch to co-locate a handful of rows per cell buys nothing —
+    * file-count hygiene for the append tail is the REBUILD's job
+    * (which rewrites the codes table compacted). Skew stance: one
+    * task writes a whole cell, so a pathological giant cell serializes
+    * through one writer — at the 3 GB/cell production target that is
+    * the standard partitionBy-compaction tradeoff; cells beyond
+    * task-sized want a salt column splitting them into bounded file
+    * chunks, which readers ignore (partition pruning keys only on
+    * `partCol`).
     */
   private def writeCellPartitioned(df: DataFrame, cellCol: String,
-      partCol: String, dir: String, mode: String): Unit =
-    df.withColumn(partCol, df(cellCol))
-      .write.partitionBy(partCol).mode(mode).parquet(dir)
+      partCol: String, dir: String, mode: String,
+      compact: Boolean = false): Unit = {
+    val tagged = df.withColumn(partCol, df(cellCol))
+    val out = if (compact) tagged.repartition(col(partCol)) else tagged
+    out.write.partitionBy(partCol).mode(mode).parquet(dir)
+  }
 
   /** Prune a cell-partitioned code table to `cells`, dropping the
     * partition column; a FLAT table (pre-partitioning layout, or an
@@ -607,7 +628,7 @@ object IndexMaintenance {
     grid.write.mode("overwrite").parquet(s"$d/grid")
     writeCellPartitioned(Similarity.int8Encode(vecs,
         spark.read.parquet(s"$d/grid"), spark.read.parquet(s"$d/centroids")),
-      "cid", "pcid", s"$d/codes", "overwrite")
+      "cid", "pcid", s"$d/codes", "overwrite", compact = true)
     if (commit) commitGen(spark, root, gen)
   }
 
@@ -1158,7 +1179,7 @@ object IndexMaintenance {
         .select("vec_id", "sub", "code")
         .join(Similarity.ivfCellAssign(vecs,
           spark.read.parquet(s"$d/centroids")), "vec_id"),
-      "cell", "pcell", s"$d/codes", "overwrite")
+      "cell", "pcell", s"$d/codes", "overwrite", compact = true)
     if (commit) commitGen(spark, root, gen)
   }
 

@@ -50,10 +50,10 @@ object ServingProbe {
     for (n <- Seq(5000, 50000, 500000)) {
       val nc = graft.operators.Similarity.autoCentroids(n)
       val corpus = AsyncSwapProbe.synthVecs(spark, 0 until n, shifted = false)
+      val rootI = Files.createTempDirectory(s"graft-serveprobe-i8-$n").toString
+      val rootP = Files.createTempDirectory(s"graft-serveprobe-pq-$n").toString
       val tiers: Seq[(String, String => Unit,
-          ((Long, Long, DataFrame) => Unit) => (DataFrame, Long) => Unit)] = {
-        lazy val rootI = Files.createTempDirectory(s"graft-serveprobe-i8-$n").toString
-        lazy val rootP = Files.createTempDirectory(s"graft-serveprobe-pq-$n").toString
+          ((Long, Long, DataFrame) => Unit) => (DataFrame, Long) => Unit)] =
         Seq(
           ("int8",
             _ => IndexMaintenance.initInt8Store(spark, rootI, corpus,
@@ -69,7 +69,6 @@ object ServingProbe {
             onRes => IndexMaintenance.ivfPqServingPipeline(spark, rootP,
               k = 10, rerankDepth = 30, nProbe = 8, nCentroids = nc,
               m = 4, ksub = 16, dim = 32, onResult = onRes)))
-      }
       for ((tier, init, mkServe) <- tiers) {
         val tInit = time(init(""))
         var rows = -1L
@@ -82,6 +81,54 @@ object ServingProbe {
           val tSteady = (1 to 3).map(b => time(serve(queries, b.toLong))).min
           println(f"[serve-probe] tier=$tier%-5s n=$n%7d nc=$nc%4d batch=$batch%2d " +
             f"t_init=$tInit%7.2f t_first=$tFirst%6.2f t_steady=$tSteady%6.2f")
+        }
+        // FILE-SIZE leg (round 14, largest decade only): init now writes
+        // the code table compacted (one file per cell); rewrite it
+        // SCATTERED (8 writer tasks per cell — the pre-compaction
+        // layout) and re-measure the bulk serve, so "per-file overhead
+        // dominates the bulk regime at probe-scale file sizes" is a
+        // measurement of the LAYOUT axis, not arithmetic. Bulk batch
+        // re-measured on each layout; file count/bytes printed per
+        // point.
+        if (n == 500000) {
+          val root = if (tier == "int8") rootI else rootP
+          val codesDir = s"$root/gen-0/codes"
+          def hfs(p: String) = new org.apache.hadoop.fs.Path(p)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          def fileStats(): (Long, Long) = {
+            val fs = hfs(codesDir)
+            val it = fs.listFiles(new org.apache.hadoop.fs.Path(codesDir), true)
+            var (cnt, bytes) = (0L, 0L)
+            while (it.hasNext) {
+              val f = it.next()
+              if (f.getPath.getName.endsWith(".parquet")) {
+                cnt += 1; bytes += f.getLen
+              }
+            }
+            (cnt, bytes)
+          }
+          def bulkSteady(): Double = {
+            val queries = AsyncSwapProbe
+              .synthVecs(spark, 1000000 until 1000064, shifted = false)
+            serve(queries, 10L) // warm re-pin after any layout change
+            (1 to 3).map(b => time(serve(queries, 20L + b))).min
+          }
+          val (cCnt, cBytes) = fileStats()
+          val tCompact = bulkSteady()
+          val partCol = if (tier == "int8") "pcid" else "pcell"
+          val scattered = s"$codesDir-scattered"
+          spark.read.parquet(codesDir).repartition(8)
+            .write.partitionBy(partCol).mode("overwrite").parquet(scattered)
+          val fs = hfs(codesDir)
+          val (cp, sp) = (new org.apache.hadoop.fs.Path(codesDir),
+            new org.apache.hadoop.fs.Path(scattered))
+          require(fs.delete(cp, true) && fs.rename(sp, cp),
+            s"scatter swap failed for $codesDir")
+          val (sCnt, sBytes) = fileStats()
+          val tScatter = bulkSteady()
+          println(f"[serve-probe-layout] tier=$tier%-5s n=$n%7d batch=64 " +
+            f"compact: files=$cCnt%5d kb/file=${cBytes / math.max(cCnt, 1) / 1024}%5d t=$tCompact%6.2f | " +
+            f"scattered: files=$sCnt%5d kb/file=${sBytes / math.max(sCnt, 1) / 1024}%5d t=$tScatter%6.2f")
         }
       }
     }

@@ -34,4 +34,56 @@ class MultimodalSpec extends SparkSpec {
     val f1 = frames.filter(_.getAs[Long]("media_id") == 1L)
     assert(f1.length == 2) // 11 bytes: offsets 0 and 8 yield frames
   }
+
+  test("resizeHalf: hand-laid 4x2 box means, floor division, odd column dropped") {
+    // 5x2 input: the 5th column must be dropped (w2 = 2), h2 = 1.
+    val b = Array(0, 1, 2, 3, 99, 4, 5, 6, 7, 99) // block means: (0+1+4+5)/4=2, (2+3+6+7)/4=4
+    val g = b.map(_ + 10)
+    val r = Array(1, 2, 1, 2, 99, 2, 2, 2, 1, 99) // (1+2+2+2)/4=7/4→1, (1+2+2+1)/4=6/4→1
+    val out = resizeHalf(BmpCodec.BmpImage(5, 2, b, g, r))
+    assert(out.width == 2 && out.height == 1)
+    assert(out.b.toSeq == Seq(2, 4))
+    assert(out.g.toSeq == Seq(12, 14))
+    assert(out.r.toSeq == Seq(1, 1), "floor, not round-half-up")
+    intercept[IllegalArgumentException] {
+      resizeHalf(BmpCodec.BmpImage(1, 4, Array.fill(4)(0), Array.fill(4)(0), Array.fill(4)(0)))
+    }
+  }
+
+  test("audioFrameFeatures: planted frames — energy, clip max, crossings at frame scope") {
+    // 2 frames of 4: frame 0 = [3, -1, 2, -2] (3 sign flips),
+    // frame 1 = [5, 5, -5, 0] (one flip; 0 product never counts),
+    // tail [7] dropped (incomplete).
+    val samples = Array[Short](3, -1, 2, -2, 5, 5, -5, 0, 7)
+    val rec = Seq(MediaRecord(9L, WavCodec.encode(samples, 8000), "audio/wav", 0L)).toDS()
+    val rows = audioFrameFeatures(rec, frameLen = 4)
+      .orderBy("frame_no").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Long]("sum_abs") == 8L)
+    assert(rows(0).getAs[Long]("max_abs") == 3L)
+    assert(rows(0).getAs[Long]("crossings") == 3L)
+    assert(rows(1).getAs[Long]("sum_abs") == 15L)
+    assert(rows(1).getAs[Long]("max_abs") == 5L)
+    assert(rows(1).getAs[Long]("crossings") == 1L)
+  }
+
+  test("wav class law: one-sample perturbation, families share dims, probes in bounds") {
+    val (r0, s0) = wavClassSamples(4L) // class 4, even d/16
+    val (r1, s1) = wavClassSamples(20L) // class 4, odd d/16
+    assert(r0 == r1 && s0.length == s1.length)
+    assert(s1(0) == s0(0) + 1 && s1.drop(1).sameElements(s0.drop(1)))
+    val (_, s2) = wavClassSamples(5L) // different class: different pattern
+    assert(!s2.take(8).sameElements(s0.take(8)))
+    // probe indices 7j stay in bounds for the shortest class (n = 64)
+    assert((0 until 8).forall(j => 7 * j < 64))
+  }
+
+  test("wavProbeEmbeddings reads decoded samples at the probe indices") {
+    val rec = Seq(MediaRecord(36L, // class 4: n = 64
+        WavCodec.encode(wavClassSamples(36L)._2, 8000), "audio/wav", 0L)).toDS()
+    val e = wavProbeEmbeddings(rec).head()
+      .getAs[scala.collection.Seq[Float]]("embedding")
+    val expect = wavClassSamples(36L)._2
+    assert(e.toSeq == (0 until 8).map(j => expect(7 * j).toFloat))
+  }
 }

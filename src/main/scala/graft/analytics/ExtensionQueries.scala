@@ -2010,6 +2010,133 @@ object ExtensionQueries {
        |WHERE cos >= 0.98 ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  // ---------------------------------------------------------------- MM-10
+  /** REAL AVI decode ([[graft.multimodal.AviCodec]]) — the VIDEO
+    * modality joining WAV (q_mm3) and BMP (q_mm4): per doc, 2–4 frames
+    * synthesized by an integer law ([[MM.aviFrames]]) are encoded into
+    * a genuine RIFF/AVI container (nested LIST tree: hdrl with
+    * avih/strh/strf, movi with one '00db' DIB chunk per frame) and
+    * features come from the DECODED frames. Beyond the flat chunk
+    * walks of WAV/BMP this certifies the RECURSIVE chunk grammar and
+    * the container's internal consistency checks (avih vs strf dims,
+    * declared vs present frame count). Two features pin what a video
+    * container can get wrong: wsum_r = Σ(t·w·h + y·w + x + 1)·r pins
+    * FRAME order on top of pixel order, and sum_motion =
+    * Σ_{t≥1}|r_t − r_{t−1}| is the temporal-difference (motion /
+    * scene-change proxy) only a time-axis modality has. The oracle
+    * replays only the generating formulas.
+    */
+  def videoDecode(spark: SparkSession, dir: String): DataFrame =
+    MM.decodeAviFeatures(MM.synthAviAssets(Tables.documents(spark, dir),
+      MM.aviFrames))
+      .orderBy("media_id")
+
+  val videoDecodeSql: String =
+    """WITH g AS (SELECT doc_id, 5 + doc_id % 4 AS w, 3 + doc_id % 3 AS h,
+      |                  2 + doc_id % 3 AS nf FROM documents),
+      |px AS (SELECT g.doc_id, g.w, g.h, g.nf, t.range AS t,
+      |              x.range AS x, y.range AS y
+      |       FROM g CROSS JOIN range(4) t CROSS JOIN range(8) x
+      |              CROSS JOIN range(5) y
+      |       WHERE t.range < g.nf AND x.range < g.w AND y.range < g.h)
+      |SELECT doc_id AS media_id, CAST(any_value(w) AS BIGINT) AS width,
+      |       CAST(any_value(h) AS BIGINT) AS height,
+      |       CAST(any_value(nf) AS BIGINT) AS n_frames,
+      |       CAST(sum((doc_id + 3 * x + 7 * y + 13 * t) % 256) AS BIGINT) AS sum_b,
+      |       CAST(sum((2 * doc_id + 5 * x + y + 17 * t) % 256) AS BIGINT) AS sum_g,
+      |       CAST(sum((3 * doc_id + x + 11 * y + 19 * t) % 256) AS BIGINT) AS sum_r,
+      |       CAST(sum((t * w * h + y * w + x + 1)
+      |                * ((3 * doc_id + x + 11 * y + 19 * t) % 256)) AS BIGINT) AS wsum_r,
+      |       CAST(sum(CASE WHEN t > 0 THEN
+      |                  abs(((3 * doc_id + x + 11 * y + 19 * t) % 256)
+      |                      - ((3 * doc_id + x + 11 * y + 19 * (t - 1)) % 256))
+      |                ELSE 0 END) AS BIGINT) AS sum_motion
+      |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin
+
+  // ---------------------------------------------------------------- MM-11
+  /** Every-k-th-FRAME sampling over decoded video
+    * ([[MM.aviFrameSample]], stride 2) — the frame-sample verb at its
+    * natural granularity, completing the set: q_mm2 slices raw
+    * container BYTES, q_mm8 slices decoded audio SAMPLES, this takes
+    * every 2nd decoded video FRAME (frames 0 and 2 of the 2–4-frame
+    * assets), with per-sampled-frame channel sums + the within-frame
+    * position-weighted Σ(y·w+x+1)·r. The oracle replays the frame law
+    * with the stride filter `t % 2 = 0`.
+    */
+  def videoFrameSample(spark: SparkSession, dir: String): DataFrame =
+    MM.aviFrameSample(MM.synthAviAssets(Tables.documents(spark, dir),
+      MM.aviFrames), stride = 2)
+      .orderBy("media_id", "frame_no")
+
+  val videoFrameSampleSql: String =
+    """WITH g AS (SELECT doc_id, 5 + doc_id % 4 AS w, 3 + doc_id % 3 AS h,
+      |                  2 + doc_id % 3 AS nf FROM documents),
+      |px AS (SELECT g.doc_id, g.w, g.h, t.range AS t,
+      |              x.range AS x, y.range AS y
+      |       FROM g CROSS JOIN range(4) t CROSS JOIN range(8) x
+      |              CROSS JOIN range(5) y
+      |       WHERE t.range < g.nf AND t.range % 2 = 0
+      |         AND x.range < g.w AND y.range < g.h)
+      |SELECT doc_id AS media_id, CAST(t AS BIGINT) AS frame_no,
+      |       CAST(sum((doc_id + 3 * x + 7 * y + 13 * t) % 256) AS BIGINT) AS sum_b,
+      |       CAST(sum((2 * doc_id + 5 * x + y + 17 * t) % 256) AS BIGINT) AS sum_g,
+      |       CAST(sum((3 * doc_id + x + 11 * y + 19 * t) % 256) AS BIGINT) AS sum_r,
+      |       CAST(sum((y * w + x + 1)
+      |                * ((3 * doc_id + x + 11 * y + 19 * t) % 256)) AS BIGINT) AS wsum_r
+      |FROM px GROUP BY doc_id, t ORDER BY media_id, frame_no""".stripMargin
+
+  // ---------------------------------------------------------------- MM-12
+  /** VIDEO near-dup — the modality wiring completed on the time-axis
+    * format: the same [[Dedup.embeddingNearDupsAnn]] tier (q_dd8's
+    * machinery), embeddings probed from DECODED AVI frames
+    * ([[MM.aviProbeEmbeddings]] — 8 fixed (frame, pixel, channel)
+    * sites, so any nested-chunk, padding, or frame-order slip reads a
+    * different byte) over class-structured video
+    * ([[MM.aviClassFrames]] — 16 near-dup families differing by one
+    * byte of one frame). One dedup engine, FOUR modalities (text
+    * q_dd8, image q_mm6, audio q_mm9, video here); only the probe
+    * changes. Subset doc_id % 9 = 4 (coprime with the class modulus,
+    * all families represented), trained-IVF cells block, exact cosine
+    * ≥ 0.98 verifies within cells.
+    */
+  def videoNearDupAnn(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDupsAnn(
+        MM.aviProbeEmbeddings(MM.synthAviAssets(
+          Tables.documents(spark, dir).where(col("doc_id") % 9 === 4),
+          MM.aviClassFrames)),
+        threshold = 0.98, nCentroids = 16, lloydIters = 2, trainN = 1024,
+        seedPlanes = 6, dim = 8)
+      .orderBy("vec_a", "vec_b")
+
+  val videoNearDupAnnSql: String = {
+    val (training, cFinal) = ivfTrainingCtes(16, 2, 1024, seedPlanes = 6, dim = 8)
+    s"""WITH v AS (SELECT doc_id AS vec_id,
+       |    list_transform(range(8), j -> CAST(2 * (
+       |      CASE WHEN j % 3 = 0 THEN
+       |             ((doc_id % 16) * 17 + 3 * (j % 5) + 7 * (j % 3)
+       |              + 13 * (j % 2)) % 255
+       |             + CASE WHEN j = 0 THEN (doc_id // 16) % 2 ELSE 0 END
+       |           WHEN j % 3 = 1 THEN
+       |             ((doc_id % 16) * 29 + 5 * (j % 5) + (j % 3)
+       |              + 17 * (j % 2)) % 255
+       |           ELSE ((doc_id % 16) * 41 + (j % 5) + 11 * (j % 3)
+       |              + 19 * (j % 2)) % 255
+       |      END) - 255 AS DOUBLE)) AS e
+       |  FROM documents WHERE doc_id % 9 = 4),
+       |$training,
+       |ca AS (SELECT vec_id, e, cid FROM (
+       |    SELECT v.vec_id, v.e, c.cid,
+       |           row_number() OVER (PARTITION BY v.vec_id
+       |             ORDER BY round(list_cosine_similarity(v.e, c.ce), 6) DESC, c.cid) AS rn
+       |    FROM v CROSS JOIN $cFinal c)
+       |  WHERE rn = 1 AND list_dot_product(e, e) > 0)
+       |SELECT vec_a, vec_b, cos FROM (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |         round(list_cosine_similarity(a.e, b.e), 6) AS cos
+       |  FROM ca a JOIN ca b ON a.cid = b.cid AND a.vec_id < b.vec_id)
+       |WHERE cos >= 0.98 ORDER BY vec_a, vec_b""".stripMargin
+  }
+
   // ---------------------------------------------------------------- TXT-7
   /** Denylist scrubbing — the PII-redaction operator shape (regex replace
     * + per-group audit counts) over the corpus' own vocabulary (the
@@ -2864,6 +2991,59 @@ object ExtensionQueries {
       |FROM cnt c CROSS JOIN tot t
       |WHERE c.n * 100 >= t.n * 3
       |ORDER BY c.n DESC, c.item""".stripMargin
+
+  // ---------------------------------------------------------------- TXT-20
+  /** Count-Min point-query audit ([[graft.operators.CountMin]]) — the
+    * OVERCOUNT-side frequency sketch next to q_txt19's Misra-Gries
+    * (deterministic undercount, candidates only): a d=4 × w=512 CMS is
+    * built from the raw token stream in ONE pass whose exchange is
+    * bounded at ≤ d·w rows per task (no vocabulary ever materializes
+    * on the sketch path — the property that makes it the 100 TB
+    * point-query structure), then the top-25 true-frequency tokens are
+    * point-queried against it and reported as (true_n, est_n,
+    * overcount). est ≥ true ALWAYS (hash rows only inflate); the
+    * overcount column shows what the ε = e/w collision bound costs on
+    * this corpus. Hashing is the md5-parity [[TF.hexHash60]], so the
+    * oracle replays the exact buckets — the sketch CONTENT is
+    * certified, not just its bounds. Truth (the wordcount) is the
+    * audit's pay-for-truth side, same contract as q_dd11/q_sim11; the
+    * 25-row top table is localCheckpointed so its two consumers don't
+    * re-run the wordcount.
+    */
+  def cmsAudit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.CountMin
+    val toks = Tables.documents(spark, dir)
+      .select(explode(TF.tokens(col("text"))).as("item"))
+    val sk = CountMin.sketch(toks, d = 4, w = 512)
+    val top = toks.groupBy("item").agg(count(lit(1)).as("true_n"))
+      .orderBy(col("true_n").desc, col("item")).limit(25)
+      .localCheckpoint()
+    CountMin.estimates(top.select("item"), sk, d = 4, w = 512)
+      .join(top, Seq("item"))
+      .select(col("item"), col("true_n"), col("est_n"),
+        (col("est_n") - col("true_n")).as("overcount"))
+      .orderBy(col("true_n").desc, col("item"))
+  }
+
+  val cmsAuditSql: String = {
+    def hh(expr: String) = TF.hexHash60Sql(expr)
+    s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS item FROM documents),
+       |sk AS (SELECT hrow, bucket, CAST(count(*) AS BIGINT) AS c FROM (
+       |         SELECT i.range AS hrow,
+       |                ${hh("CAST(i.range AS VARCHAR) || ':' || item")} % 512 AS bucket
+       |         FROM toks CROSS JOIN range(4) i)
+       |       GROUP BY 1, 2),
+       |tc AS (SELECT item, CAST(count(*) AS BIGINT) AS true_n FROM toks GROUP BY 1),
+       |top AS (SELECT item, true_n FROM tc ORDER BY true_n DESC, item LIMIT 25),
+       |q AS (SELECT top.item, top.true_n, i.range AS hrow,
+       |             ${hh("CAST(i.range AS VARCHAR) || ':' || top.item")} % 512 AS bucket
+       |      FROM top CROSS JOIN range(4) i)
+       |SELECT q.item, any_value(q.true_n) AS true_n,
+       |       min(coalesce(sk.c, 0)) AS est_n,
+       |       min(coalesce(sk.c, 0)) - any_value(q.true_n) AS overcount
+       |FROM q LEFT JOIN sk ON q.hrow = sk.hrow AND q.bucket = sk.bucket
+       |GROUP BY q.item ORDER BY true_n DESC, q.item""".stripMargin
+  }
 
   // ---------------------------------------------------------------- SIM-13
   /** Hard-negative mining ([[Similarity.hardNegatives]]): for a 4%

@@ -251,6 +251,56 @@ object RelationalQueries {
       |  SELECT 'l_suppkey', count(DISTINCT l_suppkey) FROM lineitem)
       |ORDER BY metric""".stripMargin
 
+  /** q_rel10d's treatment for the OTHER approximate aggregate: Spark's
+    * `percentile_approx` (the Greenwald-Khanna quantile summary) carries
+    * a rank-error guarantee of N/accuracy; this reduces it to an oracled
+    * GREEN row the same way. Pass 1 estimates the three quartiles of
+    * `l_extendedprice` at accuracy 100 (one 1-row localCheckpoint pin);
+    * pass 2 computes each estimate's exact rank interval
+    * [count(x < v) + 1, count(x ≤ v)] in ONE conditional aggregate over
+    * a broadcast of that row, and `within_bound` asserts the interval
+    * intersects [p·N − εN, p·N + εN] at ε = 0.02 (2× the 1/accuracy
+    * guarantee — the same slack discipline as rel10d's 5·rsd). The
+    * oracle pins within_bound = 1 per quartile, so a hash match
+    * certifies the sketch honored its rank bound on this corpus per
+    * run. The estimates themselves stay engine-specific (the carve-out
+    * q_rel10b documents); the BOUND is what crosses engines.
+    */
+  def approxQuantileAudit(spark: SparkSession, dir: String): DataFrame = {
+    val ps = Seq(0.25, 0.5, 0.75)
+    val li = Tables.lineitem(spark, dir).select(col("l_extendedprice").as("x"))
+    val est = li.agg(
+        expr("percentile_approx(x, array(0.25D, 0.5D, 0.75D), 100)").as("v"),
+        count(lit(1)).as("n"))
+      .localCheckpoint()
+    val aggs = ps.indices.flatMap { i =>
+      Seq(
+        sum(when(col("x") < element_at(col("v"), i + 1), 1L).otherwise(0L))
+          .as(s"lo_$i"),
+        sum(when(col("x") <= element_at(col("v"), i + 1), 1L).otherwise(0L))
+          .as(s"hi_$i"))
+    } :+ min(col("n")).as("n")
+    li.crossJoin(broadcast(est))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(ps.indices.map { i =>
+        val p = ps(i)
+        struct(
+          lit(p).as("pct"),
+          col("n"),
+          ((col(s"lo_$i") + 1 <= lit(p) * col("n") + lit(0.02) * col("n")) &&
+            (col(s"hi_$i") >= lit(p) * col("n") - lit(0.02) * col("n")))
+            .cast("long").as("within_bound"))
+      }: _*)).as("r"))
+      .select("r.*")
+      .orderBy("pct")
+  }
+
+  val approxQuantileAuditSql: String =
+    """SELECT t.pct, (SELECT count(*) FROM lineitem) AS n,
+      |       CAST(1 AS BIGINT) AS within_bound
+      |FROM (VALUES (0.25), (0.5), (0.75)) t(pct)
+      |ORDER BY pct""".stripMargin
+
   /** REL-9/10 extension: order-statistics battery — exact interpolated
     * percentiles (both engines use linear interpolation over the sorted
     * group) and sample stddev (rounded: Welford accumulation order

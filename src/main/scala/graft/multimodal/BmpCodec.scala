@@ -23,36 +23,79 @@ object BmpCodec {
   final case class BmpImage(width: Int, height: Int,
       b: Array[Int], g: Array[Int], r: Array[Int])
 
-  private def rowSize(width: Int): Int = ((3 * width + 3) / 4) * 4
+  /** DIB row stride: each pixel row padded to a 4-byte boundary. Shared
+    * with [[AviCodec]], whose '00db' frame chunks carry the same pixel
+    * layout (a DIB with no file header).
+    */
+  private[multimodal] def rowSize(width: Int): Int = ((3 * width + 3) / 4) * 4
+
+  /** Serialize the DIB pixel array alone (bottom-up rows, BGR, 4-byte
+    * row padding) — the layout both a BMP's pixel section and an AVI
+    * '00db' frame chunk carry.
+    */
+  private[multimodal] def encodeDib(img: BmpImage): Array[Byte] = {
+    val rs = rowSize(img.width)
+    val out = new Array[Byte](rs * img.height)
+    var y = img.height - 1 // bottom-up: last image row stored first
+    var p = 0
+    while (y >= 0) {
+      var x = 0
+      while (x < img.width) {
+        val i = y * img.width + x
+        out(p) = img.b(i).toByte
+        out(p + 1) = img.g(i).toByte
+        out(p + 2) = img.r(i).toByte
+        x += 1; p += 3
+      }
+      p += rs - 3 * img.width // row padding (written as zeros)
+      y -= 1
+    }
+    out
+  }
+
+  /** Parse a DIB pixel array at `offset` (known dimensions): undo the
+    * bottom-up row order, skip the per-row padding. Bounds must have
+    * been validated by the caller against `rowSize(width) * height`.
+    */
+  private[multimodal] def decodeDib(bytes: Array[Byte], offset: Int,
+      width: Int, height: Int): BmpImage = {
+    val rs = rowSize(width)
+    val n = width * height
+    val (b, g, r) = (new Array[Int](n), new Array[Int](n), new Array[Int](n))
+    var y = 0
+    while (y < height) {
+      // Stored row y holds image row (height-1-y): undo bottom-up order.
+      val iy = height - 1 - y
+      var x = 0
+      var p = offset + y * rs
+      while (x < width) {
+        val i = iy * width + x
+        b(i) = bytes(p) & 0xff
+        g(i) = bytes(p + 1) & 0xff
+        r(i) = bytes(p + 2) & 0xff
+        x += 1; p += 3
+      }
+      y += 1
+    }
+    BmpImage(width, height, b, g, r)
+  }
 
   /** Encode top-down row-major (b, g, r) channel arrays as a 24-bit
     * uncompressed BMP (bottom-up storage, padded rows).
     */
   def encode(img: BmpImage): Array[Byte] = {
-    val rs = rowSize(img.width)
-    val dataLen = rs * img.height
-    val buf = ByteBuffer.allocate(54 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    val dib = encodeDib(img)
+    val buf = ByteBuffer.allocate(54 + dib.length).order(ByteOrder.LITTLE_ENDIAN)
     // BITMAPFILEHEADER
-    buf.put('B'.toByte).put('M'.toByte).putInt(54 + dataLen)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + dib.length)
       .putShort(0).putShort(0).putInt(54)
     // BITMAPINFOHEADER
     buf.putInt(40).putInt(img.width).putInt(img.height)
       .putShort(1) // planes
       .putShort(24) // bits per pixel
       .putInt(0) // BI_RGB (uncompressed)
-      .putInt(dataLen).putInt(2835).putInt(2835).putInt(0).putInt(0)
-    var y = img.height - 1 // bottom-up: last image row stored first
-    while (y >= 0) {
-      var x = 0
-      while (x < img.width) {
-        val i = y * img.width + x
-        buf.put(img.b(i).toByte).put(img.g(i).toByte).put(img.r(i).toByte)
-        x += 1
-      }
-      var pad = rs - 3 * img.width
-      while (pad > 0) { buf.put(0.toByte); pad -= 1 }
-      y -= 1
-    }
+      .putInt(dib.length).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    buf.put(dib)
     buf.array()
   }
 
@@ -81,24 +124,7 @@ object BmpCodec {
     val rs = rowSize(width)
     if (dataOffset < 54 || dataOffset.toLong + rs.toLong * height > bytes.length)
       fail("pixel data overruns payload")
-    val n = width * height
-    val (b, g, r) = (new Array[Int](n), new Array[Int](n), new Array[Int](n))
-    var y = 0
-    while (y < height) {
-      // Stored row y holds image row (height-1-y): undo bottom-up order.
-      val iy = height - 1 - y
-      var x = 0
-      var p = dataOffset + y * rs
-      while (x < width) {
-        val i = iy * width + x
-        b(i) = bytes(p) & 0xff
-        g(i) = bytes(p + 1) & 0xff
-        r(i) = bytes(p + 2) & 0xff
-        x += 1; p += 3
-      }
-      y += 1
-    }
-    BmpImage(width, height, b, g, r)
+    decodeDib(bytes, dataOffset, width, height)
   }
 
   def tryDecode(bytes: Array[Byte]): Option[BmpImage] =

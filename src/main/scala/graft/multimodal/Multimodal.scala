@@ -386,6 +386,183 @@ object Multimodal {
     }.toDF("vec_id", "embedding")
   }
 
+  // ------------------------------------------------------------------
+  // Video tier ([[AviCodec]]): the third real-format modality. Same
+  // discipline as WAV/BMP — payloads synthesized from doc_id by integer
+  // laws, encoded into genuine RIFF/AVI containers, features taken only
+  // from DECODED frames; the oracle replays the generating formulas, so
+  // a hash match certifies the whole container round-trip (nested LIST
+  // walk, avih/strf cross-checks, per-frame DIB padding + bottom-up
+  // undo). All stages `mapPartitions`, zero driver state.
+  // ------------------------------------------------------------------
+
+  /** Synthesized video law (shared with the q_mm10/q_mm11 oracles):
+    * w = 5 + d%4, h = 3 + d%3 (the BMP laws' dimension grid, all three
+    * row pads), nf = 2 + d%3 frames; frame t's channels are the image
+    * law shifted per frame — b = (d + 3x + 7y + 13t) % 256,
+    * g = (2d + 5x + y + 17t) % 256, r = (3d + x + 11y + 19t) % 256.
+    * Integer-only, so the oracle states it in SQL verbatim.
+    */
+  def aviFrames(d: Long): Array[BmpCodec.BmpImage] = {
+    val w = (5 + d % 4).toInt
+    val h = (3 + d % 3).toInt
+    val nf = (2 + d % 3).toInt
+    Array.tabulate(nf) { t =>
+      val n = w * h
+      val (b, g, r) = (new Array[Int](n), new Array[Int](n), new Array[Int](n))
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val i = y * w + x
+          b(i) = ((d + 3 * x + 7 * y + 13 * t) % 256).toInt
+          g(i) = ((2 * d + 5 * x + y + 17 * t) % 256).toInt
+          r(i) = ((3 * d + x + 11 * y + 19 * t) % 256).toInt
+          x += 1
+        }
+        y += 1
+      }
+      BmpCodec.BmpImage(w, h, b, g, r)
+    }
+  }
+
+  /** Class-structured video law for the video near-dup leg (q_mm12),
+    * [[bmpClassImage]] extended over time: pattern depends on the CLASS
+    * c = d % 16 (w = 5 + c%4, h = 3 + c%3, nf = 2 + c%3 frames,
+    * channels linear in (c, x, y, t) mod 255), plus a 1-count
+    * perturbation of frame 0's pixel (0,0) blue channel for odd d/16 —
+    * 16 near-duplicate families differing by one byte of one frame.
+    */
+  def aviClassFrames(d: Long): Array[BmpCodec.BmpImage] = {
+    val c = d % 16
+    val w = (5 + c % 4).toInt
+    val h = (3 + c % 3).toInt
+    val nf = (2 + c % 3).toInt
+    val frames = Array.tabulate(nf) { t =>
+      val n = w * h
+      val (b, g, r) = (new Array[Int](n), new Array[Int](n), new Array[Int](n))
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val i = y * w + x
+          b(i) = ((c * 17 + 3 * x + 7 * y + 13 * t) % 255).toInt
+          g(i) = ((c * 29 + 5 * x + y + 17 * t) % 255).toInt
+          r(i) = ((c * 41 + x + 11 * y + 19 * t) % 255).toInt
+          x += 1
+        }
+        y += 1
+      }
+      BmpCodec.BmpImage(w, h, b, g, r)
+    }
+    frames(0).b(0) += ((d / 16) % 2).toInt // ≤ 254 + 1: still a valid byte
+    frames
+  }
+
+  /** AVI assets over `docs` under a pluggable frame law. */
+  def synthAviAssets(docs: DataFrame,
+      framesOf: Long => Array[BmpCodec.BmpImage]): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { d =>
+        val payload = AviCodec.encode(framesOf(d), fps = 10)
+        MediaRecord(d, payload, "video/avi", payload.length.toLong)
+      }
+    }
+  }
+
+  /** Decode AVI assets ([[AviCodec.decode]] — throws on malformed) and
+    * emit per-VIDEO integer features: dimensions, frame count, summed
+    * channels over all frames, the frame-and-position-weighted
+    * Σ(t·w·h + y·w + x + 1)·r(x,y,t) that pins FRAME order on top of
+    * pixel order (a swapped or dropped frame keeps the plain sums but
+    * not this), and sum_motion = Σ_{t≥1} |r_t − r_{t−1}| summed over
+    * pixels — the temporal-difference feature (scene-change / motion
+    * proxy) that only exists for a modality with a time axis.
+    */
+  def decodeAviFeatures(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val v = AviCodec.decode(m.payload)
+        val n = v.width * v.height
+        var (sb, sg, sr, wr, motion) = (0L, 0L, 0L, 0L, 0L)
+        var t = 0
+        while (t < v.frames.length) {
+          val f = v.frames(t)
+          var i = 0
+          while (i < n) {
+            sb += f.b(i); sg += f.g(i); sr += f.r(i)
+            wr += (t.toLong * n + i + 1) * f.r(i)
+            if (t > 0) motion += math.abs(f.r(i) - v.frames(t - 1).r(i)).toLong
+            i += 1
+          }
+          t += 1
+        }
+        (m.media_id, v.width.toLong, v.height.toLong, v.frames.length.toLong,
+          sb, sg, sr, wr, motion)
+      }
+    }.toDF("media_id", "width", "height", "n_frames", "sum_b", "sum_g",
+      "sum_r", "wsum_r", "sum_motion")
+  }
+
+  /** Every-k-th-frame sampling over DECODED frames — the frame-sample
+    * verb at its natural granularity (q_mm2 slices raw container BYTES,
+    * q_mm8 slices decoded audio SAMPLES; this takes every `stride`-th
+    * decoded video FRAME), with per-sampled-frame features mirroring
+    * [[decodeBmpFeatures]]: channel sums + the position-weighted
+    * Σ(y·w+x+1)·r within the frame.
+    */
+  def aviFrameSample(media: Dataset[MediaRecord], stride: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    media.mapPartitions { rows =>
+      rows.flatMap { m =>
+        val v = AviCodec.decode(m.payload)
+        val n = v.width * v.height
+        (0 until v.frames.length by stride).iterator.map { t =>
+          val f = v.frames(t)
+          var (sb, sg, sr, wr) = (0L, 0L, 0L, 0L)
+          var i = 0
+          while (i < n) {
+            sb += f.b(i); sg += f.g(i); sr += f.r(i)
+            wr += (i + 1).toLong * f.r(i)
+            i += 1
+          }
+          (m.media_id, t.toLong, sb, sg, sr, wr)
+        }
+      }
+    }.toDF("media_id", "frame_no", "sum_b", "sum_g", "sum_r", "wsum_r")
+  }
+
+  /** Video-probe embedding from DECODED frames, the [[bmpProbeEmbeddings]]
+    * discipline with the time axis in the probe set: 8 fixed sites
+    * (t, x, y, ch) = (j mod 2, j mod 5, j mod 3, channel j mod 3) — all
+    * in-bounds for every class (nf ≥ 2, w ≥ 5, h ≥ 3) — each feature
+    * the signed 2·ch − 255. Probing exact (frame, pixel) coordinates is
+    * the most container-sensitive embedding possible: any nested-chunk,
+    * padding, or frame-order slip reads a different byte.
+    */
+  def aviProbeEmbeddings(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val v = AviCodec.decode(m.payload)
+        val feats = Array.tabulate(8) { j =>
+          val f = v.frames(j % 2)
+          val i = (j % 3) * v.width + (j % 5)
+          val ch = (j % 3) match {
+            case 0 => f.b(i)
+            case 1 => f.g(i)
+            case _ => f.r(i)
+          }
+          (2 * ch - 255).toFloat
+        }
+        (m.media_id, feats)
+      }
+    }.toDF("vec_id", "embedding")
+  }
+
   /** Image-probe embedding from DECODED pixels: 8 fixed probe sites
     * (xⱼ, yⱼ) = (j mod 5, j mod 3) — in-bounds for every class since
     * w ≥ 5, h ≥ 3 — cycling channels b, g, r; each feature is the

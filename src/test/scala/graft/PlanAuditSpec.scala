@@ -647,4 +647,22 @@ class PlanAuditSpec extends SparkSpec {
       "exact count must be partial+final: " + p.take(600))
     assert(!p.contains("SortMergeJoin"), p.take(600))
   }
+
+  test("q_txt20: sketch is a partial+final aggregate; the d·w cell table broadcasts") {
+    // The CMS build's scale property: the generate+aggregate runs
+    // partial-before-exchange, so the shuffle carries <= d*w rows per
+    // task — never the token stream or the vocabulary. The estimate
+    // join must broadcast the sketch side (<= d*w rows by
+    // construction); the truth side's top-25 is a checkpoint
+    // (ExistingRDD), so the wordcount never re-runs.
+    val p = plan("q_txt20_cms_audit")
+    assert(p.contains("BroadcastHashJoin"),
+      "sketch side must broadcast: " + p.take(800))
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "sketch and estimate aggregates partial+final: " + p.take(600))
+    assert("Scan ExistingRDD".r.findAllIn(p).size >= 2,
+      "both top-25 consumers must read the checkpoint: " + p.take(800))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(600))
+  }
 }

@@ -97,6 +97,94 @@ class CodecSpec extends AnyFunSuite {
     assert(BmpCodec.tryDecode(good).isDefined)
   }
 
+  test("AVI: encode→decode round-trips frames, dims, and fps exactly") {
+    for (d <- Seq(0L, 5L, 17L, 100L)) {
+      val frames = Multimodal.aviFrames(d)
+      val v = AviCodec.decode(AviCodec.encode(frames, fps = 10))
+      assert(v.fps == 10)
+      assert(v.frames.length == frames.length)
+      assert(v.width == frames.head.width && v.height == frames.head.height)
+      for (t <- frames.indices) {
+        assert(v.frames(t).b.toSeq == frames(t).b.toSeq, s"d=$d t=$t b")
+        assert(v.frames(t).g.toSeq == frames(t).g.toSeq, s"d=$d t=$t g")
+        assert(v.frames(t).r.toSeq == frames(t).r.toSeq, s"d=$d t=$t r")
+      }
+    }
+  }
+
+  test("AVI: decoder skips unknown chunks and LISTs at every nesting level") {
+    val frames = Multimodal.aviFrames(3L)
+    val base = AviCodec.encode(frames, fps = 10)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] =
+      id.getBytes("US-ASCII") ++
+        Array[Byte]((body.length & 0xff).toByte, 0, 0, 0) ++ body ++
+        (if (body.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+    def patchRiffSize(bytes: Array[Byte]): Array[Byte] = {
+      val out = bytes.clone
+      val sz = bytes.length - 8
+      out(4) = (sz & 0xff).toByte; out(5) = ((sz >> 8) & 0xff).toByte
+      out(6) = ((sz >> 16) & 0xff).toByte; out(7) = ((sz >> 24) & 0xff).toByte
+      out
+    }
+    // 1) Unknown top-level chunks: JUNK (odd size — exercises the word
+    //    alignment) before hdrl, and an idx1 after movi.
+    val junk = chunk("JUNK", Array.fill[Byte](7)(0x5a))
+    val idx1 = chunk("idx1", Array.fill[Byte](16)(0x11))
+    val withTop = patchRiffSize(base.take(12) ++ junk ++ base.drop(12) ++ idx1)
+    val v1 = AviCodec.decode(withTop)
+    assert(v1.frames.length == frames.length)
+    assert(v1.frames(0).r.toSeq == frames(0).r.toSeq)
+    // 2) Unknown top-level LIST (INFO) — must skip the whole list, not
+    //    recurse into its children.
+    // LIST size covers the 4-byte list type plus the 10-byte ISFT chunk.
+    val info = "LIST".getBytes("US-ASCII") ++ Array[Byte](14, 0, 0, 0) ++
+      "INFO".getBytes("US-ASCII") ++ chunk("ISFT", Array[Byte](0x41, 0x42))
+    val withList = patchRiffSize(base.take(12) ++ info ++ base.drop(12))
+    assert(AviCodec.decode(withList).frames.length == frames.length)
+  }
+
+  test("AVI: incoherent containers refuse loudly") {
+    val frames = Multimodal.aviFrames(7L) // w=8 h=4 nf=3
+    val good = AviCodec.encode(frames, fps = 10)
+    def bad(bytes: Array[Byte]) =
+      intercept[IllegalArgumentException](AviCodec.decode(bytes))
+    bad(good.take(10)) // below RIFF header
+    bad("JUNK".getBytes ++ good.drop(4)) // wrong magic
+    val notAvi = good.clone; notAvi(8) = 'W'.toByte // form type -> WVI
+    bad(notAvi)
+    // avih declares one more frame than movi holds (dwTotalFrames at
+    // offset 12 (RIFF) + 12 (LIST hdr) + 8 (avih hdr) + 16).
+    val extra = good.clone; extra(48) = (frames.length + 1).toByte
+    bad(extra)
+    // strf bpp -> 8: avih chunk spans 24..87, LIST strl header 88..99,
+    // strh chunk 100..163, strf body at 172: biBitCount at 172 + 14.
+    val bpp = good.clone; bpp(186) = 8
+    bad(bpp)
+    // Truncated movi: drop the last frame's tail bytes.
+    bad(good.dropRight(4))
+    assert(AviCodec.tryDecode(good).isDefined)
+    assert(AviCodec.tryDecode(good.take(10)).isEmpty)
+  }
+
+  test("class videos: one-byte-in-one-frame perturbation, valid bytes, stable shape per class") {
+    for (c <- 0 until 16) {
+      val a = Multimodal.aviClassFrames(c.toLong) // d/16 even
+      val p = Multimodal.aviClassFrames(c.toLong + 16L) // d/16 odd
+      assert(a.length == p.length)
+      assert(a.head.width == p.head.width && a.head.height == p.head.height)
+      // Differ in exactly frame 0's (0,0) blue channel, by exactly 1.
+      assert(p(0).b(0) - a(0).b(0) == 1)
+      assert(a(0).b.drop(1).toSeq == p(0).b.drop(1).toSeq)
+      for (t <- 1 until a.length) {
+        assert(a(t).b.toSeq == p(t).b.toSeq, s"c=$c t=$t")
+      }
+      for (t <- a.indices) {
+        assert(a(t).g.toSeq == p(t).g.toSeq && a(t).r.toSeq == p(t).r.toSeq)
+        assert((a(t).b ++ a(t).g ++ a(t).r).forall(v => v >= 0 && v <= 255))
+      }
+    }
+  }
+
   test("class images: one-pixel perturbation, valid bytes, stable dims per class") {
     for (c <- 0 until 16) {
       val a = Multimodal.bmpClassImage(c.toLong) // d/16 even

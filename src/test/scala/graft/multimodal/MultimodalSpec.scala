@@ -86,4 +86,59 @@ class MultimodalSpec extends SparkSpec {
     val expect = wavClassSamples(36L)._2
     assert(e.toSeq == (0 until 8).map(j => expect(7 * j).toFloat))
   }
+
+  test("decodeAviFeatures: hand-computed sums, frame-order weight, motion") {
+    // Two 1x1 frames with distinct r values: motion = |r1 - r0|, and the
+    // weighted sum separates frame order (w·h = 1: weights 1 and 2).
+    val f0 = BmpCodec.BmpImage(1, 1, Array(10), Array(20), Array(30))
+    val f1 = BmpCodec.BmpImage(1, 1, Array(11), Array(21), Array(25))
+    val rec = Seq(MediaRecord(5L, AviCodec.encode(Array(f0, f1), fps = 10),
+      "video/avi", 0L)).toDS()
+    val r = decodeAviFeatures(rec).head()
+    assert(r.getAs[Long]("n_frames") == 2L)
+    assert(r.getAs[Long]("sum_b") == 21L && r.getAs[Long]("sum_g") == 41L)
+    assert(r.getAs[Long]("sum_r") == 55L)
+    assert(r.getAs[Long]("wsum_r") == 1L * 30 + 2L * 25) // swap ⇒ 85, not 80
+    assert(r.getAs[Long]("sum_motion") == 5L)
+  }
+
+  test("aviFrameSample: stride keeps frames 0 and 2, per-frame features") {
+    // Three 2x1 frames; stride 2 samples frames 0 and 2 only.
+    def fr(v: Int) = BmpCodec.BmpImage(2, 1,
+      Array(v, v + 1), Array(v + 2, v + 3), Array(v + 4, v + 5))
+    val rec = Seq(MediaRecord(7L,
+      AviCodec.encode(Array(fr(0), fr(50), fr(100)), fps = 10),
+      "video/avi", 0L)).toDS()
+    val rows = aviFrameSample(rec, stride = 2).orderBy("frame_no").collect()
+    assert(rows.map(_.getAs[Long]("frame_no")).toSeq == Seq(0L, 2L))
+    assert(rows(0).getAs[Long]("sum_r") == 4L + 5L)
+    assert(rows(1).getAs[Long]("sum_r") == 104L + 105L)
+    assert(rows(1).getAs[Long]("wsum_r") == 1L * 104 + 2L * 105)
+  }
+
+  test("avi class law: one-byte perturbation survives the container round-trip; probes read it") {
+    // Classes share shape within a family; the probe embedding must
+    // differ ONLY in feature 0 (the perturbed frame-0 (0,0) blue byte,
+    // recentered 2·ch − 255 ⇒ a 2-unit gap), read from DECODED frames.
+    val recs = Seq(4L, 20L).map { d => // class 4, even/odd d/16
+      MediaRecord(d, AviCodec.encode(aviClassFrames(d), fps = 10),
+        "video/avi", 0L)
+    }.toDS()
+    val es = aviProbeEmbeddings(recs).orderBy("vec_id").collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("embedding"))
+    assert(es(1)(0) - es(0)(0) == 2.0f)
+    assert(es(0).drop(1) == es(1).drop(1))
+    // And the probe features match the law directly (t = j%2, x = j%5,
+    // y = j%3, channel j%3) for the unperturbed member.
+    val frames = aviClassFrames(4L)
+    val expect = (0 until 8).map { j =>
+      val f = frames(j % 2)
+      val i = (j % 3) * f.width + (j % 5)
+      val ch = (j % 3) match {
+        case 0 => f.b(i); case 1 => f.g(i); case _ => f.r(i)
+      }
+      (2 * ch - 255).toFloat
+    }
+    assert(es(0).toSeq == expect)
+  }
 }

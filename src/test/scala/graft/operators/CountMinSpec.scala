@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.{TextFunctions => TF}
+
+/** [[CountMin]] vs an independent driver-side reference sketch built
+  * from the same md5-parity hash ([[TF.hexHash60Local]]): the table
+  * CONTENT matches cell-for-cell, estimates match a reference
+  * implementation over every vocabulary item, the deterministic
+  * est ≥ true guarantee holds, and sketches merge by addition (the
+  * cross-batch law a streamed form relies on).
+  */
+class CountMinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val D = 3
+  private val W = 8 // tiny width forces collisions — overcounts exercised
+
+  /** Reference CMS: d×w counter array from the raw stream. */
+  private def refSketch(stream: Seq[String]): Array[Array[Long]] = {
+    val cells = Array.fill(D, W)(0L)
+    for (tok <- stream; i <- 0 until D)
+      cells(i)((TF.hexHash60Local(s"$i:$tok") % W).toInt) += 1
+    cells
+  }
+
+  private def refEstimate(cells: Array[Array[Long]], tok: String): Long =
+    (0 until D).map(i => cells(i)((TF.hexHash60Local(s"$i:$tok") % W).toInt)).min
+
+  // Skewed planted stream: "alpha" dominates, singletons collide at w=8.
+  private val stream: Seq[String] =
+    Seq.fill(40)("alpha") ++ Seq.fill(12)("beta") ++ Seq.fill(5)("gamma") ++
+      (0 until 20).map(i => s"rare$i")
+
+  test("sketch table matches the reference cell-for-cell") {
+    val sk = CountMin.sketch(stream.toDF("item"), D, W)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1).toInt) -> r.getLong(2))
+      .toMap
+    val ref = refSketch(stream)
+    for (i <- 0 until D; b <- 0 until W) {
+      assert(sk.getOrElse((i, b), 0L) == ref(i)(b), s"cell ($i, $b)")
+    }
+    // Conservation: every hash row counts every token once.
+    assert(sk.values.sum == D.toLong * stream.length)
+  }
+
+  test("estimates match the reference; est >= true for every vocab item") {
+    val sk = CountMin.sketch(stream.toDF("item"), D, W)
+    val vocab = stream.distinct
+    val est = CountMin.estimates(vocab.toDF("item"), sk, D, W)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ref = refSketch(stream)
+    val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for (tok <- vocab) {
+      assert(est(tok) == refEstimate(ref, tok), s"estimate of $tok")
+      assert(est(tok) >= truth(tok), s"CMS must never undercount $tok")
+    }
+    // The dominant item's estimate is exact unless all three of its
+    // cells collide — at this skew its min-cell is itself-dominated.
+    assert(est("alpha") >= 40L)
+  }
+
+  test("sketches merge by addition: sketch(A ++ B) == sketch(A) + sketch(B)") {
+    val (a, b) = stream.splitAt(stream.length / 3)
+    val merged = CountMin.sketch(a.toDF("item"), D, W)
+      .unionByName(CountMin.sketch(b.toDF("item"), D, W))
+      .groupBy("hrow", "bucket").agg(sum("c").as("c"))
+    val whole = CountMin.sketch(stream.toDF("item"), D, W)
+    val mm = merged.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val ww = whole.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(mm == ww)
+  }
+
+  test("absent item reads 0 through an empty cell; left join coalesces") {
+    // A single-token stream leaves w-1 buckets empty in every row: any
+    // probe that misses in at least one row must estimate 0.
+    val sk = CountMin.sketch(Seq("only").toDF("item"), D, W)
+    val probes = (0 until 50).map(i => s"absent$i").filter { p =>
+      (0 until D).exists(i =>
+        TF.hexHash60Local(s"$i:$p") % W != TF.hexHash60Local(s"$i:only") % W)
+    }
+    assert(probes.nonEmpty)
+    val est = CountMin.estimates(probes.toDF("item"), sk, D, W)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    probes.foreach(p => assert(est(p) == 0L, s"probe $p"))
+  }
+}

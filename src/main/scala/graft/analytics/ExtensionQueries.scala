@@ -2618,6 +2618,64 @@ object ExtensionQueries {
       |FROM wnz JOIN lm USING (w) CROSS JOIN t
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- TXT-21
+  /** Bigram language-model scoring — q_txt15's LM with one order of
+    * CONTEXT: P(w₂|w₁) = (c(w₁w₂) + 1) / (c(w₁·) + V), the Laplace-
+    * smoothed conditional over corpus bigram counts (c(w₁·) = bigrams
+    * starting with w₁, V = corpus unigram vocabulary), scored as each
+    * document's mean log conditional probability. The quality signal a
+    * unigram LM cannot see: a doc of common words in an uncommon ORDER
+    * scores low here and normal under q_txt15 — the pair is the
+    * word-salad detector of LM-based curation. Bigrams are 2-shingles
+    * ([[TF.shingles]] — the same native generator the dedup tier
+    * uses), so extraction is map-side array arithmetic, no self-join
+    * and no per-doc window; docs under 2 tokens have no bigram and
+    * drop out (both engines). Rounded once at 6dp (the q_txt15 rule).
+    *
+    * Shape at 100 TB: training is ONE bigram-count shuffle (+ the
+    * unigram context counts from the same stream); both LM tables are
+    * vocabulary-sized and broadcast here — at a bigram vocab past
+    * broadcast range the scoring joins fall back to hash joins on the
+    * gram key, the plan Catalyst already picks once the stats say so.
+    */
+  def bigramLogProb(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val vtot = docs
+      .select(explode(TF.tokens(col("text"))).as("w"))
+      .agg(countDistinct("w").cast("double").as("v"))
+    val bg = docs.where(size(TF.tokens(col("text"))) >= 2)
+      .select(col("doc_id"), explode(TF.shingles(col("text"), 2)).as("g"))
+      .withColumn("w1", element_at(split(col("g"), " "), 1))
+    val c2 = bg.groupBy("g").agg(count(lit(1)).cast("double").as("c2"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).cast("double").as("c1"))
+    bg.join(broadcast(c2), "g")
+      .join(broadcast(c1), "w1")
+      .crossJoin(broadcast(vtot))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log((col("c2") + 1.0) / (col("c1") + col("v")))), 6)
+          .as("logprob"))
+      .orderBy("doc_id")
+  }
+
+  val bigramLogProbSql: String =
+    """WITH t0 AS (SELECT doc_id, text, string_split(text, ' ') AS t
+      |            FROM documents),
+      |vocab AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v
+      |          FROM (SELECT unnest(t) AS w FROM t0)),
+      |gg AS (SELECT doc_id, g, string_split(g, ' ')[1] AS w1
+      |       FROM (SELECT doc_id,
+      |               unnest(list_transform(range(len(t) - 1),
+      |                 i -> array_to_string(list_slice(t, i + 1, i + 2), ' ')))
+      |                 AS g
+      |             FROM t0 WHERE len(t) >= 2)),
+      |c2 AS (SELECT g, CAST(count(*) AS DOUBLE) AS c2 FROM gg GROUP BY 1),
+      |c1 AS (SELECT w1, CAST(count(*) AS DOUBLE) AS c1 FROM gg GROUP BY 1)
+      |SELECT gg.doc_id AS doc_id, count(*) AS n_bigrams,
+      |       round(avg(ln((c2.c2 + 1) / (c1.c1 + vocab.v))), 6) AS logprob
+      |FROM gg JOIN c2 USING (g) JOIN c1 USING (w1) CROSS JOIN vocab
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---------------------------------------------------------------- TXT-16
   /** CCNet-style perplexity bucketing over the unigram LM scores
     * (q_txt15's scoring stage): documents fall into head / middle /
@@ -3150,6 +3208,114 @@ object ExtensionQueries {
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- ML-22
+  /** Deterministic bottom-k corpus sample ([[graft.operators.Sampling]])
+    * — the EXACT-size, mergeable, coordinated uniform sample next to
+    * the Bernoulli samplers (q_ml3 stratified, q_ml8 temperature):
+    * rank docs by the salted md5 hash of doc_id, keep the 100
+    * smallest. Compiles to `TakeOrderedAndProject` (map-side ≤ k
+    * heaps; the exchange carries k·partitions rows, never the corpus);
+    * the merge law bottomK(A∪B) = bottomK(bottomK(A)∪bottomK(B)) is
+    * what a 1000-executor run and [[graft.streaming.SampleStream]]
+    * both lean on. The oracle replays the exact ranks, so WHICH docs
+    * are sampled is hash-certified, not just how many.
+    */
+  def bottomKSample(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.bottomK(
+        Tables.documents(spark, dir).select("doc_id", "lang"),
+        "doc_id", k = 100)
+      .select(col("doc_id"), col("lang"), col("smp_rank"),
+        col("smp_rn").cast("long").as("smp_rn"))
+      .orderBy("smp_rn")
+
+  val bottomKSampleSql: String =
+    s"""SELECT doc_id, lang, h AS smp_rank,
+       |       row_number() OVER (ORDER BY h, doc_id) AS smp_rn
+       |FROM (SELECT doc_id, lang,
+       |        ${TF.hexHash60Sql("'smp:' || CAST(doc_id AS VARCHAR)")} AS h
+       |      FROM documents)
+       |ORDER BY h, doc_id LIMIT 100""".stripMargin
+
+  // ---------------------------------------------------------------- SIM-15
+  /** Johnson–Lindenstrauss random projection — the dimensionality-
+    * reduction step in front of an ANN tier (project 64 → 16 dims,
+    * then index the short vectors: 4× less index storage and 4×
+    * cheaper dots, at a distance distortion the JL lemma bounds) —
+    * reduced to the repo's audit form: project with a DETERMINISTIC
+    * ±1 sign matrix (Achlioptas 2003's database-friendly construction;
+    * entries are md5-parity bits over the literal key "rp:j:i", the
+    * [[Similarity.planeWeights]] discipline, baked into the plan), and
+    * report the squared-distance ratio ‖Rx_a − Rx_b‖² / (k·‖x_a −
+    * x_b‖²) for every pair of a bounded id-sampled probe set —
+    * expectation exactly 1, concentration the spec asserts. Each
+    * projection is a [[graft.functions.FloatVectorDot]] codegen'd
+    * fold (dimension order — both engines identical), the pair stage
+    * subtracts THEN dots (one fold, same order both engines), and only
+    * the final ratio rounds (6dp).
+    *
+    * Shape at 100 TB: projecting is k map-side dots per vector — no
+    * shuffle, composes in front of [[Similarity.ivfTopK]]'s training
+    * and [[graft.streaming.IndexMaintenance]]'s stores untouched; the
+    * all-pairs here is the audit's documented bounded probe sample
+    * (~n/11 ids), never a corpus join.
+    */
+  def randomProjectionAudit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{VectorFunctions => VF}
+    val (kOut, dim) = (16, 64)
+    def sign(j: Int, i: Int): Double =
+      if (TF.hexHash60Local(s"rp:$j:$i") % 2 == 0) 1.0 else -1.0
+    val signArrs = (0 until kOut).map(j =>
+      array((0 until dim).map(i => lit(sign(j, i))): _*))
+    val sample = Tables.embeddings(spark, dir)
+      .where(col("vec_id") % 11 === 0)
+      .where(VF.l2Norm(col("embedding")) > 0)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e"),
+        array(signArrs.map(s => VF.dot(col("embedding"), s)): _*).as("y"))
+    val a = sample.select(col("vec_id").as("id_a"), col("e").as("ea"),
+      col("y").as("ya"))
+    val b = sample.select(col("vec_id").as("id_b"), col("e").as("eb"),
+      col("y").as("yb"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn("dx", zip_with(col("ea"), col("eb"), (x, yv) => x - yv))
+      .withColumn("dy", zip_with(col("ya"), col("yb"), (x, yv) => x - yv))
+      .withColumn("d2x", VF.dot(col("dx"), col("dx")))
+      .withColumn("d2y", VF.dot(col("dy"), col("dy")))
+      .where(col("d2x") > 0)
+      .select(col("id_a"), col("id_b"),
+        round(col("d2y") / (lit(kOut) * col("d2x")), 6).as("ratio"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val randomProjectionAuditSql: String = {
+    val (kOut, dim) = (16, 64)
+    def sign(j: Int, i: Int): String =
+      if (TF.hexHash60Local(s"rp:$j:$i") % 2 == 0) "1.0" else "-1.0"
+    val proj = (0 until kOut).map { j =>
+      val s = (0 until dim).map(i => sign(j, i)).mkString(", ")
+      s"list_dot_product(e, [$s])"
+    }.mkString(",\n|           ")
+    s"""WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+       |           FROM embeddings
+       |           WHERE vec_id % 11 = 0
+       |             AND list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                                  CAST(embedding AS DOUBLE[])) > 0),
+       |p AS (SELECT vec_id, e,
+       |        [$proj] AS y
+       |      FROM s),
+       |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |            list_transform(range($dim),
+       |              i -> a.e[i + 1] - b.e[i + 1]) AS dx,
+       |            list_transform(range($kOut),
+       |              j -> a.y[j + 1] - b.y[j + 1]) AS dy
+       |          FROM p a JOIN p b ON a.vec_id < b.vec_id)
+       |SELECT id_a, id_b,
+       |       round(list_dot_product(dy, dy)
+       |             / ($kOut * list_dot_product(dx, dx)), 6) AS ratio
+       |FROM pairs WHERE list_dot_product(dx, dx) > 0
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   // ---------------------------------------------------------------- DD-13
   /** Exact set-similarity self-join ([[Dedup.prefixJaccardJoin]]):
     * every document pair with 3-shingle Jaccard ≥ 4/5, found by
@@ -3256,6 +3422,79 @@ object ExtensionQueries {
        |SELECT dr.ctx, dr.draw, tb.word, round(dr.u, 6) AS u
        |FROM dr JOIN tb ON dr.u >= tb.lo AND dr.u < tb.hi
        |ORDER BY ctx, draw""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- ML-21
+  /** q_ml7's benchmark-decontamination scan with a
+    * [[graft.operators.Bloom]] pre-filter in front of the exact join —
+    * the shape a 100 TB run uses. q_ml7 joins every distinct corpus
+    * (doc, 8-gram) pair against the benchmark gram set, so its shuffle
+    * carries the whole corpus's gram stream; here each gram OCCURRENCE
+    * is probed against the broadcast Bloom filter (k = 4 chained
+    * map-side semi joins, one reused ≤ m-row broadcast) BEFORE any
+    * exchange, and only surviving candidates reach the per-doc dedup +
+    * exact-verify stage. No false negatives (every truly contaminated
+    * pair survives — q_ml7's answer is reproduced exactly); false
+    * positives are verified away downstream and REPORTED, not hidden:
+    * output is per-doc (n_candidate, n_exact), so n_candidate −
+    * n_exact is the measured FP overhead the pre-filter traded for the
+    * shuffle cut. m = 2¹⁷ bits, k = 4 sizes the filter for the sf0.1
+    * benchmark gram count (~23k grams → kn/m ≈ 0.7, FP ≈ 6.6% — big
+    * enough to EXERCISE the false-positive path, small enough that the
+    * verify side stays candidate-bounded). The md5-parity hashing
+    * means DuckDB replays the exact bit table: which grams pass —
+    * including each false positive — is hash-certified per run.
+    */
+  def bloomDecontamination(spark: SparkSession, dir: String): DataFrame = {
+    val k = 4; val m = 131072
+    val docs = Tables.documents(spark, dir)
+    val benchGrams = docs.where(col("doc_id") % 10 === 0)
+      .select(explode(TF.shingles(col("text"), 8)).as("item"))
+      .distinct()
+    val bloom = graft.operators.Bloom.build(benchGrams, k, m)
+    val corpusOcc = docs.where(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), explode(TF.shingles(col("text"), 8)).as("item"))
+    // Probe per occurrence, map-side, before the dedup exchange: the
+    // shuffle carries candidates only. The four semi joins broadcast
+    // the SAME bit table — one exchange, three ReusedExchange.
+    val candPairs = graft.operators.Bloom
+      .filterMembers(corpusOcc, "item", bloom, k, m)
+      .dropDuplicates("doc_id", "item")
+    candPairs
+      .join(broadcast(benchGrams.withColumnRenamed("item", "bgram")),
+        col("item") === col("bgram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_candidate"),
+        sum(when(col("bgram").isNotNull, 1L).otherwise(0L)).as("n_exact"))
+      .orderBy("doc_id")
+  }
+
+  val bloomDecontaminationSql: String = {
+    val h = (i: Int) => TF.hexHash60Sql(s"'$i:' || gram") + " % 131072"
+    s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS t
+       |           FROM documents),
+       |g AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 8
+       |        THEN list_transform(range(len(t) - 7),
+       |             i -> array_to_string(list_slice(t, i + 1, i + 8), ' '))
+       |        ELSE [text] END) AS gram FROM t),
+       |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0),
+       |bloomb AS (SELECT DISTINCT
+       |             ${TF.hexHash60Sql("CAST(s.i AS VARCHAR) || ':' || gram")}
+       |               % 131072 AS bit
+       |           FROM bench CROSS JOIN (VALUES (0),(1),(2),(3)) s(i)),
+       |corp AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 10 != 0),
+       |cb AS (SELECT doc_id, gram,
+       |         ${h(0)} AS b0, ${h(1)} AS b1, ${h(2)} AS b2, ${h(3)} AS b3
+       |       FROM corp),
+       |cand AS (SELECT doc_id, gram FROM cb
+       |         WHERE b0 IN (SELECT bit FROM bloomb)
+       |           AND b1 IN (SELECT bit FROM bloomb)
+       |           AND b2 IN (SELECT bit FROM bloomb)
+       |           AND b3 IN (SELECT bit FROM bloomb))
+       |SELECT doc_id, count(*) AS n_candidate,
+       |       CAST(sum(CASE WHEN gram IN (SELECT gram FROM bench)
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_exact
+       |FROM cand GROUP BY 1 ORDER BY doc_id""".stripMargin
   }
 
   // ---------------------------------------------------------------- DD-14

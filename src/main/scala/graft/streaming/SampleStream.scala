@@ -1,0 +1,143 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.operators.Sampling
+
+/** Cross-batch bottom-k sampling — a uniform corpus sample maintained
+  * as the corpus STREAMS in, with a k-row state: the streaming face of
+  * [[Sampling.bottomK]], next to [[CountMinStream]] (counts),
+  * [[BloomStream]] (membership), and [[HeavyHitterStream]] (frequent
+  * items) — the fourth bounded-state answer a 100 TB pipeline keeps
+  * about an unbounded stream, here "show me k uniformly-drawn
+  * documents of everything so far" (eval slices, eyeball checks,
+  * drift probes) without ever re-scanning the corpus.
+  *
+  * The state law is [[PackingStream]]'s generation protocol; the merge
+  * is the bottom-k merge law (bottomK(A ∪ B) = bottomK(bottomK(A) ∪
+  * bottomK(B))): per batch, union the committed ≤ k sample rows with
+  * the batch's ranked docs, dedup by key, keep the k smallest — one
+  * distributed top-k job, state never rides through the driver (the
+  * only pin is the 1-row batch count). Because ranks are deterministic
+  * content hashes, the key dedup makes the sample EXACTLY
+  * bottomK(distinct keys ever seen) — at-least-once redelivery
+  * cannot bias it (same doc ⇒ same rank ⇒ one survivor), a property
+  * no RNG reservoir has. The replay guard still protects the meta
+  * row's seen-count accounting: replay of the high-water batch skips,
+  * stale batch ids throw.
+  *
+  * (k, salt) are committed with the state and validated every batch —
+  * merging ranks drawn under different salts breaks uniformity
+  * silently, so a mismatch refuses loudly.
+  */
+object SampleStream {
+
+  /** State rows: one META row (`key` null — docs-seen upper bound,
+    * high-water batch id, k, salt) plus the ≤ k sample rows
+    * (key, text, rnk).
+    */
+  private val stateSchema = StructType(Seq(
+    StructField("key", LongType), StructField("text", StringType),
+    StructField("rnk", LongType), StructField("total", LongType),
+    StructField("batch_id", LongType), StructField("k", LongType),
+    StructField("salt", StringType)))
+
+  /** The committed meta under `stateDir`: (total, high-water batch_id,
+    * k, salt); `None` = fresh stream.
+    */
+  def readMeta(spark: SparkSession, stateDir: String)
+      : Option[(Long, Long, Int, String)] = {
+    val gens = GenStore.committed(spark, stateDir)
+    if (gens.isEmpty) None
+    else {
+      val meta = spark.read.schema(stateSchema)
+        .parquet(GenStore.dir(stateDir, gens.max))
+        .where(col("key").isNull)
+        .collect()
+      if (meta.length != 1) throw new IllegalStateException(
+        s"sample state generation ${gens.max} has ${meta.length} meta " +
+          "rows (want exactly 1) — foreign or corrupt state")
+      val r = meta.head
+      Some((r.getLong(3), r.getLong(4), r.getLong(5).toInt, r.getString(6)))
+    }
+  }
+
+  /** The committed sample (key, text, rnk) — ≤ k rows by
+    * construction; empty for a fresh dir.
+    */
+  def sample(spark: SparkSession, stateDir: String): DataFrame = {
+    val gens = GenStore.committed(spark, stateDir)
+    if (gens.isEmpty) {
+      spark.createDataFrame(java.util.Collections.emptyList[Row](),
+        StructType(stateSchema.take(3)))
+    } else {
+      spark.read.schema(stateSchema).parquet(GenStore.dir(stateDir, gens.max))
+        .where(col("key").isNotNull)
+        .select("key", "text", "rnk")
+    }
+  }
+
+  /** One foreachBatch handler over batches carrying (`doc_id`, `text`).
+    * `onBatch(batchId, total)` fires after the commit (or replay skip)
+    * with the docs-seen bound now in force.
+    */
+  def pipeline(stateDir: String, k: Int = 100, salt: String = "smp",
+      onBatch: (Long, Long) => Unit = (_, _) => ())
+      : (DataFrame, Long) => Unit = {
+    require(k > 0, s"sample size must be positive, got k=$k")
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      val prior = readMeta(spark, stateDir)
+      prior.foreach { case (_, _, pk, ps) =>
+        if (pk != k || ps != salt) throw new IllegalStateException(
+          s"sample state at $stateDir was drawn at k=$pk salt=$ps; this " +
+            s"pipeline runs k=$k salt=$salt — merging ranks across salts " +
+            "(or truncation depths) silently breaks uniformity, refusing")
+      }
+      prior match {
+        case Some((total, hw, _, _)) if hw == batchId =>
+          onBatch(batchId, total)
+        case Some((_, hw, _, _)) if batchId < hw =>
+          throw new IllegalStateException(
+            s"sample state at $stateDir is ahead of the stream: committed " +
+              s"high-water batch $hw > replayed batch $batchId — the " +
+              "streaming checkpoint was restored from an older snapshot " +
+              "than the state dir; restore a matching pair")
+        case _ =>
+          val ranked = batch.select(col("doc_id").as("key"), col("text"),
+            Sampling.rank(col("doc_id"), salt).as("rnk"))
+          // Docs-seen bound: a 1-row pin (batch distinct keys; batches
+          // may overlap so the running sum is an upper bound).
+          val bTotal = ranked.select("key").distinct()
+            .agg(count(lit(1))).head().getLong(0)
+          val total = prior.map(_._1).getOrElse(0L) + bTotal
+          // The bottom-k merge law, distributed: <= k + batch rows in,
+          // <= k out. Key dedup first — same doc always carries the
+          // same rank, so redelivery collapses to one survivor.
+          val merged = sample(spark, stateDir)
+            .unionByName(ranked)
+            .dropDuplicates("key")
+            .orderBy(col("rnk"), col("key"))
+            .limit(k)
+            .withColumn("total", lit(null).cast("long"))
+            .withColumn("batch_id", lit(null).cast("long"))
+            .withColumn("k", lit(null).cast("long"))
+            .withColumn("salt", lit(null).cast("string"))
+          val metaDf = spark.createDataFrame(
+            java.util.Collections.singletonList(
+              Row(null, null, null, total, batchId, k.toLong, salt)),
+            stateSchema)
+          val gens = GenStore.committed(spark, stateDir)
+          val gen = gens.lastOption.map(_ + 1).getOrElse(0L)
+          merged.unionByName(metaDf)
+            .coalesce(1)
+            .write.mode("overwrite").parquet(GenStore.dir(stateDir, gen))
+          GenStore.commit(spark, stateDir, gen)
+          GenStore.dropBelow(spark, stateDir, gen)
+          onBatch(batchId, total)
+      }
+    }
+  }
+}

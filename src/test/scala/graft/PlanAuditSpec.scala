@@ -648,6 +648,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(600))
   }
 
+  test("q_ml22: bottom-k sample is a distributed top-k, never a corpus sort") {
+    // The merge-law claim in physical form: map-side <= k heaps +
+    // k·partitions exchange (TakeOrderedAndProject); the only full
+    // Sort/Window runs post-limit over <= k rows.
+    val p = plan("q_ml22_bottomk_sample")
+    assert(p.contains("TakeOrderedAndProject"), p.take(600))
+    // The Window (smp_rn) must be the PARENT of the top-k (printed
+    // above it) — i.e. it numbers the <= k survivors, not the corpus.
+    assert(p.indexOf("Window") >= 0 &&
+      p.indexOf("Window") < p.indexOf("TakeOrderedAndProject"), p.take(600))
+  }
+
+  test("q_ml21: bloom probe is k reused broadcast semi joins before the shuffle") {
+    // The pre-filter's scale claim: the four per-hash-row membership
+    // checks are BroadcastHashJoin LeftSemi over ONE bit-table exchange
+    // (three ReusedExchange), executed map-side before the candidate
+    // dedup's hash exchange — the corpus never shuffles non-candidates.
+    // Exchange reuse is an AQE runtime decision — execute, then audit
+    // the FINAL adaptive plan.
+    val df = SparkEntry.queries("q_ml21_bloom_decontamination")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), p.take(200))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 5,
+      "4 bloom semi joins + bench flag join must broadcast: " + p.take(800))
+    assert("LeftSemi".r.findAllIn(p).size >= 4, p.take(800))
+    assert("ReusedExchange".r.findAllIn(p).size >= 3,
+      "the four probes must share one bit-table broadcast: " + p.take(800))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(600))
+  }
+
   test("q_txt20: sketch is a partial+final aggregate; the d·w cell table broadcasts") {
     // The CMS build's scale property: the generate+aggregate runs
     // partial-before-exchange, so the shuffle carries <= d*w rows per

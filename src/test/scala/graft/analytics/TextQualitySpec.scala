@@ -75,6 +75,37 @@ class TextQualitySpec extends SparkSpec {
     }
   }
 
+  test("bigramLogProb: planted corpus matches a driver-side reference; short docs drop") {
+    // d0/d1 share vocabulary but not word ORDER statistics; d2 is a
+    // 1-token doc (no bigram — must drop out but still count in V).
+    val planted = Seq(
+      (0L, "x y x y"), (1L, "y x q"), (2L, "z"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-bigram").toString
+    planted.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+
+    // Reference from first principles.
+    val toks = planted.map { case (id, t) => id -> t.split(" ", -1).toSeq }
+    val v = toks.flatMap(_._2).distinct.size.toDouble
+    val bigrams = toks.map { case (id, ts) =>
+      id -> ts.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+    }.filter(_._2.nonEmpty)
+    val c2 = bigrams.flatMap(_._2).groupBy(identity).view
+      .mapValues(_.size.toDouble).toMap
+    val c1 = bigrams.flatMap(_._2).groupBy(_.split(" ", -1).head).view
+      .mapValues(_.size.toDouble).toMap
+    val expected = bigrams.map { case (id, gs) =>
+      val lp = gs.map(g => math.log(
+        (c2(g) + 1.0) / (c1(g.split(" ", -1).head) + v))).sum / gs.size
+      (id, gs.size.toLong,
+        BigDecimal(lp).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy(_._1)
+
+    val got = ExtensionQueries.bigramLogProb(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.map(_._1) == Seq(0L, 1L), "the bigram-less doc drops out")
+    assert(got == expected, s"got $got want $expected")
+  }
+
   test("negativeSampling: intervals tile [0,1), every draw maps once, popularity wins") {
     // Planted skew: counts 81/16/1 → unigram^0.75 weights 27/8/1 →
     // shares 75%/22%/3%. 100 deterministic draws.

@@ -561,6 +561,50 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
     assert(mined == ref)
   }
+
+  test("randomProjectionAudit: ratios match a driver-side JL reference and concentrate near 1") {
+    import graft.analytics.ExtensionQueries
+    import graft.functions.{TextFunctions => TF}
+    val dir = "/root/testdata/sf0.001"
+    val got = ExtensionQueries.randomProjectionAudit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.nonEmpty)
+    // Driver-side reference: same sign matrix, same fold order
+    // (dimension-sequential double accumulation).
+    val (kOut, dim) = (16, 64)
+    def sign(j: Int, i: Int): Double =
+      if (TF.hexHash60Local(s"rp:$j:$i") % 2 == 0) 1.0 else -1.0
+    val vecs = graft.sources.Tables.embeddings(spark, dir)
+      .where(col("vec_id") % 11 === 0)
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .filter { case (_, e) => e.exists(_ != 0.0) }
+      .sortBy(_._1)
+    def proj(e: Array[Double]): Array[Double] =
+      Array.tabulate(kOut) { j =>
+        var s = 0.0; var i = 0
+        while (i < dim) { s += sign(j, i) * e(i); i += 1 }; s
+      }
+    val expected = (for {
+      (ia, ea) <- vecs; (ib, eb) <- vecs if ia < ib
+      dx = ea.zip(eb).map { case (x, y) => x - y }
+      d2x = { var s = 0.0; dx.foreach(v => s += v * v); s }
+      if d2x > 0
+    } yield {
+      val dy = proj(ea).zip(proj(eb)).map { case (x, y) => x - y }
+      var d2y = 0.0; dy.foreach(v => d2y += v * v)
+      (ia, ib) -> BigDecimal(d2y / (kOut * d2x))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (k, v) => assert(v == expected(k), s"pair $k") }
+    // The JL law: expectation 1, concentration at k=16 (sd ~ sqrt(2/k)).
+    val ratios = got.values.toSeq
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.8 && mean < 1.2, s"mean distortion $mean")
+    assert(ratios.forall(r => r > 0.05 && r < 4.0),
+      s"tail distortion: ${ratios.min} .. ${ratios.max}")
+  }
 }
 
 object SimilaritySpec {

@@ -3103,6 +3103,63 @@ object ExtensionQueries {
        |GROUP BY q.item ORDER BY true_n DESC, q.item""".stripMargin
   }
 
+  // ---------------------------------------------------------------- TXT-22
+  /** Sketch-composition: join-size estimation from two Count-Min
+    * sketches ([[graft.operators.CountMin.joinSizeEstimate]] — the CM
+    * inner-product estimator). The corpus's token stream splits by
+    * doc parity into two relations that NEVER see each other's data;
+    * each is summarized into a d·w sketch, and min-over-rows of the
+    * cellwise inner product upper-bounds the equi-join size Σ_w
+    * fA(w)·fB(w). This is how a 100 TB planner prices a join before
+    * paying its shuffle — two bounded summaries meet in a ≤ d·w-row
+    * join. The exact join size is the audit's pay-for-truth side
+    * (q_dd11 contract); output (true_pairs, est_pairs, overcount ≥ 0)
+    * is all-integer, and the md5 bucket replay means the oracle
+    * certifies the estimate's VALUE, not just its bound.
+    */
+  def cmsJoinEstimate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.CountMin
+    val (d, w) = (4, 512)
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TF.tokens(col("text"))).as("item"))
+    val a = toks.where(col("doc_id") % 2 === 0).select("item")
+    val b = toks.where(col("doc_id") % 2 =!= 0).select("item")
+    val est = CountMin.joinSizeEstimate(
+      CountMin.sketch(a, d, w), CountMin.sketch(b, d, w))
+    val truth = a.groupBy("item").agg(count(lit(1)).as("ca"))
+      .join(b.groupBy("item").agg(count(lit(1)).as("cb")), "item")
+      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("true_pairs"))
+    truth.crossJoin(est)
+      .select(col("true_pairs"), col("est_pairs"),
+        (col("est_pairs") - col("true_pairs")).as("overcount"))
+  }
+
+  val cmsJoinEstimateSql: String = {
+    def hh(expr: String) = TF.hexHash60Sql(expr)
+    def sk(src: String) =
+      s"""SELECT hrow, bucket, CAST(count(*) AS BIGINT) AS c FROM (
+         |         SELECT i.range AS hrow,
+         |                ${hh("CAST(i.range AS VARCHAR) || ':' || item")} % 512 AS bucket
+         |         FROM $src CROSS JOIN range(4) i)
+         |       GROUP BY 1, 2""".stripMargin
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS item
+       |              FROM documents),
+       |ta AS (SELECT item FROM toks WHERE doc_id % 2 = 0),
+       |tb AS (SELECT item FROM toks WHERE doc_id % 2 != 0),
+       |ska AS (${sk("ta")}),
+       |skb AS (${sk("tb")}),
+       |ip AS (SELECT a.hrow, CAST(sum(a.c * b.c) AS BIGINT) AS ip
+       |       FROM ska a JOIN skb b USING (hrow, bucket) GROUP BY 1),
+       |est AS (SELECT min(ip) AS est_pairs FROM ip),
+       |tr AS (SELECT CAST(coalesce(sum(x.ca * y.cb), 0) AS BIGINT) AS true_pairs
+       |       FROM (SELECT item, count(*) AS ca FROM ta GROUP BY 1) x
+       |       JOIN (SELECT item, count(*) AS cb FROM tb GROUP BY 1) y
+       |         USING (item))
+       |SELECT tr.true_pairs, est.est_pairs,
+       |       est.est_pairs - tr.true_pairs AS overcount
+       |FROM tr CROSS JOIN est""".stripMargin
+  }
+
   // ---------------------------------------------------------------- SIM-13
   /** Hard-negative mining ([[Similarity.hardNegatives]]): for a 4%
     * query sample (vec_id % 25 == 3), the top-5 most-cosine-similar
@@ -3316,6 +3373,77 @@ object ExtensionQueries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  // ---------------------------------------------------------------- SIM-16
+  /** The action consequence of q_sim15's distance audit: does RANKING
+    * survive the 64 → 16 projection? Per q_sim1 query (vec_id < 5),
+    * brute-force cosine top-10 in the PROJECTED space vs the full-dim
+    * truth, reported as recall@10 — the number that decides whether
+    * the 4×-cheaper index is usable (distances-within-ε says it
+    * should; this measures it). Both rankings are the q_sim1
+    * discipline (cos rounded 6dp, id tie-break) so the oracle replays
+    * them exactly; the projection is the SAME md5-parity sign matrix
+    * as q_sim15 (one projection serves audit and serving). Shape: the
+    * projection adds k map-side dots per vector to q_sim1's plan —
+    * the scored corpus never shuffles, top-k stays the bounded
+    * aggregator.
+    */
+  def projectionRecall(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{VectorFunctions => VF}
+    val (kOut, dim, topK) = (16, 64, 10)
+    def sign(j: Int, i: Int): Double =
+      if (TF.hexHash60Local(s"rp:$j:$i") % 2 == 0) 1.0 else -1.0
+    val signArrs = (0 until kOut).map(j =>
+      array((0 until dim).map(i => lit(sign(j, i))): _*))
+    val embs = Tables.embeddings(spark, dir)
+    val proj = embs.select(col("vec_id"),
+      array(signArrs.map(s => VF.dot(col("embedding"), s)): _*)
+        .as("embedding"))
+    val full = Similarity.bruteForceTopK(
+      embs.where(col("vec_id") < 5), embs, k = topK)
+    val low = Similarity.bruteForceTopK(
+      proj.where(col("vec_id") < 5), proj, k = topK)
+    full.select(col("query_id"), col("neighbor_id"))
+      .join(low.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_overlap"))
+      .select(col("query_id"), col("n_overlap"),
+        round(col("n_overlap") / lit(topK.toDouble), 6).as("recall"))
+      .orderBy("query_id")
+  }
+
+  val projectionRecallSql: String = {
+    val (kOut, dim) = (16, 64)
+    def sign(j: Int, i: Int): String =
+      if (TF.hexHash60Local(s"rp:$j:$i") % 2 == 0) "1.0" else "-1.0"
+    val proj = (0 until kOut).map { j =>
+      val s = (0 until dim).map(i => sign(j, i)).mkString(", ")
+      s"list_dot_product(e, [$s])"
+    }.mkString(",\n|            ")
+    def topk(src: String) =
+      s"""SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY round(list_cosine_similarity(q.e, c.e), 6) DESC,
+         |                      c.vec_id) AS rank
+         |    FROM (SELECT * FROM $src WHERE vec_id < 5
+         |          AND list_dot_product(e, e) > 0) q
+         |    JOIN (SELECT * FROM $src
+         |          WHERE list_dot_product(e, e) > 0) c
+         |      ON q.vec_id != c.vec_id) WHERE rank <= 10""".stripMargin
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+       |           FROM embeddings),
+       |p AS (SELECT vec_id,
+       |        [$proj] AS e
+       |      FROM v),
+       |tf AS (${topk("v")}),
+       |tl AS (${topk("p")})
+       |SELECT tf.query_id, count(*) AS n_overlap,
+       |       round(count(*) / 10.0, 6) AS recall
+       |FROM tf JOIN tl USING (query_id, neighbor_id)
+       |GROUP BY 1 ORDER BY query_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- DD-13
   /** Exact set-similarity self-join ([[Dedup.prefixJaccardJoin]]):
     * every document pair with 3-shingle Jaccard ≥ 4/5, found by
@@ -3470,7 +3598,10 @@ object ExtensionQueries {
   }
 
   val bloomDecontaminationSql: String = {
-    val h = (i: Int) => TF.hexHash60Sql(s"'$i:' || gram") + " % 131072"
+    // Kirsch-Mitzelmacher replay: two md5 folds per gram, bit_i =
+    // (h1 + i*h2) % m with h2 forced odd (| 1 == integer arithmetic
+    // both engines: h2 is already in [0, m) so the OR is the +1-if-even).
+    val hm = (salt: String) => TF.hexHash60Sql(s"'$salt:' || gram") + " % 131072"
     s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS t
        |           FROM documents),
        |g AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 8
@@ -3478,19 +3609,22 @@ object ExtensionQueries {
        |             i -> array_to_string(list_slice(t, i + 1, i + 8), ' '))
        |        ELSE [text] END) AS gram FROM t),
        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0),
-       |bloomb AS (SELECT DISTINCT
-       |             ${TF.hexHash60Sql("CAST(s.i AS VARCHAR) || ':' || gram")}
-       |               % 131072 AS bit
-       |           FROM bench CROSS JOIN (VALUES (0),(1),(2),(3)) s(i)),
+       |bh AS (SELECT gram, h1,
+       |              CASE WHEN h2 % 2 = 0 THEN h2 + 1 ELSE h2 END AS h2
+       |       FROM (SELECT gram, ${hm("b1")} AS h1, ${hm("b2")} AS h2
+       |             FROM bench)),
+       |bloomb AS (SELECT DISTINCT (h1 + s.i * h2) % 131072 AS bit
+       |           FROM bh CROSS JOIN (VALUES (0),(1),(2),(3)) s(i)),
        |corp AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 10 != 0),
-       |cb AS (SELECT doc_id, gram,
-       |         ${h(0)} AS b0, ${h(1)} AS b1, ${h(2)} AS b2, ${h(3)} AS b3
-       |       FROM corp),
+       |cb AS (SELECT doc_id, gram, h1,
+       |              CASE WHEN h2 % 2 = 0 THEN h2 + 1 ELSE h2 END AS h2
+       |       FROM (SELECT doc_id, gram, ${hm("b1")} AS h1, ${hm("b2")} AS h2
+       |             FROM corp)),
        |cand AS (SELECT doc_id, gram FROM cb
-       |         WHERE b0 IN (SELECT bit FROM bloomb)
-       |           AND b1 IN (SELECT bit FROM bloomb)
-       |           AND b2 IN (SELECT bit FROM bloomb)
-       |           AND b3 IN (SELECT bit FROM bloomb))
+       |         WHERE h1 IN (SELECT bit FROM bloomb)
+       |           AND (h1 + h2) % 131072 IN (SELECT bit FROM bloomb)
+       |           AND (h1 + 2 * h2) % 131072 IN (SELECT bit FROM bloomb)
+       |           AND (h1 + 3 * h2) % 131072 IN (SELECT bit FROM bloomb))
        |SELECT doc_id, count(*) AS n_candidate,
        |       CAST(sum(CASE WHEN gram IN (SELECT gram FROM bench)
        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_exact

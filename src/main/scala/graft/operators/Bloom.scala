@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.TextFunctions
+
 /** Bloom filter (Bloom 1970) as a bounded bit-position TABLE — the
   * set-membership sketch completing the sketch family next to
   * [[CountMin]] (point counts, overcount-side) and
@@ -32,44 +34,80 @@ import org.apache.spark.sql.functions._
   * contamination join (q_ml7's shape): the exact join's cost scales
   * with candidates, not with the corpus.
   *
-  * Hashing reuses [[CountMin.bucket]] (md5-parity hexHash60 over
-  * "i:item"), so the DuckDB oracle replays the exact bit positions and
-  * the filter's CONTENT — which grams pass, which don't, including
-  * false positives — is oracle-certified, not just its error bound.
+  * Hashing is Kirsch–Mitzelmacher double hashing (2006, "Less
+  * Hashing, Same Performance"): bit_i = (h1 + i·h2) mod m from TWO
+  * md5-parity hexHash60 draws per item — the same asymptotic FP rate
+  * as k independent hashes, at 2 hashes for ANY k. This is a
+  * probe-driven choice: the first SketchProbe run paid k=4 md5 per
+  * gram OCCURRENCE on the corpus side, which dominated the probe's
+  * local wall-clock (SCALE.md round-14 table); double hashing halves
+  * it and decouples hash cost from k. h2 is forced odd, so with m a
+  * power of two the stride is a unit and the k probes never collapse
+  * onto a short cycle. Both h-draws fold md5 exactly as the DuckDB
+  * oracle does, so the filter's CONTENT — which grams pass, which
+  * don't, including false positives — is oracle-certified, not just
+  * its error bound.
   */
 object Bloom {
 
-  /** Bit position of `item` in hash row `i`: same salted 60-bit md5
-    * family as the Count-Min buckets (one hash family serves both
-    * sketches), reduced mod the bit-array width `m`.
+  /** The two KM hash draws for `item`: (h1, h2) with h1 ∈ [0, m),
+    * h2 odd ∈ [1, m). Salts "b1:"/"b2:" keep the family independent
+    * of [[CountMin.bucket]]'s. Both are wrapped non-nullable
+    * (coalesce over a literal): a nullable join key makes Spark push
+    * an IsNotNull pre-filter that RE-DERIVES the full hash expression
+    * per row — the plan audit caught the probe paying its two md5s
+    * twice. A null `item` cannot occur on these paths (explode of a
+    * non-null shingle array); if one did, it would probe the
+    * (0, 1)-stride cells and simply never match a real gram's bits.
     */
-  def bit(item: Column, i: Int, m: Int): Column = CountMin.bucket(item, i, m)
+  private def h1(item: Column, m: Int): Column =
+    coalesce(TextFunctions.hexHash60(concat(lit("b1:"), item)) % m, lit(0L))
+  private def h2(item: Column, m: Int): Column =
+    coalesce(TextFunctions.hexHash60(concat(lit("b2:"), item)) % m, lit(0L))
+      .bitwiseOR(1)
+
+  /** All k bit positions from precomputed draw columns: pure integer
+    * arithmetic, no hashing.
+    */
+  private def kmBits(h1c: Column, h2c: Column, k: Int, m: Int): Column =
+    array((0 until k).map(i => (h1c + lit(i.toLong) * h2c) % m): _*)
 
   /** Build the filter over `items` (string column `item`): the
     * distinct set-bit positions of all k hash rows, as a single-column
-    * (`bit`) table of ≤ m rows. One pass; the distinct's partial
-    * aggregation bounds the exchange at ≤ m rows per task.
+    * (`bit`) table of ≤ m rows. One pass; the two hash draws are
+    * materialized in their own projection BEFORE the explode, so the
+    * generator's k array slots are arithmetic over two attributes —
+    * not k·2 inlined md5 calls (the optimizer does not substitute a
+    * child projection into generator expressions, which is exactly why
+    * the barrier works). The distinct's partial aggregation bounds the
+    * exchange at ≤ m rows per task.
     */
   def build(items: DataFrame, k: Int, m: Int): DataFrame = {
     require(k > 0 && m > 0, s"bloom dims must be positive, got k=$k m=$m")
-    items.select(explode(array(
-        (0 until k).map(i => bit(col("item"), i, m)): _*)).as("bit"))
+    items.select(h1(col("item"), m).as("__bf_h1"),
+        h2(col("item"), m).as("__bf_h2"))
+      .select(explode(kmBits(col("__bf_h1"), col("__bf_h2"), k, m)).as("bit"))
       .distinct()
   }
 
   /** Keep exactly the rows of `df` whose `itemCol` the filter might
     * contain (all k bits set): k chained broadcast LeftSemi joins — the
-    * bit-wise AND as relational algebra. Each join is map-side (the
-    * filter is ≤ m rows by construction); rows never shuffle, so the
-    * probe composes BEFORE downstream exchanges. Guaranteed superset
-    * of the true members (no false negatives).
+    * bit-wise AND as relational algebra. The two hash draws are
+    * precomputed ONCE into scratch columns, so each join condition is
+    * pure integer arithmetic. Each join is map-side (the filter is
+    * ≤ m rows by construction); rows never shuffle, so the probe
+    * composes BEFORE downstream exchanges. Guaranteed superset of the
+    * true members (no false negatives).
     */
   def filterMembers(df: DataFrame, itemCol: String, bloom: DataFrame,
       k: Int, m: Int): DataFrame = {
     require(k > 0 && m > 0, s"bloom dims must be positive, got k=$k m=$m")
-    (0 until k).foldLeft(df) { (acc, i) =>
-      acc.join(broadcast(bloom), bit(col(itemCol), i, m) === bloom("bit"),
+    val hashed = df.withColumn("__bf_h1", h1(col(itemCol), m))
+      .withColumn("__bf_h2", h2(col(itemCol), m))
+    (0 until k).foldLeft(hashed) { (acc, i) =>
+      acc.join(broadcast(bloom),
+        (col("__bf_h1") + lit(i.toLong) * col("__bf_h2")) % m === bloom("bit"),
         "left_semi")
-    }
+    }.drop("__bf_h1", "__bf_h2")
   }
 }

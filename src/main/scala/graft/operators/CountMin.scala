@@ -59,6 +59,21 @@ object CountMin {
       .agg(count(lit(1)).as("c"))
   }
 
+  /** Join-size estimate from two sketches (Cormode & Muthukrishnan
+    * 2005 §4.2, the CM inner-product estimator): est = min over hash
+    * rows of Σ_bucket cA·cB. Deterministically ≥ |A ⋈ B| = Σ_x
+    * fA(x)·fB(x) (collisions only ADD cross terms), ≤ true + ε·N_A·N_B
+    * with probability ≥ 1 − δ. The 100 TB use: price a join's output
+    * BEFORE paying its shuffle, from two d·w-cell summaries that never
+    * looked at each other's data — the sketch-composition property
+    * (sketches of two streams combine into a statistic of their join).
+    * Input sketches must share (d, w); the row join is ≤ d·w × d·w.
+    */
+  def joinSizeEstimate(ska: DataFrame, skb: DataFrame): DataFrame =
+    ska.join(skb.withColumnRenamed("c", "cb"), Seq("hrow", "bucket"))
+      .groupBy("hrow").agg(sum(col("c") * col("cb")).as("ip"))
+      .agg(min("ip").as("est_pairs"))
+
   /** Point-query estimates for `queries` (string column `item`,
     * distinct): est = min over the d rows of the item's cell, absent
     * cells read 0 (an item never sketched estimates 0 only if some row

@@ -61,24 +61,35 @@ object SketchProbe {
         (pairs.count(), hits)
       }
       // Bloom path: probe per occurrence BEFORE the dedup exchange.
-      val (bloomShape, tBloom) = timed {
-        val bloom = Bloom.build(bench, k, m)
-        val cand = Bloom.filterMembers(corpusOcc, "item", bloom, k, m)
+      def bloomLeg(mUse: Int) = timed {
+        val bloom = Bloom.build(bench, k, mUse)
+        val cand = Bloom.filterMembers(corpusOcc, "item", bloom, k, mUse)
           .dropDuplicates("doc_id", "item")
         val candN = cand.count()
         val hits = cand.join(broadcast(bench), "item")
           .groupBy("doc_id").agg(count(lit(1))).count()
         (candN, hits)
       }
+      // Fixed q_ml21 geometry (shows saturation when n outgrows m) and
+      // the sized geometry m ~ 2kn (FP ~ 2.4% at k=4) — the m-scales-
+      // with-n law a production run applies.
+      val benchN = bench.count()
+      val mScaled = math.max(m.toLong,
+        java.lang.Long.highestOneBit(8L * benchN) * 2).toInt
+      val (bloomShape, tBloom) = bloomLeg(m)
+      val (bloomScaled, tBloomS) = bloomLeg(mScaled)
       val (occN, _) = timed(corpusOcc.count())
       // Count-Min build: one pass, <= d*w cells whatever the corpus.
       val toks = docs.select(explode(TF.tokens(col("text"))).as("item"))
       val (cmsCells, tCms) = timed(CountMin.sketch(toks, d, w).count())
       scala.Console.out.println(
-        f"$name%-11s occ=$occN%9d exact_pairs=${exactShape._1}%9d " +
-        f"cand_pairs=${bloomShape._1}%7d hit_docs_exact=${exactShape._2}%6d " +
-        f"hit_docs_bloom=${bloomShape._2}%6d t_exact=$tExact%7.2fs " +
-        f"t_bloom=$tBloom%7.2fs cms_cells=$cmsCells%5d t_cms=$tCms%6.2fs")
+        f"$name%-11s occ=$occN%9d bench_n=$benchN%7d " +
+        f"exact_pairs=${exactShape._1}%9d " +
+        f"cand_fixed=${bloomShape._1}%9d cand_scaled(m=$mScaled%8d)=" +
+        f"${bloomScaled._1}%7d hits=${exactShape._2}%5d/" +
+        f"${bloomShape._2}%5d/${bloomScaled._2}%5d " +
+        f"t_exact=$tExact%7.2fs t_fixed=$tBloom%7.2fs t_scaled=$tBloomS%7.2fs " +
+        f"cms_cells=$cmsCells%5d t_cms=$tCms%6.2fs")
       docs.unpersist()
     }
     spark.stop()

@@ -678,6 +678,15 @@ class PlanAuditSpec extends SparkSpec {
       "the four probes must share one bit-table broadcast: " + p.take(800))
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       p.take(600))
+    // Kirsch-Mitzelmacher accounting: the corpus probe must pay TWO
+    // md5s per occurrence (one shared h1/h2 Project feeding all four
+    // join conditions), not 2 per join. Total md5 sites in the plan =
+    // 2 (corpus h1/h2) + 2 (bloom build h1/h2) = 4; a CollapseProject
+    // regression that inlines the hash into each condition would show
+    // 8+ here.
+    info(s"md5 sites in plan: ${"md5".r.findAllIn(p).size}")
+    assert("md5".r.findAllIn(p).size <= 4,
+      "KM hash must be computed once per side: " + p.take(1200))
   }
 
   test("q_txt20: sketch is a partial+final aggregate; the d·w cell table broadcasts") {

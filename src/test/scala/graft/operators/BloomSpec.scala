@@ -16,12 +16,18 @@ class BloomSpec extends SparkSpec {
   private val K = 3
   private val M = 32 // tiny width forces collisions — FPs exercised
 
+  // Kirsch-Mitzelmacher reference: bit_i = (h1 + i*h2) mod m, h2 odd.
+  private def refPos(x: String, i: Int): Long = {
+    val h1 = TF.hexHash60Local(s"b1:$x") % M
+    val h2 = (TF.hexHash60Local(s"b2:$x") % M) | 1L
+    (h1 + i * h2) % M
+  }
+
   private def refBits(items: Seq[String]): Set[Long] =
-    (for (x <- items; i <- 0 until K)
-      yield TF.hexHash60Local(s"$i:$x") % M).toSet
+    (for (x <- items; i <- 0 until K) yield refPos(x, i)).toSet
 
   private def refContains(bits: Set[Long], x: String): Boolean =
-    (0 until K).forall(i => bits.contains(TF.hexHash60Local(s"$i:$x") % M))
+    (0 until K).forall(i => bits.contains(refPos(x, i)))
 
   private val members = (0 until 12).map(i => s"in$i")
   private val probes = members ++ (0 until 60).map(i => s"out$i")

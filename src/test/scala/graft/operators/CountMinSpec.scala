@@ -74,6 +74,28 @@ class CountMinSpec extends SparkSpec {
     assert(mm == ww)
   }
 
+  test("joinSizeEstimate: matches the reference inner product; never undercounts the true join size") {
+    val a = stream
+    val b = Seq.fill(25)("alpha") ++ Seq.fill(9)("gamma") ++
+      (0 until 15).map(i => s"other$i")
+    val est = CountMin.joinSizeEstimate(
+        CountMin.sketch(a.toDF("item"), D, W),
+        CountMin.sketch(b.toDF("item"), D, W))
+      .head().getLong(0)
+    // Reference: min over rows of the cellwise inner product.
+    val (ra, rb) = (refSketch(a), refSketch(b))
+    val refEst = (0 until D).map(i =>
+      (0 until W).map(bkt => ra(i)(bkt) * rb(i)(bkt)).sum).min
+    assert(est == refEst)
+    // True join size = sum of frequency products; CM only overcounts.
+    val fa = a.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val fb = b.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val truth = fa.keySet.intersect(fb.keySet).toSeq
+      .map(x => fa(x) * fb(x)).sum
+    assert(est >= truth, s"est $est < true $truth")
+    assert(truth > 0, "fixture must exercise a non-empty join")
+  }
+
   test("absent item reads 0 through an empty cell; left join coalesces") {
     // A single-token stream leaves w-1 buckets empty in every row: any
     // probe that misses in at least one row must estimate 0.

@@ -19,12 +19,14 @@ QUERIES = [
     "q_ml9_curation_funnel_v2", "q_rel14_topk",
     "q_adv7_pagerank", "q_sim10_ivfpq_serve",
     "q_dd13_prefix_jaccard", "q_ml19_length_buckets",
+    "q_ml21_bloom_decontamination", "q_ml22_bottomk_sample",
+    "q_txt20_cms_audit",
 ]
 
 HEADER = '''# PLANS — executed physical plans of headline queries
 
 `graft.tools.Explain` output (sf0.001, the engine's own AQE-enabled
-session) for nineteen representative queries — the evidence behind SCALE.md's
+session) for twenty-two representative queries — the evidence behind SCALE.md's
 shuffle-structure claims, regenerable any time with:
 
 ```bash
@@ -61,8 +63,16 @@ scoring with the LUT and probe tables broadcast (SIM-10), the
 prefix-filter join's df-ordered rank feeding a HASH self-join with the
 PPJoin positional condition — no cartesian anywhere (DD-13), the
 length-bucket audit's single hash exchange whose partitioning satisfies
-the window AND both aggregates (ML-19), and wide
-`WholeStageCodegen` spans
+the window AND both aggregates (ML-19), the bloom probe's four
+LeftSemi BroadcastHashJoins over ONE reused bit-table exchange with the
+two KM hash draws computed in a single Project (4 md5 sites in the
+whole plan — the null-filter re-derivation and generator inlining both
+audited away) before the candidate dedup exchange (ML-21), the
+bottom-k sample as TakeOrderedAndProject with the row-number window
+above it numbering only the k survivors (ML-22), the Count-Min build's
+partial+final aggregate over the exploded cell stream with the sketch
+side broadcast into the estimate join and both top-25 consumers
+reading one checkpoint (TXT-20), and wide `WholeStageCodegen` spans
 throughout.
 
 ```

@@ -947,6 +947,25 @@ object RelationalQueries {
     formatDigest(spark.read.orc(out))
   }
 
+  /** SRC format: JSON-lines sink + schema-on-read source — the wire
+    * format the reference's whole pipeline speaks (sensor_publish.py
+    * json.dumps → Firehose JSON batches → the compactor's JSON SerDe),
+    * closed as a lossless round-trip like CSV/ORC. Explicit read
+    * schema (inference is a full extra pass at 100 TB); doubles
+    * survive because Spark writes shortest-round-trip literals and
+    * the reader parses them back to the identical IEEE value.
+    */
+  def jsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val out = scratchDir("json")
+    formatSlice(spark, dir).write.mode("overwrite").json(out)
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType), StructField("l_linenumber", IntegerType),
+      StructField("l_quantity", DoubleType), StructField("l_extendedprice", DoubleType),
+      StructField("l_returnflag", StringType), StructField("ship_us", LongType)))
+    formatDigest(spark.read.schema(schema).json(out))
+  }
+
   /** Shared oracle: the digest computed straight from the parquet. */
   val formatRoundtripSql: String = {
     import graft.functions.{TextFunctions => TF}

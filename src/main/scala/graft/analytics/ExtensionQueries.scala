@@ -3293,6 +3293,43 @@ object ExtensionQueries {
        |      FROM documents)
        |ORDER BY h, doc_id LIMIT 100""".stripMargin
 
+  // ---------------------------------------------------------------- ML-23
+  /** TOKEN-mass-proportional document sampling
+    * ([[graft.operators.Sampling.weightedBottomK]], Efraimidis–
+    * Spirakis with w = whitespace token count): 100 whole documents
+    * drawn without replacement, each with probability proportional to
+    * its token count — sampling uniformly over the TOKEN stream while
+    * emitting whole docs, the draw a training-data inspector actually
+    * wants (a uniform doc sample over-represents short docs' tokens).
+    * Deterministic (content-hash draws), mergeable
+    * (TakeOrderedAndProject), coordinated with q_ml22's uniform
+    * sample under a different salt. The oracle replays draw, key, and
+    * rank arithmetic exactly (6dp-rounded key, id tie-break — the
+    * ln/division 1-ulp risk absorbed like q_ml20's pow).
+    */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.weightedBottomK(
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), col("lang"),
+            TF.tokenCount(col("text")).as("w")),
+        "doc_id", "w", k = 100)
+      .select(col("doc_id"), col("lang"), col("w"), col("wr_key"),
+        col("wr_rn").cast("long").as("wr_rn"))
+      .orderBy("wr_rn")
+
+  val weightedSampleSql: String =
+    s"""SELECT doc_id, lang, w, wr_key,
+       |       row_number() OVER (ORDER BY wr_key, doc_id) AS wr_rn
+       |FROM (SELECT doc_id, lang, w,
+       |        round(-ln((${TF.hexHash60Sql(
+                   "'wsmp:' || CAST(doc_id AS VARCHAR)")} + 1)
+       |                  / 1152921504606846976.0) / w, 6) AS wr_key
+       |      FROM (SELECT doc_id, lang,
+       |              CAST(len(string_split(text, ' ')) AS BIGINT) AS w
+       |            FROM documents)
+       |      WHERE w > 0)
+       |ORDER BY wr_key, doc_id LIMIT 100""".stripMargin
+
   // ---------------------------------------------------------------- SIM-15
   /** Johnson–Lindenstrauss random projection — the dimensionality-
     * reduction step in front of an ANN tier (project 64 → 16 dims,

@@ -35,6 +35,41 @@ object Sampling {
   def rank(key: Column, salt: String): Column =
     TextFunctions.hexHash60(concat_ws(":", lit(salt), key))
 
+  /** WEIGHTED bottom-k (Efraimidis–Spirakis 2006, "Weighted random
+    * sampling with a reservoir", in its deterministic-draw form): each
+    * row draws u from its salted content hash and ranks by
+    * −ln(u)/w — the exponential-sort equivalence: the k smallest keys
+    * are a without-replacement sample where row i is drawn with
+    * probability proportional to w_i at each step. With w = token
+    * count this is THE training-data sampler: uniform over TOKENS
+    * while emitting whole documents. Same mergeable/coordinated
+    * properties as [[bottomK]] (the key depends only on the row, so
+    * partial top-k's merge losslessly and equal-salt samples
+    * coordinate); compiles to `TakeOrderedAndProject`.
+    *
+    * Determinism discipline: u = (h60 + 1) / 2⁶⁰ ∈ (0, 1] (the +1
+    * keeps ln away from 0 — Spark's ln(0) is NULL while DuckDB's
+    * errors, so the open interval is load-bearing, not cosmetic); the
+    * key is rounded to 6dp before ranking with the row key as
+    * tie-break (the q_ml20 pow discipline — ln/division are the one
+    * 1-ulp cross-engine risk, absorbed by the rounding). Rows with
+    * w ≤ 0 carry no sampling mass and are dropped.
+    */
+  def weightedBottomK(df: DataFrame, keyCol: String, weightCol: String,
+      k: Int, salt: String = "wsmp"): DataFrame = {
+    require(k > 0, s"sample size must be positive, got k=$k")
+    import org.apache.spark.sql.expressions.Window
+    val u = (rank(col(keyCol), salt) + 1).cast("double") /
+      1152921504606846976.0e0
+    val ranked = df.where(col(weightCol) > 0)
+      .withColumn("wr_key",
+        round(-log(u) / col(weightCol).cast("double"), 6))
+      .orderBy(col("wr_key"), col(keyCol))
+      .limit(k)
+    ranked.withColumn("wr_rn",
+      row_number().over(Window.orderBy(col("wr_key"), col(keyCol))))
+  }
+
   /** Keep the k rows of `df` with the smallest salted hash of
     * `keyCol` (ties — impossible under distinct keys, broken by the
     * key for total determinism anyway). Adds `smp_rank` (the hash) and

@@ -39,6 +39,28 @@ class SamplingSpec extends SparkSpec {
     assert(sampleIds(ids, 40).take(20) == sampleIds(ids, 20))
   }
 
+  test("weightedBottomK: matches a driver-side ES reference; mass wins; w<=0 drops") {
+    val rows = ids.map(i => (i, s"doc $i", if (i == 999999L) 0L else (i % 7) + 1L)) :+
+      ((999999L, "zero-weight", 0L))
+    val df = rows.toDF("doc_id", "text", "w")
+    val got = Sampling.weightedBottomK(df, "doc_id", "w", 30)
+      .orderBy("wr_rn").collect()
+      .map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    // Reference: key = round(-ln((h+1)/2^60)/w, 6), smallest 30, id ties.
+    val expected = rows.filter(_._3 > 0).map { case (i, _, w) =>
+      val u = (TF.hexHash60Local(s"wsmp:$i") + 1).toDouble / 1152921504606846976.0e0
+      val key = BigDecimal(-math.log(u) / w.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (i, key)
+    }.sortBy { case (i, kk) => (kk, i) }.take(30)
+    assert(got == expected)
+    assert(!got.exists(_._1 == 999999L), "zero-weight rows carry no mass")
+    // Popularity law: the expected key scales as 1/w, so the high-w
+    // stratum (w=7: ids ≡ 6 mod 7) must dominate the low (w=1) one.
+    val byW = got.map(_._1).groupBy(i => (i % 7) + 1)
+    assert(byW.getOrElse(7L, Nil).size > byW.getOrElse(1L, Nil).size)
+  }
+
   test("coordinated: shared rows sample identically across corpora") {
     val other = ids.filter(_ % 2 == 0) ++ Seq(7777L, 8888L)
     val inBoth = sampleIds(ids, 30).toSet intersect other.toSet

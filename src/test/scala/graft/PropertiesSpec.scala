@@ -167,4 +167,59 @@ class PropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("property: Count-Min never undercounts and merges by addition on random streams") {
+    import graft.operators.CountMin
+    val (d, w) = (3, 16)
+    for (g <- 0 until 4) {
+      val stream = (0 until 400).map(i => tokenGen.pureApply(
+        Gen.Parameters.default, Seed(g * 10000L + i)))
+      val sk = CountMin.sketch(stream.toDF("item"), d, w)
+      val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val est = CountMin.estimates(stream.distinct.toDF("item"), sk, d, w)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      truth.foreach { case (tok, n) =>
+        assert(est(tok) >= n, s"gen $g: undercount on $tok")
+      }
+      // Total conservation per hash row.
+      val rowSums = sk.groupBy("hrow").agg(sum("c")).collect()
+        .map(_.getLong(1)).toSeq
+      assert(rowSums == Seq.fill(d)(stream.size.toLong))
+    }
+  }
+
+  test("property: Bloom has no false negatives and decisions are two-run deterministic") {
+    import graft.operators.Bloom
+    for (g <- 0 until 4) {
+      val members = (0 until 30).map(i => tokenGen.pureApply(
+        Gen.Parameters.default, Seed(g * 777L + i))).distinct
+      val probes = (members ++ (0 until 50).map(i => s"absent${g}_$i")).distinct
+      val bloom = Bloom.build(members.toDF("item"), 3, 64)
+      def kept = Bloom.filterMembers(probes.toDF("item"), "item", bloom, 3, 64)
+        .collect().map(_.getString(0)).toSet
+      val k1 = kept
+      members.foreach(x => assert(k1.contains(x), s"gen $g: false negative $x"))
+      assert(kept == k1, "two evaluations agree")
+    }
+  }
+
+  test("property: bottom-k merge law and weighted-key reference on random splits") {
+    import graft.operators.Sampling
+    for (g <- 0 until 4) {
+      val ids = (0 until 200).map(i => Gen.chooseNum(0L, 100000L)
+        .pureApply(Gen.Parameters.default, Seed(g * 31L + i))).distinct
+      def ref(s: Seq[Long], k: Int) =
+        s.sortBy(i => (TF.hexHash60Local(s"smp:$i"), i)).take(k)
+      val df = ids.map(i => (i, s"d$i")).toDF("doc_id", "text")
+      val got = Sampling.bottomK(df, "doc_id", 25).orderBy("smp_rn")
+        .collect().map(_.getLong(0)).toSeq
+      assert(got == ref(ids, 25), s"gen $g")
+      // Merge law over a random split point.
+      val cut = (g * 37 + 13) % ids.size
+      val (a, b) = ids.splitAt(cut max 1)
+      val merged = (ref(a, 25) ++ ref(b, 25))
+        .sortBy(i => (TF.hexHash60Local(s"smp:$i"), i)).take(25)
+      assert(merged == ref(ids, 25), s"gen $g merge law")
+    }
+  }
 }

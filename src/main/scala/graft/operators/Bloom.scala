@@ -90,6 +90,62 @@ object Bloom {
       .distinct()
   }
 
+  /** Pack the ≤ m-row bit table into an ACTUAL m-bit bitmap: one row,
+    * one `array<long>` of m/64 words — m = 2²⁵ is 512 KB where the
+    * row-table broadcast was ~9.6M rows (the SketchProbe finding this
+    * exists to close: the scaled-m leg's broadcast build dominated its
+    * wall-clock and needed a bigger driver heap). One bounded
+    * aggregate: bit → (word index, 1 << bit%64) → per-word `bit_or`
+    * (≤ m/64 rows) → a dense map→array fill. Everything stays
+    * declarative, so [[filterMembersPacked]] is still plain Catalyst.
+    */
+  def packFilter(bloom: DataFrame, m: Int): DataFrame = {
+    require(m > 0 && m % 64 == 0, s"bitmap width must be a multiple of 64, got $m")
+    val spark = bloom.sparkSession
+    val words = bloom.select((col("bit") / 64).cast("long").as("widx"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(bit % 64 AS INT))").as("wbit"))
+      .groupBy("widx").agg(expr("bit_or(wbit)").as("wval"))
+    // Dense fill by position, NOT by map lookup: a first cut filled
+    // via element_at over a map_from_arrays of the set words, and
+    // element_at on an unsorted catalyst map is a LINEAR scan — at a
+    // 37%-saturated m=2^21 that was O(words · set-bits) ≈ 2.5e10
+    // compares (SketchProbe measured the leg 10× over the join form
+    // it meant to beat). range → left join → sort-by-index keeps the
+    // fill O(m/64 log m/64) and distributed.
+    spark.range(m / 64L).select(col("id").as("widx"))
+      .join(words, Seq("widx"), "left")
+      .select(col("widx"), coalesce(col("wval"), lit(0L)).as("wval"))
+      .agg(array_sort(collect_list(struct(col("widx"), col("wval"))))
+        .as("s"))
+      .select(transform(col("s"), x => x.getField("wval")).as("bm"))
+  }
+
+  /** [[filterMembers]] over a PACKED bitmap ([[packFilter]]): one
+    * native codegen'd [[graft.functions.BloomMightContain]] predicate
+    * per row — two md5 draws, k shift-and-mask probes of the bitmap
+    * held as a codegen reference object (m/64 longs, 512 KB at
+    * m = 2²⁵; the one `head()` pinning it is bounded by construction).
+    * No join, no per-row array copy, no re-derived hashes. The road
+    * here is instructive and documented in SCALE.md: a 1-row
+    * crossJoin memcpy'd the bitmap per occurrence, and a declarative
+    * hash-columns + Filter form re-derived the md5s because predicate
+    * pushdown substitutes aliases into Filter conditions (FilterExec
+    * has no subexpression elimination) — the custom-Expression tier
+    * is the first form that actually delivers the packed probe's
+    * promise. Semantically identical to the join form (spec-pinned
+    * differential); use it when the benchmark side is large enough
+    * that the ≤ m-row bit TABLE's broadcast cost bites — the join
+    * form remains the default for oracle replay.
+    */
+  def filterMembersPacked(df: DataFrame, itemCol: String, bloom: DataFrame,
+      k: Int, m: Int): DataFrame = {
+    require(k > 0 && m > 0, s"bloom dims must be positive, got k=$k m=$m")
+    // Bounded pin: the packed bitmap row (m/64 longs), never row data.
+    val words: Array[Long] =
+      packFilter(bloom, m).head().getSeq[Long](0).toArray
+    df.where(graft.functions.BloomMightContain(col(itemCol), words, k, m))
+  }
+
   /** Keep exactly the rows of `df` whose `itemCol` the filter might
     * contain (all k bits set): k chained broadcast LeftSemi joins — the
     * bit-wise AND as relational algebra. The two hash draws are

@@ -61,9 +61,12 @@ object SketchProbe {
         (pairs.count(), hits)
       }
       // Bloom path: probe per occurrence BEFORE the dedup exchange.
-      def bloomLeg(mUse: Int) = timed {
+      def bloomLeg(mUse: Int,
+          probe: (org.apache.spark.sql.DataFrame, String,
+            org.apache.spark.sql.DataFrame, Int, Int)
+            => org.apache.spark.sql.DataFrame) = timed {
         val bloom = Bloom.build(bench, k, mUse)
-        val cand = Bloom.filterMembers(corpusOcc, "item", bloom, k, mUse)
+        val cand = probe(corpusOcc, "item", bloom, k, mUse)
           .dropDuplicates("doc_id", "item")
         val candN = cand.count()
         val hits = cand.join(broadcast(bench), "item")
@@ -76,8 +79,11 @@ object SketchProbe {
       val benchN = bench.count()
       val mScaled = math.max(m.toLong,
         java.lang.Long.highestOneBit(8L * benchN) * 2).toInt
-      val (bloomShape, tBloom) = bloomLeg(m)
-      val (bloomScaled, tBloomS) = bloomLeg(mScaled)
+      val (bloomShape, tBloom) = bloomLeg(m, Bloom.filterMembers)
+      val (bloomScaled, tBloomS) = bloomLeg(mScaled, Bloom.filterMembers)
+      // The packed-bitmap probe at the SAME scaled geometry: one 1-row
+      // m/64-word broadcast instead of the <= k*n-row bit table.
+      val (bloomPacked, tBloomP) = bloomLeg(mScaled, Bloom.filterMembersPacked)
       val (occN, _) = timed(corpusOcc.count())
       // Count-Min build: one pass, <= d*w cells whatever the corpus.
       val toks = docs.select(explode(TF.tokens(col("text"))).as("item"))
@@ -89,6 +95,7 @@ object SketchProbe {
         f"${bloomScaled._1}%7d hits=${exactShape._2}%5d/" +
         f"${bloomShape._2}%5d/${bloomScaled._2}%5d " +
         f"t_exact=$tExact%7.2fs t_fixed=$tBloom%7.2fs t_scaled=$tBloomS%7.2fs " +
+        f"t_packed=$tBloomP%7.2fs (cand=${bloomPacked._1}%7d) " +
         f"cms_cells=$cmsCells%5d t_cms=$tCms%6.2fs")
       docs.unpersist()
     }

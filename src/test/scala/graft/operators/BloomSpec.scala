@@ -54,6 +54,23 @@ class BloomSpec extends SparkSpec {
     assert((kept -- members).nonEmpty, "spec needs at least one FP to bite")
   }
 
+  test("packed bitmap probe ≡ join-form probe, row for row") {
+    // M=64 keeps one word; also run a 128-bit (2-word) geometry so the
+    // word-index arithmetic is exercised across a boundary.
+    for (m <- Seq(64, 128)) {
+      val bloom = Bloom.build(members.toDF("item"), K, m)
+      val joinForm = Bloom.filterMembers(probes.toDF("item"), "item",
+        bloom, K, m).collect().map(_.getString(0)).toSet
+      val packed = Bloom.filterMembersPacked(probes.toDF("item"), "item",
+        bloom, K, m).collect().map(_.getString(0)).toSet
+      assert(packed == joinForm, s"m=$m")
+      members.foreach(x => assert(packed.contains(x), s"m=$m fn on $x"))
+    }
+    intercept[IllegalArgumentException] {
+      Bloom.packFilter(Bloom.build(members.toDF("item"), K, M), 100)
+    }
+  }
+
   test("filters merge by union: build(A ++ B) == build(A) ∪ build(B)") {
     val (a, b) = members.splitAt(5)
     val merged = Bloom.build(a.toDF("item"), K, M)

@@ -648,6 +648,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(600))
   }
 
+  test("q_txt21: both LM tables broadcast; bigram extraction is map-side (no self-join)") {
+    val p = plan("q_txt21_bigram_logprob")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "c2 and c1 tables must broadcast: " + p.take(600))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(600))
+    // 2-shingles come from the native generator over the token array —
+    // a corpus self-join on position would show a second corpus scan
+    // feeding a join; the only joins here are vocabulary-sized.
+    assert(p.contains("string_shingles"), p.take(600))
+  }
+
+  test("q_txt22: two bounded sketches meet in a tiny join; no cartesian") {
+    // Execute — the sketch-side join strategy is an AQE runtime call.
+    val df = SparkEntry.queries("q_txt22_cms_join_estimate")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), p.take(200))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("SortMergeJoin"),
+      "d*w-row sketch join must resolve to a broadcast form: " + p.take(800))
+    assert("HashAggregate".r.findAllIn(p).size >= 6,
+      "both sketches + truth counts partial+final: " + p.take(600))
+  }
+
+  test("q_ml23: weighted sample is a distributed top-k, never a corpus sort") {
+    val p = plan("q_ml23_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p.take(600))
+    assert(p.indexOf("Window") >= 0 &&
+      p.indexOf("Window") < p.indexOf("TakeOrderedAndProject"), p.take(600))
+  }
+
   test("q_ml22: bottom-k sample is a distributed top-k, never a corpus sort") {
     // The merge-law claim in physical form: map-side <= k heaps +
     // k·partitions exchange (TakeOrderedAndProject); the only full

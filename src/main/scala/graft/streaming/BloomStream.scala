@@ -159,4 +159,20 @@ object BloomStream {
         Bloom.filterMembers(df, itemCol, bits(spark, stateDir), k, m)
     }
   }
+
+  /** The packed read path ([[Bloom.filterMembersPacked]] — the
+    * codegen'd bitmap probe) over the committed state: same geometry
+    * discipline, same result row-for-row as [[filterMembers]]
+    * (spec-pinned); the form to serve when the committed benchmark
+    * has grown past the bit-table broadcast's comfort (SCALE.md's
+    * packed-probe section).
+    */
+  def filterMembersPacked(spark: SparkSession, stateDir: String,
+      df: DataFrame, itemCol: String): DataFrame = {
+    readMeta(spark, stateDir) match {
+      case None => df.limit(0)
+      case Some((_, _, k, m)) =>
+        Bloom.filterMembersPacked(df, itemCol, bits(spark, stateDir), k, m)
+    }
+  }
 }

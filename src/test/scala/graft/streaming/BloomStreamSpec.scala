@@ -65,6 +65,15 @@ class BloomStreamSpec extends SparkSpec {
         allGrams.toDF("item"), "item")
       .collect().map(_.getString(0)).toSet
     assert(kept == allGrams.toSet, "an inserted gram was rejected")
+    // The packed (codegen'd bitmap) read path returns the identical
+    // set over the same committed state.
+    val packed = BloomStream.filterMembersPacked(spark, dir,
+        allGrams.toDF("item"), "item")
+      .collect().map(_.getString(0)).toSet
+    assert(packed == kept)
+    assert(BloomStream.filterMembersPacked(spark,
+      java.nio.file.Files.createTempDirectory("graft-bloomfresh2").toString,
+      allGrams.toDF("item"), "item").count() == 0L)
   }
 
   test("fresh state keeps nothing; replay of the committed batch is a no-op") {

@@ -684,14 +684,29 @@ object Dedup {
     * subset of their grouping keys — no further exchange).
     */
   def duplicateSpans(docs: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val grams = duplicateSpanGrams(docs, k)
     val dup = grams.groupBy("h").agg(count(lit(1)).as("n"))
       .where(col("n") > 1).select("h")
+    spansOverGrams(grams, dup, k)
+  }
+
+  /** The islands half of [[duplicateSpans]], factored over an explicit
+    * gram table and duplicated-hash set so the streamed form
+    * ([[graft.streaming.SubstrDedupStream]] — gram counts summed across
+    * batches, spans read from the committed gram log) runs the
+    * IDENTICAL merge. `grams` is (doc_id, pos, h) rows; `dupHashes` is
+    * the single-column `h` set of hashes occurring more than once.
+    * Shuffle census as documented on [[duplicateSpans]]: the flagged
+    * join is AQE's (dup side collision-sized), then ONE doc_id exchange
+    * feeds the island window and both aggregates above it.
+    */
+  def spansOverGrams(grams: DataFrame, dupHashes: DataFrame,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("doc_id").orderBy("pos")
     val prevEnd = max(col("pos") + k)
       .over(w.rowsBetween(Window.unboundedPreceding, -1))
-    grams.join(dup, "h")
+    grams.join(dupHashes, "h")
       .select(col("doc_id"), col("pos"))
       .withColumn("new_island",
         when(prevEnd.isNull || col("pos") > prevEnd, 1).otherwise(0))
@@ -713,8 +728,16 @@ object Dedup {
     * driver-side) and the strip is a single indexed higher-order
     * `filter` over the token array, map-side after the one doc_id join.
     */
-  def stripDuplicateSpans(docs: DataFrame, k: Int): DataFrame = {
-    val spans = duplicateSpans(docs, k)
+  def stripDuplicateSpans(docs: DataFrame, k: Int): DataFrame =
+    stripWithSpans(docs, duplicateSpans(docs, k))
+
+  /** The removal half factored over an explicit span table — the form a
+    * STREAMED state store serves ([[graft.streaming.SubstrDedupStream]]
+    * keeps gram hashes, never text; the caller brings the documents and
+    * strips them against the committed cross-batch spans).
+    */
+  def stripWithSpans(docs: DataFrame, spanTable: DataFrame): DataFrame = {
+    val spans = spanTable
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("spans"),
         count(lit(1)).as("n_spans"),

@@ -3620,10 +3620,15 @@ object ExtensionQueries {
     val corpusOcc = docs.where(col("doc_id") % 10 =!= 0)
       .select(col("doc_id"), explode(TF.shingles(col("text"), 8)).as("item"))
     // Probe per occurrence, map-side, before the dedup exchange: the
-    // shuffle carries candidates only. The four semi joins broadcast
-    // the SAME bit table — one exchange, three ReusedExchange.
+    // shuffle carries candidates only. The serving form is the AUTO
+    // choice (Bloom.choosePacked over the filter's own set-bit count —
+    // one bounded ≤ m-row job): at sf0.1's ~23k benchmark grams it
+    // lands on the join form (four semi joins broadcasting the SAME
+    // bit table — one exchange, three ReusedExchange), which is also
+    // what the oracle replays; past the 10^5-gram crossover the same
+    // call serves the packed codegen'd bitmap, row-for-row identical.
     val candPairs = graft.operators.Bloom
-      .filterMembers(corpusOcc, "item", bloom, k, m)
+      .filterMembersAuto(corpusOcc, "item", bloom, k, m)
       .dropDuplicates("doc_id", "item")
     candPairs
       .join(broadcast(benchGrams.withColumnRenamed("item", "bgram")),

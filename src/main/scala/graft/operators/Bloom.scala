@@ -146,6 +146,58 @@ object Bloom {
     df.where(graft.functions.BloomMightContain(col(itemCol), words, k, m))
   }
 
+  /** The measured join-form → packed crossover, in INSERTED ITEMS:
+    * SCALE.md's round-14 decade table has the packed expression winning
+    * from the ~10^5-gram benchmark decade up (and the bit-table join's
+    * cost growing with its ≤ k·n-row broadcast build), so past this
+    * many inserted items [[filterMembersAuto]] serves the packed form.
+    * Below it the join form stays: its broadcast is trivial there, it
+    * skips [[packFilter]]'s m/64-word fill job + driver pin, and it is
+    * the form the DuckDB oracles replay verbatim.
+    */
+  val PackedCrossoverItems: Long = 100000L
+
+  /** The auto-selection law, pure so the spec pins it directly: from
+    * the filter's SET-BIT count, invert the expected-occupancy formula
+    * bits ≈ m·(1 − e^(−kn/m)) to the inserted-item estimate
+    * n ≈ −(m/k)·ln(1 − bits/m), and go packed at
+    * [[PackedCrossoverItems]]. A saturated filter (bits = m) is the
+    * ln(0) → ∞ edge: packed, which is also the right answer (a full
+    * bit table is the largest possible broadcast).
+    */
+  def choosePacked(setBits: Long, k: Int, m: Int): Boolean = {
+    require(k > 0 && m > 0, s"bloom dims must be positive, got k=$k m=$m")
+    require(setBits >= 0 && setBits <= m, s"setBits $setBits outside [0, $m]")
+    if (setBits == m) true
+    else {
+      val estItems = -(m.toDouble / k) * math.log1p(-setBits.toDouble / m)
+      estItems >= PackedCrossoverItems.toDouble
+    }
+  }
+
+  /** [[filterMembers]] with the join-vs-packed choice made from the
+    * filter itself ([[choosePacked]] over the set-bit count — one
+    * bounded ≤ m-row count job; pass `nItems` to skip it when the
+    * caller already knows the inserted-item count, e.g. a streamed
+    * state's meta row). Both forms are row-for-row identical
+    * (BloomSpec's differential), so the choice is semantically
+    * invisible — it only moves WHERE the filter lives at probe time
+    * (broadcast hash relation vs 512 KB-class codegen reference
+    * object).
+    */
+  def filterMembersAuto(df: DataFrame, itemCol: String, bloom: DataFrame,
+      k: Int, m: Int, nItems: Option[Long] = None): DataFrame = {
+    require(k > 0 && m > 0, s"bloom dims must be positive, got k=$k m=$m")
+    // The packed bitmap needs whole 64-bit words; a non-word-aligned m
+    // (toy geometries) always serves the join form rather than refusing.
+    val packed = m % 64 == 0 && (nItems match {
+      case Some(n) => n >= PackedCrossoverItems
+      case None => choosePacked(bloom.count(), k, m)
+    })
+    if (packed) filterMembersPacked(df, itemCol, bloom, k, m)
+    else filterMembers(df, itemCol, bloom, k, m)
+  }
+
   /** Keep exactly the rows of `df` whose `itemCol` the filter might
     * contain (all k bits set): k chained broadcast LeftSemi joins — the
     * bit-wise AND as relational algebra. The two hash draws are
@@ -153,7 +205,8 @@ object Bloom {
     * pure integer arithmetic. Each join is map-side (the filter is
     * ≤ m rows by construction); rows never shuffle, so the probe
     * composes BEFORE downstream exchanges. Guaranteed superset of the
-    * true members (no false negatives).
+    * true members (no false negatives). The serving choice between
+    * this and [[filterMembersPacked]] is [[filterMembersAuto]]'s.
     */
   def filterMembers(df: DataFrame, itemCol: String, bloom: DataFrame,
       k: Int, m: Int): DataFrame = {

@@ -175,4 +175,21 @@ object BloomStream {
         Bloom.filterMembersPacked(df, itemCol, bits(spark, stateDir), k, m)
     }
   }
+
+  /** The serving form chosen from the state itself: the meta row's
+    * inserted-gram bound drives [[Bloom.PackedCrossoverItems]] —
+    * the committed benchmark's own growth flips the probe from the
+    * join form to the packed expression with no caller decision and
+    * no extra job (the bound rides the 1-row meta read the probe
+    * already pays). Row-for-row identical either way.
+    */
+  def filterMembersAuto(spark: SparkSession, stateDir: String,
+      df: DataFrame, itemCol: String): DataFrame = {
+    readMeta(spark, stateDir) match {
+      case None => df.limit(0)
+      case Some((total, _, k, m)) =>
+        Bloom.filterMembersAuto(df, itemCol, bits(spark, stateDir), k, m,
+          nItems = Some(total))
+    }
+  }
 }

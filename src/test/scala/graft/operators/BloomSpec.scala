@@ -81,6 +81,52 @@ class BloomSpec extends SparkSpec {
       whole.collect().map(_.getLong(0)).toSet)
   }
 
+  test("auto-selection: decision law, plan form, and row identity") {
+    // The pure law: occupancy inversion hits the crossover where it
+    // should. k=4, m=2^17 (q_ml21's geometry): 23k items set ~77k bits
+    // (join form); 105k items set ~124k bits (packed — probed a step
+    // past the boundary, since bitsFor's integer rounding can land the
+    // exact-crossover inversion one item under); saturation is packed
+    // by definition.
+    val (k4, m17) = (4, 131072)
+    def bitsFor(n: Long): Long =
+      math.round(m17 * (1 - math.exp(-k4.toDouble * n / m17)))
+    assert(!Bloom.choosePacked(bitsFor(23000L), k4, m17))
+    assert(Bloom.choosePacked(bitsFor(105000L), k4, m17))
+    assert(Bloom.choosePacked(m17.toLong, k4, m17))
+    assert(!Bloom.choosePacked(0L, k4, m17))
+    // Plan form follows the choice (word-aligned m=64 so the packed
+    // path is eligible): below the crossover the executed plan is the
+    // broadcast-join conjunction; an explicit nItems at the crossover
+    // serves the codegen'd bloom_might_contain predicate.
+    val m64 = 64
+    val bloom = Bloom.build(members.toDF("item"), K, m64)
+    // (Analyzed plans: over a LocalRelation probe table the optimizer's
+    // ConvertToLocalRelation evaluates a pure Filter eagerly, so the
+    // executed plan of the packed form is just the pre-computed scan.)
+    val joinPlan = Bloom.filterMembersAuto(probes.toDF("item"), "item",
+      bloom, K, m64).queryExecution.analyzed.toString
+    assert(joinPlan.contains("Join") && !joinPlan.contains("bloom_might_contain"))
+    val packedPlan = Bloom.filterMembersAuto(probes.toDF("item"), "item",
+      bloom, K, m64, nItems = Some(Bloom.PackedCrossoverItems))
+      .queryExecution.analyzed.toString
+    assert(packedPlan.contains("bloom_might_contain") &&
+      !packedPlan.contains("Join"))
+    // The choice is semantically invisible: both serve the same rows.
+    val viaJoin = Bloom.filterMembersAuto(probes.toDF("item"), "item",
+      bloom, K, m64).collect().map(_.getString(0)).toSet
+    val viaPacked = Bloom.filterMembersAuto(probes.toDF("item"), "item",
+      bloom, K, m64, nItems = Some(Bloom.PackedCrossoverItems))
+      .collect().map(_.getString(0)).toSet
+    assert(viaJoin == viaPacked)
+    // A non-word-aligned m stays on the join form even past the
+    // crossover instead of refusing.
+    assert(!Bloom.filterMembersAuto(probes.toDF("item"), "item",
+      Bloom.build(members.toDF("item"), K, M), K, M,
+      nItems = Some(Bloom.PackedCrossoverItems))
+      .queryExecution.analyzed.toString.contains("bloom_might_contain"))
+  }
+
   test("degenerate dims refuse loudly") {
     intercept[IllegalArgumentException] {
       Bloom.build(members.toDF("item"), 0, M)

@@ -74,6 +74,16 @@ class BloomStreamSpec extends SparkSpec {
     assert(BloomStream.filterMembersPacked(spark,
       java.nio.file.Files.createTempDirectory("graft-bloomfresh2").toString,
       allGrams.toDF("item"), "item").count() == 0L)
+    // Auto form: this state's meta bound (~30 grams) is far below the
+    // crossover → the join form serves, same rows, no caller decision.
+    val auto = BloomStream.filterMembersAuto(spark, dir,
+      allGrams.toDF("item"), "item")
+    assert(!auto.queryExecution.analyzed.toString
+      .contains("bloom_might_contain"))
+    assert(auto.collect().map(_.getString(0)).toSet == kept)
+    assert(BloomStream.filterMembersAuto(spark,
+      java.nio.file.Files.createTempDirectory("graft-bloomfresh3").toString,
+      allGrams.toDF("item"), "item").count() == 0L)
   }
 
   test("fresh state keeps nothing; replay of the committed batch is a no-op") {

@@ -2137,6 +2137,57 @@ object ExtensionQueries {
        |WHERE cos >= 0.98 ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  // ---------------------------------------------------------------- MM-13
+  /** INTERLEAVED audio+video AVI decode ([[AviCodec.decodeAV]]) — the
+    * container story completed: two strl entries (vids then auds; strf
+    * means BITMAPINFOHEADER in one and PCMWAVEFORMAT in the other —
+    * per-stream format dispatch inside the same nested grammar), movi
+    * holding per frame one '00db' DIB chunk then one '01wb' PCM-16
+    * chunk of the near-equal sample split. Features pin both tracks
+    * AND the interleave itself: wsum_r (frame order, q_mm10's
+    * discipline), wsum_s over the RE-CONCATENATED pcm stream (chunk
+    * order + split arithmetic — a swapped or resized '01wb' chunk
+    * keeps sum_s but not this), and (n_chunks, first_chunk_n)
+    * certifying one audio chunk per frame at n/nf + (1 if t < n mod
+    * nf) samples. Audio law multipliers differ from q_mm3's WAV law,
+    * so a cross-wired asset fails. The oracle replays only the
+    * generating formulas — a hash match certifies the whole two-stream
+    * binary round-trip.
+    */
+  def avDecode(spark: SparkSession, dir: String): DataFrame =
+    MM.decodeAvFeatures(MM.synthAvAssets(Tables.documents(spark, dir)))
+      .orderBy("media_id")
+
+  val avDecodeSql: String =
+    """WITH g AS (SELECT doc_id, 5 + doc_id % 4 AS w, 3 + doc_id % 3 AS h,
+      |                  2 + doc_id % 3 AS nf, 48 + doc_id % 32 AS n FROM documents),
+      |px AS (SELECT g.doc_id, g.w, g.h, t.range AS t,
+      |              x.range AS x, y.range AS y
+      |       FROM g CROSS JOIN range(4) t CROSS JOIN range(8) x
+      |              CROSS JOIN range(5) y
+      |       WHERE t.range < g.nf AND x.range < g.w AND y.range < g.h),
+      |vid AS (SELECT doc_id,
+      |         CAST(sum((t * w * h + y * w + x + 1)
+      |              * ((3 * doc_id + x + 11 * y + 19 * t) % 256)) AS BIGINT)
+      |           AS wsum_r
+      |        FROM px GROUP BY doc_id),
+      |smp AS (SELECT g.doc_id, i.range AS i,
+      |               (doc_id * 37 + i.range * 11) % 4096 - 2048 AS s
+      |        FROM g CROSS JOIN range(80) i WHERE i.range < g.n),
+      |aud AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS sum_s,
+      |               CAST(sum((i + 1) * s) AS BIGINT) AS wsum_s
+      |        FROM smp GROUP BY doc_id)
+      |SELECT g.doc_id AS media_id, CAST(g.w AS BIGINT) AS width,
+      |       CAST(g.h AS BIGINT) AS height, CAST(g.nf AS BIGINT) AS n_frames,
+      |       vid.wsum_r,
+      |       CAST(8000 + 1000 * (g.doc_id % 4) AS BIGINT) AS sample_rate,
+      |       CAST(g.n AS BIGINT) AS n_samples, aud.sum_s, aud.wsum_s,
+      |       CAST(g.nf AS BIGINT) AS n_chunks,
+      |       CAST(g.n // g.nf + CASE WHEN g.n % g.nf > 0 THEN 1 ELSE 0 END
+      |            AS BIGINT) AS first_chunk_n
+      |FROM g JOIN vid USING (doc_id) JOIN aud USING (doc_id)
+      |ORDER BY media_id""".stripMargin
+
   // ---------------------------------------------------------------- TXT-7
   /** Denylist scrubbing — the PII-redaction operator shape (regex replace
     * + per-group audit counts) over the corpus' own vocabulary (the
@@ -3160,6 +3211,101 @@ object ExtensionQueries {
        |FROM tr CROSS JOIN est""".stripMargin
   }
 
+  // ---------------------------------------------------------------- TXT-23
+  /** q_txt22's estimate ACTING as the plan decision it exists for:
+    * price an equi-join from two bounded sketches BEFORE paying its
+    * shuffle, and pick broadcast vs shuffle-hash from the estimate.
+    * Two planted relation pairs over the same token split — the
+    * OCCURRENCE streams (heavy hitters on both sides multiply:
+    * millions of pairs at sf0.1, the shuffle-join regime) and their
+    * DISTINCT projections (join size = the vocabulary intersection,
+    * tens of rows, the broadcast regime) — are each sketched into d·w
+    * cells and thresholded at 100k estimated pairs. Per scenario the
+    * output holds the estimate, the exact size (pay-for-truth audit
+    * side, q_dd11 contract), both decisions, and whether they agree —
+    * at this corpus they must (CountMinSpec pins the law: CMS only
+    * ever OVERcounts, so the one possible disagreement direction is
+    * broadcast-sized joins mispriced into the shuffle tier when ε·N
+    * crosses the threshold — a safe, never-OOM direction, documented
+    * rather than hidden). The md5 bucket replay certifies the
+    * estimates' VALUES, so the decisions are hash-certified too.
+    */
+  def cmsJoinDecision(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.CountMin
+    val (d, w) = (4, 512)
+    val threshold = 100000L
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TF.tokens(col("text"))).as("item"))
+    val aOcc = toks.where(col("doc_id") % 2 === 0).select("item")
+    val bOcc = toks.where(col("doc_id") % 2 =!= 0).select("item")
+    def leg(name: String, a: DataFrame, b: DataFrame): DataFrame = {
+      val est = CountMin.joinSizeEstimate(
+        CountMin.sketch(a, d, w), CountMin.sketch(b, d, w))
+      val truth = a.groupBy("item").agg(count(lit(1)).as("ca"))
+        .join(b.groupBy("item").agg(count(lit(1)).as("cb")), "item")
+        .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("true_pairs"))
+      truth.crossJoin(est).select(lit(name).as("scenario"),
+        col("true_pairs"), col("est_pairs"))
+    }
+    leg("occurrences", aOcc, bOcc)
+      .unionByName(leg("distincts", aOcc.distinct(), bOcc.distinct()))
+      .select(col("scenario"), col("true_pairs"), col("est_pairs"),
+        when(col("est_pairs") <= threshold, "broadcast").otherwise("shuffle")
+          .as("est_decision"),
+        when(col("true_pairs") <= threshold, "broadcast").otherwise("shuffle")
+          .as("true_decision"),
+        (when(col("est_pairs") <= threshold, "broadcast").otherwise("shuffle")
+          === when(col("true_pairs") <= threshold, "broadcast")
+            .otherwise("shuffle")).cast("long").as("agree"))
+      .orderBy("scenario")
+  }
+
+  val cmsJoinDecisionSql: String = {
+    def hh(expr: String) = TF.hexHash60Sql(expr)
+    def sk(src: String) =
+      s"""SELECT hrow, bucket, CAST(count(*) AS BIGINT) AS c FROM (
+         |         SELECT i.range AS hrow,
+         |                ${hh("CAST(i.range AS VARCHAR) || ':' || item")} % 512 AS bucket
+         |         FROM $src CROSS JOIN range(4) i)
+         |       GROUP BY 1, 2""".stripMargin
+    def est(a: String, b: String) =
+      s"""SELECT min(ip) AS est_pairs FROM (
+         |  SELECT a.hrow, CAST(sum(a.c * b.c) AS BIGINT) AS ip
+         |  FROM $a a JOIN $b b USING (hrow, bucket) GROUP BY 1)""".stripMargin
+    def tru(a: String, b: String) =
+      s"""SELECT CAST(coalesce(sum(x.ca * y.cb), 0) AS BIGINT) AS true_pairs
+         |FROM (SELECT item, count(*) AS ca FROM $a GROUP BY 1) x
+         |JOIN (SELECT item, count(*) AS cb FROM $b GROUP BY 1) y
+         |  USING (item)""".stripMargin
+    def row(name: String, t: String, e: String) =
+      s"""SELECT '$name' AS scenario, t.true_pairs, e.est_pairs,
+         |  CASE WHEN e.est_pairs <= 100000 THEN 'broadcast'
+         |       ELSE 'shuffle' END AS est_decision,
+         |  CASE WHEN t.true_pairs <= 100000 THEN 'broadcast'
+         |       ELSE 'shuffle' END AS true_decision,
+         |  CAST(CASE WHEN (e.est_pairs <= 100000) = (t.true_pairs <= 100000)
+         |       THEN 1 ELSE 0 END AS BIGINT) AS agree
+         |FROM $t t CROSS JOIN $e e""".stripMargin
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS item
+       |              FROM documents),
+       |ta AS (SELECT item FROM toks WHERE doc_id % 2 = 0),
+       |tb AS (SELECT item FROM toks WHERE doc_id % 2 != 0),
+       |da AS (SELECT DISTINCT item FROM ta),
+       |db AS (SELECT DISTINCT item FROM tb),
+       |ska AS (${sk("ta")}),
+       |skb AS (${sk("tb")}),
+       |skda AS (${sk("da")}),
+       |skdb AS (${sk("db")}),
+       |e_occ AS (${est("ska", "skb")}),
+       |e_dis AS (${est("skda", "skdb")}),
+       |t_occ AS (${tru("ta", "tb")}),
+       |t_dis AS (${tru("da", "db")})
+       |${row("occurrences", "t_occ", "e_occ")}
+       |UNION ALL
+       |${row("distincts", "t_dis", "e_dis")}
+       |ORDER BY scenario""".stripMargin
+  }
+
   // ---------------------------------------------------------------- SIM-13
   /** Hard-negative mining ([[Similarity.hardNegatives]]): for a 4%
     * query sample (vec_id % 25 == 3), the top-5 most-cosine-similar
@@ -3356,10 +3502,8 @@ object ExtensionQueries {
   def randomProjectionAudit(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.{VectorFunctions => VF}
     val (kOut, dim) = (16, 64)
-    def sign(j: Int, i: Int): Double =
-      if (TF.hexHash60Local(s"rp:$j:$i") % 2 == 0) 1.0 else -1.0
     val signArrs = (0 until kOut).map(j =>
-      array((0 until dim).map(i => lit(sign(j, i))): _*))
+      array((0 until dim).map(i => lit(Similarity.signEntry(j, i))): _*))
     val sample = Tables.embeddings(spark, dir)
       .where(col("vec_id") % 11 === 0)
       .where(VF.l2Norm(col("embedding")) > 0)
@@ -3425,16 +3569,9 @@ object ExtensionQueries {
     * aggregator.
     */
   def projectionRecall(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.{VectorFunctions => VF}
     val (kOut, dim, topK) = (16, 64, 10)
-    def sign(j: Int, i: Int): Double =
-      if (TF.hexHash60Local(s"rp:$j:$i") % 2 == 0) 1.0 else -1.0
-    val signArrs = (0 until kOut).map(j =>
-      array((0 until dim).map(i => lit(sign(j, i))): _*))
     val embs = Tables.embeddings(spark, dir)
-    val proj = embs.select(col("vec_id"),
-      array(signArrs.map(s => VF.dot(col("embedding"), s)): _*)
-        .as("embedding"))
+    val proj = Similarity.signProject(embs, kOut, dim)
     val full = Similarity.bruteForceTopK(
       embs.where(col("vec_id") < 5), embs, k = topK)
     val low = Similarity.bruteForceTopK(
@@ -3479,6 +3616,82 @@ object ExtensionQueries {
        |       round(count(*) / 10.0, 6) AS recall
        |FROM tf JOIN tl USING (query_id, neighbor_id)
        |GROUP BY 1 ORDER BY query_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- SIM-17
+  /** The DIMENSION LADDER q_sim16's honest verdict demands: 16 dims
+    * audits fine on distance (q_sim15's ratio ∈ [0.8, 1.2]) but ships
+    * 0.1–0.3 recall@10, so where IS the deployable operating point?
+    * Per rung k ∈ {16, 24, 32, 48} of the SAME md5-parity sign family
+    * ("rp:j:i" — rung k is a PREFIX extension, so serving can move
+    * along the ladder without re-projecting history), brute-force
+    * cosine top-10 in the projected space vs the full-dim truth, and
+    * per rung the aggregate recall over all queries (zero-overlap
+    * queries included via the left join — dropping them would inflate
+    * the mean), the storage/dot cost ratio k/64, and the deploy flag
+    * at the mean-recall ≥ 0.8 bar. The first deploy=1 row is the
+    * operating point an index swap should use; the full-dim truth is
+    * computed ONCE (checkpointed) and serves all four rungs.
+    *
+    * Measured verdict on THIS corpus (SCALE.md round-15): no rung
+    * deploys — recall 0.14→0.38 at sf0.01, 0.02→0.18 at sf0.1, and it
+    * DROPS as the corpus grows. The mechanism is margins, not the
+    * ladder: these embeddings are near-uniform (truth's 10th→11th
+    * cosine gap ~0.005), an order below the O(√(1/k)) JL distortion at
+    * every sub-full rung, so rank order cannot survive. SimilaritySpec
+    * pins both regimes — near-dup families (margin ~0.9) deploy at
+    * k=16; this corpus at none — making the ladder the DECISION tool:
+    * run it, read the first deploy row, and if there is none the
+    * projection tier stays off (serving full-dim is the correct call
+    * here, and the audit proves it cheaply before any index swap).
+    */
+  def projectionLadder(spark: SparkSession, dir: String): DataFrame =
+    Similarity.projectionLadder(Tables.embeddings(spark, dir),
+      col("vec_id") < 5, dims = Seq(16, 24, 32, 48), dim = 64, topK = 10)
+
+  val projectionLadderSql: String = {
+    val dim = 64
+    def sign(j: Int, i: Int): String =
+      if (TF.hexHash60Local(s"rp:$j:$i") % 2 == 0) "1.0" else "-1.0"
+    def projList(kOut: Int) = (0 until kOut).map { j =>
+      val s = (0 until dim).map(i => sign(j, i)).mkString(", ")
+      s"list_dot_product(e, [$s])"
+    }.mkString(",\n|            ")
+    def topk(src: String) =
+      s"""SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY round(list_cosine_similarity(q.e, c.e), 6) DESC,
+         |                      c.vec_id) AS rank
+         |    FROM (SELECT * FROM $src WHERE vec_id < 5
+         |          AND list_dot_product(e, e) > 0) q
+         |    JOIN (SELECT * FROM $src
+         |          WHERE list_dot_product(e, e) > 0) c
+         |      ON q.vec_id != c.vec_id) WHERE rank <= 10""".stripMargin
+    def rungConcrete(kOut: Int) =
+      s"""r$kOut AS (SELECT vec_id,
+         |        [${projList(kOut)}] AS e
+         |      FROM v),
+         |t$kOut AS (${topk(s"r$kOut")}),
+         |o$kOut AS (SELECT tf.query_id, count(*) AS n
+         |       FROM tf JOIN t$kOut USING (query_id, neighbor_id)
+         |       GROUP BY 1),
+         |a$kOut AS (SELECT CAST($kOut AS BIGINT) AS k_dims,
+         |         round(avg(coalesce(o.n, 0) / 10.0), 6) AS mean_recall,
+         |         round(min(coalesce(o.n, 0) / 10.0), 6) AS min_recall,
+         |         round($kOut / 64.0, 6) AS cost_ratio
+         |       FROM (SELECT DISTINCT query_id FROM tf) q
+         |       LEFT JOIN o$kOut o USING (query_id))""".stripMargin
+    val rungs = Seq(16, 24, 32, 48)
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+       |           FROM embeddings),
+       |tf AS (${topk("v")}),
+       |${rungs.map(rungConcrete).mkString(",\n|")}
+       |SELECT k_dims, mean_recall, min_recall, cost_ratio,
+       |       CAST(CASE WHEN mean_recall >= 0.8 THEN 1 ELSE 0 END AS BIGINT)
+       |         AS deploy
+       |FROM (${rungs.map(k => s"SELECT * FROM a$k").mkString(" UNION ALL ")})
+       |ORDER BY k_dims""".stripMargin
   }
 
   // ---------------------------------------------------------------- DD-13

@@ -563,6 +563,79 @@ object Multimodal {
     }.toDF("vec_id", "embedding")
   }
 
+  /** Interleaved-AV audio law (shared with the q_mm13 oracle): n =
+    * 48 + d%32 samples at rate 8000 + 1000·(d%4) Hz, sample
+    * i = ((d·37 + i·11) mod 4096) − 2048 — multipliers deliberately
+    * distinct from [[wavSamples]]' (31, 7), so an asset cross-wiring
+    * slip (WAV law feeding the AVI audio track or vice versa) fails
+    * the oracle. The video track is [[aviFrames]]' law unchanged.
+    */
+  def avSamples(d: Long): (Int, Array[Short]) = {
+    val n = (48 + d % 32).toInt
+    val samples = Array.tabulate(n)(i => (((d * 37 + i * 11) % 4096) - 2048).toShort)
+    ((8000 + 1000 * (d % 4)).toInt, samples)
+  }
+
+  /** Interleaved audio+video AVI assets over `docs`: [[aviFrames]]'
+    * video law + [[avSamples]]' audio law through
+    * [[AviCodec.encodeAV]] — two strl entries, per frame one '00db'
+    * DIB chunk then one '01wb' PCM chunk of the near-equal split.
+    */
+  def synthAvAssets(docs: DataFrame): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { d =>
+        val (rate, samples) = avSamples(d)
+        val payload = AviCodec.encodeAV(aviFrames(d), fps = 10, samples, rate)
+        MediaRecord(d, payload, "video/avi", payload.length.toLong)
+      }
+    }
+  }
+
+  /** Decode interleaved AV assets ([[AviCodec.decodeAV]] — throws on
+    * malformed) and emit integer features over BOTH decoded tracks:
+    * video dims/frame count and the frame-and-position-weighted wsum_r
+    * (frame order, [[decodeAviFeatures]]' discipline); audio rate /
+    * sample count / Σs / the position-weighted Σ(i+1)·sᵢ over the
+    * RE-CONCATENATED pcm stream — the feature that breaks if the
+    * interleaved '01wb' chunks come back in the wrong order or the
+    * split arithmetic slips; and the interleave structure itself
+    * (chunk count = frame count, first chunk's sample count = the
+    * near-equal-split law).
+    */
+  def decodeAvFeatures(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val v = AviCodec.decodeAV(m.payload)
+        val npx = v.width * v.height
+        var wr = 0L
+        var t = 0
+        while (t < v.frames.length) {
+          val f = v.frames(t)
+          var i = 0
+          while (i < npx) {
+            wr += (t.toLong * npx + i + 1) * f.r(i)
+            i += 1
+          }
+          t += 1
+        }
+        var (sum, wsum) = (0L, 0L)
+        var i = 0
+        while (i < v.samples.length) {
+          val s = v.samples(i).toInt
+          sum += s; wsum += (i + 1).toLong * s
+          i += 1
+        }
+        (m.media_id, v.width.toLong, v.height.toLong, v.frames.length.toLong,
+          wr, v.sampleRate.toLong, v.samples.length.toLong, sum, wsum,
+          v.chunkSamples.length.toLong, v.chunkSamples.head.toLong)
+      }
+    }.toDF("media_id", "width", "height", "n_frames", "wsum_r",
+      "sample_rate", "n_samples", "sum_s", "wsum_s", "n_chunks",
+      "first_chunk_n")
+  }
+
   /** Image-probe embedding from DECODED pixels: 8 fixed probe sites
     * (xⱼ, yⱼ) = (j mod 5, j mod 3) — in-bounds for every class since
     * w ≥ 5, h ≥ 3 — cycling channels b, g, r; each feature is the

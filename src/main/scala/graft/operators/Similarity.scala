@@ -152,6 +152,68 @@ object Similarity {
   def autoCentroids(corpusSize: Long): Int =
     math.max(4, math.round(math.sqrt(corpusSize.toDouble)).toInt)
 
+  /** The q_sim15/16/17 deterministic ±1 sign family (Achlioptas 2003's
+    * database-friendly JL construction, md5-parity entries over the
+    * literal key "rp:j:i"): rung k is a PREFIX of rung k+1, so serving
+    * can move along the dimension ladder without re-projecting history.
+    */
+  def signEntry(j: Int, i: Int): Double =
+    if (graft.functions.TextFunctions.hexHash60Local(s"rp:$j:$i") % 2 == 0)
+      1.0
+    else -1.0
+
+  /** Project `embedding` (dim `dim`) to `kOut` sign-fold dims: kOut
+    * map-side codegen'd dots baked into the plan as literal arrays — no
+    * shuffle, composes in front of any index build untouched.
+    */
+  def signProject(embs: DataFrame, kOut: Int, dim: Int): DataFrame = {
+    val signArrs = (0 until kOut).map(j =>
+      array((0 until dim).map(i => lit(signEntry(j, i))): _*))
+    embs.select(col("vec_id"),
+      array(signArrs.map(s => VF.dot(col("embedding"), s)): _*)
+        .as("embedding"))
+  }
+
+  /** Recall-vs-cost ladder for the sign projection: per rung k ∈
+    * `dims`, brute-force cosine top-`topK` in the projected space
+    * against the full-dim truth (computed once, checkpointed),
+    * aggregated over all queries matching `queryPred` — zero-overlap
+    * queries included via the left join. One row per rung: (k_dims,
+    * mean_recall, min_recall, cost_ratio = k/dim, deploy = mean ≥ 0.8).
+    *
+    * Whether ANY rung deploys is a property of the corpus's neighbor
+    * MARGINS, not of the ladder: rank order survives projection iff the
+    * 10th→11th cosine gap exceeds the O(√(1/k)) JL distortion.
+    * SimilaritySpec pins both regimes — clustered near-dup families
+    * (margin ~0.9) deploy at k=16; the sf corpus's near-uniform
+    * embeddings (gap ~0.005 at sf0.001, tighter as the corpus grows)
+    * deploy at NO rung below full rank, which is q_sim17's honest
+    * measured verdict.
+    */
+  def projectionLadder(embs: DataFrame, queryPred: Column, dims: Seq[Int],
+      dim: Int, topK: Int): DataFrame = {
+    val full = graft.util.ScratchCheckpoints.register(
+      bruteForceTopK(embs.where(queryPred), embs, k = topK)
+        .select(col("query_id"), col("neighbor_id")).localCheckpoint())
+    val queries = full.select("query_id").distinct()
+    dims.map { kOut =>
+      val proj = signProject(embs, kOut, dim)
+      val low = bruteForceTopK(proj.where(queryPred), proj, k = topK)
+      val overlap = full
+        .join(low.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n"))
+      queries.join(overlap, Seq("query_id"), "left")
+        .select(coalesce(col("n"), lit(0L)).as("n"))
+        .agg(round(avg(col("n") / topK.toDouble), 6).as("mean_recall"),
+          round(min(col("n") / topK.toDouble), 6).as("min_recall"))
+        .select(lit(kOut.toLong).as("k_dims"), col("mean_recall"),
+          col("min_recall"),
+          round(lit(kOut.toDouble / dim), 6).as("cost_ratio"),
+          (col("mean_recall") >= 0.8).cast("long").as("deploy"))
+    }.reduce(_ unionByName _).orderBy("k_dims")
+  }
+
   /** Exact top-k neighbors by cosine for each query vector.
     * `queries`/`corpus` must both have (`vec_id`, `embedding`); self-pairs
     * are excluded. The query side is broadcast — the corpus never

@@ -166,6 +166,54 @@ class CodecSpec extends AnyFunSuite {
     assert(AviCodec.tryDecode(good.take(10)).isEmpty)
   }
 
+  test("AV AVI: encode→decode round-trips both tracks and the interleave split") {
+    for (d <- Seq(0L, 5L, 6L, 17L, 100L)) {
+      val frames = Multimodal.aviFrames(d)
+      val (rate, samples) = Multimodal.avSamples(d)
+      val v = AviCodec.decodeAV(AviCodec.encodeAV(frames, 10, samples, rate))
+      assert(v.fps == 10 && v.sampleRate == rate)
+      assert(v.frames.length == frames.length)
+      for (t <- frames.indices) {
+        assert(v.frames(t).b.toSeq == frames(t).b.toSeq, s"d=$d t=$t b")
+        assert(v.frames(t).r.toSeq == frames(t).r.toSeq, s"d=$d t=$t r")
+      }
+      assert(v.samples.toSeq == samples.toSeq, s"d=$d pcm")
+      // One audio chunk per frame, the near-equal split law exactly.
+      assert(v.chunkSamples.length == frames.length)
+      assert(v.chunkSamples.toSeq == frames.indices.map(t =>
+        AviCodec.chunkLen(samples.length, frames.length, t)), s"d=$d split")
+      assert(v.chunkSamples.sum == samples.length)
+    }
+  }
+
+  test("AV AVI: stream-count/type/format incoherence refuses loudly both ways") {
+    val frames = Multimodal.aviFrames(7L)
+    val (rate, samples) = Multimodal.avSamples(7L)
+    val good = AviCodec.encodeAV(frames, 10, samples, rate)
+    def bad(bytes: Array[Byte]) =
+      intercept[IllegalArgumentException](AviCodec.decodeAV(bytes))
+    // The single-stream decoder refuses the 2-stream container and the
+    // AV decoder refuses the single-stream one — neither silently reads
+    // half an asset.
+    intercept[IllegalArgumentException](AviCodec.decode(good))
+    bad(AviCodec.encode(frames, fps = 10))
+    // Layout offsets (fixed by encodeAV): stream-0 fccType at 108,
+    // auds strh dwLength at 264, PCMWAVEFORMAT wFormatTag/nChannels at
+    // 296/298.
+    val swapped = good.clone
+    "auds".getBytes("US-ASCII").copyToArray(swapped, 108)
+    bad(swapped) // stream 0 must be vids
+    val nonPcm = good.clone; nonPcm(296) = 2
+    bad(nonPcm)
+    val stereo = good.clone; stereo(298) = 2
+    bad(stereo)
+    val declared = good.clone; declared(264) = (declared(264) + 1).toByte
+    bad(declared) // strh sample count != movi pcm total
+    bad(good.dropRight(4)) // truncated movi
+    assert(AviCodec.tryDecodeAV(good).isDefined)
+    assert(AviCodec.tryDecodeAV(good.take(10)).isEmpty)
+  }
+
   test("class videos: one-byte-in-one-frame perturbation, valid bytes, stable shape per class") {
     for (c <- 0 until 16) {
       val a = Multimodal.aviClassFrames(c.toLong) // d/16 even

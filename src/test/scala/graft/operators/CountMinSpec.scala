@@ -96,6 +96,38 @@ class CountMinSpec extends SparkSpec {
     assert(truth > 0, "fixture must exercise a non-empty join")
   }
 
+  test("decision law: thresholding the estimate picks the plan truth picks, in the safe direction") {
+    // Planted small-join / large-join pair (q_txt23's shape): the
+    // distinct projections intersect in a handful of rows, the
+    // occurrence streams multiply heavy hitters into thousands.
+    val a = stream
+    val b = Seq.fill(30)("alpha") ++ Seq.fill(20)("beta") ++
+      (0 until 10).map(i => s"b$i")
+    def estOf(x: Seq[String], y: Seq[String]): Long =
+      CountMin.joinSizeEstimate(
+        CountMin.sketch(x.toDF("item"), D, W),
+        CountMin.sketch(y.toDF("item"), D, W)).head().getLong(0)
+    def truthOf(x: Seq[String], y: Seq[String]): Long = {
+      val fx = x.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val fy = y.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      fx.keySet.intersect(fy.keySet).toSeq.map(k => fx(k) * fy(k)).sum
+    }
+    val threshold = 100L
+    for ((x, y) <- Seq((a, b), (a.distinct, b.distinct))) {
+      val (est, truth) = (estOf(x, y), truthOf(x, y))
+      assert(est >= truth)
+      // CMS only overcounts, so the one possible disagreement is
+      // broadcast-sized joins priced into the shuffle tier — never a
+      // shuffle-sized join priced broadcast (the OOM direction).
+      if (truth > threshold) assert(est > threshold,
+        "a large join can never be mispriced as broadcast")
+    }
+    // And at this fixture both decisions agree on both scenarios.
+    assert(truthOf(a, b) > threshold && estOf(a, b) > threshold)
+    assert(truthOf(a.distinct, b.distinct) <= threshold &&
+      estOf(a.distinct, b.distinct) <= threshold)
+  }
+
   test("absent item reads 0 through an empty cell; left join coalesces") {
     // A single-token stream leaves w-1 buckets empty in every row: any
     // probe that misses in at least one row must estimate 0.

@@ -45,6 +45,38 @@ class SimilaritySpec extends SparkSpec {
     assert(res.toSet == Set(1L, 2L, 3L, 4L))
   }
 
+  test("projection ladder: deployability is a margin property — families deploy at k=16, the near-uniform sf corpus at no rung") {
+    import graft.functions.{TextFunctions => TF}
+    // Margin-RICH corpus: 8 near-dup families of 6 in 64 dims — random
+    // ±1 centers (pairwise cos ~N(0, 1/64)) with a 0.02-scale member
+    // perturbation, so within-family cosine ≈ 1 and the 5th→6th
+    // neighbor gap is ~0.9. Rank order trivially survives any linear
+    // map that keeps families apart — JL at k=16 does.
+    val fams = (0 until 48).map { id =>
+      val f = id / 6
+      val v = (0 until 64).map { i =>
+        val c = if (TF.hexHash60Local(s"fam:$f:$i") % 2 == 0) 1.0f else -1.0f
+        c + 0.02f * ((id + i) % 5)
+      }
+      (id.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val rich = Similarity.projectionLadder(fams, col("vec_id") % 6 === 0,
+      dims = Seq(16), dim = 64, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(4)))
+    assert(rich.head._2 >= 0.8 && rich.head._3 == 1L,
+      s"family corpus must deploy at k=16: $rich")
+    // Margin-LESS corpus: the sf0.01 embeddings (near-uniform — the
+    // truth's 10th→11th cosine gap is ~0.005, an order below the
+    // O(√(1/k)) distortion at every rung), q_sim17's regime: NO rung
+    // deploys. Pinned at the ladder's cheapest and deepest rungs.
+    val flat = Similarity.projectionLadder(
+      graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.01"),
+      col("vec_id") < 5, dims = Seq(16, 48), dim = 64, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(4)))
+    assert(flat.forall(_._3 == 0L), s"no rung deploys on this corpus: ${flat.toSeq}")
+    assert(flat.forall(_._2 < 0.8))
+  }
+
   test("ivfTopK: probing enough cells recovers the own-cluster neighbors") {
     // Interleave clusters so the first-N quantizer seeds are one per
     // cluster (id % 3 = cluster): a degenerate all-one-cluster seed set

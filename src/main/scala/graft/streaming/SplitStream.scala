@@ -49,6 +49,18 @@ import graft.operators.{DataSplits, Dedup}
   * merge events, not documents — and compaction (every `compactEvery`
   * batches) folds it into the members and re-empties it, the same
   * bounded-pin discipline as the histogram pins.
+  *
+  * compactEvery SIZING LAW (measured, SCALE.md round-15 SplitProbe —
+  * a merge-heavy corpus where 2 of every 5 docs are merge events, 5k
+  * → 500k docs): the union-find FOLD is never the limit (~100
+  * ns/event; 100× events moved resolveRoots 0.137 → 0.165 s — collect
+  * job overhead dominates); the binding constraint is DRIVER HEAP,
+  * ~50–100 B/event for the boxed pair log + root map. Pick
+  * compactEvery ≈ budget / merges-per-batch with budget ≈ 5·10⁷
+  * events (a few GB of heap). Err low: compaction also made the whole
+  * pipeline 25–35% faster at the 500k decade (every batch re-reads a
+  * smaller, already-resolved state), so the fold pays for itself
+  * before the pin even matters.
   */
 object SplitStream {
 

@@ -721,6 +721,51 @@ class PlanAuditSpec extends SparkSpec {
       "KM hash must be computed once per side: " + p.take(1200))
   }
 
+  test("q_txt23: four bounded sketches, no cartesian, decisions computed in-plan") {
+    // The decision query prices BOTH scenarios the q_txt22 way: every
+    // sketch join is bounded at <= d*w rows (AQE resolves it broadcast),
+    // the only nested-loop joins are the 1-row truth x estimate
+    // attaches, and no corpus-squared shape can appear.
+    val df = SparkEntry.queries("q_txt23_cms_join_decision")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), p.take(200))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("SortMergeJoin"),
+      "sketch joins must resolve to broadcast forms: " + p.take(800))
+    assert("HashAggregate".r.findAllIn(p).size >= 12,
+      "4 sketches + 2 truth sides, partial+final: " + p.take(600))
+  }
+
+  test("q_sim17: one checkpointed truth serves all four rungs; per-rung top-k is the bounded aggregator") {
+    val df = SparkEntry.queries("q_sim17_projection_ladder")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // The full-dim truth is localCheckpointed at construction: the
+    // executed plan must read it as ExistingRDD scans (2 consumers per
+    // rung: the query list + the overlap semi join), never recompute
+    // the brute-force pass.
+    assert("Scan ExistingRDD".r.findAllIn(p).size >= 8,
+      "all rungs must read the checkpointed truth: " + p.take(800))
+    // Exactly the 4 per-rung projected top-k aggregations remain (the
+    // TopKAggregator is an object hash aggregate); a 5th would mean the
+    // truth pass leaked into the plan.
+    val objAggs = "ObjectHashAggregate".r.findAllIn(p).size
+    assert(objAggs == 8, // partial+final per rung
+      s"4 rung top-k passes (partial+final), got $objAggs: " + p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(600))
+  }
+
+  test("q_mm13: decode is map-side mapPartitions; the only exchange is the output sort") {
+    val p = plan("q_mm13_av_interleaved")
+    // Binary payloads are synthesized, decoded, and reduced to integer
+    // features inside one typed MapPartitions pipeline — no join, no
+    // aggregation, and the single exchange is the final orderBy's range
+    // partitioning over the small feature rows (payloads never shuffle).
+    assert(p.contains("MapPartitions"), p.take(600))
+    assert(!p.contains("Join"), p.take(600))
+    assert("Exchange".r.findAllIn(p).size == 1, p.take(800))
+  }
+
   test("q_txt20: sketch is a partial+final aggregate; the d·w cell table broadcasts") {
     // The CMS build's scale property: the generate+aggregate runs
     // partial-before-exchange, so the shuffle carries <= d*w rows per

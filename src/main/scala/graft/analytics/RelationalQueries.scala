@@ -301,6 +301,79 @@ object RelationalQueries {
       |FROM (VALUES (0.25), (0.5), (0.75)) t(pct)
       |ORDER BY pct""".stripMargin
 
+  /** REL-10f: DDSketch quantiles with the relative-error guarantee
+    * certified per run — the VALUE-error quantile sketch
+    * ([[graft.operators.DDSketch]], Masson et al. VLDB 2019) next to
+    * q_rel10e's rank-error GK audit: a ≤ ⌈log_γ(max/min)⌉-bucket table
+    * (~238 buckets over this price column at α = 1%, vs 60k–600k
+    * rows) answers q ∈ {1%, 25%, 50%, 75%, 99%} within relative error
+    * α of the exact rank-⌈q·N⌉ order statistic. Unlike
+    * percentile_approx the sketch is a plain (bucket, n) TABLE — both
+    * engines replay its content exactly (the 9dp-rounded log bucket
+    * index), so est is a hash-certified VALUE, not a carve-out; exact
+    * truth is the audit's pay-for-truth side (distinct-value
+    * cumulative walk — bounded by distinct prices), and within_bound
+    * pins |est − exact|/exact ≤ α per run. Mergeability (bucket-count
+    * addition) is what [[graft.streaming.DDSketchStream]] builds on —
+    * the quantile member of the streamed sketch family.
+    */
+  def ddQuantile(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.DDSketch
+    import org.apache.spark.sql.expressions.Window
+    val alpha = 0.01
+    val qs = Seq(0.01, 0.25, 0.5, 0.75, 0.99)
+    val vals = Tables.lineitem(spark, dir)
+      .select(col("l_extendedprice").as("value"))
+    val est = DDSketch.quantiles(DDSketch.sketch(vals, alpha), alpha, qs)
+    import spark.implicits._
+    val w = Window.orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = vals.where(col("value") > 0)
+      .groupBy("value").agg(count(lit(1)).as("c"))
+      .select(col("value"), sum("c").over(w).as("cum"))
+      .crossJoin(vals.where(col("value") > 0).agg(count(lit(1)).as("total")))
+    val exact = cum.join(broadcast(qs.toDF("q")),
+        col("cum") >= greatest(ceil(col("q") * col("total")), lit(1L)))
+      .groupBy("q").agg(min("value").as("exact_v"))
+    est.join(exact, "q")
+      .select(col("q"), col("est"), col("exact_v"),
+        round(abs(col("est") - col("exact_v")) / col("exact_v"), 6)
+          .as("rel_err"))
+      .withColumn("within_bound",
+        (col("rel_err") <= alpha).cast("long"))
+      .orderBy("q")
+  }
+
+  val ddQuantileSql: String = {
+    val a = 0.01
+    val g = (1 + a) / (1 - a)
+    val lnG = math.log(g)
+    s"""WITH v AS (SELECT l_extendedprice AS value FROM lineitem
+       |           WHERE l_extendedprice > 0),
+       |n AS (SELECT count(*) AS total FROM v),
+       |sk AS (SELECT CAST(ceil(round(ln(value) / $lnG, 9)) AS BIGINT) AS bucket,
+       |              count(*) AS cnt FROM v GROUP BY 1),
+       |cum AS (SELECT bucket, sum(cnt) OVER (ORDER BY bucket) AS cum FROM sk),
+       |qs AS (SELECT * FROM (VALUES (0.01), (0.25), (0.5), (0.75), (0.99)) t(q)),
+       |est AS (SELECT q.q,
+       |          round(2 * power($g, min(c.bucket)) / ${g + 1}, 6) AS est
+       |        FROM qs q CROSS JOIN n JOIN cum c
+       |          ON c.cum >= greatest(CAST(ceil(q.q * n.total) AS BIGINT), 1)
+       |        GROUP BY 1),
+       |dc AS (SELECT value, count(*) AS c FROM v GROUP BY 1),
+       |dcum AS (SELECT value, sum(c) OVER (ORDER BY value) AS cum FROM dc),
+       |ex AS (SELECT q.q, min(d.value) AS exact_v
+       |       FROM qs q CROSS JOIN n JOIN dcum d
+       |         ON d.cum >= greatest(CAST(ceil(q.q * n.total) AS BIGINT), 1)
+       |       GROUP BY 1)
+       |SELECT e.q, e.est, ex.exact_v,
+       |       round(abs(e.est - ex.exact_v) / ex.exact_v, 6) AS rel_err,
+       |       CAST(CASE WHEN round(abs(e.est - ex.exact_v) / ex.exact_v, 6)
+       |                      <= $a THEN 1 ELSE 0 END AS BIGINT) AS within_bound
+       |FROM est e JOIN ex USING (q)
+       |ORDER BY q""".stripMargin
+  }
+
   /** REL-9/10 extension: order-statistics battery — exact interpolated
     * percentiles (both engines use linear interpolation over the sorted
     * group) and sample stddev (rounded: Welford accumulation order

@@ -190,12 +190,19 @@ object Bloom {
     require(k > 0 && m > 0, s"bloom dims must be positive, got k=$k m=$m")
     // The packed bitmap needs whole 64-bit words; a non-word-aligned m
     // (toy geometries) always serves the join form rather than refusing.
-    val packed = m % 64 == 0 && (nItems match {
-      case Some(n) => n >= PackedCrossoverItems
-      case None => choosePacked(bloom.count(), k, m)
-    })
-    if (packed) filterMembersPacked(df, itemCol, bloom, k, m)
-    else filterMembers(df, itemCol, bloom, k, m)
+    val (decided, served) = nItems match {
+      case Some(n) => (n >= PackedCrossoverItems, bloom)
+      case None =>
+        // The count must not re-run the bit-table pipeline the probe is
+        // about to build again: checkpoint once, count the checkpoint,
+        // probe the checkpoint (r15 bench caught the double build as a
+        // 1.65x q_ml21 regression).
+        val b = graft.util.ScratchCheckpoints.register(bloom.localCheckpoint())
+        (choosePacked(b.count(), k, m), b)
+    }
+    val packed = m % 64 == 0 && decided
+    if (packed) filterMembersPacked(df, itemCol, served, k, m)
+    else filterMembers(df, itemCol, served, k, m)
   }
 
   /** Keep exactly the rows of `df` whose `itemCol` the filter might

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DDSketch (Masson, Lee, Rim — VLDB 2019, "DDSketch: A Fast and
+  * Fully-Mergeable Quantile Sketch with Relative-Error Guarantees") as
+  * a bounded bucket TABLE — the QUANTILE member completing the sketch
+  * family next to [[CountMin]] (point counts, overcount-side),
+  * [[HeavyHitters]] (frequent items, undercount-side), [[Bloom]]
+  * (membership, no false negatives) and [[Sampling]] (bottom-k
+  * samples):
+  *
+  *   - bucket(x) = ceil(log_γ x) with γ = (1+α)/(1−α), so every
+  *     positive value lands in the bucket whose boundaries are γ
+  *     apart; reporting the bucket's log-space midpoint
+  *     2·γ^b/(γ+1) is within RELATIVE error α of any value in the
+  *     bucket — a GUARANTEE on the quantile value itself, which is
+  *     what an SLO/latency/price question actually asks (rank-error
+  *     sketches like GK bound the rank, not the value).
+  *   - State is ≤ ⌈log_γ(max/min)⌉ buckets regardless of row count —
+  *     for α = 1%, the whole positive double range fits in ~35k
+  *     buckets and a realistic value column in a few hundred.
+  *   - Merging is elementwise ADDITION of bucket counts — the same
+  *     mergeable-summaries law as [[CountMin]], so the streamed form
+  *     ([[graft.streaming.DDSketchStream]]) folds batches with one
+  *     distributed groupBy(bucket).sum and never rides the driver.
+  *
+  * The Spark form mirrors [[CountMin.sketch]]: one declarative
+  * partial+final aggregate whose exchange is bounded at ≤ #buckets
+  * rows per task — never the value stream.
+  *
+  * Cross-engine determinism: the bucket index rounds ln(x)/ln(γ) to
+  * 9dp BEFORE the ceil (both engines), absorbing the ≤ 1-ulp libm
+  * spread between Spark's and DuckDB's `ln`; a value would have to sit
+  * within 5·10⁻¹⁰ of a bucket boundary in log space to flip (the
+  * q_ml20 documented-1-ulp discipline). The γ^b in the estimate is one
+  * `power` call whose cross-libm spread vanishes under the 6dp output
+  * round.
+  */
+object DDSketch {
+
+  /** γ for a target relative accuracy α ∈ (0, 1). */
+  def gamma(alpha: Double): Double = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    (1 + alpha) / (1 - alpha)
+  }
+
+  /** The bucket index column: ceil(round(ln(x)/ln(γ), 9)). Callers
+    * filter to x > 0 first (the paper's sign-split handles negatives by
+    * a mirrored sketch; this repo's value columns — prices, durations,
+    * counts — are positive domains).
+    */
+  def bucketOf(value: Column, alpha: Double): Column =
+    ceil(round(log(value) / math.log(gamma(alpha)), 9)).cast("long")
+
+  /** Build the sketch over `values` (column `value`, positives only —
+    * non-positive rows are dropped, counted by the caller if they
+    * matter): a (bucket, n) table, ≤ ⌈log_γ(max/min)⌉ rows. One
+    * partial+final aggregate; the exchange carries buckets, not values.
+    */
+  def sketch(values: DataFrame, alpha: Double): DataFrame =
+    values.where(col("value") > 0)
+      .select(bucketOf(col("value"), alpha).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+
+  /** Quantile estimates from a sketch: for each q in `qs`, the value
+    * 2·γ^b/(γ+1) of the first bucket (in index order) whose cumulative
+    * count reaches rank ⌈q·N⌉ (N = the sketch's own total; q = 0 maps
+    * to rank 1). Guarantee: within relative error α of the exact
+    * rank-⌈q·N⌉ order statistic. Shape: one cumulative window over the
+    * ≤ #buckets table, one bounded join against the literal q list —
+    * nothing here scales with the row count.
+    */
+  def quantiles(sk: DataFrame, alpha: Double, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1),
+      s"quantiles must be in [0,1], got $qs")
+    val spark = sk.sparkSession
+    import spark.implicits._
+    val g = gamma(alpha)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = sk.select(col("bucket"), sum("n").over(w).as("cum"))
+      .crossJoin(sk.agg(sum("n").as("total")))
+    val qdf = qs.toDF("q")
+    cum.join(broadcast(qdf),
+        col("cum") >= greatest(ceil(col("q") * col("total")), lit(1L)))
+      .groupBy("q")
+      .agg(min("bucket").as("b"), max("total").as("n_total"))
+      .select(col("q"),
+        round(lit(2.0) * pow(lit(g), col("b")) / (g + 1), 6).as("est"),
+        col("n_total"))
+      .orderBy("q")
+  }
+}

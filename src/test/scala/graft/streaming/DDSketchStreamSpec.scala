@@ -1,0 +1,96 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.operators.DDSketch
+import org.apache.spark.sql.functions._
+
+/** The DDSketch merge is EXACT (summed bucket counts equal the
+  * one-shot sketch of the concatenated stream), so the streamed
+  * quantiles keep the batch operator's relative-error guarantee across
+  * batches. These tests pin that equality, the cross-batch quantile
+  * bound, replay idempotence, α validation, the engine leg, and
+  * foreign-state refusal.
+  */
+class DDSketchStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Alpha = 0.02
+
+  private def slices: Seq[Seq[Double]] = {
+    val all = (1 to 300).map(i => math.pow(10, 3.0 * i / 300) + (i % 11))
+    all.grouped(100).toSeq
+  }
+
+  private def df(s: Seq[Double]) = s.toDF("value")
+
+  private def cellMap(d: org.apache.spark.sql.DataFrame) =
+    d.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("cross-batch buckets equal the one-shot sketch; streamed quantiles hold the bound") {
+    val dir = Files.createTempDirectory("graft-ddstream").toString
+    var lastTotal = -1L
+    val fn = DDSketchStream.pipeline(dir, Alpha,
+      onBatch = (_, t) => lastTotal = t)
+    slices.zipWithIndex.foreach { case (s, i) => fn(df(s), i.toLong) }
+    assert(lastTotal == 300L)
+    val streamed = cellMap(DDSketchStream.buckets(spark, dir))
+    val oneShot = cellMap(DDSketch.sketch(df(slices.flatten), Alpha))
+    assert(streamed == oneShot, "summed sketches == sketch of concatenation")
+    val qs = Seq(0.1, 0.5, 0.9, 0.99)
+    val est = DDSketchStream.quantiles(spark, dir, qs)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val sorted = slices.flatten.sorted
+    for (q <- qs) {
+      val exact = sorted(math.max(1, math.ceil(q * sorted.size).toInt) - 1)
+      assert(math.abs(est(q) - exact) / exact <= Alpha + 1e-6,
+        s"q=$q est=${est(q)} exact=$exact")
+    }
+  }
+
+  test("replay of the committed batch does not double-count") {
+    val dir = Files.createTempDirectory("graft-ddreplay").toString
+    val fn = DDSketchStream.pipeline(dir, Alpha)
+    slices.zipWithIndex.foreach { case (s, i) => fn(df(s), i.toLong) }
+    val before = cellMap(DDSketchStream.buckets(spark, dir))
+    val metaBefore = DDSketchStream.readMeta(spark, dir)
+    fn(df(slices.last), (slices.size - 1).toLong)
+    assert(cellMap(DDSketchStream.buckets(spark, dir)) == before)
+    assert(DDSketchStream.readMeta(spark, dir) == metaBefore)
+  }
+
+  test("stale batch and mismatched alpha refuse loudly") {
+    val dir = Files.createTempDirectory("graft-ddstale").toString
+    val fn = DDSketchStream.pipeline(dir, Alpha)
+    slices.zipWithIndex.foreach { case (s, i) => fn(df(s), i.toLong) }
+    intercept[IllegalStateException] { fn(df(slices.head), 0L) }
+    intercept[IllegalStateException] {
+      DDSketchStream.pipeline(dir, Alpha * 2)(df(slices.head), 3L)
+    }
+  }
+
+  test("under the streaming engine: MemoryStream batches converge to the one-shot sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = Files.createTempDirectory("graft-ddengine").toString
+    val fn = DDSketchStream.pipeline(dir, Alpha)
+    val mem = MemoryStream[Double]
+    val q = mem.toDF().toDF("value").writeStream.foreachBatch(fn).start()
+    try {
+      slices.foreach { s => mem.addData(s: _*); q.processAllAvailable() }
+    } finally q.stop()
+    assert(cellMap(DDSketchStream.buckets(spark, dir)) ==
+      cellMap(DDSketch.sketch(df(slices.flatten), Alpha)))
+    assert(DDSketchStream.readMeta(spark, dir).exists(_._1 == 300L))
+  }
+
+  test("fresh state has no quantiles; foreign metaless state fails loudly") {
+    val fresh = Files.createTempDirectory("graft-ddfresh").toString
+    assert(DDSketchStream.quantiles(spark, fresh, Seq(0.5)).count() == 0L)
+    val dir = Files.createTempDirectory("graft-ddforeign").toString
+    Seq((1L, 2L)).toDF("bucket", "n").write.parquet(GenStore.dir(dir, 0L))
+    GenStore.commit(spark, dir, 0L)
+    intercept[IllegalStateException] { DDSketchStream.readMeta(spark, dir) }
+  }
+}

@@ -335,7 +335,7 @@ object RelationalQueries {
     val exact = cum.join(broadcast(qs.toDF("q")),
         col("cum") >= greatest(ceil(col("q") * col("total")), lit(1L)))
       .groupBy("q").agg(min("value").as("exact_v"))
-    est.join(exact, "q")
+    est.join(broadcast(exact), "q") // 5 rows a side — never a sort-merge
       .select(col("q"), col("est"), col("exact_v"),
         round(abs(col("est") - col("exact_v")) / col("exact_v"), 6)
           .as("rel_err"))

@@ -766,6 +766,24 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size == 1, p.take(800))
   }
 
+  test("q_rel10f: sketch aggregate is partial+final; the quantile list broadcasts; one value sort (the truth side)") {
+    val p = plan("q_rel10f_dd_quantile")
+    // The sketch build must combine map-side: partial+final HashAggregate
+    // on bucket, so the exchange carries <= #buckets rows per task.
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "bucket + truth counts partial+final: " + p.take(600))
+    // Both bounded joins (q list against cum tables) broadcast.
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1 ||
+      "BroadcastNestedLoopJoin".r.findAllIn(p).size >= 1, p.take(800))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(600))
+    // The only full Sorts are the two cumulative windows (the sketch's
+    // <= #buckets walk and the truth side's distinct-value walk — the
+    // audit's documented pay-for-truth cost) plus the 5-row output
+    // order; a corpus-sized extra sort would show here.
+    assert("Sort ".r.findAllIn(p).size <= 4, p.take(800))
+  }
+
   test("q_txt20: sketch is a partial+final aggregate; the d·w cell table broadcasts") {
     // The CMS build's scale property: the generate+aggregate runs
     // partial-before-exchange, so the shuffle carries <= d*w rows per

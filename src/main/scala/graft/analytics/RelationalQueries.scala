@@ -1053,4 +1053,49 @@ object RelationalQueries {
        |             l_returnflag, epoch_us(l_shipdate) AS ship_us
        |      FROM lineitem WHERE l_orderkey % 100 = 7)""".stripMargin
   }
+
+  /** REL-30: Z-order (Morton) locality law — the layout lever
+    * [[graft.operators.Layout]] writes with, certified as data: every
+    * row's 24-bit interleave z(l_orderkey, l_partkey), cut into 64
+    * equal z-ranges, and per range the count plus min/max of BOTH
+    * keys. Because a contiguous z-range is a union of a few key-space
+    * rectangles, both per-bucket spans are far below the global spans
+    * simultaneously — the property that makes row-group min/max stats
+    * selective for 2-d predicates after a z-order write (LayoutProbe
+    * measures the resulting skip ratio; LayoutSpec pins the area law).
+    * The interleave and the bucket cut are pure integer arithmetic,
+    * replayed exactly by the oracle — a hash match certifies the curve
+    * itself, not a property of it.
+    */
+  def zOrderLocality(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Layout
+    val z = Layout.zValue(col("l_orderkey"), col("l_partkey"), bits = 24)
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), z.as("z"))
+      .crossJoin(broadcast(
+        Tables.lineitem(spark, dir)
+          .select(Layout.zValue(col("l_orderkey"), col("l_partkey"), 24)
+            .as("z"))
+          .agg(max("z").as("zmax"))))
+      // Integer division (Spark's `/` on longs is DOUBLE division, and
+      // z·64 can exceed the 53-bit mantissa): `div`, matching the
+      // oracle's `//`.
+      .withColumn("zbucket", expr("(z * 64) div (zmax + 1)"))
+      .groupBy("zbucket")
+      .agg(count(lit(1)).as("n"),
+        min("l_orderkey").as("min_ok"), max("l_orderkey").as("max_ok"),
+        min("l_partkey").as("min_pk"), max("l_partkey").as("max_pk"))
+      .orderBy("zbucket")
+  }
+
+  val zOrderLocalitySql: String = {
+    val z = graft.operators.Layout.zValueSql("l_orderkey", "l_partkey", 24)
+    s"""WITH zt AS (SELECT l_orderkey, l_partkey, $z AS z FROM lineitem),
+       |zm AS (SELECT max(z) AS zmax FROM zt)
+       |SELECT (z * 64) // (zmax + 1) AS zbucket, count(*) AS n,
+       |       min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
+       |       min(l_partkey) AS min_pk, max(l_partkey) AS max_pk
+       |FROM zt CROSS JOIN zm
+       |GROUP BY 1 ORDER BY zbucket""".stripMargin
+  }
 }

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data LAYOUT for scan pruning — the 100 TB lever that costs nothing
+  * at query time: parquet keeps min/max statistics per row group and
+  * Spark's pushed filters skip row groups whose stats exclude the
+  * predicate, so the fraction of data a selective scan actually reads
+  * is decided by HOW ROWS WERE LAID OUT at write time. A single-column
+  * sort serves one predicate column and destroys the other; the
+  * classic multi-dimensional answer is the Z-ORDER (Morton 1966) curve
+  * — interleave the bits of both keys, sort by the interleave, and
+  * every contiguous run of rows is a RECTANGLE in key space, so
+  * row-group min/max stats become tight boxes for BOTH columns at once
+  * (the technique behind Delta OPTIMIZE ZORDER BY and Iceberg's sort
+  * orders — public knowledge re-expressed on plain parquet).
+  *
+  * Everything here is plain integer Catalyst arithmetic (shift / mask
+  * / or — whole-stage-codegen'd, exactly replayable in the DuckDB
+  * oracle), no UDF, no custom expression: the z-value of a row is a
+  * pure function of its keys, and the layout operator is
+  * `repartitionByRange` + `sortWithinPartitions` on that value — one
+  * range exchange at write time, zero cost at read time.
+  * [[graft.tools.LayoutProbe]] measures what it buys: the row-group
+  * skip ratio of a 2-d box predicate under natural / single-sort /
+  * z-order layouts (SCALE.md round-15).
+  */
+object Layout {
+
+  /** The Morton interleave of the low `bits` bits of two non-negative
+    * integer columns: bit i of `a` lands at position 2i, bit i of `b`
+    * at 2i+1. 2·bits ≤ 63 (sign bit untouched). Pure shift/mask/or —
+    * codegen-friendly and oracle-replayable.
+    */
+  def zValue(a: Column, b: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    val al = a.cast("long")
+    val bl = b.cast("long")
+    (0 until bits).flatMap { i =>
+      Seq(shiftleft(shiftright(al, i).bitwiseAND(1), 2 * i),
+        shiftleft(shiftright(bl, i).bitwiseAND(1), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** The same interleave as DuckDB SQL over column expressions `a` and
+    * `b` — the oracle builder, kept NEXT to the Spark form so the two
+    * cannot drift.
+    */
+  def zValueSql(a: String, b: String, bits: Int = 16): String =
+    (0 until bits).flatMap { i =>
+      Seq(s"((($a >> $i) & 1) << ${2 * i})",
+        s"((($b >> $i) & 1) << ${2 * i + 1})")
+    }.mkString("(", " | ", ")")
+
+  /** Lay `df` out z-ordered on (`aCol`, `bCol`) into `nFiles` parquet
+    * files at `path`: one range exchange on the z-value (files cover
+    * disjoint z ranges → disjoint key rectangles), rows sorted within
+    * each file (row groups inside a file are sub-rectangles). The
+    * scratch z column never reaches the files. `rowGroupBytes` sizes
+    * the parquet row group — the skipping granularity (smaller groups
+    * = finer skipping at more footer overhead; the probe uses 1 MB to
+    * make the effect measurable at local scale, a 100 TB table keeps
+    * the 128 MB default and relies on file-level disjointness).
+    *
+    * Keys are min/max-NORMALIZED to the `bits` width before
+    * interleaving — load-bearing, not cosmetic: interleaving RAW keys
+    * of unequal magnitude (LayoutProbe's first run: x spanning 23
+    * bits, y spanning 15) leaves the z-value's high bits owned
+    * entirely by the wide key, and the curve degenerates to a
+    * single-column sort at every coarse granularity (measured: y-band
+    * reads fell from 69% to ~2% of the table once normalized — the
+    * same reason production z-order implementations rank-normalize
+    * each column first). The min/max pass is one 1-row aggregate.
+    */
+  def zOrderWrite(df: DataFrame, aCol: String, bCol: String, path: String,
+      nFiles: Int, bits: Int = 16,
+      rowGroupBytes: Long = 1L << 20): Unit = {
+    val r = df.agg(min(col(aCol)).cast("long"), max(col(aCol)).cast("long"),
+      min(col(bCol)).cast("long"), max(col(bCol)).cast("long")).head()
+    val (aMin, aMax, bMin, bMax) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val top = (1L << bits) - 1
+    def norm(c: Column, lo: Long, hi: Long): Column =
+      if (hi == lo) lit(0L)
+      else (c.cast("long") - lo) * top / (hi - lo)
+    df.withColumn("__z", zValue(
+        norm(col(aCol), aMin, aMax), norm(col(bCol), bMin, bMax), bits))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite")
+      .option("parquet.block.size", rowGroupBytes)
+      .parquet(path)
+  }
+}

@@ -1,0 +1,95 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Layout]] vs a driver-side Morton reference, plus the law the
+  * layout exists for: under a z-order write, the set of FILES a 2-d
+  * box predicate can touch (by per-file min/max of BOTH keys — exactly
+  * what parquet row-group stats expose to the reader) is a small
+  * fraction of the files, while a single-column sort leaves one of the
+  * two dimensions unbounded per file and a one-dimensional predicate
+  * on the OTHER key touches every file.
+  */
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def refZ(a: Long, b: Long, bits: Int): Long =
+    (0 until bits).map(i =>
+      (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))).sum
+
+  test("zValue matches the driver-side Morton reference") {
+    val rows = for (a <- 0L until 40L; b <- 0L until 40L) yield (a, b)
+    val got = rows.toDF("a", "b")
+      .select(col("a"), col("b"), Layout.zValue(col("a"), col("b"), 8).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    rows.foreach { case (a, b) =>
+      assert(got((a, b)) == refZ(a, b, 8), s"z($a, $b)")
+    }
+    // Interleave bound: z < 4^bits, and the curve is a bijection on
+    // the grid (no two cells share a z).
+    assert(got.values.max < (1L << 16))
+    assert(got.values.toSeq.distinct.size == rows.size)
+    intercept[IllegalArgumentException] {
+      Layout.zValue(col("a"), col("b"), 0)
+    }
+  }
+
+  // Uniform 256x256 grid, one row per cell — file min/max boxes are
+  // exact population statements, no sampling noise.
+  private def grid = (for (x <- 0 until 256; y <- 0 until 256)
+    yield (x.toLong, y.toLong)).toDF("x", "y")
+
+  /** Per-file (min, max) boxes of a written layout. */
+  private def fileBoxes(path: String): Array[(Long, Long, Long, Long)] =
+    spark.read.parquet(path)
+      .groupBy(input_file_name())
+      .agg(min("x"), max("x"), min("y"), max("y"))
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+
+  test("z-order files are key-space boxes a 2-d predicate can skip; a 1-d sort cannot serve the other key") {
+    val zDir = Files.createTempDirectory("graft-zorder").toString + "/t"
+    val xDir = Files.createTempDirectory("graft-xsort").toString + "/t"
+    Layout.zOrderWrite(grid, "x", "y", zDir, nFiles = 16, bits = 8)
+    grid.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(xDir)
+    val zBoxes = fileBoxes(zDir)
+    val xBoxes = fileBoxes(xDir)
+    assert(zBoxes.length == 16 && xBoxes.length == 16)
+    def touches(boxes: Array[(Long, Long, Long, Long)],
+        xLo: Long, xHi: Long, yLo: Long, yHi: Long): Int =
+      boxes.count { case (x0, x1, y0, y1) =>
+        x1 >= xLo && x0 <= xHi && y1 >= yLo && y0 <= yHi }
+    // A 32x32 box (1.6% of the plane) inside one quadrant: the z
+    // layout's stats exclude almost every file. The CENTERED box is
+    // the curve's documented worst case (it straddles the top-level
+    // quadrant corner, touching all four quadrants) — still at most
+    // half the files here, and the probe measures the row-group-level
+    // effect where the granularity is much finer.
+    val zBox = touches(zBoxes, 32, 63, 32, 63)
+    assert(zBox <= 4, s"z-order: off-center 32x32 box touches $zBox of 16")
+    val zCenter = touches(zBoxes, 112, 143, 112, 143)
+    assert(zCenter <= 8, s"z-order worst-case centered box: $zCenter of 16")
+    // A y-ONLY predicate (the second key): the x-sorted layout cannot
+    // exclude a single file (every file spans all y); z-order still
+    // skips most.
+    val zY = touches(zBoxes, 0, 255, 32, 63)
+    val xY = touches(xBoxes, 0, 255, 32, 63)
+    assert(xY == 16, s"x-sorted layout must touch all files on a y predicate, got $xY")
+    assert(zY <= 8, s"z-order on a y-only band touches $zY of 16")
+    // Even at the midline (the curve's worst case) the y band cannot
+    // reach every file.
+    assert(touches(zBoxes, 0, 255, 112, 143) <= 12)
+    // And per-file spans: most z files bound BOTH keys at half-span or
+    // less (the sampled range boundaries let a straddler cross a
+    // quadrant edge and widen its box — bounded count, not forbidden);
+    // every x file leaves y fully unbounded.
+    val tight = zBoxes.count { case (x0, x1, y0, y1) =>
+      (x1 - x0) <= 127 && (y1 - y0) <= 127 }
+    assert(tight >= 12, s"only $tight of 16 z files are half-span boxes")
+    assert(xBoxes.forall { case (_, _, y0, y1) => y1 - y0 == 255 })
+  }
+}

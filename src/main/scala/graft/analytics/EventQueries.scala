@@ -385,4 +385,81 @@ object EventQueries {
        |FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
        |      FROM events WHERE event_type = 'error' AND user_id % 10 = 3)""".stripMargin
   }
+
+  // ---------------------------------------------------------------- AGG-8
+  /** Per-event-type value quantiles from ONE grouped DDSketch
+    * ([[graft.operators.DDSketch.sketchBy]]) — the per-metric SLO
+    * table shape: the sketch relation is (event_type, bucket, n), ≤
+    * types · buckets rows regardless of event volume, and a single
+    * key-partitioned cumulative walk answers p50/p95/p99 for every
+    * type with the per-value relative-α guarantee. The reference
+    * tie-in is its Kibana percentile panels (OpenSearch percentile
+    * aggregations run exactly this shape: a bounded per-bucket sketch
+    * per series); q_rel10f certifies the single-sketch law, this row
+    * certifies the GROUPED form plus exact per-type truth
+    * (pay-for-truth distinct-value walk per key) and within_bound per
+    * (type, q).
+    */
+  def ddQuantileByType(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.DDSketch
+    val alpha = 0.02
+    val qs = Seq(0.5, 0.95, 0.99)
+    val vals = Tables.events(spark, dir)
+      .select(col("event_type"), col("value"))
+    val est = DDSketch.quantilesBy(
+      DDSketch.sketchBy(vals, alpha, Seq("event_type")), alpha, qs,
+      Seq("event_type"))
+    import spark.implicits._
+    val w = Window.partitionBy("event_type").orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy("event_type")
+    val cum = vals.where(col("value") > 0)
+      .groupBy("event_type", "value").agg(count(lit(1)).as("c"))
+      .select(col("event_type"), col("value"),
+        sum("c").over(w).as("cum"), sum("c").over(wAll).as("total"))
+    val exact = cum.join(broadcast(qs.toDF("q")),
+        col("cum") >= greatest(ceil(col("q") * col("total")), lit(1L)))
+      .groupBy("event_type", "q").agg(min("value").as("exact_v"))
+    est.join(broadcast(exact), Seq("event_type", "q"))
+      .select(col("event_type"), col("q"), col("est"), col("exact_v"),
+        round(abs(col("est") - col("exact_v")) / col("exact_v"), 6)
+          .as("rel_err"))
+      .withColumn("within_bound", (col("rel_err") <= alpha).cast("long"))
+      .orderBy("event_type", "q")
+  }
+
+  val ddQuantileByTypeSql: String = {
+    val a = 0.02
+    val g = (1 + a) / (1 - a)
+    val lnG = math.log(g)
+    s"""WITH v AS (SELECT event_type, value FROM events WHERE value > 0),
+       |sk AS (SELECT event_type,
+       |              CAST(ceil(round(ln(value) / $lnG, 9)) AS BIGINT) AS bucket,
+       |              count(*) AS cnt FROM v GROUP BY 1, 2),
+       |cum AS (SELECT event_type, bucket,
+       |               sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+       |               sum(cnt) OVER (PARTITION BY event_type) AS total
+       |        FROM sk),
+       |qs AS (SELECT * FROM (VALUES (0.5), (0.95), (0.99)) t(q)),
+       |est AS (SELECT c.event_type, q.q,
+       |          round(2 * power($g, min(c.bucket)) / ${g + 1}, 6) AS est
+       |        FROM cum c JOIN qs q
+       |          ON c.cum >= greatest(CAST(ceil(q.q * c.total) AS BIGINT), 1)
+       |        GROUP BY 1, 2),
+       |dc AS (SELECT event_type, value, count(*) AS c FROM v GROUP BY 1, 2),
+       |dcum AS (SELECT event_type, value,
+       |                sum(c) OVER (PARTITION BY event_type ORDER BY value) AS cum,
+       |                sum(c) OVER (PARTITION BY event_type) AS total
+       |         FROM dc),
+       |ex AS (SELECT d.event_type, q.q, min(d.value) AS exact_v
+       |       FROM dcum d JOIN qs q
+       |         ON d.cum >= greatest(CAST(ceil(q.q * d.total) AS BIGINT), 1)
+       |       GROUP BY 1, 2)
+       |SELECT e.event_type, e.q, e.est, ex.exact_v,
+       |       round(abs(e.est - ex.exact_v) / ex.exact_v, 6) AS rel_err,
+       |       CAST(CASE WHEN round(abs(e.est - ex.exact_v) / ex.exact_v, 6)
+       |                      <= $a THEN 1 ELSE 0 END AS BIGINT) AS within_bound
+       |FROM est e JOIN ex ON e.event_type = ex.event_type AND e.q = ex.q
+       |ORDER BY e.event_type, e.q""".stripMargin
+  }
 }

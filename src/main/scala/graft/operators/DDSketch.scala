@@ -64,6 +64,48 @@ object DDSketch {
       .select(bucketOf(col("value"), alpha).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("n"))
 
+  /** Grouped form: one sketch PER KEY in a single aggregate — the
+    * (key, bucket, n) table is how a per-tenant/per-metric SLO monitor
+    * holds thousands of independent quantile sketches in one bounded
+    * relation (≤ keys · buckets rows; the exchange still carries
+    * buckets, never values).
+    */
+  def sketchBy(values: DataFrame, alpha: Double,
+      keys: Seq[String]): DataFrame =
+    values.where(col("value") > 0)
+      .groupBy((keys.map(col) :+ bucketOf(col("value"), alpha).as("bucket")): _*)
+      .agg(count(lit(1)).as("n"))
+
+  /** Per-key quantile estimates from a grouped sketch ([[sketchBy]]):
+    * the cumulative walk runs as a window PARTITIONED by key — one
+    * pass over the bounded sketch table answers every key's every
+    * quantile, with the same per-value relative-α guarantee.
+    */
+  def quantilesBy(sk: DataFrame, alpha: Double, qs: Seq[Double],
+      keys: Seq[String]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1),
+      s"quantiles must be in [0,1], got $qs")
+    val spark = sk.sparkSession
+    import spark.implicits._
+    val g = gamma(alpha)
+    val keyCols = keys.map(col)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols: _*).orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols: _*)
+    val cum = sk.select((keyCols :+ col("bucket") :+
+        sum("n").over(w).as("cum") :+
+        sum("n").over(wAll).as("total")): _*)
+    cum.join(broadcast(qs.toDF("q")),
+        col("cum") >= greatest(ceil(col("q") * col("total")), lit(1L)))
+      .groupBy((keyCols :+ col("q")): _*)
+      .agg(min("bucket").as("b"), max("total").as("n_total"))
+      .select((keyCols :+ col("q") :+
+        round(lit(2.0) * pow(lit(g), col("b")) / (g + 1), 6).as("est") :+
+        col("n_total")): _*)
+  }
+
   /** Quantile estimates from a sketch: for each q in `qs`, the value
     * 2·γ^b/(γ+1) of the first bucket (in index order) whose cumulative
     * count reaches rank ⌈q·N⌉ (N = the sketch's own total; q = 0 maps

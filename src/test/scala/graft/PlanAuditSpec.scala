@@ -784,6 +784,21 @@ class PlanAuditSpec extends SparkSpec {
     assert("Sort ".r.findAllIn(p).size <= 4, p.take(800))
   }
 
+  test("q_agg8: grouped sketch is partial+final; every window runs over the bounded bucket/distinct tables") {
+    val p = plan("q_agg8_dd_quantile_by_type")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "per-key bucket + distinct-value counts partial+final: " + p.take(600))
+    // The q-list joins broadcast; the est x exact attach broadcasts.
+    assert("BroadcastHashJoin".r.findAllIn(p).size +
+      "BroadcastNestedLoopJoin".r.findAllIn(p).size >= 2, p.take(800))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(600))
+    // No window runs over the raw event stream: every Window sits above
+    // an aggregate (its child exchange partitions the AGGREGATED keyed
+    // table, bounded by types x buckets / types x distinct values).
+    assert(p.contains("Window"), p.take(400))
+  }
+
   test("q_txt20: sketch is a partial+final aggregate; the d·w cell table broadcasts") {
     // The CMS build's scale property: the generate+aggregate runs
     // partial-before-exchange, so the shuffle carries <= d*w rows per

@@ -159,4 +159,123 @@ object DDSketchStream {
         DDSketch.quantiles(buckets(spark, stateDir), am / 1e6, qs)
     }
   }
+
+  // ------------------------------------------------------------------
+  // KEYED form — the streamed per-metric SLO table: one independent
+  // quantile sketch PER KEY as committed state ([[DDSketch.sketchBy]]'s
+  // grouped relation under the generation protocol; ≤ keys · buckets
+  // rows, merged with the same distributed additive fold — the key just
+  // joins the grouping). "p99 temperature per sensor over everything
+  // the stream has ever carried" is the reference's own dashboard
+  // question (OpenSearch percentile panels per series), answerable
+  // here without re-scanning history.
+  // ------------------------------------------------------------------
+
+  private val keyedSchema = StructType(Seq(
+    StructField("key", org.apache.spark.sql.types.StringType),
+    StructField("bucket", LongType), StructField("n", LongType),
+    StructField("total", LongType), StructField("batch_id", LongType),
+    StructField("alpha_micro", LongType)))
+
+  /** Committed keyed meta: (total, high-water batch_id, alphaMicro). */
+  def readKeyedMeta(spark: SparkSession, stateDir: String)
+      : Option[(Long, Long, Long)] = {
+    val gens = GenStore.committed(spark, stateDir)
+    if (gens.isEmpty) None
+    else {
+      val meta = spark.read.schema(keyedSchema)
+        .parquet(GenStore.dir(stateDir, gens.max))
+        .where(col("bucket").isNull)
+        .collect()
+      if (meta.length != 1) throw new IllegalStateException(
+        s"keyed ddsketch state generation ${gens.max} has ${meta.length} " +
+          "meta rows (want exactly 1) — foreign or corrupt state")
+      val m = meta.head
+      Some((m.getLong(3), m.getLong(4), m.getLong(5)))
+    }
+  }
+
+  /** The committed keyed bucket table (key, bucket, n). */
+  def keyedBuckets(spark: SparkSession, stateDir: String): DataFrame = {
+    val gens = GenStore.committed(spark, stateDir)
+    if (gens.isEmpty) {
+      spark.createDataFrame(java.util.Collections.emptyList[Row](),
+        StructType(keyedSchema.take(3)))
+    } else {
+      spark.read.schema(keyedSchema).parquet(GenStore.dir(stateDir, gens.max))
+        .where(col("bucket").isNotNull)
+        .select("key", "bucket", "n")
+    }
+  }
+
+  /** One foreachBatch handler over (key, value) batches — the keyed
+    * [[pipeline]] with the identical replay/stale/α discipline.
+    */
+  def pipelineBy(stateDir: String, alpha: Double = 0.01,
+      onBatch: (Long, Long) => Unit = (_, _) => ())
+      : (DataFrame, Long) => Unit = {
+    val am = alphaMicro(alpha)
+    DDSketch.gamma(alpha) // validates alpha eagerly
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      val prior = readKeyedMeta(spark, stateDir)
+      prior.foreach { case (_, _, pam) =>
+        if (pam != am) throw new IllegalStateException(
+          s"keyed ddsketch state at $stateDir was bucketed at " +
+            s"alpha=${pam / 1e6}; this pipeline runs alpha=$alpha — " +
+            "different γ grids cannot merge, refusing")
+      }
+      prior match {
+        case Some((total, hw, _)) if hw == batchId =>
+          onBatch(batchId, total)
+        case Some((_, hw, _)) if batchId < hw =>
+          throw new IllegalStateException(
+            s"keyed ddsketch state at $stateDir is ahead of the stream: " +
+              s"committed high-water batch $hw > replayed batch $batchId — " +
+              "restore a matching checkpoint/state pair")
+        case _ =>
+          val bSketch = DDSketch.sketchBy(
+            batch.select(col("key").cast("string").as("key"), col("value")),
+            alpha, Seq("key"))
+          val bTotal = bSketch.agg(coalesce(sum("n"), lit(0L)))
+            .head().getLong(0)
+          val total = prior.map(_._1).getOrElse(0L) + bTotal
+          val merged = keyedBuckets(spark, stateDir)
+            .unionByName(bSketch)
+            .groupBy("key", "bucket").agg(sum("n").as("n"))
+            .withColumn("total", lit(null).cast("long"))
+            .withColumn("batch_id", lit(null).cast("long"))
+            .withColumn("alpha_micro", lit(null).cast("long"))
+          val metaDf = spark.createDataFrame(
+            java.util.Collections.singletonList(
+              Row(null, null, null, total, batchId, am)),
+            keyedSchema)
+          val gens = GenStore.committed(spark, stateDir)
+          val gen = gens.lastOption.map(_ + 1).getOrElse(0L)
+          merged.unionByName(metaDf)
+            .coalesce(1)
+            .write.mode("overwrite").parquet(GenStore.dir(stateDir, gen))
+          GenStore.commit(spark, stateDir, gen)
+          GenStore.dropBelow(spark, stateDir, gen)
+          onBatch(batchId, total)
+      }
+    }
+  }
+
+  /** Per-key quantile estimates against the committed keyed state —
+    * the live SLO table: (key, q, est, n_total) for every key the
+    * stream has ever carried.
+    */
+  def quantilesBy(spark: SparkSession, stateDir: String, qs: Seq[Double])
+      : DataFrame = {
+    readKeyedMeta(spark, stateDir) match {
+      case None =>
+        import spark.implicits._
+        Seq.empty[(String, Double, Double, Long)]
+          .toDF("key", "q", "est", "n_total")
+      case Some((_, _, am)) =>
+        DDSketch.quantilesBy(keyedBuckets(spark, stateDir), am / 1e6, qs,
+          Seq("key"))
+    }
+  }
 }

@@ -85,6 +85,46 @@ class DDSketchStreamSpec extends SparkSpec {
     assert(DDSketchStream.readMeta(spark, dir).exists(_._1 == 300L))
   }
 
+  test("keyed form: per-key cells equal the one-shot grouped sketch; live SLO table matches batch") {
+    val dir = Files.createTempDirectory("graft-ddkeyed").toString
+    val keyed = slices.map(s => s.zipWithIndex.map { case (v, i) =>
+      (s"sensor${i % 4}", v) })
+    val fn = DDSketchStream.pipelineBy(dir, Alpha)
+    keyed.zipWithIndex.foreach { case (s, i) =>
+      fn(s.toDF("key", "value"), i.toLong) }
+    val streamed = DDSketchStream.keyedBuckets(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val oneShot = DDSketch.sketchBy(
+        keyed.flatten.toDF("key", "value"), Alpha, Seq("key"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed == oneShot, "per-key summed cells == grouped one-shot")
+    // The live SLO read equals the batch grouped quantiles exactly.
+    val live = DDSketchStream.quantilesBy(spark, dir, Seq(0.5, 0.95))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2))
+      .toMap
+    val batchQ = DDSketch.quantilesBy(
+        DDSketch.sketchBy(keyed.flatten.toDF("key", "value"), Alpha,
+          Seq("key")), Alpha, Seq(0.5, 0.95), Seq("key"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2))
+      .toMap
+    assert(live == batchQ)
+    assert(live.keySet.map(_._1) == Set("sensor0", "sensor1", "sensor2",
+      "sensor3"))
+    // Same family guards: replay skip, stale throw, alpha refusal.
+    val before = streamed
+    fn(keyed.last.toDF("key", "value"), (keyed.size - 1).toLong)
+    assert(DDSketchStream.keyedBuckets(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap == before)
+    intercept[IllegalStateException] {
+      fn(keyed.head.toDF("key", "value"), 0L)
+    }
+    intercept[IllegalStateException] {
+      DDSketchStream.pipelineBy(dir, Alpha * 2)(
+        keyed.head.toDF("key", "value"), keyed.size.toLong)
+    }
+  }
+
   test("fresh state has no quantiles; foreign metaless state fails loudly") {
     val fresh = Files.createTempDirectory("graft-ddfresh").toString
     assert(DDSketchStream.quantiles(spark, fresh, Seq(0.5)).count() == 0L)

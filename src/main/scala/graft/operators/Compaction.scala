@@ -102,6 +102,34 @@ object Compaction {
     outDir
   }
 
+  /** Layout-FIXING compaction — the extension-tier OPTIMIZE verb
+    * (Delta `OPTIMIZE ... ZORDER BY`'s shape on plain parquet): fold a
+    * parquet prefix's accumulated small files into `nFiles` files laid
+    * out z-ordered on (`aCol`, `bCol`) ([[Layout.zOrderWrite]]), so one
+    * maintenance pass fixes BOTH small-file overhead and scan-pruning
+    * layout — at 100 TB these are the same nightly job, not two.
+    * [[compactDirectory]]'s snapshot discipline carries over verbatim:
+    * the input file list is taken ONCE, exactly those files are read
+    * and (only after the write commits) deleted, so a file landing
+    * mid-compaction is neither half-read nor deleted-uncompacted — it
+    * waits for the next run. Returns the number of files folded.
+    */
+  def zOrderCompactParquet(spark: SparkSession, srcDir: String,
+      outDir: String, aCol: String, bCol: String, nFiles: Int,
+      bits: Int = 16): Int = {
+    val fs = new Path(srcDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val snapshot = fs.listStatus(new Path(srcDir))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath)
+    if (snapshot.nonEmpty) {
+      val df = spark.read.parquet(snapshot.map(_.toString).toIndexedSeq: _*)
+      Layout.zOrderWrite(df, aCol, bCol, outDir, nFiles, bits)
+      snapshot.foreach(p => fs.delete(p, false))
+    }
+    snapshot.length
+  }
+
   /** Streaming form: `foreachBatch` sink that lands each micro-batch as
     * JSON files in `logsDir` (the Firehose buffered delivery, SNK-1) and
     * invokes the per-file handler — micro-batch by size/time (STR-4).

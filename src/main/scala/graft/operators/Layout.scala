@@ -33,13 +33,25 @@ object Layout {
     * at 2i+1. 2·bits ≤ 63 (sign bit untouched). Pure shift/mask/or —
     * codegen-friendly and oracle-replayable.
     */
-  def zValue(a: Column, b: Column, bits: Int = 16): Column = {
-    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
-    val al = a.cast("long")
-    val bl = b.cast("long")
-    (0 until bits).flatMap { i =>
-      Seq(shiftleft(shiftright(al, i).bitwiseAND(1), 2 * i),
-        shiftleft(shiftright(bl, i).bitwiseAND(1), 2 * i + 1))
+  def zValue(a: Column, b: Column, bits: Int = 16): Column =
+    zValueN(Seq(a, b), bits)
+
+  /** N-column Morton interleave — bit i of column j lands at position
+    * i·n + j (n = column count), so the 2-column [[zValue]] is the
+    * n = 2 case verbatim. A shared table filtered on 3+ dimensions
+    * clusters on all of them at once; bits·n must stay ≤ 63, so depth
+    * trades against dimension count (3 cols → ≤ 21 bits each — pair
+    * with the min/max normalization [[zOrderWrite]] applies).
+    */
+  def zValueN(cols: Seq[Column], bits: Int): Column = {
+    require(cols.size >= 2, s"interleave needs >= 2 columns, got ${cols.size}")
+    require(bits >= 1 && bits * cols.size <= 63,
+      s"bits*cols must be in [cols, 63], got $bits*${cols.size}")
+    val n = cols.size
+    cols.zipWithIndex.flatMap { case (c, j) =>
+      val cl = c.cast("long")
+      (0 until bits).map(i =>
+        shiftleft(shiftright(cl, i).bitwiseAND(1), i * n + j))
     }.reduce(_ bitwiseOR _)
   }
 

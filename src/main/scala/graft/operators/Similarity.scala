@@ -196,8 +196,16 @@ object Similarity {
       bruteForceTopK(embs.where(queryPred), embs, k = topK)
         .select(col("query_id"), col("neighbor_id")).localCheckpoint())
     val queries = full.select("query_id").distinct()
+    // Rung k is a PREFIX of rung k+1, so ONE projection at the deepest
+    // rung serves every rung by slicing — dims.size map-side passes
+    // collapse to one (prefix nesting as code, not just scaladoc).
+    // Checkpointed: a lazy slice would re-derive all dims.max dots
+    // inside every rung's plan, making shallow rungs PAY the deep one.
+    val deepest = graft.util.ScratchCheckpoints.register(
+      signProject(embs, dims.max, dim).localCheckpoint())
     dims.map { kOut =>
-      val proj = signProject(embs, kOut, dim)
+      val proj = deepest.select(col("vec_id"),
+        slice(col("embedding"), 1, kOut).as("embedding"))
       val low = bruteForceTopK(proj.where(queryPred), proj, k = topK)
       val overlap = full
         .join(low.select(col("query_id"), col("neighbor_id")),

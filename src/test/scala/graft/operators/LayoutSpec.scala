@@ -35,6 +35,32 @@ class LayoutSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Layout.zValue(col("a"), col("b"), 0)
     }
+    // N-column form: 3-way interleave against the round-robin
+    // reference (bit i of column j at position 3i + j), bijective on
+    // the cube, bounded by 8^bits.
+    def ref3(a: Long, b: Long, c: Long, bits: Int): Long =
+      (0 until bits).map(i =>
+        (((a >> i) & 1L) << (3 * i)) | (((b >> i) & 1L) << (3 * i + 1)) |
+          (((c >> i) & 1L) << (3 * i + 2))).sum
+    val cube = for (a <- 0L until 8L; b <- 0L until 8L; c <- 0L until 8L)
+      yield (a, b, c)
+    val got3 = cube.toDF("a", "b", "c")
+      .select(col("a"), col("b"), col("c"),
+        Layout.zValueN(Seq(col("a"), col("b"), col("c")), 3).as("z"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    cube.foreach { case (a, b, c) =>
+      assert(got3((a, b, c)) == ref3(a, b, c, 3), s"z3($a, $b, $c)")
+    }
+    assert(got3.values.toSeq.distinct.size == cube.size)
+    assert(got3.values.max < 512L)
+    intercept[IllegalArgumentException] {
+      Layout.zValueN(Seq(col("a"), col("b"), col("c")), 22) // 66 > 63
+    }
+    intercept[IllegalArgumentException] {
+      Layout.zValueN(Seq(col("a")), 8)
+    }
   }
 
   // Uniform 256x256 grid, one row per cell — file min/max boxes are

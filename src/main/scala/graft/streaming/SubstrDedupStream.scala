@@ -62,6 +62,17 @@ import graft.operators.Dedup
   * The gram size `k` is committed in the store MANIFEST and validated
   * at every batch and read — grams of mixed k would neither collide
   * correctly nor merge into meaningful spans, so a mismatch refuses.
+  *
+  * foldEvery SIZING LAW (measured, SCALE.md round-15 SubstrProbe, 5k →
+  * 500k docs): write amplification ∝ 1/foldEvery (the per-fold counts
+  * rewrite is O(distinct grams) — ≈ 5.4 s/batch at the 24M-gram decade
+  * when folding every batch, ≈ 1.5 at foldEvery = 4), and folding buys
+  * ~35% spans() read latency (the read's dominant cost is the islands
+  * join/window over the positional gram log, which no cadence
+  * removes). Fold often when spans are read often (monitoring); keep
+  * foldEvery high for write-heavy streams with rare reads. The probe's
+  * all-unique-gram corpus is the fold's WORST case — dup-heavy corpora
+  * (this operator's reason to exist) rewrite a much smaller table.
   */
 object SubstrDedupStream {
 

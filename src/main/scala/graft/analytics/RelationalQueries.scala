@@ -374,6 +374,216 @@ object RelationalQueries {
        |ORDER BY q""".stripMargin
   }
 
+  /** REL-10g: HLL SET ALGEBRA bound audit — inclusion–exclusion over
+    * three conditional sketches: |A∩B| ≈ hll(A) + hll(B) − hll(A∪B),
+    * the no-join answer to "distinct keys in BOTH periods/segments" at
+    * 100 TB (OpenSearch's cardinality-intersection dashboards run this
+    * shape). The estimator's honest weakness is the audit's point: the
+    * three errors COMPOUND (each term is rsd-accurate on its OWN
+    * cardinality, so the absolute envelope is rsd-scaled by
+    * n_a + n_b + n_union, and the RELATIVE error on a small
+    * intersection of large sets can be arbitrarily bad — the regime
+    * where q_rel10h's KMV synopsis is the right tool). Three planted
+    * scenarios span the regimes: heavy overlap (parts shipped in both
+    * halves of the date range), near-total overlap (suppliers with R
+    * vs A returns), and a thin intersection (orders holding both a
+    * ≤ 10 and a > 40 quantity line). One pass over lineitem computes
+    * all 18 aggregates (Catalyst plans the 9 distinct aggregates via
+    * one Expand); within_bound pins
+    * |est − exact| ≤ 5·rsd·(n_a + n_b + n_union) per run, the
+    * q_rel10d slack discipline extended to the composed estimator.
+    * The estimates stay engine-specific (the q_rel10b carve-out); the
+    * exact cardinalities and the certified bound are what cross
+    * engines.
+    */
+  def hllSetAlgebra(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val mid = lit("1995-06-17")
+    val scen = Seq(
+      ("parts_h1_h2", col("l_partkey"),
+        col("l_shipdate") < mid, col("l_shipdate") >= mid),
+      ("supp_r_vs_a", col("l_suppkey"),
+        col("l_returnflag") === "R", col("l_returnflag") === "A"),
+      ("orders_lowq_highq", col("l_orderkey"),
+        col("l_quantity") <= 10, col("l_quantity") > 40))
+    val aggs = scen.zipWithIndex.flatMap { case ((_, key, ca, cb), i) =>
+      Seq(
+        approx_count_distinct(when(ca, key), 0.01).as(s"a_$i"),
+        approx_count_distinct(when(cb, key), 0.01).as(s"b_$i"),
+        approx_count_distinct(when(ca || cb, key), 0.01).as(s"u_$i"),
+        countDistinct(when(ca, key)).as(s"ea_$i"),
+        countDistinct(when(cb, key)).as(s"eb_$i"),
+        countDistinct(when(ca || cb, key)).as(s"eu_$i"))
+    }
+    li.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(scen.zipWithIndex.map { case ((name, _, _, _), i) =>
+        val nInter = col(s"ea_$i") + col(s"eb_$i") - col(s"eu_$i")
+        val estInter = col(s"a_$i") + col(s"b_$i") - col(s"u_$i")
+        val envelope =
+          (col(s"ea_$i") + col(s"eb_$i") + col(s"eu_$i")) * lit(0.05)
+        struct(
+          lit(name).as("scenario"),
+          col(s"ea_$i").as("n_a"), col(s"eb_$i").as("n_b"),
+          nInter.as("n_inter"),
+          (abs(estInter - nInter).cast("double") <= envelope)
+            .cast("long").as("within_bound"))
+      }: _*)).as("r"))
+      .select("r.*")
+      .orderBy("scenario")
+  }
+
+  val hllSetAlgebraSql: String =
+    """SELECT scenario, n_a, n_b, n_inter,
+      |       CAST(1 AS BIGINT) AS within_bound FROM (
+      |  SELECT 'parts_h1_h2' AS scenario,
+      |    count(DISTINCT CASE WHEN l_shipdate < TIMESTAMP '1995-06-17'
+      |                        THEN l_partkey END) AS n_a,
+      |    count(DISTINCT CASE WHEN l_shipdate >= TIMESTAMP '1995-06-17'
+      |                        THEN l_partkey END) AS n_b,
+      |    count(DISTINCT CASE WHEN l_shipdate < TIMESTAMP '1995-06-17'
+      |                        THEN l_partkey END)
+      |      + count(DISTINCT CASE WHEN l_shipdate >= TIMESTAMP '1995-06-17'
+      |                            THEN l_partkey END)
+      |      - count(DISTINCT l_partkey) AS n_inter
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'supp_r_vs_a',
+      |    count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END),
+      |    count(DISTINCT CASE WHEN l_returnflag = 'A' THEN l_suppkey END),
+      |    count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END)
+      |      + count(DISTINCT CASE WHEN l_returnflag = 'A' THEN l_suppkey END)
+      |      - count(DISTINCT CASE WHEN l_returnflag IN ('R', 'A')
+      |                            THEN l_suppkey END)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'orders_lowq_highq',
+      |    count(DISTINCT CASE WHEN l_quantity <= 10 THEN l_orderkey END),
+      |    count(DISTINCT CASE WHEN l_quantity > 40 THEN l_orderkey END),
+      |    count(DISTINCT CASE WHEN l_quantity <= 10 THEN l_orderkey END)
+      |      + count(DISTINCT CASE WHEN l_quantity > 40 THEN l_orderkey END)
+      |      - count(DISTINCT CASE WHEN l_quantity <= 10 OR l_quantity > 40
+      |                            THEN l_orderkey END)
+      |  FROM lineitem)
+      |ORDER BY scenario""".stripMargin
+
+  /** REL-10h: KMV set algebra with the ESTIMATE itself hash-certified —
+    * [[graft.operators.Kmv]] (Beyer et al. SIGMOD 2007) over the same
+    * three scenarios as q_rel10g. The contrast IS the query: HLL's
+    * intersection needs inclusion–exclusion with compounded error and
+    * its register estimate can never cross engines (the q_rel10b
+    * carve-out), while the KMV synopsis is a deterministic bottom-k of
+    * md5-parity hashes — signatures, h₍k₎, the ρ overlap ratio and
+    * the final IEEE divisions are all replayed EXACTLY by the DuckDB
+    * oracle, so `est_union`, `jaccard` and `est_inter` are certified
+    * VALUES, and the intersection error is O(1/√k) of the union size,
+    * not of three independent estimates. Scenarios deliberately cover
+    * both estimator branches across the driver SFs: the supplier pair
+    * stays under k at sf0.01 (the synopsis IS the distinct set —
+    * exact) and crosses to the (k−1)·2⁶⁰/h₍k₎ branch at sf0.1
+    * (1000 suppliers > k = 512); the part/order pairs run the
+    * estimator branch at both.
+    * within_bound re-derives |est_inter − n_inter| ≤ 5/√(k−2) ·
+    * n_union on BOTH engines from the same replayed numbers. Each
+    * signature is one distinct aggregate + distributed top-k
+    * (TakeOrderedAndProject — k·partitions hashes on the exchange);
+    * signatures are localCheckpointed once (≤ k rows) and every
+    * membership join broadcasts.
+    */
+  def kmvSetAlgebra(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Kmv
+    val k = 512
+    val eps = 5.0 / math.sqrt((k - 2).toDouble)
+    val li = Tables.lineitem(spark, dir)
+    val mid = lit("1995-06-17")
+    val scen = Seq(
+      ("parts_h1_h2", "l_partkey",
+        col("l_shipdate") < mid, col("l_shipdate") >= mid),
+      ("supp_r_vs_a", "l_suppkey",
+        col("l_returnflag") === "R", col("l_returnflag") === "A"),
+      ("orders_lowq_highq", "l_orderkey",
+        col("l_quantity") <= 10, col("l_quantity") > 40))
+    val exactAggs = scen.zipWithIndex.flatMap { case ((_, key, ca, cb), i) =>
+      Seq(
+        countDistinct(when(ca, col(key))).as(s"ea_$i"),
+        countDistinct(when(cb, col(key))).as(s"eb_$i"),
+        countDistinct(when(ca || cb, col(key))).as(s"eu_$i"))
+    }
+    // One pass for all nine exact cardinalities; 1 row, pinned once.
+    val exact = li.agg(exactAggs.head, exactAggs.tail: _*).localCheckpoint()
+    val rows = scen.zipWithIndex.map { case ((name, key, ca, cb), i) =>
+      val sigA = Kmv.signature(li.where(ca), key, k).localCheckpoint()
+      val sigB = Kmv.signature(li.where(cb), key, k).localCheckpoint()
+      Kmv.setAlgebra(sigA, sigB, k)
+        .crossJoin(broadcast(exact.select(
+          col(s"ea_$i").as("ea"), col(s"eb_$i").as("eb"),
+          col(s"eu_$i").as("eu"))))
+        .select(
+          lit(name).as("scenario"),
+          col("eu").as("n_union"),
+          (col("ea") + col("eb") - col("eu")).as("n_inter"),
+          round(col("est_union"), 6).as("est_union"),
+          round(col("jaccard"), 6).as("jaccard"),
+          round(col("est_inter"), 6).as("est_inter"),
+          (abs(col("est_inter") -
+            (col("ea") + col("eb") - col("eu")).cast("double")) <=
+            lit(eps) * col("eu").cast("double"))
+            .cast("long").as("within_bound"))
+    }
+    rows.reduce(_.unionByName(_)).orderBy("scenario")
+  }
+
+  val kmvSetAlgebraSql: String = {
+    val k = 512
+    val eps = 5.0 / math.sqrt((k - 2).toDouble)
+    import graft.functions.TextFunctions.hexHash60Sql
+    def sig(alias: String, keyExpr: String, cond: String): String = {
+      val h = hexHash60Sql(s"'kmv:' || CAST($keyExpr AS VARCHAR)")
+      s"$alias AS (SELECT DISTINCT $h AS h FROM lineitem WHERE $cond " +
+        s"ORDER BY h LIMIT $k)"
+    }
+    val scen = Seq(
+      ("parts_h1_h2", "l_partkey",
+        "l_shipdate < TIMESTAMP '1995-06-17'",
+        "l_shipdate >= TIMESTAMP '1995-06-17'"),
+      ("supp_r_vs_a", "l_suppkey",
+        "l_returnflag = 'R'", "l_returnflag = 'A'"),
+      ("orders_lowq_highq", "l_orderkey",
+        "l_quantity <= 10", "l_quantity > 40"))
+    val ctes = scen.zipWithIndex.flatMap { case ((_, key, ca, cb), i) =>
+      Seq(
+        sig(s"a$i", key, ca), sig(s"b$i", key, cb),
+        s"""l$i AS (SELECT h FROM (SELECT h FROM a$i UNION SELECT h FROM b$i)
+           |  ORDER BY h LIMIT $k)""".stripMargin,
+        s"""s$i AS (SELECT count(*) AS n_l, max(h) AS h_k,
+           |  count(CASE WHEN h IN (SELECT h FROM a$i)
+           |              AND h IN (SELECT h FROM b$i) THEN 1 END) AS in_both
+           |  FROM l$i)""".stripMargin,
+        s"""e$i AS (SELECT
+           |  count(DISTINCT CASE WHEN $ca THEN $key END) AS ea,
+           |  count(DISTINCT CASE WHEN $cb THEN $key END) AS eb,
+           |  count(DISTINCT CASE WHEN ($ca) OR ($cb) THEN $key END) AS eu
+           |  FROM lineitem)""".stripMargin,
+        s"""r$i AS (SELECT '${scen(i)._1}' AS scenario,
+           |  e.eu AS n_union, e.ea + e.eb - e.eu AS n_inter,
+           |  CASE WHEN s.n_l < $k THEN CAST(s.n_l AS DOUBLE)
+           |       ELSE ${(k - 1).toDouble} * 1.152921504606846976e18
+           |            / CAST(s.h_k AS DOUBLE) END AS raw_u,
+           |  CASE WHEN s.n_l > 0
+           |       THEN CAST(s.in_both AS DOUBLE) / CAST(s.n_l AS DOUBLE)
+           |       ELSE 0.0 END AS jac
+           |  FROM s$i s CROSS JOIN e$i e)""".stripMargin)
+    }
+    val body = scen.indices.map { i =>
+      s"""SELECT scenario, n_union, n_inter,
+         |  round(raw_u, 6) AS est_union, round(jac, 6) AS jaccard,
+         |  round(jac * raw_u, 6) AS est_inter,
+         |  CAST(CASE WHEN abs(jac * raw_u - n_inter) <= $eps * n_union
+         |       THEN 1 ELSE 0 END AS BIGINT) AS within_bound
+         |FROM r$i""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"WITH ${ctes.mkString(",\n")}\n$body\nORDER BY scenario"
+  }
+
   /** REL-9/10 extension: order-statistics battery — exact interpolated
     * percentiles (both engines use linear interpolation over the sorted
     * group) and sample stddev (rounded: Welford accumulation order

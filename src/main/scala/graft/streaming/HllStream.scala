@@ -168,4 +168,140 @@ object HllStream {
         spark.range(1).select(hll_sketch_estimate(lit(sk)).as("est"))
           .head().getLong(0)
     }
+
+  // ------------------------------------------------------------------
+  // KEYED form — the streamed per-key distinct-count table, symmetric
+  // with [[DDSketchStream.pipelineBy]]'s per-key quantile state: one
+  // independent HLL sketch PER KEY as committed state ("distinct
+  // devices per event type over everything the stream has ever
+  // carried" — the reference's per-series cardinality panels, OpenSearch
+  // `cardinality` aggregations split by term, answered off bounded
+  // state instead of a history re-scan). State ≤ keys sketch rows
+  // (4 KB-class each at lgK = 12) + one meta row; per batch ONE grouped
+  // partial+final `hll_sketch_agg` job (the exchange carries sketch
+  // partials, never items) and ONE distributed `groupBy(key)
+  // .agg(hll_union_agg)` merge with the committed rows — the key just
+  // joins the grouping, exactly the additive fold's keyed extension,
+  // except the merge here is register-wise max (idempotent), so
+  // per-key redelivery cannot inflate any key's estimate.
+  //
+  // Estimator discipline: EVERY committed sketch — including a key
+  // seen in only one batch — has passed through `hll_union_agg` at
+  // least once, so reads always price the composite estimator, the
+  // same one a one-shot grouped union over per-batch sketches uses.
+  // Without this a single-batch key would carry a direct (HIP) sketch
+  // and the stream ≡ one-shot law would quietly fail on exactly the
+  // rare keys where nobody would look.
+  // ------------------------------------------------------------------
+
+  private val keyedSchema = StructType(Seq(
+    StructField("key", org.apache.spark.sql.types.StringType),
+    StructField("sk", BinaryType), StructField("total", LongType),
+    StructField("batch_id", LongType), StructField("lgk", LongType)))
+
+  /** Committed keyed meta: (rowTotal, high-water batch_id, lgK); the
+    * meta row is the one with `sk` null (a null KEY is a legal group,
+    * so key-nullness cannot be the discriminator).
+    */
+  def readKeyedMeta(spark: SparkSession, stateDir: String)
+      : Option[(Long, Long, Int)] = {
+    val gens = GenStore.committed(spark, stateDir)
+    if (gens.isEmpty) None
+    else {
+      val meta = spark.read.schema(keyedSchema)
+        .parquet(GenStore.dir(stateDir, gens.max))
+        .where(col("sk").isNull)
+        .collect()
+      if (meta.length != 1) throw new IllegalStateException(
+        s"keyed hll state generation ${gens.max} has ${meta.length} meta " +
+          "rows (want exactly 1) — foreign or corrupt state")
+      val m = meta.head
+      Some((m.getLong(2), m.getLong(3), m.getLong(4).toInt))
+    }
+  }
+
+  /** The committed keyed sketch table (key, sk) — ≤ keys rows; empty
+    * for a fresh dir.
+    */
+  def keyedSketches(spark: SparkSession, stateDir: String): DataFrame = {
+    val gens = GenStore.committed(spark, stateDir)
+    if (gens.isEmpty) {
+      spark.createDataFrame(java.util.Collections.emptyList[Row](),
+        StructType(keyedSchema.take(2)))
+    } else {
+      spark.read.schema(keyedSchema).parquet(GenStore.dir(stateDir, gens.max))
+        .where(col("sk").isNotNull)
+        .select("key", "sk")
+    }
+  }
+
+  /** One foreachBatch handler over (key, item) batches — the keyed
+    * [[pipeline]] with the identical replay/stale/lgK discipline.
+    * `onBatch(batchId, rowTotal)` fires after the commit (or replay
+    * skip).
+    */
+  def pipelineBy(stateDir: String, lgK: Int = 12,
+      onBatch: (Long, Long) => Unit = (_, _) => ())
+      : (DataFrame, Long) => Unit = {
+    require(lgK >= 4 && lgK <= 21, s"lgK must be in [4, 21], got $lgK")
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      val prior = readKeyedMeta(spark, stateDir)
+      prior.foreach { case (_, _, plgk) =>
+        if (plgk != lgK) throw new IllegalStateException(
+          s"keyed hll state at $stateDir was sketched at lgK=$plgk; this " +
+            s"pipeline runs lgK=$lgK — a mixed union silently changes the " +
+            "error bound mid-stream, refusing")
+      }
+      prior match {
+        case Some((total, hw, _)) if hw == batchId =>
+          onBatch(batchId, total)
+        case Some((_, hw, _)) if batchId < hw =>
+          throw new IllegalStateException(
+            s"keyed hll state at $stateDir is ahead of the stream: " +
+              s"committed high-water batch $hw > replayed batch $batchId — " +
+              "restore a matching checkpoint/state pair")
+        case _ =>
+          // One grouped partial+final sketch job; ≤ keys rows out.
+          val bSketch = batch
+            .select(col("key").cast("string").as("key"), col("item"))
+            .groupBy("key")
+            .agg(hll_sketch_agg(col("item"), lit(lgK)).as("sk"),
+              count(col("item")).as("n"))
+          // Batch row total off the ≤ keys grouped rows (bounded pin).
+          val bTotal = bSketch.agg(coalesce(sum("n"), lit(0L)))
+            .head().getLong(0)
+          val total = prior.map(_._1).getOrElse(0L) + bTotal
+          // Distributed register-max merge: ≤ 2 sketches per key in,
+          // one out. Every survivor passes through hll_union_agg, so
+          // all committed sketches price the composite estimator.
+          val merged = keyedSketches(spark, stateDir)
+            .unionByName(bSketch.select("key", "sk"))
+            .groupBy("key").agg(hll_union_agg(col("sk")).as("sk"))
+            .withColumn("total", lit(null).cast("long"))
+            .withColumn("batch_id", lit(null).cast("long"))
+            .withColumn("lgk", lit(null).cast("long"))
+          val metaDf = spark.createDataFrame(
+            java.util.Collections.singletonList(
+              Row(null, null, total, batchId, lgK.toLong)),
+            keyedSchema)
+          val gens = GenStore.committed(spark, stateDir)
+          val gen = gens.lastOption.map(_ + 1).getOrElse(0L)
+          merged.unionByName(metaDf)
+            .coalesce(1)
+            .write.mode("overwrite").parquet(GenStore.dir(stateDir, gen))
+          GenStore.commit(spark, stateDir, gen)
+          GenStore.dropBelow(spark, stateDir, gen)
+          onBatch(batchId, total)
+      }
+    }
+  }
+
+  /** Per-key distinct estimates against the committed keyed state —
+    * the live cardinality table: (key, distinct_est) for every key the
+    * stream has ever carried; empty for a fresh stream.
+    */
+  def estimateBy(spark: SparkSession, stateDir: String): DataFrame =
+    keyedSketches(spark, stateDir)
+      .select(col("key"), hll_sketch_estimate(col("sk")).as("distinct_est"))
 }

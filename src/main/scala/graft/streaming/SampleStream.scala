@@ -79,6 +79,37 @@ object SampleStream {
     }
   }
 
+  /** The committed sample READ AS A KMV SYNOPSIS — a cross-batch
+    * distinct-count estimate for free: the state is, by the merge law,
+    * bottomK over the distinct keys EVER seen, ranked by the exact
+    * hash [[graft.operators.Kmv]] signs with (both are
+    * [[Sampling.rank]]'s md5-parity hexHash60 over "salt:key"), so it
+    * IS Beyer et al.'s synopsis and two reads fall out of one
+    * aggregate over the ≤ k state rows: below k the sample HOLDS every
+    * distinct key ever seen (the count is EXACT — where the meta
+    * row's `total` is only an upper bound, because overlapping batches
+    * double-count there); at k the basic estimator (k−1)·2⁶⁰/h₍k₎
+    * applies. Pinned spec-side to equal
+    * `Kmv.distinctEstimate(Kmv.signature(union of arrivals))` exactly
+    * — same hash, same arithmetic, deterministically. This is the
+    * streamed face of q_rel10h next to [[HllStream]]: HLL keeps 4 KB
+    * registers and an engine-specific estimate; this keeps k sample
+    * rows the pipeline ALREADY maintains and an exactly-replayable
+    * one. Returns 0.0 for a fresh stream.
+    */
+  def kmvDistinctEstimate(spark: SparkSession, stateDir: String): Double =
+    readMeta(spark, stateDir) match {
+      case None => 0.0
+      case Some((_, _, k, _)) =>
+        val r = sample(spark, stateDir)
+          .agg(count(lit(1)).as("n"), max(col("rnk")).as("h_k"))
+          .head()
+        val n = r.getLong(0)
+        if (n < k) n.toDouble
+        else (k - 1).toDouble * graft.operators.Kmv.Scale /
+          r.getLong(1).toDouble
+    }
+
   /** One foreachBatch handler over batches carrying (`doc_id`, `text`).
     * `onBatch(batchId, total)` fires after the commit (or replay skip)
     * with the docs-seen bound now in force.

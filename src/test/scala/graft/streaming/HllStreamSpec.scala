@@ -117,4 +117,87 @@ class HllStreamSpec extends SparkSpec {
     GenStore.commit(spark, dir, 0L)
     intercept[IllegalStateException] { HllStream.readMeta(spark, dir) }
   }
+
+  // ---- keyed form: the per-key cardinality table ----
+
+  // Skewed keyed slices with cross-batch overlap per key, plus a key
+  // ("solo") that appears in exactly ONE batch — the case where a
+  // direct (HIP) sketch would leak into the committed state if the
+  // merge did not force every survivor through hll_union_agg.
+  private def keyedSlices: Seq[Seq[(String, String)]] = Seq(
+    (0 until 300).map(i => ("temp", s"d${i % 200}")) ++
+      (0 until 80).map(i => ("hum", s"d${i % 60}")),
+    (0 until 300).map(i => ("temp", s"d${(100 + i) % 250}")) ++
+      (0 until 50).map(i => ("solo", s"s$i")),
+    (0 until 120).map(i => ("hum", s"d${(30 + i) % 90}")))
+
+  private def kdf(s: Seq[(String, String)]) = s.toDF("key", "item")
+
+  /** Reference: per-batch grouped sketches, union-aggregated per key in
+    * one query — the one-shot form of the stream's incremental merge.
+    */
+  private def unionEstimateBy(batches: Seq[Seq[(String, String)]])
+      : Map[String, Long] =
+    batches.zipWithIndex
+      .flatMap { case (s, i) => s.map { case (k, x) => (i, k, x) } }
+      .toDF("b", "key", "item")
+      .groupBy("b", "key").agg(hll_sketch_agg(col("item"), lit(LgK)).as("sk"))
+      .groupBy("key").agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("keyed: per-key streamed estimates == one-shot grouped union (incl. a single-batch key)") {
+    val dir = Files.createTempDirectory("graft-hllkey").toString
+    var lastTotal = -1L
+    val fn = HllStream.pipelineBy(dir, LgK,
+      onBatch = (_, total) => lastTotal = total)
+    keyedSlices.zipWithIndex.foreach { case (s, i) => fn(kdf(s), i.toLong) }
+    assert(lastTotal == keyedSlices.map(_.size).sum,
+      "meta keeps the exact keyed row total")
+    val got = HllStream.estimateBy(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = unionEstimateBy(keyedSlices)
+    assert(got == want,
+      s"per-key register state must match the one-shot union: $got vs $want")
+    // Accuracy envelope on the true per-key distincts.
+    val truth = keyedSlices.flatten.groupBy(_._1)
+      .map { case (k, xs) => k -> xs.map(_._2).distinct.size.toLong }
+    truth.foreach { case (k, t) =>
+      assert(math.abs(got(k) - t) <= math.max(4L, t / 10),
+        s"key $k: est ${got(k)} vs true $t")
+    }
+  }
+
+  test("keyed: replay skips, per-key redelivery cannot inflate, stale/lgK refuse") {
+    val dir = Files.createTempDirectory("graft-hllkeyreplay").toString
+    val fn = HllStream.pipelineBy(dir, LgK)
+    keyedSlices.zipWithIndex.foreach { case (s, i) => fn(kdf(s), i.toLong) }
+    val before = HllStream.estimateBy(spark, dir).collect().toSeq.toString
+    val metaBefore = HllStream.readKeyedMeta(spark, dir)
+    fn(kdf(keyedSlices.last), (keyedSlices.size - 1).toLong) // replay: skip
+    assert(HllStream.estimateBy(spark, dir).collect().toSeq.toString == before)
+    assert(HllStream.readKeyedMeta(spark, dir) == metaBefore)
+    // A NEW batch redelivering only seen (key, item) pairs moves no key.
+    fn(kdf(keyedSlices.head), keyedSlices.size.toLong)
+    assert(HllStream.estimateBy(spark, dir).collect().toSeq.toString == before)
+    intercept[IllegalStateException] { fn(kdf(keyedSlices.head), 0L) }
+    intercept[IllegalStateException] {
+      HllStream.pipelineBy(dir, LgK + 1)(kdf(keyedSlices.head), 9L)
+    }
+  }
+
+  test("keyed: under the streaming engine, per-key estimates converge to the one-shot form") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = Files.createTempDirectory("graft-hllkeyengine").toString
+    val fn = HllStream.pipelineBy(dir, LgK)
+    val mem = MemoryStream[(String, String)]
+    val q = mem.toDF().toDF("key", "item").writeStream.foreachBatch(fn).start()
+    try {
+      keyedSlices.foreach { s => mem.addData(s: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val got = HllStream.estimateBy(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == unionEstimateBy(keyedSlices))
+  }
 }

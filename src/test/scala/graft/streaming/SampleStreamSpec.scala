@@ -42,6 +42,35 @@ class SampleStreamSpec extends SparkSpec {
     }
   }
 
+  test("the committed state IS a KMV synopsis: distinct read == batch Kmv exactly; exact below k") {
+    import graft.operators.Kmv
+    val dir = Files.createTempDirectory("graft-smpkmv").toString
+    val fn = SampleStream.pipeline(dir, K)
+    assert(SampleStream.kmvDistinctEstimate(spark, dir) == 0.0)
+    slices.zipWithIndex.foreach { case (s, i) =>
+      fn(docs(s), i.toLong)
+      val seen = slices.take(i + 1).flatten.map(_._1).distinct
+      // Same hash family (Sampling.rank == Kmv.hash at equal salt), so
+      // the streamed read must equal the one-shot KMV estimate EXACTLY
+      // — not statistically.
+      val oneShot = Kmv.distinctEstimate(
+        Kmv.signature(seen.toDF("doc_id"), "doc_id", K, salt = "smp"), K)
+        .head().getDouble(1)
+      assert(SampleStream.kmvDistinctEstimate(spark, dir) == oneShot,
+        s"after batch $i")
+    }
+    // Redelivery cannot move the estimate (same doc ⇒ same rank).
+    fn(docs(slices.head), slices.size.toLong)
+    val est = SampleStream.kmvDistinctEstimate(spark, dir)
+    assert(est == Kmv.distinctEstimate(
+      Kmv.signature(slices.flatten.map(_._1).distinct.toDF("doc_id"),
+        "doc_id", K, salt = "smp"), K).head().getDouble(1))
+    // Below k the state holds every distinct key: the count is EXACT.
+    val dir2 = Files.createTempDirectory("graft-smpkmv2").toString
+    SampleStream.pipeline(dir2, K)(docs(slices.head.take(15)), 0L)
+    assert(SampleStream.kmvDistinctEstimate(spark, dir2) == 15.0)
+  }
+
   test("replay no-op; stale and mismatched (k, salt) refuse") {
     val dir = Files.createTempDirectory("graft-smpreplay").toString
     val fn = SampleStream.pipeline(dir, K)

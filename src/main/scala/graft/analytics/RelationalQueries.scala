@@ -387,9 +387,22 @@ object RelationalQueries {
     * scenarios span the regimes: heavy overlap (parts shipped in both
     * halves of the date range), near-total overlap (suppliers with R
     * vs A returns), and a thin intersection (orders holding both a
-    * ≤ 10 and a > 40 quantity line). One pass over lineitem computes
-    * all 18 aggregates (Catalyst plans the 9 distinct aggregates via
-    * one Expand); within_bound pins
+    * ≤ 10 and a > 40 quantity line). The 18 aggregates run as TWO
+    * jobs, and both engine choices are measured: (1) the sketches are
+    * DataSketches HLL (`hll_sketch_agg` at lgK = 14, rsd ≈ 0.81% —
+    * [[graft.streaming.HllStream]]'s family), NOT
+    * `approx_count_distinct`, whose legacy register-per-buffer-column
+    * HLL++ layout costs ∝ 1/rsd² (measured 9–11 s for these nine
+    * sketches at rsd 0.01 vs 0.9 s for DataSketches at BETTER
+    * accuracy); (2) fusing the nine sketches with the nine
+    * countDistincts into one aggregate plans through
+    * RewriteDistinctAggregates' Expand with sketch state dragged
+    * across every expanded distinct-group key — minutes at sf0.1
+    * (q_rel10d's small 3+3 unconditional fused shape stays at
+    * 0.13 s), so the exact countDistincts keep the Expand (their
+    * buffers are empty), the sketches aggregate in a separate
+    * no-Expand single-group pass, and the two 1-row results
+    * cross-join. within_bound pins
     * |est − exact| ≤ 5·rsd·(n_a + n_b + n_union) per run, the
     * q_rel10d slack discipline extended to the composed estimator.
     * The estimates stay engine-specific (the q_rel10b carve-out); the
@@ -406,21 +419,30 @@ object RelationalQueries {
         col("l_returnflag") === "R", col("l_returnflag") === "A"),
       ("orders_lowq_highq", col("l_orderkey"),
         col("l_quantity") <= 10, col("l_quantity") > 40))
-    val aggs = scen.zipWithIndex.flatMap { case ((_, key, ca, cb), i) =>
+    val lgK = 14
+    val rsd = 1.04 / math.sqrt((1 << lgK).toDouble)
+    val approxAggs = scen.zipWithIndex.flatMap { case ((_, key, ca, cb), i) =>
       Seq(
-        approx_count_distinct(when(ca, key), 0.01).as(s"a_$i"),
-        approx_count_distinct(when(cb, key), 0.01).as(s"b_$i"),
-        approx_count_distinct(when(ca || cb, key), 0.01).as(s"u_$i"),
+        hll_sketch_estimate(hll_sketch_agg(when(ca, key), lit(lgK)))
+          .as(s"a_$i"),
+        hll_sketch_estimate(hll_sketch_agg(when(cb, key), lit(lgK)))
+          .as(s"b_$i"),
+        hll_sketch_estimate(hll_sketch_agg(when(ca || cb, key), lit(lgK)))
+          .as(s"u_$i"))
+    }
+    val exactAggs = scen.zipWithIndex.flatMap { case ((_, key, ca, cb), i) =>
+      Seq(
         countDistinct(when(ca, key)).as(s"ea_$i"),
         countDistinct(when(cb, key)).as(s"eb_$i"),
         countDistinct(when(ca || cb, key)).as(s"eu_$i"))
     }
-    li.agg(aggs.head, aggs.tail: _*)
+    li.agg(approxAggs.head, approxAggs.tail: _*)
+      .crossJoin(broadcast(li.agg(exactAggs.head, exactAggs.tail: _*)))
       .select(explode(array(scen.zipWithIndex.map { case ((name, _, _, _), i) =>
         val nInter = col(s"ea_$i") + col(s"eb_$i") - col(s"eu_$i")
         val estInter = col(s"a_$i") + col(s"b_$i") - col(s"u_$i")
         val envelope =
-          (col(s"ea_$i") + col(s"eb_$i") + col(s"eu_$i")) * lit(0.05)
+          (col(s"ea_$i") + col(s"eb_$i") + col(s"eu_$i")) * lit(5.0 * rsd)
         struct(
           lit(name).as("scenario"),
           col(s"ea_$i").as("n_a"), col(s"eb_$i").as("n_b"),

@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -394,50 +394,66 @@ object RelationalQueries {
     * `approx_count_distinct`, whose legacy register-per-buffer-column
     * HLL++ layout costs ∝ 1/rsd² (measured 9–11 s for these nine
     * sketches at rsd 0.01 vs 0.9 s for DataSketches at BETTER
-    * accuracy); (2) fusing the nine sketches with the nine
-    * countDistincts into one aggregate plans through
-    * RewriteDistinctAggregates' Expand with sketch state dragged
-    * across every expanded distinct-group key — minutes at sf0.1
-    * (q_rel10d's small 3+3 unconditional fused shape stays at
-    * 0.13 s), so the exact countDistincts keep the Expand (their
-    * buffers are empty), the sketches aggregate in a separate
-    * no-Expand single-group pass, and the two 1-row results
-    * cross-join. within_bound pins
+    * accuracy); (2) the exact cardinalities avoid conditional
+    * countDistincts entirely — fused with the sketches, those plan
+    * through RewriteDistinctAggregates' Expand with sketch state
+    * dragged across every expanded distinct-group key (minutes at
+    * sf0.1; q_rel10d's small 3+3 unconditional fused shape stays at
+    * 0.13 s), and even alone the nine-group Expand is 2.5× the cost
+    * of [[exactTriple]]'s per-key flag form. The sketches aggregate
+    * in one no-Expand single-group pass; the three 1-row exact
+    * triples broadcast-cross-join onto it. within_bound pins
     * |est − exact| ≤ 5·rsd·(n_a + n_b + n_union) per run, the
     * q_rel10d slack discipline extended to the composed estimator.
     * The estimates stay engine-specific (the q_rel10b carve-out); the
     * exact cardinalities and the certified bound are what cross
     * engines.
     */
+  /** Exact (|A|, |B|, |A∪B|) distinct-key cardinalities for one
+    * set-algebra scenario, as a 1-row (ea, eb, eu): per-key boolean
+    * flags (groupBy(key).agg(max ca, max cb)) summed in a second
+    * aggregate. Two codegen'd hash aggregates over (key, 2 ints) —
+    * measured 2.5× faster at sf0.1 than expressing the same nine
+    * cardinalities as conditional countDistincts (whose
+    * RewriteDistinctAggregates Expand multiplies the corpus by the
+    * distinct-group count), and the per-key flag table shuffles
+    * key+2 ints, never distinct-group expansions.
+    */
+  private def exactTriple(li: DataFrame, key: String, ca: Column,
+      cb: Column): DataFrame =
+    li.groupBy(col(key))
+      .agg(max(ca.cast("int")).as("ia"), max(cb.cast("int")).as("ib"))
+      .agg(sum(col("ia")).as("ea"), sum(col("ib")).as("eb"),
+        sum(greatest(col("ia"), col("ib"))).as("eu"))
+
   def hllSetAlgebra(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val mid = lit("1995-06-17")
     val scen = Seq(
-      ("parts_h1_h2", col("l_partkey"),
+      ("parts_h1_h2", "l_partkey",
         col("l_shipdate") < mid, col("l_shipdate") >= mid),
-      ("supp_r_vs_a", col("l_suppkey"),
+      ("supp_r_vs_a", "l_suppkey",
         col("l_returnflag") === "R", col("l_returnflag") === "A"),
-      ("orders_lowq_highq", col("l_orderkey"),
+      ("orders_lowq_highq", "l_orderkey",
         col("l_quantity") <= 10, col("l_quantity") > 40))
     val lgK = 14
     val rsd = 1.04 / math.sqrt((1 << lgK).toDouble)
     val approxAggs = scen.zipWithIndex.flatMap { case ((_, key, ca, cb), i) =>
       Seq(
-        hll_sketch_estimate(hll_sketch_agg(when(ca, key), lit(lgK)))
+        hll_sketch_estimate(hll_sketch_agg(when(ca, col(key)), lit(lgK)))
           .as(s"a_$i"),
-        hll_sketch_estimate(hll_sketch_agg(when(cb, key), lit(lgK)))
+        hll_sketch_estimate(hll_sketch_agg(when(cb, col(key)), lit(lgK)))
           .as(s"b_$i"),
-        hll_sketch_estimate(hll_sketch_agg(when(ca || cb, key), lit(lgK)))
-          .as(s"u_$i"))
+        hll_sketch_estimate(hll_sketch_agg(when(ca || cb, col(key)),
+          lit(lgK))).as(s"u_$i"))
     }
-    val exactAggs = scen.zipWithIndex.flatMap { case ((_, key, ca, cb), i) =>
-      Seq(
-        countDistinct(when(ca, key)).as(s"ea_$i"),
-        countDistinct(when(cb, key)).as(s"eb_$i"),
-        countDistinct(when(ca || cb, key)).as(s"eu_$i"))
+    val exactTriples = scen.zipWithIndex.map { case ((_, key, ca, cb), i) =>
+      broadcast(exactTriple(li, key, ca, cb).select(
+        col("ea").as(s"ea_$i"), col("eb").as(s"eb_$i"),
+        col("eu").as(s"eu_$i")))
     }
-    li.agg(approxAggs.head, approxAggs.tail: _*)
-      .crossJoin(broadcast(li.agg(exactAggs.head, exactAggs.tail: _*)))
+    exactTriples
+      .foldLeft(li.agg(approxAggs.head, approxAggs.tail: _*))(_ crossJoin _)
       .select(explode(array(scen.zipWithIndex.map { case ((name, _, _, _), i) =>
         val nInter = col(s"ea_$i") + col(s"eb_$i") - col(s"eu_$i")
         val estInter = col(s"a_$i") + col(s"b_$i") - col(s"u_$i")
@@ -524,21 +540,11 @@ object RelationalQueries {
         col("l_returnflag") === "R", col("l_returnflag") === "A"),
       ("orders_lowq_highq", "l_orderkey",
         col("l_quantity") <= 10, col("l_quantity") > 40))
-    val exactAggs = scen.zipWithIndex.flatMap { case ((_, key, ca, cb), i) =>
-      Seq(
-        countDistinct(when(ca, col(key))).as(s"ea_$i"),
-        countDistinct(when(cb, col(key))).as(s"eb_$i"),
-        countDistinct(when(ca || cb, col(key))).as(s"eu_$i"))
-    }
-    // One pass for all nine exact cardinalities; 1 row, pinned once.
-    val exact = li.agg(exactAggs.head, exactAggs.tail: _*).localCheckpoint()
-    val rows = scen.zipWithIndex.map { case ((name, key, ca, cb), i) =>
+    val rows = scen.map { case (name, key, ca, cb) =>
       val sigA = Kmv.signature(li.where(ca), key, k).localCheckpoint()
       val sigB = Kmv.signature(li.where(cb), key, k).localCheckpoint()
       Kmv.setAlgebra(sigA, sigB, k)
-        .crossJoin(broadcast(exact.select(
-          col(s"ea_$i").as("ea"), col(s"eb_$i").as("eb"),
-          col(s"eu_$i").as("eu"))))
+        .crossJoin(broadcast(exactTriple(li, key, ca, cb)))
         .select(
           lit(name).as("scenario"),
           col("eu").as("n_union"),

@@ -462,4 +462,78 @@ object EventQueries {
        |FROM est e JOIN ex ON e.event_type = ex.event_type AND e.q = ex.q
        |ORDER BY e.event_type, e.q""".stripMargin
   }
+
+  /** AGG-9: M4 dashboard downsampling — Jugel, Grulich, Bieß &
+    * Markl, VLDB 2014 ("M4: A Visualization-Oriented Time Series Data
+    * Aggregation"): per (series, pixel column) emit
+    * (n, t_first, t_last, v_min, v_max, v_first, v_last) — the
+    * MINIMAL error-free reduction for line rendering: a chart drawn
+    * from these four value anchors per pixel bucket is
+    * pixel-identical to one drawn from the raw series, at W·series
+    * rows instead of the corpus. The reference's entire analytics
+    * output IS such charts (the Kibana hourly panels,
+    * README.md:118-174 and assets/2207*.png); at 100 TB the reduction
+    * must run engine-side — here two aggregations shuffling on
+    * (event_type, bucket) (≈ series·W groups) plus one
+    * same-key join, never a client pull of the series.
+    *
+    * Determinism discipline: first/last are tie-broken (MIN value at
+    * the bucket's first µs timestamp, MAX value at its last) so the
+    * oracle replays bit-identically even if two events share a
+    * microsecond; bucket arithmetic is integer `div` end to end (the
+    * ts span in µs times W stays far under 2⁶³; a double division
+    * would ulp-truncate at bucket edges — the q_agg5 lesson); values
+    * pass through min/max untouched (bit-identical doubles, no
+    * rounding needed).
+    */
+  /** The M4 core over a (event_type, ts_us, value) series table —
+    * [[m4Downsample]]'s engine, factored for planted-series specs.
+    */
+  def m4(series: DataFrame, w: Int): DataFrame = {
+    val rng = series.agg(min("ts_us").as("lo"), max("ts_us").as("hi"))
+    val b = series.crossJoin(broadcast(rng))
+      .withColumn("bucket", expr(s"((ts_us - lo) * $w) div (hi - lo + 1)"))
+      .select("event_type", "bucket", "ts_us", "value")
+    val g = b.groupBy("event_type", "bucket").agg(
+      count(lit(1)).as("n"),
+      min("ts_us").as("t_first_us"), max("ts_us").as("t_last_us"),
+      min("value").as("v_min"), max("value").as("v_max"))
+    val fl = b.join(g.select(col("event_type"), col("bucket"),
+        col("t_first_us").as("t0"), col("t_last_us").as("t1")),
+        Seq("event_type", "bucket"))
+      .groupBy("event_type", "bucket").agg(
+        min(when(col("ts_us") === col("t0"), col("value"))).as("v_first"),
+        max(when(col("ts_us") === col("t1"), col("value"))).as("v_last"))
+    g.join(fl, Seq("event_type", "bucket"))
+      .orderBy("event_type", "bucket")
+  }
+
+  def m4Downsample(spark: SparkSession, dir: String): DataFrame =
+    m4(Tables.events(spark, dir)
+      .select(col("event_type"), expr("ts_ns div 1000").as("ts_us"),
+        col("value")),
+      w = 400) // pixel columns; W·series ≈ 2k output rows here
+
+  val m4DownsampleSql: String =
+    """WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us, value
+      |           FROM events),
+      |rng AS (SELECT min(ts_us) AS lo, max(ts_us) AS hi FROM e),
+      |b AS (SELECT event_type,
+      |             ((ts_us - lo) * 400) // (hi - lo + 1) AS bucket,
+      |             ts_us, value
+      |      FROM e CROSS JOIN rng),
+      |g AS (SELECT event_type, bucket, count(*) AS n,
+      |             min(ts_us) AS t_first_us, max(ts_us) AS t_last_us,
+      |             min(value) AS v_min, max(value) AS v_max
+      |      FROM b GROUP BY 1, 2),
+      |fl AS (SELECT b.event_type, b.bucket,
+      |              min(CASE WHEN b.ts_us = g.t_first_us
+      |                       THEN b.value END) AS v_first,
+      |              max(CASE WHEN b.ts_us = g.t_last_us
+      |                       THEN b.value END) AS v_last
+      |       FROM b JOIN g USING (event_type, bucket) GROUP BY 1, 2)
+      |SELECT g.event_type, g.bucket, g.n, g.t_first_us, g.t_last_us,
+      |       g.v_min, g.v_max, fl.v_first, fl.v_last
+      |FROM g JOIN fl USING (event_type, bucket)
+      |ORDER BY g.event_type, g.bucket""".stripMargin
 }

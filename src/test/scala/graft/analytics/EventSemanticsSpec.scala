@@ -73,4 +73,44 @@ class EventSemanticsSpec extends SparkSpec {
     assert(back.getAs[Double]("temperature") == 39.67)
     assert(back.getAs[Long]("count") == 3001L)
   }
+
+  test("AGG-9 M4: planted series reduces to exact per-bucket anchors; ties break deterministically") {
+    // 2 series x 100 points on a regular 1-us grid, W = 10 -> each
+    // bucket holds exactly ts 10i..10i+9; values chosen so min/max/
+    // first/last are all DIFFERENT rows within a bucket.
+    val pts = for (s <- Seq("a", "b"); i <- 0 until 100) yield {
+      val v = if (s == "a") ((i * 37) % 100).toDouble // scrambled
+      else -i.toDouble // monotone decreasing
+      (s, i.toLong, v)
+    }
+    val m4 = EventQueries.m4(pts.toDF("event_type", "ts_us", "value"), 10)
+      .collect()
+    assert(m4.length == 20) // 2 series x 10 buckets, none empty
+    m4.foreach { r =>
+      val (s, b) = (r.getAs[String]("event_type"), r.getAs[Long]("bucket"))
+      val in = pts.filter(p => p._1 == s && p._2 / 10 == b).map(_._3)
+      assert(r.getAs[Long]("n") == 10L)
+      assert(r.getAs[Long]("t_first_us") == b * 10)
+      assert(r.getAs[Long]("t_last_us") == b * 10 + 9)
+      assert(r.getAs[Double]("v_min") == in.min)
+      assert(r.getAs[Double]("v_max") == in.max)
+      assert(r.getAs[Double]("v_first") == in.head)
+      assert(r.getAs[Double]("v_last") == in.last)
+    }
+    // M4's rendering guarantee rests on the anchors bounding the
+    // bucket: min <= first, last <= max always.
+    m4.foreach { r =>
+      assert(r.getAs[Double]("v_min") <= r.getAs[Double]("v_first"))
+      assert(r.getAs[Double]("v_max") >= r.getAs[Double]("v_last"))
+    }
+    // Tie discipline: two rows at the SAME first us -> MIN value wins
+    // first; two at the same last us -> MAX value wins last.
+    val ties = Seq(("t", 0L, 5.0), ("t", 0L, 3.0), ("t", 9L, 7.0),
+      ("t", 9L, 8.0)).toDF("event_type", "ts_us", "value")
+    val tr = EventQueries.m4(ties, 1).collect()
+    assert(tr.length == 1)
+    assert(tr.head.getAs[Double]("v_first") == 3.0)
+    assert(tr.head.getAs[Double]("v_last") == 8.0)
+    assert(tr.head.getAs[Long]("n") == 4L)
+  }
 }

@@ -486,14 +486,12 @@ object EventQueries {
     * pass through min/max untouched (bit-identical doubles, no
     * rounding needed).
     */
-  /** The M4 core over a (event_type, ts_us, value) series table —
-    * [[m4Downsample]]'s engine, factored for planted-series specs.
+  /** Per-(event_type, bucket) M4 anchors over a pre-bucketed
+    * (event_type, bucket, ts_us, value) table — the shared core of
+    * [[m4]] (normalized pixel buckets) and
+    * [[graft.streaming.M4Stream]] (absolute fixed-grain buckets).
     */
-  def m4(series: DataFrame, w: Int): DataFrame = {
-    val rng = series.agg(min("ts_us").as("lo"), max("ts_us").as("hi"))
-    val b = series.crossJoin(broadcast(rng))
-      .withColumn("bucket", expr(s"((ts_us - lo) * $w) div (hi - lo + 1)"))
-      .select("event_type", "bucket", "ts_us", "value")
+  def m4Anchors(b: DataFrame): DataFrame = {
     val g = b.groupBy("event_type", "bucket").agg(
       count(lit(1)).as("n"),
       min("ts_us").as("t_first_us"), max("ts_us").as("t_last_us"),
@@ -505,7 +503,17 @@ object EventQueries {
         min(when(col("ts_us") === col("t0"), col("value"))).as("v_first"),
         max(when(col("ts_us") === col("t1"), col("value"))).as("v_last"))
     g.join(fl, Seq("event_type", "bucket"))
-      .orderBy("event_type", "bucket")
+  }
+
+  /** The M4 core over a (event_type, ts_us, value) series table —
+    * [[m4Downsample]]'s engine, factored for planted-series specs.
+    */
+  def m4(series: DataFrame, w: Int): DataFrame = {
+    val rng = series.agg(min("ts_us").as("lo"), max("ts_us").as("hi"))
+    val b = series.crossJoin(broadcast(rng))
+      .withColumn("bucket", expr(s"((ts_us - lo) * $w) div (hi - lo + 1)"))
+      .select("event_type", "bucket", "ts_us", "value")
+    m4Anchors(b).orderBy("event_type", "bucket")
   }
 
   def m4Downsample(spark: SparkSession, dir: String): DataFrame =

@@ -1,0 +1,198 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+
+import graft.analytics.EventQueries
+
+/** Cross-batch M4 chart state — the LIVE face of q_agg9
+  * ([[EventQueries.m4]], Jugel et al. VLDB 2014): the reference's
+  * whole product is a live dashboard (sensor stream → Kibana panels),
+  * and this store keeps exactly what such a panel needs about an
+  * unbounded stream — per (series, fixed-grain time bucket) the M4
+  * anchors (n, t_first, t_last, v_min, v_max, v_first, v_last) as
+  * bounded committed state, so "draw the lifetime chart" never
+  * re-scans history.
+  *
+  * Two design points carry the operator:
+  *
+  *  - **The grid is ABSOLUTE (`bucket = ts_us div grainUs`), not
+  *    normalized.** q_agg9's batch form normalizes buckets to the
+  *    corpus min/max — a stream cannot, because its range grows; a
+  *    fixed grain keeps every bucket's identity stable across
+  *    batches, which is what makes the state mergeable and
+  *    out-of-order arrivals land in the right pixel. The grain is
+  *    committed with the state and validated on every batch (merging
+  *    two grids is meaningless — refused).
+  *  - **M4 anchors merge associatively**: n sums; v_min/v_max take
+  *    min/max; (t_first, v_first) merges by lexicographic struct MIN
+  *    (earliest timestamp wins; a same-µs tie falls through to the
+  *    MIN value — the exact tie law of the batch operator's raw-row
+  *    reduction, so merged anchors equal the anchors of the merged
+  *    raw data, not merely an approximation of them); (t_last,
+  *    v_last) dually by struct MAX. The same merge powers
+  *    [[coarsened]]: zoom-out re-buckets committed fine anchors into
+  *    coarser pixels EXACTLY (rows sharing a µs share a fine bucket,
+  *    so no tie information is lost at the seam) — ingest once at
+  *    fine grain, render at any integer-multiple zoom.
+  *
+  * Per batch: ONE grouped anchor job over the batch
+  * ([[EventQueries.m4Anchors]] — the batch operator's own core,
+  * shared code) and one distributed merge with the committed ≤
+  * keys·buckets rows; the exchange carries anchor rows (8 scalars),
+  * never the event stream. Driver pins: the 1-row meta read and the
+  * 1-row batch count.
+  *
+  * Replay discipline (the family contract): anchors are additive in
+  * `n`, so a replay of the committed high-water batch SKIPS (the
+  * [[CountMinStream]] law — re-merging would double-count n and
+  * corrupt first/last timestamps is the one thing it would NOT do,
+  * which is exactly why the guard exists: the damage would be
+  * invisible on the chart and visible in every count); a batch below
+  * the high-water throws.
+  */
+object M4Stream {
+
+  /** State rows: one META row (`bucket` null — exact row total,
+    * high-water batch id, grain µs) plus one row per non-empty
+    * (key, bucket) anchor.
+    */
+  private val stateSchema = StructType(Seq(
+    StructField("key", StringType), StructField("bucket", LongType),
+    StructField("n", LongType),
+    StructField("t_first_us", LongType), StructField("t_last_us", LongType),
+    StructField("v_min", DoubleType), StructField("v_max", DoubleType),
+    StructField("v_first", DoubleType), StructField("v_last", DoubleType),
+    StructField("total", LongType), StructField("batch_id", LongType),
+    StructField("grain_us", LongType)))
+
+  private val anchorCols = Seq("key", "bucket", "n", "t_first_us",
+    "t_last_us", "v_min", "v_max", "v_first", "v_last")
+
+  /** The committed meta under `stateDir`: (rowTotal, high-water
+    * batch_id, grainUs); `None` = fresh stream.
+    */
+  def readMeta(spark: SparkSession, stateDir: String)
+      : Option[(Long, Long, Long)] = {
+    val gens = GenStore.committed(spark, stateDir)
+    if (gens.isEmpty) None
+    else {
+      val meta = spark.read.schema(stateSchema)
+        .parquet(GenStore.dir(stateDir, gens.max))
+        .where(col("bucket").isNull)
+        .collect()
+      if (meta.length != 1) throw new IllegalStateException(
+        s"m4 state generation ${gens.max} has ${meta.length} meta rows " +
+          "(want exactly 1) — foreign or corrupt state")
+      val m = meta.head
+      Some((m.getLong(9), m.getLong(10), m.getLong(11)))
+    }
+  }
+
+  /** The committed anchor table — ≤ keys·buckets rows; empty for a
+    * fresh dir.
+    */
+  def anchors(spark: SparkSession, stateDir: String): DataFrame = {
+    val gens = GenStore.committed(spark, stateDir)
+    if (gens.isEmpty) {
+      spark.createDataFrame(java.util.Collections.emptyList[Row](),
+        StructType(stateSchema.take(9)))
+    } else {
+      spark.read.schema(stateSchema).parquet(GenStore.dir(stateDir, gens.max))
+        .where(col("bucket").isNotNull)
+        .select(anchorCols.head, anchorCols.tail: _*)
+    }
+  }
+
+  /** The associative anchor merge — grouped lexicographic-struct
+    * min/max for first/last, plain min/max/sum for the rest. Exact:
+    * merged anchors ≡ anchors of the merged raw rows.
+    */
+  private def mergeAnchors(df: DataFrame): DataFrame =
+    df.groupBy("key", "bucket").agg(
+        sum("n").as("n"),
+        min(struct(col("t_first_us"), col("v_first"))).as("sf"),
+        max(struct(col("t_last_us"), col("v_last"))).as("sl"),
+        min("v_min").as("v_min"), max("v_max").as("v_max"))
+      .select(col("key"), col("bucket"), col("n"),
+        col("sf.t_first_us").as("t_first_us"),
+        col("sl.t_last_us").as("t_last_us"),
+        col("v_min"), col("v_max"),
+        col("sf.v_first").as("v_first"), col("sl.v_last").as("v_last"))
+
+  /** One foreachBatch handler over batches carrying (`key`, `ts_us`,
+    * `value`). `onBatch(batchId, rowTotal)` fires after the commit
+    * (or replay skip).
+    */
+  def pipeline(stateDir: String, grainUs: Long = 3600000000L,
+      onBatch: (Long, Long) => Unit = (_, _) => ())
+      : (DataFrame, Long) => Unit = {
+    require(grainUs > 0, s"grain must be positive, got $grainUs µs")
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      val prior = readMeta(spark, stateDir)
+      prior.foreach { case (_, _, pg) =>
+        if (pg != grainUs) throw new IllegalStateException(
+          s"m4 state at $stateDir is bucketed at grain=$pg µs; this " +
+            s"pipeline runs grain=$grainUs µs — two grids cannot merge, " +
+            "refusing")
+      }
+      prior match {
+        case Some((total, hw, _)) if hw == batchId =>
+          onBatch(batchId, total)
+        case Some((_, hw, _)) if batchId < hw =>
+          throw new IllegalStateException(
+            s"m4 state at $stateDir is ahead of the stream: committed " +
+              s"high-water batch $hw > replayed batch $batchId — the " +
+              "streaming checkpoint was restored from an older snapshot " +
+              "than the state dir; restore a matching pair")
+        case _ =>
+          val bAnchors = EventQueries.m4Anchors(
+            batch.select(
+              col("key").cast("string").as("event_type"),
+              expr(s"ts_us div $grainUs").as("bucket"),
+              col("ts_us"), col("value")))
+            .withColumnRenamed("event_type", "key")
+          // Batch row total off the ≤ keys·buckets anchor rows — a
+          // 1-row bounded pin.
+          val bTotal = bAnchors.agg(coalesce(sum("n"), lit(0L)))
+            .head().getLong(0)
+          val total = prior.map(_._1).getOrElse(0L) + bTotal
+          val merged = mergeAnchors(
+              anchors(spark, stateDir).unionByName(
+                bAnchors.select(anchorCols.head, anchorCols.tail: _*)))
+            .withColumn("total", lit(null).cast("long"))
+            .withColumn("batch_id", lit(null).cast("long"))
+            .withColumn("grain_us", lit(null).cast("long"))
+          val metaDf = spark.createDataFrame(
+            java.util.Collections.singletonList(
+              Row(null, null, null, null, null, null, null, null, null,
+                total, batchId, grainUs)),
+            stateSchema)
+          val gens = GenStore.committed(spark, stateDir)
+          val gen = gens.lastOption.map(_ + 1).getOrElse(0L)
+          merged.unionByName(metaDf)
+            .coalesce(1)
+            .write.mode("overwrite").parquet(GenStore.dir(stateDir, gen))
+          GenStore.commit(spark, stateDir, gen)
+          GenStore.dropBelow(spark, stateDir, gen)
+          onBatch(batchId, total)
+      }
+    }
+  }
+
+  /** Zoom-out read: the committed fine-grain anchors re-bucketed into
+    * `factor`-times-coarser pixels through the SAME associative merge
+    * — exact (≡ running the batch operator at the coarse grain over
+    * everything the stream has carried), because time buckets nest
+    * and same-µs ties never straddle a fine bucket.
+    */
+  def coarsened(spark: SparkSession, stateDir: String, factor: Int)
+      : DataFrame = {
+    require(factor > 0, s"zoom factor must be positive, got $factor")
+    mergeAnchors(
+      anchors(spark, stateDir)
+        .withColumn("bucket", expr(s"bucket div $factor")))
+  }
+}

@@ -1,0 +1,113 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.analytics.EventQueries
+import org.apache.spark.sql.functions._
+
+/** The anchor-merge law makes the streamed chart EXACT: after any
+  * prefix of batches the committed state equals the one-shot
+  * fixed-grid M4 over every row seen — for ANY slicing of arrivals,
+  * including out-of-order time ranges (every batch here contributes
+  * to every bucket) and same-µs ties split across batches. The
+  * coarsened read is pinned ≡ the batch operator run at the coarse
+  * grain. Plus the family contract: replay skip, stale/grain
+  * refusal, engine leg, fresh state.
+  */
+class M4StreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Grain = 100L // µs per fine bucket → 100 buckets over 0..9999
+
+  // ts 0..9999 dealt round-robin to 3 batches (every bucket receives
+  // rows from all batches — maximal merge pressure on first/last),
+  // values scrambled per series; plus a same-µs tie pair whose two
+  // rows arrive in DIFFERENT batches (5.0 in b0, 3.0 in b1 at ts=4200;
+  // the one-shot tie law must still pick 3.0 as v_first if 4200 is the
+  // bucket's first instant — and min/max regardless).
+  private def slices: Seq[Seq[(String, Long, Double)]] = {
+    val all = for (s <- Seq("a", "b"); t <- 0L until 10000L) yield
+      (s, t, (((t * 7919) % 1000) / 10.0) + (if (s == "a") 0 else 500))
+    val base = (0 until 3).map(b => all.filter(_._2 % 3 == b))
+    Seq(base(0) :+ (("a", 4200L, 5.0)),
+      base(1) :+ (("a", 4200L, 3.0)),
+      base(2))
+  }
+
+  private def df(s: Seq[(String, Long, Double)]) =
+    s.toDF("key", "ts_us", "value")
+
+  /** One-shot fixed-grid reference over a union of arrivals. */
+  private def oneShot(rows: Seq[(String, Long, Double)], grainUs: Long)
+      : Set[Seq[Any]] =
+    EventQueries.m4Anchors(
+        df(rows).select(col("key").as("event_type"),
+          expr(s"ts_us div $grainUs").as("bucket"),
+          col("ts_us"), col("value")))
+      .collect().map(_.toSeq).toSet
+
+  private def committed(dir: String): Set[Seq[Any]] =
+    M4Stream.anchors(spark, dir)
+      .withColumnRenamed("key", "event_type")
+      .select("event_type", "bucket", "n", "t_first_us", "t_last_us",
+        "v_min", "v_max", "v_first", "v_last")
+      .collect().map(_.toSeq).toSet
+
+  test("streamed anchors == one-shot fixed-grid M4 after every batch; ties across batches resolve") {
+    val dir = Files.createTempDirectory("graft-m4").toString
+    var lastTotal = -1L
+    val fn = M4Stream.pipeline(dir, Grain,
+      onBatch = (_, total) => lastTotal = total)
+    slices.zipWithIndex.foreach { case (s, i) =>
+      fn(df(s), i.toLong)
+      val seen = slices.take(i + 1).flatten
+      assert(committed(dir) == oneShot(seen, Grain), s"after batch $i")
+      assert(lastTotal == seen.size.toLong)
+    }
+  }
+
+  test("coarsened read == batch M4 at the coarse grain over everything seen") {
+    val dir = Files.createTempDirectory("graft-m4zoom").toString
+    val fn = M4Stream.pipeline(dir, Grain)
+    slices.zipWithIndex.foreach { case (s, i) => fn(df(s), i.toLong) }
+    val factor = 10
+    val got = M4Stream.coarsened(spark, dir, factor)
+      .withColumnRenamed("key", "event_type")
+      .select("event_type", "bucket", "n", "t_first_us", "t_last_us",
+        "v_min", "v_max", "v_first", "v_last")
+      .collect().map(_.toSeq).toSet
+    assert(got == oneShot(slices.flatten, Grain * factor))
+  }
+
+  test("replay skips; stale and mismatched grain refuse; fresh state is empty") {
+    val dir = Files.createTempDirectory("graft-m4replay").toString
+    assert(M4Stream.anchors(spark, dir).count() == 0L)
+    val fn = M4Stream.pipeline(dir, Grain)
+    slices.zipWithIndex.foreach { case (s, i) => fn(df(s), i.toLong) }
+    val before = committed(dir)
+    val metaBefore = M4Stream.readMeta(spark, dir)
+    fn(df(slices.last), (slices.size - 1).toLong) // replay: skip
+    assert(committed(dir) == before)
+    assert(M4Stream.readMeta(spark, dir) == metaBefore)
+    intercept[IllegalStateException] { fn(df(slices.head), 0L) }
+    intercept[IllegalStateException] {
+      M4Stream.pipeline(dir, Grain * 2)(df(slices.head), 9L)
+    }
+    intercept[IllegalArgumentException] { M4Stream.pipeline(dir, 0L) }
+  }
+
+  test("under the streaming engine: MemoryStream batches converge to the one-shot chart") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = Files.createTempDirectory("graft-m4engine").toString
+    val fn = M4Stream.pipeline(dir, Grain)
+    val mem = MemoryStream[(String, Long, Double)]
+    val q = mem.toDF().toDF("key", "ts_us", "value")
+      .writeStream.foreachBatch(fn).start()
+    try {
+      slices.foreach { s => mem.addData(s: _*); q.processAllAvailable() }
+    } finally q.stop()
+    assert(committed(dir) == oneShot(slices.flatten, Grain))
+  }
+}

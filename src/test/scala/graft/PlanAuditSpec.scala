@@ -816,4 +816,42 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       p.take(600))
   }
+
+  test("q_rel10g: NO Expand anywhere (the measured distinct-rewrite blowup), sketches object-agg, triples broadcast") {
+    // SCALE.md round-15: fusing the nine DataSketches aggregates with
+    // conditional countDistincts drags sketch state through the
+    // RewriteDistinctAggregates Expand (minutes at sf0.1). The split
+    // form has NO Expand at all — the exact side is per-key flags, not
+    // distinct aggregates — and each 1-row exact triple reaches the
+    // sketch row as a broadcast.
+    val p = plan("q_rel10g_hll_set_algebra")
+    assert(!p.contains("Expand"), "Expand must not appear: " + p.take(600))
+    assert(p.contains("ObjectHashAggregate"),
+      "DataSketches sketches aggregate on the object path: " + p.take(600))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size >= 3,
+      "three 1-row triples broadcast onto the sketch row: " + p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(600))
+  }
+
+  test("q_rel10h: signatures are distinct + TakeOrderedAndProject; no Expand, no cartesian") {
+    // Each KMV signature is a distinct aggregate feeding a distributed
+    // top-k — the exchange carries k·partitions hashes, never the
+    // corpus (and never a global Sort). The exact side is the same
+    // flag form as q_rel10g, so no Expand appears here either.
+    val p = plan("q_rel10h_kmv_set_algebra")
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2,
+      "signature top-k must be TakeOrderedAndProject: " + p.take(800))
+    assert(!p.contains("Expand"), "Expand must not appear: " + p.take(600))
+    assert(!p.contains("CartesianProduct"), p.take(600))
+  }
+
+  test("q_agg9: the ts range broadcasts onto the scan; anchor aggregates are partial+final; no cartesian") {
+    val p = plan("q_agg9_m4_downsample")
+    // The 1-row (lo, hi) range reaches every row as a broadcast
+    // nested-loop (a crossJoin of a 1-row side), never a cartesian.
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "anchor + first/last aggregates partial+final: " + p.take(600))
+  }
 }

@@ -266,4 +266,56 @@ object AdvancedQueries {
       |                THEN 1 ELSE 0 END AS new_session
       |    FROM events)
       |) GROUP BY user_id, session_id ORDER BY user_id, session_start_us""".stripMargin
+
+  /** q_adv9: cohort retention — the canonical product-analytics
+    * matrix: users cohorted by FIRST-seen epoch week, each cohort's
+    * distinct actives counted at every week offset, retention =
+    * actives / cohort size. Three shuffles total, two of them on the
+    * SAME key: first-seen (groupBy user) and per-week distinct
+    * actives (distinct on (user, week)) both hash-partition by
+    * user_id — Catalyst reuses the co-partitioning for the join
+    * between them, so the fact table is exchanged on user_id
+    * effectively once; the (cohort, offset) aggregate then shuffles
+    * ≤ users·weeks rows, and cohort sizes (≤ weeks rows) broadcast
+    * onto the matrix. Epoch-week arithmetic is integer `div` end to
+    * end; retention rounds at 6dp (a double division emitted to the
+    * oracle — the one non-integer column).
+    */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val weekUs = 604800000000L
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr(s"(ts_ns div 1000) div $weekUs").as("week"))
+    val first = ev.groupBy("user_id").agg(min("week").as("cohort_week"))
+    val sizes = first.groupBy("cohort_week")
+      .agg(count(lit(1)).as("cohort_size"))
+    ev.distinct()
+      .join(first, Seq("user_id"))
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .join(broadcast(sizes), Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_offset"), col("n_active"),
+        col("cohort_size"),
+        round(col("n_active").cast("double") /
+          col("cohort_size").cast("double"), 6).as("retention"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val cohortRetentionSql: String =
+    """WITH ev AS (SELECT user_id, epoch_us(ts) // 604800000000 AS week
+      |            FROM events),
+      |first AS (SELECT user_id, min(week) AS cohort_week
+      |          FROM ev GROUP BY 1),
+      |sizes AS (SELECT cohort_week, count(*) AS cohort_size
+      |          FROM first GROUP BY 1),
+      |act AS (SELECT f.cohort_week, e.week - f.cohort_week AS week_offset,
+      |               count(DISTINCT e.user_id) AS n_active
+      |        FROM (SELECT DISTINCT user_id, week FROM ev) e
+      |        JOIN first f USING (user_id)
+      |        GROUP BY 1, 2)
+      |SELECT a.cohort_week, a.week_offset, a.n_active, s.cohort_size,
+      |       round(CAST(a.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
+      |FROM act a JOIN sizes s USING (cohort_week)
+      |ORDER BY a.cohort_week, a.week_offset""".stripMargin
 }

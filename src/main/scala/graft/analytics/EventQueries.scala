@@ -486,6 +486,83 @@ object EventQueries {
     * pass through min/max untouched (bit-identical doubles, no
     * rounding needed).
     */
+  /** AGG-10: time-decay EWMA smoothing per series — the smoother the
+    * agg tier was missing next to gap-fill (q_agg5), outlier z-scores
+    * (q_agg6) and M4 (q_agg9): per (event_type, hour) the
+    * exponentially-weighted mean of the trailing 48 h of hourly
+    * averages, weighted by TIME distance (w = 2^−Δhours), so gaps in
+    * the series decay naturally instead of shifting indices — the
+    * irregular-series EWMA a sensor dashboard actually wants.
+    *
+    * The construction is chosen for BIT determinism, not just 6dp
+    * parity — every term is exact IEEE arithmetic on both engines:
+    *  - hourly means are the q_agg7 exact-integer micro-unit formula
+    *    (⌊(2·10⁴·cents + n)/(2n)⌋ — no float fold order anywhere);
+    *  - the decay is ½ per hour, so each weight is an EXPONENT SHIFT
+    *    (1 / (1L << Δ)) — exactly representable, computed with integer
+    *    shifts; any other α would ride libm pow's 1-ulp cross-engine
+    *    risk (the q_ml20 discipline) on every weight;
+    *  - numerator and denominator fold LEFT over the frame list in
+    *    ascending-hour order on both engines (Spark `aggregate` ≡
+    *    DuckDB `list_reduce` over the window `list()`), so even the
+    *    roundings that do occur occur identically.
+    * The result `ewma_micro` is therefore emitted as a RAW double —
+    * a hash-certified value with no rounding carve-out. The window
+    * list is bounded (≤ 48 structs per row over the ALREADY
+    * aggregated hourly table — series·hours rows, not the corpus);
+    * the corpus-scale work is the one hourly aggregation.
+    */
+  def ewmaSmooth(spark: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600000000L
+    val hourly = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr(s"((ts_ns div 1000) div $hourUs) * $hourUs").as("hour_us"),
+        col("value"))
+      .groupBy("event_type", "hour_us")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+      .select(col("event_type"), col("hour_us"), col("n"),
+        expr("(cents * 20000 + n) div (n * 2)").as("avg_micro"))
+    val w = Window.partitionBy("event_type").orderBy("hour_us")
+      .rangeBetween(-47L * hourUs, 0L)
+    val shiftW = s"cast(shiftleft(cast(1 as bigint), " +
+      s"cast((hour_us - x.h) div $hourUs as int)) as double)"
+    hourly
+      .withColumn("win",
+        collect_list(struct(col("hour_us").as("h"), col("avg_micro").as("v")))
+          .over(w))
+      .select(col("event_type"), col("hour_us"), col("n"), col("avg_micro"),
+        (expr(s"aggregate(win, 0D, (acc, x) -> acc + x.v / $shiftW)") /
+          expr(s"aggregate(win, 0D, (acc, x) -> acc + 1.0D / $shiftW)"))
+          .as("ewma_micro"))
+      .orderBy("event_type", "hour_us")
+  }
+
+  val ewmaSmoothSql: String = {
+    val shiftW = "(CAST(1 AS BIGINT) << " +
+      "CAST((hour_us - x.h) // 3600000000 AS INT))"
+    def fold(term: String): String =
+      "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"list_transform(w, x -> $term)), (a, b) -> a + b)"
+    s"""WITH hourly AS (
+       |  SELECT event_type,
+       |         (epoch_us(ts) // 3600000000) * 3600000000 AS hour_us,
+       |         count(*) AS n,
+       |         CAST((sum(CAST(round(value * 100) AS BIGINT)) * 20000
+       |               + count(*)) // (count(*) * 2) AS BIGINT) AS avg_micro
+       |  FROM events GROUP BY 1, 2),
+       |win AS (
+       |  SELECT event_type, hour_us, n, avg_micro,
+       |         list({'h': hour_us, 'v': avg_micro}) OVER (
+       |           PARTITION BY event_type ORDER BY hour_us
+       |           RANGE BETWEEN 169200000000 PRECEDING AND CURRENT ROW) AS w
+       |  FROM hourly)
+       |SELECT event_type, hour_us, n, avg_micro,
+       |       ${fold(s"CAST(x.v AS DOUBLE) / $shiftW")}
+       |         / ${fold(s"1.0 / $shiftW")} AS ewma_micro
+       |FROM win ORDER BY event_type, hour_us""".stripMargin
+  }
+
   /** Per-(event_type, bucket) M4 anchors over a pre-bucketed
     * (event_type, bucket, ts_us, value) table — the shared core of
     * [[m4]] (normalized pixel buckets) and

@@ -113,4 +113,62 @@ class EventSemanticsSpec extends SparkSpec {
     assert(tr.head.getAs[Double]("v_last") == 8.0)
     assert(tr.head.getAs[Long]("n") == 4L)
   }
+
+  test("AGG-10 EWMA: distributed smoother == driver-side exact recomputation, BIT-identical") {
+    // The construction claims bit determinism (exponent-shift weights,
+    // integer micro-unit means, pinned fold order) — so the check is
+    // ==, not a tolerance: recompute every row's EWMA from the hourly
+    // table in plain Scala with the same left fold and compare doubles
+    // exactly.
+    val dir = "/root/testdata/sf0.001"
+    val out = EventQueries.ewmaSmooth(spark, dir).collect()
+    val hourly = out.map(r => (r.getAs[String]("event_type"),
+      r.getAs[Long]("hour_us"), r.getAs[Long]("avg_micro")))
+    val hourUs = 3600000000L
+    out.foreach { r =>
+      val (s, h) = (r.getAs[String]("event_type"), r.getAs[Long]("hour_us"))
+      val win = hourly.filter(p => p._1 == s && p._2 <= h &&
+        p._2 >= h - 47L * hourUs).sortBy(_._2)
+      val num = win.foldLeft(0.0) { case (acc, (_, hj, v)) =>
+        acc + v.toDouble / (1L << ((h - hj) / hourUs)).toDouble }
+      val den = win.foldLeft(0.0) { case (acc, (_, hj, _)) =>
+        acc + 1.0 / (1L << ((h - hj) / hourUs)).toDouble }
+      assert(r.getAs[Double]("ewma_micro") == num / den,
+        s"series $s hour $h must match bit-for-bit")
+    }
+    // Law anchors: an isolated first point's EWMA is its own mean; a
+    // window of identical means smooths to that mean exactly.
+    out.groupBy(r => r.getAs[String]("event_type")).foreach { case (_, rs) =>
+      val first = rs.minBy(_.getAs[Long]("hour_us"))
+      assert(first.getAs[Double]("ewma_micro") ==
+        first.getAs[Long]("avg_micro").toDouble)
+    }
+  }
+
+  test("ADV-9 cohorts: retention matrix == driver-side recomputation from raw events") {
+    val dir = "/root/testdata/sf0.001"
+    val weekUs = 604800000000L
+    val raw = graft.sources.Tables.events(spark, dir)
+      .select(col("user_id"), expr(s"(ts_ns div 1000) div $weekUs").as("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val firstWeek = raw.groupBy(_._1).map { case (u, xs) =>
+      u -> xs.map(_._2).min }
+    val got = AdvancedQueries.cohortRetention(spark, dir).collect()
+    // Every cohort's offset-0 row exists with full retention ( the
+    // cohort week is, by construction, an active week for each user).
+    got.filter(_.getAs[Long]("week_offset") == 0L).foreach { r =>
+      assert(r.getAs[Long]("n_active") == r.getAs[Long]("cohort_size"))
+      assert(r.getAs[Double]("retention") == 1.0)
+    }
+    got.foreach { r =>
+      val (cw, off) = (r.getAs[Long]("cohort_week"),
+        r.getAs[Long]("week_offset"))
+      val expectActive = raw.filter { case (u, w) =>
+        firstWeek(u) == cw && w == cw + off }.map(_._1).distinct.length
+      assert(r.getAs[Long]("n_active") == expectActive.toLong,
+        s"cohort $cw offset $off")
+      assert(r.getAs[Long]("cohort_size") ==
+        firstWeek.count(_._2 == cw).toLong)
+    }
+  }
 }

@@ -521,11 +521,21 @@ object RelationalQueries {
     * (1000 suppliers > k = 512); the part/order pairs run the
     * estimator branch at both.
     * within_bound re-derives |est_inter − n_inter| ≤ 5/√(k−2) ·
-    * n_union on BOTH engines from the same replayed numbers. Each
-    * signature is one distinct aggregate + distributed top-k
-    * (TakeOrderedAndProject — k·partitions hashes on the exchange);
-    * signatures are localCheckpointed once (≤ k rows) and every
-    * membership join broadcasts.
+    * n_union on BOTH engines from the same replayed numbers.
+    *
+    * The QUERY runs the fused two-job plan (the composable
+    * [[Kmv.signature]]/[[Kmv.setAlgebra]] API, which KmvSpec pins, ran
+    * sixteen small jobs here — 3.6 s of mostly scheduling on the
+    * clean board): job 1 computes all SIX signatures in one grouped
+    * pass — per-row conditional (scenario, side, hash) entries,
+    * distinct, then a ranked prefix per (scenario, side) — and
+    * checkpoints the ≤ 6k-row table; job 2 derives union synopses
+    * (the bottom-k merge law: rank the distinct union of the two
+    * bottom-k's), membership flags, the exact flag-triples (one
+    * exploded (scenario, key) pass), and the estimates in a single
+    * plan over that checkpoint. The signature exchange carries the
+    * per-(scenario, side) DISTINCT hash sets once, instead of
+    * scanning the fact table six times.
     */
   def kmvSetAlgebra(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Kmv
@@ -540,24 +550,74 @@ object RelationalQueries {
         col("l_returnflag") === "R", col("l_returnflag") === "A"),
       ("orders_lowq_highq", "l_orderkey",
         col("l_quantity") <= 10, col("l_quantity") > 40))
-    val rows = scen.map { case (name, key, ca, cb) =>
-      val sigA = Kmv.signature(li.where(ca), key, k).localCheckpoint()
-      val sigB = Kmv.signature(li.where(cb), key, k).localCheckpoint()
-      Kmv.setAlgebra(sigA, sigB, k)
-        .crossJoin(broadcast(exactTriple(li, key, ca, cb)))
-        .select(
-          lit(name).as("scenario"),
-          col("eu").as("n_union"),
-          (col("ea") + col("eb") - col("eu")).as("n_inter"),
-          round(col("est_union"), 6).as("est_union"),
-          round(col("jaccard"), 6).as("jaccard"),
-          round(col("est_inter"), 6).as("est_inter"),
-          (abs(col("est_inter") -
-            (col("ea") + col("eb") - col("eu")).cast("double")) <=
-            lit(eps) * col("eu").cast("double"))
-            .cast("long").as("within_bound"))
+    // Job 1: all six signatures in one pass. The when() guard keeps
+    // the md5 off rows outside the side (same hash count as six
+    // filtered scans, one fact read).
+    val sideEntries = scen.zipWithIndex.flatMap { case ((_, key, ca, cb), i) =>
+      Seq(
+        when(ca, struct(lit(i).as("scen"), lit(0).as("side"),
+          Kmv.hash(col(key), "kmv").as("h"))),
+        when(cb, struct(lit(i).as("scen"), lit(1).as("side"),
+          Kmv.hash(col(key), "kmv").as("h"))))
     }
-    rows.reduce(_.unionByName(_)).orderBy("scenario")
+    val sigs = li.select(explode(array(sideEntries: _*)).as("t"))
+      .where(col("t").isNotNull).select("t.*")
+      .distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("scen", "side").orderBy("h")))
+      .where(col("rn") <= k).drop("rn")
+      .localCheckpoint() // <= 6k rows, pinned once
+    // Union synopsis per scenario off the two bottom-k's (the merge
+    // law), plus membership flags inside it.
+    val l = sigs.select("scen", "h").distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("scen").orderBy("h")))
+      .where(col("rn") <= k).drop("rn")
+    val stats = l
+      .join(sigs.where(col("side") === 0)
+        .select(col("scen"), col("h"), lit(1).as("in_a")),
+        Seq("scen", "h"), "left")
+      .join(sigs.where(col("side") === 1)
+        .select(col("scen"), col("h"), lit(1).as("in_b")),
+        Seq("scen", "h"), "left")
+      .groupBy("scen").agg(
+        count(lit(1)).as("n_l"), max(col("h")).as("h_k"),
+        coalesce(sum((col("in_a").isNotNull && col("in_b").isNotNull)
+          .cast("long")), lit(0L)).as("in_both"))
+    // Exact triples for all scenarios in ONE exploded flag pass (all
+    // three keys are longs, so they share a column).
+    val keyed = li.select(explode(array(
+        scen.zipWithIndex.map { case ((_, key, ca, cb), i) =>
+          struct(lit(i).as("scen"), col(key).as("kv"),
+            ca.cast("int").as("ia"), cb.cast("int").as("ib"))
+        }: _*)).as("t"))
+      .select("t.*")
+    val triples = keyed.groupBy("scen", "kv")
+      .agg(max("ia").as("ia"), max("ib").as("ib"))
+      .groupBy("scen").agg(sum("ia").as("ea"), sum("ib").as("eb"),
+        sum(greatest(col("ia"), col("ib"))).as("eu"))
+    val names = array(scen.map(s => lit(s._1)): _*)
+    stats.join(triples, "scen")
+      .withColumn("raw_u",
+        when(col("n_l") < k, col("n_l").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(Kmv.Scale) /
+            col("h_k").cast("double")))
+      .withColumn("jac",
+        when(col("n_l") > 0,
+          col("in_both").cast("double") / col("n_l").cast("double"))
+          .otherwise(lit(0.0)))
+      .select(
+        element_at(names, col("scen") + 1).as("scenario"),
+        col("eu").as("n_union"),
+        (col("ea") + col("eb") - col("eu")).as("n_inter"),
+        round(col("raw_u"), 6).as("est_union"),
+        round(col("jac"), 6).as("jaccard"),
+        round(col("jac") * col("raw_u"), 6).as("est_inter"),
+        (abs(col("jac") * col("raw_u") -
+          (col("ea") + col("eb") - col("eu")).cast("double")) <=
+          lit(eps) * col("eu").cast("double"))
+          .cast("long").as("within_bound"))
+      .orderBy("scenario")
   }
 
   val kmvSetAlgebraSql: String = {

@@ -833,14 +833,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(600))
   }
 
-  test("q_rel10h: signatures are distinct + TakeOrderedAndProject; no Expand, no cartesian") {
-    // Each KMV signature is a distinct aggregate feeding a distributed
-    // top-k — the exchange carries k·partitions hashes, never the
-    // corpus (and never a global Sort). The exact side is the same
-    // flag form as q_rel10g, so no Expand appears here either.
+  test("q_rel10h: one checkpointed signature table feeds the whole algebra; one fact scan; no Expand/cartesian") {
+    // The fused plan: job 1 (already executed by the checkpoint)
+    // built all six signatures; the final plan reads that <= 6k-row
+    // checkpoint three times (union synopsis + two membership sides)
+    // and scans the fact table exactly ONCE more (the exploded exact
+    // flag-triples). No Expand (no conditional countDistincts), no
+    // cartesian.
     val p = plan("q_rel10h_kmv_set_algebra")
-    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2,
-      "signature top-k must be TakeOrderedAndProject: " + p.take(800))
+    assert("Scan ExistingRDD".r.findAllIn(p).size >= 3,
+      "all algebra reads the signature checkpoint: " + p.take(800))
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      "exactly one fact scan (the exact triples): " + p.take(800))
     assert(!p.contains("Expand"), "Expand must not appear: " + p.take(600))
     assert(!p.contains("CartesianProduct"), p.take(600))
   }

@@ -571,6 +571,11 @@ object EventQueries {
   def m4Anchors(b: DataFrame): DataFrame = {
     val g = b.groupBy("event_type", "bucket").agg(
       count(lit(1)).as("n"),
+      // Exact integer value mass (2dp-reading precondition, the
+      // q_agg7 discipline): lets bucket MEANS derive from the anchors
+      // deterministically — [[graft.streaming.M4Stream.smoothed]]'s
+      // input. [[m4]] drops it (M4 proper is the 4 value anchors).
+      sum(round(col("value") * 100).cast("long")).as("cents"),
       min("ts_us").as("t_first_us"), max("ts_us").as("t_last_us"),
       min("value").as("v_min"), max("value").as("v_max"))
     val fl = b.join(g.select(col("event_type"), col("bucket"),
@@ -590,7 +595,7 @@ object EventQueries {
     val b = series.crossJoin(broadcast(rng))
       .withColumn("bucket", expr(s"((ts_us - lo) * $w) div (hi - lo + 1)"))
       .select("event_type", "bucket", "ts_us", "value")
-    m4Anchors(b).orderBy("event_type", "bucket")
+    m4Anchors(b).drop("cents").orderBy("event_type", "bucket")
   }
 
   def m4Downsample(spark: SparkSession, dir: String): DataFrame =

@@ -60,14 +60,14 @@ object M4Stream {
     */
   private val stateSchema = StructType(Seq(
     StructField("key", StringType), StructField("bucket", LongType),
-    StructField("n", LongType),
+    StructField("n", LongType), StructField("cents", LongType),
     StructField("t_first_us", LongType), StructField("t_last_us", LongType),
     StructField("v_min", DoubleType), StructField("v_max", DoubleType),
     StructField("v_first", DoubleType), StructField("v_last", DoubleType),
     StructField("total", LongType), StructField("batch_id", LongType),
     StructField("grain_us", LongType)))
 
-  private val anchorCols = Seq("key", "bucket", "n", "t_first_us",
+  private val anchorCols = Seq("key", "bucket", "n", "cents", "t_first_us",
     "t_last_us", "v_min", "v_max", "v_first", "v_last")
 
   /** The committed meta under `stateDir`: (rowTotal, high-water
@@ -86,7 +86,7 @@ object M4Stream {
         s"m4 state generation ${gens.max} has ${meta.length} meta rows " +
           "(want exactly 1) — foreign or corrupt state")
       val m = meta.head
-      Some((m.getLong(9), m.getLong(10), m.getLong(11)))
+      Some((m.getLong(10), m.getLong(11), m.getLong(12)))
     }
   }
 
@@ -97,7 +97,7 @@ object M4Stream {
     val gens = GenStore.committed(spark, stateDir)
     if (gens.isEmpty) {
       spark.createDataFrame(java.util.Collections.emptyList[Row](),
-        StructType(stateSchema.take(9)))
+        StructType(stateSchema.take(10)))
     } else {
       spark.read.schema(stateSchema).parquet(GenStore.dir(stateDir, gens.max))
         .where(col("bucket").isNotNull)
@@ -111,11 +111,11 @@ object M4Stream {
     */
   private def mergeAnchors(df: DataFrame): DataFrame =
     df.groupBy("key", "bucket").agg(
-        sum("n").as("n"),
+        sum("n").as("n"), sum("cents").as("cents"),
         min(struct(col("t_first_us"), col("v_first"))).as("sf"),
         max(struct(col("t_last_us"), col("v_last"))).as("sl"),
         min("v_min").as("v_min"), max("v_max").as("v_max"))
-      .select(col("key"), col("bucket"), col("n"),
+      .select(col("key"), col("bucket"), col("n"), col("cents"),
         col("sf.t_first_us").as("t_first_us"),
         col("sl.t_last_us").as("t_last_us"),
         col("v_min"), col("v_max"),
@@ -168,7 +168,7 @@ object M4Stream {
           val metaDf = spark.createDataFrame(
             java.util.Collections.singletonList(
               Row(null, null, null, null, null, null, null, null, null,
-                total, batchId, grainUs)),
+                null, total, batchId, grainUs)),
             stateSchema)
           val gens = GenStore.committed(spark, stateDir)
           val gen = gens.lastOption.map(_ + 1).getOrElse(0L)
@@ -194,5 +194,42 @@ object M4Stream {
     mergeAnchors(
       anchors(spark, stateDir)
         .withColumn("bucket", expr(s"bucket div $factor")))
+  }
+
+  /** EWMA smoothing read — the streamed face of q_agg10
+    * ([[graft.analytics.EventQueries.ewmaSmooth]]), computed OFF the
+    * committed state: per (key, bucket) the trailing-`window`-bucket
+    * exponentially-weighted mean of bucket means, weight 2^−Δbuckets.
+    * This is why the anchors carry the exact integer `cents` mass —
+    * bucket means derive as cents/(100·n) in exact double arithmetic,
+    * the weights are integer exponent shifts, and the fold runs in
+    * ascending-bucket order, so the smoothed series is
+    * BIT-deterministic (q_agg10's discipline) and, because summed
+    * cents ARE the cents of the concatenated stream, stream-then-
+    * smooth ≡ smooth-over-everything EXACTLY. One more reason the
+    * state design pays: chart (anchors), zoom ([[coarsened]]) and
+    * smoothing all read the same ≤ keys·buckets rows without touching
+    * history. Output: (key, bucket, n, mean_v, ewma_v) — raw doubles.
+    */
+  def smoothed(spark: SparkSession, stateDir: String, window: Int = 48)
+      : DataFrame = {
+    require(window > 0 && window <= 62,
+      s"window must be in [1, 62] buckets (exponent-shift weights), got $window")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("key").orderBy("bucket")
+      .rangeBetween(-(window - 1).toLong, 0L)
+    val shiftW = "cast(shiftleft(cast(1 as bigint), " +
+      "cast(bucket - x.b as int)) as double)"
+    anchors(spark, stateDir)
+      .select(col("key"), col("bucket"), col("n"),
+        (col("cents").cast("double") /
+          (lit(100.0) * col("n").cast("double"))).as("mean_v"))
+      .withColumn("win",
+        collect_list(struct(col("bucket").as("b"), col("mean_v").as("v")))
+          .over(w))
+      .select(col("key"), col("bucket"), col("n"), col("mean_v"),
+        (expr(s"aggregate(win, 0D, (acc, x) -> acc + x.v / $shiftW)") /
+          expr(s"aggregate(win, 0D, (acc, x) -> acc + 1.0D / $shiftW)"))
+          .as("ewma_v"))
   }
 }

@@ -47,11 +47,13 @@ class M4StreamSpec extends SparkSpec {
           col("ts_us"), col("value")))
       .collect().map(_.toSeq).toSet
 
+  private val anchorCols = Seq("event_type", "bucket", "n", "cents",
+    "t_first_us", "t_last_us", "v_min", "v_max", "v_first", "v_last")
+
   private def committed(dir: String): Set[Seq[Any]] =
     M4Stream.anchors(spark, dir)
       .withColumnRenamed("key", "event_type")
-      .select("event_type", "bucket", "n", "t_first_us", "t_last_us",
-        "v_min", "v_max", "v_first", "v_last")
+      .select(anchorCols.head, anchorCols.tail: _*)
       .collect().map(_.toSeq).toSet
 
   test("streamed anchors == one-shot fixed-grid M4 after every batch; ties across batches resolve") {
@@ -74,10 +76,35 @@ class M4StreamSpec extends SparkSpec {
     val factor = 10
     val got = M4Stream.coarsened(spark, dir, factor)
       .withColumnRenamed("key", "event_type")
-      .select("event_type", "bucket", "n", "t_first_us", "t_last_us",
-        "v_min", "v_max", "v_first", "v_last")
+      .select(anchorCols.head, anchorCols.tail: _*)
       .collect().map(_.toSeq).toSet
     assert(got == oneShot(slices.flatten, Grain * factor))
+  }
+
+  test("smoothed read: streamed EWMA == driver-side exact recomputation over everything seen, BIT-identical") {
+    val dir = Files.createTempDirectory("graft-m4ewma").toString
+    val fn = M4Stream.pipeline(dir, Grain)
+    slices.zipWithIndex.foreach { case (s, i) => fn(df(s), i.toLong) }
+    val win = 8
+    val out = M4Stream.smoothed(spark, dir, win).collect()
+    // Reference: bucket means from exact cents over the UNION of
+    // arrivals, then the same left fold in ascending-bucket order.
+    val means = slices.flatten.groupBy(p => (p._1, p._2 / Grain))
+      .map { case ((k, b), xs) =>
+        val cents = xs.map(p => math.round(p._3 * 100)).sum
+        (k, b) -> (cents.toDouble / (100.0 * xs.size))
+      }
+    out.foreach { r =>
+      val (k, b) = (r.getAs[String]("key"), r.getAs[Long]("bucket"))
+      val frame = means.keys.filter(p => p._1 == k && p._2 <= b &&
+        p._2 > b - win).toSeq.sortBy(_._2)
+      val num = frame.foldLeft(0.0) { case (acc, p) =>
+        acc + means(p) / (1L << (b - p._2)).toDouble }
+      val den = frame.foldLeft(0.0) { case (acc, p) =>
+        acc + 1.0 / (1L << (b - p._2)).toDouble }
+      assert(r.getAs[Double]("ewma_v") == num / den, s"key $k bucket $b")
+      assert(r.getAs[Double]("mean_v") == means((k, b)))
+    }
   }
 
   test("replay skips; stale and mismatched grain refuse; fresh state is empty") {

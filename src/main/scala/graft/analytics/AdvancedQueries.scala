@@ -281,11 +281,11 @@ object AdvancedQueries {
     * end; retention rounds at 6dp (a double division emitted to the
     * oracle — the one non-integer column).
     */
-  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
-    val weekUs = 604800000000L
-    val ev = Tables.events(spark, dir)
-      .select(col("user_id"),
-        expr(s"(ts_ns div 1000) div $weekUs").as("week"))
+  /** The retention-matrix core over a (user_id, week) activity table —
+    * [[cohortRetention]]'s engine, shared with
+    * [[graft.streaming.CohortStream]]'s read side.
+    */
+  def cohortMatrix(ev: DataFrame): DataFrame = {
     val first = ev.groupBy("user_id").agg(min("week").as("cohort_week"))
     val sizes = first.groupBy("cohort_week")
       .agg(count(lit(1)).as("cohort_size"))
@@ -300,6 +300,13 @@ object AdvancedQueries {
         round(col("n_active").cast("double") /
           col("cohort_size").cast("double"), 6).as("retention"))
       .orderBy("cohort_week", "week_offset")
+  }
+
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val weekUs = 604800000000L
+    cohortMatrix(Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr(s"(ts_ns div 1000) div $weekUs").as("week")))
   }
 
   val cohortRetentionSql: String =

@@ -281,6 +281,91 @@ object AdvancedQueries {
     * end; retention rounds at 6dp (a double division emitted to the
     * oracle — the one non-integer column).
     */
+  /** q_adv10: ordered conversion funnel — signup → view → click →
+    * purchase, each step's timestamp the EARLIEST occurrence strictly
+    * after the previous step (the sequential-pattern semantics a
+    * `MATCH_RECOGNIZE` engine would give; Spark has none, so the
+    * funnel is the classic iterated conditional-min: step k = one
+    * filtered aggregate joined on the step-(k−1) frontier). Four
+    * grouped aggregates all hash-partition by user_id — the exchange
+    * is reused down the chain, and each step's frontier is ≤ users
+    * rows (joined broadcast at these SFs, co-partitioned at scale).
+    * Output: per step, users reaching it and the conversion rate
+    * from the previous step in exact integer micro-units (the q_agg7
+    * HALF_UP formula — no float rounding anywhere). The four step
+    * counts are 1-row bounded pins (driver assembles a 4-row
+    * summary).
+    */
+  def funnelSteps(spark: SparkSession, dir: String): DataFrame =
+    funnelOver(spark, Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("ts_ns div 1000").as("ts_us")))
+
+  /** The funnel core over a (user_id, event_type, ts_us) table —
+    * factored for planted-ordering specs.
+    */
+  def funnelOver(spark: SparkSession, ev: DataFrame): DataFrame = {
+    import spark.implicits._
+    def firstAfter(tpe: String, frontier: Option[DataFrame]): DataFrame = {
+      val base = ev.where(col("event_type") === tpe)
+      val gated = frontier match {
+        case None => base
+        case Some(f) =>
+          base.join(f.select(col("user_id"), col("t").as("t_prev")),
+            Seq("user_id"))
+            .where(col("ts_us") > col("t_prev"))
+      }
+      gated.groupBy("user_id").agg(min("ts_us").as("t"))
+    }
+    val s1 = firstAfter("signup", None)
+    val s2 = firstAfter("view", Some(s1))
+    val s3 = firstAfter("click", Some(s2))
+    val s4 = firstAfter("purchase", Some(s3))
+    val counts = Seq(("1_signup", s1), ("2_view", s2), ("3_click", s3),
+      ("4_purchase", s4)).map { case (name, df) => (name, df.count()) }
+    // conv_micro = HALF_UP(10⁶ · n/prev) in pure integer arithmetic
+    // (the q_agg7 avg_micro discipline — float division + round can
+    // disagree across engines on exact halves).
+    val rows = counts.zipWithIndex.map { case ((name, n), i) =>
+      val prev = if (i == 0) n else counts(i - 1)._2
+      (name, n, prev,
+        if (prev == 0) 0L else (n * 2000000L + prev) / (2L * prev))
+    }
+    rows.toDF("step", "n_users", "n_prev", "conv_micro")
+      .orderBy("step")
+  }
+
+  val funnelStepsSql: String =
+    """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
+      |            FROM events),
+      |s1 AS (SELECT user_id, min(ts_us) AS t FROM ev
+      |       WHERE event_type = 'signup' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(e.ts_us) AS t FROM ev e
+      |       JOIN s1 ON e.user_id = s1.user_id
+      |       WHERE e.event_type = 'view' AND e.ts_us > s1.t GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(e.ts_us) AS t FROM ev e
+      |       JOIN s2 ON e.user_id = s2.user_id
+      |       WHERE e.event_type = 'click' AND e.ts_us > s2.t GROUP BY 1),
+      |s4 AS (SELECT e.user_id, min(e.ts_us) AS t FROM ev e
+      |       JOIN s3 ON e.user_id = s3.user_id
+      |       WHERE e.event_type = 'purchase' AND e.ts_us > s3.t GROUP BY 1),
+      |c AS (SELECT '1_signup' AS step, (SELECT count(*) FROM s1) AS n_users,
+      |             (SELECT count(*) FROM s1) AS n_prev
+      |      UNION ALL
+      |      SELECT '2_view', (SELECT count(*) FROM s2),
+      |             (SELECT count(*) FROM s1)
+      |      UNION ALL
+      |      SELECT '3_click', (SELECT count(*) FROM s3),
+      |             (SELECT count(*) FROM s2)
+      |      UNION ALL
+      |      SELECT '4_purchase', (SELECT count(*) FROM s4),
+      |             (SELECT count(*) FROM s3))
+      |SELECT step, n_users, n_prev,
+      |       CAST(CASE WHEN n_prev = 0 THEN 0
+      |            ELSE (n_users * 2000000 + n_prev) // (2 * n_prev) END
+      |         AS BIGINT) AS conv_micro
+      |FROM c ORDER BY step""".stripMargin
+
   /** The retention-matrix core over a (user_id, week) activity table —
     * [[cohortRetention]]'s engine, shared with
     * [[graft.streaming.CohortStream]]'s read side.

@@ -171,4 +171,34 @@ class EventSemanticsSpec extends SparkSpec {
         firstWeek.count(_._2 == cw).toLong)
     }
   }
+
+  test("ADV-10 funnel: steps are STRICTLY ordered — out-of-order completions don't count") {
+    // u1 completes in order; u2 purchased BEFORE clicking (no step 4);
+    // u3 viewed before signup (view doesn't count; re-view after
+    // signup does); u4 signup only.
+    val ev = Seq(
+      (1L, "signup", 10L), (1L, "view", 20L), (1L, "click", 30L),
+      (1L, "purchase", 40L),
+      (2L, "signup", 10L), (2L, "view", 20L), (2L, "purchase", 25L),
+      (2L, "click", 30L),
+      (3L, "view", 5L), (3L, "signup", 10L), (3L, "view", 15L),
+      (3L, "click", 20L), (3L, "purchase", 30L),
+      (4L, "signup", 10L)
+    ).toDF("user_id", "event_type", "ts_us")
+    val got = AdvancedQueries.funnelOver(spark, ev)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      ("1_signup", 4L, 1000000L),   // 4 signups
+      ("2_view", 3L, 750000L),      // u4 never viewed
+      ("3_click", 3L, 1000000L),    // all viewers clicked
+      ("4_purchase", 2L, 666667L))) // u2's purchase preceded the click
+    // Same-µs events do NOT chain (strictly-after): a click at the
+    // exact view timestamp is not "after" it.
+    val tie = Seq((9L, "signup", 1L), (9L, "view", 2L),
+      (9L, "click", 2L)).toDF("user_id", "event_type", "ts_us")
+    val t = AdvancedQueries.funnelOver(spark, tie)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(t.toSeq == Seq(("1_signup", 1L), ("2_view", 1L),
+      ("3_click", 0L), ("4_purchase", 0L)))
+  }
 }

@@ -486,6 +486,61 @@ object EventQueries {
     * pass through min/max untouched (bit-identical doubles, no
     * rounding needed).
     */
+  /** AGG-11: seasonal (hour-of-day) anomaly flags — the IoT-shaped
+    * complement to q_agg6's per-user z-scores: every hour's series
+    * mean is scored against the baseline of the SAME hour-of-day
+    * across all days ("is 3 AM unusually hot *for a 3 AM*"), which is
+    * the signal a daily-cyclic sensor fleet actually alarms on — a
+    * plain global baseline flags every rush hour forever. Hourly
+    * means are exact integer micro-units (the q_agg7 discipline);
+    * baselines are one aggregation over the series·24 instance table
+    * (≤ types·24 groups — bounded however long the history grows);
+    * z is rounded at 4dp BEFORE thresholding on both engines (the
+    * q_agg6 flag discipline). Corpus-scale work is the one hourly
+    * aggregation; everything after runs on series·hours rows.
+    */
+  def seasonalAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600000000L
+    val hourly = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr(s"((ts_ns div 1000) div $hourUs) * $hourUs").as("hour_us"),
+        col("value"))
+      .groupBy("event_type", "hour_us")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+      .select(col("event_type"), col("hour_us"),
+        expr("(cents * 20000 + n) div (n * 2)").as("avg_micro"))
+      .withColumn("hod", expr(s"(hour_us div $hourUs) % 24"))
+    val w = Window.partitionBy("event_type", "hod")
+    hourly
+      .withColumn("mu", avg(col("avg_micro")).over(w))
+      .withColumn("sd", stddev_samp(col("avg_micro")).over(w))
+      .where(col("sd") > 0)
+      .withColumn("z", round((col("avg_micro") - col("mu")) / col("sd"), 4))
+      .where(abs(col("z")) > 2)
+      .select("event_type", "hour_us", "hod", "avg_micro", "z")
+      .orderBy("event_type", "hour_us")
+  }
+
+  val seasonalAnomaliesSql: String =
+    """SELECT event_type, hour_us, hod, avg_micro, z FROM (
+      |  SELECT event_type, hour_us, hod, avg_micro, sd,
+      |         round((avg_micro - mu) / sd, 4) AS z
+      |  FROM (
+      |    SELECT event_type, hour_us, (hour_us // 3600000000) % 24 AS hod,
+      |           avg_micro,
+      |           avg(avg_micro) OVER w AS mu,
+      |           stddev_samp(avg_micro) OVER w AS sd
+      |    FROM (
+      |      SELECT event_type,
+      |             (epoch_us(ts) // 3600000000) * 3600000000 AS hour_us,
+      |             CAST((sum(CAST(round(value * 100) AS BIGINT)) * 20000
+      |                   + count(*)) // (count(*) * 2) AS BIGINT) AS avg_micro
+      |      FROM events GROUP BY 1, 2)
+      |    WINDOW w AS (PARTITION BY event_type,
+      |                 (hour_us // 3600000000) % 24)))
+      |WHERE sd > 0 AND abs(z) > 2 ORDER BY event_type, hour_us""".stripMargin
+
   /** AGG-10: time-decay EWMA smoothing per series — the smoother the
     * agg tier was missing next to gap-fill (q_agg5), outlier z-scores
     * (q_agg6) and M4 (q_agg9): per (event_type, hour) the

@@ -21,12 +21,14 @@ QUERIES = [
     "q_dd13_prefix_jaccard", "q_ml19_length_buckets",
     "q_ml21_bloom_decontamination", "q_ml22_bottomk_sample",
     "q_txt20_cms_audit",
+    "q_rel10h_kmv_set_algebra", "q_agg9_m4_downsample",
+    "q_adv9_cohort_retention", "q_adv10_funnel",
 ]
 
 HEADER = '''# PLANS — executed physical plans of headline queries
 
 `graft.tools.Explain` output (sf0.001, the engine's own AQE-enabled
-session) for twenty-two representative queries — the evidence behind SCALE.md's
+session) for twenty-six representative queries — the evidence behind SCALE.md's
 shuffle-structure claims, regenerable any time with:
 
 ```bash

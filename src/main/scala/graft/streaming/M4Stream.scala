@@ -211,6 +211,36 @@ object M4Stream {
     * smoothing all read the same ≤ keys·buckets rows without touching
     * history. Output: (key, bucket, n, mean_v, ewma_v) — raw doubles.
     */
+  /** Seasonal anomaly read — the streamed face of q_agg11
+    * ([[graft.analytics.EventQueries.seasonalAnomalies]]) off the same
+    * committed state: every bucket's mean scored against the baseline
+    * of the SAME phase (bucket mod `period` — hour-of-day at hourly
+    * grain) across the stream's whole history, z rounded at 4dp
+    * BEFORE thresholding (the q_agg6/q_agg11 flag discipline). The
+    * fourth read over the one ≤ keys·buckets state: chart (anchors),
+    * zoom ([[coarsened]]), smoothing ([[smoothed]]), alerting — a
+    * kappa dashboard's whole read surface, none of it re-scanning
+    * history. Output: (key, bucket, phase, mean_v, z) for flagged
+    * buckets only.
+    */
+  def anomalies(spark: SparkSession, stateDir: String, period: Long = 24L,
+      threshold: Double = 2.0): DataFrame = {
+    require(period > 0, s"period must be positive, got $period")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("key", "phase")
+    anchors(spark, stateDir)
+      .select(col("key"), col("bucket"),
+        (col("bucket") % period).as("phase"),
+        (col("cents").cast("double") /
+          (lit(100.0) * col("n").cast("double"))).as("mean_v"))
+      .withColumn("mu", avg(col("mean_v")).over(w))
+      .withColumn("sd", stddev_samp(col("mean_v")).over(w))
+      .where(col("sd") > 0)
+      .withColumn("z", round((col("mean_v") - col("mu")) / col("sd"), 4))
+      .where(abs(col("z")) > threshold)
+      .select("key", "bucket", "phase", "mean_v", "z")
+  }
+
   def smoothed(spark: SparkSession, stateDir: String, window: Int = 48)
       : DataFrame = {
     require(window > 0 && window <= 62,

@@ -107,6 +107,38 @@ class M4StreamSpec extends SparkSpec {
     }
   }
 
+  test("anomalies read: streamed seasonal flags == driver-side recomputation (rounded-z row set)") {
+    val dir = Files.createTempDirectory("graft-m4anom").toString
+    val fn = M4Stream.pipeline(dir, Grain)
+    slices.zipWithIndex.foreach { case (s, i) => fn(df(s), i.toLong) }
+    val period = 10L
+    val got = M4Stream.anomalies(spark, dir, period, threshold = 1.5)
+      .collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[Long]("bucket"),
+        r.getAs[Double]("z"))).toSet
+    // Reference: means per bucket from exact cents; per (key, phase)
+    // sample mean/std; flag |round(z, 4)| > 1.5.
+    val means = slices.flatten.groupBy(p => (p._1, p._2 / Grain))
+      .map { case ((k, b), xs) =>
+        (k, b) -> (xs.map(p => math.round(p._3 * 100)).sum.toDouble /
+          (100.0 * xs.size)) }
+    val want = means.keys.groupBy(p => (p._1, p._2 % period))
+      .flatMap { case (_, ks) =>
+        val vs = ks.toSeq.sortBy(_._2).map(means)
+        val mu = vs.sum / vs.size
+        val sd = math.sqrt(vs.map(v => (v - mu) * (v - mu)).sum /
+          (vs.size - 1))
+        if (sd <= 0) Seq.empty
+        else ks.flatMap { p =>
+          val z = BigDecimal((means(p) - mu) / sd)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          if (math.abs(z) > 1.5) Some((p._1, p._2, z)) else None
+        }
+      }.toSet
+    assert(got == want, s"flag sets must match: got ${got.size}, want ${want.size}")
+    assert(got.nonEmpty, "fixture must actually flag something")
+  }
+
   test("replay skips; stale and mismatched grain refuse; fresh state is empty") {
     val dir = Files.createTempDirectory("graft-m4replay").toString
     assert(M4Stream.anchors(spark, dir).count() == 0L)

@@ -510,7 +510,10 @@ object EventQueries {
         sum(round(col("value") * 100).cast("long")).as("cents"))
       .select(col("event_type"), col("hour_us"),
         expr("(cents * 20000 + n) div (n * 2)").as("avg_micro"))
-      .withColumn("hod", expr(s"(hour_us div $hourUs) % 24"))
+      // pmod, not %: Spark's % follows the dividend's sign, so a
+      // pre-epoch hour would split an hour-of-day into two baseline
+      // groups (the oracle mirrors with ((x % 24) + 24) % 24).
+      .withColumn("hod", expr(s"pmod(hour_us div $hourUs, 24)"))
     val w = Window.partitionBy("event_type", "hod")
     hourly
       .withColumn("mu", avg(col("avg_micro")).over(w))
@@ -527,7 +530,8 @@ object EventQueries {
       |  SELECT event_type, hour_us, hod, avg_micro, sd,
       |         round((avg_micro - mu) / sd, 4) AS z
       |  FROM (
-      |    SELECT event_type, hour_us, (hour_us // 3600000000) % 24 AS hod,
+      |    SELECT event_type, hour_us,
+      |           (((hour_us // 3600000000) % 24) + 24) % 24 AS hod,
       |           avg_micro,
       |           avg(avg_micro) OVER w AS mu,
       |           stddev_samp(avg_micro) OVER w AS sd
@@ -538,7 +542,7 @@ object EventQueries {
       |                   + count(*)) // (count(*) * 2) AS BIGINT) AS avg_micro
       |      FROM events GROUP BY 1, 2)
       |    WINDOW w AS (PARTITION BY event_type,
-      |                 (hour_us // 3600000000) % 24)))
+      |                 (((hour_us // 3600000000) % 24) + 24) % 24)))
       |WHERE sd > 0 AND abs(z) > 2 ORDER BY event_type, hour_us""".stripMargin
 
   /** AGG-10: time-decay EWMA smoothing per series — the smoother the

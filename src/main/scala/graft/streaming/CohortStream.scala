@@ -44,6 +44,22 @@ import graft.analytics.AdvancedQueries
   * of the high-water batch skips, stale throws; the week grain is
   * committed µs-scaled and validated (pairs bucketed on different
   * grains must not merge).
+  *
+  * State WRITE sizing: unlike the sketch stores (CMS d·w cells, Bloom
+  * m/64 words, DDSketch buckets — all tiny by construction), this
+  * store is linear in DISTINCT users, so the rewrite is hash-
+  * partitioned on `user_id` into ⌈pairs / targetRowsPerFile⌉ files
+  * (the [[StreamingDedup]] per-entity precedent — a `coalesce(1)`
+  * here would funnel the matrix's whole information content through
+  * ONE task per batch, the single-core bottleneck the operator
+  * exists to avoid). The file count derives from the COMMITTED total
+  * (the meta pin), so sizing costs no extra action; at the default
+  * 4M pairs/file (two longs/row → ~30 MB parquet) a 10⁸-user year
+  * is ~hundreds of ordinary files, each written by its own task.
+  * Null guard: rows with null `user_id` or `ts_us` are dropped
+  * BEFORE the merge — a null user pair would otherwise collide with
+  * the meta row's user_id-is-null discriminator and brick every
+  * later [[readMeta]] (and a null week is not activity).
   */
 object CohortStream {
 
@@ -96,9 +112,12 @@ object CohortStream {
     * commit (or replay skip).
     */
   def pipeline(stateDir: String, weekUs: Long = 604800000000L,
-      onBatch: (Long, Long) => Unit = (_, _) => ())
+      onBatch: (Long, Long) => Unit = (_, _) => (),
+      targetRowsPerFile: Long = 4000000L)
       : (DataFrame, Long) => Unit = {
     require(weekUs > 0, s"week grain must be positive, got $weekUs µs")
+    require(targetRowsPerFile > 0,
+      s"targetRowsPerFile must be positive, got $targetRowsPerFile")
     (batch: DataFrame, batchId: Long) => {
       val spark = batch.sparkSession
       val prior = readMeta(spark, stateDir)
@@ -118,8 +137,10 @@ object CohortStream {
               "streaming checkpoint was restored from an older snapshot " +
               "than the state dir; restore a matching pair")
         case _ =>
-          val bPairs = batch.select(col("user_id"),
-            expr(s"ts_us div $weekUs").as("week")).distinct()
+          val bPairs = batch
+            .where(col("user_id").isNotNull && col("ts_us").isNotNull)
+            .select(col("user_id"),
+              expr(s"ts_us div $weekUs").as("week")).distinct()
           // Idempotent distributed merge: union-distinct of (long,
           // long) pairs. <= users·weeks rows out.
           val merged = pairs(spark, stateDir)
@@ -128,18 +149,26 @@ object CohortStream {
             .withColumn("total", lit(null).cast("long"))
             .withColumn("batch_id", lit(null).cast("long"))
             .withColumn("week_us", lit(null).cast("long"))
-          // Exact distinct-pair total — a 1-row bounded pin over the
-          // merged (already bounded) state.
-          val total = merged.agg(count(lit(1))).head().getLong(0)
+          val gens = GenStore.committed(spark, stateDir)
+          val gen = gens.lastOption.map(_ + 1).getOrElse(0L)
+          val genDir = GenStore.dir(stateDir, gen)
+          // Hash-partitioned rewrite: file count from the COMMITTED
+          // total (last batch's pin — a one-batch lag in sizing, never
+          // an extra action), each file written by its own task.
+          val nFiles = math.max(1L, (prior.map(_._1).getOrElse(0L) +
+            targetRowsPerFile - 1) / targetRowsPerFile).toInt
+          merged.repartition(nFiles, col("user_id"))
+            .write.mode("overwrite").parquet(genDir)
+          // Exact distinct-pair total — a metadata count over the
+          // written pair files (the merge executes ONCE: the old
+          // count-then-write form re-derived the union-distinct for
+          // the write action).
+          val total = spark.read.schema(stateSchema).parquet(genDir).count()
           val metaDf = spark.createDataFrame(
             java.util.Collections.singletonList(
               Row(null, null, total, batchId, weekUs)),
             stateSchema)
-          val gens = GenStore.committed(spark, stateDir)
-          val gen = gens.lastOption.map(_ + 1).getOrElse(0L)
-          merged.unionByName(metaDf)
-            .coalesce(1)
-            .write.mode("overwrite").parquet(GenStore.dir(stateDir, gen))
+          metaDf.coalesce(1).write.mode("append").parquet(genDir)
           GenStore.commit(spark, stateDir, gen)
           GenStore.dropBelow(spark, stateDir, gen)
           onBatch(batchId, total)

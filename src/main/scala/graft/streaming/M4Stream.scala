@@ -148,8 +148,12 @@ object M4Stream {
               "streaming checkpoint was restored from an older snapshot " +
               "than the state dir; restore a matching pair")
         case _ =>
+          // Null guard: a null ts_us would bucket to null and collide
+          // with the meta row's bucket-is-null discriminator, bricking
+          // every later readMeta — and a timeless sample is not a
+          // chart point. Null keys are fine (they group as a series).
           val bAnchors = EventQueries.m4Anchors(
-            batch.select(
+            batch.where(col("ts_us").isNotNull).select(
               col("key").cast("string").as("event_type"),
               expr(s"ts_us div $grainUs").as("bucket"),
               col("ts_us"), col("value")))
@@ -230,7 +234,10 @@ object M4Stream {
     val w = Window.partitionBy("key", "phase")
     anchors(spark, stateDir)
       .select(col("key"), col("bucket"),
-        (col("bucket") % period).as("phase"),
+        // pmod, not %: Spark's % follows the dividend's sign, so a
+        // pre-epoch bucket (negative ts_us) would split the same
+        // hour-of-day into two baseline groups.
+        pmod(col("bucket"), lit(period)).as("phase"),
         (col("cents").cast("double") /
           (lit(100.0) * col("n").cast("double"))).as("mean_v"))
       .withColumn("mu", avg(col("mean_v")).over(w))

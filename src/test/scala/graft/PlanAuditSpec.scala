@@ -849,6 +849,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(600))
   }
 
+  test("q_adv10: the fused funnel stays inside its job budget (one action, chain exchanges reused)") {
+    // The pre-fusion form issued four sequential .count() actions,
+    // each re-deriving the frontier chain across separate queries
+    // where AQE's stage cache cannot reuse anything — O(steps²)
+    // recompute, 21 jobs at sf0.01. The fused form reads all four
+    // counts from ONE tagged-union action whose repeated subtrees
+    // dedupe to ReusedExchange (9-12 jobs, 2× faster). A regression
+    // back to per-step actions blows the budget here.
+    val sc = spark.sparkContext
+    sc.setJobGroup("q_adv10-pin", "funnel job budget", false)
+    val jobs = try {
+      val out = graft.analytics.AdvancedQueries.funnelSteps(spark, dir)
+      assert(out.count() == 4L)
+      // status store fills from the async listener bus — poll briefly.
+      var n = sc.statusTracker.getJobIdsForGroup("q_adv10-pin").length
+      val deadline = System.nanoTime() + 5000000000L
+      while (n == 0 && System.nanoTime() < deadline) {
+        Thread.sleep(100); n = sc.statusTracker.getJobIdsForGroup("q_adv10-pin").length
+      }
+      n
+    } finally sc.clearJobGroup()
+    // One union-count action (AQE stages each submit a job; measured
+    // 9-12 across shuffle-partition settings) + 1 local 4-row toDF
+    // count. Budget 13; the pre-fusion form measured 21+.
+    assert(jobs > 0 && jobs <= 13, s"funnel ran $jobs jobs, want 1..13")
+  }
+
   test("q_agg9: the ts range broadcasts onto the scan; anchor aggregates are partial+final; no cartesian") {
     val p = plan("q_agg9_m4_downsample")
     // The 1-row (lo, hi) range reaches every row as a broadcast

@@ -82,6 +82,49 @@ class CohortStreamSpec extends SparkSpec {
     intercept[IllegalArgumentException] { CohortStream.pipeline(dir, 0L) }
   }
 
+  test("null user_id/ts_us rows are dropped before the merge (meta discriminator survives)") {
+    val dir = Files.createTempDirectory("graft-cohortnull").toString
+    val fn = CohortStream.pipeline(dir, WeekUs)
+    val dirty = df(slices.head).unionByName(
+      Seq((Option.empty[Long], Option(3L * WeekUs)),
+          (Option(7L), Option.empty[Long]),
+          (Option.empty[Long], Option.empty[Long]))
+        .toDF("user_id", "ts_us"))
+    fn(dirty, 0L)
+    // A null pair committed into state would make readMeta see 2 meta
+    // rows and throw on EVERY later batch; instead the state equals
+    // the clean batch's and the stream keeps running.
+    assert(matrix(CohortStream.retention(spark, dir)) ==
+      oneShot(slices.head))
+    fn(df(slices(1)), 1L)
+    assert(matrix(CohortStream.retention(spark, dir)) ==
+      oneShot(slices.take(2).flatten))
+  }
+
+  test("state write is hash-partitioned on user_id: file count tracks pairs/targetRowsPerFile") {
+    val dir = Files.createTempDirectory("graft-cohortpart").toString
+    // 40 pairs per file over ~190 committed pairs -> the batch-2
+    // rewrite must land in ceil(prior/40) >= 4 files, not one task.
+    val fn = CohortStream.pipeline(dir, WeekUs, targetRowsPerFile = 40L)
+    slices.zipWithIndex.foreach { case (s, i) => fn(df(s), i.toLong) }
+    assert(matrix(CohortStream.retention(spark, dir)) ==
+      oneShot(slices.flatten))
+    val total = CohortStream.readMeta(spark, dir).get._1
+    val hfs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gen = hfs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("gen-"))
+      .map(_.stripPrefix("gen-").toLong).max
+    val parts = hfs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$dir/gen-$gen")).toSeq
+      .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+    // prior total going into the last rewrite was the batch-1 commit;
+    // >= 4 data files (plus the 1-file meta append) proves the rewrite
+    // fanned out across tasks instead of a coalesce(1).
+    assert(parts.size >= 5, s"want >=5 parquet files, got ${parts.size}")
+    assert(total > 150L, s"probe corpus shrank? $total pairs")
+  }
+
   test("under the streaming engine: MemoryStream batches converge to the one-shot matrix") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -139,6 +139,45 @@ class M4StreamSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture must actually flag something")
   }
 
+  test("null ts_us rows are dropped before bucketing (meta discriminator survives)") {
+    val dir = Files.createTempDirectory("graft-m4null").toString
+    val fn = M4Stream.pipeline(dir, Grain)
+    val dirty = df(slices.head).unionByName(
+      Seq(("a", Option.empty[Long], Option(9.0)),
+          (null.asInstanceOf[String], Option.empty[Long], Option(1.0)))
+        .toDF("key", "ts_us", "value"))
+    fn(dirty, 0L)
+    // A null-bucket anchor committed into state would make readMeta
+    // see 2 meta rows and throw on EVERY later batch; instead the
+    // state equals the clean batch's and the stream keeps running.
+    assert(committed(dir) == oneShot(slices.head, Grain))
+    fn(df(slices(1)), 1L)
+    assert(committed(dir) == oneShot(slices.take(2).flatten, Grain))
+  }
+
+  test("anomalies phase is pmod: pre-epoch buckets share the phase of their hour-of-day") {
+    val dir = Files.createTempDirectory("graft-m4pmod").toString
+    val fn = M4Stream.pipeline(dir, Grain)
+    // Buckets -7..6 (ts straddles the epoch): with % the same phase
+    // p would split into p and p-period groups; with pmod every
+    // bucket lands in [0, period) and -7 % 10 joins phase 3.
+    // Exact bucket multiples: Spark's integral div truncates toward
+    // zero, so an off-grid negative ts would land one bucket high.
+    val rows = for (b <- -7L to 6L) yield
+      ("a", b * Grain, (b % 3).toDouble)
+    fn(df(rows), 0L)
+    val phases = M4Stream.anomalies(spark, dir, period = 10L,
+        threshold = -1.0) // threshold below any |z|: keep all sd>0 rows
+      .select("bucket", "phase").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(phases.nonEmpty)
+    assert(phases.forall { case (_, p) => p >= 0L && p < 10L },
+      s"negative phase leaked: ${phases.mkString(",")}")
+    assert(phases.toMap.get(-7L).contains(3L) &&
+      phases.toMap.get(3L).contains(3L),
+      "bucket -7 must share phase 3 with bucket 3")
+  }
+
   test("replay skips; stale and mismatched grain refuse; fresh state is empty") {
     val dir = Files.createTempDirectory("graft-m4replay").toString
     assert(M4Stream.anchors(spark, dir).count() == 0L)

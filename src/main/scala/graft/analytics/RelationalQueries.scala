@@ -374,6 +374,98 @@ object RelationalQueries {
        |ORDER BY q""".stripMargin
   }
 
+  /** REL-10i: the DDSketch COLLAPSING cap in query form (Masson et
+    * al. §2.4, [[graft.operators.DDSketch.collapse]]) — q_rel10f's
+    * sketch hard-bounded at m = 64 buckets (the price column builds
+    * ~238): the cutoff is the 64th-largest bucket index, everything
+    * below collapses into it, and the row set certifies the whole
+    * collapse law cross-engine: `n_buckets` pins m enforcement,
+    * `agrees_uncapped` pins that a quantile answered above the cutoff
+    * is the IDENTICAL double the uncapped sketch returns (cumulative
+    * counts above the cutoff are untouched), and `within_bound` pins
+    * that α survives there. All of it is plain integer/6dp-rounded
+    * arithmetic on a bounded table — the oracle replays the collapse
+    * exactly, no carve-out. The sketch and its capped form are
+    * localCheckpointed once (~238/64 rows): the fact table is scanned
+    * once for the sketch and once for the exact-truth walk.
+    */
+  def ddCappedQuantile(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.DDSketch
+    import org.apache.spark.sql.expressions.Window
+    val alpha = 0.01
+    val m = 64
+    val qs = Seq(0.5, 0.9, 0.99)
+    val vals = Tables.lineitem(spark, dir)
+      .select(col("l_extendedprice").as("value"))
+    val sk = DDSketch.sketch(vals, alpha).localCheckpoint()
+    val capped = DDSketch.collapse(sk, m).localCheckpoint()
+    val estC = DDSketch.quantiles(capped, alpha, qs).select("q", "est")
+    val estU = DDSketch.quantiles(sk, alpha, qs)
+      .select(col("q"), col("est").as("est_uncapped"))
+    val nb = capped.agg(count(lit(1)).as("n_buckets"))
+    import spark.implicits._
+    val w = Window.orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = vals.where(col("value") > 0)
+      .groupBy("value").agg(count(lit(1)).as("c"))
+      .select(col("value"), sum("c").over(w).as("cum"))
+      .crossJoin(vals.where(col("value") > 0).agg(count(lit(1)).as("total")))
+    val exact = cum.join(broadcast(qs.toDF("q")),
+        col("cum") >= greatest(ceil(col("q") * col("total")), lit(1L)))
+      .groupBy("q").agg(min("value").as("exact_v"))
+    estC.join(broadcast(estU), "q").join(broadcast(exact), "q")
+      .crossJoin(broadcast(nb))
+      .select(col("q"), col("est"), col("est_uncapped"), col("n_buckets"),
+        (col("est") === col("est_uncapped")).cast("long")
+          .as("agrees_uncapped"),
+        (round(abs(col("est") - col("exact_v")) / col("exact_v"), 6)
+          <= alpha).cast("long").as("within_bound"))
+      .orderBy("q")
+  }
+
+  val ddCappedQuantileSql: String = {
+    val a = 0.01
+    val g = (1 + a) / (1 - a)
+    val lnG = math.log(g)
+    s"""WITH v AS (SELECT l_extendedprice AS value FROM lineitem
+       |           WHERE l_extendedprice > 0),
+       |n AS (SELECT count(*) AS total FROM v),
+       |sk AS (SELECT CAST(ceil(round(ln(value) / $lnG, 9)) AS BIGINT) AS bucket,
+       |              count(*) AS cnt FROM v GROUP BY 1),
+       |cut AS (SELECT min(bucket) AS cut FROM
+       |          (SELECT bucket FROM sk ORDER BY bucket DESC LIMIT 64)),
+       |csk AS (SELECT greatest(s.bucket, c.cut) AS bucket, sum(s.cnt) AS cnt
+       |        FROM sk s CROSS JOIN cut c GROUP BY 1),
+       |nb AS (SELECT count(*) AS n_buckets FROM csk),
+       |qs AS (SELECT * FROM (VALUES (0.5), (0.9), (0.99)) t(q)),
+       |ccum AS (SELECT bucket, sum(cnt) OVER (ORDER BY bucket) AS cum FROM csk),
+       |estc AS (SELECT q.q,
+       |           round(2 * power($g, min(c.bucket)) / ${g + 1}, 6) AS est
+       |         FROM qs q CROSS JOIN n JOIN ccum c
+       |           ON c.cum >= greatest(CAST(ceil(q.q * n.total) AS BIGINT), 1)
+       |         GROUP BY 1),
+       |ucum AS (SELECT bucket, sum(cnt) OVER (ORDER BY bucket) AS cum FROM sk),
+       |estu AS (SELECT q.q,
+       |           round(2 * power($g, min(c.bucket)) / ${g + 1}, 6)
+       |             AS est_uncapped
+       |         FROM qs q CROSS JOIN n JOIN ucum c
+       |           ON c.cum >= greatest(CAST(ceil(q.q * n.total) AS BIGINT), 1)
+       |         GROUP BY 1),
+       |dc AS (SELECT value, count(*) AS c FROM v GROUP BY 1),
+       |dcum AS (SELECT value, sum(c) OVER (ORDER BY value) AS cum FROM dc),
+       |ex AS (SELECT q.q, min(d.value) AS exact_v
+       |       FROM qs q CROSS JOIN n JOIN dcum d
+       |         ON d.cum >= greatest(CAST(ceil(q.q * n.total) AS BIGINT), 1)
+       |       GROUP BY 1)
+       |SELECT e.q, e.est, u.est_uncapped, nb.n_buckets,
+       |       CAST(CASE WHEN e.est = u.est_uncapped THEN 1 ELSE 0 END
+       |            AS BIGINT) AS agrees_uncapped,
+       |       CAST(CASE WHEN round(abs(e.est - ex.exact_v) / ex.exact_v, 6)
+       |                      <= $a THEN 1 ELSE 0 END AS BIGINT) AS within_bound
+       |FROM estc e JOIN estu u USING (q) JOIN ex USING (q) CROSS JOIN nb
+       |ORDER BY q""".stripMargin
+  }
+
   /** REL-10g: HLL SET ALGEBRA bound audit — inclusion–exclusion over
     * three conditional sketches: |A∩B| ≈ hll(A) + hll(B) − hll(A∪B),
     * the no-join answer to "distinct keys in BOTH periods/segments" at

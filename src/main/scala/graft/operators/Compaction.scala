@@ -130,6 +130,44 @@ object Compaction {
     snapshot.length
   }
 
+  /** Streaming LAYOUT-fixing form: `foreachBatch` sink that lands each
+    * micro-batch as parquet small files in `stagingDir` (the SNK-1
+    * buffered delivery) and, once `threshold` files have accumulated
+    * (the reference's 100-file trigger, CMP-2), folds the staged
+    * snapshot z-ordered on (`aCol`, `bCol`) into
+    * `outBase/zorder_batch<id>` ([[zOrderCompactParquet]]) — the same
+    * maintenance pass that fixes small-file overhead now also fixes
+    * scan-pruning layout (REL-30's locality law) as the stream runs,
+    * instead of waiting for a nightly job. Each fold is its own
+    * z-ordered file set over ONE trigger-window's rows; cross-fold
+    * ordering is not maintained (row-group stats prune within every
+    * fold independently — at 100 TB the folds are the hour/day
+    * partitions a reader prunes first anyway, and a periodic
+    * [[zOrderCompactParquet]] over accumulated folds re-tightens them
+    * into one). The snapshot discipline is inherited verbatim: a file
+    * landing mid-fold is neither half-read nor deleted-uncompacted —
+    * it stays staged for the next trigger.
+    */
+  def zOrderStreamingBatch(state: CounterState, stagingDir: String,
+      outBase: String, aCol: String, bCol: String, nFiles: Int,
+      threshold: Int = DefaultThreshold, bits: Int = 16)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    batch.write.mode("append").parquet(stagingDir) // SNK-1: small files
+    val fs = new Path(stagingDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nStaged = fs.listStatus(new Path(stagingDir))
+      .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    // Catch the counter up to the visible file count (idempotent on
+    // replayed batch ids: counting files, not invocations).
+    while (state.get < nStaged && state.get < threshold) state.increment()
+    if (state.get >= threshold) {
+      zOrderCompactParquet(spark, stagingDir,
+        s"$outBase/zorder_batch$batchId", aCol, bCol, nFiles, bits)
+      state.reset()
+    }
+  }
+
   /** Streaming form: `foreachBatch` sink that lands each micro-batch as
     * JSON files in `logsDir` (the Firehose buffered delivery, SNK-1) and
     * invokes the per-file handler — micro-batch by size/time (STR-4).

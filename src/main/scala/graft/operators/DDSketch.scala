@@ -76,6 +76,64 @@ object DDSketch {
       .groupBy((keys.map(col) :+ bucketOf(col("value"), alpha).as("bucket")): _*)
       .agg(count(lit(1)).as("n"))
 
+  /** The COLLAPSING cap (Masson et al. §2.4): when a sketch exceeds
+    * `m` buckets, every bucket below the m-th-largest index collapses
+    * into that bucket — state becomes hard-bounded at m rows against
+    * a pathological value range (the uncapped bound ⌈log_γ(max/min)⌉
+    * is ~few hundred on realistic columns but ~35k over the full
+    * positive double range at α=1%). The guarantee that survives is
+    * the one the paper keeps and an SLO monitor needs: collapsing
+    * only moves mass UP to the cutoff bucket, so the cumulative count
+    * at any bucket above the cutoff is unchanged — every quantile
+    * whose answer lands above the cutoff (the upper quantiles, p95/
+    * p99, as long as ≤ (1−q)·N mass sits above it) is IDENTICAL to
+    * the uncapped sketch's, α intact; quantiles at/below the cutoff
+    * degrade one-sidedly to the cutoff's midpoint (an overestimate,
+    * never an underestimate — DDSketchSpec pins both halves).
+    *
+    * Collapse is MERGE-COMPATIBLE: collapse(collapse(A)+B, m) =
+    * collapse(A+B, m) cell-for-cell, because an index a collapse
+    * removes is below its cutoff, the union's cutoff is ≥ every
+    * member's (top-m of a superset), and mass pooled at an old cutoff
+    * re-pools at the new one — removing already-below-cutoff indices
+    * never changes a later top-m. This is what lets
+    * [[graft.streaming.DDSketchStream]] apply the cap per batch and
+    * still commit exactly the one-shot capped table
+    * (DDSketchStreamSpec pins it for an arbitrary slicing).
+    *
+    * Shape: the cutoff is min-of-top-m (a TakeOrderedAndProject over
+    * the bounded table — when the sketch has ≤ m buckets it equals
+    * the global min and the re-group is the identity), broadcast onto
+    * the table, one bounded re-aggregate.
+    */
+  def collapse(sk: DataFrame, m: Int): DataFrame = {
+    require(m >= 2, s"cap must be >= 2 buckets, got $m")
+    val cutoff = sk.orderBy(col("bucket").desc).limit(m)
+      .agg(min("bucket").as("cut"))
+    sk.crossJoin(broadcast(cutoff))
+      .select(greatest(col("bucket"), col("cut")).as("bucket"), col("n"))
+      .groupBy("bucket").agg(sum("n").as("n"))
+  }
+
+  /** Keyed collapsing cap — m enforced PER KEY over a [[sketchBy]]
+    * relation (the per-metric SLO table stays ≤ keys·m rows no matter
+    * what any one series' value range does). Same law as [[collapse]];
+    * the per-key cutoff is a rank window over the bounded table.
+    */
+  def collapseBy(sk: DataFrame, m: Int, keys: Seq[String]): DataFrame = {
+    require(m >= 2, s"cap must be >= 2 buckets, got $m")
+    import org.apache.spark.sql.expressions.Window
+    val keyCols = keys.map(col)
+    val w = Window.partitionBy(keyCols: _*).orderBy(col("bucket").desc)
+    val wAll = Window.partitionBy(keyCols: _*)
+    sk.withColumn("rnk", row_number().over(w))
+      .withColumn("cut",
+        min(when(col("rnk") <= m, col("bucket"))).over(wAll))
+      .select((keyCols :+ greatest(col("bucket"), col("cut")).as("bucket")
+        :+ col("n")): _*)
+      .groupBy((keyCols :+ col("bucket")): _*).agg(sum("n").as("n"))
+  }
+
   /** Per-key quantile estimates from a grouped sketch ([[sketchBy]]):
     * the cumulative walk runs as a window PARTITIONED by key — one
     * pass over the bounded sketch table answers every key's every

@@ -37,6 +37,19 @@ import graft.operators.DDSketch
   * integer) and validated on every batch and read — buckets indexed at
   * a different γ are a different log grid entirely, so a mismatch
   * refuses instead of merging apples into oranges.
+  *
+  * The optional collapsing cap (`maxBuckets`, [[DDSketch.collapse]] —
+  * Masson et al. §2.4) hard-bounds the committed state at m rows
+  * (≤ keys·m keyed) against pathological value ranges, and is itself
+  * committed + validated in the meta (two streams collapsed at
+  * different m have genuinely different low-bucket resolution — they
+  * refuse to merge). Per-batch collapsing loses nothing the one-shot
+  * cap would keep: collapse is merge-compatible ([[DDSketch.collapse]]
+  * — cutoffs only rise under union, pooled mass re-pools), so the
+  * committed table equals collapse(one-shot sketch, m) CELL FOR CELL
+  * for any slicing, and every quantile whose answer lands above the
+  * cutoff is exactly the uncapped stream's, α intact
+  * (DDSketchStreamSpec pins both on a planted wide-range corpus).
   */
 object DDSketchStream {
 
@@ -47,15 +60,16 @@ object DDSketchStream {
   private val stateSchema = StructType(Seq(
     StructField("bucket", LongType), StructField("n", LongType),
     StructField("total", LongType), StructField("batch_id", LongType),
-    StructField("alpha_micro", LongType)))
+    StructField("alpha_micro", LongType),
+    StructField("max_buckets", LongType)))
 
   private def alphaMicro(alpha: Double): Long = math.round(alpha * 1e6)
 
   /** The committed meta under `stateDir`: (total, high-water batch_id,
-    * alphaMicro); `None` = fresh stream.
+    * alphaMicro, maxBuckets — 0 = uncapped); `None` = fresh stream.
     */
   def readMeta(spark: SparkSession, stateDir: String)
-      : Option[(Long, Long, Long)] = {
+      : Option[(Long, Long, Long, Long)] = {
     val gens = GenStore.committed(spark, stateDir)
     if (gens.isEmpty) None
     else {
@@ -67,7 +81,7 @@ object DDSketchStream {
         s"ddsketch state generation ${gens.max} has ${meta.length} meta " +
           "rows (want exactly 1) — foreign or corrupt state")
       val m = meta.head
-      Some((m.getLong(2), m.getLong(3), m.getLong(4)))
+      Some((m.getLong(2), m.getLong(3), m.getLong(4), m.getLong(5)))
     }
   }
 
@@ -93,23 +107,30 @@ object DDSketchStream {
     * positive-value total now in force.
     */
   def pipeline(stateDir: String, alpha: Double = 0.01,
-      onBatch: (Long, Long) => Unit = (_, _) => ())
+      onBatch: (Long, Long) => Unit = (_, _) => (),
+      maxBuckets: Int = 0)
       : (DataFrame, Long) => Unit = {
     val am = alphaMicro(alpha)
     DDSketch.gamma(alpha) // validates alpha eagerly
+    require(maxBuckets == 0 || maxBuckets >= 2,
+      s"maxBuckets must be 0 (uncapped) or >= 2, got $maxBuckets")
     (batch: DataFrame, batchId: Long) => {
       val spark = batch.sparkSession
       val prior = readMeta(spark, stateDir)
-      prior.foreach { case (_, _, pam) =>
+      prior.foreach { case (_, _, pam, pmb) =>
         if (pam != am) throw new IllegalStateException(
           s"ddsketch state at $stateDir was bucketed at alpha=${pam / 1e6}; " +
             s"this pipeline runs alpha=$alpha — different γ grids cannot " +
             "merge, refusing")
+        if (pmb != maxBuckets.toLong) throw new IllegalStateException(
+          s"ddsketch state at $stateDir was capped at m=$pmb buckets; " +
+            s"this pipeline runs m=$maxBuckets — collapse levels cannot " +
+            "merge, refusing")
       }
       prior match {
-        case Some((total, hw, _)) if hw == batchId =>
+        case Some((total, hw, _, _)) if hw == batchId =>
           onBatch(batchId, total)
-        case Some((_, hw, _)) if batchId < hw =>
+        case Some((_, hw, _, _)) if batchId < hw =>
           throw new IllegalStateException(
             s"ddsketch state at $stateDir is ahead of the stream: " +
               s"committed high-water batch $hw > replayed batch $batchId — " +
@@ -123,15 +144,22 @@ object DDSketchStream {
           val total = prior.map(_._1).getOrElse(0L) + bTotal
           // Distributed merge: summed bucket counts ARE the sketch of
           // the concatenated stream. <= #buckets rows in and out.
-          val merged = buckets(spark, stateDir)
+          val folded = buckets(spark, stateDir)
             .unionByName(bSketch)
             .groupBy("bucket").agg(sum("n").as("n"))
+          // The collapsing cap (DDSketch.collapse): committed state is
+          // hard-bounded at m rows; mass only moves UP, so every
+          // quantile answered above the cutoff stays exactly what the
+          // uncapped stream would answer.
+          val merged = (if (maxBuckets >= 2) DDSketch.collapse(folded, maxBuckets)
+            else folded)
             .withColumn("total", lit(null).cast("long"))
             .withColumn("batch_id", lit(null).cast("long"))
             .withColumn("alpha_micro", lit(null).cast("long"))
+            .withColumn("max_buckets", lit(null).cast("long"))
           val metaDf = spark.createDataFrame(
             java.util.Collections.singletonList(
-              Row(null, null, total, batchId, am)),
+              Row(null, null, total, batchId, am, maxBuckets.toLong)),
             stateSchema)
           val gens = GenStore.committed(spark, stateDir)
           val gen = gens.lastOption.map(_ + 1).getOrElse(0L)
@@ -155,7 +183,7 @@ object DDSketchStream {
       case None =>
         import spark.implicits._
         Seq.empty[(Double, Double, Long)].toDF("q", "est", "n_total")
-      case Some((_, _, am)) =>
+      case Some((_, _, am, _)) =>
         DDSketch.quantiles(buckets(spark, stateDir), am / 1e6, qs)
     }
   }
@@ -175,11 +203,13 @@ object DDSketchStream {
     StructField("key", org.apache.spark.sql.types.StringType),
     StructField("bucket", LongType), StructField("n", LongType),
     StructField("total", LongType), StructField("batch_id", LongType),
-    StructField("alpha_micro", LongType)))
+    StructField("alpha_micro", LongType),
+    StructField("max_buckets", LongType)))
 
-  /** Committed keyed meta: (total, high-water batch_id, alphaMicro). */
+  /** Committed keyed meta: (total, high-water batch_id, alphaMicro,
+    * maxBuckets — 0 = uncapped). */
   def readKeyedMeta(spark: SparkSession, stateDir: String)
-      : Option[(Long, Long, Long)] = {
+      : Option[(Long, Long, Long, Long)] = {
     val gens = GenStore.committed(spark, stateDir)
     if (gens.isEmpty) None
     else {
@@ -191,7 +221,7 @@ object DDSketchStream {
         s"keyed ddsketch state generation ${gens.max} has ${meta.length} " +
           "meta rows (want exactly 1) — foreign or corrupt state")
       val m = meta.head
-      Some((m.getLong(3), m.getLong(4), m.getLong(5)))
+      Some((m.getLong(3), m.getLong(4), m.getLong(5), m.getLong(6)))
     }
   }
 
@@ -212,23 +242,30 @@ object DDSketchStream {
     * [[pipeline]] with the identical replay/stale/α discipline.
     */
   def pipelineBy(stateDir: String, alpha: Double = 0.01,
-      onBatch: (Long, Long) => Unit = (_, _) => ())
+      onBatch: (Long, Long) => Unit = (_, _) => (),
+      maxBuckets: Int = 0)
       : (DataFrame, Long) => Unit = {
     val am = alphaMicro(alpha)
     DDSketch.gamma(alpha) // validates alpha eagerly
+    require(maxBuckets == 0 || maxBuckets >= 2,
+      s"maxBuckets must be 0 (uncapped) or >= 2, got $maxBuckets")
     (batch: DataFrame, batchId: Long) => {
       val spark = batch.sparkSession
       val prior = readKeyedMeta(spark, stateDir)
-      prior.foreach { case (_, _, pam) =>
+      prior.foreach { case (_, _, pam, pmb) =>
         if (pam != am) throw new IllegalStateException(
           s"keyed ddsketch state at $stateDir was bucketed at " +
             s"alpha=${pam / 1e6}; this pipeline runs alpha=$alpha — " +
             "different γ grids cannot merge, refusing")
+        if (pmb != maxBuckets.toLong) throw new IllegalStateException(
+          s"keyed ddsketch state at $stateDir was capped at m=$pmb " +
+            s"buckets/key; this pipeline runs m=$maxBuckets — collapse " +
+            "levels cannot merge, refusing")
       }
       prior match {
-        case Some((total, hw, _)) if hw == batchId =>
+        case Some((total, hw, _, _)) if hw == batchId =>
           onBatch(batchId, total)
-        case Some((_, hw, _)) if batchId < hw =>
+        case Some((_, hw, _, _)) if batchId < hw =>
           throw new IllegalStateException(
             s"keyed ddsketch state at $stateDir is ahead of the stream: " +
               s"committed high-water batch $hw > replayed batch $batchId — " +
@@ -240,15 +277,21 @@ object DDSketchStream {
           val bTotal = bSketch.agg(coalesce(sum("n"), lit(0L)))
             .head().getLong(0)
           val total = prior.map(_._1).getOrElse(0L) + bTotal
-          val merged = keyedBuckets(spark, stateDir)
+          val folded = keyedBuckets(spark, stateDir)
             .unionByName(bSketch)
             .groupBy("key", "bucket").agg(sum("n").as("n"))
+          // Per-key collapsing cap: <= keys·m rows committed no matter
+          // what any one series' value range does.
+          val merged = (if (maxBuckets >= 2)
+              DDSketch.collapseBy(folded, maxBuckets, Seq("key"))
+            else folded)
             .withColumn("total", lit(null).cast("long"))
             .withColumn("batch_id", lit(null).cast("long"))
             .withColumn("alpha_micro", lit(null).cast("long"))
+            .withColumn("max_buckets", lit(null).cast("long"))
           val metaDf = spark.createDataFrame(
             java.util.Collections.singletonList(
-              Row(null, null, null, total, batchId, am)),
+              Row(null, null, null, total, batchId, am, maxBuckets.toLong)),
             keyedSchema)
           val gens = GenStore.committed(spark, stateDir)
           val gen = gens.lastOption.map(_ + 1).getOrElse(0L)
@@ -273,7 +316,7 @@ object DDSketchStream {
         import spark.implicits._
         Seq.empty[(String, Double, Double, Long)]
           .toDF("key", "q", "est", "n_total")
-      case Some((_, _, am)) =>
+      case Some((_, _, am, _)) =>
         DDSketch.quantilesBy(keyedBuckets(spark, stateDir), am / 1e6, qs,
           Seq("key"))
     }

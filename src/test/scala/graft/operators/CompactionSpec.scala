@@ -74,4 +74,55 @@ class CompactionSpec extends SparkSpec {
     assert(back.columns.toSeq == Seq("id"))
     assert(back.count() == 3)
   }
+
+  test("streamed z-order compaction: the 100-file trigger folds staged parquet into z-laid-out sets, losslessly") {
+    import org.apache.spark.sql.functions._
+    val staging = Files.createTempDirectory("graft-zstage").toString
+    val outBase = Files.createTempDirectory("graft-zoutbase").toString
+    val state = new Compaction.CounterState
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // 128x128 grid dealt round-robin to 3 batches (each batch spans
+    // the whole key space); 1 staged file per batch, threshold 2:
+    // batch 1 triggers the fold over batches 0-1, batch 2 stays
+    // staged for the next trigger.
+    val all = for (x <- 0L until 128L; y <- 0L until 128L) yield (x, y)
+    val slices = (0 until 3).map(b => all.zipWithIndex.collect {
+      case (e, i) if i % 3 == b => e })
+    val mem = MemoryStream[(Long, Long)]
+    val handler = (b: org.apache.spark.sql.DataFrame, id: Long) =>
+      Compaction.zOrderStreamingBatch(state, staging, outBase,
+        "x", "y", nFiles = 8, threshold = 2, bits = 8)(
+        b.toDF("x", "y").repartition(1), id)
+    val q = mem.toDF().writeStream.foreachBatch(handler).start()
+    try {
+      slices.foreach { s => mem.addData(s: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val folds = Files.list(Path.of(outBase)).toArray.map(_.toString)
+      .filter(_.contains("zorder_batch"))
+    assert(folds.length == 1, s"exactly one fold expected, got ${folds.toSeq}")
+    // Lossless: fold + still-staged remainder == everything delivered.
+    val folded = spark.read.parquet(folds.head)
+    val staged = spark.read.parquet(staging)
+    assert(folded.count() + staged.count() == all.size.toLong)
+    assert(folded.agg(sum(col("x") * 65536 + col("y"))).head().getLong(0) +
+      staged.agg(sum(col("x") * 65536 + col("y"))).head().getLong(0) ==
+      all.map { case (x, y) => x * 65536 + y }.sum)
+    // The REL-30 locality law holds on the streamed output: per-file
+    // min/max boxes bound BOTH keys (most files at ~half span), so a
+    // 2-d box predicate prunes most of the fold.
+    val boxes = folded.groupBy(input_file_name())
+      .agg(min("x"), max("x"), min("y"), max("y"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(boxes.length == 8, s"fold must land in nFiles=8, got ${boxes.length}")
+    assert(boxes.count { case (x0, x1, y0, y1) =>
+      (x1 - x0) <= 95 && (y1 - y0) <= 95 } >= 4,
+      s"z-laid-out fold files must be bounded boxes: ${boxes.toSeq}")
+    val corner = boxes.count { case (x0, x1, y0, y1) =>
+      x0 <= 31 && y0 <= 31 } // files a [0,31]^2 box predicate touches
+    assert(corner <= 5, s"corner box touches $corner of 8 fold files")
+    // Counter reset after the fold; the staged remainder waits.
+    assert(state.get <= 1L)
+  }
 }

@@ -84,4 +84,81 @@ class DDSketchSpec extends SparkSpec {
       Seq.fill(100)(values).flatten.toDF("value"), Alpha).count()
     assert(small == big, "row count must not grow the bucket table")
   }
+
+  // Pathological 16-decade log-uniform corpus: ~900 buckets at
+  // alpha=0.02 — the range nothing bounds without the collapsing cap.
+  private val wide: Seq[Double] =
+    (1 to 800).map(i => math.pow(10, -8 + 16.0 * i / 800))
+
+  test("collapsing cap: m enforced; upper quantiles EXACTLY the uncapped sketch's; low ones degrade one-sidedly") {
+    val m = 64
+    val sk = DDSketch.sketch(wide.toDF("value"), Alpha)
+    assert(sk.count() > 500, "fixture must actually exceed the cap")
+    val capped = DDSketch.collapse(sk, m)
+    assert(capped.count() == m.toLong, "cap must be exact")
+    // Mass is conserved.
+    assert(capped.agg(sum("n")).head().getLong(0) ==
+      sk.agg(sum("n")).head().getLong(0))
+    val qs = Seq(0.1, 0.5, 0.95, 0.99, 1.0)
+    def est(s: org.apache.spark.sql.DataFrame) =
+      DDSketch.quantiles(s, Alpha, qs)
+        .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val (full, cap) = (est(sk), est(capped))
+    // Above the cutoff (~top 8% of mass here): IDENTICAL doubles —
+    // collapsing only moved mass below, cumulative counts unchanged.
+    for (q <- Seq(0.95, 0.99, 1.0)) {
+      assert(cap(q) == full(q), s"q=$q capped=${cap(q)} full=${full(q)}")
+      val sorted = wide.sorted
+      val exact = sorted(math.max(1, math.ceil(q * sorted.size).toInt) - 1)
+      assert(math.abs(cap(q) - exact) / exact <= Alpha + 1e-6,
+        s"alpha guarantee must survive the cap at q=$q")
+    }
+    // At/below the cutoff: one-sided — the cutoff midpoint is an
+    // OVERestimate, never an underestimate.
+    for (q <- Seq(0.1, 0.5)) assert(cap(q) >= full(q), s"q=$q")
+    // A sketch within the cap is untouched (cutoff = global min).
+    val smallSk = DDSketch.sketch(values.toDF("value"), Alpha)
+    assert(DDSketch.collapse(smallSk, 100000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      smallSk.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    intercept[IllegalArgumentException] { DDSketch.collapse(sk, 1) }
+  }
+
+  test("collapse is merge-compatible: collapse(collapse(A)+B) == collapse(A+B) cell-for-cell") {
+    val m = 48
+    val (a, b) = wide.splitAt(wide.size / 2) // A low decades, B high
+    def plus(x: org.apache.spark.sql.DataFrame,
+        y: org.apache.spark.sql.DataFrame) =
+      x.unionByName(y).groupBy("bucket").agg(sum("n").as("n"))
+    def cells(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val skA = DDSketch.sketch(a.toDF("value"), Alpha)
+    val skB = DDSketch.sketch(b.toDF("value"), Alpha)
+    val streamedShape = DDSketch.collapse(plus(DDSketch.collapse(skA, m), skB), m)
+    val oneShot = DDSketch.collapse(plus(skA, skB), m)
+    assert(cells(streamedShape) == cells(oneShot))
+    // And in the other arrival order (B's high decades first).
+    val reversed = DDSketch.collapse(plus(DDSketch.collapse(skB, m), skA), m)
+    assert(cells(reversed) == cells(oneShot))
+  }
+
+  test("keyed collapse: m enforced per key; a within-cap key is untouched") {
+    val m = 32
+    val rows = wide.map(v => ("wide", v)) ++
+      values.take(15).map(v => ("narrow", v))
+    val sk = DDSketch.sketchBy(rows.toDF("key", "value"), Alpha, Seq("key"))
+    val capped = DDSketch.collapseBy(sk, m, Seq("key"))
+    val byKey = capped.groupBy("key").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byKey("wide") == m.toLong)
+    val narrowBefore = sk.where(col("key") === "narrow").count()
+    assert(narrowBefore < m, "fixture: narrow key must be within cap")
+    assert(byKey("narrow") == narrowBefore)
+    // Per-key totals conserved.
+    val tBefore = sk.groupBy("key").agg(sum("n").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tAfter = capped.groupBy("key").agg(sum("n").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tBefore == tAfter)
+  }
 }

@@ -70,6 +70,79 @@ class DDSketchStreamSpec extends SparkSpec {
     }
   }
 
+  test("collapsing cap: committed table == one-shot capped table after every batch; cap mismatch refuses") {
+    val m = 64
+    // 16-decade log-uniform corpus in three rising-range batches —
+    // the cutoff must climb across generations.
+    val wide = (1 to 600).map(i => math.pow(10, -8 + 16.0 * i / 600))
+    val wslices = wide.grouped(200).toSeq
+    val dir = Files.createTempDirectory("graft-ddcap").toString
+    val fn = DDSketchStream.pipeline(dir, Alpha, maxBuckets = m)
+    wslices.zipWithIndex.foreach { case (s, i) =>
+      fn(df(s), i.toLong)
+      // The merge-compatibility law: per-batch collapsing commits
+      // EXACTLY the one-shot capped table, for every prefix.
+      val seen = wslices.take(i + 1).flatten
+      assert(cellMap(DDSketchStream.buckets(spark, dir)) ==
+        cellMap(DDSketch.collapse(DDSketch.sketch(df(seen), Alpha), m)),
+        s"after batch $i")
+      assert(DDSketchStream.buckets(spark, dir).count() <= m.toLong)
+    }
+    // Upper quantiles above the cutoff: exactly the UNCAPPED answers,
+    // alpha intact.
+    val qs = Seq(0.95, 0.99)
+    val est = DDSketchStream.quantiles(spark, dir, qs)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val full = DDSketch.quantiles(DDSketch.sketch(df(wide), Alpha), Alpha, qs)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val sorted = wide.sorted
+    for (q <- qs) {
+      assert(est(q) == full(q), s"q=$q capped=${est(q)} uncapped=${full(q)}")
+      val exact = sorted(math.max(1, math.ceil(q * sorted.size).toInt) - 1)
+      assert(math.abs(est(q) - exact) / exact <= Alpha + 1e-6)
+    }
+    // m is part of the state's identity: a different cap refuses.
+    intercept[IllegalStateException] {
+      DDSketchStream.pipeline(dir, Alpha, maxBuckets = 32)(df(wide), 9L)
+    }
+    intercept[IllegalStateException] {
+      DDSketchStream.pipeline(dir, Alpha)(df(wide), 9L)
+    }
+    intercept[IllegalArgumentException] {
+      DDSketchStream.pipeline(dir, Alpha, maxBuckets = 1)
+    }
+  }
+
+  test("keyed collapsing cap: per-key bound holds; within-cap keys exactly the uncapped keyed state") {
+    val m = 48
+    val wide = (1 to 400).map(i => math.pow(10, -8 + 16.0 * i / 400))
+    val rows = wide.map(v => ("w", v)) ++
+      (1 to 60).map(i => ("n", 10.0 + i))
+    val rslices = Seq(rows.filter(_._2 < 1.0), rows.filterNot(_._2 < 1.0))
+    val dir = Files.createTempDirectory("graft-ddcapby").toString
+    val fn = DDSketchStream.pipelineBy(dir, Alpha, maxBuckets = m)
+    rslices.zipWithIndex.foreach { case (s, i) =>
+      fn(s.toDF("key", "value"), i.toLong) }
+    val byKey = DDSketchStream.keyedBuckets(spark, dir)
+      .groupBy("key").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byKey("w") == m.toLong)
+    assert(byKey("n") < m.toLong)
+    // The narrow key's cells are exactly the uncapped one-shot's.
+    val got = DDSketchStream.keyedBuckets(spark, dir)
+      .where(col("key") === "n").select("bucket", "n")
+    val want = DDSketch.sketch(
+      rows.filter(_._1 == "n").map(_._2).toDF("value"), Alpha)
+    assert(cellMap(got) == cellMap(want))
+    // And the live SLO read still answers within alpha for p99 of the
+    // wide key.
+    val est = DDSketchStream.quantilesBy(spark, dir, Seq(0.99))
+      .where(col("key") === "w").head().getDouble(2)
+    val sorted = wide.sorted
+    val exact = sorted(math.max(1, math.ceil(0.99 * sorted.size).toInt) - 1)
+    assert(math.abs(est - exact) / exact <= Alpha + 1e-6)
+  }
+
   test("under the streaming engine: MemoryStream batches converge to the one-shot sketch") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

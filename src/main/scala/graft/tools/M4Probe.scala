@@ -55,10 +55,12 @@ object M4Probe {
       // pressure); value varies by (key, bucket, slot) so min/max/
       // first/last all do real work.
       val batches = (0L until 10L).map { b =>
+        // Column `/` on longs is DOUBLE division — integer bucket
+        // arithmetic needs the explicit casts (the q_rel30 lesson).
         spark.range(0L, n / 10L).select(
           (col("id") % keys).cast("string").as("key"),
-          ((col("id") / keys) % buckets * grain +
-            (col("id") / keys / buckets) * 7L + b).as("ts_us"),
+          ((col("id") / keys).cast("long") % buckets * grain +
+            (col("id") / (keys * buckets)).cast("long") * 7L + b).as("ts_us"),
           ((col("id") * 13 + b * 97) % 1000 / 10.0).as("value"))
       }
       val fn = M4Stream.pipeline(dir, grain)

@@ -142,9 +142,9 @@ object Compaction {
     * z-ordered file set over ONE trigger-window's rows; cross-fold
     * ordering is not maintained (row-group stats prune within every
     * fold independently — at 100 TB the folds are the hour/day
-    * partitions a reader prunes first anyway, and a periodic
-    * [[zOrderCompactParquet]] over accumulated folds re-tightens them
-    * into one). The snapshot discipline is inherited verbatim: a file
+    * partitions a reader prunes first anyway, and the periodic
+    * [[zOrderRetighten]] pass restores global disjointness). The
+    * snapshot discipline is inherited verbatim: a file
     * landing mid-fold is neither half-read nor deleted-uncompacted —
     * it stays staged for the next trigger.
     */
@@ -166,6 +166,39 @@ object Compaction {
         s"$outBase/zorder_batch$batchId", aCol, bCol, nFiles, bits)
       state.reset()
     }
+  }
+
+  /** The periodic RE-TIGHTEN pass over [[zOrderStreamingBatch]]'s
+    * accumulated folds: snapshot every `zorder_batch*` fold dir under
+    * `outBase`, re-lay ALL their rows as ONE z-ordered file set (a new
+    * `zorder_retight_<tag>` dir), and delete exactly the snapshotted
+    * fold dirs after the write commits — the nightly job that restores
+    * global cross-fold disjointness the incremental trigger cannot
+    * maintain. A fold landing mid-pass is untouched (directory
+    * snapshot, same discipline as the file-level verbs); the retight
+    * output is itself re-tightenable (matched by the same prefix), so
+    * the pass composes. Returns the folds absorbed.
+    */
+  def zOrderRetighten(spark: SparkSession, outBase: String, aCol: String,
+      bCol: String, nFiles: Int, bits: Int = 16, batchTag: String = "")
+      : Int = {
+    val fs = new Path(outBase).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val folds = fs.listStatus(new Path(outBase))
+      .filter(st => st.isDirectory &&
+        (st.getPath.getName.startsWith("zorder_batch") ||
+          st.getPath.getName.startsWith("zorder_retight")))
+      .map(_.getPath)
+    if (folds.length > 1) {
+      val tag = if (batchTag.nonEmpty) batchTag
+        else java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmmssSSS")
+          .withZone(java.time.ZoneOffset.UTC).format(java.time.Instant.now())
+      val df = spark.read.parquet(folds.map(_.toString).toIndexedSeq: _*)
+      Layout.zOrderWrite(df, aCol, bCol, s"$outBase/zorder_retight_$tag",
+        nFiles, bits)
+      folds.foreach(p => fs.delete(p, true))
+    }
+    if (folds.length > 1) folds.length else 0
   }
 
   /** Streaming form: `foreachBatch` sink that lands each micro-batch as

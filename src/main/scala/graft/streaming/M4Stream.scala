@@ -126,9 +126,12 @@ object M4Stream {
     * (or replay skip).
     */
   def pipeline(stateDir: String, grainUs: Long = 3600000000L,
-      onBatch: (Long, Long) => Unit = (_, _) => ())
+      onBatch: (Long, Long) => Unit = (_, _) => (),
+      targetRowsPerFile: Long = 2000000L)
       : (DataFrame, Long) => Unit = {
     require(grainUs > 0, s"grain must be positive, got $grainUs µs")
+    require(targetRowsPerFile > 0,
+      s"targetRowsPerFile must be positive, got $targetRowsPerFile")
     (batch: DataFrame, batchId: Long) => {
       val spark = batch.sparkSession
       val prior = readMeta(spark, stateDir)
@@ -158,27 +161,41 @@ object M4Stream {
               expr(s"ts_us div $grainUs").as("bucket"),
               col("ts_us"), col("value")))
             .withColumnRenamed("event_type", "key")
-          // Batch row total off the ≤ keys·buckets anchor rows — a
-          // 1-row bounded pin.
-          val bTotal = bAnchors.agg(coalesce(sum("n"), lit(0L)))
-            .head().getLong(0)
-          val total = prior.map(_._1).getOrElse(0L) + bTotal
           val merged = mergeAnchors(
               anchors(spark, stateDir).unionByName(
                 bAnchors.select(anchorCols.head, anchorCols.tail: _*)))
             .withColumn("total", lit(null).cast("long"))
             .withColumn("batch_id", lit(null).cast("long"))
             .withColumn("grain_us", lit(null).cast("long"))
+          val gens = GenStore.committed(spark, stateDir)
+          val gen = gens.lastOption.map(_ + 1).getOrElse(0L)
+          val genDir = GenStore.dir(stateDir, gen)
+          // Hash-partitioned rewrite (the CohortStream sizing
+          // discipline): unlike the fixed-geometry sketch stores, this
+          // state grows with stream LIFETIME (buckets ∝ time), so the
+          // file count tracks ⌈anchor rows / targetRowsPerFile⌉ off
+          // the prior generation's footer row count (a metadata-only
+          // read — no filter, no column scan).
+          val prevRows = gens.lastOption.map(g =>
+            spark.read.schema(stateSchema)
+              .parquet(GenStore.dir(stateDir, g)).count()).getOrElse(0L)
+          val nFiles = math.max(1L,
+            (prevRows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+          merged.repartition(nFiles, col("key"), col("bucket"))
+            .write.mode("overwrite").parquet(genDir)
+          // Raw-row total: n sums are preserved by the merge, so the
+          // lifetime total is sum(n) over the COMMITTED anchor rows —
+          // the exact pin off written bytes, and the merge executes
+          // exactly once (the old pre-write batch count re-derived the
+          // batch anchors for the write action).
+          val total = spark.read.schema(stateSchema).parquet(genDir)
+            .agg(coalesce(sum("n"), lit(0L))).head().getLong(0)
           val metaDf = spark.createDataFrame(
             java.util.Collections.singletonList(
               Row(null, null, null, null, null, null, null, null, null,
                 null, total, batchId, grainUs)),
             stateSchema)
-          val gens = GenStore.committed(spark, stateDir)
-          val gen = gens.lastOption.map(_ + 1).getOrElse(0L)
-          merged.unionByName(metaDf)
-            .coalesce(1)
-            .write.mode("overwrite").parquet(GenStore.dir(stateDir, gen))
+          metaDf.coalesce(1).write.mode("append").parquet(genDir)
           GenStore.commit(spark, stateDir, gen)
           GenStore.dropBelow(spark, stateDir, gen)
           onBatch(batchId, total)
@@ -246,6 +263,38 @@ object M4Stream {
       .withColumn("z", round((col("mean_v") - col("mu")) / col("sd"), 4))
       .where(abs(col("z")) > threshold)
       .select("key", "bucket", "phase", "mean_v", "z")
+  }
+
+  /** Gap-filled read — the streamed face of q_agg5
+    * ([[graft.analytics.EventQueries.gapFill]]) off the same committed
+    * state, the FIFTH read on the one ≤ keys·buckets table (chart,
+    * zoom, smoothing, alerting, and now the gap-free panel line): per
+    * key, the dense bucket spine from its first to its last observed
+    * bucket (integer `sequence` off a bounded per-key min/max
+    * aggregate), left-joined to the anchors, empty buckets carrying
+    * n = 0 and the last observed mean forward (`last(ignoreNulls)`
+    * over the per-key bucket order — the q_agg5 LOCF law, here
+    * PARTITIONED by key where the oracled batch form is global).
+    * Means are the family's cents/(100·n) exact-mass means, so
+    * stream-then-gapfill ≡ gapfill over everything the stream
+    * carried. Output: (key, bucket, n, mean_ff).
+    */
+  def gapFilled(spark: SparkSession, stateDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = anchors(spark, stateDir)
+      .select(col("key"), col("bucket"), col("n"),
+        (col("cents").cast("double") /
+          (lit(100.0) * col("n").cast("double"))).as("mean_v"))
+    val spine = a.groupBy("key")
+      .agg(min("bucket").as("lo"), max("bucket").as("hi"))
+      .select(col("key"),
+        explode(expr("sequence(lo, hi, 1L)")).as("bucket"))
+    val w = Window.partitionBy("key").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(a, Seq("key", "bucket"), "left")
+      .select(col("key"), col("bucket"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        last(col("mean_v"), ignoreNulls = true).over(w).as("mean_ff"))
   }
 
   def smoothed(spark: SparkSession, stateDir: String, window: Int = 48)

@@ -43,8 +43,8 @@ object M4Probe {
 
     val grain = 3600000000L // hourly
     println("| anchor rows | raw rows | ingest s | chart s | zoom s " +
-      "| smooth s | anomaly s |")
-    println("|---|---|---|---|---|---|---|")
+      "| smooth s | anomaly s | gapfill s |")
+    println("|---|---|---|---|---|---|---|---|")
     for (buckets <- Seq(1250L, 12500L, 125000L)) {
       val keys = 8L
       val rowsPerBucket = 40L
@@ -79,8 +79,11 @@ object M4Probe {
       val (_, tAnom) = timed {
         M4Stream.anomalies(spark, dir).count()
       }
+      val (_, tGap) = timed {
+        M4Stream.gapFilled(spark, dir).count()
+      }
       println(f"| $nAnchors | $n | $tIngest%.2f | $tChart%.2f | $tZoom%.2f " +
-        f"| $tSmooth%.2f | $tAnom%.2f |")
+        f"| $tSmooth%.2f | $tAnom%.2f | $tGap%.2f |")
       new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
         .delete(new Path(dir), true)
     }

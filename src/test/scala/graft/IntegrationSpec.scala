@@ -353,6 +353,27 @@ class IntegrationSpec extends SparkSpec {
       "every non-final window filled to capacity")
   }
 
+  test("streamed funnel on organic events at sf0.001: FunnelStream == q_adv10 after replaying the table in batches") {
+    import graft.streaming.FunnelStream
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("ts_ns div 1000").as("ts_us"))
+      .localCheckpoint()
+    val state = java.nio.file.Files
+      .createTempDirectory("graft-funnelint").toString
+    val fn = FunnelStream.pipeline(state)
+    // Replay the organic table as 4 event-time-interleaved batches —
+    // the kappa claim on real data, not a planted corpus.
+    (0L until 4L).foreach(b => fn(ev.where(pmod(col("ts_us"), lit(4L)) === b), b))
+    val got = FunnelStream.funnel(spark, state)
+      .collect().map(_.toSeq).toSeq.sortBy(_.head.toString)
+    val want = graft.analytics.AdvancedQueries.funnelSteps(spark, dir)
+      .collect().map(_.toSeq).toSeq.sortBy(_.head.toString)
+    assert(got == want, s"streamed funnel must equal q_adv10: $got vs $want")
+    assert(want.exists(_(1).asInstanceOf[Long] > 0L), "fixture sanity")
+  }
+
   test("driver contract: entry() returns rows; every query has a runnable entry") {
     assert(SparkEntry.entry(spark).count() > 0, "flagship must return rows")
     // Every oracleSql key must refer to a real query (a typo'd key would

@@ -124,5 +124,38 @@ class CompactionSpec extends SparkSpec {
     assert(corner <= 5, s"corner box touches $corner of 8 fold files")
     // Counter reset after the fold; the staged remainder waits.
     assert(state.get <= 1L)
+
+    // The nightly RE-TIGHTEN: land a second fold (another 2 batches),
+    // then absorb both into one globally z-ordered set.
+    val mem2 = MemoryStream[(Long, Long)]
+    val q2 = mem2.toDF().writeStream.foreachBatch(handler).start()
+    try {
+      // offset batch ids continue under a fresh query; deliver the
+      // remaining slice twice to cross the 2-file threshold again
+      Seq(slices(2), slices(0)).foreach { s =>
+        mem2.addData(s: _*); q2.processAllAvailable() }
+    } finally q2.stop()
+    val foldsBefore = Files.list(Path.of(outBase)).toArray.map(_.toString)
+      .filter(_.contains("zorder_"))
+    assert(foldsBefore.length == 2, s"fixture wants 2 folds: ${foldsBefore.toSeq}")
+    val totalBefore = spark.read.parquet(foldsBefore: _*).count()
+    val absorbed = Compaction.zOrderRetighten(spark, outBase,
+      "x", "y", nFiles = 8, bits = 8, batchTag = "t")
+    assert(absorbed == 2)
+    val after = Files.list(Path.of(outBase)).toArray.map(_.toString)
+      .filter(_.contains("zorder_"))
+    assert(after.length == 1 && after.head.contains("zorder_retight_t"))
+    assert(spark.read.parquet(after.head).count() == totalBefore,
+      "re-tighten must be lossless")
+    // Globally disjoint again: corner box touches few files.
+    val rboxes = spark.read.parquet(after.head)
+      .groupBy(input_file_name())
+      .agg(min("x"), max("x"), min("y"), max("y"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rboxes.count { case (x0, _, y0, _) => x0 <= 31 && y0 <= 31 } <= 4,
+      s"retightened corner-box touch count: ${rboxes.toSeq}")
+    // A single remaining fold is a no-op (already tight).
+    assert(Compaction.zOrderRetighten(spark, outBase, "x", "y", 8, 8) == 0)
   }
 }

@@ -139,6 +139,57 @@ class M4StreamSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture must actually flag something")
   }
 
+  test("gapFilled read: dense per-key spine with LOCF means == driver-side recomputation") {
+    val dir = Files.createTempDirectory("graft-m4gap").toString
+    val fn = M4Stream.pipeline(dir, Grain)
+    // Gappy corpus: key a observes buckets {2,3,7}, key b {5,6} (b's
+    // spine must NOT extend to a's range), values with exact cents.
+    val rows = Seq(("a", 250L, 1.25), ("a", 260L, 2.75), ("a", 399L, 4.0),
+      ("a", 701L, 8.5), ("b", 520L, 3.5), ("b", 610L, 6.25))
+    val (b0, b1) = rows.splitAt(3)
+    fn(df(b0), 0L); fn(df(b1), 1L)
+    val got = M4Stream.gapFilled(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getAs[Double]("mean_ff"))).toSet
+    // Reference: per key, spine lo..hi, n summed per bucket, mean =
+    // cents/(100*n), LOCF forward.
+    val byKB = rows.groupBy(p => (p._1, p._2 / Grain)).map { case (kb, xs) =>
+      kb -> (xs.size.toLong,
+        xs.map(p => math.round(p._3 * 100)).sum.toDouble / (100.0 * xs.size))
+    }
+    val want = byKB.keys.groupBy(_._1).flatMap { case (k, kbs) =>
+      val (lo, hi) = (kbs.map(_._2).min, kbs.map(_._2).max)
+      var lastMean = Double.NaN
+      (lo to hi).map { b =>
+        val (n, m) = byKB.getOrElse((k, b), (0L, lastMean))
+        if (n > 0) lastMean = m
+        (k, b, n, lastMean)
+      }
+    }.toSet
+    assert(got == want, s"gapFilled:\n got $got\nwant $want")
+    assert(got.exists(_._3 == 0L), "fixture must actually have gaps")
+    assert(!got.exists(p => p._1 == "b" && (p._2 < 5L || p._2 > 6L)),
+      "key b's spine must stay inside its own observed range")
+  }
+
+  test("state write is hash-partitioned: file count tracks anchor rows / targetRowsPerFile") {
+    val dir = Files.createTempDirectory("graft-m4part").toString
+    // ~200 anchors at Grain=100 over ts 0..9999 x 2 keys; 50 rows per
+    // file -> the batch-2 rewrite lands in ceil(prev/50) >= 4 files.
+    val fn = M4Stream.pipeline(dir, Grain, targetRowsPerFile = 50L)
+    slices.zipWithIndex.foreach { case (s, i) => fn(df(s), i.toLong) }
+    assert(committed(dir) == oneShot(slices.flatten, Grain))
+    val hfs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gen = hfs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("gen-"))
+      .map(_.stripPrefix("gen-").toLong).max
+    val parts = hfs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$dir/gen-$gen")).toSeq
+      .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+    assert(parts.size >= 5, s"want >=5 parquet files, got ${parts.size}")
+  }
+
   test("null ts_us rows are dropped before bucketing (meta discriminator survives)") {
     val dir = Files.createTempDirectory("graft-m4null").toString
     val fn = M4Stream.pipeline(dir, Grain)

@@ -513,6 +513,10 @@ object EventQueries {
       // pmod, not %: Spark's % follows the dividend's sign, so a
       // pre-epoch hour would split an hour-of-day into two baseline
       // groups (the oracle mirrors with ((x % 24) + 24) % 24).
+      // Remaining ts >= 0 contract: the hour_us TRUNCATION above
+      // (Spark div truncates toward zero, DuckDB // floors) still
+      // differs on pre-epoch timestamps — post-epoch event time is an
+      // input contract, as for every epoch-µs query on this board.
       .withColumn("hod", expr(s"pmod(hour_us div $hourUs, 24)"))
     val w = Window.partitionBy("event_type", "hod")
     hourly

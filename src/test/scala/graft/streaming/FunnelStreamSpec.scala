@@ -73,6 +73,19 @@ class FunnelStreamSpec extends SparkSpec {
     }
   }
 
+  test("property: seeded RANDOM slicings all converge to the batch operator") {
+    val want = oneShot(corpus)
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed)
+      val parts = corpus.groupBy(_ => rnd.nextInt(4))
+      val slices = (0 until 4).map(b => parts.getOrElse(b, Seq.empty))
+      val dir = Files.createTempDirectory(s"graft-funnelprop$seed").toString
+      val fn = FunnelStream.pipeline(dir)
+      slices.zipWithIndex.foreach { case (s, i) => fn(df(s), i.toLong) }
+      assert(summary(FunnelStream.funnel(spark, dir)) == want, s"seed $seed")
+    }
+  }
+
   test("the 4-slot counterexample: tail events arriving before the head are HELD, then count") {
     val dir = Files.createTempDirectory("graft-funneladv").toString
     val fn = FunnelStream.pipeline(dir)

@@ -99,6 +99,36 @@ object EventQueries {
       |       count(*) AS n
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q_agg12: per-type OLS regression of `value` on the JSON prop `k`
+    * — the fitted-trend companion to AGG-3's correlation (the
+    * reference reads its temperature/humidity relation off a chart;
+    * slope/intercept IS that line). Declarative `regr_*` aggregates:
+    * one partial+final hash aggregate over the scan, no second pass
+    * for the means (the Welford-style moment updates run map-side) —
+    * the same single-shuffle shape as AGG-1 at any scale. `regr_count`
+    * pins the non-null pair count both engines must agree on; slope/
+    * intercept/r² round at 4dp to absorb float-sum association order
+    * across engines (the q_agg3 corr discipline).
+    */
+  def regressionByType(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("double"))
+      .groupBy("event_type")
+      .agg(
+        round(regr_slope(col("value"), col("k")), 4).as("slope"),
+        round(regr_intercept(col("value"), col("k")), 4).as("intercept"),
+        round(regr_r2(col("value"), col("k")), 4).as("r2"),
+        regr_count(col("value"), col("k")).as("n_pairs"))
+      .orderBy("event_type")
+
+  val regressionByTypeSql: String =
+    """SELECT event_type,
+      |       round(regr_slope(value, CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS slope,
+      |       round(regr_intercept(value, CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS intercept,
+      |       round(regr_r2(value, CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS r2,
+      |       regr_count(value, CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS n_pairs
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** AGG-4 / SNK-2: records per hourly partition per user — the doc-count
     * view of the hourly index rotation, plus a distinct-user metric.
     */

@@ -267,6 +267,64 @@ object AdvancedQueries {
       |    FROM events)
       |) GROUP BY user_id, session_id ORDER BY user_id, session_start_us""".stripMargin
 
+  /** q_adv11: per-user behavioral session summary — the batch face of
+    * [[graft.streaming.SessionStream.userStats]]: session count, total
+    * events, longest session (event span, µs), and the HALF_UP mean
+    * inter-session idle gap. Sessions come from the same
+    * `session_window` grouping as q_adv4 but keep min/max event time
+    * (the event SPAN — `session_window.end` is last-event + gap, not a
+    * span, so the summary derives from the events themselves). The
+    * idle-gap total telescopes over the per-user non-overlapping
+    * sessions — Σ gaps = (Σ starts − min start) − (Σ ends − max end) —
+    * so the second aggregate needs no window/lag pass, and both
+    * aggregates cluster on `user_id` (the session agg's keys contain
+    * it), so the whole query is ONE exchange at any scale.
+    */
+  def sessionStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(unix_micros(min(col("ts"))).as("s_us"),
+        unix_micros(max(col("ts"))).as("e_us"),
+        count(lit(1)).as("n"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum("n").as("n_events"),
+        max(col("e_us") - col("s_us")).as("max_duration_us"),
+        (sum("s_us") - min("s_us") - (sum("e_us") - max("e_us")))
+          .as("idle_total_us"))
+      .withColumn("mean_idle_us",
+        when(col("n_sessions") > 1,
+          expr("(idle_total_us * 2 + (n_sessions - 1)) div " +
+            "((n_sessions - 1) * 2)"))
+          .otherwise(lit(null).cast("long")))
+      .drop("idle_total_us")
+      .orderBy("user_id")
+
+  val sessionStatsSql: String =
+    """WITH sess AS (
+      |  SELECT user_id, min(ts_us) AS s_us, max(ts_us) AS e_us,
+      |         count(*) AS n
+      |  FROM (
+      |    SELECT user_id, ts_us,
+      |           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+      |                                  ROWS UNBOUNDED PRECEDING) AS session_id
+      |    FROM (
+      |      SELECT user_id, epoch_us(ts) AS ts_us,
+      |             CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1, epoch_us(ts))
+      |                       OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) >= 1800000000
+      |                  THEN 1 ELSE 0 END AS new_session
+      |      FROM events)
+      |  ) GROUP BY user_id, session_id
+      |)
+      |SELECT user_id, count(*) AS n_sessions,
+      |       CAST(sum(n) AS BIGINT) AS n_events,
+      |       max(e_us - s_us) AS max_duration_us,
+      |       CAST(CASE WHEN count(*) > 1 THEN
+      |         ((sum(s_us) - min(s_us) - (sum(e_us) - max(e_us))) * 2
+      |           + (count(*) - 1)) // (2 * (count(*) - 1))
+      |       END AS BIGINT) AS mean_idle_us
+      |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** q_adv9: cohort retention — the canonical product-analytics
     * matrix: users cohorted by FIRST-seen epoch week, each cohort's
     * distinct actives counted at every week offset, retention =

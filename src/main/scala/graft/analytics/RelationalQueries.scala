@@ -1488,4 +1488,41 @@ object RelationalQueries {
        |FROM zt CROSS JOIN zm
        |GROUP BY 1 ORDER BY zbucket""".stripMargin
   }
+
+  /** q_rel31: exact one-pass profile of every lineitem column — the
+    * snapshot data-quality gate ([[graft.operators.Profile]]): row/
+    * null/distinct counts and type-safe min/max per column from ONE
+    * aggregate (the multi-distinct Expand is the exactness price,
+    * paid once per snapshot; `Profile.approxProfile` is the
+    * Expand-free 100 TB path). Min/max serialize as integer
+    * micro-value / epoch-µs / raw strings, so every cell is a string
+    * both engines agree on byte-for-byte.
+    */
+  private val profileCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+    "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+    "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
+
+  def profileLineitem(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.profile(Tables.lineitem(spark, dir), profileCols)
+
+  val profileLineitemSql: String = {
+    val types = Map("l_linenumber" -> "num", "l_quantity" -> "num",
+      "l_extendedprice" -> "num", "l_discount" -> "num", "l_tax" -> "num",
+      "l_orderkey" -> "num", "l_partkey" -> "num", "l_suppkey" -> "num",
+      "l_returnflag" -> "str", "l_linestatus" -> "str",
+      "l_shipdate" -> "ts")
+    def f(agg: String, c: String): String = types(c) match {
+      case "num" =>
+        s"CAST(CAST(round($agg($c) * 1000000) AS BIGINT) AS VARCHAR)"
+      case "ts" => s"CAST(epoch_us($agg($c)) AS VARCHAR)"
+      case _ => s"CAST($agg($c) AS VARCHAR)"
+    }
+    profileCols.map { c =>
+      s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+         |       count(*) - count($c) AS n_null,
+         |       count(DISTINCT $c) AS n_distinct,
+         |       ${f("min", c)} AS min_str, ${f("max", c)} AS max_str
+         |FROM lineitem""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+  }
 }

@@ -31,17 +31,33 @@ import org.apache.spark.sql.types._
   */
 object Profile {
 
-  private def fmt(c: Column, dt: DataType): Column = dt match {
+  /** Canonical comparable domain per type — "long" kinds (numerics as
+    * the HALF_UP integer micro-value, timestamps as epoch-µs, dates
+    * as epoch-days) and the "str" kind (everything else, stringified).
+    * min/max commute with each (monotone) mapping, and the canonical
+    * value is what [[graft.streaming.ProfileStream]] sketches, so
+    * batch and streamed profiles count distincts in the same domain.
+    */
+  private[graft] def kindOf(dt: DataType): String = dt match {
+    case _: NumericType | _: TimestampType | _: TimestampNTZType |
+        _: DateType => "long"
+    case _ => "str"
+  }
+
+  private[graft] def canon(c: Column, dt: DataType): Column = dt match {
     case _: NumericType =>
-      round(c.cast("double") * lit(1000000L), 0).cast("long").cast("string")
-    case _: TimestampType => unix_micros(c).cast("string")
+      round(c.cast("double") * lit(1000000L), 0).cast("long")
+    case _: TimestampType => unix_micros(c)
     // Parquet TIMESTAMP(isAdjustedToUTC=false) loads as NTZ; the
     // project-wide UTC session timezone makes naive ≡ instant (the
     // Tables.events convention), so the cast is exact.
-    case _: TimestampNTZType => unix_micros(c.cast("timestamp")).cast("string")
-    case _: DateType => unix_date(c).cast("string")
+    case _: TimestampNTZType => unix_micros(c.cast("timestamp"))
+    case _: DateType => unix_date(c).cast("long")
     case _ => c.cast("string")
   }
+
+  private def fmt(c: Column, dt: DataType): Column =
+    canon(c, dt).cast("string")
 
   private def rows(df: DataFrame, cols: Seq[String],
       distinctOf: String => Column): DataFrame = {

@@ -1,0 +1,89 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Measured law for the OTHER skew lever: q_adv3 demonstrates salting
+  * (the rewrite the USER owns); this probe pins what the ENGINE's AQE
+  * skew-join does un-rewritten, so SCALE.md's "AQE splits oversized
+  * partitions" row carries a number instead of a claim.
+  *
+  * Shape: a sort-merge join (broadcast disabled) of a fact table whose
+  * join key is planted-skewed (one key holds `share` of all rows)
+  * against a uniform build side — the exact join AQE's skew handling
+  * targets (OptimizeSkewedJoin splits the oversized sorted partition
+  * into advisory-sized slices and replicates the matching build rows).
+  * Thresholds are scaled to the probe (8 MB skew threshold, 2 MB
+  * advisory) the way a cluster job scales them to executor memory;
+  * what transfers is the RATIO and the split behavior, not the
+  * absolute seconds. Each cell: same plan, AQE skew-join OFF vs ON,
+  * min of 2 reps; `skewed=` reports whether the executed plan's SMJ
+  * was actually marked skew=true (the probe validates it fired, not
+  * just that a config was set).
+  *
+  * Diagnostic main, not an operator (tools/ contract).
+  * Run: `runMain graft.tools.SkewProbe`.
+  */
+object SkewProbe {
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.autoBroadcastJoinThreshold", -1)
+      .config("spark.sql.adaptive.enabled", true)
+      .config("spark.sql.adaptive.coalescePartitions.enabled", true)
+      .config("spark.sql.adaptive.skewJoin.skewedPartitionFactor", 2)
+      .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "8m")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val nFact = 8000000L
+    val nDim = 2000000L
+    val keys = 100000L
+
+    def fact(share: Double) = spark.range(nFact).select(
+      // First `share` of rows land on key 0; the rest spread uniformly.
+      when(col("id") < (nFact * share).toLong, lit(0L))
+        .otherwise(col("id") % keys).as("k"),
+      (col("id") * 17 % 1000).as("v"))
+
+    val dim = spark.range(nDim)
+      .select((col("id") % keys).as("k"), (col("id") % 97).as("w"))
+
+    def timed(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+
+    println("| skew share | off s | on s | ratio | skewed= |")
+    println("|---|---|---|---|---|")
+    for (share <- Seq(0.1, 0.5, 0.9)) {
+      val f = fact(share)
+      def run(): (Double, Boolean) = {
+        var marked = false
+        val t = timed {
+          f.join(dim, "k").agg(sum(col("v") * col("w"))).head()
+        }
+        // Re-derive the executed plan to read the skew marker. collect()
+        // (not head(): head runs a separate limited plan, leaving THIS
+        // queryExecution unexecuted and its adaptive plan non-final).
+        val q = f.join(dim, "k").agg(sum(col("v") * col("w")))
+        q.collect()
+        val ps = q.queryExecution.executedPlan.toString
+        marked = ps.contains("skew=true")
+        (t, marked)
+      }
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      val off = Seq.fill(2)(run()._1).min
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      val runs = Seq.fill(2)(run())
+      val on = runs.map(_._1).min
+      val marked = runs.exists(_._2)
+      println(f"| ${(share * 100).toInt}%% | $off%.2f | $on%.2f | " +
+        f"${off / on}%.2f | $marked |")
+    }
+    spark.stop()
+  }
+}

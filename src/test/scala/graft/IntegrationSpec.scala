@@ -374,6 +374,67 @@ class IntegrationSpec extends SparkSpec {
     assert(want.exists(_(1).asInstanceOf[Long] > 0L), "fixture sanity")
   }
 
+  test("streamed sessionization on organic events at sf0.001: SessionStream.userStats == q_adv11 after replaying the table in batches") {
+    import graft.streaming.SessionStream
+    val dir = "/root/testdata/sf0.001"
+    val gapUs = 1800000000L // the q_adv4/q_adv11 30-minute gap
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"),
+        col("value"))
+      .localCheckpoint()
+    val state = java.nio.file.Files
+      .createTempDirectory("graft-sessint").toString
+    val fn = SessionStream.pipeline(state, gapUs)
+    // Event-time-interleaved batches: every user's sessions are built
+    // across all four batches — maximal hull-merge pressure on the
+    // kappa claim, on organic data.
+    (0L until 4L).foreach(b =>
+      fn(ev.where(pmod(col("ts_us"), lit(4L)) === b), b))
+    val got = SessionStream.userStats(spark, state, gapUs)
+      .collect().map(_.toSeq).toSeq
+    val want = graft.analytics.AdvancedQueries.sessionStats(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(got == want, "streamed per-user session summary must equal q_adv11")
+    assert(want.exists(_(1).asInstanceOf[Long] > 1L),
+      "fixture sanity: some user has multiple sessions")
+  }
+
+  test("streamed moments on organic events at sf0.001: MomentStream.stats corr == engine corr over the same quantized pairs") {
+    import graft.streaming.MomentStream
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select(col("event_type").as("key"),
+        get_json_object(col("props"), "$.k").cast("double").as("x"),
+        col("value").as("y"))
+      .localCheckpoint()
+    val state = java.nio.file.Files
+      .createTempDirectory("graft-momint").toString
+    val fn = MomentStream.pipeline(state)
+    (0L until 3L).foreach(b =>
+      fn(ev.where(pmod(crc32(concat_ws("|", col("key"), col("x"), col("y"))),
+        lit(3L)) === b), b))
+    val got = MomentStream.stats(spark, state).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // Engine truth over the SAME micro-quantized pairs (the store's
+    // committed domain): pairwise-complete corr per key.
+    val want = ev
+      .where(col("key").isNotNull && col("x").isNotNull && col("y").isNotNull)
+      .select(col("key"),
+        round(col("x") * 1e6, 0).as("xm"), round(col("y") * 1e6, 0).as("ym"))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n"), corr("xm", "ym").as("c"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(got.keySet == want.keySet)
+    for ((k, (n, c)) <- want) {
+      assert(got(k)._1 == n, s"n($k)")
+      // The store derives corr from EXACT integer moments; the engine
+      // estimates it with streaming double co-moments — agreement is
+      // to double precision, not bit-equality.
+      assert(math.abs(got(k)._2 - c) < 1e-6, s"corr($k): ${got(k)._2} vs $c")
+    }
+  }
+
   test("driver contract: entry() returns rows; every query has a runnable entry") {
     assert(SparkEntry.entry(spark).count() > 0, "flagship must return rows")
     // Every oracleSql key must refer to a real query (a typo'd key would

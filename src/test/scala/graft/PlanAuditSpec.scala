@@ -48,6 +48,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(500))
   }
 
+  test("q_adv11: per-user aggregate reuses the session aggregate's user_id partitioning (one data exchange)") {
+    val p = plan("q_adv11_session_stats")
+    // One hashpartitioning exchange for the session window; the second
+    // grouped aggregate must NOT re-shuffle (its keys contain user_id).
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected 1 data exchange, got $hashEx:\n${p.take(800)}")
+  }
+
+  test("q_agg12: regr_* aggregates run partial+final around one exchange (moments map-side)") {
+    val p = plan("q_agg12_regression")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected 1 exchange, got $hashEx:\n${p.take(800)}")
+    assert("partial_regr_slope|partial_sum|HashAggregate".r.findFirstIn(p).isDefined)
+  }
+
+  test("q_rel31: the exact profile is ONE pass — one scan, one Expand, one exchange") {
+    val p = plan("q_rel31_profile")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"profile must scan once:\n${p.take(800)}")
+    assert("Expand".r.findAllIn(p).size == 1,
+      "the multi-distinct rewrite is one Expand (the documented price)")
+  }
+
   test("q_adv1: broadcast cust into orders, ONE orderkey shuffle, top-k without global sort") {
     // Round-7 bench flagged a 1.6× median move on q_adv1 with no code
     // change; this pins the plan shape so any future move must be

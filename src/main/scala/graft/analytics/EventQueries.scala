@@ -129,6 +129,56 @@ object EventQueries {
       |       regr_count(value, CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS n_pairs
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q_agg13: robust (MAD-based) outlier detection per event type —
+    * the heavy-tail-safe complement to q_agg6's mean/σ z-scores (one
+    * giant spike inflates σ enough to hide the next spike; the median
+    * absolute deviation barely moves). This is also the board's first
+    * EXACT percentile surface: `median`/`percentile` (sort-exact, not
+    * the GK sketch percentile_approx rides), hash-certified against
+    * DuckDB's quantile_cont at 6dp — the exact aggregate is the
+    * pay-for-truth path, the DDSketch family (q_rel10f/q_agg8) is the
+    * scale path. Two grouped passes by construction (MAD needs the
+    * median first), each a partial+final aggregate with the ≤ types-row
+    * median table broadcast back; the robust z rounds 4dp BEFORE
+    * thresholding (the q_agg6/q_agg11 flag discipline — the emitted
+    * counts are part of the hash). 1.4826 = 1/Φ⁻¹(3/4), the normal
+    * consistency constant.
+    */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select("event_type", "value")
+    val med = ev.groupBy("event_type")
+      .agg(median(col("value")).as("med"))
+    val mad = ev.join(broadcast(med), "event_type")
+      .groupBy("event_type")
+      .agg(first(col("med")).as("med"),
+        median(abs(col("value") - col("med"))).as("mad"))
+    ev.join(broadcast(mad), "event_type")
+      .withColumn("z",
+        round(abs(col("value") - col("med")) / (lit(1.4826) * col("mad")), 4))
+      .groupBy("event_type")
+      .agg(round(first(col("med")), 6).as("med"),
+        round(first(col("mad")), 6).as("mad"),
+        count(lit(1)).as("n"),
+        sum(when(col("z") > 3.0, 1L).otherwise(0L)).as("n_out"))
+      .orderBy("event_type")
+  }
+
+  val madOutliersSql: String =
+    """WITH med AS (
+      |  SELECT event_type, quantile_cont(value, 0.5) AS med
+      |  FROM events GROUP BY 1),
+      |mad AS (
+      |  SELECT e.event_type, any_value(m.med) AS med,
+      |         quantile_cont(abs(e.value - m.med), 0.5) AS mad
+      |  FROM events e JOIN med m USING (event_type) GROUP BY 1)
+      |SELECT e.event_type, round(any_value(d.med), 6) AS med,
+      |       round(any_value(d.mad), 6) AS mad, count(*) AS n,
+      |       CAST(sum(CASE WHEN round(abs(e.value - d.med)
+      |                                / (1.4826 * d.mad), 4) > 3.0
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_out
+      |FROM events e JOIN mad d USING (event_type)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** AGG-4 / SNK-2: records per hourly partition per user — the doc-count
     * view of the hourly index rotation, plus a distinct-user metric.
     */

@@ -173,6 +173,29 @@ object MomentStream {
     * variance on either side) read null, matching the engine
     * aggregates' NaN-free SQL convention.
     */
+  /** Univariate read off the same state: per-key mean / variance /
+    * stddev of the y coordinate (q_agg6's per-key baseline, live) —
+    * the moment vector already carries (n, Σy, Σy²), so the z-score
+    * denominator is a projection, not a new pass. Population variance
+    * in the micro domain divided back out; single-point keys read
+    * null variance. A caller that only needs univariate statistics
+    * feeds x = y; nothing extra is stored either way.
+    */
+  def meanVar(spark: SparkSession, stateDir: String): DataFrame = {
+    val n = col("n").cast(Dec)
+    val varYN = col("syy") * n - col("sy") * col("sy") // n·Σy² − (Σy)²
+    val ok = col("n") > 1
+    val scale2 = Scale.toDouble * Scale.toDouble
+    moments(spark, stateDir)
+      .withColumn("mean_y",
+        col("sy").cast("double") / col("n") / lit(Scale.toDouble))
+      .withColumn("var_y", when(ok,
+        varYN.cast("double") / col("n") / col("n") / lit(scale2)))
+      .withColumn("stddev_y", sqrt(col("var_y")))
+      .select("key", "n", "mean_y", "var_y", "stddev_y")
+      .orderBy("key")
+  }
+
   def stats(spark: SparkSession, stateDir: String): DataFrame = {
     val n = col("n").cast(Dec)
     val covN = col("sxy") * n - col("sx") * col("sy")   // n·Σxy − Σx·Σy

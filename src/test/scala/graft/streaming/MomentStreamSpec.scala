@@ -115,6 +115,35 @@ class MomentStreamSpec extends SparkSpec {
     assert(math.abs(got("c")._3 - 4.5) < 0.2)
   }
 
+  test("meanVar read: per-key mean/variance/stddev match the BigDecimal recompute; single-point keys read null variance") {
+    val dir = Files.createTempDirectory("graft-mommv").toString
+    val fn = MomentStream.pipeline(dir)
+    val slices = slice(corpus(5), 3, 6)
+    slices.zipWithIndex.foreach { case (s, i) => fn(df(s), i.toLong) }
+    val ref = refMoments(slices.flatten).map { case (k, m) =>
+      val (n, _, sy, _, syy, _) = m
+      val mean = sy.toDouble / n / 1e6
+      val varY = (syy * BigInt(n) - sy * sy).toDouble / n / n / 1e12
+      k -> (n, mean, varY)
+    }
+    val got = MomentStream.meanVar(spark, dir).collect().map { r =>
+      r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4))
+    }.toMap
+    assert(got.keySet == ref.keySet)
+    for ((k, (n, mean, varY)) <- ref) {
+      assert(got(k)._1 == n)
+      assert(math.abs(got(k)._2 - mean) < 1e-12, s"mean($k)")
+      assert(math.abs(got(k)._3 - varY) < 1e-9, s"var($k)")
+      assert(math.abs(got(k)._4 - math.sqrt(varY)) < 1e-9, s"std($k)")
+    }
+    // Single-point key: mean defined, variance/stddev null.
+    val one = Files.createTempDirectory("graft-mommv1").toString
+    MomentStream.pipeline(one)(df(Seq(("solo", 2.0, 3.5))), 0L)
+    val r = MomentStream.meanVar(spark, one).collect().head
+    assert(r.getDouble(2) == 3.5 && r.isNullAt(3) && r.isNullAt(4))
+  }
+
   test("degenerate keys read null: single point, zero x-variance, zero y-variance") {
     val dir = Files.createTempDirectory("graft-momdegen").toString
     val fn = MomentStream.pipeline(dir)

@@ -172,6 +172,34 @@ class EventSemanticsSpec extends SparkSpec {
     }
   }
 
+  test("AGG-13 MAD robustness: the spike σ-inflation hides, MAD still flags") {
+    // 100 baseline points spread over [-3, 3], one mega-spike (1000)
+    // and one modest spike (15). The mega-spike inflates σ so far that
+    // the modest spike's classical z drops below 3 (the q_agg6 filter
+    // goes blind); the median and MAD barely move, so the robust z
+    // flags BOTH. This is the claim q_agg13 exists for.
+    val base = (0 until 100).map(i => (i % 7).toDouble - 3.0)
+    val vals = base ++ Seq(1000.0, 15.0)
+    val df = vals.toDF("v")
+    val stats = df.agg(avg("v").as("mu"), stddev_pop("v").as("sigma"),
+        median(col("v")).as("med")).head()
+    val (mu, sigma, med) = (stats.getDouble(0), stats.getDouble(1),
+      stats.getDouble(2))
+    val mad = df.select(abs(col("v") - lit(med)).as("d"))
+      .agg(median(col("d"))).head().getDouble(0)
+    def zClassic(v: Double) = math.abs(v - mu) / sigma
+    def zRobust(v: Double) = math.abs(v - med) / (1.4826 * mad)
+    // σ-inflation: the modest spike is invisible to the classical test…
+    assert(zClassic(15.0) < 3.0,
+      f"classical z(15)=${zClassic(15.0)}%.2f should be blinded")
+    assert(zClassic(1000.0) > 3.0)
+    // …and both spikes clear the robust threshold, no baseline point does.
+    assert(zRobust(15.0) > 3.0, f"robust z(15)=${zRobust(15.0)}%.2f")
+    assert(zRobust(1000.0) > 3.0)
+    assert(base.forall(v => zRobust(v) <= 3.0),
+      "no baseline point may be flagged")
+  }
+
   test("ADV-10 funnel: steps are STRICTLY ordered — out-of-order completions don't count") {
     // u1 completes in order; u2 purchased BEFORE clicking (no step 4);
     // u3 viewed before signup (view doesn't count; re-view after

@@ -1,6 +1,7 @@
 package graft.analytics
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -324,6 +325,74 @@ object AdvancedQueries {
       |           + (count(*) - 1)) // (2 * (count(*) - 1))
       |       END AS BIGINT) AS mean_idle_us
       |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** q_adv12: peak concurrent sessions per hour — the capacity-planning
+    * curve ("how many users are on at once"), computed as a SWEEP LINE
+    * over session boundaries: +1 at each session start, −1 just after
+    * each end, running sum = concurrency at every change point, max
+    * per hour. The classic formulation is one global cumulative window
+    * — a single-partition sort over every change point, exactly the
+    * non-scalable shape the oracle replays. The Spark side runs the
+    * TWO-LEVEL prefix sum instead (the ml11 packing pattern): within-
+    * hour running sums partition by hour (parallel), hour totals
+    * cumulate in one window over ≤ hours rows (bounded however large
+    * the corpus — a year is 8,760 rows), and each hour's offset
+    * broadcasts back. Change points are ≤ 2·sessions rows, already far
+    * smaller than events; hours with no change point carry no row
+    * (both engines agree). Exact integers end to end.
+    */
+  def concurrency(spark: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600000000L
+    val sess = Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(unix_micros(min(col("ts"))).as("s_us"),
+        unix_micros(max(col("ts"))).as("e_us"))
+    val deltas = sess.select(col("s_us").as("ts"), lit(1L).as("d"))
+      .unionAll(sess.select((col("e_us") + 1).as("ts"), lit(-1L).as("d")))
+    val byTs = deltas.groupBy("ts").agg(sum("d").as("d"))
+      .withColumn("hour", expr(s"ts div $hourUs"))
+    // Level 2: cumulative hour offsets — a one-partition window over
+    // the BOUNDED per-hour totals only, then broadcast back.
+    val hourOffsets = byTs.groupBy("hour").agg(sum("d").as("hd"))
+      .withColumn("offset",
+        coalesce(sum("hd").over(Window.orderBy("hour")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("hour", "offset")
+    // Level 1: within-hour running sums, partitioned by hour.
+    val within = byTs.withColumn("run",
+      sum("d").over(Window.partitionBy("hour").orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    within.join(broadcast(hourOffsets), "hour")
+      .groupBy("hour")
+      .agg(max(col("offset") + col("run")).as("max_concurrent"))
+      .orderBy("hour")
+  }
+
+  val concurrencySql: String =
+    """WITH sess AS (
+      |  SELECT user_id, min(ts_us) AS s_us, max(ts_us) AS e_us
+      |  FROM (
+      |    SELECT user_id, ts_us,
+      |           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+      |                                  ROWS UNBOUNDED PRECEDING) AS session_id
+      |    FROM (
+      |      SELECT user_id, epoch_us(ts) AS ts_us,
+      |             CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1, epoch_us(ts))
+      |                       OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) >= 1800000000
+      |                  THEN 1 ELSE 0 END AS new_session
+      |      FROM events)
+      |  ) GROUP BY user_id, session_id
+      |),
+      |deltas AS (
+      |  SELECT s_us AS ts, 1 AS d FROM sess
+      |  UNION ALL
+      |  SELECT e_us + 1, -1 FROM sess),
+      |byts AS (SELECT ts, CAST(sum(d) AS BIGINT) AS d FROM deltas GROUP BY ts),
+      |run AS (SELECT ts, CAST(sum(d) OVER (ORDER BY ts
+      |                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conc
+      |        FROM byts)
+      |SELECT ts // 3600000000 AS hour, max(conc) AS max_concurrent
+      |FROM run GROUP BY 1 ORDER BY hour""".stripMargin
 
   /** q_adv9: cohort retention — the canonical product-analytics
     * matrix: users cohorted by FIRST-seen epoch week, each cohort's

@@ -63,6 +63,17 @@ class PlanAuditSpec extends SparkSpec {
     assert("partial_regr_slope|partial_sum|HashAggregate".r.findFirstIn(p).isDefined)
   }
 
+  test("q_adv12: two-level sweep line — the only single-partition window runs over the BOUNDED hour totals") {
+    val p = plan("q_adv12_concurrency")
+    // Change-point running sums partition by hour (parallel); the one
+    // SinglePartition exchange feeds the ≤ hours-row offset window,
+    // never the change points themselves.
+    val single = "Exchange SinglePartition".r.findAllIn(p).size
+    assert(single == 1, s"one bounded offset window, got $single:\n${p.take(800)}")
+    assert(p.contains("hashpartitioning(hour"),
+      "within-hour sums must partition by hour")
+  }
+
   test("q_rel31: the exact profile is ONE pass — one scan, one Expand, one exchange") {
     val p = plan("q_rel31_profile")
     assert("Scan parquet".r.findAllIn(p).size == 1,

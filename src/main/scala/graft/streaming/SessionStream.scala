@@ -213,6 +213,42 @@ object SessionStream {
       .orderBy("user_id", "session_start_us")
   }
 
+  /** Third read off the same state: the live capacity-planning curve —
+    * q_adv12's exact shape (peak concurrent sessions per hour-bucket)
+    * computed by the same two-level sweep line over the COMMITTED
+    * session intervals: change-point deltas (+1 at start, −1 just
+    * after end), within-bucket running sums partitioned by bucket,
+    * bucket offsets cumulated in one window over ≤ buckets rows and
+    * broadcast back. Work is O(sessions), never O(events) — the hull
+    * state is exactly the information the sweep line needs.
+    */
+  def concurrency(spark: SparkSession, stateDir: String, gapUs: Long,
+      bucketUs: Long = 3600000000L): DataFrame = {
+    require(bucketUs > 0, s"bucket must be positive µs, got $bucketUs")
+    readMeta(spark, stateDir).foreach { case (_, _, pg) =>
+      if (pg != gapUs) throw new IllegalStateException(
+        s"session state at $stateDir is merged at gap=$pg µs, read asked " +
+          s"gap=$gapUs")
+    }
+    val sess = intervals(spark, stateDir)
+    val deltas = sess.select(col("start_us").as("ts"), lit(1L).as("d"))
+      .unionAll(sess.select((col("end_us") + 1).as("ts"), lit(-1L).as("d")))
+    val byTs = deltas.groupBy("ts").agg(sum("d").as("d"))
+      .withColumn("hour", expr(s"ts div $bucketUs"))
+    val hourOffsets = byTs.groupBy("hour").agg(sum("d").as("hd"))
+      .withColumn("offset",
+        coalesce(sum("hd").over(Window.orderBy("hour")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("hour", "offset")
+    val within = byTs.withColumn("run",
+      sum("d").over(Window.partitionBy("hour").orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    within.join(broadcast(hourOffsets), "hour")
+      .groupBy("hour")
+      .agg(max(col("offset") + col("run")).as("max_concurrent"))
+      .orderBy("hour")
+  }
+
   /** Second read off the same state: per-user behavioral summary —
     * session count, total events, longest session (µs), and the mean
     * inter-session idle gap in µs (integer HALF_UP over the n−1 gaps;

@@ -397,6 +397,12 @@ class IntegrationSpec extends SparkSpec {
     assert(got == want, "streamed per-user session summary must equal q_adv11")
     assert(want.exists(_(1).asInstanceOf[Long] > 1L),
       "fixture sanity: some user has multiple sessions")
+    // And the capacity curve off the same committed state == q_adv12.
+    val gotC = SessionStream.concurrency(spark, state, gapUs)
+      .collect().map(_.toSeq).toSeq
+    val wantC = graft.analytics.AdvancedQueries.concurrency(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(gotC == wantC, "streamed concurrency curve must equal q_adv12")
   }
 
   test("streamed moments on organic events at sf0.001: MomentStream.stats corr == engine corr over the same quantized pairs") {

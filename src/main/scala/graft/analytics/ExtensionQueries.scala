@@ -2882,6 +2882,92 @@ object ExtensionQueries {
        |FROM cc LEFT JOIN h USING (nprobe) CROSS JOIN t ORDER BY nprobe""".stripMargin
   }
 
+  // ---------------------------------------------------------------- SIM-18
+  /** Filtered ANN audit ([[Similarity.filteredIvfRecallAudit]]): the
+    * pre-filter vs post-filter law for metadata-predicated vector
+    * search ("nearest label-2 neighbors"), on the q_sim11 setup — one
+    * shared index, truth = brute-force top-5 over the label-filtered
+    * corpus, both strategies at probe depths 1/2/4. Expected shape:
+    * pre-filter tracks the unfiltered recall curve; post-filter
+    * collapses toward the ~10% label selectivity while scoring the
+    * full candidate volume.
+    */
+  def filteredAnnAudit(spark: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.embeddings(spark, dir)
+    Similarity.filteredIvfRecallAudit(embs.where(col("vec_id") % 10 === 3),
+      embs, labelValue = 2, k = 5, nProbes = Seq(1, 2, 4), nCentroids = 16,
+      lloydIters = 2, trainN = 1024, seedPlanes = 6, dim = 64)
+  }
+
+  val filteredAnnAuditSql: String = {
+    val (nc, iters, trainN, dim, k, lbl) = (16, 2, 1024, 64, 5, 2)
+    val (training, cFinal) = ivfTrainingCtes(nc, iters, trainN, seedPlanes = 6, dim = dim)
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label
+       |           FROM embeddings),
+       |$training,
+       |exact AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY round(list_cosine_similarity(q.e, c.e), 6) DESC,
+       |                      c.vec_id) AS rank
+       |    FROM (SELECT * FROM v WHERE vec_id % 10 = 3
+       |          AND list_dot_product(e, e) > 0) q
+       |    JOIN (SELECT * FROM v WHERE label = $lbl
+       |          AND list_dot_product(e, e) > 0) c
+       |      ON q.vec_id != c.vec_id)
+       |  WHERE rank <= $k),
+       |ca AS (SELECT vec_id AS neighbor_id, e AS ne, cid, label FROM (
+       |    SELECT v.vec_id, v.e, v.label, c.cid,
+       |           row_number() OVER (PARTITION BY v.vec_id
+       |             ORDER BY round(list_cosine_similarity(v.e, c.ce), 6) DESC, c.cid) AS rn
+       |    FROM v CROSS JOIN $cFinal c)
+       |  WHERE rn = 1 AND list_dot_product(e, e) > 0),
+       |qa AS (SELECT vec_id AS query_id, e AS qe, cid, rn AS crank FROM (
+       |    SELECT v.vec_id, v.e, c.cid,
+       |           row_number() OVER (PARTITION BY v.vec_id
+       |             ORDER BY round(list_cosine_similarity(v.e, c.ce), 6) DESC, c.cid) AS rn
+       |    FROM v CROSS JOIN $cFinal c WHERE v.vec_id % 10 = 3)
+       |  WHERE rn <= 4 AND list_dot_product(e, e) > 0),
+       |np AS (SELECT unnest([1, 2, 4]) AS nprobe),
+       |cand AS (SELECT np.nprobe, qa.query_id, ca.neighbor_id, ca.label,
+       |         round(list_cosine_similarity(qa.qe, ca.ne), 6) AS cos
+       |         FROM ca JOIN qa USING (cid) CROSS JOIN np
+       |         WHERE qa.crank <= np.nprobe AND qa.query_id != ca.neighbor_id),
+       |pre AS (SELECT nprobe, query_id, neighbor_id FROM (
+       |    SELECT nprobe, query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY nprobe, query_id
+       |             ORDER BY cos DESC, neighbor_id) AS rank
+       |    FROM cand WHERE label = $lbl)
+       |  WHERE rank <= $k),
+       |post AS (SELECT nprobe, query_id, neighbor_id FROM (
+       |    SELECT nprobe, query_id, neighbor_id, label,
+       |           row_number() OVER (PARTITION BY nprobe, query_id
+       |             ORDER BY cos DESC, neighbor_id) AS rank
+       |    FROM cand)
+       |  WHERE rank <= $k AND label = $lbl),
+       |t AS (SELECT count(*) AS n_truth, count(DISTINCT query_id) AS n_queries
+       |      FROM exact),
+       |hpre AS (SELECT nprobe, count(*) AS n_hit FROM pre
+       |         JOIN exact USING (query_id, neighbor_id) GROUP BY 1),
+       |hpost AS (SELECT nprobe, count(*) AS n_hit FROM post
+       |          JOIN exact USING (query_id, neighbor_id) GROUP BY 1),
+       |cpre AS (SELECT nprobe, count(*) AS n_cand FROM cand
+       |         WHERE label = $lbl GROUP BY 1),
+       |cpost AS (SELECT nprobe, count(*) AS n_cand FROM cand GROUP BY 1),
+       |spre AS (SELECT 'pre' AS strategy, cpre.nprobe, t.n_queries, t.n_truth,
+       |         CAST(coalesce(hpre.n_hit, 0) AS BIGINT) AS n_hit,
+       |         round(CAST(coalesce(hpre.n_hit, 0) AS DOUBLE) / t.n_truth, 6) AS recall,
+       |         cpre.n_cand
+       |         FROM cpre LEFT JOIN hpre USING (nprobe) CROSS JOIN t),
+       |spost AS (SELECT 'post' AS strategy, cpost.nprobe, t.n_queries, t.n_truth,
+       |          CAST(coalesce(hpost.n_hit, 0) AS BIGINT) AS n_hit,
+       |          round(CAST(coalesce(hpost.n_hit, 0) AS DOUBLE) / t.n_truth, 6) AS recall,
+       |          cpost.n_cand
+       |          FROM cpost LEFT JOIN hpost USING (nprobe) CROSS JOIN t)
+       |SELECT * FROM (SELECT * FROM spre UNION ALL SELECT * FROM spost)
+       |ORDER BY strategy, nprobe""".stripMargin
+  }
+
   // ---------------------------------------------------------------- TXT-17
   /** BPE merge-table learning ([[graft.operators.Bpe.learnMerges]]): the
     * 6 highest-count merges over the corpus word frequencies, each

@@ -734,6 +734,123 @@ object Similarity {
       .orderBy("nprobe")
   }
 
+  /** FILTERED ANN audit — the pre-filter vs post-filter law every
+    * vector store with metadata predicates lives by ("nearest
+    * label-L neighbors", "nearest English docs"): one SHARED index
+    * (centroids trained on the full corpus — the realistic setup; a
+    * per-predicate index is a different, costlier product), truth =
+    * brute-force top-k over the PREDICATE-FILTERED corpus, and two
+    * serving strategies measured against it at each probe depth:
+    *
+    *  - **pre-filter**: drop non-matching candidates BEFORE ranking —
+    *    every one of the k result slots goes to a matching vector, so
+    *    recall tracks the unfiltered audit's at the same depth; the
+    *    candidate volume the ranker sees is already selectivity-scaled.
+    *  - **post-filter**: rank ALL candidates to top-k first, filter
+    *    after — the strategy a store whose index can't see the
+    *    predicate is forced into. Matching survivors ≤ k·selectivity
+    *    in expectation, so recall collapses toward selectivity (the
+    *    spec/oracle pin pre ≥ post row-by-row), while the SCORED
+    *    volume (`n_cand`) stays full-corpus — worst of both.
+    *
+    * The sharpest finding (measured at sf0.01, pinned by the oracle):
+    * at FIXED k, post-filter recall DEGRADES as probes deepen (0.084
+    * → 0.060 from depth 1 to 4) — a deeper probe finds strictly
+    * better unfiltered top-k, which is mostly non-matching and crowds
+    * the matches out; pre-filter meanwhile climbs 0.152 → 0.420 on
+    * ~10× less scored work. The only correct post-filter fix is
+    * deepening K by ~1/selectivity (not probing deeper), which is
+    * just pre-filter's candidate volume paid later and larger.
+    * Same determinism contract as [[ivfRecallAudit]] (6dp-rounded
+    * cosines, id tie-breaks, zero-norm exclusion on both engines).
+    */
+  def filteredIvfRecallAudit(queries: DataFrame, corpus: DataFrame,
+      labelValue: Int, k: Int, nProbes: Seq[Int], nCentroids: Int = 16,
+      lloydIters: Int = 2, trainN: Int = 4096,
+      seedPlanes: Int = 6, dim: Int = 64): DataFrame = {
+    require(nProbes.nonEmpty, "nProbes must be non-empty")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val maxProbe = nProbes.max
+
+    val exact = graft.util.ScratchCheckpoints.register(
+      bruteForceTopK(queries, corpus.where(col("label") === labelValue), k)
+        .select(col("query_id"), col("neighbor_id")).localCheckpoint())
+
+    val centroids = trainCentroids(corpus, nCentroids, lloydIters, trainN,
+        seedPlanes, dim)
+      .select(col("cid"), col("ce"), VF.l2Norm(col("ce")).as("cn"))
+    def scored(df: DataFrame, idCol: String): DataFrame = df
+      .select(col("vec_id").as(idCol), col("embedding"),
+        VF.l2Norm(col("embedding")).as("nrm"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("ccos",
+        round(VF.dot(col("embedding"), col("ce")) / (col("nrm") * col("cn")), 6))
+    // Full-corpus cells, label carried map-side (the shared index
+    // serves every predicate; the label column rides the same scan to
+    // the filter stage — no second corpus join).
+    val corpusCells = corpus
+      .select(col("vec_id").as("neighbor_id"), col("embedding"),
+        col("label"), VF.l2Norm(col("embedding")).as("nrm"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("ccos",
+        round(VF.dot(col("embedding"), col("ce")) / (col("nrm") * col("cn")), 6))
+      .groupBy(col("neighbor_id"))
+      .agg(max(struct(col("ccos"), (-col("cid")).as("negcid"),
+        col("embedding"), col("nrm"), col("label"))).as("m"))
+      .select(col("neighbor_id"), col("m.embedding").as("ne"),
+        col("m.nrm").as("nn"), (-col("m.negcid")).as("cid"),
+        col("m.label").as("label"))
+    val qw = Window.partitionBy("query_id").orderBy(col("ccos").desc, col("cid"))
+    val queryCells = scored(queries, "query_id")
+      .withColumn("crank", row_number().over(qw))
+      .where(col("crank") <= maxProbe)
+      .select(col("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("cid"), col("crank"))
+
+    val levels = broadcast(nProbes.sorted.toDF("nprobe"))
+    val cand = graft.util.ScratchCheckpoints.register(
+      corpusCells.where(col("nn") > 0)
+        .join(broadcast(queryCells.where(col("qn") > 0)), Seq("cid"))
+        .where(col("query_id") =!= col("neighbor_id"))
+        .withColumn("cos",
+          round(VF.dot(col("qe"), col("ne")) / (col("qn") * col("nn")), 6))
+        .join(levels, col("crank") <= col("nprobe"))
+        .select("nprobe", "query_id", "neighbor_id", "cos", "label")
+        .localCheckpoint())
+
+    val apw = Window.partitionBy("nprobe", "query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    // PRE: predicate before ranking — every slot goes to a match.
+    val pre = cand.where(col("label") === labelValue)
+      .withColumn("rank", row_number().over(apw))
+      .where(col("rank") <= k)
+      .select("nprobe", "query_id", "neighbor_id")
+    // POST: rank everything, filter after — survivors ≤ k.
+    val post = cand
+      .withColumn("rank", row_number().over(apw))
+      .where(col("rank") <= k && col("label") === labelValue)
+      .select("nprobe", "query_id", "neighbor_id")
+
+    val truthAgg = exact.agg(count(lit(1)).as("n_truth"),
+      countDistinct("query_id").as("n_queries"))
+    def summarize(apx: DataFrame, candOf: DataFrame, tag: String): DataFrame = {
+      val hits = apx.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("nprobe").agg(count(lit(1)).as("n_hit"))
+      candOf.groupBy("nprobe").agg(count(lit(1)).as("n_cand"))
+        .join(hits, Seq("nprobe"), "left")
+        .crossJoin(broadcast(truthAgg))
+        .select(lit(tag).as("strategy"), col("nprobe"), col("n_queries"),
+          col("n_truth"), coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          round(coalesce(col("n_hit"), lit(0L)).cast("double")
+            / col("n_truth"), 6).as("recall"),
+          col("n_cand"))
+    }
+    summarize(pre, cand.where(col("label") === labelValue), "pre")
+      .unionByName(summarize(post, cand, "post"))
+      .orderBy("strategy", "nprobe")
+  }
+
   /** Per-dimension quantization grid for the int8 index: ONE row with
     * (`lo`, `hi`) array<double> columns — the corpus min/max per
     * dimension, exactly the grid q_sim4's error audit measures. One

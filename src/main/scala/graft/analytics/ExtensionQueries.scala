@@ -2945,12 +2945,24 @@ object ExtensionQueries {
        |             ORDER BY cos DESC, neighbor_id) AS rank
        |    FROM cand)
        |  WHERE rank <= $k AND label = $lbl),
+       |postdeep AS (SELECT nprobe, query_id, neighbor_id FROM (
+       |    SELECT nprobe, query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY nprobe, query_id
+       |             ORDER BY cos DESC, neighbor_id) AS rank2
+       |    FROM (SELECT nprobe, query_id, neighbor_id, label, cos,
+       |                 row_number() OVER (PARTITION BY nprobe, query_id
+       |                   ORDER BY cos DESC, neighbor_id) AS rank
+       |          FROM cand)
+       |    WHERE rank <= ${k * 10} AND label = $lbl)
+       |  WHERE rank2 <= $k),
        |t AS (SELECT count(*) AS n_truth, count(DISTINCT query_id) AS n_queries
        |      FROM exact),
        |hpre AS (SELECT nprobe, count(*) AS n_hit FROM pre
        |         JOIN exact USING (query_id, neighbor_id) GROUP BY 1),
        |hpost AS (SELECT nprobe, count(*) AS n_hit FROM post
        |          JOIN exact USING (query_id, neighbor_id) GROUP BY 1),
+       |hpostd AS (SELECT nprobe, count(*) AS n_hit FROM postdeep
+       |           JOIN exact USING (query_id, neighbor_id) GROUP BY 1),
        |cpre AS (SELECT nprobe, count(*) AS n_cand FROM cand
        |         WHERE label = $lbl GROUP BY 1),
        |cpost AS (SELECT nprobe, count(*) AS n_cand FROM cand GROUP BY 1),
@@ -2963,8 +2975,14 @@ object ExtensionQueries {
        |          CAST(coalesce(hpost.n_hit, 0) AS BIGINT) AS n_hit,
        |          round(CAST(coalesce(hpost.n_hit, 0) AS DOUBLE) / t.n_truth, 6) AS recall,
        |          cpost.n_cand
-       |          FROM cpost LEFT JOIN hpost USING (nprobe) CROSS JOIN t)
-       |SELECT * FROM (SELECT * FROM spre UNION ALL SELECT * FROM spost)
+       |          FROM cpost LEFT JOIN hpost USING (nprobe) CROSS JOIN t),
+       |spostd AS (SELECT 'post_deep' AS strategy, cpost.nprobe, t.n_queries,
+       |           t.n_truth, CAST(coalesce(hpostd.n_hit, 0) AS BIGINT) AS n_hit,
+       |           round(CAST(coalesce(hpostd.n_hit, 0) AS DOUBLE) / t.n_truth, 6) AS recall,
+       |           cpost.n_cand
+       |           FROM cpost LEFT JOIN hpostd USING (nprobe) CROSS JOIN t)
+       |SELECT * FROM (SELECT * FROM spre UNION ALL SELECT * FROM spost
+       |               UNION ALL SELECT * FROM spostd)
        |ORDER BY strategy, nprobe""".stripMargin
   }
 

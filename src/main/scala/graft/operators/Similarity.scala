@@ -767,8 +767,10 @@ object Similarity {
   def filteredIvfRecallAudit(queries: DataFrame, corpus: DataFrame,
       labelValue: Int, k: Int, nProbes: Seq[Int], nCentroids: Int = 16,
       lloydIters: Int = 2, trainN: Int = 4096,
-      seedPlanes: Int = 6, dim: Int = 64): DataFrame = {
+      seedPlanes: Int = 6, dim: Int = 64,
+      deepenFactor: Int = 10): DataFrame = {
     require(nProbes.nonEmpty, "nProbes must be non-empty")
+    require(deepenFactor >= 1, s"deepenFactor must be >= 1, got $deepenFactor")
     val spark = corpus.sparkSession
     import spark.implicits._
     val maxProbe = nProbes.max
@@ -831,6 +833,16 @@ object Similarity {
       .withColumn("rank", row_number().over(apw))
       .where(col("rank") <= k && col("label") === labelValue)
       .select("nprobe", "query_id", "neighbor_id")
+    // POST-DEEP: the documented fix — deepen the retrieved set by
+    // ~1/selectivity, filter, THEN take k of the survivors. Recall
+    // should recover to pre-filter's; the price is the deep ranking.
+    val kDeep = k * deepenFactor
+    val postDeep = cand
+      .withColumn("rank", row_number().over(apw))
+      .where(col("rank") <= kDeep && col("label") === labelValue)
+      .withColumn("rank2", row_number().over(apw))
+      .where(col("rank2") <= k)
+      .select("nprobe", "query_id", "neighbor_id")
 
     val truthAgg = exact.agg(count(lit(1)).as("n_truth"),
       countDistinct("query_id").as("n_queries"))
@@ -848,6 +860,7 @@ object Similarity {
     }
     summarize(pre, cand.where(col("label") === labelValue), "pre")
       .unionByName(summarize(post, cand, "post"))
+      .unionByName(summarize(postDeep, cand, "post_deep"))
       .orderBy("strategy", "nprobe")
   }
 

@@ -1505,6 +1505,158 @@ object RelationalQueries {
   def profileLineitem(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Profile.profile(Tables.lineitem(spark, dir), profileCols)
 
+  // ---------------------------------------------------------------- REL-32
+  /** SCD Type-2 history build — the warehouse's other MERGE face
+    * (q_rel29 is SCD-1 apply; this keeps every version): fold an
+    * update log into validity intervals per entity. Entity key =
+    * (user_id, event_type); tracked attribute = the props tier
+    * (`k div 25` — coarse enough that consecutive updates genuinely
+    * repeat, so the change-collapse below is load-bearing, ~25% of
+    * rows fold into their predecessor). Two laws define SCD-2:
+    *
+    *  - **change detection**: only a row whose attribute DIFFERS from
+    *    the entity's previous row (under the total order ts_us,
+    *    event_id) opens a version — `rn = 1 OR tier IS DISTINCT FROM
+    *    lag(tier)`; the null-safe compare makes a null tier a real
+    *    trackable state, not a wildcard;
+    *  - **interval closing**: each version is valid [valid_from,
+    *    valid_to) with valid_to = the NEXT version's valid_from
+    *    (exclusive upper bound — intervals tile the timeline with no
+    *    gaps or overlap), null on the open current version.
+    *
+    * Shape at scale: both window passes share ONE (user_id,
+    * event_type) hash partitioning and ONE (ts_us, event_id) sort —
+    * the change filter preserves partitioning AND order, so lead/
+    * row_number after it reuse the exchange and the sort (pinned in
+    * PlanAuditSpec: exactly one data exchange, one sort below it).
+    * History length per entity is bounded by that entity's CHANGE
+    * count, not its event count — the collapse is what keeps a
+    * 100 TB history table smaller than its log.
+    */
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts_us"), col("event_id"))
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("ts_ns div 1000").as("ts_us"),
+        (get_json_object(col("props"), "$.k").cast("long") / 25)
+          .cast("long").as("tier"))
+    val changes = e
+      .withColumn("rn", row_number().over(w))
+      .withColumn("prev_tier", lag(col("tier"), 1).over(w))
+      .where(col("rn") === 1 || !(col("tier") <=> col("prev_tier")))
+    changes
+      .withColumn("valid_to_us", lead(col("ts_us"), 1).over(w))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .select(col("user_id"), col("event_type"), col("tier"),
+        col("ts_us").as("valid_from_us"), col("valid_to_us"),
+        col("version"), col("valid_to_us").isNull.as("is_current"))
+      .orderBy("user_id", "event_type", "version")
+  }
+
+  val scd2HistorySql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+      |         CAST(json_extract_string(props, '$.k') AS BIGINT) // 25 AS tier
+      |  FROM events),
+      |c AS (
+      |  SELECT * FROM (
+      |    SELECT user_id, event_type, event_id, ts_us, tier,
+      |           row_number() OVER w AS rn, lag(tier) OVER w AS prev_tier
+      |    FROM e
+      |    WINDOW w AS (PARTITION BY user_id, event_type
+      |                 ORDER BY ts_us, event_id))
+      |  WHERE rn = 1 OR tier IS DISTINCT FROM prev_tier)
+      |SELECT user_id, event_type, tier, ts_us AS valid_from_us,
+      |       lead(ts_us) OVER w2 AS valid_to_us,
+      |       row_number() OVER w2 AS version,
+      |       lead(ts_us) OVER w2 IS NULL AS is_current
+      |FROM c
+      |WINDOW w2 AS (PARTITION BY user_id, event_type
+      |              ORDER BY ts_us, event_id)
+      |ORDER BY user_id, event_type, version""".stripMargin
+
+  // ---------------------------------------------------------------- REL-33
+  /** Snapshot diff / CDC delta — "what changed between yesterday's
+    * snapshot and today's": the latest-shipped-lineitem state per
+    * order at two fixed date cutoffs, diffed into insert/update
+    * change rows (before- and after-images). The naive form
+    * materializes both snapshots (two window passes) and full-outer
+    * joins them; because both snapshots here derive from ONE log,
+    * the whole diff FUSES into a single partial+final hash aggregate
+    * over a single pruned scan — per order, the current row is a
+    * conditional argmax at each cutoff:
+    *
+    *   new = argmax_{ship<=t2}(ship_us, linenumber),
+    *   old = argmax_{ship<=t1}(...) — same aggregate, FILTERed
+    *
+    * so the diff of two 100 TB snapshots costs one scan of the log
+    * slice and one shuffle of ≤ |keys| partial rows — no snapshot is
+    * ever materialized, no join runs (pinned in PlanAuditSpec: one
+    * exchange, zero joins). Change classes: 'insert' (order first
+    * appears in (t1, t2]) and 'update' (a newer shipment displaces
+    * the current row); unchanged keys drop. 'delete' is structurally
+    * absent — prefix snapshots of an append-only log can only grow;
+    * the delete class belongs to changeset APPLY (q_rel29) and the
+    * streamed changelog ([[graft.streaming.CowUpsertStream]]), and
+    * the general two-arbitrary-tables form (where deletes are real)
+    * is [[graft.operators.SnapshotDiff]], certified in its spec.
+    * The argmax rides max(struct(...)) — lexicographic struct order,
+    * (ship_us, linenumber) is unique per order so the winner is
+    * total; DuckDB replays it as arg_max(col, (ship_us, ln)).
+    */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    // Cutoffs as epoch µs at UTC midnight (the session is UTC, so the
+    // NTZ→LTZ cast below is instant-preserving and DuckDB's epoch_us
+    // sees the same wall-clock values).
+    val t1us = 801964800000000L // 1995-06-01T00:00:00Z
+    val li = Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") <= lit("1996-06-01")) // pushed to the scan
+      .select(col("l_orderkey"),
+        unix_micros(col("l_shipdate").cast("timestamp")).as("ship_us"),
+        col("l_linenumber").cast("long").as("ln"), col("l_quantity"))
+    val cur = struct(col("ship_us"), col("ln"), col("l_quantity"))
+    li.groupBy("l_orderkey")
+      .agg(max(cur).as("new_row"),
+        max(when(col("ship_us") <= lit(t1us), cur)).as("old_row"))
+      .select(col("l_orderkey"),
+        when(col("old_row").isNull, lit("insert")).otherwise(lit("update"))
+          .as("change"),
+        col("old_row.ship_us").as("old_ship_us"),
+        col("old_row.ln").as("old_linenumber"),
+        col("old_row.l_quantity").as("old_qty"),
+        col("new_row.ship_us").as("new_ship_us"),
+        col("new_row.ln").as("new_linenumber"),
+        col("new_row.l_quantity").as("new_qty"))
+      .where(col("old_ship_us").isNull ||
+        col("old_ship_us") =!= col("new_ship_us") ||
+        col("old_linenumber") =!= col("new_linenumber"))
+      .orderBy("l_orderkey")
+  }
+
+  val snapshotDiffSql: String =
+    """WITH li AS (
+      |  SELECT l_orderkey, epoch_us(l_shipdate) AS ship_us,
+      |         CAST(l_linenumber AS BIGINT) AS ln, l_quantity
+      |  FROM lineitem
+      |  WHERE l_shipdate <= TIMESTAMP '1996-06-01 00:00:00'),
+      |s AS (
+      |  SELECT l_orderkey,
+      |         max({'ship_us': ship_us, 'ln': ln, 'q': l_quantity}) AS new_row,
+      |         max(CASE WHEN ship_us <= epoch_us(TIMESTAMP '1995-06-01 00:00:00')
+      |                  THEN {'ship_us': ship_us, 'ln': ln, 'q': l_quantity} END) AS old_row
+      |  FROM li GROUP BY l_orderkey)
+      |SELECT l_orderkey,
+      |       CASE WHEN old_row IS NULL THEN 'insert' ELSE 'update' END AS change,
+      |       old_row.ship_us AS old_ship_us, old_row.ln AS old_linenumber,
+      |       old_row.q AS old_qty,
+      |       new_row.ship_us AS new_ship_us, new_row.ln AS new_linenumber,
+      |       new_row.q AS new_qty
+      |FROM s
+      |WHERE old_row IS NULL OR old_row.ship_us <> new_row.ship_us
+      |   OR old_row.ln <> new_row.ln
+      |ORDER BY l_orderkey""".stripMargin
+
   val profileLineitemSql: String = {
     val types = Map("l_linenumber" -> "num", "l_quantity" -> "num",
       "l_extendedprice" -> "num", "l_discount" -> "num", "l_tax" -> "num",

@@ -56,6 +56,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(hashEx == 1, s"expected 1 data exchange, got $hashEx:\n${p.take(800)}")
   }
 
+  test("q_rel32: both SCD-2 window passes share ONE exchange and ONE sort") {
+    val p = plan("q_rel32_scd2")
+    // The change filter preserves (user_id, event_type) partitioning AND
+    // the (ts_us, event_id) order, so the lead/version window after it
+    // must reuse the lag/rn window's exchange and sort — the only other
+    // exchange is the output rangepartitioning.
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected 1 data exchange, got $hashEx:\n${p.take(800)}")
+    assert("Window ".r.findAllIn(p).size == 2, p.take(800))
+    val sorts = "Sort \\[".r.findAllIn(p).size
+    assert(sorts == 2, s"expected window sort + output sort only, got $sorts")
+  }
+
+  test("q_rel33: the two-snapshot diff fuses to ONE partial+final aggregate — zero joins, cutoff pushed to the scan") {
+    val p = plan("q_rel33_snapshot_diff")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected 1 data exchange, got $hashEx:\n${p.take(800)}")
+    assert(!p.contains("Join"), "no snapshot is materialized, no join runs")
+    assert(p.contains("partial_max"), "conditional argmax combines map-side")
+    assert(p.contains("LessThanOrEqual(l_shipdate"),
+      "the t2 cutoff prunes the log slice at the parquet scan")
+  }
+
   test("q_agg12: regr_* aggregates run partial+final around one exchange (moments map-side)") {
     val p = plan("q_agg12_regression")
     val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size

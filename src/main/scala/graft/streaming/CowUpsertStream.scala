@@ -1,0 +1,343 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType, StructField, StructType}
+
+/** Copy-on-write latest-wins store + CDC changelog — [[UpsertStream]]
+  * with the per-batch IO law fixed and the change feed added. The
+  * plain store is exact and redelivery-immune, but it REWRITES THE
+  * WHOLE STATE every batch: total write volume is O(state × batches),
+  * which at 100 TB of current rows is the dominant cost of the
+  * pipeline even when each batch touches a few thousand keys. Here
+  * the state is hash-bucketed and each generation rewrites ONLY the
+  * buckets the batch touched:
+  *
+  *  - **Layout**: `gen-N/bucket=i/` parquet, bucket =
+  *    pmod(xxhash64(user_id, event_type), B) — a deterministic,
+  *    engine-stable hash committed in the meta (a pipeline with a
+  *    different B against existing state refuses). The CURRENT copy
+  *    of bucket i lives in the HIGHEST committed generation that
+  *    wrote it; readers resolve ownership from one driver-side
+  *    directory listing (≤ retained-gens × B names) and read each
+  *    bucket exactly once, partition-pruned.
+  *  - **Per-batch IO ∝ touched buckets**: merge = batch argmax ∪ the
+  *    touched buckets' committed rows only (pruned read), written
+  *    back as only those bucket dirs. A batch touching k keys costs
+  *    ~min(k, B)/B of a full rewrite — measured in SCALE.md's
+  *    CowProbe decade table.
+  *  - **LSM compaction cadence** (the [[SubstrDedupStream]] /
+  *    [[SplitStream]] discipline): every `compactEvery`-th generation
+  *    rewrites ALL buckets and drops its predecessors, bounding the
+  *    retained-generation count (and therefore resolution cost and
+  *    read fan-in) at compactEvery.
+  *  - **Changelog** (the Delta-CDF shape): each generation also emits
+  *    its CDC delta — op ∈ insert|update with before/after images —
+  *    derived from the SAME pruned incumbent read (a batch winner
+  *    that loses to its incumbent emits nothing; a redelivered
+  *    current row ties and emits nothing, so the feed is as
+  *    redelivery-immune as the state). The changelog is written
+  *    BEFORE the state commit and readers only surface generations
+  *    the state store has committed, so a crash between the two
+  *    writes leaves an invisible orphan the retried batch
+  *    overwrites. Certified in the spec against the general
+  *    [[graft.operators.SnapshotDiff]] operator:
+  *    changelog(g) ≡ diff(latestAt(g−1), latestAt(g)) exactly.
+  *  - **Time travel**: [[latestAt]] reads the state as of any
+  *    retained generation (resolution over gens ≤ asOf) — valid back
+  *    to the compaction horizon, refused loudly below it.
+  *
+  * Deletes: an upsert log has none (argmax only grows); the delete
+  * class belongs to changeset apply (q_rel29) and the general
+  * SnapshotDiff. The argmax algebra, null guards, replay/stale
+  * protocol and meta accounting are [[UpsertStream]]'s, unchanged.
+  */
+object CowUpsertStream {
+
+  /** One schema for every state file; `bucket` is the partition
+    * directory column (−1 = the meta row's partition). Meta carries
+    * (total, batch_id, n_buckets).
+    */
+  private val stateSchema = StructType(Seq(
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("ts_us", LongType), StructField("event_id", LongType),
+    StructField("value", DoubleType),
+    StructField("total", LongType), StructField("batch_id", LongType),
+    StructField("n_buckets", LongType),
+    StructField("bucket", IntegerType)))
+
+  /** Changelog rows: key, op ('insert' | 'update'), after-image,
+    * before-image (null on insert), provenance.
+    */
+  private val changeSchema = StructType(Seq(
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("op", StringType),
+    StructField("ts_us", LongType), StructField("event_id", LongType),
+    StructField("value", DoubleType),
+    StructField("old_ts_us", LongType), StructField("old_event_id", LongType),
+    StructField("old_value", DoubleType),
+    StructField("batch_id", LongType), StructField("gen", LongType)))
+
+  private def bucketOf(b: Int) =
+    pmod(xxhash64(col("user_id"), col("event_type")), lit(b.toLong))
+      .cast("int")
+
+  private def changesRoot(stateDir: String): String = s"$stateDir/changes"
+  private def changeDir(stateDir: String, gen: Long): String =
+    s"${changesRoot(stateDir)}/gen-$gen"
+
+  /** The committed meta: (rows, high-water batch_id, n_buckets);
+    * `None` = fresh store.
+    */
+  def readMeta(spark: SparkSession, stateDir: String)
+      : Option[(Long, Long, Long)] = {
+    val gens = GenStore.committed(spark, stateDir)
+    if (gens.isEmpty) None
+    else {
+      val meta = spark.read.schema(stateSchema)
+        .parquet(GenStore.dir(stateDir, gens.max))
+        .where(col("bucket") === -1)
+        .collect()
+      if (meta.length != 1) throw new IllegalStateException(
+        s"cow-upsert state generation ${gens.max} has ${meta.length} meta " +
+          "rows (want exactly 1) — foreign or corrupt state")
+      val m = meta.head
+      Some((m.getLong(5), m.getLong(6), m.getLong(7)))
+    }
+  }
+
+  /** Data buckets (≥ 0) present in a generation dir — one driver-side
+    * listing; `bucket=-1` (meta) excluded.
+    */
+  private def bucketsIn(spark: SparkSession, stateDir: String,
+      gen: Long): Seq[Int] = {
+    val hfs = GenStore.fs(spark, stateDir)
+    val p = new Path(GenStore.dir(stateDir, gen))
+    if (!hfs.exists(p)) Seq.empty
+    else hfs.listStatus(p).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith("bucket="))
+      .map(_.stripPrefix("bucket=").toInt)
+      .filter(_ >= 0)
+  }
+
+  /** Ownership resolution over `gens` (ascending): each bucket's
+    * current copy is the highest generation that wrote it. Returns
+    * gen → owned buckets, only non-empty entries.
+    */
+  private def ownership(spark: SparkSession, stateDir: String,
+      gens: Seq[Long]): Seq[(Long, Seq[Int])] = {
+    val owner = scala.collection.mutable.Map.empty[Int, Long]
+    gens.sorted.foreach { g =>
+      bucketsIn(spark, stateDir, g).foreach(b => owner(b) = g)
+    }
+    owner.toSeq.groupBy(_._2)
+      .map { case (g, kvs) => g -> kvs.map(_._1).sorted }
+      .toSeq.sortBy(_._1)
+  }
+
+  private def emptyState(spark: SparkSession): DataFrame =
+    spark.createDataFrame(java.util.Collections.emptyList[Row](),
+      StructType(stateSchema.take(5) :+ stateSchema.last))
+
+  /** Current rows of `want` buckets (all when None) resolved over
+    * `gens`: one partition-pruned read per owning generation —
+    * read fan-in ≤ retained gens, bytes ∝ selected buckets.
+    */
+  private def readBuckets(spark: SparkSession, stateDir: String,
+      gens: Seq[Long], want: Option[Set[Int]]): DataFrame = {
+    val parts = ownership(spark, stateDir, gens).flatMap { case (g, bs) =>
+      val sel = want.map(w => bs.filter(w.contains)).getOrElse(bs)
+      if (sel.isEmpty) None
+      else Some(
+        spark.read.schema(stateSchema).parquet(GenStore.dir(stateDir, g))
+          .where(col("bucket").isin(sel: _*))
+          .select("user_id", "event_type", "ts_us", "event_id", "value",
+            "bucket"))
+    }
+    if (parts.isEmpty) emptyState(spark) else parts.reduce(_ unionByName _)
+  }
+
+  /** The live current-row table (q_dd2's shape) — bytes read ∝ state,
+    * never ∝ history.
+    */
+  def latest(spark: SparkSession, stateDir: String): DataFrame = {
+    val gens = GenStore.committed(spark, stateDir)
+    if (gens.isEmpty)
+      spark.createDataFrame(java.util.Collections.emptyList[Row](),
+        StructType(stateSchema.take(5)))
+    else latestAt(spark, stateDir, gens.max)
+  }
+
+  /** Time-travel read: the state exactly as of committed generation
+    * `asOf`. Valid back to the compaction horizon (the lowest
+    * retained generation — compaction dropped everything below it);
+    * refused loudly outside that range.
+    */
+  def latestAt(spark: SparkSession, stateDir: String, asOf: Long)
+      : DataFrame = {
+    val gens = GenStore.committed(spark, stateDir)
+    require(gens.nonEmpty, s"no committed generation under $stateDir")
+    require(gens.contains(asOf),
+      s"generation $asOf is not readable at $stateDir: committed range is " +
+        s"[${gens.min}, ${gens.max}] (generations below the compaction " +
+        "horizon were dropped)")
+    readBuckets(spark, stateDir, gens.filter(_ <= asOf), None)
+      .drop("bucket")
+  }
+
+  /** The CDC feed: every change row of every COMMITTED generation
+    * (an orphan changelog from a crash before its state commit is
+    * invisible here). Consumers filter on `gen` to tail
+    * incrementally; compaction never trims the feed — retention is
+    * the consumer's policy via [[dropChangesBelow]].
+    */
+  def changes(spark: SparkSession, stateDir: String): DataFrame = {
+    val gens = GenStore.committed(spark, stateDir)
+    val hfs = GenStore.fs(spark, stateDir)
+    val root = new Path(changesRoot(stateDir))
+    // Feed membership is gen <= the committed STATE frontier, not gen
+    // in the retained-state set: compaction drops state generations
+    // but never the feed — only an orphan ABOVE the frontier (a crash
+    // between changelog write and state commit) is invisible.
+    val dirs =
+      if (gens.isEmpty || !hfs.exists(root)) Seq.empty[String]
+      else hfs.listStatus(root).toSeq.filter(_.isDirectory)
+        .map(_.getPath.getName.stripPrefix("gen-"))
+        .filter(n => n.nonEmpty && n.forall(_.isDigit))
+        .map(_.toLong).filter(_ <= gens.max)
+        .map(g => changeDir(stateDir, g))
+    if (dirs.isEmpty)
+      spark.createDataFrame(java.util.Collections.emptyList[Row](),
+        changeSchema)
+    else spark.read.schema(changeSchema).parquet(dirs: _*)
+  }
+
+  /** Trim the change feed below `keep` — the consumer-side retention
+    * verb (state compaction deliberately leaves the feed alone).
+    */
+  def dropChangesBelow(spark: SparkSession, stateDir: String,
+      keep: Long): Unit = {
+    val hfs = GenStore.fs(spark, stateDir)
+    val root = new Path(changesRoot(stateDir))
+    if (hfs.exists(root))
+      hfs.listStatus(root).toSeq
+        .filter { s =>
+          val n = s.getPath.getName.stripPrefix("gen-")
+          s.isDirectory && n.nonEmpty && n.forall(_.isDigit) &&
+            n.toLong < keep
+        }
+        .foreach(s => hfs.delete(s.getPath, true))
+  }
+
+  /** One foreachBatch handler over batches carrying (`user_id`,
+    * `event_type`, `ts_us`, `event_id`, `value`).
+    * `onBatch(batchId, rows)` fires after the commit (or replay skip).
+    */
+  def pipeline(stateDir: String, buckets: Int = 64,
+      compactEvery: Long = 16,
+      onBatch: (Long, Long) => Unit = (_, _) => ())
+      : (DataFrame, Long) => Unit = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    require(compactEvery > 0,
+      s"compactEvery must be positive, got $compactEvery")
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      val prior = readMeta(spark, stateDir)
+      prior.foreach { case (_, _, nb) =>
+        if (nb != buckets) throw new IllegalStateException(
+          s"cow-upsert state at $stateDir is bucketed $nb ways; this " +
+            s"pipeline runs $buckets — the hash layouts cannot merge, " +
+            "refusing")
+      }
+      prior match {
+        case Some((total, hw, _)) if hw == batchId =>
+          onBatch(batchId, total)
+        case Some((_, hw, _)) if batchId < hw =>
+          throw new IllegalStateException(
+            s"cow-upsert state at $stateDir is ahead of the stream: " +
+              s"committed high-water batch $hw > replayed batch $batchId — " +
+              "the streaming checkpoint was restored from an older " +
+              "snapshot than the state dir; restore a matching pair")
+        case _ =>
+          val bRows = batch
+            .where(col("user_id").isNotNull && col("event_type").isNotNull &&
+              col("ts_us").isNotNull && col("event_id").isNotNull)
+            .select(col("user_id").cast("long").as("user_id"),
+              col("event_type").cast("string").as("event_type"),
+              col("ts_us").cast("long").as("ts_us"),
+              col("event_id").cast("long").as("event_id"),
+              col("value").cast("double").as("value"))
+          val w = Window.partitionBy("user_id", "event_type")
+            .orderBy(col("ts_us").desc, col("event_id").desc)
+          // Batch winners, checkpointed once (batch-sized) — reused by
+          // the touched-set read, the changelog join and the merge.
+          val winners = bRows
+            .withColumn("rn", row_number().over(w))
+            .where(col("rn") === 1).drop("rn")
+            .withColumn("bucket", bucketOf(buckets))
+            .localCheckpoint()
+          val touched = winners.select("bucket").distinct()
+            .collect().map(_.getInt(0)).toSet
+          val gens = GenStore.committed(spark, stateDir)
+          val gen = gens.lastOption.map(_ + 1).getOrElse(0L)
+          val isCompact = gen > 0 && gen % compactEvery == 0
+          val priorTouched =
+            if (gens.isEmpty || touched.isEmpty) emptyState(spark)
+            else readBuckets(spark, stateDir, gens, Some(touched))
+          // CDC delta off the SAME pruned incumbent read: a winner
+          // beats its incumbent strictly (ties = redelivered current
+          // row = silence).
+          val beats = col("ts_us") > col("old_ts_us") ||
+            (col("ts_us") === col("old_ts_us") &&
+              col("event_id") > col("old_event_id"))
+          val delta = winners.join(
+              priorTouched.select(col("user_id"), col("event_type"),
+                col("ts_us").as("old_ts_us"),
+                col("event_id").as("old_event_id"),
+                col("value").as("old_value")),
+              Seq("user_id", "event_type"), "left")
+            .where(col("old_event_id").isNull || beats)
+            .select(col("user_id"), col("event_type"),
+              when(col("old_event_id").isNull, lit("insert"))
+                .otherwise(lit("update")).as("op"),
+              col("ts_us"), col("event_id"), col("value"),
+              col("old_ts_us"), col("old_event_id"), col("old_value"),
+              lit(batchId).as("batch_id"), lit(gen).as("gen"))
+          val cDir = changeDir(stateDir, gen)
+          delta.write.mode("overwrite").parquet(cDir)
+          val nInserts = spark.read.schema(changeSchema).parquet(cDir)
+            .where(col("op") === "insert").count()
+          // State write: touched buckets only — or everything on a
+          // compaction generation.
+          val priorSel =
+            if (!isCompact) priorTouched
+            else if (gens.isEmpty) emptyState(spark)
+            else readBuckets(spark, stateDir, gens, None)
+          val merged = priorSel.unionByName(winners)
+            .withColumn("rn", row_number().over(w))
+            .where(col("rn") === 1).drop("rn")
+            .withColumn("total", lit(null).cast("long"))
+            .withColumn("batch_id", lit(null).cast("long"))
+            .withColumn("n_buckets", lit(null).cast("long"))
+          val genDir = GenStore.dir(stateDir, gen)
+          merged.repartition(col("bucket"))
+            .write.mode("overwrite").partitionBy("bucket").parquet(genDir)
+          val total = prior.map(_._1).getOrElse(0L) + nInserts
+          val metaDf = spark.createDataFrame(
+            java.util.Collections.singletonList(
+              Row(null, null, null, null, null,
+                total, batchId, buckets.toLong, Integer.valueOf(-1))),
+            stateSchema)
+          metaDf.coalesce(1)
+            .write.mode("append").partitionBy("bucket").parquet(genDir)
+          GenStore.commit(spark, stateDir, gen)
+          if (isCompact) GenStore.dropBelow(spark, stateDir, gen)
+          onBatch(batchId, total)
+      }
+    }
+  }
+}

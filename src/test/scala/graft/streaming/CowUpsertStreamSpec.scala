@@ -1,0 +1,201 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import scala.util.Random
+
+import org.apache.hadoop.fs.Path
+
+import graft.SparkSpec
+import graft.operators.SnapshotDiff
+
+/** The copy-on-write store must be EXACTLY UpsertStream — same argmax,
+  * same guards — while writing only touched buckets per batch, and
+  * its changelog must be EXACTLY the snapshot diff of consecutive
+  * generations (certified against the general SnapshotDiff operator).
+  */
+class CowUpsertStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private type Up = (Long, String, Long, Long, Double)
+
+  private def reference(ups: Seq[Up]): Set[Up] =
+    ups.groupBy(u => (u._1, u._2)).values
+      .map(_.maxBy(u => (u._3, u._4))).toSet
+
+  private def committed(dir: String): Set[Up] =
+    CowUpsertStream.latest(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+
+  private def df(s: Seq[Up]) =
+    s.toDF("user_id", "event_type", "ts_us", "event_id", "value")
+
+  private def corpus(seed: Int): Seq[Up] = {
+    val rnd = new Random(seed)
+    (0 until 600).map { i =>
+      (rnd.nextInt(30).toLong, "t" + rnd.nextInt(3),
+        rnd.nextInt(1000).toLong, i.toLong, rnd.nextDouble() * 100)
+    }
+  }
+
+  private def slice(ups: Seq[Up], n: Int, seed: Int): Seq[Seq[Up]] = {
+    val rnd = new Random(seed)
+    val tagged = ups.map(u => (rnd.nextInt(n), u))
+    (0 until n).map(b => tagged.filter(_._1 == b).map(_._2))
+      .filter(_.nonEmpty)
+  }
+
+  test("stream == batch argmax after EVERY batch, across compaction boundaries") {
+    for (seed <- Seq(1, 8)) {
+      val dir = Files.createTempDirectory(s"graft-cow$seed").toString
+      // compactEvery=3 so a 6-slice run crosses two compactions
+      val fn = CowUpsertStream.pipeline(dir, buckets = 8, compactEvery = 3)
+      val slices = slice(corpus(seed), 6, seed + 30)
+      slices.zipWithIndex.foreach { case (s, i) =>
+        fn(df(s), i.toLong)
+        val delivered = slices.take(i + 1).flatten
+        assert(committed(dir) == reference(delivered),
+          s"seed=$seed after batch $i")
+        assert(CowUpsertStream.readMeta(spark, dir).map(_._1)
+          .contains(reference(delivered).size.toLong),
+          s"seed=$seed total after batch $i")
+      }
+    }
+  }
+
+  test("changelog(g) == SnapshotDiff.diff(latestAt(g-1), latestAt(g)) for every generation") {
+    val dir = Files.createTempDirectory("graft-cowcdc").toString
+    // high compactEvery: every generation stays readable for the diff
+    val fn = CowUpsertStream.pipeline(dir, buckets = 8, compactEvery = 100)
+    val slices = slice(corpus(3), 5, 4)
+    slices.zipWithIndex.foreach { case (s, i) => fn(df(s), i.toLong) }
+    val emptySnap = df(Seq.empty[Up])
+    val all = CowUpsertStream.changes(spark, dir)
+    (0 until slices.size).foreach { g =>
+      val before =
+        if (g == 0) emptySnap
+        else CowUpsertStream.latestAt(spark, dir, g - 1L)
+      val after = CowUpsertStream.latestAt(spark, dir, g.toLong)
+      val expect = SnapshotDiff.diff(before, after,
+          Seq("user_id", "event_type"))
+        .collect().map(_.toSeq).toSet
+      val got = all.where(col("gen") === g.toLong)
+        .select(col("user_id"), col("event_type"), col("op"),
+          col("old_ts_us"), col("old_event_id"), col("old_value"),
+          col("ts_us"), col("event_id"), col("value"))
+        .collect().map(_.toSeq).toSet
+      assert(got == expect, s"changelog of generation $g")
+    }
+  }
+
+  test("per-batch write IO is proportional to touched buckets; compaction rewrites all and drops history") {
+    val dir = Files.createTempDirectory("graft-cowio").toString
+    val fn = CowUpsertStream.pipeline(dir, buckets = 8, compactEvery = 3)
+    def dataBuckets(gen: Long): Seq[Int] = {
+      val hfs = GenStore.fs(spark, dir)
+      hfs.listStatus(new Path(GenStore.dir(dir, gen))).toSeq
+        .filter(_.isDirectory).map(_.getPath.getName)
+        .filter(_.startsWith("bucket="))
+        .map(_.stripPrefix("bucket=").toInt).filter(_ >= 0).sorted
+    }
+    // batch 0: enough keys to populate several buckets
+    val wide = (0 until 64).map(i =>
+      (i.toLong, "t", 100L, i.toLong, i.toDouble))
+    fn(df(wide), 0L)
+    val live = dataBuckets(0L)
+    assert(live.size > 1)
+    // batch 1: ONE key -> gen-1 holds exactly that key's bucket
+    fn(df(Seq((5L, "t", 200L, 1000L, 9.9))), 1L)
+    assert(dataBuckets(1L).size == 1)
+    assert(committed(dir) == reference(wide :+ (5L, "t", 200L, 1000L, 9.9)))
+    // untouched buckets still resolve from gen-0
+    assert(GenStore.committed(spark, dir) == Seq(0L, 1L))
+    // batch 2 lands gen-2; batch 3 lands gen-3 = a compaction: all live
+    // buckets rewritten, predecessors dropped, time travel refuses below
+    fn(df(Seq((6L, "t", 300L, 1001L, 1.1))), 2L)
+    fn(df(Seq((7L, "t", 400L, 1002L, 2.2))), 3L)
+    assert(GenStore.committed(spark, dir) == Seq(3L))
+    assert(dataBuckets(3L) == live)
+    intercept[IllegalArgumentException] {
+      CowUpsertStream.latestAt(spark, dir, 1L)
+    }
+    // the change feed survives compaction: one dir per generation
+    assert(CowUpsertStream.changes(spark, dir)
+      .select("gen").distinct().collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(0L, 1L, 2L, 3L))
+  }
+
+  test("redelivered current rows are SILENT in the changelog; losers emit nothing") {
+    val dir = Files.createTempDirectory("graft-cowsil").toString
+    val fn = CowUpsertStream.pipeline(dir, buckets = 4)
+    fn(df(Seq((1L, "a", 100L, 5L, 1.0), (2L, "a", 50L, 6L, 2.0))), 0L)
+    // redelivery of user 1's current row + a LOSING older update for 2
+    fn(df(Seq((1L, "a", 100L, 5L, 1.0), (2L, "a", 40L, 4L, 8.0))), 1L)
+    val g1 = CowUpsertStream.changes(spark, dir)
+      .where(col("gen") === 1L)
+    assert(g1.count() == 0L)
+    assert(committed(dir) == Set(
+      (1L, "a", 100L, 5L, 1.0), (2L, "a", 50L, 6L, 2.0)))
+    // total unchanged by the silent batch
+    assert(CowUpsertStream.readMeta(spark, dir).map(_._1).contains(2L))
+  }
+
+  test("replay skips without duplicating the feed; stale refuses; bucket-count change refuses; nulls drop; fresh reads empty") {
+    val dir = Files.createTempDirectory("graft-cowguard").toString
+    assert(CowUpsertStream.latest(spark, dir).count() == 0L)
+    assert(CowUpsertStream.changes(spark, dir).count() == 0L)
+    val fn = CowUpsertStream.pipeline(dir, buckets = 8)
+    val slices = slice(corpus(5), 3, 6)
+    slices.zipWithIndex.foreach { case (s, i) => fn(df(s), i.toLong) }
+    val before = committed(dir)
+    val feedBefore = CowUpsertStream.changes(spark, dir).count()
+    var replayTotal = -1L
+    val fnCb = CowUpsertStream.pipeline(dir, buckets = 8,
+      onBatch = (_, t) => replayTotal = t)
+    fnCb(df(slices.last), (slices.size - 1).toLong) // replay: skip
+    assert(committed(dir) == before)
+    assert(CowUpsertStream.changes(spark, dir).count() == feedBefore)
+    assert(replayTotal == before.size.toLong)
+    intercept[IllegalStateException] { fn(df(slices.head), 0L) } // stale
+    intercept[IllegalStateException] { // layout change
+      CowUpsertStream.pipeline(dir, buckets = 16)(
+        df(slices.head), slices.size.toLong)
+    }
+    val withNulls = Seq[(java.lang.Long, String, java.lang.Long,
+        java.lang.Long, java.lang.Double)](
+      (null, "a", 1L, 1L, 1.0), (1L, null, 1L, 2L, 1.0),
+      (1L, "a", null, 3L, 1.0), (1L, "a", 1L, null, 1.0))
+      .toDF("user_id", "event_type", "ts_us", "event_id", "value")
+    fn(withNulls, slices.size.toLong) // all rows drop; state unchanged
+    assert(committed(dir) == before)
+  }
+
+  test("under the streaming engine: MemoryStream batches converge and the feed folds to the state") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = Files.createTempDirectory("graft-cowengine").toString
+    val fn = CowUpsertStream.pipeline(dir, buckets = 8, compactEvery = 2)
+    val mem = MemoryStream[Up]
+    val q = mem.toDF()
+      .toDF("user_id", "event_type", "ts_us", "event_id", "value")
+      .writeStream.foreachBatch(fn).start()
+    val slices = slice(corpus(10), 3, 12)
+    try {
+      slices.foreach { s => mem.addData(s: _*); q.processAllAvailable() }
+    } finally q.stop()
+    assert(committed(dir) == reference(slices.flatten))
+    // fold law: each key's LAST change row carries the current image
+    val folded = CowUpsertStream.changes(spark, dir)
+      .collect()
+      .groupBy(r => (r.getLong(0), r.getString(1)))
+      .map { case (_, rs) =>
+        val last = rs.maxBy(_.getLong(10)) // gen
+        (last.getLong(0), last.getString(1), last.getLong(3),
+          last.getLong(4), last.getDouble(5))
+      }.toSet
+    assert(folded == committed(dir))
+  }
+
+  private def col(n: String) = org.apache.spark.sql.functions.col(n)
+}

@@ -97,9 +97,12 @@ object CowUpsertStream {
     val gens = GenStore.committed(spark, stateDir)
     if (gens.isEmpty) None
     else {
-      val meta = spark.read.schema(stateSchema)
-        .parquet(GenStore.dir(stateDir, gens.max))
-        .where(col("bucket") === -1)
+      // Read the meta partition DIRECTLY (not base-dir + filter): a
+      // generation can hold thousands of bucket dirs and partition
+      // discovery over all of them per meta read is pure waste.
+      val meta = spark.read
+        .schema(StructType(stateSchema.dropRight(1)))
+        .parquet(s"${GenStore.dir(stateDir, gens.max)}/bucket=-1")
         .collect()
       if (meta.length != 1) throw new IllegalStateException(
         s"cow-upsert state generation ${gens.max} has ${meta.length} meta " +
@@ -152,11 +155,19 @@ object CowUpsertStream {
     val parts = ownership(spark, stateDir, gens).flatMap { case (g, bs) =>
       val sel = want.map(w => bs.filter(w.contains)).getOrElse(bs)
       if (sel.isEmpty) None
-      else Some(
-        spark.read.schema(stateSchema).parquet(GenStore.dir(stateDir, g))
-          .where(col("bucket").isin(sel: _*))
-          .select("user_id", "event_type", "ts_us", "event_id", "value",
-            "bucket"))
+      else {
+        // Selected bucket dirs as EXPLICIT paths (basePath keeps the
+        // bucket partition column): file discovery and the read plan
+        // touch only the selected buckets — no discovery over the
+        // generation's full dir fan-out, no thousands-wide isin.
+        val gDir = GenStore.dir(stateDir, g)
+        val paths = sel.map(b => s"$gDir/bucket=$b")
+        Some(
+          spark.read.schema(stateSchema).option("basePath", gDir)
+            .parquet(paths: _*)
+            .select("user_id", "event_type", "ts_us", "event_id", "value",
+              "bucket"))
+      }
     }
     if (parts.isEmpty) emptyState(spark) else parts.reduce(_ unionByName _)
   }

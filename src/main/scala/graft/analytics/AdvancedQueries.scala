@@ -553,4 +553,72 @@ object AdvancedQueries {
       |       round(CAST(a.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
       |FROM act a JOIN sizes s USING (cohort_week)
       |ORDER BY a.cohort_week, a.week_offset""".stripMargin
+
+  /** q_adv13: first-touch attribution — "which entry channel's
+    * sessions convert": every event is enriched with the FIRST event
+    * type of ITS session (gaps-and-islands at q_adv4's 30-minute gap,
+    * under the (ts_us, event_id) total order — first_value with ts-only
+    * ordering would be tie-ambiguous across engines), then purchases
+    * roll up by that first touch. The enrichment is the point: session
+    * attributes flow to events with ZERO joins — three window passes
+    * (lag flag, running session id, session first_value) all share the
+    * ONE user_id exchange, because hashpartitioning(user_id) already
+    * satisfies the (user_id, session_id) clustering the third window
+    * needs (pinned in PlanAuditSpec). The only other exchange is the
+    * final ≤ |event types| aggregate. Counts are exact integers; the
+    * per-session rate divides two longs identically in both engines
+    * before a 4dp round.
+    */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_id"))
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts_ns div 1000").as("ts_us"))
+    val flagged = e
+      .withColumn("new_session",
+        when(col("ts_us") - lag("ts_us", 1).over(byUser) >= 1800000000L,
+          1L).otherwise(0L))
+      .withColumn("session_id",
+        sum("new_session").over(byUser
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val bySession = Window.partitionBy("user_id", "session_id")
+      .orderBy(col("ts_us"), col("event_id"))
+    flagged
+      .withColumn("first_touch", first("event_type").over(bySession))
+      .groupBy("first_touch")
+      .agg(countDistinct(col("user_id"), col("session_id")).as("n_sessions"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"))
+      .withColumn("purchases_per_session",
+        round(col("n_purchases") / col("n_sessions"), 4))
+      .orderBy("first_touch")
+  }
+
+  val attributionSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+      |  FROM events),
+      |f AS (
+      |  SELECT *, CASE WHEN ts_us - lag(ts_us) OVER w >= 1800000000
+      |                 THEN 1 ELSE 0 END AS new_session
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |s AS (
+      |  SELECT *, sum(new_session) OVER (PARTITION BY user_id
+      |            ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING)
+      |            AS session_id
+      |  FROM f),
+      |t AS (
+      |  SELECT *, first_value(event_type) OVER (PARTITION BY user_id,
+      |            session_id ORDER BY ts_us, event_id) AS first_touch
+      |  FROM s)
+      |SELECT first_touch,
+      |       count(DISTINCT (user_id, session_id)) AS n_sessions,
+      |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_purchases,
+      |       round(CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+      |                 END) AS DOUBLE)
+      |             / count(DISTINCT (user_id, session_id)), 4)
+      |         AS purchases_per_session
+      |FROM t GROUP BY first_touch ORDER BY first_touch""".stripMargin
 }

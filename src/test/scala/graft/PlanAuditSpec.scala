@@ -56,6 +56,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(hashEx == 1, s"expected 1 data exchange, got $hashEx:\n${p.take(800)}")
   }
 
+  test("q_adv13: all three attribution windows share the user_id exchange (join-free enrichment)") {
+    val p = plan("q_adv13_attribution")
+    // hashpartitioning(user_id) satisfies the (user_id, session_id)
+    // clustering of the first_value window — no re-shuffle between the
+    // session flag, the running id and the session first-touch; the
+    // only other hash exchange feeds the <= |event types| aggregate.
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 2, s"expected user exchange + agg exchange, got $hashEx:\n${p.take(900)}")
+    assert(!p.contains("Join"), "session attributes reach events without a join")
+  }
+
   test("q_rel32: both SCD-2 window passes share ONE exchange and ONE sort") {
     val p = plan("q_rel32_scd2")
     // The change filter preserves (user_id, event_type) partitioning AND

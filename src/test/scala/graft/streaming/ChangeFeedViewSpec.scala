@@ -1,0 +1,107 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The incremental view must equal the one-shot aggregate of the
+  * upsert store's current rows — bit-exactly, for ANY refresh cadence
+  * — while only ever reading feed rows it has not seen.
+  */
+class ChangeFeedViewSpec extends SparkSpec {
+  import spark.implicits._
+
+  private type Up = (Long, String, Long, Long, Double)
+
+  private def df(s: Seq[Up]) =
+    s.toDF("user_id", "event_type", "ts_us", "event_id", "value")
+
+  private def corpus(seed: Int): Seq[Up] = {
+    val rnd = new Random(seed)
+    (0 until 600).map { i =>
+      (rnd.nextInt(30).toLong, "t" + rnd.nextInt(3),
+        rnd.nextInt(1000).toLong, i.toLong, rnd.nextDouble() * 100)
+    }
+  }
+
+  private def slice(ups: Seq[Up], n: Int, seed: Int): Seq[Seq[Up]] = {
+    val rnd = new Random(seed)
+    val tagged = ups.map(u => (rnd.nextInt(n), u))
+    (0 until n).map(b => tagged.filter(_._1 == b).map(_._2))
+      .filter(_.nonEmpty)
+  }
+
+  private def viewRows(viewDir: String): Set[(String, Long, Long)] =
+    ChangeFeedView.table(spark, viewDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+  /** One-shot truth: the identical aggregate over a current-row df. */
+  private def oneShot(cur: org.apache.spark.sql.DataFrame)
+      : Set[(String, Long, Long)] =
+    cur.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(coalesce(round(col("value") * 1e6).cast("long"), lit(0L)))
+          .as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+
+  test("view == one-shot aggregate of the store for every refresh cadence, at every step") {
+    val stateDir = Files.createTempDirectory("graft-cfvstate").toString
+    val fn = CowUpsertStream.pipeline(stateDir, buckets = 8,
+      compactEvery = 100)
+    val slices = slice(corpus(7), 6, 9)
+    val everyDir = Files.createTempDirectory("graft-cfv1").toString
+    val lazyDir = Files.createTempDirectory("graft-cfv3").toString
+    val onceDir = Files.createTempDirectory("graft-cfvN").toString
+    slices.zipWithIndex.foreach { case (s, i) =>
+      fn(df(s), i.toLong)
+      ChangeFeedView.refresh(spark, stateDir, everyDir)
+      if (i % 3 == 2) ChangeFeedView.refresh(spark, stateDir, lazyDir)
+      // the every-batch view tracks the store exactly at each step
+      assert(viewRows(everyDir) ==
+        oneShot(CowUpsertStream.latestAt(spark, stateDir, i.toLong)),
+        s"every-batch cadence after batch $i")
+    }
+    ChangeFeedView.refresh(spark, stateDir, lazyDir)
+    ChangeFeedView.refresh(spark, stateDir, onceDir)
+    val truth = oneShot(CowUpsertStream.latest(spark, stateDir))
+    assert(viewRows(everyDir) == truth)
+    assert(viewRows(lazyDir) == truth, "every-3rd cadence converges")
+    assert(viewRows(onceDir) == truth, "single end refresh converges")
+  }
+
+  test("refresh is idempotent: nothing new folds nothing and commits nothing") {
+    val stateDir = Files.createTempDirectory("graft-cfvid").toString
+    val viewDir = Files.createTempDirectory("graft-cfvidv").toString
+    val fn = CowUpsertStream.pipeline(stateDir, buckets = 4)
+    fn(df(Seq((1L, "a", 10L, 1L, 2.5))), 0L)
+    assert(ChangeFeedView.refresh(spark, stateDir, viewDir) == 1L)
+    val metaBefore = ChangeFeedView.readMeta(spark, viewDir)
+    assert(ChangeFeedView.refresh(spark, stateDir, viewDir) == 0L)
+    assert(ChangeFeedView.readMeta(spark, viewDir) == metaBefore)
+    assert(viewRows(viewDir) == Set(("a", 1L, 2500000L)))
+  }
+
+  test("null values move the sum by exactly the non-null side") {
+    val stateDir = Files.createTempDirectory("graft-cfvnull").toString
+    val viewDir = Files.createTempDirectory("graft-cfvnullv").toString
+    val fn = CowUpsertStream.pipeline(stateDir, buckets = 4)
+    fn(df(Seq((1L, "a", 10L, 1L, 5.0))), 0L)
+    ChangeFeedView.refresh(spark, stateDir, viewDir)
+    assert(viewRows(viewDir) == Set(("a", 1L, 5000000L)))
+    // update to a NULL value: count keeps the row, sum drops the 5.0
+    val nullUpdate = Seq[(java.lang.Long, String, java.lang.Long,
+        java.lang.Long, java.lang.Double)]((1L, "a", 20L, 2L, null))
+      .toDF("user_id", "event_type", "ts_us", "event_id", "value")
+    fn(nullUpdate, 1L)
+    ChangeFeedView.refresh(spark, stateDir, viewDir)
+    assert(viewRows(viewDir) == Set(("a", 1L, 0L)))
+    fn(df(Seq((1L, "a", 30L, 3L, 7.0))), 2L)
+    ChangeFeedView.refresh(spark, stateDir, viewDir)
+    assert(viewRows(viewDir) == Set(("a", 1L, 7000000L)))
+  }
+}

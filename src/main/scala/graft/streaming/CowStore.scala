@@ -1,0 +1,125 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Shared machinery for hash-bucketed copy-on-write generation stores
+  * ([[CowUpsertStream]], [[CowCohortStream]]): the `gen-N/bucket=i/`
+  * layout, ownership resolution (a bucket's current copy lives in the
+  * highest committed generation that wrote it), pruned explicit-path
+  * reads, and the partitioned gen write with its meta row. Factored
+  * the moment a second store adopted the layout — the resolution and
+  * path-discipline rules (never base-dir discovery, meta addressed
+  * directly) must not fork.
+  *
+  * Contracts shared by every adopter: the store's schema carries its
+  * data columns, then its meta columns, then `bucket` LAST (the
+  * partition directory column; −1 is the meta partition); the bucket
+  * function is pmod(xxhash64(entity key), B) with B committed in the
+  * meta and validated on every merge; [[GenStore]] provides the
+  * commit/replay protocol unchanged.
+  */
+private[streaming] object CowStore {
+
+  /** The deterministic bucket assignment — engine-stable xxhash64. */
+  def bucketOf(buckets: Int, keys: Column*): Column =
+    pmod(xxhash64(keys: _*), lit(buckets.toLong)).cast("int")
+
+  /** Data buckets (≥ 0) present in a generation dir — one driver-side
+    * listing; `bucket=-1` (meta) excluded.
+    */
+  def bucketsIn(spark: SparkSession, stateDir: String,
+      gen: Long): Seq[Int] = {
+    val hfs = GenStore.fs(spark, stateDir)
+    val p = new Path(GenStore.dir(stateDir, gen))
+    if (!hfs.exists(p)) Seq.empty
+    else hfs.listStatus(p).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith("bucket="))
+      .map(_.stripPrefix("bucket=").toInt)
+      .filter(_ >= 0)
+  }
+
+  /** Ownership resolution over `gens` (ascending): gen → buckets whose
+    * CURRENT copy it holds; only non-empty entries.
+    */
+  def ownership(spark: SparkSession, stateDir: String,
+      gens: Seq[Long]): Seq[(Long, Seq[Int])] = {
+    val owner = scala.collection.mutable.Map.empty[Int, Long]
+    gens.sorted.foreach { g =>
+      bucketsIn(spark, stateDir, g).foreach(b => owner(b) = g)
+    }
+    owner.toSeq.groupBy(_._2)
+      .map { case (g, kvs) => g -> kvs.map(_._1).sorted }
+      .toSeq.sortBy(_._1)
+  }
+
+  /** An empty frame with the store's data columns plus `bucket`. */
+  def emptyData(spark: SparkSession, schema: StructType,
+      dataCols: Seq[String]): DataFrame =
+    spark.createDataFrame(java.util.Collections.emptyList[Row](),
+      StructType(schema.filter(f =>
+        dataCols.contains(f.name) || f.name == "bucket")))
+
+  /** Current rows of `want` buckets (all when None) resolved over
+    * `gens`: one partition-pruned read per owning generation, each
+    * addressing its selected `bucket=` dirs as EXPLICIT paths with
+    * basePath — file discovery and the read plan touch only the
+    * selected buckets, never the generation's full fan-out.
+    */
+  def readBuckets(spark: SparkSession, stateDir: String, gens: Seq[Long],
+      want: Option[Set[Int]], schema: StructType,
+      dataCols: Seq[String]): DataFrame = {
+    val parts = ownership(spark, stateDir, gens).flatMap { case (g, bs) =>
+      val sel = want.map(w => bs.filter(w.contains)).getOrElse(bs)
+      if (sel.isEmpty) None
+      else {
+        val gDir = GenStore.dir(stateDir, g)
+        val paths = sel.map(b => s"$gDir/bucket=$b")
+        Some(
+          spark.read.schema(schema).option("basePath", gDir)
+            .parquet(paths: _*)
+            .select((dataCols :+ "bucket").map(col): _*))
+      }
+    }
+    if (parts.isEmpty) emptyData(spark, schema, dataCols)
+    else parts.reduce(_ unionByName _)
+  }
+
+  /** The latest committed generation's meta row, addressed directly at
+    * its `bucket=-1` partition (never base-dir discovery); loud on a
+    * foreign or corrupt store. None = fresh.
+    */
+  def readMetaRow(spark: SparkSession, stateDir: String,
+      schema: StructType, what: String): Option[Row] = {
+    val gens = GenStore.committed(spark, stateDir)
+    if (gens.isEmpty) None
+    else {
+      val meta = spark.read
+        .schema(StructType(schema.dropRight(1)))
+        .parquet(s"${GenStore.dir(stateDir, gens.max)}/bucket=-1")
+        .collect()
+      if (meta.length != 1) throw new IllegalStateException(
+        s"$what state generation ${gens.max} has ${meta.length} meta " +
+          "rows (want exactly 1) — foreign or corrupt state")
+      Some(meta.head)
+    }
+  }
+
+  /** Write a generation: the merged rows (data cols + `bucket`, meta
+    * cols nulled by the caller) partitioned one task per bucket, then
+    * the meta row appended under `bucket=-1`. The caller commits.
+    */
+  def writeGen(spark: SparkSession, genDir: String, merged: DataFrame,
+      metaRow: Row, schema: StructType): Unit = {
+    merged.repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(genDir)
+    val metaDf = spark.createDataFrame(
+      java.util.Collections.singletonList(metaRow), schema)
+    metaDf.coalesce(1)
+      .write.mode("append").partitionBy("bucket").parquet(genDir)
+  }
+}

@@ -13,8 +13,8 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType
   * WHOLE STATE every batch: total write volume is O(state × batches),
   * which at 100 TB of current rows is the dominant cost of the
   * pipeline even when each batch touches a few thousand keys. Here
-  * the state is hash-bucketed and each generation rewrites ONLY the
-  * buckets the batch touched:
+  * the state is hash-bucketed ([[CowStore]] layout) and each
+  * generation rewrites ONLY the buckets the batch touched:
   *
   *  - **Layout**: `gen-N/bucket=i/` parquet, bucket =
   *    pmod(xxhash64(user_id, event_type), B) — a deterministic,
@@ -28,7 +28,7 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType
   *    touched buckets' committed rows only (pruned read), written
   *    back as only those bucket dirs. A batch touching k keys costs
   *    ~min(k, B)/B of a full rewrite — measured in SCALE.md's
-  *    CowProbe decade table.
+  *    CowProbe decade table, both regimes.
   *  - **LSM compaction cadence** (the [[SubstrDedupStream]] /
   *    [[SplitStream]] discipline): every `compactEvery`-th generation
   *    rewrites ALL buckets and drops its predecessors, bounding the
@@ -46,6 +46,7 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType
   *    overwrites. Certified in the spec against the general
   *    [[graft.operators.SnapshotDiff]] operator:
   *    changelog(g) ≡ diff(latestAt(g−1), latestAt(g)) exactly.
+  *    Downstream, [[ChangeFeedView]] folds the feed incrementally.
   *  - **Time travel**: [[latestAt]] reads the state as of any
   *    retained generation (resolution over gens ≤ asOf) — valid back
   *    to the compaction horizon, refused loudly below it.
@@ -69,6 +70,9 @@ object CowUpsertStream {
     StructField("n_buckets", LongType),
     StructField("bucket", IntegerType)))
 
+  private val dataCols =
+    Seq("user_id", "event_type", "ts_us", "event_id", "value")
+
   /** Changelog rows: key, op ('insert' | 'update'), after-image,
     * before-image (null on insert), provenance.
     */
@@ -81,10 +85,6 @@ object CowUpsertStream {
     StructField("old_value", DoubleType),
     StructField("batch_id", LongType), StructField("gen", LongType)))
 
-  private def bucketOf(b: Int) =
-    pmod(xxhash64(col("user_id"), col("event_type")), lit(b.toLong))
-      .cast("int")
-
   private def changesRoot(stateDir: String): String = s"$stateDir/changes"
   private def changeDir(stateDir: String, gen: Long): String =
     s"${changesRoot(stateDir)}/gen-$gen"
@@ -93,84 +93,9 @@ object CowUpsertStream {
     * `None` = fresh store.
     */
   def readMeta(spark: SparkSession, stateDir: String)
-      : Option[(Long, Long, Long)] = {
-    val gens = GenStore.committed(spark, stateDir)
-    if (gens.isEmpty) None
-    else {
-      // Read the meta partition DIRECTLY (not base-dir + filter): a
-      // generation can hold thousands of bucket dirs and partition
-      // discovery over all of them per meta read is pure waste.
-      val meta = spark.read
-        .schema(StructType(stateSchema.dropRight(1)))
-        .parquet(s"${GenStore.dir(stateDir, gens.max)}/bucket=-1")
-        .collect()
-      if (meta.length != 1) throw new IllegalStateException(
-        s"cow-upsert state generation ${gens.max} has ${meta.length} meta " +
-          "rows (want exactly 1) — foreign or corrupt state")
-      val m = meta.head
-      Some((m.getLong(5), m.getLong(6), m.getLong(7)))
-    }
-  }
-
-  /** Data buckets (≥ 0) present in a generation dir — one driver-side
-    * listing; `bucket=-1` (meta) excluded.
-    */
-  private def bucketsIn(spark: SparkSession, stateDir: String,
-      gen: Long): Seq[Int] = {
-    val hfs = GenStore.fs(spark, stateDir)
-    val p = new Path(GenStore.dir(stateDir, gen))
-    if (!hfs.exists(p)) Seq.empty
-    else hfs.listStatus(p).toSeq.filter(_.isDirectory)
-      .map(_.getPath.getName)
-      .filter(_.startsWith("bucket="))
-      .map(_.stripPrefix("bucket=").toInt)
-      .filter(_ >= 0)
-  }
-
-  /** Ownership resolution over `gens` (ascending): each bucket's
-    * current copy is the highest generation that wrote it. Returns
-    * gen → owned buckets, only non-empty entries.
-    */
-  private def ownership(spark: SparkSession, stateDir: String,
-      gens: Seq[Long]): Seq[(Long, Seq[Int])] = {
-    val owner = scala.collection.mutable.Map.empty[Int, Long]
-    gens.sorted.foreach { g =>
-      bucketsIn(spark, stateDir, g).foreach(b => owner(b) = g)
-    }
-    owner.toSeq.groupBy(_._2)
-      .map { case (g, kvs) => g -> kvs.map(_._1).sorted }
-      .toSeq.sortBy(_._1)
-  }
-
-  private def emptyState(spark: SparkSession): DataFrame =
-    spark.createDataFrame(java.util.Collections.emptyList[Row](),
-      StructType(stateSchema.take(5) :+ stateSchema.last))
-
-  /** Current rows of `want` buckets (all when None) resolved over
-    * `gens`: one partition-pruned read per owning generation —
-    * read fan-in ≤ retained gens, bytes ∝ selected buckets.
-    */
-  private def readBuckets(spark: SparkSession, stateDir: String,
-      gens: Seq[Long], want: Option[Set[Int]]): DataFrame = {
-    val parts = ownership(spark, stateDir, gens).flatMap { case (g, bs) =>
-      val sel = want.map(w => bs.filter(w.contains)).getOrElse(bs)
-      if (sel.isEmpty) None
-      else {
-        // Selected bucket dirs as EXPLICIT paths (basePath keeps the
-        // bucket partition column): file discovery and the read plan
-        // touch only the selected buckets — no discovery over the
-        // generation's full dir fan-out, no thousands-wide isin.
-        val gDir = GenStore.dir(stateDir, g)
-        val paths = sel.map(b => s"$gDir/bucket=$b")
-        Some(
-          spark.read.schema(stateSchema).option("basePath", gDir)
-            .parquet(paths: _*)
-            .select("user_id", "event_type", "ts_us", "event_id", "value",
-              "bucket"))
-      }
-    }
-    if (parts.isEmpty) emptyState(spark) else parts.reduce(_ unionByName _)
-  }
+      : Option[(Long, Long, Long)] =
+    CowStore.readMetaRow(spark, stateDir, stateSchema, "cow-upsert")
+      .map(m => (m.getLong(5), m.getLong(6), m.getLong(7)))
 
   /** The live current-row table (q_dd2's shape) — bytes read ∝ state,
     * never ∝ history.
@@ -196,7 +121,8 @@ object CowUpsertStream {
       s"generation $asOf is not readable at $stateDir: committed range is " +
         s"[${gens.min}, ${gens.max}] (generations below the compaction " +
         "horizon were dropped)")
-    readBuckets(spark, stateDir, gens.filter(_ <= asOf), None)
+    CowStore.readBuckets(spark, stateDir, gens.filter(_ <= asOf), None,
+        stateSchema, dataCols)
       .drop("bucket")
   }
 
@@ -289,7 +215,8 @@ object CowUpsertStream {
           val winners = bRows
             .withColumn("rn", row_number().over(w))
             .where(col("rn") === 1).drop("rn")
-            .withColumn("bucket", bucketOf(buckets))
+            .withColumn("bucket",
+              CowStore.bucketOf(buckets, col("user_id"), col("event_type")))
             .localCheckpoint()
           val touched = winners.select("bucket").distinct()
             .collect().map(_.getInt(0)).toSet
@@ -297,8 +224,10 @@ object CowUpsertStream {
           val gen = gens.lastOption.map(_ + 1).getOrElse(0L)
           val isCompact = gen > 0 && gen % compactEvery == 0
           val priorTouched =
-            if (gens.isEmpty || touched.isEmpty) emptyState(spark)
-            else readBuckets(spark, stateDir, gens, Some(touched))
+            if (gens.isEmpty || touched.isEmpty)
+              CowStore.emptyData(spark, stateSchema, dataCols)
+            else CowStore.readBuckets(spark, stateDir, gens, Some(touched),
+              stateSchema, dataCols)
           // CDC delta off the SAME pruned incumbent read: a winner
           // beats its incumbent strictly (ties = redelivered current
           // row = silence).
@@ -326,25 +255,21 @@ object CowUpsertStream {
           // compaction generation.
           val priorSel =
             if (!isCompact) priorTouched
-            else if (gens.isEmpty) emptyState(spark)
-            else readBuckets(spark, stateDir, gens, None)
+            else if (gens.isEmpty)
+              CowStore.emptyData(spark, stateSchema, dataCols)
+            else CowStore.readBuckets(spark, stateDir, gens, None,
+              stateSchema, dataCols)
           val merged = priorSel.unionByName(winners)
             .withColumn("rn", row_number().over(w))
             .where(col("rn") === 1).drop("rn")
             .withColumn("total", lit(null).cast("long"))
             .withColumn("batch_id", lit(null).cast("long"))
             .withColumn("n_buckets", lit(null).cast("long"))
-          val genDir = GenStore.dir(stateDir, gen)
-          merged.repartition(col("bucket"))
-            .write.mode("overwrite").partitionBy("bucket").parquet(genDir)
           val total = prior.map(_._1).getOrElse(0L) + nInserts
-          val metaDf = spark.createDataFrame(
-            java.util.Collections.singletonList(
-              Row(null, null, null, null, null,
-                total, batchId, buckets.toLong, Integer.valueOf(-1))),
+          CowStore.writeGen(spark, GenStore.dir(stateDir, gen), merged,
+            Row(null, null, null, null, null,
+              total, batchId, buckets.toLong, Integer.valueOf(-1)),
             stateSchema)
-          metaDf.coalesce(1)
-            .write.mode("append").partitionBy("bucket").parquet(genDir)
           GenStore.commit(spark, stateDir, gen)
           if (isCompact) GenStore.dropBelow(spark, stateDir, gen)
           onBatch(batchId, total)

@@ -1533,7 +1533,10 @@ object RelationalQueries {
     * count, not its event count — the collapse is what keeps a
     * 100 TB history table smaller than its log.
     */
-  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+  /** The unordered version table shared by the history dump (q_rel32)
+    * and the point-in-time read (q_rel34).
+    */
+  private def scd2Versions(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id", "event_type")
       .orderBy(col("ts_us"), col("event_id"))
     val e = Tables.events(spark, dir)
@@ -1551,8 +1554,10 @@ object RelationalQueries {
       .select(col("user_id"), col("event_type"), col("tier"),
         col("ts_us").as("valid_from_us"), col("valid_to_us"),
         col("version"), col("valid_to_us").isNull.as("is_current"))
-      .orderBy("user_id", "event_type", "version")
   }
+
+  def scd2History(spark: SparkSession, dir: String): DataFrame =
+    scd2Versions(spark, dir).orderBy("user_id", "event_type", "version")
 
   val scd2HistorySql: String =
     """WITH e AS (
@@ -1575,6 +1580,55 @@ object RelationalQueries {
       |WINDOW w2 AS (PARTITION BY user_id, event_type
       |              ORDER BY ts_us, event_id)
       |ORDER BY user_id, event_type, version""".stripMargin
+
+  // ---------------------------------------------------------------- REL-34
+  /** Point-in-time read off the SCD-2 history — the payoff of keeping
+    * versions: "every entity's state as of T" is a FILTER over the
+    * validity intervals (`valid_from ≤ T < valid_to`, null-open
+    * current rows included), not a reconstruction pass over the log.
+    * Because the intervals tile each entity's timeline (q_rel32's
+    * closing law), the filter selects EXACTLY one version per entity
+    * alive at T — entities whose first change is after T are absent,
+    * which is the correct as-of semantics, not a gap. At 100 TB the
+    * history table is the one you'd keep sorted/partitioned on
+    * (entity, valid_from); this query's only corpus-scale work is the
+    * same one keyed shuffle that built the history.
+    */
+  def scd2AsOf(spark: SparkSession, dir: String): DataFrame = {
+    val t = 1705363200000000L // 2024-01-16T00:00:00Z, mid-corpus
+    scd2Versions(spark, dir)
+      .where(col("valid_from_us") <= t &&
+        (col("valid_to_us").isNull || col("valid_to_us") > t))
+      .select(col("user_id"), col("event_type"), col("tier"),
+        col("version"), col("valid_from_us"))
+      .orderBy("user_id", "event_type")
+  }
+
+  val scd2AsOfSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+      |         CAST(json_extract_string(props, '$.k') AS BIGINT) // 25 AS tier
+      |  FROM events),
+      |c AS (
+      |  SELECT * FROM (
+      |    SELECT user_id, event_type, event_id, ts_us, tier,
+      |           row_number() OVER w AS rn, lag(tier) OVER w AS prev_tier
+      |    FROM e
+      |    WINDOW w AS (PARTITION BY user_id, event_type
+      |                 ORDER BY ts_us, event_id))
+      |  WHERE rn = 1 OR tier IS DISTINCT FROM prev_tier),
+      |v AS (
+      |  SELECT user_id, event_type, tier, ts_us AS valid_from_us,
+      |         lead(ts_us) OVER w2 AS valid_to_us,
+      |         row_number() OVER w2 AS version
+      |  FROM c
+      |  WINDOW w2 AS (PARTITION BY user_id, event_type
+      |                ORDER BY ts_us, event_id))
+      |SELECT user_id, event_type, tier, version, valid_from_us
+      |FROM v
+      |WHERE valid_from_us <= 1705363200000000
+      |  AND (valid_to_us IS NULL OR valid_to_us > 1705363200000000)
+      |ORDER BY user_id, event_type""".stripMargin
 
   // ---------------------------------------------------------------- REL-33
   /** Snapshot diff / CDC delta — "what changed between yesterday's

@@ -18,6 +18,7 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   *
   *   insert:  n += 1,  Σ += new_value
   *   update:  n += 0,  Σ += new_value − old_value
+  *   delete:  n −= 1,  Σ −= old_value   (the maintenance-verb feed)
   *
   * Exactness discipline: values fold in integer micro-units
   * (`round(value·10⁶)` as long — the [[MomentStream]] lesson: double
@@ -93,7 +94,8 @@ object ChangeFeedView {
     // sum(round(value·1e6)) skips nulls, so an update between null and
     // a value must move Σ by exactly the non-null side).
     val deltas = fresh.select(col("event_type"),
-        when(col("op") === "insert", 1L).otherwise(0L).as("dn"),
+        when(col("op") === "insert", 1L)
+          .when(col("op") === "delete", -1L).otherwise(0L).as("dn"),
         (coalesce(round(col("value") * 1e6).cast("long"), lit(0L)) -
           coalesce(round(col("old_value") * 1e6).cast("long"), lit(0L)))
           .as("dmicro"))
@@ -102,6 +104,9 @@ object ChangeFeedView {
     val merged = table(spark, viewDir).unionByName(deltas)
       .groupBy("event_type")
       .agg(sum("n_rows").as("n_rows"), sum("sum_micro").as("sum_micro"))
+      // a fully-deleted key folds to n=0 (and, exactly then, Σ=0):
+      // the one-shot aggregate has no such row, so neither do we
+      .where(col("n_rows") =!= 0L)
     val folded = fresh.count()
     val gens = GenStore.committed(spark, viewDir)
     val gen = gens.lastOption.map(_ + 1).getOrElse(0L)

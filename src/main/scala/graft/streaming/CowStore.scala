@@ -28,19 +28,55 @@ private[streaming] object CowStore {
   def bucketOf(buckets: Int, keys: Column*): Column =
     pmod(xxhash64(keys: _*), lit(buckets.toLong)).cast("int")
 
-  /** Data buckets (≥ 0) present in a generation dir — one driver-side
-    * listing; `bucket=-1` (meta) excluded.
+  /** Data buckets (≥ 0) OWNED by a generation dir: its `bucket=` dirs
+    * plus any buckets its `_EMPTY` marker declares it emptied (a
+    * delete can leave a touched bucket with zero rows; `partitionBy`
+    * writes no dir for an empty group, and without the marker
+    * ownership would fall back to an older generation's copy — the
+    * deleted rows would RESURRECT). `bucket=-1` (meta) excluded.
     */
   def bucketsIn(spark: SparkSession, stateDir: String,
       gen: Long): Seq[Int] = {
     val hfs = GenStore.fs(spark, stateDir)
     val p = new Path(GenStore.dir(stateDir, gen))
     if (!hfs.exists(p)) Seq.empty
-    else hfs.listStatus(p).toSeq.filter(_.isDirectory)
-      .map(_.getPath.getName)
-      .filter(_.startsWith("bucket="))
-      .map(_.stripPrefix("bucket=").toInt)
-      .filter(_ >= 0)
+    else {
+      val dirs = hfs.listStatus(p).toSeq.filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .filter(_.startsWith("bucket="))
+        .map(_.stripPrefix("bucket=").toInt)
+        .filter(_ >= 0)
+      (dirs ++ readEmptyMarker(spark, GenStore.dir(stateDir, gen))).distinct
+    }
+  }
+
+  private def emptyMarkerPath(genDir: String) = new Path(s"$genDir/_EMPTY")
+
+  /** Record that `gen` emptied these buckets (their current copy is
+    * "no rows"). Idempotent overwrite; no-op for an empty set.
+    */
+  def writeEmptyMarker(spark: SparkSession, genDir: String,
+      buckets: Seq[Int]): Unit =
+    if (buckets.nonEmpty) {
+      val out = GenStore.fs(spark, genDir)
+        .create(emptyMarkerPath(genDir), true)
+      out.write(buckets.sorted.mkString(" ")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.close()
+    }
+
+  private def readEmptyMarker(spark: SparkSession,
+      genDir: String): Seq[Int] = {
+    val hfs = GenStore.fs(spark, genDir)
+    val p = emptyMarkerPath(genDir)
+    if (!hfs.exists(p)) Seq.empty
+    else {
+      val in = hfs.open(p)
+      val s = new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      in.close()
+      s.split("\\s+").toSeq.filter(_.nonEmpty).map(_.toInt)
+    }
   }
 
   /** Ownership resolution over `gens` (ascending): gen → buckets whose
@@ -73,13 +109,19 @@ private[streaming] object CowStore {
   def readBuckets(spark: SparkSession, stateDir: String, gens: Seq[Long],
       want: Option[Set[Int]], schema: StructType,
       dataCols: Seq[String]): DataFrame = {
+    val hfs = GenStore.fs(spark, stateDir)
     val parts = ownership(spark, stateDir, gens).flatMap { case (g, bs) =>
       val sel = want.map(w => bs.filter(w.contains)).getOrElse(bs)
       if (sel.isEmpty) None
       else {
         val gDir = GenStore.dir(stateDir, g)
+        // An owned bucket with no dir was EMPTIED by this generation
+        // (the _EMPTY marker owns it so older copies stay dead) —
+        // nothing to read for it.
         val paths = sel.map(b => s"$gDir/bucket=$b")
-        Some(
+          .filter(p => hfs.exists(new Path(p)))
+        if (paths.isEmpty) None
+        else Some(
           spark.read.schema(schema).option("basePath", gDir)
             .parquet(paths: _*)
             .select((dataCols :+ "bucket").map(col): _*))

@@ -170,6 +170,74 @@ object CowUpsertStream {
         .foreach(s => hfs.delete(s.getPath, true))
   }
 
+  /** Key-based delete — the CDC op an upsert LOG cannot carry,
+    * provided as a maintenance verb at bucket cost (the
+    * right-to-be-forgotten path): rewrite only the buckets holding
+    * the keys, dropping their rows, and emit `op='delete'` change
+    * rows with before-images into the same feed. A bucket emptied by
+    * the delete is owned via the generation's `_EMPTY` marker —
+    * without it, ownership would fall back to an older copy and the
+    * deleted rows would resurrect ([[CowStore.bucketsIn]]). The
+    * generation advances but the high-water BATCH id does not (the
+    * stream's replay protocol is untouched — a delete is not a
+    * batch); keys absent from the store delete nothing and emit
+    * nothing. Returns the number of rows removed.
+    */
+  def delete(spark: SparkSession, stateDir: String,
+      keys: DataFrame): Long = {
+    val prior = readMeta(spark, stateDir)
+    if (prior.isEmpty) return 0L
+    val (total, hw, nb) = prior.get
+    val dKeys = keys
+      .where(col("user_id").isNotNull && col("event_type").isNotNull)
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_type").cast("string").as("event_type"))
+      .distinct()
+      .withColumn("bucket",
+        CowStore.bucketOf(nb.toInt, col("user_id"), col("event_type")))
+      .localCheckpoint()
+    val touched = dKeys.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSet
+    if (touched.isEmpty) return 0L
+    val gens = GenStore.committed(spark, stateDir)
+    val gen = gens.max + 1
+    val priorTouched = CowStore.readBuckets(spark, stateDir, gens,
+      Some(touched), stateSchema, dataCols)
+    val keyCols = Seq("user_id", "event_type")
+    val removed = priorTouched
+      .join(dKeys.select("user_id", "event_type"), keyCols, "left_semi")
+    val delta = removed.select(col("user_id"), col("event_type"),
+      lit("delete").as("op"),
+      lit(null).cast("long").as("ts_us"),
+      lit(null).cast("long").as("event_id"),
+      lit(null).cast("double").as("value"),
+      col("ts_us").as("old_ts_us"), col("event_id").as("old_event_id"),
+      col("value").as("old_value"),
+      lit(null).cast("long").as("batch_id"), lit(gen).as("gen"))
+    val cDir = changeDir(stateDir, gen)
+    delta.write.mode("overwrite").parquet(cDir)
+    val nDeleted = spark.read.schema(changeSchema).parquet(cDir).count()
+    if (nDeleted == 0L) { // nothing matched: no generation, no feed entry
+      GenStore.deleteQuiet(spark, cDir)
+      return 0L
+    }
+    val remaining = priorTouched
+      .join(dKeys.select("user_id", "event_type"), keyCols, "left_anti")
+      .withColumn("total", lit(null).cast("long"))
+      .withColumn("batch_id", lit(null).cast("long"))
+      .withColumn("n_buckets", lit(null).cast("long"))
+    val genDir = GenStore.dir(stateDir, gen)
+    CowStore.writeGen(spark, genDir, remaining,
+      Row(null, null, null, null, null,
+        total - nDeleted, hw, nb, Integer.valueOf(-1)),
+      stateSchema)
+    val written = CowStore.bucketsIn(spark, stateDir, gen).toSet
+    CowStore.writeEmptyMarker(spark, genDir,
+      (touched -- written).toSeq)
+    GenStore.commit(spark, stateDir, gen)
+    nDeleted
+  }
+
   /** One foreachBatch handler over batches carrying (`user_id`,
     * `event_type`, `ts_us`, `event_id`, `value`).
     * `onBatch(batchId, rows)` fires after the commit (or replay skip).

@@ -5,7 +5,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.streaming.{CowUpsertStream, UpsertStream}
+import graft.streaming.{CohortStream, CowCohortStream, CowUpsertStream, UpsertStream}
 
 /** Decade probe for the copy-on-write upsert layout: per-batch write
   * IO of [[UpsertStream]] (full state rewrite every batch) vs
@@ -122,6 +122,46 @@ object CowProbe {
         d => CowUpsertStream.latest(spark, d).count(),
         Some(d => CowUpsertStream.pipeline(d, buckets = 4096,
           compactEvery = updates + 1L)))
+    }
+
+    // ---- the cohort store: the board's per-DISTINCT-user pair log.
+    // Retention-shaped corpus (CohortProbe's): a seed week of all
+    // users, then weekly batches where only `active` users show up —
+    // the realistic regime where batch key-spread << state keys.
+    val weekUs = 604800000000L
+    println()
+    println("| users | active/week | store | s/batch | MB written/batch |")
+    println("|---|---|---|---|---|")
+    for (n <- Seq(100000L, 1000000L, 4000000L)) {
+      val active = 1000L
+      def weekDf(w: Long) =
+        spark.range(0L, active).select(
+          ((col("id") * (n / active) + w) % n).as("user_id"),
+          (lit(w * weekUs) + col("id") % 1000).as("ts_us"))
+      def runC(tag: String,
+          mk: String => (org.apache.spark.sql.DataFrame, Long) => Unit)
+          : Unit = {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-cowcohprobe").toString
+        val fn = mk(dir)
+        val seed = spark.range(0L, n).select(col("id").as("user_id"),
+          (col("id") % 1000).as("ts_us"))
+        fn(seed, 0L)
+        var secs = 0.0
+        var bytes = 0L
+        (1 to updates).foreach { w =>
+          val (_, t) = timed { fn(weekDf(w.toLong), w.toLong) }
+          secs += t
+          bytes += dirBytes(genDir(dir, w.toLong))
+        }
+        println(f"| $n | $active | $tag | ${secs / updates}%.2f | " +
+          f"${bytes.toDouble / updates / 1e6}%.1f |")
+        fs(dir).delete(new Path(dir), true)
+      }
+      runC("full-rewrite", d => CohortStream.pipeline(d, weekUs))
+      runC("cow B=4096",
+        d => CowCohortStream.pipeline(d, weekUs, buckets = 4096,
+          compactEvery = 100))
     }
     spark.stop()
   }

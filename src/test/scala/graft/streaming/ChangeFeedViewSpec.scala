@@ -86,6 +86,24 @@ class ChangeFeedViewSpec extends SparkSpec {
     assert(viewRows(viewDir) == Set(("a", 1L, 2500000L)))
   }
 
+  test("delete ops fold: count and sum drop; a fully-deleted key leaves the view") {
+    val stateDir = Files.createTempDirectory("graft-cfvdel").toString
+    val viewDir = Files.createTempDirectory("graft-cfvdelv").toString
+    val fn = CowUpsertStream.pipeline(stateDir, buckets = 4)
+    fn(df(Seq((1L, "a", 10L, 1L, 2.0), (2L, "a", 10L, 2L, 3.0),
+      (3L, "b", 10L, 3L, 7.0))), 0L)
+    ChangeFeedView.refresh(spark, stateDir, viewDir)
+    assert(viewRows(viewDir) ==
+      Set(("a", 2L, 5000000L), ("b", 1L, 7000000L)))
+    CowUpsertStream.delete(spark, stateDir,
+      Seq((2L, "a"), (3L, "b")).toDF("user_id", "event_type"))
+    ChangeFeedView.refresh(spark, stateDir, viewDir)
+    assert(viewRows(viewDir) == Set(("a", 1L, 2000000L)),
+      "type b fully deleted must leave the view")
+    assert(viewRows(viewDir) ==
+      oneShot(CowUpsertStream.latest(spark, stateDir)))
+  }
+
   test("null values move the sum by exactly the non-null side") {
     val stateDir = Files.createTempDirectory("graft-cfvnull").toString
     val viewDir = Files.createTempDirectory("graft-cfvnullv").toString

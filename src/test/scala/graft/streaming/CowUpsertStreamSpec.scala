@@ -171,6 +171,52 @@ class CowUpsertStreamSpec extends SparkSpec {
     assert(committed(dir) == before)
   }
 
+  test("delete: bucket-cost removal, emptied buckets stay dead, the feed carries before-images, diff certifies the generation") {
+    val dir = Files.createTempDirectory("graft-cowdel").toString
+    val fn = CowUpsertStream.pipeline(dir, buckets = 4, compactEvery = 100)
+    val rows = (0 until 32).map(i =>
+      (i.toLong, "t", 100L, i.toLong, i.toDouble))
+    fn(df(rows), 0L)
+    // delete half the keys — including, for SOME bucket, every key it
+    // holds (4 buckets, 16 deleted keys: pigeonhole makes emptying
+    // likely; we verify resurrection-safety via exact state equality
+    // regardless)
+    val doomed = rows.filter(_._1 % 2 == 0).map(r => (r._1, r._2))
+    val nDel = CowUpsertStream.delete(spark, dir,
+      doomed.toDF("user_id", "event_type"))
+    assert(nDel == 16L)
+    val expect = reference(rows.filterNot(_._1 % 2 == 0))
+    assert(committed(dir) == expect, "deleted rows must not resurrect")
+    assert(CowUpsertStream.readMeta(spark, dir).map(_._1).contains(16L))
+    // the feed's delete generation: op=delete, before-images, no after
+    val g1 = CowUpsertStream.changes(spark, dir).where(col("gen") === 1L)
+    assert(g1.count() == 16L)
+    assert(g1.where(col("op") =!= "delete").count() == 0L)
+    assert(g1.where(col("ts_us").isNotNull).count() == 0L)
+    assert(g1.where(col("old_ts_us").isNull).count() == 0L)
+    // SnapshotDiff certifies the delete generation like any other
+    val expectDiff = SnapshotDiff.diff(
+        CowUpsertStream.latestAt(spark, dir, 0L),
+        CowUpsertStream.latestAt(spark, dir, 1L),
+        Seq("user_id", "event_type"))
+      .collect().map(_.toSeq).toSet
+    val gotDiff = g1.select(col("user_id"), col("event_type"), col("op"),
+        col("old_ts_us"), col("old_event_id"), col("old_value"),
+        col("ts_us"), col("event_id"), col("value"))
+      .collect().map(_.toSeq).toSet
+    assert(gotDiff == expectDiff)
+    // absent keys: no-op, no generation, no feed entry
+    assert(CowUpsertStream.delete(spark, dir,
+      Seq((999L, "t")).toDF("user_id", "event_type")) == 0L)
+    assert(GenStore.committed(spark, dir) == Seq(0L, 1L))
+    // a later batch re-inserts a deleted key: clean insert (old gone)
+    fn(df(Seq((0L, "t", 200L, 1000L, 9.9))), 1L)
+    assert(committed(dir) == expect + ((0L, "t", 200L, 1000L, 9.9)))
+    val g2 = CowUpsertStream.changes(spark, dir).where(col("gen") === 2L)
+    assert(g2.collect().map(r => (r.getString(2), r.getLong(0))).toSet ==
+      Set(("insert", 0L)))
+  }
+
   test("under the streaming engine: MemoryStream batches converge and the feed folds to the state") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

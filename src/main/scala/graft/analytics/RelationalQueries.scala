@@ -1542,8 +1542,12 @@ object RelationalQueries {
     val e = Tables.events(spark, dir)
       .select(col("user_id"), col("event_type"), col("event_id"),
         expr("ts_ns div 1000").as("ts_us"),
-        (get_json_object(col("props"), "$.k").cast("long") / 25)
-          .cast("long").as("tier"))
+        // exact integer division to match DuckDB's `// 25` — both
+        // truncate toward zero (measured: −7 // 25 = 0 in DuckDB),
+        // and `div` stays in integer space where the old
+        // double-divide-then-cast could lose precision above 2^53
+        expr("cast(get_json_object(props, '$.k') as bigint) div 25")
+          .as("tier"))
     val changes = e
       .withColumn("rn", row_number().over(w))
       .withColumn("prev_tier", lag(col("tier"), 1).over(w))

@@ -86,8 +86,14 @@ object ChangeFeedView {
     val prior = readMeta(spark, viewDir)
     val hw = prior.map(_._1).getOrElse(-1L)
     if (frontier <= hw) return 0L
+    // Bound the fold to (hw, frontier] EXPLICITLY: a generation the
+    // stream commits between the frontier read above and the changes()
+    // listing here must NOT fold now (we'd record hw = frontier and
+    // re-fold it next refresh — a double count). Deferring it to the
+    // next refresh keeps the documented window exact under a
+    // concurrent writer.
     val fresh = CowUpsertStream.changes(spark, stateDir)
-      .where(col("gen") > hw)
+      .where(col("gen") > hw && col("gen") <= frontier)
     // Delta algebra in integer micro-units; updates contribute the
     // (new − old) difference, inserts the new value and a count.
     // Null values contribute zero on EITHER side (a one-shot

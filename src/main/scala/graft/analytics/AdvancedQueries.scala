@@ -621,4 +621,91 @@ object AdvancedQueries {
       |             / count(DISTINCT (user_id, session_id)), 4)
       |         AS purchases_per_session
       |FROM t GROUP BY first_touch ORDER BY first_touch""".stripMargin
+
+  /** q_adv14: the sketch-priced SALTING decision
+    * ([[graft.operators.SkewSalt.decideSalt]]) — q_adv3 demonstrated
+    * the two-phase salt and SkewProbe measured AQE's blind band (a
+    * ~10-20%-hot key inflates its reducer well past fair share yet
+    * clears under the 5×-median skew-join floor unmarked); this query
+    * certifies the TRIGGER that connects them: per-key counts priced
+    * from a d·w CountMin sketch (q_txt23's discipline — built without
+    * any keyed shuffle), a key flagged for salting iff its estimated
+    * share exceeds 2× the fair 1/32 reducer share, and the
+    * pay-for-truth audit (exact per-key counts) certifying the
+    * decision agrees. Two planted scenarios: `event_type` (5 values at
+    * ~20% each — every key far above the 6.25% floor, salt) and a
+    * 997-way event_id bucketing (~0.1% shares, don't). All-integer
+    * rule (est·32 > 2·n) and md5-replayed sketch cells, so DuckDB
+    * certifies the decision VALUES, not just the shape. CMS errs only
+    * UPWARD, so disagreement can only over-salt (extra replicas),
+    * never miss a hot key at the same threshold.
+    */
+  def cmsSaltDecision(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{CountMin, SkewSalt}
+    val (d, w) = (4, 512)
+    val parts = 32
+    val ev = Tables.events(spark, dir)
+    def leg(name: String, keyed: DataFrame): DataFrame = {
+      val sk = CountMin.sketch(keyed, d, w)
+      val decided = SkewSalt.decideSalt(keyed.distinct(), sk, d, w,
+        SkewSalt.sketchTotal(sk), parts)
+      val est = decided.agg(max("est_n").as("est_hot_n"),
+        max(col("salt").cast("long")).as("est_salt"),
+        max("n_rows").as("n_rows"))
+      val truth = keyed.groupBy("item").agg(count(lit(1)).as("c"))
+        .agg(max("c").as("true_hot_n"))
+      est.crossJoin(truth).select(lit(name).as("scenario"),
+        col("n_rows"), col("est_hot_n"), col("true_hot_n"),
+        expr("n_rows div 16").as("threshold_n"), // 2× the 1/32 share
+        col("est_salt"),
+        (col("true_hot_n") * parts > col("n_rows") * 2L).cast("long")
+          .as("true_salt"))
+    }
+    leg("coarse_event_type", ev.select(col("event_type").as("item")))
+      .unionByName(leg("fine_event_bucket",
+        ev.select(pmod(col("event_id"), lit(997L)).cast("string")
+          .as("item"))))
+      .withColumn("agree",
+        (col("est_salt") === col("true_salt")).cast("long"))
+      .orderBy("scenario")
+  }
+
+  val cmsSaltDecisionSql: String = {
+    def hh(expr: String) = graft.functions.TextFunctions.hexHash60Sql(expr)
+    def sk(src: String) =
+      s"""SELECT hrow, bucket, CAST(count(*) AS BIGINT) AS c FROM (
+         |         SELECT i.range AS hrow,
+         |                ${hh("CAST(i.range AS VARCHAR) || ':' || item")} % 512 AS bucket
+         |         FROM $src CROSS JOIN range(4) i)
+         |       GROUP BY 1, 2""".stripMargin
+    def leg(name: String, k: String, skT: String) =
+      s"""SELECT '$name' AS scenario, n.n AS n_rows, e.e AS est_hot_n,
+         |  t.t AS true_hot_n, n.n // 16 AS threshold_n,
+         |  CAST(CASE WHEN e.e * 32 > 2 * n.n THEN 1 ELSE 0 END AS BIGINT)
+         |    AS est_salt,
+         |  CAST(CASE WHEN t.t * 32 > 2 * n.n THEN 1 ELSE 0 END AS BIGINT)
+         |    AS true_salt,
+         |  CAST(CASE WHEN (e.e * 32 > 2 * n.n) = (t.t * 32 > 2 * n.n)
+         |       THEN 1 ELSE 0 END AS BIGINT) AS agree
+         |FROM (SELECT CAST(max(est_n) AS BIGINT) AS e FROM (
+         |        SELECT c.item, CAST(min(coalesce(s.c, 0)) AS BIGINT)
+         |          AS est_n
+         |        FROM (SELECT DISTINCT item, i.range AS hrow,
+         |                ${hh("CAST(i.range AS VARCHAR) || ':' || item")} % 512 AS bucket
+         |              FROM $k CROSS JOIN range(4) i) c
+         |        LEFT JOIN $skT s USING (hrow, bucket)
+         |        GROUP BY c.item)) e
+         |CROSS JOIN (SELECT CAST(max(c) AS BIGINT) AS t FROM (
+         |        SELECT count(*) AS c FROM $k GROUP BY item)) t
+         |CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n FROM $k) n"""
+        .stripMargin
+    s"""WITH k1 AS (SELECT event_type AS item FROM events),
+       |k2 AS (SELECT CAST(event_id % 997 AS VARCHAR) AS item FROM events),
+       |sk1 AS (${sk("k1")}),
+       |sk2 AS (${sk("k2")})
+       |${leg("coarse_event_type", "k1", "sk1")}
+       |UNION ALL
+       |${leg("fine_event_bucket", "k2", "sk2")}
+       |ORDER BY scenario""".stripMargin
+  }
 }

@@ -1524,10 +1524,18 @@ object ExtensionQueries {
     val embs = Tables.embeddings(spark, dir)
     val base = embs.where(col("vec_id") % 10 =!= 0)
     val fresh = embs.where(col("vec_id") % 10 === 0)
+    // The trained quantizer (16 rows) and grid (1 row) are consumed by
+    // THREE downstream passes (base encode, append encode, drift) —
+    // uncheckpointed, each pass re-runs the full Lloyd training
+    // pipeline, fanning the query into many small jobs (the board-
+    // contention mode adjudicated in round 16; the q_adv7 GraphProbe
+    // precedent). Pin them once; pin the base index too (shared by the
+    // append union and the drift compare).
     val centroids = Similarity.trainCentroids(base, nCentroids = 16,
-      iters = 2, trainN = 1024, seedPlanes = 6, dim = 64)
-    val grid = Similarity.int8Stats(base, dim = 64)
-    val index = Similarity.int8IndexWith(base, grid, centroids)
+      iters = 2, trainN = 1024, seedPlanes = 6, dim = 64).localCheckpoint()
+    val grid = Similarity.int8Stats(base, dim = 64).localCheckpoint()
+    val index = graft.util.ScratchCheckpoints.register(
+      Similarity.int8IndexWith(base, grid, centroids).localCheckpoint())
     val appended = Similarity.appendToInt8Index(fresh, index, grid, centroids)
     val drift = Similarity.indexDrift(fresh, index, grid, centroids)
     // Same digest as q_sim5b: Σ(code+0.5) is a dyadic-halves sum, exact

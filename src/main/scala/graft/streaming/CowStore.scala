@@ -6,6 +6,22 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
+/** Optional write-time layout for CoW generation writes: z-order each
+  * bucket's rows on (`aCol`, `bCol`) — [[graft.operators.Layout]]'s
+  * Morton curve, min/max-normalized over the written rows — so range
+  * scans and time-travel reads over the store get REL-30's
+  * row-group/file-skip law INSIDE every bucket. `rangeFiles > 1`
+  * switches the write's exchange to a range partitioning on
+  * (bucket, z) with that many tasks, splitting bucket dirs into
+  * z-contiguous files (disjoint key boxes → FILE-level skipping, the
+  * measurable form at local scale; a 100 TB store keeps 1 and relies
+  * on row-group stats inside each bucket file). Public (unlike the
+  * [[CowStore]] machinery) because it is part of the stores' pipeline
+  * signatures.
+  */
+final case class ZOrder(aCol: String, bCol: String, bits: Int = 16,
+  rangeFiles: Int = 1)
+
 /** Shared machinery for hash-bucketed copy-on-write generation stores
   * ([[CowUpsertStream]], [[CowCohortStream]]): the `gen-N/bucket=i/`
   * layout, ownership resolution (a bucket's current copy lives in the
@@ -154,11 +170,41 @@ private[streaming] object CowStore {
   /** Write a generation: the merged rows (data cols + `bucket`, meta
     * cols nulled by the caller) partitioned one task per bucket, then
     * the meta row appended under `bucket=-1`. The caller commits.
+    * With `zOrder` set, rows are laid out z-ordered WITHIN each bucket
+    * (intended for compaction generations — the one write that
+    * rewrites whole buckets anyway, so the layout comes at the cost of
+    * one extra min/max aggregate and an in-task sort, not extra IO).
     */
   def writeGen(spark: SparkSession, genDir: String, merged: DataFrame,
-      metaRow: Row, schema: StructType): Unit = {
-    merged.repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(genDir)
+      metaRow: Row, schema: StructType,
+      zOrder: Option[ZOrder] = None): Unit = {
+    val laid = zOrder match {
+      case Some(z) =>
+        val r = merged.agg(
+          min(col(z.aCol)).cast("long"), max(col(z.aCol)).cast("long"),
+          min(col(z.bCol)).cast("long"), max(col(z.bCol)).cast("long"))
+          .head()
+        if (r.isNullAt(0)) merged.repartition(col("bucket")) // no rows
+        else {
+          val top = (1L << z.bits) - 1
+          def norm(c: org.apache.spark.sql.Column, lo: Long, hi: Long) =
+            if (hi == lo) lit(0L) else (c.cast("long") - lo) * top / (hi - lo)
+          val zc = graft.operators.Layout.zValue(
+            norm(col(z.aCol), r.getLong(0), r.getLong(1)),
+            norm(col(z.bCol), r.getLong(2), r.getLong(3)), z.bits)
+          val withZ = merged.withColumn("__z", zc)
+          val parts =
+            if (z.rangeFiles <= 1) withZ.repartition(col("bucket"))
+            // range exchange on (bucket, z): each task holds a
+            // z-contiguous slice of one bucket's curve (bucket leads
+            // the range key), partitionBy splits per bucket dir
+            else withZ.repartitionByRange(
+              math.max(2, z.rangeFiles), col("bucket"), col("__z"))
+          parts.sortWithinPartitions(col("bucket"), col("__z")).drop("__z")
+        }
+      case None => merged.repartition(col("bucket"))
+    }
+    laid.write.mode("overwrite").partitionBy("bucket").parquet(genDir)
     val metaDf = spark.createDataFrame(
       java.util.Collections.singletonList(metaRow), schema)
     metaDf.coalesce(1)

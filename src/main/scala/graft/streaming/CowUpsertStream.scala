@@ -51,10 +51,11 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType
   *    retained generation (resolution over gens ≤ asOf) — valid back
   *    to the compaction horizon, refused loudly below it.
   *
-  * Deletes: an upsert log has none (argmax only grows); the delete
-  * class belongs to changeset apply (q_rel29) and the general
-  * SnapshotDiff. The argmax algebra, null guards, replay/stale
-  * protocol and meta accounting are [[UpsertStream]]'s, unchanged.
+  * Deletes: the upsert LOG itself has none (argmax only grows), so
+  * key-based deletion is the [[delete]] maintenance verb — bucket-cost
+  * rewrite + `op='delete'` feed rows (single-writer; see its doc).
+  * The argmax algebra, null guards, replay/stale protocol and meta
+  * accounting are [[UpsertStream]]'s, unchanged.
   */
 object CowUpsertStream {
 
@@ -182,6 +183,14 @@ object CowUpsertStream {
     * stream's replay protocol is untouched — a delete is not a
     * batch); keys absent from the store delete nothing and emit
     * nothing. Returns the number of rows removed.
+    *
+    * SINGLE-WRITER requirement: delete() shares gen numbering with
+    * the stream's foreachBatch but takes no lock — run it with the
+    * stream paused, or from `onBatch` (which runs inside the
+    * stream's own serial commit loop). As a backstop it re-checks
+    * the committed frontier at commit time and REFUSES (cleaning up
+    * its uncommitted dirs) if another writer committed a generation
+    * mid-flight, rather than overwriting that writer's gen/changelog.
     */
   def delete(spark: SparkSession, stateDir: String,
       keys: DataFrame): Long = {
@@ -234,6 +243,19 @@ object CowUpsertStream {
     val written = CowStore.bucketsIn(spark, stateDir, gen).toSet
     CowStore.writeEmptyMarker(spark, genDir,
       (touched -- written).toSeq)
+    // Mid-flight-writer backstop: if the stream committed a gen while
+    // we were writing, our `gen` may collide with (or leapfrog) its
+    // numbering — refuse and clean up rather than corrupt the feed.
+    val frontierNow = GenStore.committed(spark, stateDir).max
+    if (frontierNow != gens.max) {
+      GenStore.deleteQuiet(spark, genDir)
+      GenStore.deleteQuiet(spark, cDir)
+      throw new IllegalStateException(
+        s"delete() on $stateDir raced a concurrent writer: committed " +
+          s"frontier moved ${gens.max} -> $frontierNow mid-flight; " +
+          "delete() requires a single writer (pause the stream or run " +
+          "via onBatch) — no state was changed")
+    }
     GenStore.commit(spark, stateDir, gen)
     nDeleted
   }
@@ -244,7 +266,8 @@ object CowUpsertStream {
     */
   def pipeline(stateDir: String, buckets: Int = 64,
       compactEvery: Long = 16,
-      onBatch: (Long, Long) => Unit = (_, _) => ())
+      onBatch: (Long, Long) => Unit = (_, _) => (),
+      zOrderOn: Option[ZOrder] = None)
       : (DataFrame, Long) => Unit = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     require(compactEvery > 0,
@@ -334,10 +357,14 @@ object CowUpsertStream {
             .withColumn("batch_id", lit(null).cast("long"))
             .withColumn("n_buckets", lit(null).cast("long"))
           val total = prior.map(_._1).getOrElse(0L) + nInserts
+          // Compaction generations optionally z-order every rewritten
+          // bucket (the one write already touching all of them) — the
+          // REL-30 skip law inside the upsert store's buckets.
           CowStore.writeGen(spark, GenStore.dir(stateDir, gen), merged,
             Row(null, null, null, null, null,
               total, batchId, buckets.toLong, Integer.valueOf(-1)),
-            stateSchema)
+            stateSchema,
+            zOrder = if (isCompact) zOrderOn else None)
           GenStore.commit(spark, stateDir, gen)
           if (isCompact) GenStore.dropBelow(spark, stateDir, gen)
           onBatch(batchId, total)

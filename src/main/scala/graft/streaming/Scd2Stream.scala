@@ -1,0 +1,315 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StringType, StructField, StructType}
+
+/** Streamed SCD-2 history — the kappa leg of q_rel32/q_rel34
+  * ([[graft.analytics.RelationalQueries.scd2History]]): the per-entity
+  * version table (tracked attribute, [valid_from, valid_to) intervals
+  * tiling each entity's timeline, change-collapsed via the null-safe
+  * compare) maintained INCREMENTALLY as change rows stream in, instead
+  * of rebuilt from the full log per read.
+  *
+  * THE STATE LAW — what exact out-of-order SCD-2 is allowed to forget.
+  * A naive incremental closer ("close the incumbent open version,
+  * append the new one") is only correct for in-order arrivals: a late
+  * row landing MID-history must splice — possibly resurrecting a
+  * change point the collapse already discarded (events t1:A, t2:A
+  * collapse to one version; a late t1.5:B makes t2:A a change point
+  * again — but t2 was thrown away). So exactness under lateness fixes
+  * the minimal state: ALL rows young enough that a late arrival could
+  * still land before them, plus CHANGE POINTS below that line. This
+  * store keeps exactly that:
+  *
+  *  - a declared `latenessUs` bound (the watermark contract, STR-5's
+  *    discipline): watermark = max event time seen − latenessUs; a
+  *    batch row older than the committed watermark REFUSES loudly
+  *    (silently dropping it would silently fork stream from batch
+  *    truth — the family's stale-state stance, not Spark's drop);
+  *  - rows with ts below the watermark that equal their predecessor's
+  *    state collapse away (no future row can land between two
+  *    below-watermark timestamps, so the collapse is provably final);
+  *    rows above it are kept verbatim, equal or not, because a late
+  *    row could still split them. State per key = versions + an
+  *    in-watermark tail, never the key's event count.
+  *
+  * Layout and IO law are [[CowStore]]'s: state hash-bucketed on the
+  * entity key, each generation rewrites ONLY the buckets the batch
+  * touched (per-batch IO ∝ touched buckets — the CowProbe law), with
+  * the LSM compaction cadence rewriting everything every
+  * `compactEvery`-th generation (which is also when UNtouched buckets'
+  * tails get their deferred collapse). Replay discipline is the family
+  * contract verbatim: replayed high-water batch skips, stale state
+  * refuses, bucket-count / lateness mismatches refuse.
+  *
+  * Deletes are first-class (the CDC class an SCD-2 history must carry:
+  * entity removed at t ⇒ the incumbent version closes at t with NO
+  * successor): a batch row with `is_delete` true is a tombstone EVENT
+  * in the kept log — it closes whatever version precedes it, produces
+  * no version row itself, and collapses like any state (two
+  * consecutive deletes = one; a re-insert after a delete opens a new
+  * version even at the pre-delete tier, because "absent" is a real
+  * state under the null-safe compare). Versions and as-of reads derive
+  * from kept rows at read time with one window pass over ≤ state rows
+  * (state-bounded, corpus never touched).
+  *
+  * Reference anchor: the version semantics are q_rel32's exactly
+  * (`valid_to` = next change point's ts, exclusive; version numbers
+  * count non-delete versions per entity; `is_current` = open interval)
+  * — [[scd2OfLog]] is the one-shot form the spec certifies the stream
+  * against for arbitrary slicings, in-watermark lateness and deletes.
+  */
+object Scd2Stream {
+
+  /** One schema for every state file; `bucket` LAST (CowStore
+    * contract; −1 = meta partition). Meta carries (total kept rows,
+    * high-water batch id, n_buckets, max event ts seen, latenessUs).
+    */
+  private val stateSchema = StructType(Seq(
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("ts_us", LongType), StructField("event_id", LongType),
+    StructField("tier", LongType), StructField("is_delete", BooleanType),
+    StructField("total", LongType), StructField("batch_id", LongType),
+    StructField("n_buckets", LongType), StructField("max_ts_us", LongType),
+    StructField("lateness_us", LongType),
+    StructField("bucket", IntegerType)))
+
+  private val dataCols =
+    Seq("user_id", "event_type", "ts_us", "event_id", "tier", "is_delete")
+
+  /** The committed meta: (kept rows, high-water batch_id, n_buckets,
+    * max ts, latenessUs); `None` = fresh store.
+    */
+  def readMeta(spark: SparkSession, stateDir: String)
+      : Option[(Long, Long, Long, Long, Long)] =
+    CowStore.readMetaRow(spark, stateDir, stateSchema, "scd2")
+      .map(m => (m.getLong(6), m.getLong(7), m.getLong(8), m.getLong(9),
+        m.getLong(10)))
+
+  /** The kept-event rows (post-collapse log: change points below the
+    * watermark, verbatim tail above it); empty for a fresh dir.
+    */
+  def kept(spark: SparkSession, stateDir: String): DataFrame = {
+    val gens = GenStore.committed(spark, stateDir)
+    if (gens.isEmpty)
+      spark.createDataFrame(java.util.Collections.emptyList[Row](),
+        StructType(stateSchema.take(6)))
+    else CowStore.readBuckets(spark, stateDir, gens, None, stateSchema,
+      dataCols).drop("bucket")
+  }
+
+  // -------------------------------------------------- the shared algebra
+
+  /** Null-safe state equality between a row and its lag — the change
+    * collapse's compare, factored so the streamed store, the one-shot
+    * builder and the compaction collapse CANNOT drift: two rows are
+    * the same state iff both are deletes, or neither is and the tiers
+    * match null-safely (null tier is a real trackable state).
+    */
+  private def sameState(tier: Column, del: Column, prevTier: Column,
+      prevDel: Column): Column =
+    (del && prevDel) || (!del && !prevDel && (tier <=> prevTier))
+
+  /** The one window order every pass shares. */
+  private def keyWindow = Window.partitionBy("user_id", "event_type")
+    .orderBy(col("ts_us"), col("event_id"))
+
+  /** Change points of a (user_id, event_type, ts_us, event_id, tier,
+    * is_delete) log: rows whose state differs from their predecessor's
+    * (first row of a key always; a LEADING delete — closing nothing —
+    * drops). One partitioning, one sort.
+    */
+  private def changePoints(log: DataFrame): DataFrame = {
+    val w = keyWindow
+    log
+      .withColumn("rn", row_number().over(w))
+      .withColumn("prev_tier", lag(col("tier"), 1).over(w))
+      .withColumn("prev_del",
+        coalesce(lag(col("is_delete"), 1).over(w), lit(false)))
+      .where((col("rn") === 1 ||
+          !sameState(col("tier"), col("is_delete"),
+            col("prev_tier"), col("prev_del"))) &&
+        !(col("rn") === 1 && col("is_delete")))
+      .drop("rn", "prev_tier", "prev_del")
+  }
+
+  /** The SCD-2 version table of a full change log, one-shot — the
+    * batch truth the stream is certified against (and, for a
+    * delete-free log, q_rel32's construction column for column).
+    * Output: (user_id, event_type, tier, valid_from_us, valid_to_us,
+    * version, is_current).
+    */
+  def scd2OfLog(log: DataFrame): DataFrame = {
+    val w = keyWindow
+    changePoints(log)
+      // valid_to = the NEXT change point's ts, delete or not — a
+      // delete closes its predecessor; the filter below then removes
+      // the tombstone itself (it is an interval END, never a version).
+      .withColumn("valid_to_us", lead(col("ts_us"), 1).over(w))
+      .where(!col("is_delete"))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .select(col("user_id"), col("event_type"), col("tier"),
+        col("ts_us").as("valid_from_us"), col("valid_to_us"),
+        col("version"), col("valid_to_us").isNull.as("is_current"))
+  }
+
+  /** The live version table off the committed state — kept rows are
+    * already a valid change log (collapse only removed rows PROVABLY
+    * not change points), so this is [[scd2OfLog]] over ≤ state rows.
+    */
+  def versions(spark: SparkSession, stateDir: String): DataFrame =
+    scd2OfLog(kept(spark, stateDir))
+
+  /** Point-in-time read off the live store — q_rel34's semantics:
+    * exactly the version alive at `tUs` per entity (deleted or
+    * not-yet-born entities absent).
+    */
+  def asOf(spark: SparkSession, stateDir: String, tUs: Long): DataFrame =
+    versions(spark, stateDir)
+      .where(col("valid_from_us") <= tUs &&
+        (col("valid_to_us").isNull || col("valid_to_us") > tUs))
+      .select(col("user_id"), col("event_type"), col("tier"),
+        col("version"), col("valid_from_us"))
+
+  /** One foreachBatch handler over batches carrying (`user_id`,
+    * `event_type`, `ts_us`, `event_id`, `tier`) plus an optional
+    * `is_delete` boolean (absent = all upserts).
+    * `onBatch(batchId, keptRows)` fires after the commit (or replay
+    * skip).
+    */
+  def pipeline(stateDir: String, buckets: Int = 64,
+      latenessUs: Long = 0L, compactEvery: Long = 16,
+      onBatch: (Long, Long) => Unit = (_, _) => ())
+      : (DataFrame, Long) => Unit = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    require(latenessUs >= 0, s"latenessUs must be >= 0, got $latenessUs")
+    require(compactEvery > 0,
+      s"compactEvery must be positive, got $compactEvery")
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      val prior = readMeta(spark, stateDir)
+      prior.foreach { case (_, _, nb, _, lat) =>
+        if (nb != buckets) throw new IllegalStateException(
+          s"scd2 state at $stateDir is bucketed $nb ways; this pipeline " +
+            s"runs $buckets — the hash layouts cannot merge, refusing")
+        if (lat != latenessUs) throw new IllegalStateException(
+          s"scd2 state at $stateDir was collapsed under lateness=$lat µs; " +
+            s"this pipeline declares $latenessUs — rows the old bound " +
+            "already collapsed cannot be un-collapsed, refusing")
+      }
+      prior match {
+        case Some((total, hw, _, _, _)) if hw == batchId =>
+          onBatch(batchId, total)
+        case Some((_, hw, _, _, _)) if batchId < hw =>
+          throw new IllegalStateException(
+            s"scd2 state at $stateDir is ahead of the stream: committed " +
+              s"high-water batch $hw > replayed batch $batchId — the " +
+              "streaming checkpoint was restored from an older snapshot " +
+              "than the state dir; restore a matching pair")
+        case _ =>
+          val hasDel = batch.columns.contains("is_delete")
+          val bRows = batch
+            .where(col("user_id").isNotNull && col("event_type").isNotNull &&
+              col("ts_us").isNotNull && col("event_id").isNotNull)
+            .select(col("user_id").cast("long").as("user_id"),
+              col("event_type").cast("string").as("event_type"),
+              col("ts_us").cast("long").as("ts_us"),
+              col("event_id").cast("long").as("event_id"),
+              col("tier").cast("long").as("tier"),
+              (if (hasDel) coalesce(col("is_delete").cast("boolean"),
+                lit(false)) else lit(false)).as("is_delete"))
+            // redelivery immunity: an exact duplicate row is one event
+            .dropDuplicates(dataCols)
+            .withColumn("bucket",
+              CowStore.bucketOf(buckets, col("user_id"), col("event_type")))
+            .localCheckpoint()
+          // Lateness contract — REFUSE beyond-watermark rows (1-row pin)
+          val priorMax = prior.map(_._4).getOrElse(Long.MinValue)
+          if (prior.isDefined) {
+            val wm = priorMax - latenessUs
+            val nLate = bRows.where(col("ts_us") < wm).count()
+            if (nLate > 0) throw new IllegalStateException(
+              s"batch $batchId carries $nLate rows older than the " +
+                s"committed watermark $wm µs (max seen $priorMax − " +
+                s"lateness $latenessUs): the collapse already discarded " +
+                "rows a splice this late could need — raise latenessUs " +
+                "or feed the stream in watermark order")
+          }
+          val agg = bRows.agg(max("ts_us")).head()
+          val bMax = if (agg.isNullAt(0)) Long.MinValue else agg.getLong(0)
+          val newMax = math.max(priorMax, bMax)
+          val touched = bRows.select("bucket").distinct()
+            .collect().map(_.getInt(0)).toSet
+          val gens = GenStore.committed(spark, stateDir)
+          val gen = gens.lastOption.map(_ + 1).getOrElse(0L)
+          val isCompact = gen > 0 && gen % compactEvery == 0
+          // Touched buckets' kept rows merge with the batch; a
+          // compaction generation rewrites (and re-collapses) ALL.
+          val priorSel =
+            if (gens.isEmpty) CowStore.emptyData(spark, stateSchema, dataCols)
+            else if (isCompact) CowStore.readBuckets(spark, stateDir, gens,
+              None, stateSchema, dataCols)
+            else if (touched.isEmpty)
+              CowStore.emptyData(spark, stateSchema, dataCols)
+            else CowStore.readBuckets(spark, stateDir, gens, Some(touched),
+              stateSchema, dataCols)
+          val unioned = priorSel.unionByName(bRows)
+            .dropDuplicates(dataCols) // replayed-row ∩ stored-row immunity
+          // The provably-final collapse: below the NEW watermark, a row
+          // equal to its predecessor's state can never become a change
+          // point again (no future row lands between two
+          // below-watermark timestamps) — drop it. Above: keep all.
+          val w = keyWindow
+          val wmNew = newMax - latenessUs
+          val merged = unioned
+            .withColumn("rn", row_number().over(w))
+            .withColumn("prev_tier", lag(col("tier"), 1).over(w))
+            .withColumn("prev_del",
+              coalesce(lag(col("is_delete"), 1).over(w), lit(false)))
+            .where(col("rn") === 1 ||
+              col("ts_us") >= wmNew ||
+              !sameState(col("tier"), col("is_delete"),
+                col("prev_tier"), col("prev_del")))
+            .drop("rn", "prev_tier", "prev_del")
+            .withColumn("total", lit(null).cast("long"))
+            .withColumn("batch_id", lit(null).cast("long"))
+            .withColumn("n_buckets", lit(null).cast("long"))
+            .withColumn("max_ts_us", lit(null).cast("long"))
+            .withColumn("lateness_us", lit(null).cast("long"))
+          val genDir = GenStore.dir(stateDir, gen)
+          merged.repartition(col("bucket"))
+            .write.mode("overwrite").partitionBy("bucket").parquet(genDir)
+          // Kept-row total maintained INCREMENTALLY — the global count
+          // moves by (this gen's rows − the rewritten buckets' prior
+          // rows), both bucket-cost footer counts; recounting the full
+          // state would silently break the ∝-touched-buckets IO law.
+          val newBucketRows = spark.read.schema(stateSchema)
+            .option("basePath", genDir).parquet(genDir)
+            .where(col("bucket") >= 0).count()
+          val priorSelRows =
+            if (gens.isEmpty) 0L else priorSel.count()
+          val total = prior.map(_._1).getOrElse(0L) -
+            priorSelRows + newBucketRows
+          val metaDf = spark.createDataFrame(
+            java.util.Collections.singletonList(
+              Row(null, null, null, null, null, null,
+                total, batchId, buckets.toLong, newMax, latenessUs,
+                Integer.valueOf(-1))),
+            stateSchema)
+          metaDf.coalesce(1)
+            .write.mode("append").partitionBy("bucket").parquet(genDir)
+          // A touched bucket whose rows ALL collapsed away writes no
+          // dir; own it via the _EMPTY marker so an older copy cannot
+          // resurrect (CowStore contract).
+          val written = CowStore.bucketsIn(spark, stateDir, gen).toSet
+          CowStore.writeEmptyMarker(spark, genDir,
+            (touched -- written).toSeq)
+          GenStore.commit(spark, stateDir, gen)
+          if (isCompact) GenStore.dropBelow(spark, stateDir, gen)
+          onBatch(batchId, total)
+      }
+    }
+  }
+}

@@ -94,7 +94,11 @@ object CowProbe {
         (1 to updates).foreach { b =>
           val (_, t) = timed { fn(batchDf(n, b), b.toLong) }
           secs += t
-          bytes += dirBytes(genDir(dir, b.toLong))
+          // count the CDC changelog dir too (CoW stores write one per
+          // batch; the full-rewrite baseline doesn't) — omitting it
+          // understates CoW per-batch write IO
+          bytes += dirBytes(genDir(dir, b.toLong)) +
+            dirBytes(s"$dir/changes/gen-$b")
         }
         val (_, tRead) = timed { read(dir) }
         // One more batch through a compacting cadence, then read again:
@@ -162,6 +166,45 @@ object CowProbe {
       runC("cow B=4096",
         d => CowCohortStream.pipeline(d, weekUs, buckets = 4096,
           compactEvery = 100))
+    }
+
+    // ---- z-order inside the CoW buckets (CMP-COWZ): rows a 2-d box
+    // predicate READS off the compacted store, by per-file min/max
+    // pruning (exactly what parquet row-group/file stats expose), z
+    // vs the plain compaction layout. 512x512 grid of current rows,
+    // ts_us = x, event_id = y; box = a 64x64 rectangle (1.6% of the
+    // key space).
+    println()
+    println("| layout | files | files hit | rows read | of rows |")
+    println("|---|---|---|---|---|")
+    for ((tag, z) <- Seq(
+        ("plain", None),
+        ("zorder rf=64", Some(graft.streaming.ZOrder(
+          "ts_us", "event_id", bits = 9, rangeFiles = 64))))) {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-cowzprobe").toString
+      val fn = graft.streaming.CowUpsertStream.pipeline(dir, buckets = 1,
+        compactEvery = 1, zOrderOn = z)
+      val grid = spark.range(0L, 512L * 512L).select(
+        col("id").as("user_id"), lit("g").as("event_type"),
+        (col("id") / 512L).cast("long").as("ts_us"),
+        pmod(col("id"), lit(512L)).as("event_id"), lit(1.0).as("value"))
+      fn(grid, 0L)
+      fn(grid.limit(1), 1L) // gen 1: the compacting (z-laying) write
+      val files = spark.read
+        .parquet(s"$dir/gen-1/bucket=0")
+        .groupBy(input_file_name().as("f"))
+        .agg(min("ts_us").as("xlo"), max("ts_us").as("xhi"),
+          min("event_id").as("ylo"), max("event_id").as("yhi"),
+          count(lit(1)).as("rows"))
+        .collect()
+      val hit = files.filter(r => r.getLong(1) <= 287L && r.getLong(2) >= 224L &&
+        r.getLong(3) <= 287L && r.getLong(4) >= 224L)
+      val total = files.map(_.getLong(5)).sum
+      val read = hit.map(_.getLong(5)).sum
+      println(f"| $tag | ${files.length} | ${hit.length} | $read | " +
+        f"${100.0 * read / total}%.1f%% |")
+      fs(dir).delete(new Path(dir), true)
     }
     spark.stop()
   }

@@ -84,6 +84,39 @@ object SkewProbe {
       println(f"| ${(share * 100).toInt}%% | $off%.2f | $on%.2f | " +
         f"${off / on}%.2f | $marked |")
     }
+
+    // ---- the sketch-priced salted plan on AQE's blind case: at 10%
+    // the probe above measures skewed=false (under the 2×-median
+    // floor) — SkewSalt.decideSalt flags key 0 from the CMS estimate
+    // and saltedEquiJoin replicates ONLY that key's dim rows. Same
+    // aggregate, AQE skew-join ON for both sides of the comparison.
+    println()
+    println("| skew share | aqe-on s | salted s | ratio | keys salted |")
+    println("|---|---|---|---|---|")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    for (share <- Seq(0.1)) {
+      val f = fact(share)
+      val items = f.select(col("k").cast("string").as("item"))
+      val sk = graft.operators.CountMin.sketch(items, 4, 512)
+        .localCheckpoint()
+      val hot = graft.operators.SkewSalt.decideSalt(
+          items.distinct(), sk, 4, 512,
+          graft.operators.SkewSalt.sketchTotal(sk), parts = 8)
+        .where(col("salt"))
+        .select(col("item").cast("long").as("k"))
+        .localCheckpoint()
+      val nHot = hot.count()
+      val plain = Seq.fill(2)(timed {
+        f.join(dim, "k").agg(sum(col("v") * col("w"))).head()
+      }).min
+      val salted = Seq.fill(2)(timed {
+        graft.operators.SkewSalt.saltedEquiJoin(f, dim, "k", hot,
+            salts = 8, saltOn = col("v"))
+          .agg(sum(col("v") * col("w"))).head()
+      }).min
+      println(f"| ${(share * 100).toInt}%% | $plain%.2f | $salted%.2f | " +
+        f"${plain / salted}%.2f | $nHot |")
+    }
     spark.stop()
   }
 }

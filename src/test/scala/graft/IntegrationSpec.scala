@@ -441,6 +441,110 @@ class IntegrationSpec extends SparkSpec {
     }
   }
 
+  test("warehouse tier end-to-end on organic events at sf0.001: ingest → CoW upsert + delete → changelog → delta views; same log → SCD-2 stream → point-in-time reads == batch truth") {
+    import graft.streaming.{ChangeFeedView, CowUpsertStream, MomentFeedView,
+      Scd2Stream, SketchFeedView}
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("ts_ns div 1000").as("ts_us"), col("value"),
+        expr("cast(get_json_object(props, '$.k') as bigint) div 25")
+          .as("tier"))
+      .localCheckpoint()
+    val state = java.nio.file.Files
+      .createTempDirectory("graft-whstate").toString
+    val cfvDir = java.nio.file.Files
+      .createTempDirectory("graft-whcfv").toString
+    val mfvDir = java.nio.file.Files
+      .createTempDirectory("graft-whmfv").toString
+    val sfvDir = java.nio.file.Files
+      .createTempDirectory("graft-whsfv").toString
+    val scd2Dir = java.nio.file.Files
+      .createTempDirectory("graft-whscd2").toString
+
+    // Ingest: 4 adversarial (event-time-interleaved) slices into the
+    // CoW upsert store AND the SCD-2 history store — one log, two
+    // warehouse states. Views refresh at a LAZY cadence (every 2nd
+    // batch) to exercise multi-generation folds.
+    val maxTs = ev.agg(max("ts_us")).head().getLong(0)
+    val up = CowUpsertStream.pipeline(state, buckets = 8, compactEvery = 3)
+    val scd2 = Scd2Stream.pipeline(scd2Dir, buckets = 8,
+      latenessUs = maxTs + 1, compactEvery = 100)
+    (0L until 4L).foreach { b =>
+      val s = ev.where(pmod(col("event_id"), lit(4L)) === b)
+      up(s.select("user_id", "event_type", "ts_us", "event_id", "value"), b)
+      scd2(s.select("user_id", "event_type", "ts_us", "event_id", "tier"), b)
+      if (b % 2 == 1) {
+        ChangeFeedView.refresh(spark, state, cfvDir)
+        MomentFeedView.refresh(spark, state, mfvDir)
+        SketchFeedView.refresh(spark, state, sfvDir)
+      }
+    }
+    // Right-to-be-forgotten: delete two users' purchase rows from the
+    // store; the CDC feed carries the closes, every view must follow.
+    val delKeys = CowUpsertStream.latest(spark, state)
+      .select("user_id", "event_type").limit(2)
+    assert(CowUpsertStream.delete(spark, state, delKeys) > 0L)
+    ChangeFeedView.refresh(spark, state, cfvDir)
+    MomentFeedView.refresh(spark, state, mfvDir)
+    SketchFeedView.refresh(spark, state, sfvDir)
+
+    val latest = CowUpsertStream.latest(spark, state).localCheckpoint()
+    // ChangeFeedView ≡ one-shot (count, Σmicro) per event_type
+    val cfGot = ChangeFeedView.table(spark, cfvDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val cfWant = latest.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(coalesce(round(col("value") * 1e6).cast("long"), lit(0L)))
+          .as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(cfGot == cfWant, "ChangeFeedView != one-shot over latest()")
+    // MomentFeedView ≡ one-shot moment vectors (cell-exact decimals)
+    val mfGot = MomentFeedView.table(spark, mfvDir).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2), r.getDecimal(3), r.getDecimal(4),
+        r.getDecimal(5), r.getDecimal(6))).toSet
+    val mfWant = MomentFeedView.oneShot(latest).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2), r.getDecimal(3), r.getDecimal(4),
+        r.getDecimal(5), r.getDecimal(6))).toSet
+    assert(mfGot == mfWant, "MomentFeedView != one-shot moment vectors")
+    // SketchFeedView ≡ one-shot DDSketch per event_type
+    val sfGot = graft.streaming.SketchFeedView.table(spark, sfvDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val sfWant = graft.operators.DDSketch.sketchBy(
+        latest.select(col("event_type"), col("value")), 0.01,
+        Seq("event_type"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(sfGot == sfWant, "SketchFeedView != one-shot sketch")
+
+    // SCD-2: streamed versions ≡ q_rel32's batch history, and the
+    // point-in-time read off the LIVE store ≡ q_rel34's interval
+    // filter at the same mid-corpus T.
+    def vset(d: org.apache.spark.sql.DataFrame) = d.collect().map { r =>
+      (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        r.getLong(5), r.getBoolean(6))
+    }.toSet
+    assert(vset(Scd2Stream.versions(spark, scd2Dir)) ==
+      vset(graft.analytics.RelationalQueries.scd2History(spark, dir)),
+      "streamed SCD-2 != q_rel32 history")
+    val t = 1705363200000000L // q_rel34's as-of instant
+    val asofGot = Scd2Stream.asOf(spark, scd2Dir, t).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getLong(3), r.getLong(4))).toSet
+    val asofWant = graft.analytics.RelationalQueries.scd2AsOf(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(asofGot == asofWant, "live asOf != q_rel34")
+  }
+
   test("driver contract: entry() returns rows; every query has a runnable entry") {
     assert(SparkEntry.entry(spark).count() > 0, "flagship must return rows")
     // Every oracleSql key must refer to a real query (a typo'd key would

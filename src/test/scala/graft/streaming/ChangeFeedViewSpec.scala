@@ -104,6 +104,92 @@ class ChangeFeedViewSpec extends SparkSpec {
       oneShot(CowUpsertStream.latest(spark, stateDir)))
   }
 
+  // ---- the generalized delta algebra (DeltaViews) -------------------
+
+  private def momentRows(viewDir: String)
+      : Set[(String, Long, BigInt, BigInt, BigInt, BigInt, BigInt)] =
+    MomentFeedView.table(spark, viewDir).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        BigInt(r.getDecimal(2).toBigInteger),
+        BigInt(r.getDecimal(3).toBigInteger),
+        BigInt(r.getDecimal(4).toBigInteger),
+        BigInt(r.getDecimal(5).toBigInteger),
+        BigInt(r.getDecimal(6).toBigInteger))).toSet
+
+  private def momentTruth(cur: org.apache.spark.sql.DataFrame)
+      : Set[(String, Long, BigInt, BigInt, BigInt, BigInt, BigInt)] =
+    MomentFeedView.oneShot(cur).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        BigInt(r.getDecimal(2).toBigInteger),
+        BigInt(r.getDecimal(3).toBigInteger),
+        BigInt(r.getDecimal(4).toBigInteger),
+        BigInt(r.getDecimal(5).toBigInteger),
+        BigInt(r.getDecimal(6).toBigInteger))).toSet
+
+  test("moment view == one-shot moment vector at every cadence, incl. delete generations") {
+    val stateDir = Files.createTempDirectory("graft-mfvstate").toString
+    val fn = CowUpsertStream.pipeline(stateDir, buckets = 8,
+      compactEvery = 100)
+    val slices = slice(corpus(21), 5, 23)
+    val everyDir = Files.createTempDirectory("graft-mfv1").toString
+    val onceDir = Files.createTempDirectory("graft-mfvN").toString
+    slices.zipWithIndex.foreach { case (s, i) =>
+      fn(df(s), i.toLong)
+      MomentFeedView.refresh(spark, stateDir, everyDir)
+      assert(momentRows(everyDir) ==
+        momentTruth(CowUpsertStream.latestAt(spark, stateDir, i.toLong)),
+        s"moment cadence after batch $i")
+    }
+    // a delete generation, folded in one catch-up refresh by BOTH views
+    CowUpsertStream.delete(spark, stateDir,
+      Seq((1L, "t0"), (2L, "t1"), (3L, "t2")).toDF("user_id", "event_type"))
+    MomentFeedView.refresh(spark, stateDir, everyDir)
+    MomentFeedView.refresh(spark, stateDir, onceDir)
+    val truth = momentTruth(CowUpsertStream.latest(spark, stateDir))
+    assert(momentRows(everyDir) == truth, "per-batch cadence + delete gen")
+    assert(momentRows(onceDir) == truth, "single end refresh converges")
+    // the derived stats read runs (sanity: one row per live event_type)
+    assert(MomentFeedView.stats(spark, everyDir).count() == truth.size)
+  }
+
+  private def sketchRows(viewDir: String): Set[(String, Long, Long)] =
+    SketchFeedView.table(spark, viewDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("sketch view == one-shot DDSketch of the store at every cadence, incl. deletes; quantiles answer off it") {
+    val stateDir = Files.createTempDirectory("graft-sfvstate").toString
+    val fn = CowUpsertStream.pipeline(stateDir, buckets = 8,
+      compactEvery = 100)
+    val slices = slice(corpus(31), 5, 33)
+    val everyDir = Files.createTempDirectory("graft-sfv1").toString
+    val onceDir = Files.createTempDirectory("graft-sfvN").toString
+    def truth(): Set[(String, Long, Long)] =
+      graft.operators.DDSketch.sketchBy(
+          CowUpsertStream.latest(spark, stateDir)
+            .select(col("event_type"), col("value")),
+          0.01, Seq("event_type"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    slices.zipWithIndex.foreach { case (s, i) =>
+      fn(df(s), i.toLong)
+      SketchFeedView.refresh(spark, stateDir, everyDir)
+    }
+    CowUpsertStream.delete(spark, stateDir,
+      Seq((4L, "t0"), (5L, "t1")).toDF("user_id", "event_type"))
+    SketchFeedView.refresh(spark, stateDir, everyDir)
+    SketchFeedView.refresh(spark, stateDir, onceDir)
+    val t = truth()
+    assert(sketchRows(everyDir) == t, "per-batch cadence + delete gen")
+    assert(sketchRows(onceDir) == t, "single end refresh converges")
+    // quantiles read: est within alpha of a brute-force percentile
+    val q50 = SketchFeedView.quantiles(spark, everyDir, Seq(0.5))
+    assert(q50.count() == t.map(_._1).size)
+    // alpha mismatch refuses
+    assert(intercept[IllegalStateException] {
+      SketchFeedView.refresh(spark, stateDir, everyDir, alpha = 0.05)
+    }.getMessage.contains("grids"))
+  }
+
   test("null values move the sum by exactly the non-null side") {
     val stateDir = Files.createTempDirectory("graft-cfvnull").toString
     val viewDir = Files.createTempDirectory("graft-cfvnullv").toString

@@ -244,4 +244,39 @@ class CowUpsertStreamSpec extends SparkSpec {
   }
 
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
+
+  test("z-ordered compaction: bucket files are (ts, event_id) boxes a 2-d predicate skips; the store stays exact") {
+    import org.apache.spark.sql.functions.{input_file_name, lit, max, min}
+    val dir = Files.createTempDirectory("graft-cowz").toString
+    // one bucket, 16 z-range files: the LayoutSpec box law, measurable
+    // at file granularity, on the store's own compaction write
+    val fn = CowUpsertStream.pipeline(dir, buckets = 1, compactEvery = 1,
+      zOrderOn = Some(ZOrder("ts_us", "event_id", bits = 8,
+        rangeFiles = 16)))
+    // 96x96 grid of current rows: unique key per cell, ts_us = x,
+    // event_id = y (both in [0, 96))
+    val grid = for (x <- 0 until 96; y <- 0 until 96)
+      yield ((x * 96 + y).toLong, "g", x.toLong, y.toLong, 1.0)
+    fn(df(grid), 0L)
+    fn(df(Seq((0L, "g", 95L, 95L, 2.0))), 1L) // gen 1: compacting write
+    assert(GenStore.committed(spark, dir) == Seq(1L),
+      s"unexpected gens ${GenStore.committed(spark, dir)}")
+    val gen = GenStore.committed(spark, dir).max
+    val bucketDir = s"${GenStore.dir(dir, gen)}/bucket=0"
+    val boxes = spark.read.parquet(bucketDir)
+      .groupBy(input_file_name())
+      .agg(min("ts_us"), max("ts_us"), min("event_id"), max("event_id"))
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(boxes.length >= 8, s"expected z-range files, got ${boxes.length}")
+    // a 24x24 box predicate: intersecting files must be a small
+    // fraction (disjoint z boxes), not all of them
+    val hit = boxes.count { case (xlo, xhi, ylo, yhi) =>
+      xhi >= 30 && xlo <= 53 && yhi >= 30 && ylo <= 53 }
+    assert(hit <= boxes.length / 2,
+      s"box touched $hit of ${boxes.length} z files — layout not boxy")
+    // and the store is still exactly the batch argmax
+    assert(committed(dir) == reference(grid :+
+      ((0L, "g", 95L, 95L, 2.0))))
+  }
 }

@@ -1,0 +1,203 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import scala.util.Random
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.analytics.RelationalQueries
+
+/** The streamed SCD-2 store must serve EXACTLY the version table the
+  * one-shot builder derives from the full log — for any slicing, for
+  * out-of-order arrivals within the declared lateness, with deletes —
+  * while its state collapses below the watermark and its per-batch IO
+  * stays at bucket cost.
+  */
+class Scd2StreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (user_id, event_type, ts_us, event_id, tier, is_delete) with
+  // nullable tier — null is a real trackable state.
+  private type Ev = (Long, String, Long, Long, Option[Long], Boolean)
+
+  private def df(s: Seq[Ev]): DataFrame =
+    s.toDF("user_id", "event_type", "ts_us", "event_id", "tier",
+      "is_delete")
+
+  /** Few keys, few tiers (collapse exercised hard), ~8% deletes,
+    * unique (key, ts) so the window order is total.
+    */
+  private def corpus(seed: Int, n: Int = 500): Seq[Ev] = {
+    val rnd = new Random(seed)
+    (0 until n).map { i =>
+      val tier = rnd.nextInt(4) match {
+        case 0 => None // null tier: a real state
+        case t => Some(t.toLong)
+      }
+      (rnd.nextInt(12).toLong, "t" + rnd.nextInt(2),
+        i.toLong * 10 + rnd.nextInt(9), i.toLong, tier,
+        rnd.nextInt(12) == 0)
+    }
+  }
+
+  private def versionRows(d: DataFrame)
+      : Set[(Long, String, Option[Long], Long, Option[Long], Long, Boolean)] =
+    d.collect().map { r =>
+      (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        r.getLong(5), r.getBoolean(6))
+    }.toSet
+
+  test("arbitrary slicing under a full-span lateness: stream == one-shot at every step") {
+    val dir = Files.createTempDirectory("graft-scd2a").toString
+    val all = corpus(11)
+    // lateness covers the whole ts range -> ANY slicing is in-watermark
+    val fn = Scd2Stream.pipeline(dir, buckets = 8,
+      latenessUs = all.map(_._3).max + 1, compactEvery = 100)
+    val rnd = new Random(13)
+    val tagged = all.map(e => (rnd.nextInt(5), e))
+    val slices = (0 until 5).map(b => tagged.filter(_._1 == b).map(_._2))
+    var seen = Seq.empty[Ev]
+    slices.zipWithIndex.foreach { case (s, i) =>
+      fn(df(s), i.toLong)
+      seen ++= s
+      assert(versionRows(Scd2Stream.versions(spark, dir)) ==
+        versionRows(Scd2Stream.scd2OfLog(df(seen))),
+        s"after batch $i")
+    }
+  }
+
+  test("tight lateness: the collapse drops provably-final rows and versions stay exact; asOf matches the interval filter") {
+    val dir = Files.createTempDirectory("graft-scd2c").toString
+    val all = corpus(17).sortBy(_._3) // watermark-ordered feed
+    val lat = 200L
+    val fn = Scd2Stream.pipeline(dir, buckets = 4, latenessUs = lat,
+      compactEvery = 3) // compaction collapses untouched tails too
+    val slices = all.grouped(60).toSeq
+    slices.zipWithIndex.foreach { case (s, i) => fn(df(s), i.toLong) }
+    val truth = Scd2Stream.scd2OfLog(df(all))
+    assert(versionRows(Scd2Stream.versions(spark, dir)) ==
+      versionRows(truth))
+    // the state is versions + an in-watermark tail, NOT the log: with
+    // 4 states a row repeats its predecessor's state ~1/4 of the time,
+    // so the collapse must have dropped a visible fraction (~100 rows
+    // at 500 events; the exact count is corpus-dependent)
+    val keptRows = Scd2Stream.kept(spark, dir).count()
+    assert(keptRows <= all.size - 50,
+      s"collapse kept $keptRows of ${all.size} rows — not collapsing")
+    // point-in-time read off the live store == interval filter of truth
+    for (t <- Seq(all(100)._3, all(300)._3, all.last._3)) {
+      val live = Scd2Stream.asOf(spark, dir, t).collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          r.getLong(3), r.getLong(4))).toSet
+      val want = truth
+        .where(col("valid_from_us") <= t &&
+          (col("valid_to_us").isNull || col("valid_to_us") > t))
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          r.getLong(5), r.getLong(3))).toSet
+      assert(live == want, s"asOf($t)")
+    }
+  }
+
+  test("deletes close the incumbent with no successor; re-insert at the pre-delete tier opens a NEW version") {
+    val dir = Files.createTempDirectory("graft-scd2d").toString
+    val fn = Scd2Stream.pipeline(dir, buckets = 2, latenessUs = 1000L)
+    fn(df(Seq(
+      (1L, "a", 100L, 1L, Some(5L), false),
+      (1L, "a", 200L, 2L, None, true),      // delete: closes v1 at 200
+      (1L, "a", 300L, 3L, Some(5L), false), // same tier, NEW version
+      (2L, "a", 100L, 4L, Some(7L), false),
+      (2L, "a", 150L, 5L, Some(7L), false)  // collapses: same state
+    )), 0L)
+    val vs = Scd2Stream.versions(spark, dir)
+      .orderBy("user_id", "version").collect()
+      .map(r => (r.getLong(0), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        r.getLong(5), r.getBoolean(6)))
+    assert(vs.toSeq == Seq(
+      (1L, 5L, 100L, Some(200L), 1L, false), // closed by the delete
+      (1L, 5L, 300L, None, 2L, true),
+      (2L, 7L, 100L, None, 1L, true)))
+    // entity 1 absent at t=250 (deleted), present again at t=350
+    assert(Scd2Stream.asOf(spark, dir, 250L)
+      .where(col("user_id") === 1).count() == 0)
+    assert(Scd2Stream.asOf(spark, dir, 350L)
+      .where(col("user_id") === 1).count() == 1)
+  }
+
+  test("matches q_rel32's batch builder on the real events table") {
+    val dir = Files.createTempDirectory("graft-scd2e").toString
+    val sfDir = "/root/testdata/sf0.001"
+    val log = graft.sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("ts_ns div 1000").as("ts_us"),
+        expr("cast(get_json_object(props, '$.k') as bigint) div 25")
+          .as("tier"))
+      .localCheckpoint()
+    val maxTs = log.agg(max("ts_us")).head().getLong(0)
+    val fn = Scd2Stream.pipeline(dir, buckets = 8, latenessUs = maxTs,
+      compactEvery = 100)
+    // three arbitrary hash slices (full-span lateness permits any order)
+    (0 until 3).foreach { b =>
+      fn(log.where(pmod(col("event_id"), lit(3)) === b), b.toLong)
+    }
+    val got = Scd2Stream.versions(spark, dir)
+    val want = RelationalQueries.scd2History(spark, sfDir)
+    assert(versionRows(got) == versionRows(want),
+      "streamed versions != q_rel32's history")
+  }
+
+  test("beyond-watermark rows refuse; replay skips; stale/bucket/lateness mismatches refuse") {
+    val dir = Files.createTempDirectory("graft-scd2r").toString
+    val fn = Scd2Stream.pipeline(dir, buckets = 4, latenessUs = 50L)
+    fn(df(Seq((1L, "a", 1000L, 1L, Some(1L), false))), 0L)
+    val e = intercept[IllegalStateException] {
+      fn(df(Seq((1L, "a", 100L, 2L, Some(2L), false))), 1L)
+    }
+    assert(e.getMessage.contains("watermark"))
+    // replay of the committed high-water batch skips (state unchanged)
+    val before = versionRows(Scd2Stream.versions(spark, dir))
+    fn(df(Seq((9L, "z", 2000L, 9L, Some(9L), false))), 0L)
+    assert(versionRows(Scd2Stream.versions(spark, dir)) == before)
+    // stale batch refuses
+    fn(df(Seq((1L, "a", 1010L, 3L, Some(2L), false))), 2L)
+    assert(intercept[IllegalStateException] {
+      fn(df(Seq((1L, "a", 1020L, 4L, Some(3L), false))), 1L)
+    }.getMessage.contains("ahead of the stream"))
+    // foreign layouts refuse
+    assert(intercept[IllegalStateException] {
+      Scd2Stream.pipeline(dir, buckets = 8, latenessUs = 50L)(
+        df(Seq((1L, "a", 1030L, 5L, Some(3L), false))), 3L)
+    }.getMessage.contains("bucketed"))
+    assert(intercept[IllegalStateException] {
+      Scd2Stream.pipeline(dir, buckets = 4, latenessUs = 99L)(
+        df(Seq((1L, "a", 1030L, 5L, Some(3L), false))), 3L)
+    }.getMessage.contains("lateness"))
+  }
+
+  test("per-batch write IO is proportional to touched buckets") {
+    val dir = Files.createTempDirectory("graft-scd2io").toString
+    val fn = Scd2Stream.pipeline(dir, buckets = 32, latenessUs = 100000L,
+      compactEvery = 100)
+    // seed: 64 keys across the bucket space
+    fn(df((0 until 64).map(k =>
+      (k.toLong, "a", 100L, k.toLong, Some(1L), false))), 0L)
+    // one-key batch: generation 1 must own very few buckets
+    fn(df(Seq((1L, "a", 200L, 100L, Some(2L), false))), 1L)
+    val owned = CowStore.bucketsIn(spark, dir, 1L)
+    assert(owned.size <= 2,
+      s"1-key batch rewrote ${owned.size} of 32 buckets")
+    assert(versionRows(Scd2Stream.versions(spark, dir)) ==
+      versionRows(Scd2Stream.scd2OfLog(df(
+        (0 until 64).map(k =>
+          (k.toLong, "a", 100L, k.toLong, Some(1L), false)) :+
+          (1L, "a", 200L, 100L, Some(2L), false)))))
+  }
+}

@@ -677,6 +677,63 @@ class StreamingSpec extends SparkSpec {
       "flat-layout serve ≡ partitioned-layout serve")
   }
 
+  test("filtered serve: predicate threads the candidate stage; full probe == brute force over the filtered corpus") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    def vecs(ids: Seq[Int], f: (Int, Int) => Float) =
+      ids.map(id => (id.toLong, Seq.tabulate(8)(d => f(id, d))))
+    val sameDist = (id: Int, d: Int) => 0.1f * ((id + d) % 13) - 0.5f
+    val root = Files.createTempDirectory("graft-i8filt").toString
+    val corpus = vecs(0 until 64, sameDist).toDF("vec_id", "embedding")
+    IndexMaintenance.initInt8Store(spark, root, corpus,
+      nCentroids = 4, lloydIters = 2, trainN = 64, seedPlanes = 4, dim = 8)
+    val queries = vecs(Seq(1000, 1001, 1002), sameDist)
+      .toDF("vec_id", "embedding")
+    // the predicate: even vec_ids only (selectivity 0.5)
+    val allowed = corpus.where(col("vec_id") % 2 === 0).select("vec_id")
+    var got: Set[(Long, Long, Long)] = Set.empty
+    val serve = IndexMaintenance.int8ServingPipeline(spark, root,
+      k = 3, rerankDepth = 64, nProbe = 4, nCentroids = 4, dim = 8,
+      onResult = (_, _, df) => got =
+        df.collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getAs[Long]("rank"))).toSet,
+      filter = Some(allowed))
+    serve(queries, 0L)
+    // full probe + full re-rank depth: the filtered serve must EQUAL
+    // brute-force top-k over the predicate-filtered corpus (the
+    // pre-filter branch's truth in q_sim18's audit)
+    val truth = Similarity.bruteForceTopK(queries,
+        corpus.where(col("vec_id") % 2 === 0), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Long]("rank"))).toSet
+    assert(got == truth, "filtered serve != brute force over filtered corpus")
+    assert(got.nonEmpty && got.forall(_._2 % 2 == 0),
+      "a served neighbor violates the predicate")
+    // pre-filter fills ALL k slots with matches at a selective
+    // predicate; post-filtering the unfiltered serve cannot
+    var unfiltered: Set[(Long, Long, Long)] = Set.empty
+    val serveAll = IndexMaintenance.int8ServingPipeline(spark, root,
+      k = 3, rerankDepth = 6, nProbe = 2, nCentroids = 4, dim = 8,
+      onResult = (_, _, df) => unfiltered =
+        df.collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getAs[Long]("rank"))).toSet)
+    serveAll(queries, 0L)
+    val postFilter = unfiltered.filter(_._2 % 2 == 0)
+    var preShallow: Set[(Long, Long, Long)] = Set.empty
+    val servePre = IndexMaintenance.int8ServingPipeline(spark, root,
+      k = 3, rerankDepth = 6, nProbe = 2, nCentroids = 4, dim = 8,
+      onResult = (_, _, df) => preShallow =
+        df.collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getAs[Long]("rank"))).toSet,
+      filter = Some(allowed))
+    servePre(queries, 0L)
+    assert(preShallow.size == 9,
+      s"pre-filter must fill 3 slots x 3 queries, got ${preShallow.size}")
+    assert(postFilter.size < preShallow.size,
+      "post-filter kept as many matches as pre-filter at equal depth — " +
+        "the q_sim18 law should separate them")
+  }
+
   test("pqRebuildingPipeline: shift trips retrain, codebooks rebuild, drift returns quiet") {
     import graft.operators.Similarity
     def vecs(ids: Seq[Int], f: (Int, Int) => Float) =

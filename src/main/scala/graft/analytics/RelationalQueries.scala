@@ -1634,6 +1634,69 @@ object RelationalQueries {
       |  AND (valid_to_us IS NULL OR valid_to_us > 1705363200000000)
       |ORDER BY user_id, event_type""".stripMargin
 
+  // ---------------------------------------------------------------- REL-35
+  /** Interval-weighted time-in-state off the SCD-2 history — the
+    * canonical consumer of a version table: "how long does the fleet
+    * SPEND in each tier", which a row-count over versions gets wrong
+    * (a tier held for a year and one held for a minute are one row
+    * each; dwell TIME is the honest weight). Because the intervals
+    * tile each entity's timeline (q_rel32's closing law), per-entity
+    * dwell sums telescope to exactly (corpus max − first change), so
+    * the aggregate is overlap-free BY CONSTRUCTION — no interval
+    * arithmetic beyond (valid_to − valid_from), with open current
+    * versions closed at the corpus max event time (one 1-row
+    * broadcast). All-integer µs sums; the per-type share divides two
+    * longs and rounds 6dp identically in both engines. Null tier is a
+    * real state and gets its own dwell row (NULLS FIRST pinned both
+    * sides). Work at scale = the history build's one keyed shuffle +
+    * a ≤ types·tiers final aggregate.
+    */
+  def scd2Dwell(spark: SparkSession, dir: String): DataFrame = {
+    val mx = Tables.events(spark, dir)
+      .agg(max(expr("ts_ns div 1000")).as("mx"))
+    val byType = Window.partitionBy("event_type")
+    scd2Versions(spark, dir)
+      .crossJoin(broadcast(mx))
+      .withColumn("dwell",
+        coalesce(col("valid_to_us"), col("mx")) - col("valid_from_us"))
+      .groupBy("event_type", "tier")
+      .agg(sum("dwell").as("dwell_us"))
+      .withColumn("share",
+        round(col("dwell_us") / sum("dwell_us").over(byType), 6))
+      .orderBy(col("event_type"), col("tier").asc_nulls_first)
+  }
+
+  val scd2DwellSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+      |         CAST(json_extract_string(props, '$.k') AS BIGINT) // 25 AS tier
+      |  FROM events),
+      |c AS (
+      |  SELECT * FROM (
+      |    SELECT user_id, event_type, event_id, ts_us, tier,
+      |           row_number() OVER w AS rn, lag(tier) OVER w AS prev_tier
+      |    FROM e
+      |    WINDOW w AS (PARTITION BY user_id, event_type
+      |                 ORDER BY ts_us, event_id))
+      |  WHERE rn = 1 OR tier IS DISTINCT FROM prev_tier),
+      |v AS (
+      |  SELECT user_id, event_type, tier, ts_us AS valid_from_us,
+      |         lead(ts_us) OVER w2 AS valid_to_us
+      |  FROM c
+      |  WINDOW w2 AS (PARTITION BY user_id, event_type
+      |                ORDER BY ts_us, event_id)),
+      |m AS (SELECT max(ts_us) AS mx FROM e),
+      |d AS (
+      |  SELECT event_type, tier,
+      |         CAST(sum(coalesce(valid_to_us, m.mx) - valid_from_us)
+      |              AS BIGINT) AS dwell_us
+      |  FROM v CROSS JOIN m GROUP BY 1, 2)
+      |SELECT event_type, tier, dwell_us,
+      |       round(CAST(dwell_us AS DOUBLE)
+      |             / CAST(sum(dwell_us) OVER (PARTITION BY event_type)
+      |                    AS DOUBLE), 6) AS share
+      |FROM d ORDER BY event_type, tier NULLS FIRST""".stripMargin
+
   // ---------------------------------------------------------------- REL-33
   /** Snapshot diff / CDC delta — "what changed between yesterday's
     * snapshot and today's": the latest-shipped-lineitem state per

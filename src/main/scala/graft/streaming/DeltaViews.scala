@@ -46,6 +46,15 @@ import graft.operators.DDSketch
   * per key regardless of row count — the cap's job (pathological value
   * ranges) is the one thing this view declines.
   *
+  * The same criterion rules OUT the remaining stream-side family: an
+  * HLL distinct-count view is register-MAX state — max is idempotent
+  * but has no inverse, so a delete cannot be folded (was the departing
+  * value the register's sole witness? the sketch forgot). Exact
+  * distinct-per-key IS delta-able but its state is the value set
+  * itself — that view is [[CowUpsertStream.latest]] + a groupBy, not a
+  * bounded summary. Negative space stated so nobody "completes" it
+  * wrongly.
+  *
   * Both views follow the family protocol: GenStore commit-last state
   * under `viewDir`, meta row discriminated on a null key, progress as
   * the high-water FEED generation, refresh folding exactly

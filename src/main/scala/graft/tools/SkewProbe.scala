@@ -85,17 +85,34 @@ object SkewProbe {
         f"${off / on}%.2f | $marked |")
     }
 
-    // ---- the sketch-priced salted plan on AQE's blind case: at 10%
-    // the probe above measures skewed=false (under the 2×-median
-    // floor) — SkewSalt.decideSalt flags key 0 from the CMS estimate
-    // and saltedEquiJoin replicates ONLY that key's dim rows. Same
-    // aggregate, AQE skew-join ON for both sides of the comparison.
+    // ---- the sketch-priced salted plan in AQE's blind BAND. The band
+    // is structural: a partition is marked only above factor × median,
+    // so at P partitions the unmarked hot-share tops out where
+    // s + (1−s)/P = F·(1−s)/P — at the probe's scaled F=2 that is
+    // s < 11% (bounded pain: straggler < 2× median by construction),
+    // but at the PRODUCTION default F=5 the band reaches s ≈ 33%: a
+    // 27%-hot key rides a ~4×-median straggler partition completely
+    // unmarked. That is the case planted here (factor restored to the
+    // default 5 for this leg; skew-join ON both sides). decideSalt
+    // flags the key from the CMS estimate (27% > the 2×-fair-share
+    // floor at parts=8) and saltedEquiJoin replicates ONLY its dim
+    // rows.
     println()
     println("| skew share | aqe-on s | salted s | ratio | keys salted |")
     println("|---|---|---|---|---|")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
-    for (share <- Seq(0.1)) {
-      val f = fact(share)
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "5")
+    // 3× the fact rows of the probe above: the tail must dominate the
+    // run's fixed costs for the comparison to measure the LAW rather
+    // than planner overhead (at 8M rows both plans measured ~1.8 s —
+    // the ~4×-median straggler hid under the constant terms).
+    val nFact2 = 24000000L
+    def fact2(share: Double) = spark.range(nFact2).select(
+      when(col("id") < (nFact2 * share).toLong, lit(0L))
+        .otherwise(col("id") % keys).as("k"),
+      (col("id") * 17 % 1000).as("v"))
+    for (share <- Seq(0.30)) {
+      val f = fact2(share)
       val items = f.select(col("k").cast("string").as("item"))
       val sk = graft.operators.CountMin.sketch(items, 4, 512)
         .localCheckpoint()

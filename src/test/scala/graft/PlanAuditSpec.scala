@@ -90,6 +90,32 @@ class PlanAuditSpec extends SparkSpec {
       "the t2 cutoff prunes the log slice at the parquet scan")
   }
 
+  test("q_rel35: dwell rides the shared SCD-2 exchange; the corpus max broadcasts; share windows over the bounded aggregate") {
+    val p = plan("q_rel35_scd2_dwell")
+    // Exchange 1: the (user_id, event_type) history build (shared by
+    // both scd2 windows, the q_rel32 pin); exchange 2: the
+    // (event_type, tier) aggregate; exchange 3: the share window's
+    // event_type clustering over <= types·tiers rows — bounded however
+    // large the corpus. The 1-row corpus max joins as a broadcast
+    // nested loop, never a shuffle.
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 3, s"expected 3 data exchanges, got $hashEx:\n${p.take(900)}")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the corpus-max close must broadcast")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q_adv14: both scenario sketches are partial+final; candidate pricing joins against a BROADCAST sketch; no cartesian") {
+    val p = plan("q_adv14_salt_decision")
+    assert(p.contains("BroadcastHashJoin"),
+      "CountMin.estimates must broadcast the d·w cell table")
+    assert(!p.contains("SortMergeJoin"), "no corpus-scale shuffle join")
+    assert(!p.contains("CartesianProduct"),
+      "the 1-row est/truth/total closes must broadcast, never cartesian")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      "sketch cells combine map-side")
+  }
+
   test("q_agg12: regr_* aggregates run partial+final around one exchange (moments map-side)") {
     val p = plan("q_agg12_regression")
     val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size

@@ -192,8 +192,18 @@ object CowUpsertStream {
     * its uncommitted dirs) if another writer committed a generation
     * mid-flight, rather than overwriting that writer's gen/changelog.
     */
+  /** `tombstoneTsUs`: optional event time stamped into the delete
+    * rows' `ts_us` (the after-image side stays otherwise null). An
+    * upsert feed's inserts/updates carry event time but a delete has
+    * none inherently — without a stamp, a downstream interval-closer
+    * ([[Scd2Stream.fromFeed]]) cannot place the close on the entity's
+    * timeline. Callers that fold the feed into temporal state should
+    * stamp the deletion's effective time; plain view consumers
+    * (ChangeFeedView / MomentFeedView / SketchFeedView) ignore it
+    * (their delete delta is keyed off the BEFORE image alone).
+    */
   def delete(spark: SparkSession, stateDir: String,
-      keys: DataFrame): Long = {
+      keys: DataFrame, tombstoneTsUs: Option[Long] = None): Long = {
     val prior = readMeta(spark, stateDir)
     if (prior.isEmpty) return 0L
     val (total, hw, nb) = prior.get
@@ -217,7 +227,8 @@ object CowUpsertStream {
       .join(dKeys.select("user_id", "event_type"), keyCols, "left_semi")
     val delta = removed.select(col("user_id"), col("event_type"),
       lit("delete").as("op"),
-      lit(null).cast("long").as("ts_us"),
+      tombstoneTsUs.map(lit(_)).getOrElse(lit(null)).cast("long")
+        .as("ts_us"),
       lit(null).cast("long").as("event_id"),
       lit(null).cast("double").as("value"),
       col("ts_us").as("old_ts_us"), col("event_id").as("old_event_id"),

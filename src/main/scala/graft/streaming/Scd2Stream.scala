@@ -173,6 +173,54 @@ object Scd2Stream {
       .select(col("user_id"), col("event_type"), col("tier"),
         col("version"), col("valid_from_us"))
 
+  /** Fold every unseen committed generation of a [[CowUpsertStream]]
+    * CDC feed into the SCD-2 store at `scd2Dir` — the adapter that
+    * makes the changelog the history's ONLY ingest (one pipeline owns
+    * the raw stream; every temporal consumer hangs off its feed).
+    * Each feed generation folds as one [[pipeline]] batch with
+    * batchId = the feed gen, so the family replay protocol carries
+    * over verbatim: refreshing twice folds nothing twice, and a
+    * catch-up refresh folds each missed generation separately (gen
+    * boundaries are the feed's replay units — collapsing them would
+    * trade exact replay for fewer jobs). `tier` maps the after-image
+    * columns to the tracked attribute (default round(value)). The
+    * feed's per-key monotonicity (an update only ever beats its
+    * incumbent) means in-order per-key arrival by construction;
+    * cross-key disorder is bounded by the caller's `latenessUs`
+    * exactly as in the raw pipeline. Delete rows MUST carry a stamped
+    * tombstone time ([[CowUpsertStream.delete]]'s `tombstoneTsUs`) —
+    * a null-ts delete has no place on the timeline and refuses
+    * loudly; its `event_id` is the before-image's (deterministic
+    * order under ties). Returns change rows folded.
+    */
+  def fromFeed(spark: SparkSession, feedDir: String, scd2Dir: String,
+      tier: Column = round(col("value")).cast("long"),
+      buckets: Int = 64, latenessUs: Long = 0L,
+      compactEvery: Long = 16): Long = {
+    val hw = readMeta(spark, scd2Dir).map(_._2).getOrElse(-1L)
+    val feed = CowUpsertStream.changes(spark, feedDir)
+    val gens = feed.where(col("gen") > hw).select("gen").distinct()
+      .collect().map(_.getLong(0)).sorted
+    var folded = 0L
+    val fn = pipeline(scd2Dir, buckets, latenessUs, compactEvery)
+    gens.foreach { g =>
+      val rows = feed.where(col("gen") === g).localCheckpoint()
+      val badDel = rows
+        .where(col("op") === "delete" && col("ts_us").isNull).count()
+      if (badDel > 0) throw new IllegalStateException(
+        s"feed generation $g at $feedDir carries $badDel delete rows " +
+          "with no tombstone time — scd2 cannot place the close on the " +
+          "timeline; stamp deletes via CowUpsertStream.delete(..., " +
+          "tombstoneTsUs = Some(t))")
+      fn(rows.select(col("user_id"), col("event_type"), col("ts_us"),
+        coalesce(col("event_id"), col("old_event_id")).as("event_id"),
+        tier.as("tier"),
+        (col("op") === "delete").as("is_delete")), g)
+      folded += rows.count()
+    }
+    folded
+  }
+
   /** One foreachBatch handler over batches carrying (`user_id`,
     * `event_type`, `ts_us`, `event_id`, `tier`) plus an optional
     * `is_delete` boolean (absent = all upserts).

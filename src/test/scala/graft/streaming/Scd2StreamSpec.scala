@@ -182,6 +182,58 @@ class Scd2StreamSpec extends SparkSpec {
     }.getMessage.contains("lateness"))
   }
 
+  test("fromFeed: the CDC changelog is the history's only ingest; stamped deletes close exactly; unstamped refuse; refolding folds nothing") {
+    val feedDir = Files.createTempDirectory("graft-scd2feed").toString
+    val scd2Dir = Files.createTempDirectory("graft-scd2feedh").toString
+    val up = CowUpsertStream.pipeline(feedDir, buckets = 4,
+      compactEvery = 100)
+    // per-key strictly increasing ts across batches -> every row beats
+    // its incumbent, so the feed's insert/update rows ARE the raw rows
+    def batch(b: Int) = (0 until 8).map { k =>
+      (k.toLong, "a", 100L * (b + 1) + k, (b * 8 + k).toLong,
+        ((b + k) % 3).toDouble)
+    }
+    (0 until 3).foreach(b => up(df2(batch(b)), b.toLong))
+    // stamped delete of keys 2 and 5 at t=10000
+    CowUpsertStream.delete(spark, feedDir,
+      Seq((2L, "a"), (5L, "a")).toDF("user_id", "event_type"),
+      tombstoneTsUs = Some(10000L))
+    // a post-delete re-insert batch (new versions must open)
+    up(df2(Seq((2L, "a", 20000L, 100L, 1.0))), 3L)
+    val folded = Scd2Stream.fromFeed(spark, feedDir, scd2Dir,
+      buckets = 4, latenessUs = 1000000L)
+    assert(folded > 0)
+    // truth: the equivalent event log, one-shot
+    val raw = (0 until 3).flatMap(batch)
+    val lastId = raw.groupBy(_._1).view.mapValues(_.maxBy(_._3)._4).toMap
+    val truth = raw.map(e =>
+        (e._1, e._2, e._3, e._4, Some(e._5.round), false)) ++
+      Seq(2L, 5L).map(k =>
+        (k, "a", 10000L, lastId(k), None: Option[Long], true)) :+
+      ((2L, "a", 20000L, 100L, Some(1L), false))
+    assert(versionRows(Scd2Stream.versions(spark, scd2Dir)) ==
+      versionRows(Scd2Stream.scd2OfLog(df(truth))),
+      "feed-fed history != one-shot of the equivalent log")
+    // key 5 ends deleted; key 2 reopened at 20000
+    assert(Scd2Stream.asOf(spark, scd2Dir, 15000L)
+      .where(col("user_id").isin(2L, 5L)).count() == 0)
+    assert(Scd2Stream.asOf(spark, scd2Dir, 25000L)
+      .where(col("user_id") === 2L).count() == 1)
+    // idempotent: nothing new folds nothing
+    assert(Scd2Stream.fromFeed(spark, feedDir, scd2Dir,
+      buckets = 4, latenessUs = 1000000L) == 0L)
+    // an UNstamped delete refuses at the fold
+    CowUpsertStream.delete(spark, feedDir,
+      Seq((3L, "a")).toDF("user_id", "event_type"))
+    assert(intercept[IllegalStateException] {
+      Scd2Stream.fromFeed(spark, feedDir, scd2Dir,
+        buckets = 4, latenessUs = 1000000L)
+    }.getMessage.contains("tombstone"))
+  }
+
+  private def df2(s: Seq[(Long, String, Long, Long, Double)]) =
+    s.toDF("user_id", "event_type", "ts_us", "event_id", "value")
+
   test("per-batch write IO is proportional to touched buckets") {
     val dir = Files.createTempDirectory("graft-scd2io").toString
     val fn = Scd2Stream.pipeline(dir, buckets = 32, latenessUs = 100000L,

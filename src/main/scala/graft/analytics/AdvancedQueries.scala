@@ -670,6 +670,56 @@ object AdvancedQueries {
       .orderBy("scenario")
   }
 
+  /** q_adv14b — the partially-salted join's RESULT, hash-certified
+    * against the PLAIN join: q_adv14 certifies the decision VALUES;
+    * this certifies that [[graft.operators.SkewSalt.saltedEquiJoin]]
+    * is semantics-preserving at SF scale — whatever keys the sketch
+    * flags, every probe row meets every matching build row exactly
+    * once, so the aggregate over the salted join equals the plain
+    * join's bit for bit (the oracle runs NO salting). The corpus
+    * plants a ~30% hot key (`event_id % 10 < 3` → 'hot') — the
+    * measured AQE-unmarked band — so the flagged set is non-trivial
+    * and both arms (scattered hot, salt-0 cold) carry real rows; the
+    * decision path is the production one (CMS → decideSalt off the
+    * sketch total, no corpus pass). PlanAuditSpec pins the rewrite's
+    * cost law separately: only flagged keys' build rows replicate.
+    */
+  def saltedJoinResult(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{CountMin, SkewSalt}
+    val (d, w) = (4, 512)
+    val parts = 32
+    val salts = 8
+    val fact = Tables.events(spark, dir).select(
+      when(pmod(col("event_id"), lit(10L)) < 3, lit("hot"))
+        .otherwise(pmod(col("event_id"), lit(997L)).cast("string"))
+        .as("item"),
+      col("event_id"), col("user_id"))
+    val dim = fact.groupBy("item").agg(min("event_id").as("first_evt"))
+    val sk = CountMin.sketch(fact.select("item"), d, w)
+    val hot = SkewSalt.decideSalt(fact.select("item").distinct(), sk, d, w,
+      SkewSalt.sketchTotal(sk), parts).where(col("salt"))
+    SkewSalt.saltedEquiJoin(fact, dim, "item", hot, salts,
+        saltOn = col("event_id"))
+      .groupBy("item")
+      .agg(count(lit(1)).as("n_rows"), sum("event_id").as("sum_evt"),
+        min("first_evt").as("first_evt"))
+      .orderBy("item")
+  }
+
+  val saltedJoinResultSql: String =
+    """WITH f AS (
+      |  SELECT CASE WHEN event_id % 10 < 3 THEN 'hot'
+      |              ELSE CAST(event_id % 997 AS VARCHAR) END AS item,
+      |         event_id, user_id
+      |  FROM events),
+      |d AS (SELECT item, CAST(min(event_id) AS BIGINT) AS first_evt
+      |      FROM f GROUP BY 1)
+      |SELECT f.item AS item, CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(f.event_id) AS BIGINT) AS sum_evt,
+      |       CAST(min(d.first_evt) AS BIGINT) AS first_evt
+      |FROM f JOIN d USING (item)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val cmsSaltDecisionSql: String = {
     def hh(expr: String) = graft.functions.TextFunctions.hexHash60Sql(expr)
     def sk(src: String) =

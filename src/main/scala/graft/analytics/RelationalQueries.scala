@@ -1697,6 +1697,73 @@ object RelationalQueries {
       |                    AS DOUBLE), 6) AS share
       |FROM d ORDER BY event_type, tier NULLS FIRST""".stripMargin
 
+  // -------------------------------------------------------------- REL-32b
+  /** MULTI-attribute SCD-2 — the shape a warehouse user asks for
+    * first: the tracked state is a STRUCT of declared columns (here
+    * tier = props k div 25 AND flag = floor(value/100)), and a version
+    * opens when ANY field differs under the null-safe struct compare
+    * (Spark's `<=>` on structs is field-wise with null matching null —
+    * the same compare [[graft.operators.SnapshotDiff]] uses; DuckDB's
+    * row-value `IS DISTINCT FROM` replays it exactly). Attribute A
+    * changing while B holds opens ONE version carrying both fields —
+    * never two rows; both fields equal (nulls included) collapses.
+    * Everything else — the one shared (entity) partitioning + (ts,
+    * event_id) sort, interval closing, version numbering — is
+    * q_rel32's verbatim; output flattens the struct so the oracle
+    * compares plain columns. [[graft.streaming.Scd2Stream]] runs the
+    * same generalization live via `attrType = StructType(...)`.
+    */
+  def scd2HistoryMulti(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts_us"), col("event_id"))
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("ts_ns div 1000").as("ts_us"),
+        expr("cast(get_json_object(props, '$.k') as bigint) div 25")
+          .as("tier"),
+        expr("cast(floor(value / 100) as bigint)").as("flag"))
+    val changes = e
+      .withColumn("rn", row_number().over(w))
+      .withColumn("prev_tier", lag(col("tier"), 1).over(w))
+      .withColumn("prev_flag", lag(col("flag"), 1).over(w))
+      .where(col("rn") === 1 ||
+        !(struct(col("tier"), col("flag")) <=>
+          struct(col("prev_tier"), col("prev_flag"))))
+    changes
+      .withColumn("valid_to_us", lead(col("ts_us"), 1).over(w))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .select(col("user_id"), col("event_type"), col("tier"), col("flag"),
+        col("ts_us").as("valid_from_us"), col("valid_to_us"),
+        col("version"), col("valid_to_us").isNull.as("is_current"))
+      .orderBy("user_id", "event_type", "version")
+  }
+
+  val scd2HistoryMultiSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+      |         CAST(json_extract_string(props, '$.k') AS BIGINT) // 25 AS tier,
+      |         CAST(floor(value / 100) AS BIGINT) AS flag
+      |  FROM events),
+      |c AS (
+      |  SELECT * FROM (
+      |    SELECT user_id, event_type, event_id, ts_us, tier, flag,
+      |           row_number() OVER w AS rn,
+      |           lag(tier) OVER w AS prev_tier,
+      |           lag(flag) OVER w AS prev_flag
+      |    FROM e
+      |    WINDOW w AS (PARTITION BY user_id, event_type
+      |                 ORDER BY ts_us, event_id))
+      |  WHERE rn = 1
+      |     OR (tier, flag) IS DISTINCT FROM (prev_tier, prev_flag))
+      |SELECT user_id, event_type, tier, flag, ts_us AS valid_from_us,
+      |       lead(ts_us) OVER w2 AS valid_to_us,
+      |       row_number() OVER w2 AS version,
+      |       lead(ts_us) OVER w2 IS NULL AS is_current
+      |FROM c
+      |WINDOW w2 AS (PARTITION BY user_id, event_type
+      |              ORDER BY ts_us, event_id)
+      |ORDER BY user_id, event_type, version""".stripMargin
+
   // ---------------------------------------------------------------- REL-33
   /** Snapshot diff / CDC delta — "what changed between yesterday's
     * snapshot and today's": the latest-shipped-lineitem state per

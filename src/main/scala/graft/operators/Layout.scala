@@ -93,9 +93,16 @@ object Layout {
     val (aMin, aMax, bMin, bMax) =
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
     val top = (1L << bits) - 1
+    // Divide before multiplying, in double: (c-lo)*top overflows Long
+    // once the column range exceeds ~2^63/top, silently garbling the
+    // curve (data stays correct, the skip law evaporates). A monotone
+    // map of the normalized coordinate preserves the rectangles, so
+    // double precision costs nothing; clamped against FP round-up.
     def norm(c: Column, lo: Long, hi: Long): Column =
       if (hi == lo) lit(0L)
-      else (c.cast("long") - lo) * top / (hi - lo)
+      else least(lit(top), greatest(lit(0L),
+        ((c.cast("double") - lo.toDouble) /
+          (hi.toDouble - lo.toDouble) * top).cast("long")))
     df.withColumn("__z", zValue(
         norm(col(aCol), aMin, aMax), norm(col(bCol), bMin, bMax), bits))
       .repartitionByRange(nFiles, col("__z"))

@@ -2,16 +2,88 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
+
+/** The shared key discipline of the CDC-feed view family
+  * ([[ChangeFeedView]], [[MomentFeedView]], [[SketchFeedView]]): each
+  * view groups on DECLARED columns of the feed, defaulting to
+  * `event_type` — matching the stream-side grouped stores
+  * (DDSketchStream.pipelineBy, HllStream.pipelineBy), so a dashboard
+  * can key a view on type × user, not only type.
+  *
+  * Grouping columns are restricted to the feed's CDC KEY columns
+  * (`user_id`, `event_type`) — load-bearing, not a convenience: the
+  * fold emits ONE delta row per change carrying both the after-image's
+  * addition and the before-image's subtraction, which is only
+  * well-typed when the row's group is the SAME on both sides. Key
+  * columns are before/after-invariant by construction (they ARE the
+  * upsert key); a value-derived grouping would need two-sided group
+  * routing (after-image adds to one group, before-image subtracts from
+  * another) — expressible, but a different view schema, and no
+  * consumer has asked for it. Stated so nobody "generalizes" past the
+  * invariant silently.
+  *
+  * The declared keys are committed in the view's meta (`view_keys`)
+  * and validated on every refresh/read — a reader with different keys
+  * would otherwise silently misparse the state (parquet resolves
+  * columns by name; a wrong explicit schema reads nulls, not errors).
+  */
+private[streaming] object FeedViewKeys {
+
+  val keyTypes: Map[String, DataType] =
+    Map("user_id" -> LongType, "event_type" -> StringType)
+
+  def validate(keys: Seq[String]): Unit = {
+    require(keys.nonEmpty, "view needs at least one grouping column")
+    require(keys.distinct == keys, s"duplicate grouping columns: $keys")
+    val bad = keys.filterNot(keyTypes.contains)
+    require(bad.isEmpty,
+      s"view grouping columns must be CDC key columns " +
+        s"${keyTypes.keys.toSeq.sorted.mkString("{", ", ", "}")} — the " +
+        s"before/after-invariant columns the one-row delta fold " +
+        s"requires; got $bad")
+  }
+
+  def fields(keys: Seq[String]): Seq[StructField] =
+    keys.map(k => StructField(k, keyTypes(k)))
+
+  def joined(keys: Seq[String]): String = keys.mkString(",")
+
+  /** Read the committed `view_keys` off the latest generation —
+    * projected by NAME under a 1-column explicit schema, the one read
+    * that cannot depend on the caller's declared keys (schema
+    * inference would also trip over the zero-length COMMITTED marker)
+    * — and refuse a mismatch.
+    */
+  def check(spark: SparkSession, viewDir: String, gens: Seq[Long],
+      keys: Seq[String], what: String): Unit =
+    if (gens.nonEmpty) {
+      val stored = spark.read
+        .schema(StructType(Seq(StructField("view_keys", StringType))))
+        .parquet(GenStore.dir(viewDir, gens.max))
+        .where(col("view_keys").isNotNull)
+        .select("view_keys").limit(1).collect()
+      val want = joined(keys)
+      if (stored.nonEmpty && stored.head.getString(0) != want)
+        throw new IllegalStateException(
+          s"$what view at $viewDir is keyed on (${stored.head.getString(0)}); " +
+            s"this call declares ($want) — a view cannot regroup " +
+            "committed state, refusing")
+    }
+}
 
 /** Incremental materialized-view maintenance off the CDC feed — the
-  * downstream half of the changelog story: a per-`event_type`
+  * downstream half of the changelog story: a per-key
   * (row count, Σ value) view kept current by folding ONLY
   * [[CowUpsertStream.changes]] rows it has not seen yet. Each refresh
   * costs O(new changes) + O(view), never O(state): the view never
   * re-reads the upsert store, which is exactly what a change feed is
   * FOR (the alternative — recompute the aggregate from `latest()`
   * every time — rescans the full current-row table per refresh).
+  *
+  * Grouping keys are declared per view ([[FeedViewKeys]] — default
+  * `event_type`, any subset of the CDC key columns, committed in the
+  * meta and validated thereafter).
   *
   * The fold is pure delta algebra over the feed's before/after
   * images:
@@ -35,42 +107,53 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   */
 object ChangeFeedView {
 
-  /** One row per event_type plus one META row (`event_type` null —
-    * high-water feed gen in `n_rows`, view row count in `sum_micro`).
+  /** One row per key group plus one META row (keys null — high-water
+    * feed gen in `n_rows`, view row count in `sum_micro`, the declared
+    * keys in `view_keys`).
     */
-  private val viewSchema = StructType(Seq(
-    StructField("event_type", StringType),
-    StructField("n_rows", LongType),
-    StructField("sum_micro", LongType)))
+  private def viewSchema(keys: Seq[String]): StructType = StructType(
+    FeedViewKeys.fields(keys) ++ Seq(
+      StructField("n_rows", LongType),
+      StructField("sum_micro", LongType),
+      StructField("view_keys", StringType)))
 
   /** Committed meta: (high-water feed gen, view rows); None = fresh. */
-  def readMeta(spark: SparkSession, viewDir: String)
-      : Option[(Long, Long)] = {
+  def readMeta(spark: SparkSession, viewDir: String,
+      keys: Seq[String] = Seq("event_type")): Option[(Long, Long)] = {
+    FeedViewKeys.validate(keys)
     val gens = GenStore.committed(spark, viewDir)
     if (gens.isEmpty) None
     else {
-      val meta = spark.read.schema(viewSchema)
+      FeedViewKeys.check(spark, viewDir, gens, keys, "change-feed")
+      val n = keys.size
+      val meta = spark.read.schema(viewSchema(keys))
         .parquet(GenStore.dir(viewDir, gens.max))
-        .where(col("event_type").isNull)
+        .where(col(keys.head).isNull)
         .collect()
       if (meta.length != 1) throw new IllegalStateException(
         s"view state generation ${gens.max} has ${meta.length} meta rows " +
           "(want exactly 1) — foreign or corrupt state")
-      Some((meta.head.getLong(1), meta.head.getLong(2)))
+      Some((meta.head.getLong(n), meta.head.getLong(n + 1)))
     }
   }
 
-  /** The live view: (event_type, n_rows, sum_micro) — a straight read
-    * of committed state, zero recompute.
+  /** The live view: (keys…, n_rows, sum_micro) — a straight read of
+    * committed state, zero recompute.
     */
-  def table(spark: SparkSession, viewDir: String): DataFrame = {
+  def table(spark: SparkSession, viewDir: String,
+      keys: Seq[String] = Seq("event_type")): DataFrame = {
+    FeedViewKeys.validate(keys)
     val gens = GenStore.committed(spark, viewDir)
     if (gens.isEmpty)
       spark.createDataFrame(java.util.Collections.emptyList[Row](),
-        viewSchema)
-    else spark.read.schema(viewSchema)
-      .parquet(GenStore.dir(viewDir, gens.max))
-      .where(col("event_type").isNotNull)
+        StructType(viewSchema(keys).dropRight(1)))
+    else {
+      FeedViewKeys.check(spark, viewDir, gens, keys, "change-feed")
+      spark.read.schema(viewSchema(keys))
+        .parquet(GenStore.dir(viewDir, gens.max))
+        .where(col(keys.head).isNotNull)
+        .select((keys ++ Seq("n_rows", "sum_micro")).map(col): _*)
+    }
   }
 
   /** Fold every unseen committed feed generation of the upsert store
@@ -78,12 +161,13 @@ object ChangeFeedView {
     * with nothing new commits nothing. Returns the number of change
     * rows folded.
     */
-  def refresh(spark: SparkSession, stateDir: String,
-      viewDir: String): Long = {
+  def refresh(spark: SparkSession, stateDir: String, viewDir: String,
+      keys: Seq[String] = Seq("event_type")): Long = {
+    FeedViewKeys.validate(keys)
     val feedGens = GenStore.committed(spark, stateDir)
     if (feedGens.isEmpty) return 0L
     val frontier = feedGens.max
-    val prior = readMeta(spark, viewDir)
+    val prior = readMeta(spark, viewDir, keys)
     val hw = prior.map(_._1).getOrElse(-1L)
     if (frontier <= hw) return 0L
     // Bound the fold to (hw, frontier] EXPLICITLY: a generation the
@@ -99,29 +183,32 @@ object ChangeFeedView {
     // Null values contribute zero on EITHER side (a one-shot
     // sum(round(value·1e6)) skips nulls, so an update between null and
     // a value must move Σ by exactly the non-null side).
-    val deltas = fresh.select(col("event_type"),
+    val deltas = fresh.select(keys.map(col) ++ Seq(
         when(col("op") === "insert", 1L)
           .when(col("op") === "delete", -1L).otherwise(0L).as("dn"),
         (coalesce(round(col("value") * 1e6).cast("long"), lit(0L)) -
           coalesce(round(col("old_value") * 1e6).cast("long"), lit(0L)))
-          .as("dmicro"))
-      .groupBy("event_type")
+          .as("dmicro")): _*)
+      .groupBy(keys.map(col): _*)
       .agg(sum("dn").as("n_rows"), sum("dmicro").as("sum_micro"))
-    val merged = table(spark, viewDir).unionByName(deltas)
-      .groupBy("event_type")
+    val merged = table(spark, viewDir, keys).unionByName(deltas)
+      .groupBy(keys.map(col): _*)
       .agg(sum("n_rows").as("n_rows"), sum("sum_micro").as("sum_micro"))
       // a fully-deleted key folds to n=0 (and, exactly then, Σ=0):
       // the one-shot aggregate has no such row, so neither do we
       .where(col("n_rows") =!= 0L)
+      .withColumn("view_keys", lit(null).cast("string"))
     val folded = fresh.count()
     val gens = GenStore.committed(spark, viewDir)
     val gen = gens.lastOption.map(_ + 1).getOrElse(0L)
     val genDir = GenStore.dir(viewDir, gen)
     merged.coalesce(1).write.mode("overwrite").parquet(genDir)
-    val rows = spark.read.schema(viewSchema).parquet(genDir).count()
+    val rows = spark.read.schema(viewSchema(keys)).parquet(genDir).count()
     val metaDf = spark.createDataFrame(
-      java.util.Collections.singletonList(Row(null, frontier, rows)),
-      viewSchema)
+      java.util.Collections.singletonList(
+        Row.fromSeq(keys.map(_ => null) ++
+          Seq(frontier, rows, FeedViewKeys.joined(keys)))),
+      viewSchema(keys))
     metaDf.coalesce(1).write.mode("append").parquet(genDir)
     GenStore.commit(spark, viewDir, gen)
     GenStore.dropBelow(spark, viewDir, gen)

@@ -93,7 +93,8 @@ object CowCohortStream {
     */
   def pipeline(stateDir: String, weekUs: Long = 604800000000L,
       buckets: Int = 64, compactEvery: Long = 16,
-      onBatch: (Long, Long) => Unit = (_, _) => ())
+      onBatch: (Long, Long) => Unit = (_, _) => (),
+      zOrderOn: Option[ZOrder] = None)
       : (DataFrame, Long) => Unit = {
     require(weekUs > 0, s"week grain must be positive, got $weekUs µs")
     require(buckets > 0, s"buckets must be positive, got $buckets")
@@ -148,21 +149,21 @@ object CowCohortStream {
             .withColumn("week_us", lit(null).cast("long"))
             .withColumn("n_buckets", lit(null).cast("long"))
           val genDir = GenStore.dir(stateDir, gen)
-          merged.repartition(col("bucket"))
-            .write.mode("overwrite").partitionBy("bucket").parquet(genDir)
+          // One write path for the whole CoW family
+          // ([[CowStore.writeGenData]]); compaction generations
+          // optionally z-order each rewritten bucket.
+          CowStore.writeGenData(spark, genDir, merged,
+            zOrder = if (isCompact) zOrderOn else None)
           // Incremental exact total: written − prior over the SAME
           // scope (touched buckets, or all on a compaction gen) —
           // two pruned metadata counts, never a full-state count.
           val written = spark.read.schema(stateSchema).parquet(genDir)
             .count()
           val total = prior.map(_._1).getOrElse(0L) + (written - priorCnt)
-          val metaDf = spark.createDataFrame(
-            java.util.Collections.singletonList(
-              Row(null, null, total, batchId, weekUs, buckets.toLong,
-                Integer.valueOf(-1))),
+          CowStore.appendMeta(spark, genDir,
+            Row(null, null, total, batchId, weekUs, buckets.toLong,
+              Integer.valueOf(-1)),
             stateSchema)
-          metaDf.coalesce(1)
-            .write.mode("append").partitionBy("bucket").parquet(genDir)
           GenStore.commit(spark, stateDir, gen)
           if (isCompact) GenStore.dropBelow(spark, stateDir, gen)
           onBatch(batchId, total)

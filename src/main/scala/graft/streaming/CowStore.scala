@@ -52,9 +52,16 @@ private[streaming] object CowStore {
     * deleted rows would RESURRECT). `bucket=-1` (meta) excluded.
     */
   def bucketsIn(spark: SparkSession, stateDir: String,
-      gen: Long): Seq[Int] = {
-    val hfs = GenStore.fs(spark, stateDir)
-    val p = new Path(GenStore.dir(stateDir, gen))
+      gen: Long): Seq[Int] =
+    bucketsInDir(spark, GenStore.dir(stateDir, gen))
+
+  /** Same ownership listing addressed at an explicit generation dir —
+    * for writers that STAGE a generation under a temp path before
+    * renaming it into place ([[CowUpsertStream.delete]]).
+    */
+  def bucketsInDir(spark: SparkSession, genDir: String): Seq[Int] = {
+    val hfs = GenStore.fs(spark, genDir)
+    val p = new Path(genDir)
     if (!hfs.exists(p)) Seq.empty
     else {
       val dirs = hfs.listStatus(p).toSeq.filter(_.isDirectory)
@@ -62,7 +69,7 @@ private[streaming] object CowStore {
         .filter(_.startsWith("bucket="))
         .map(_.stripPrefix("bucket=").toInt)
         .filter(_ >= 0)
-      (dirs ++ readEmptyMarker(spark, GenStore.dir(stateDir, gen))).distinct
+      (dirs ++ readEmptyMarker(spark, genDir)).distinct
     }
   }
 
@@ -178,6 +185,19 @@ private[streaming] object CowStore {
   def writeGen(spark: SparkSession, genDir: String, merged: DataFrame,
       metaRow: Row, schema: StructType,
       zOrder: Option[ZOrder] = None): Unit = {
+    writeGenData(spark, genDir, merged, zOrder)
+    appendMeta(spark, genDir, metaRow, schema)
+  }
+
+  /** The data half of [[writeGen]] — for stores whose meta row depends
+    * on the WRITTEN rows (an incremental total folded from the new
+    * bucket dirs' footer counts): write data, count, then
+    * [[appendMeta]]. Every generation write in the family routes
+    * through here so the layout (one dir per bucket, optional z-order)
+    * cannot fork per store.
+    */
+  def writeGenData(spark: SparkSession, genDir: String, merged: DataFrame,
+      zOrder: Option[ZOrder] = None): Unit = {
     val laid = zOrder match {
       case Some(z) =>
         val r = merged.agg(
@@ -187,8 +207,18 @@ private[streaming] object CowStore {
         if (r.isNullAt(0)) merged.repartition(col("bucket")) // no rows
         else {
           val top = (1L << z.bits) - 1
+          // Divide before multiplying, in double: (c-lo)*top overflows
+          // Long once the column range exceeds ~2^63/top (µs timestamps
+          // spanning a few years at bits=16), silently garbling the
+          // curve. Double precision loses nothing that matters — the
+          // z-value is a LAYOUT key, and any monotone map of the
+          // normalized coordinate preserves the rectangles. Clamped to
+          // [0, top] against FP round-up at c = hi.
           def norm(c: org.apache.spark.sql.Column, lo: Long, hi: Long) =
-            if (hi == lo) lit(0L) else (c.cast("long") - lo) * top / (hi - lo)
+            if (hi == lo) lit(0L)
+            else least(lit(top), greatest(lit(0L),
+              ((c.cast("double") - lo.toDouble) /
+                (hi.toDouble - lo.toDouble) * top).cast("long")))
           val zc = graft.operators.Layout.zValue(
             norm(col(z.aCol), r.getLong(0), r.getLong(1)),
             norm(col(z.bCol), r.getLong(2), r.getLong(3)), z.bits)
@@ -205,6 +235,13 @@ private[streaming] object CowStore {
       case None => merged.repartition(col("bucket"))
     }
     laid.write.mode("overwrite").partitionBy("bucket").parquet(genDir)
+  }
+
+  /** The meta half of [[writeGen]]: one row appended under
+    * `bucket=-1`. The caller commits after.
+    */
+  def appendMeta(spark: SparkSession, genDir: String, metaRow: Row,
+      schema: StructType): Unit = {
     val metaDf = spark.createDataFrame(
       java.util.Collections.singletonList(metaRow), schema)
     metaDf.coalesce(1)

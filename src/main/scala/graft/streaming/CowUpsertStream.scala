@@ -234,11 +234,22 @@ object CowUpsertStream {
       col("ts_us").as("old_ts_us"), col("event_id").as("old_event_id"),
       col("value").as("old_value"),
       lit(null).cast("long").as("batch_id"), lit(gen).as("gen"))
+    // Every write is STAGED under a temp path and renamed into place
+    // only after re-verifying the frontier. Writing at the final paths
+    // directly would make the mid-flight-writer backstop destructive:
+    // if a concurrent stream commit landed on the same gen number, our
+    // overwrite would already have clobbered that COMMITTED
+    // generation's dirs, and cleaning "our" dirs up would then delete
+    // the other writer's data while its commit marker survived.
+    // Staged, a detected race leaves the store byte-identical.
     val cDir = changeDir(stateDir, gen)
-    delta.write.mode("overwrite").parquet(cDir)
-    val nDeleted = spark.read.schema(changeSchema).parquet(cDir).count()
+    val genDir = GenStore.dir(stateDir, gen)
+    val cTmp = s"$cDir.staging"
+    val gTmp = s"$genDir.staging"
+    delta.write.mode("overwrite").parquet(cTmp)
+    val nDeleted = spark.read.schema(changeSchema).parquet(cTmp).count()
     if (nDeleted == 0L) { // nothing matched: no generation, no feed entry
-      GenStore.deleteQuiet(spark, cDir)
+      GenStore.deleteQuiet(spark, cTmp)
       return 0L
     }
     val remaining = priorTouched
@@ -246,26 +257,41 @@ object CowUpsertStream {
       .withColumn("total", lit(null).cast("long"))
       .withColumn("batch_id", lit(null).cast("long"))
       .withColumn("n_buckets", lit(null).cast("long"))
-    val genDir = GenStore.dir(stateDir, gen)
-    CowStore.writeGen(spark, genDir, remaining,
+    CowStore.writeGen(spark, gTmp, remaining,
       Row(null, null, null, null, null,
         total - nDeleted, hw, nb, Integer.valueOf(-1)),
       stateSchema)
-    val written = CowStore.bucketsIn(spark, stateDir, gen).toSet
-    CowStore.writeEmptyMarker(spark, genDir,
+    val written = CowStore.bucketsInDir(spark, gTmp).toSet
+    CowStore.writeEmptyMarker(spark, gTmp,
       (touched -- written).toSeq)
     // Mid-flight-writer backstop: if the stream committed a gen while
-    // we were writing, our `gen` may collide with (or leapfrog) its
-    // numbering — refuse and clean up rather than corrupt the feed.
+    // we were staging, refuse and drop the staging dirs — the final
+    // paths were never touched, so "no state was changed" is exact.
     val frontierNow = GenStore.committed(spark, stateDir).max
     if (frontierNow != gens.max) {
-      GenStore.deleteQuiet(spark, genDir)
-      GenStore.deleteQuiet(spark, cDir)
+      GenStore.deleteQuiet(spark, gTmp)
+      GenStore.deleteQuiet(spark, cTmp)
       throw new IllegalStateException(
         s"delete() on $stateDir raced a concurrent writer: committed " +
           s"frontier moved ${gens.max} -> $frontierNow mid-flight; " +
           "delete() requires a single writer (pause the stream or run " +
-          "via onBatch) — no state was changed")
+          "via onBatch) — no state was changed (writes were staged)")
+    }
+    // The frontier is unchanged, so a dir already at gen can only be
+    // an UNCOMMITTED orphan (crash debris) — safe to replace. Rename
+    // into a surviving dir would nest on the local FS, so clear first.
+    val hfs = GenStore.fs(spark, stateDir)
+    GenStore.deleteQuiet(spark, genDir)
+    GenStore.deleteQuiet(spark, cDir)
+    if (!hfs.rename(new Path(gTmp), new Path(genDir)) ||
+        !hfs.rename(new Path(cTmp), new Path(cDir))) {
+      GenStore.deleteQuiet(spark, gTmp)
+      GenStore.deleteQuiet(spark, cTmp)
+      GenStore.deleteQuiet(spark, genDir)
+      GenStore.deleteQuiet(spark, cDir)
+      throw new IllegalStateException(
+        s"delete() on $stateDir could not publish staged generation " +
+          s"$gen (rename refused) — generation not committed")
     }
     GenStore.commit(spark, stateDir, gen)
     nDeleted

@@ -12,13 +12,18 @@ import graft.operators.DDSketch
   * therefore also maintain FEED-side, bit-exactly, at any refresh
   * cadence:
   *
-  *  - [[MomentFeedView]]: per-`event_type` moment vectors
-  *    ([[MomentStream]]'s algebra — n, Σx, Σy, Σx², Σy², Σxy over the
-  *    CURRENT rows, x = event time, y = value), serving live
+  *  - [[MomentFeedView]]: per-key moment vectors ([[MomentStream]]'s
+  *    algebra — n, Σx, Σy, Σx², Σy², Σxy over the CURRENT rows,
+  *    x = event time, y = value), serving live
   *    mean/variance/corr/slope of the store without rescanning it;
-  *  - [[SketchFeedView]]: per-`event_type` DDSketch bucket tables
+  *  - [[SketchFeedView]]: per-key DDSketch bucket tables
   *    ([[DDSketchStream]]'s state over the CURRENT rows), serving live
   *    quantiles of the store.
+  *
+  * Both views group on DECLARED key columns ([[FeedViewKeys]] —
+  * default `event_type`, any subset of the CDC key columns, committed
+  * in the meta and validated on every refresh/read), matching the
+  * stream-side grouped stores (DDSketchStream.pipelineBy).
   *
   * What makes a view family delta-able off a feed with UPDATES and
   * DELETES is stronger than streamed-mergeable: the fold must support
@@ -35,16 +40,21 @@ import graft.operators.DDSketch
   * THE ONE-SIDED CAP CAVEAT ([[DDSketch.collapse]] under subtraction):
   * the collapsing cap is merge-compatible (cutoffs only rise under
   * UNION) but NOT delete-compatible, so [[SketchFeedView]] runs
-  * uncapped by design. Counterexample: sketch {b₁:1, …, bₘ₊₁:1}
+  * uncapped by default. Counterexample: sketch {b₁:1, …, bₘ₊₁:1}
   * capped at m pools b₁ into the cutoff b₂; now delete the value in
   * bₘ₊₁ — the true capped sketch of the remaining m values is the
   * UNCOLLAPSED {b₁:1,…,bₘ:1} (it fits the cap), but the view cannot
   * un-pool b₁ from b₂, and subtracting the deleted bₘ₊₁ cannot lower
   * the cutoff. Collapse destroys exactly the information deletion
-  * needs back; a capped delta view is therefore only an upper-bound
-  * sketch. The uncapped state is bounded by ⌈log_γ(max/min)⌉ buckets
-  * per key regardless of row count — the cap's job (pathological value
-  * ranges) is the one thing this view declines.
+  * needs back; a capped delta view is therefore only an UPPER-BOUND
+  * sketch — offered as the explicitly one-sided `maxBuckets` mode (a
+  * 100 TB operator may prefer bounded state with stated error
+  * semantics: after any delete below a pooled cutoff, low-quantile
+  * estimates can only err HIGH, never low — the pooled mass sits at
+  * the cutoff, above where the surviving values actually are). The
+  * uncapped state is bounded by ⌈log_γ(max/min)⌉ buckets per key
+  * regardless of row count — the cap's job (pathological value
+  * ranges) is the one thing the exact mode declines.
   *
   * The same criterion rules OUT the remaining stream-side family: an
   * HLL distinct-count view is register-MAX state — max is idempotent
@@ -78,51 +88,65 @@ object MomentFeedView {
   private def xSec = expr("ts_us div 1000000").cast(Dec)
   private def xSecOld = expr("old_ts_us div 1000000").cast(Dec)
 
-  private val viewSchema = StructType(Seq(
-    StructField("event_type", StringType), StructField("n", LongType),
-    StructField("sx", Dec), StructField("sy", Dec),
-    StructField("sxx", Dec), StructField("syy", Dec),
-    StructField("sxy", Dec),
-    StructField("hw_gen", LongType), StructField("view_rows", LongType)))
+  private val momentCols = Seq("n", "sx", "sy", "sxx", "syy", "sxy")
+
+  private def viewSchema(keys: Seq[String]): StructType = StructType(
+    FeedViewKeys.fields(keys) ++ Seq(
+      StructField("n", LongType),
+      StructField("sx", Dec), StructField("sy", Dec),
+      StructField("sxx", Dec), StructField("syy", Dec),
+      StructField("sxy", Dec),
+      StructField("hw_gen", LongType), StructField("view_rows", LongType),
+      StructField("view_keys", StringType)))
 
   /** Committed meta: (high-water feed gen, view rows); None = fresh. */
-  def readMeta(spark: SparkSession, viewDir: String)
-      : Option[(Long, Long)] = {
+  def readMeta(spark: SparkSession, viewDir: String,
+      keys: Seq[String] = Seq("event_type")): Option[(Long, Long)] = {
+    FeedViewKeys.validate(keys)
     val gens = GenStore.committed(spark, viewDir)
     if (gens.isEmpty) None
     else {
-      val meta = spark.read.schema(viewSchema)
+      FeedViewKeys.check(spark, viewDir, gens, keys, "moment")
+      val n = keys.size
+      val meta = spark.read.schema(viewSchema(keys))
         .parquet(GenStore.dir(viewDir, gens.max))
-        .where(col("event_type").isNull)
+        .where(col(keys.head).isNull)
         .collect()
       if (meta.length != 1) throw new IllegalStateException(
         s"moment view generation ${gens.max} has ${meta.length} meta rows " +
           "(want exactly 1) — foreign or corrupt state")
-      Some((meta.head.getLong(7), meta.head.getLong(8)))
+      Some((meta.head.getLong(n + 6), meta.head.getLong(n + 7)))
     }
   }
 
-  /** The live moment table (event_type, n, sx, sy, sxx, syy, sxy). */
-  def table(spark: SparkSession, viewDir: String): DataFrame = {
+  /** The live moment table (keys…, n, sx, sy, sxx, syy, sxy). */
+  def table(spark: SparkSession, viewDir: String,
+      keys: Seq[String] = Seq("event_type")): DataFrame = {
+    FeedViewKeys.validate(keys)
     val gens = GenStore.committed(spark, viewDir)
     if (gens.isEmpty)
       spark.createDataFrame(java.util.Collections.emptyList[Row](),
-        StructType(viewSchema.take(7)))
-    else spark.read.schema(viewSchema)
-      .parquet(GenStore.dir(viewDir, gens.max))
-      .where(col("event_type").isNotNull)
-      .select("event_type", "n", "sx", "sy", "sxx", "syy", "sxy")
+        StructType(viewSchema(keys).dropRight(3)))
+    else {
+      FeedViewKeys.check(spark, viewDir, gens, keys, "moment")
+      spark.read.schema(viewSchema(keys))
+        .parquet(GenStore.dir(viewDir, gens.max))
+        .where(col(keys.head).isNotNull)
+        .select((keys ++ momentCols).map(col): _*)
+    }
   }
 
-  /** The one-shot truth over an arbitrary (event_type, ts_us, value)
-    * current-row table — the aggregate the view must equal cell for
-    * cell (pairwise-complete: null values drop, as in MomentStream).
+  /** The one-shot truth over an arbitrary current-row table carrying
+    * the key columns plus (ts_us, value) — the aggregate the view must
+    * equal cell for cell (pairwise-complete: null values drop, as in
+    * MomentStream).
     */
-  def oneShot(current: DataFrame): DataFrame = {
+  def oneShot(current: DataFrame,
+      keys: Seq[String] = Seq("event_type")): DataFrame = {
     val ym = round(col("value") * lit(Scale), 0).cast(Dec)
     current.where(col("value").isNotNull)
-      .select(col("event_type"), xSec.as("xm"), ym.as("ym"))
-      .groupBy("event_type")
+      .select(keys.map(col) ++ Seq(xSec.as("xm"), ym.as("ym")): _*)
+      .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n"),
         sum("xm").cast(Dec).as("sx"), sum("ym").cast(Dec).as("sy"),
         sum(col("xm") * col("xm")).cast(Dec).as("sxx"),
@@ -133,12 +157,13 @@ object MomentFeedView {
   /** Fold every unseen committed feed generation into the view.
     * Returns change rows folded; 0 = nothing new.
     */
-  def refresh(spark: SparkSession, stateDir: String,
-      viewDir: String): Long = {
+  def refresh(spark: SparkSession, stateDir: String, viewDir: String,
+      keys: Seq[String] = Seq("event_type")): Long = {
+    FeedViewKeys.validate(keys)
     val feedGens = GenStore.committed(spark, stateDir)
     if (feedGens.isEmpty) return 0L
     val frontier = feedGens.max
-    val hw = readMeta(spark, viewDir).map(_._1).getOrElse(-1L)
+    val hw = readMeta(spark, viewDir, keys).map(_._1).getOrElse(-1L)
     if (frontier <= hw) return 0L
     val fresh = CowUpsertStream.changes(spark, stateDir)
       .where(col("gen") > hw && col("gen") <= frontier)
@@ -152,15 +177,15 @@ object MomentFeedView {
     val zero = lit(0L).cast(Dec)
     def d(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       when(hasA, a).otherwise(zero) - when(hasB, b).otherwise(zero)
-    val deltas = fresh.select(col("event_type"),
+    val deltas = fresh.select(keys.map(col) ++ Seq(
         (when(hasA, 1L).otherwise(0L) - when(hasB, 1L).otherwise(0L))
           .as("n"),
         d(xSec, xSecOld).as("sx"), d(yA, yB).as("sy"),
         d(xSec * xSec, xSecOld * xSecOld).as("sxx"),
         d(yA * yA, yB * yB).as("syy"),
-        d(xSec * yA, xSecOld * yB).as("sxy"))
-    val merged = table(spark, viewDir).unionByName(deltas)
-      .groupBy("event_type")
+        d(xSec * yA, xSecOld * yB).as("sxy")): _*)
+    val merged = table(spark, viewDir, keys).unionByName(deltas)
+      .groupBy(keys.map(col): _*)
       .agg(sum("n").as("n"),
         sum("sx").cast(Dec).as("sx"), sum("sy").cast(Dec).as("sy"),
         sum("sxx").cast(Dec).as("sxx"), sum("syy").cast(Dec).as("syy"),
@@ -170,35 +195,39 @@ object MomentFeedView {
       .where(col("n") =!= 0L)
       .withColumn("hw_gen", lit(null).cast("long"))
       .withColumn("view_rows", lit(null).cast("long"))
+      .withColumn("view_keys", lit(null).cast("string"))
     val folded = fresh.count()
     val gens = GenStore.committed(spark, viewDir)
     val gen = gens.lastOption.map(_ + 1).getOrElse(0L)
     val genDir = GenStore.dir(viewDir, gen)
     merged.coalesce(1).write.mode("overwrite").parquet(genDir)
-    val rows = spark.read.schema(viewSchema).parquet(genDir).count()
+    val rows = spark.read.schema(viewSchema(keys)).parquet(genDir).count()
     val metaDf = spark.createDataFrame(
       java.util.Collections.singletonList(
-        Row(null, null, null, null, null, null, null, frontier, rows)),
-      viewSchema)
+        Row.fromSeq(keys.map(_ => null) ++
+          Seq(null, null, null, null, null, null,
+            frontier, rows, FeedViewKeys.joined(keys)))),
+      viewSchema(keys))
     metaDf.coalesce(1).write.mode("append").parquet(genDir)
     GenStore.commit(spark, viewDir, gen)
     GenStore.dropBelow(spark, viewDir, gen)
     folded
   }
 
-  /** Live statistics off the view — per event_type mean value,
+  /** Live statistics off the view — per key group: mean value,
     * variance, value-vs-time corr and OLS slope (value units per
     * second) over the store's CURRENT rows, derived from ≤ keys rows
     * of decimal arithmetic. Degenerate series (n < 2, zero variance)
     * read null, the MomentStream convention.
     */
-  def stats(spark: SparkSession, viewDir: String): DataFrame = {
+  def stats(spark: SparkSession, viewDir: String,
+      keys: Seq[String] = Seq("event_type")): DataFrame = {
     val n = col("n").cast(Dec)
     val covN = col("sxy") * n - col("sx") * col("sy")
     val varXN = col("sxx") * n - col("sx") * col("sx")
     val varYN = col("syy") * n - col("sy") * col("sy")
     val ok = (col("n") > 1) && (varXN > 0) && (varYN > 0)
-    table(spark, viewDir)
+    table(spark, viewDir, keys)
       .withColumn("mean_value",
         col("sy").cast("double") / col("n") / lit(Scale.toDouble))
       .withColumn("var_value", when(col("n") > 1,
@@ -209,72 +238,112 @@ object MomentFeedView {
           sqrt(varXN.cast("double")) / sqrt(varYN.cast("double"))))
       .withColumn("slope_per_sec", when(ok,
         covN.cast("double") / varXN.cast("double") / lit(Scale.toDouble)))
-      .select("event_type", "n", "mean_value", "var_value", "corr",
-        "slope_per_sec")
-      .orderBy("event_type")
+      .select((keys ++ Seq("n", "mean_value", "var_value", "corr",
+        "slope_per_sec")).map(col): _*)
+      .orderBy(keys.map(col): _*)
   }
 }
 
 /** Per-key DDSketch quantile view off the CDC feed — see the
   * [[MomentFeedView]] companion scaladoc for the shared delta law and
-  * the one-sided collapsing-cap caveat (this view is uncapped BY
-  * DESIGN; the cap is not delete-compatible).
+  * the one-sided collapsing-cap caveat. The exact mode is uncapped BY
+  * DESIGN (the cap is not delete-compatible); `maxBuckets` opts into
+  * the documented UPPER-BOUND-only mode.
   */
 object SketchFeedView {
 
   private def alphaMicro(alpha: Double): Long = math.round(alpha * 1e6)
 
-  private val viewSchema = StructType(Seq(
-    StructField("event_type", StringType),
-    StructField("bucket", LongType), StructField("n", LongType),
-    StructField("hw_gen", LongType), StructField("alpha_micro", LongType)))
+  private def viewSchema(keys: Seq[String]): StructType = StructType(
+    FeedViewKeys.fields(keys) ++ Seq(
+      StructField("bucket", LongType), StructField("n", LongType),
+      StructField("hw_gen", LongType), StructField("alpha_micro", LongType),
+      StructField("cap_buckets", LongType),
+      StructField("view_keys", StringType)))
 
-  /** Committed meta: (high-water feed gen, alphaMicro); None = fresh. */
-  def readMeta(spark: SparkSession, viewDir: String)
-      : Option[(Long, Long)] = {
+  /** Committed meta: (high-water feed gen, alphaMicro, capBuckets —
+    * 0 = uncapped/exact); None = fresh.
+    */
+  def readMeta(spark: SparkSession, viewDir: String,
+      keys: Seq[String] = Seq("event_type")): Option[(Long, Long, Long)] = {
+    FeedViewKeys.validate(keys)
     val gens = GenStore.committed(spark, viewDir)
     if (gens.isEmpty) None
     else {
-      val meta = spark.read.schema(viewSchema)
+      FeedViewKeys.check(spark, viewDir, gens, keys, "sketch")
+      val n = keys.size
+      val meta = spark.read.schema(viewSchema(keys))
         .parquet(GenStore.dir(viewDir, gens.max))
-        .where(col("event_type").isNull)
+        .where(col(keys.head).isNull)
         .collect()
       if (meta.length != 1) throw new IllegalStateException(
         s"sketch view generation ${gens.max} has ${meta.length} meta rows " +
           "(want exactly 1) — foreign or corrupt state")
-      Some((meta.head.getLong(3), meta.head.getLong(4)))
+      // meta cols sit after the (bucket, n) value columns
+      Some((meta.head.getLong(n + 2), meta.head.getLong(n + 3),
+        meta.head.getLong(n + 4)))
     }
   }
 
-  /** The live (event_type, bucket, n) table. */
-  def table(spark: SparkSession, viewDir: String): DataFrame = {
+  /** The live (keys…, bucket, n) table. */
+  def table(spark: SparkSession, viewDir: String,
+      keys: Seq[String] = Seq("event_type")): DataFrame = {
+    FeedViewKeys.validate(keys)
     val gens = GenStore.committed(spark, viewDir)
     if (gens.isEmpty)
       spark.createDataFrame(java.util.Collections.emptyList[Row](),
-        StructType(viewSchema.take(3)))
-    else spark.read.schema(viewSchema)
-      .parquet(GenStore.dir(viewDir, gens.max))
-      .where(col("event_type").isNotNull)
-      .select("event_type", "bucket", "n")
+        StructType(viewSchema(keys).dropRight(4)))
+    else {
+      FeedViewKeys.check(spark, viewDir, gens, keys, "sketch")
+      spark.read.schema(viewSchema(keys))
+        .parquet(GenStore.dir(viewDir, gens.max))
+        .where(col(keys.head).isNotNull)
+        .select((keys ++ Seq("bucket", "n")).map(col): _*)
+    }
   }
 
   /** Fold every unseen committed feed generation into the view.
     * α is fixed at first refresh and validated thereafter (a different
     * γ grid cannot merge — the DDSketchStream stance).
+    *
+    * `maxBuckets` (None = exact/uncapped, the default): with Some(m),
+    * each key group's bucket table is collapsed to ≤ m rows after the
+    * fold ([[DDSketch.collapse]] — lowest buckets pool into the
+    * cutoff). BOUNDED-STATE, ONE-SIDED mode: collapse is not
+    * delete-compatible (see the companion counterexample), so after
+    * deletes the view is an UPPER-BOUND sketch — pooled mass sits at
+    * the pool cutoff, so quantile estimates can only err HIGH, and
+    * view ≡ one-shot equivalence is deliberately surrendered. The cap
+    * is committed in the meta and validated like α on every refresh —
+    * a capped view cannot be un-capped (pooled buckets cannot be
+    * re-split), and changing the cap mid-stream would silently change
+    * the error contract.
     */
   def refresh(spark: SparkSession, stateDir: String, viewDir: String,
-      alpha: Double = 0.01): Long = {
+      alpha: Double = 0.01, keys: Seq[String] = Seq("event_type"),
+      maxBuckets: Option[Int] = None): Long = {
+    FeedViewKeys.validate(keys)
+    maxBuckets.foreach(m => require(m >= 2,
+      s"maxBuckets must be >= 2, got $m"))
     val am = alphaMicro(alpha)
     DDSketch.gamma(alpha) // validates alpha eagerly
+    val cap = maxBuckets.map(_.toLong).getOrElse(0L)
     val feedGens = GenStore.committed(spark, stateDir)
     if (feedGens.isEmpty) return 0L
     val frontier = feedGens.max
-    val prior = readMeta(spark, viewDir)
-    prior.foreach { case (_, pam) =>
+    val prior = readMeta(spark, viewDir, keys)
+    prior.foreach { case (_, pam, pcap) =>
       if (pam != am) throw new IllegalStateException(
         s"sketch view at $viewDir was bucketed at alpha=${pam / 1e6}; " +
           s"this refresh runs alpha=$alpha — different γ grids cannot " +
           "merge, refusing")
+      if (pcap != cap) throw new IllegalStateException(
+        s"sketch view at $viewDir was committed with " +
+          s"maxBuckets=${if (pcap == 0) "none (exact)" else pcap}; this " +
+          s"refresh declares ${if (cap == 0) "none (exact)" else cap} — " +
+          "a capped view cannot be un-capped (pooled buckets cannot be " +
+          "re-split) and changing the cap changes the error contract, " +
+          "refusing")
     }
     val hw = prior.map(_._1).getOrElse(-1L)
     if (frontier <= hw) return 0L
@@ -284,47 +353,56 @@ object SketchFeedView {
     // +1 at the after-image's bucket (non-deletes, positive values —
     // the log grid's domain), −1 at the before-image's (non-inserts).
     val after = fresh.where(col("op") =!= "delete" && col("value") > 0)
-      .select(col("event_type"),
+      .select(keys.map(col) ++ Seq(
         DDSketch.bucketOf(col("value"), alpha).as("bucket"),
-        lit(1L).as("dn"))
+        lit(1L).as("dn")): _*)
     val before = fresh.where(col("op") =!= "insert" && col("old_value") > 0)
-      .select(col("event_type"),
+      .select(keys.map(col) ++ Seq(
         DDSketch.bucketOf(col("old_value"), alpha).as("bucket"),
-        lit(-1L).as("dn"))
-    val merged = table(spark, viewDir)
+        lit(-1L).as("dn")): _*)
+    val summed = table(spark, viewDir, keys)
       .unionByName(after.union(before).withColumnRenamed("dn", "n"))
-      .groupBy("event_type", "bucket").agg(sum("n").as("n"))
+      .groupBy((keys :+ "bucket").map(col): _*).agg(sum("n").as("n"))
       .where(col("n") =!= 0L) // exact counters telescope to 0 on full drain
+    val merged = maxBuckets
+      .map(m => DDSketch.collapseBy(summed, m, keys))
+      .getOrElse(summed)
       .withColumn("hw_gen", lit(null).cast("long"))
       .withColumn("alpha_micro", lit(null).cast("long"))
+      .withColumn("cap_buckets", lit(null).cast("long"))
+      .withColumn("view_keys", lit(null).cast("string"))
     val folded = fresh.count()
     val gens = GenStore.committed(spark, viewDir)
     val gen = gens.lastOption.map(_ + 1).getOrElse(0L)
     val genDir = GenStore.dir(viewDir, gen)
     merged.coalesce(1).write.mode("overwrite").parquet(genDir)
     val metaDf = spark.createDataFrame(
-      java.util.Collections.singletonList(Row(null, null, null,
-        frontier, am)),
-      viewSchema)
+      java.util.Collections.singletonList(
+        Row.fromSeq(keys.map(_ => null) ++
+          Seq(null, null, frontier, am, cap, FeedViewKeys.joined(keys)))),
+      viewSchema(keys))
     metaDf.coalesce(1).write.mode("append").parquet(genDir)
     GenStore.commit(spark, viewDir, gen)
     GenStore.dropBelow(spark, viewDir, gen)
     folded
   }
 
-  /** Per-event_type quantiles of the store's CURRENT rows, answered
-    * off the view (α from the view's own meta).
+  /** Per-key quantiles of the store's CURRENT rows, answered off the
+    * view (α from the view's own meta).
     */
-  def quantiles(spark: SparkSession, viewDir: String, qs: Seq[Double])
-      : DataFrame = {
-    readMeta(spark, viewDir) match {
+  def quantiles(spark: SparkSession, viewDir: String, qs: Seq[Double],
+      keys: Seq[String] = Seq("event_type")): DataFrame = {
+    readMeta(spark, viewDir, keys) match {
       case None =>
         import spark.implicits._
-        Seq.empty[(String, Double, Double, Long)]
-          .toDF("event_type", "q", "est", "n_total")
-      case Some((_, am)) =>
-        DDSketch.quantilesBy(table(spark, viewDir), am / 1e6, qs,
-          Seq("event_type"))
+        keys.foldLeft(
+          Seq.empty[(Double, Double, Long)].toDF("q", "est", "n_total")) {
+          (df, k) => df.withColumn(k,
+            lit(null).cast(FeedViewKeys.keyTypes(k)))
+        }.select((keys ++ Seq("q", "est", "n_total")).map(col): _*)
+      case Some((_, am, _)) =>
+        DDSketch.quantilesBy(table(spark, viewDir, keys), am / 1e6, qs,
+          keys)
     }
   }
 }

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType, StringType, StructField, StructType}
 
 /** Streamed SCD-2 history — the kappa leg of q_rel32/q_rel34
   * ([[graft.analytics.RelationalQueries.scd2History]]): the per-entity
@@ -66,11 +66,20 @@ object Scd2Stream {
   /** One schema for every state file; `bucket` LAST (CowStore
     * contract; −1 = meta partition). Meta carries (total kept rows,
     * high-water batch id, n_buckets, max event ts seen, latenessUs).
+    *
+    * `attrType` is the tracked attribute's type — LongType for the
+    * single-attribute q_rel32 case, a StructType for MULTI-attribute
+    * SCD-2 (the real-warehouse shape: one `tier` struct of N declared
+    * columns; the null-safe `<=>` compare is field-wise on structs, so
+    * one changed field opens one version and equal structs — nulls
+    * matching nulls — collapse away). The type is part of the store's
+    * layout contract like `buckets`: the explicit-schema parquet read
+    * fails loudly on a mismatched store.
     */
-  private val stateSchema = StructType(Seq(
+  private def stateSchema(attrType: DataType) = StructType(Seq(
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("ts_us", LongType), StructField("event_id", LongType),
-    StructField("tier", LongType), StructField("is_delete", BooleanType),
+    StructField("tier", attrType), StructField("is_delete", BooleanType),
     StructField("total", LongType), StructField("batch_id", LongType),
     StructField("n_buckets", LongType), StructField("max_ts_us", LongType),
     StructField("lateness_us", LongType),
@@ -82,22 +91,24 @@ object Scd2Stream {
   /** The committed meta: (kept rows, high-water batch_id, n_buckets,
     * max ts, latenessUs); `None` = fresh store.
     */
-  def readMeta(spark: SparkSession, stateDir: String)
+  def readMeta(spark: SparkSession, stateDir: String,
+      attrType: DataType = LongType)
       : Option[(Long, Long, Long, Long, Long)] =
-    CowStore.readMetaRow(spark, stateDir, stateSchema, "scd2")
+    CowStore.readMetaRow(spark, stateDir, stateSchema(attrType), "scd2")
       .map(m => (m.getLong(6), m.getLong(7), m.getLong(8), m.getLong(9),
         m.getLong(10)))
 
   /** The kept-event rows (post-collapse log: change points below the
     * watermark, verbatim tail above it); empty for a fresh dir.
     */
-  def kept(spark: SparkSession, stateDir: String): DataFrame = {
+  def kept(spark: SparkSession, stateDir: String,
+      attrType: DataType = LongType): DataFrame = {
     val gens = GenStore.committed(spark, stateDir)
     if (gens.isEmpty)
       spark.createDataFrame(java.util.Collections.emptyList[Row](),
-        StructType(stateSchema.take(6)))
-    else CowStore.readBuckets(spark, stateDir, gens, None, stateSchema,
-      dataCols).drop("bucket")
+        StructType(stateSchema(attrType).take(6)))
+    else CowStore.readBuckets(spark, stateDir, gens, None,
+      stateSchema(attrType), dataCols).drop("bucket")
   }
 
   // -------------------------------------------------- the shared algebra
@@ -159,19 +170,45 @@ object Scd2Stream {
     * already a valid change log (collapse only removed rows PROVABLY
     * not change points), so this is [[scd2OfLog]] over ≤ state rows.
     */
-  def versions(spark: SparkSession, stateDir: String): DataFrame =
-    scd2OfLog(kept(spark, stateDir))
+  def versions(spark: SparkSession, stateDir: String,
+      attrType: DataType = LongType): DataFrame =
+    scd2OfLog(kept(spark, stateDir, attrType))
 
   /** Point-in-time read off the live store — q_rel34's semantics:
     * exactly the version alive at `tUs` per entity (deleted or
     * not-yet-born entities absent).
     */
-  def asOf(spark: SparkSession, stateDir: String, tUs: Long): DataFrame =
-    versions(spark, stateDir)
+  def asOf(spark: SparkSession, stateDir: String, tUs: Long,
+      attrType: DataType = LongType): DataFrame =
+    versions(spark, stateDir, attrType)
       .where(col("valid_from_us") <= tUs &&
         (col("valid_to_us").isNull || col("valid_to_us") > tUs))
       .select(col("user_id"), col("event_type"), col("tier"),
         col("version"), col("valid_from_us"))
+
+  /** Interval-weighted time-in-state off the LIVE store — q_rel35's
+    * semantics ([[graft.analytics.RelationalQueries.scd2Dwell]],
+    * arithmetic column for column) served from ≤ state rows instead of
+    * a log rebuild: per (event_type, tier), Σ(valid_to − valid_from)
+    * with open current versions closed at the store's committed max
+    * event time — which IS the corpus max the one-shot uses, read from
+    * the meta row (1-row read), not recomputed with a corpus pass.
+    * All-integer µs sums; per-type share rounds 6dp as in q_rel35.
+    */
+  def dwell(spark: SparkSession, stateDir: String,
+      attrType: DataType = LongType): DataFrame = {
+    val mx = readMeta(spark, stateDir, attrType).map(_._4)
+      .getOrElse(Long.MinValue)
+    val byType = Window.partitionBy("event_type")
+    versions(spark, stateDir, attrType)
+      .withColumn("dwell",
+        coalesce(col("valid_to_us"), lit(mx)) - col("valid_from_us"))
+      .groupBy("event_type", "tier")
+      .agg(sum("dwell").as("dwell_us"))
+      .withColumn("share",
+        round(col("dwell_us") / sum("dwell_us").over(byType), 6))
+      .orderBy(col("event_type"), col("tier").asc_nulls_first)
+  }
 
   /** Fold every unseen committed generation of a [[CowUpsertStream]]
     * CDC feed into the SCD-2 store at `scd2Dir` — the adapter that
@@ -192,17 +229,29 @@ object Scd2Stream {
     * a null-ts delete has no place on the timeline and refuses
     * loudly; its `event_id` is the before-image's (deterministic
     * order under ties). Returns change rows folded.
+    *
+    * GRANULARITY CONTRACT — the history is feed-GENERATION-granular,
+    * not raw-log-granular: the upsert store folds each of its batches
+    * to the per-key argmax BEFORE emitting one change row, so tier
+    * transitions occurring WITHIN one feed batch never become SCD-2
+    * versions here. The resulting history is exact over the STORE's
+    * state sequence (versions = the store's states at feed-generation
+    * boundaries) — which is the right truth for a CDC consumer, whose
+    * upstream already adjudicated intra-batch races. A history exact
+    * over the raw event log (every intermediate tier a version) must
+    * feed [[pipeline]] directly from the raw stream instead.
     */
   def fromFeed(spark: SparkSession, feedDir: String, scd2Dir: String,
       tier: Column = round(col("value")).cast("long"),
       buckets: Int = 64, latenessUs: Long = 0L,
-      compactEvery: Long = 16): Long = {
-    val hw = readMeta(spark, scd2Dir).map(_._2).getOrElse(-1L)
+      compactEvery: Long = 16, attrType: DataType = LongType): Long = {
+    val hw = readMeta(spark, scd2Dir, attrType).map(_._2).getOrElse(-1L)
     val feed = CowUpsertStream.changes(spark, feedDir)
     val gens = feed.where(col("gen") > hw).select("gen").distinct()
       .collect().map(_.getLong(0)).sorted
     var folded = 0L
-    val fn = pipeline(scd2Dir, buckets, latenessUs, compactEvery)
+    val fn = pipeline(scd2Dir, buckets, latenessUs, compactEvery,
+      attrType = attrType)
     gens.foreach { g =>
       val rows = feed.where(col("gen") === g).localCheckpoint()
       val badDel = rows
@@ -229,15 +278,18 @@ object Scd2Stream {
     */
   def pipeline(stateDir: String, buckets: Int = 64,
       latenessUs: Long = 0L, compactEvery: Long = 16,
-      onBatch: (Long, Long) => Unit = (_, _) => ())
+      onBatch: (Long, Long) => Unit = (_, _) => (),
+      zOrderOn: Option[ZOrder] = None,
+      attrType: DataType = LongType)
       : (DataFrame, Long) => Unit = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     require(latenessUs >= 0, s"latenessUs must be >= 0, got $latenessUs")
     require(compactEvery > 0,
       s"compactEvery must be positive, got $compactEvery")
+    val schema = stateSchema(attrType)
     (batch: DataFrame, batchId: Long) => {
       val spark = batch.sparkSession
-      val prior = readMeta(spark, stateDir)
+      val prior = readMeta(spark, stateDir, attrType)
       prior.foreach { case (_, _, nb, _, lat) =>
         if (nb != buckets) throw new IllegalStateException(
           s"scd2 state at $stateDir is bucketed $nb ways; this pipeline " +
@@ -265,7 +317,7 @@ object Scd2Stream {
               col("event_type").cast("string").as("event_type"),
               col("ts_us").cast("long").as("ts_us"),
               col("event_id").cast("long").as("event_id"),
-              col("tier").cast("long").as("tier"),
+              col("tier").cast(attrType).as("tier"),
               (if (hasDel) coalesce(col("is_delete").cast("boolean"),
                 lit(false)) else lit(false)).as("is_delete"))
             // redelivery immunity: an exact duplicate row is one event
@@ -273,9 +325,14 @@ object Scd2Stream {
             .withColumn("bucket",
               CowStore.bucketOf(buckets, col("user_id"), col("event_type")))
             .localCheckpoint()
-          // Lateness contract — REFUSE beyond-watermark rows (1-row pin)
+          // Lateness contract — REFUSE beyond-watermark rows (1-row pin).
+          // priorMax == Long.MinValue is the no-events-yet sentinel (a
+          // committed FIRST batch can be empty or fully null-filtered);
+          // subtracting lateness from it would wrap to a huge positive
+          // watermark and poison the store permanently — no watermark
+          // exists until a real event time has been committed.
           val priorMax = prior.map(_._4).getOrElse(Long.MinValue)
-          if (prior.isDefined) {
+          if (prior.isDefined && priorMax != Long.MinValue) {
             val wm = priorMax - latenessUs
             val nLate = bRows.where(col("ts_us") < wm).count()
             if (nLate > 0) throw new IllegalStateException(
@@ -296,13 +353,13 @@ object Scd2Stream {
           // Touched buckets' kept rows merge with the batch; a
           // compaction generation rewrites (and re-collapses) ALL.
           val priorSel =
-            if (gens.isEmpty) CowStore.emptyData(spark, stateSchema, dataCols)
+            if (gens.isEmpty) CowStore.emptyData(spark, schema, dataCols)
             else if (isCompact) CowStore.readBuckets(spark, stateDir, gens,
-              None, stateSchema, dataCols)
+              None, schema, dataCols)
             else if (touched.isEmpty)
-              CowStore.emptyData(spark, stateSchema, dataCols)
+              CowStore.emptyData(spark, schema, dataCols)
             else CowStore.readBuckets(spark, stateDir, gens, Some(touched),
-              stateSchema, dataCols)
+              schema, dataCols)
           val unioned = priorSel.unionByName(bRows)
             .dropDuplicates(dataCols) // replayed-row ∩ stored-row immunity
           // The provably-final collapse: below the NEW watermark, a row
@@ -310,7 +367,11 @@ object Scd2Stream {
           // point again (no future row lands between two
           // below-watermark timestamps) — drop it. Above: keep all.
           val w = keyWindow
-          val wmNew = newMax - latenessUs
+          // Same sentinel guard: an all-empty state has nothing to
+          // collapse, so the watermark stays at the floor (no wrap).
+          val wmNew =
+            if (newMax == Long.MinValue) Long.MinValue
+            else newMax - latenessUs
           val merged = unioned
             .withColumn("rn", row_number().over(w))
             .withColumn("prev_tier", lag(col("tier"), 1).over(w))
@@ -327,27 +388,29 @@ object Scd2Stream {
             .withColumn("max_ts_us", lit(null).cast("long"))
             .withColumn("lateness_us", lit(null).cast("long"))
           val genDir = GenStore.dir(stateDir, gen)
-          merged.repartition(col("bucket"))
-            .write.mode("overwrite").partitionBy("bucket").parquet(genDir)
+          // One write path for the whole CoW family
+          // ([[CowStore.writeGenData]]) — compaction generations
+          // optionally z-order every rewritten bucket, giving
+          // time-travel range reads over the history the REL-30 skip
+          // law inside each bucket.
+          CowStore.writeGenData(spark, genDir, merged,
+            zOrder = if (isCompact) zOrderOn else None)
           // Kept-row total maintained INCREMENTALLY — the global count
           // moves by (this gen's rows − the rewritten buckets' prior
           // rows), both bucket-cost footer counts; recounting the full
           // state would silently break the ∝-touched-buckets IO law.
-          val newBucketRows = spark.read.schema(stateSchema)
+          val newBucketRows = spark.read.schema(schema)
             .option("basePath", genDir).parquet(genDir)
             .where(col("bucket") >= 0).count()
           val priorSelRows =
             if (gens.isEmpty) 0L else priorSel.count()
           val total = prior.map(_._1).getOrElse(0L) -
             priorSelRows + newBucketRows
-          val metaDf = spark.createDataFrame(
-            java.util.Collections.singletonList(
-              Row(null, null, null, null, null, null,
-                total, batchId, buckets.toLong, newMax, latenessUs,
-                Integer.valueOf(-1))),
-            stateSchema)
-          metaDf.coalesce(1)
-            .write.mode("append").partitionBy("bucket").parquet(genDir)
+          CowStore.appendMeta(spark, genDir,
+            Row(null, null, null, null, null, null,
+              total, batchId, buckets.toLong, newMax, latenessUs,
+              Integer.valueOf(-1)),
+            schema)
           // A touched bucket whose rows ALL collapsed away writes no
           // dir; own it via the _EMPTY marker so an older copy cannot
           // resurrect (CowStore contract).

@@ -543,6 +543,17 @@ class IntegrationSpec extends SparkSpec {
         if (r.isNullAt(2)) None else Some(r.getLong(2)),
         r.getLong(3), r.getLong(4))).toSet
     assert(asofGot == asofWant, "live asOf != q_rel34")
+    // Dwell off the LIVE store ≡ q_rel35's log rebuild — the factored
+    // consumer reads ≤ state rows and closes open versions at the
+    // meta's committed max event time, which IS the corpus max.
+    def dset(d: org.apache.spark.sql.DataFrame) = d.collect().map { r =>
+      (r.getString(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        r.getLong(2), r.getDouble(3))
+    }.toSet
+    assert(dset(Scd2Stream.dwell(spark, scd2Dir)) ==
+      dset(graft.analytics.RelationalQueries.scd2Dwell(spark, dir)),
+      "live dwell != q_rel35")
   }
 
   test("driver contract: entry() returns rows; every query has a runnable entry") {

@@ -9,6 +9,7 @@ import graft.SparkSpec
   * 100 TB deployment.
   */
 class PlanAuditSpec extends SparkSpec {
+  import spark.implicits._
 
   private val dir = "/root/testdata/sf0.001"
 
@@ -114,6 +115,37 @@ class PlanAuditSpec extends SparkSpec {
       "the 1-row est/truth/total closes must broadcast, never cartesian")
     assert(p.contains("partial_count") || p.contains("HashAggregate"),
       "sketch cells combine map-side")
+  }
+
+  test("q_adv14b: partial salting — only flagged keys' build rows replicate; hot flag broadcasts") {
+    import org.apache.spark.sql.functions._
+    val p = plan("q_adv14b_salted_join")
+    assert(p.contains("Generate explode"),
+      "build-side replication is an explode over the salt array")
+    assert(p.contains("BroadcastHashJoin"),
+      "the hot-key flag joins as a broadcast, never a shuffle")
+    // The cost law itself: build inflation = |hot build rows|·salts,
+    // not |build|·salts. Recompute the replicated build relation the
+    // operator constructs and count it against the closed form.
+    val ev = graft.sources.Tables.events(spark, dir)
+    val fact = ev.select(
+      when(pmod(col("event_id"), lit(10L)) < 3, lit("hot"))
+        .otherwise(pmod(col("event_id"), lit(997L)).cast("string"))
+        .as("item"))
+    val dim = fact.distinct()
+    val salts = 8
+    val hot = Seq("hot").toDF("item")
+    val replicated = dim
+      .join(broadcast(hot.withColumn("__hot", lit(true))), Seq("item"),
+        "left")
+      .withColumn("__salt", explode(
+        when(coalesce(col("__hot"), lit(false)),
+          array((0 until salts).map(s => lit(s.toLong)): _*))
+          .otherwise(array(lit(0L)))))
+      .count()
+    assert(replicated == dim.count() + (salts - 1),
+      "exactly ONE flagged key replicates ×salts; every cold key " +
+        "stays single")
   }
 
   test("q_agg12: regr_* aggregates run partial+final around one exchange (moments map-side)") {

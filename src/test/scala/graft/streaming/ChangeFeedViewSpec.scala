@@ -190,6 +190,149 @@ class ChangeFeedViewSpec extends SparkSpec {
     }.getMessage.contains("grids"))
   }
 
+  // ---- keyed (grouped) views -----------------------------------------
+
+  private def viewRows2(viewDir: String): Set[(String, Long, Long, Long)] =
+    ChangeFeedView.table(spark, viewDir, Seq("event_type", "user_id"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+  private def oneShot2(cur: org.apache.spark.sql.DataFrame)
+      : Set[(String, Long, Long, Long)] =
+    cur.groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(coalesce(round(col("value") * 1e6).cast("long"), lit(0L)))
+          .as("s"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+  test("two-column keyed view == one-shot at every cadence, incl. a delete generation; key mismatch refuses") {
+    val keys = Seq("event_type", "user_id")
+    val stateDir = Files.createTempDirectory("graft-cfv2kstate").toString
+    val fn = CowUpsertStream.pipeline(stateDir, buckets = 8,
+      compactEvery = 100)
+    val slices = slice(corpus(41), 5, 43)
+    val everyDir = Files.createTempDirectory("graft-cfv2k1").toString
+    val onceDir = Files.createTempDirectory("graft-cfv2kN").toString
+    slices.zipWithIndex.foreach { case (s, i) =>
+      fn(df(s), i.toLong)
+      ChangeFeedView.refresh(spark, stateDir, everyDir, keys)
+      assert(viewRows2(everyDir) ==
+        oneShot2(CowUpsertStream.latestAt(spark, stateDir, i.toLong)),
+        s"two-key cadence after batch $i")
+    }
+    // a delete generation folds through the keyed view too
+    CowUpsertStream.delete(spark, stateDir,
+      Seq((1L, "t0"), (2L, "t1"), (7L, "t2")).toDF("user_id", "event_type"))
+    ChangeFeedView.refresh(spark, stateDir, everyDir, keys)
+    ChangeFeedView.refresh(spark, stateDir, onceDir, keys)
+    val truth = oneShot2(CowUpsertStream.latest(spark, stateDir))
+    assert(viewRows2(everyDir) == truth, "keyed cadence + delete gen")
+    assert(viewRows2(onceDir) == truth, "keyed single refresh converges")
+    // a reader/refresher with different keys cannot regroup the state
+    assert(intercept[IllegalStateException] {
+      ChangeFeedView.refresh(spark, stateDir, everyDir)
+    }.getMessage.contains("regroup"))
+    assert(intercept[IllegalStateException] {
+      ChangeFeedView.table(spark, everyDir, Seq("user_id")).collect()
+    }.getMessage.contains("regroup"))
+    // a non-key grouping column refuses eagerly (before/after variance)
+    assert(intercept[IllegalArgumentException] {
+      ChangeFeedView.refresh(spark, stateDir, onceDir, Seq("value"))
+    }.getMessage.contains("CDC key columns"))
+  }
+
+  test("keyed moment and sketch views converge to their keyed one-shots after deletes") {
+    val keys = Seq("event_type", "user_id")
+    val stateDir = Files.createTempDirectory("graft-dv2kstate").toString
+    val fn = CowUpsertStream.pipeline(stateDir, buckets = 8,
+      compactEvery = 100)
+    slice(corpus(51), 4, 53).zipWithIndex.foreach { case (s, i) =>
+      fn(df(s), i.toLong)
+    }
+    CowUpsertStream.delete(spark, stateDir,
+      Seq((3L, "t0"), (9L, "t1")).toDF("user_id", "event_type"))
+    val mDir = Files.createTempDirectory("graft-dv2km").toString
+    val sDir = Files.createTempDirectory("graft-dv2ks").toString
+    MomentFeedView.refresh(spark, stateDir, mDir, keys)
+    SketchFeedView.refresh(spark, stateDir, sDir, keys = keys)
+    val latest = CowUpsertStream.latest(spark, stateDir)
+    val mGot = MomentFeedView.table(spark, mDir, keys).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2).toString,
+        r.getDecimal(3).toBigInteger, r.getDecimal(6).toBigInteger)).toSet
+    val mWant = MomentFeedView.oneShot(latest, keys).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2).toString,
+        r.getDecimal(3).toBigInteger, r.getDecimal(6).toBigInteger)).toSet
+    assert(mGot == mWant, "keyed moment view ≡ keyed one-shot")
+    val sGot = SketchFeedView.table(spark, sDir, keys).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val sWant = graft.operators.DDSketch.sketchBy(
+        latest.select(col("event_type"), col("user_id"), col("value")),
+        0.01, keys)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(sGot == sWant, "keyed sketch view ≡ keyed one-shot sketch")
+  }
+
+  // ---- the capped (one-sided) sketch view ----------------------------
+
+  test("capped sketch view: bounded state, quantile estimates only err HIGH after deletes, cap mismatch refuses") {
+    val stateDir = Files.createTempDirectory("graft-sfvcapstate").toString
+    val fn = CowUpsertStream.pipeline(stateDir, buckets = 4)
+    // the scaladoc counterexample corpus: six values in six distinct
+    // γ-buckets under one event_type, one per user key
+    val vals = Seq(1.0, 2.0, 4.0, 8.0, 16.0, 32.0)
+    fn(df(vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong, "a", 10L + i, i.toLong, v)
+    }), 0L)
+    val capDir = Files.createTempDirectory("graft-sfvcap").toString
+    val exactDir = Files.createTempDirectory("graft-sfvexact").toString
+    SketchFeedView.refresh(spark, stateDir, capDir, maxBuckets = Some(4))
+    SketchFeedView.refresh(spark, stateDir, exactDir)
+    assert(SketchFeedView.table(spark, capDir).count() == 4L,
+      "cap bounds the per-key bucket count")
+    assert(SketchFeedView.table(spark, exactDir).count() == 6L)
+    // delete the TOP value — the collapse pooled the LOWEST buckets,
+    // and that pooling is exactly what deletion cannot undo
+    CowUpsertStream.delete(spark, stateDir,
+      Seq((5L, "a")).toDF("user_id", "event_type"))
+    SketchFeedView.refresh(spark, stateDir, capDir, maxBuckets = Some(4))
+    SketchFeedView.refresh(spark, stateDir, exactDir)
+    val qs = Seq(0.1, 0.3, 0.5)
+    def ests(dir: String): Map[Double, Double] =
+      SketchFeedView.quantiles(spark, dir, qs).collect()
+        .map(r => (r.getDouble(1), r.getDouble(2))).toMap
+    val capped = ests(capDir)
+    val exact = ests(exactDir)
+    // one-sidedness: pooled mass sits AT the pool cutoff, above where
+    // the surviving low values actually are — capped ests never read
+    // below the exact view's, and the pinned counterexample reads
+    // strictly above at the low quantiles
+    qs.foreach { q =>
+      assert(capped(q) >= exact(q) * (1 - 1e-9),
+        s"capped est at q=$q must not err low: ${capped(q)} vs ${exact(q)}")
+    }
+    assert(capped(0.1) > exact(0.1) * 1.5,
+      "the counterexample's low-quantile upper bound is strict")
+    // both views keep exact TOTAL counts (the cap pools, never drops)
+    val nCap = SketchFeedView.table(spark, capDir)
+      .agg(sum("n")).head().getLong(0)
+    val nExact = SketchFeedView.table(spark, exactDir)
+      .agg(sum("n")).head().getLong(0)
+    assert(nCap == 5L && nExact == 5L)
+    // the committed cap is part of the view's contract
+    assert(intercept[IllegalStateException] {
+      SketchFeedView.refresh(spark, stateDir, capDir)
+    }.getMessage.contains("cap"))
+    assert(intercept[IllegalStateException] {
+      SketchFeedView.refresh(spark, stateDir, exactDir, maxBuckets = Some(4))
+    }.getMessage.contains("cap"))
+  }
+
   test("null values move the sum by exactly the non-null side") {
     val stateDir = Files.createTempDirectory("graft-cfvnull").toString
     val viewDir = Files.createTempDirectory("graft-cfvnullv").toString

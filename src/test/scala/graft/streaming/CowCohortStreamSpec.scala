@@ -64,6 +64,16 @@ class CowCohortStreamSpec extends SparkSpec {
     }
   }
 
+  test("z-ordered compaction generations leave pairs and matrix exact (writeGen routing)") {
+    val dir = Files.createTempDirectory("graft-cowcohortz").toString
+    val fn = CowCohortStream.pipeline(dir, WeekUs, buckets = 8,
+      compactEvery = 3, zOrderOn = Some(ZOrder("week", "user_id")))
+    slices.zipWithIndex.foreach { case (s, i) => fn(df(s), i.toLong) }
+    assert(matrix(CowCohortStream.retention(spark, dir)) ==
+      oneShot(slices.flatten),
+      "z-order is layout only — the matrix must be untouched")
+  }
+
   test("a batch touching one user writes exactly one bucket dir; untouched buckets resolve from older gens") {
     val dir = Files.createTempDirectory("graft-cowcohio").toString
     val fn = CowCohortStream.pipeline(dir, WeekUs, buckets = 8,

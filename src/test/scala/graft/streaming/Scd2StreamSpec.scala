@@ -154,6 +154,112 @@ class Scd2StreamSpec extends SparkSpec {
       "streamed versions != q_rel32's history")
   }
 
+  test("multi-attribute SCD-2: a struct attrType tracks N columns; one field changing opens ONE version; stream == one-shot under slicing") {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val attrType = StructType(Seq(
+      StructField("a", LongType), StructField("b", LongType)))
+    // (user, type, ts, id, a, b): attribute A changes while B holds,
+    // then both hold (collapse), then B alone changes, then a null in
+    // A (a real state under the field-wise null-safe compare).
+    def log(rows: Seq[(Long, String, Long, Long, Option[Long], Long)]) =
+      rows.toDF("user_id", "event_type", "ts_us", "event_id", "a", "b")
+        .select(col("user_id"), col("event_type"), col("ts_us"),
+          col("event_id"), struct(col("a"), col("b")).as("tier"),
+          lit(false).as("is_delete"))
+    val rows = Seq[(Long, String, Long, Long, Option[Long], Long)](
+      (1L, "t", 10L, 1L, Some(1L), 5L),
+      (1L, "t", 20L, 2L, Some(2L), 5L), // A changes, B holds -> version
+      (1L, "t", 30L, 3L, Some(2L), 5L), // both hold -> collapses
+      (1L, "t", 40L, 4L, Some(2L), 6L), // B changes, A holds -> version
+      (1L, "t", 50L, 5L, None, 6L),     // A -> null: a real new state
+      (1L, "t", 60L, 6L, None, 6L))     // null == null: collapses
+    val dir = Files.createTempDirectory("graft-scd2m").toString
+    val fn = Scd2Stream.pipeline(dir, buckets = 4, latenessUs = 1000L,
+      compactEvery = 100, attrType = attrType)
+    // adversarial slicing: odd ids then even (in-watermark lateness)
+    fn(log(rows.filter(_._4 % 2 == 1)), 0L)
+    fn(log(rows.filter(_._4 % 2 == 0)), 1L)
+    val got = Scd2Stream.versions(spark, dir, attrType)
+      .select(col("user_id"), col("tier.a"), col("tier.b"),
+        col("valid_from_us"), col("valid_to_us"), col("version"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        r.getLong(5))).toSet
+    assert(got == Set(
+      (1L, Some(1L), 5L, 10L, Some(20L), 1L),
+      (1L, Some(2L), 5L, 20L, Some(40L), 2L), // ONE row for the A change
+      (1L, Some(2L), 6L, 40L, Some(50L), 3L),
+      (1L, None, 6L, 50L, None, 4L)),
+      "field-wise null-safe struct compare: 4 versions, never 2 rows per change")
+    // differential vs the one-shot builder over the same struct log
+    assert(Scd2Stream.versions(spark, dir, attrType)
+        .select("user_id", "event_type", "tier", "valid_from_us",
+          "valid_to_us", "version", "is_current")
+        .collect().map(_.toSeq).toSet ==
+      Scd2Stream.scd2OfLog(log(rows))
+        .collect().map(_.toSeq).toSet,
+      "stream == scd2OfLog on the struct attribute")
+  }
+
+  test("watermark sentinel: an EMPTY first batch under lateness>0 does not poison the store") {
+    val dir = Files.createTempDirectory("graft-scd2wm").toString
+    val fn = Scd2Stream.pipeline(dir, buckets = 4, latenessUs = 50L)
+    fn(df(Seq.empty[Ev]), 0L) // commits max_ts = sentinel
+    // before the guard this refused: sentinel − lateness wrapped to a
+    // huge positive watermark and every later row read as 'too late'
+    fn(df(Seq((1L, "a", 1000L, 1L, Some(1L), false))), 1L)
+    assert(versionRows(Scd2Stream.versions(spark, dir)) ==
+      versionRows(Scd2Stream.scd2OfLog(
+        df(Seq((1L, "a", 1000L, 1L, Some(1L), false))))))
+  }
+
+  test("live dwell == the dwell arithmetic over the one-shot versions (q_rel35's law off the store)") {
+    val dir = Files.createTempDirectory("graft-scd2dw").toString
+    val all = corpus(61, 300)
+    val fn = Scd2Stream.pipeline(dir, buckets = 8,
+      latenessUs = all.map(_._3).max + 1, compactEvery = 100)
+    val rnd = new Random(67)
+    val tagged = all.map(e => (rnd.nextInt(3), e))
+    (0 until 3).foreach(b => fn(df(tagged.filter(_._1 == b).map(_._2)),
+      b.toLong))
+    val got = Scd2Stream.dwell(spark, dir).collect()
+      .map(r => (r.getString(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getLong(2),
+        r.getDouble(3))).toSet
+    // the independent arithmetic: one-shot versions over the full log,
+    // open intervals closed at the corpus max event time
+    val mx = all.map(_._3).max
+    val byType = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type")
+    val want = Scd2Stream.scd2OfLog(df(all))
+      .withColumn("dwell",
+        coalesce(col("valid_to_us"), lit(mx)) - col("valid_from_us"))
+      .groupBy("event_type", "tier").agg(sum("dwell").as("dwell_us"))
+      .withColumn("share",
+        round(col("dwell_us") / sum("dwell_us").over(byType), 6))
+      .collect().map(r => (r.getString(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(got == want, "live dwell must replay q_rel35's arithmetic " +
+      "off <= state rows with the meta max as the close")
+  }
+
+  test("z-ordered compaction generations leave the version table exact (writeGen routing)") {
+    val dir = Files.createTempDirectory("graft-scd2z").toString
+    val all = corpus(71, 400)
+    val fn = Scd2Stream.pipeline(dir, buckets = 4,
+      latenessUs = all.map(_._3).max + 1, compactEvery = 2,
+      zOrderOn = Some(ZOrder("ts_us", "user_id")))
+    val rnd = new Random(73)
+    val tagged = all.map(e => (rnd.nextInt(4), e))
+    (0 until 4).foreach(b => fn(df(tagged.filter(_._1 == b).map(_._2)),
+      b.toLong))
+    assert(versionRows(Scd2Stream.versions(spark, dir)) ==
+      versionRows(Scd2Stream.scd2OfLog(df(all))),
+      "z-order is layout only — versions must be untouched")
+  }
+
   test("beyond-watermark rows refuse; replay skips; stale/bucket/lateness mismatches refuse") {
     val dir = Files.createTempDirectory("graft-scd2r").toString
     val fn = Scd2Stream.pipeline(dir, buckets = 4, latenessUs = 50L)

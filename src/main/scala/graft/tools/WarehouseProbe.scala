@@ -144,6 +144,50 @@ object WarehouseProbe {
       println(f"| $n | $delivered | $kept | ${secs / weeks}%.2f |")
       fs(dir).delete(new Path(dir), true)
     }
+
+    // ---- 3. z-order box law ON THE HISTORY STORE: a time-travel read
+    // ("this user band's versions inside this time window" — the
+    // interval slice every asOf/dwell consumer runs) reads rows by
+    // per-file min/max pruning, z-ordered compaction vs plain. Same
+    // measurement as CowProbe's CMP-COWZ leg, re-certified on
+    // Scd2Stream's own writeGen routing: 512x512 (user_id × ts_us)
+    // change-point grid (tier alternates along ts so nothing
+    // collapses), a 64x64 box = 1.6% of key space.
+    println()
+    println("| layout | files | files hit | rows read | of rows |")
+    println("|---|---|---|---|---|")
+    for ((tag, z) <- Seq(
+        ("plain", None),
+        ("zorder rf=64", Some(graft.streaming.ZOrder(
+          "ts_us", "user_id", bits = 9, rangeFiles = 64))))) {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-whscd2z").toString
+      val fn = Scd2Stream.pipeline(dir, buckets = 1,
+        latenessUs = 1000000L, compactEvery = 1, zOrderOn = z)
+      val grid = spark.range(0L, 512L * 512L).select(
+        pmod(col("id"), lit(512L)).as("user_id"),
+        lit("g").as("event_type"),
+        (col("id") / 512L).cast("long").as("ts_us"),
+        col("id").as("event_id"),
+        ((col("id") / 512L) % 3).as("tier")) // changes every step: all kept
+      fn(grid, 0L)
+      fn(grid.limit(1), 1L) // gen 1: the compacting (z-laying) write
+      val files = spark.read
+        .parquet(s"$dir/gen-1/bucket=0")
+        .groupBy(input_file_name().as("f"))
+        .agg(min("ts_us").as("xlo"), max("ts_us").as("xhi"),
+          min("user_id").as("ylo"), max("user_id").as("yhi"),
+          count(lit(1)).as("rows"))
+        .collect()
+      val hit = files.filter(r => r.getLong(1) <= 287L &&
+        r.getLong(2) >= 224L && r.getLong(3) <= 287L &&
+        r.getLong(4) >= 224L)
+      val total = files.map(_.getLong(5)).sum
+      val read = hit.map(_.getLong(5)).sum
+      println(f"| $tag | ${files.length} | ${hit.length} | $read | " +
+        f"${100.0 * read / total}%.1f%% |")
+      fs(dir).delete(new Path(dir), true)
+    }
     spark.stop()
   }
 }

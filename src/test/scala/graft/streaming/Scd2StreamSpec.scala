@@ -337,6 +337,52 @@ class Scd2StreamSpec extends SparkSpec {
     }.getMessage.contains("tombstone"))
   }
 
+  test("fromFeed with a struct attrType: multi-attribute history off the CDC feed") {
+    import org.apache.spark.sql.types.{BooleanType, LongType, StructField, StructType}
+    val attrType = StructType(Seq(
+      StructField("a", LongType), StructField("b", BooleanType)))
+    // two tracked fields derived from the feed's after-image: the
+    // rounded value and a threshold flag (null value -> both null)
+    val tierCol = struct(round(col("value")).cast("long").as("a"),
+      (col("value") >= 1.0).as("b"))
+    val feedDir = Files.createTempDirectory("graft-scd2feedm").toString
+    val scd2Dir = Files.createTempDirectory("graft-scd2feedmh").toString
+    val up = CowUpsertStream.pipeline(feedDir, buckets = 4,
+      compactEvery = 100)
+    // per-key strictly increasing ts -> feed change rows ARE the raw log
+    def batch(b: Int) = (0 until 6).map { k =>
+      (k.toLong, "a", 100L * (b + 1) + k, (b * 6 + k).toLong,
+        ((b + k) % 3).toDouble)
+    }
+    (0 until 3).foreach(b => up(df2(batch(b)), b.toLong))
+    CowUpsertStream.delete(spark, feedDir,
+      Seq((1L, "a")).toDF("user_id", "event_type"),
+      tombstoneTsUs = Some(10000L))
+    assert(Scd2Stream.fromFeed(spark, feedDir, scd2Dir, tier = tierCol,
+      buckets = 4, latenessUs = 1000000L, attrType = attrType) > 0)
+    val raw = (0 until 3).flatMap(batch)
+    val lastId = raw.groupBy(_._1).view.mapValues(_.maxBy(_._3)._4).toMap
+    val truthRows = raw.map(e =>
+        (e._1, e._2, e._3, e._4, Some(e._5), false)) :+
+      ((1L, "a", 10000L, lastId(1L), None: Option[Double], true))
+    val truthLog = truthRows
+      .toDF("user_id", "event_type", "ts_us", "event_id", "value",
+        "is_delete")
+      .select(col("user_id"), col("event_type"), col("ts_us"),
+        col("event_id"), tierCol.as("tier"), col("is_delete"))
+    def vset(d: org.apache.spark.sql.DataFrame) = d
+      .select(col("user_id"), col("tier.a"), col("tier.b"),
+        col("valid_from_us"), col("valid_to_us"), col("version"),
+        col("is_current"))
+      .collect().map(_.toSeq).toSet
+    assert(vset(Scd2Stream.versions(spark, scd2Dir, attrType)) ==
+      vset(Scd2Stream.scd2OfLog(truthLog)),
+      "feed-fed struct history != one-shot of the equivalent struct log")
+    // idempotent refold with the same declared type
+    assert(Scd2Stream.fromFeed(spark, feedDir, scd2Dir, tier = tierCol,
+      buckets = 4, latenessUs = 1000000L, attrType = attrType) == 0L)
+  }
+
   private def df2(s: Seq[(Long, String, Long, Long, Double)]) =
     s.toDF("user_id", "event_type", "ts_us", "event_id", "value")
 

@@ -28,10 +28,80 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, 
   * would otherwise silently misparse the state (parquet resolves
   * columns by name; a wrong explicit schema reads nulls, not errors).
   */
+/** A DERIVED grouping column for the feed views: `name` bound to an
+  * expression over the CDC KEY columns only — before/after-invariant
+  * by construction, the same invariant plain key grouping rests on.
+  * Enforced at declaration by resolving the expression against a
+  * frame holding ONLY the key columns (a value-derived expression
+  * fails analysis there and refuses loudly). The canonical dashboard
+  * case: user segment =
+  * `DerivedKey("segment", pmod(col("user_id"), lit(8)), LongType)`.
+  * The derivation's text is committed in the view meta alongside the
+  * plain keys, so a refresh with a DIFFERENT derivation (same name,
+  * new formula) refuses instead of silently mixing groupings.
+  */
+final case class DerivedKey(name: String,
+    expr: org.apache.spark.sql.Column, dataType: DataType)
+
 private[streaming] object FeedViewKeys {
 
   val keyTypes: Map[String, DataType] =
     Map("user_id" -> LongType, "event_type" -> StringType)
+
+  /** Feed/view column names a derived key must not shadow. */
+  private val reserved = Set(
+    "user_id", "event_type", "op", "ts_us", "event_id", "value",
+    "old_ts_us", "old_event_id", "old_value", "batch_id", "gen",
+    "n_rows", "sum_micro", "n", "sx", "sy", "sxx", "syy", "sxy",
+    "bucket", "hw_gen", "view_rows", "alpha_micro", "cap_buckets",
+    "view_keys")
+
+  def validateDerived(spark: SparkSession, derived: Seq[DerivedKey],
+      plainKeys: Seq[String]): Unit = {
+    val names = plainKeys ++ derived.map(_.name)
+    require(names.distinct == names,
+      s"duplicate grouping column names: $names")
+    if (derived.isEmpty) return
+    // Resolve each derivation against a frame holding ONLY the CDC key
+    // columns: an expression touching anything else (a value-derived
+    // group) fails analysis here, at declaration, instead of silently
+    // grouping on a non-invariant column.
+    val probe = spark.createDataFrame(
+      java.util.Collections.emptyList[Row](),
+      StructType(keyTypes.keys.toSeq.sorted.map(n =>
+        StructField(n, keyTypes(n)))))
+    derived.foreach { d =>
+      require(!reserved.contains(d.name),
+        s"derived key '${d.name}' shadows a feed/view column — pick " +
+          "another name")
+      try probe.select(d.expr.cast(d.dataType)) catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"derived key '${d.name}' references non-key columns — a " +
+              "derived grouping must be a function of the CDC key " +
+              s"columns ${keyTypes.keys.toSeq.sorted.mkString("{", ", ", "}")} " +
+              "(the before/after-invariant columns); a value-derived " +
+              "group would need two-sided routing the view schema does " +
+              s"not declare (${e.getMessage})")
+      }
+    }
+  }
+
+  /** Project the derived columns onto a feed (or current-row) frame. */
+  def withDerived(df: DataFrame, derived: Seq[DerivedKey]): DataFrame =
+    derived.foldLeft(df)((d, k) =>
+      d.withColumn(k.name, k.expr.cast(k.dataType)))
+
+  def derivedFields(derived: Seq[DerivedKey]): Seq[StructField] =
+    derived.map(d => StructField(d.name, d.dataType))
+
+  /** The committed identity string: plain keys verbatim, derived keys
+    * as name=expression-text (Column.toString is the expression's
+    * stable rendering — deterministic across sessions for the same
+    * declaration, so a changed formula under the same name mismatches).
+    */
+  def joinedWith(keys: Seq[String], derived: Seq[DerivedKey]): String =
+    (keys ++ derived.map(d => s"${d.name}=${d.expr}")).mkString(",")
 
   def validate(keys: Seq[String]): Unit = {
     require(keys.nonEmpty, "view needs at least one grouping column")
@@ -56,14 +126,15 @@ private[streaming] object FeedViewKeys {
     * — and refuse a mismatch.
     */
   def check(spark: SparkSession, viewDir: String, gens: Seq[Long],
-      keys: Seq[String], what: String): Unit =
+      keys: Seq[String], what: String,
+      derived: Seq[DerivedKey] = Nil): Unit =
     if (gens.nonEmpty) {
       val stored = spark.read
         .schema(StructType(Seq(StructField("view_keys", StringType))))
         .parquet(GenStore.dir(viewDir, gens.max))
         .where(col("view_keys").isNotNull)
         .select("view_keys").limit(1).collect()
-      val want = joined(keys)
+      val want = joinedWith(keys, derived)
       if (stored.nonEmpty && stored.head.getString(0) != want)
         throw new IllegalStateException(
           s"$what view at $viewDir is keyed on (${stored.head.getString(0)}); " +
@@ -111,22 +182,26 @@ object ChangeFeedView {
     * feed gen in `n_rows`, view row count in `sum_micro`, the declared
     * keys in `view_keys`).
     */
-  private def viewSchema(keys: Seq[String]): StructType = StructType(
-    FeedViewKeys.fields(keys) ++ Seq(
+  private def viewSchema(keys: Seq[String],
+      derived: Seq[DerivedKey]): StructType = StructType(
+    FeedViewKeys.fields(keys) ++ FeedViewKeys.derivedFields(derived) ++ Seq(
       StructField("n_rows", LongType),
       StructField("sum_micro", LongType),
       StructField("view_keys", StringType)))
 
   /** Committed meta: (high-water feed gen, view rows); None = fresh. */
   def readMeta(spark: SparkSession, viewDir: String,
-      keys: Seq[String] = Seq("event_type")): Option[(Long, Long)] = {
+      keys: Seq[String] = Seq("event_type"),
+      derived: Seq[DerivedKey] = Nil): Option[(Long, Long)] = {
     FeedViewKeys.validate(keys)
+    FeedViewKeys.validateDerived(spark, derived, keys)
     val gens = GenStore.committed(spark, viewDir)
     if (gens.isEmpty) None
     else {
-      FeedViewKeys.check(spark, viewDir, gens, keys, "change-feed")
-      val n = keys.size
-      val meta = spark.read.schema(viewSchema(keys))
+      FeedViewKeys.check(spark, viewDir, gens, keys, "change-feed",
+        derived)
+      val n = keys.size + derived.size
+      val meta = spark.read.schema(viewSchema(keys, derived))
         .parquet(GenStore.dir(viewDir, gens.max))
         .where(col(keys.head).isNull)
         .collect()
@@ -137,37 +212,45 @@ object ChangeFeedView {
     }
   }
 
-  /** The live view: (keys…, n_rows, sum_micro) — a straight read of
-    * committed state, zero recompute.
+  /** The live view: (keys…, derived…, n_rows, sum_micro) — a straight
+    * read of committed state, zero recompute.
     */
   def table(spark: SparkSession, viewDir: String,
-      keys: Seq[String] = Seq("event_type")): DataFrame = {
+      keys: Seq[String] = Seq("event_type"),
+      derived: Seq[DerivedKey] = Nil): DataFrame = {
     FeedViewKeys.validate(keys)
+    FeedViewKeys.validateDerived(spark, derived, keys)
     val gens = GenStore.committed(spark, viewDir)
     if (gens.isEmpty)
       spark.createDataFrame(java.util.Collections.emptyList[Row](),
-        StructType(viewSchema(keys).dropRight(1)))
+        StructType(viewSchema(keys, derived).dropRight(1)))
     else {
-      FeedViewKeys.check(spark, viewDir, gens, keys, "change-feed")
-      spark.read.schema(viewSchema(keys))
+      FeedViewKeys.check(spark, viewDir, gens, keys, "change-feed",
+        derived)
+      spark.read.schema(viewSchema(keys, derived))
         .parquet(GenStore.dir(viewDir, gens.max))
         .where(col(keys.head).isNotNull)
-        .select((keys ++ Seq("n_rows", "sum_micro")).map(col): _*)
+        .select((keys ++ derived.map(_.name) ++
+          Seq("n_rows", "sum_micro")).map(col): _*)
     }
   }
 
   /** Fold every unseen committed feed generation of the upsert store
     * at `stateDir` into the view at `viewDir`. Idempotent: a refresh
     * with nothing new commits nothing. Returns the number of change
-    * rows folded.
+    * rows folded. `derived` adds computed grouping columns over the
+    * CDC key columns (see [[DerivedKey]] — the user-segment dashboard
+    * case); the plain-keys path is the `derived = Nil` special case.
     */
   def refresh(spark: SparkSession, stateDir: String, viewDir: String,
-      keys: Seq[String] = Seq("event_type")): Long = {
+      keys: Seq[String] = Seq("event_type"),
+      derived: Seq[DerivedKey] = Nil): Long = {
     FeedViewKeys.validate(keys)
+    FeedViewKeys.validateDerived(spark, derived, keys)
     val feedGens = GenStore.committed(spark, stateDir)
     if (feedGens.isEmpty) return 0L
     val frontier = feedGens.max
-    val prior = readMeta(spark, viewDir, keys)
+    val prior = readMeta(spark, viewDir, keys, derived)
     val hw = prior.map(_._1).getOrElse(-1L)
     if (frontier <= hw) return 0L
     // Bound the fold to (hw, frontier] EXPLICITLY: a generation the
@@ -178,21 +261,23 @@ object ChangeFeedView {
     // concurrent writer.
     val fresh = CowUpsertStream.changes(spark, stateDir)
       .where(col("gen") > hw && col("gen") <= frontier)
+    val groupNames = keys ++ derived.map(_.name)
     // Delta algebra in integer micro-units; updates contribute the
     // (new − old) difference, inserts the new value and a count.
     // Null values contribute zero on EITHER side (a one-shot
     // sum(round(value·1e6)) skips nulls, so an update between null and
     // a value must move Σ by exactly the non-null side).
-    val deltas = fresh.select(keys.map(col) ++ Seq(
+    val deltas = FeedViewKeys.withDerived(fresh, derived)
+      .select(groupNames.map(col) ++ Seq(
         when(col("op") === "insert", 1L)
           .when(col("op") === "delete", -1L).otherwise(0L).as("dn"),
         (coalesce(round(col("value") * 1e6).cast("long"), lit(0L)) -
           coalesce(round(col("old_value") * 1e6).cast("long"), lit(0L)))
           .as("dmicro")): _*)
-      .groupBy(keys.map(col): _*)
+      .groupBy(groupNames.map(col): _*)
       .agg(sum("dn").as("n_rows"), sum("dmicro").as("sum_micro"))
-    val merged = table(spark, viewDir, keys).unionByName(deltas)
-      .groupBy(keys.map(col): _*)
+    val merged = table(spark, viewDir, keys, derived).unionByName(deltas)
+      .groupBy(groupNames.map(col): _*)
       .agg(sum("n_rows").as("n_rows"), sum("sum_micro").as("sum_micro"))
       // a fully-deleted key folds to n=0 (and, exactly then, Σ=0):
       // the one-shot aggregate has no such row, so neither do we
@@ -203,12 +288,13 @@ object ChangeFeedView {
     val gen = gens.lastOption.map(_ + 1).getOrElse(0L)
     val genDir = GenStore.dir(viewDir, gen)
     merged.coalesce(1).write.mode("overwrite").parquet(genDir)
-    val rows = spark.read.schema(viewSchema(keys)).parquet(genDir).count()
+    val rows = spark.read.schema(viewSchema(keys, derived))
+      .parquet(genDir).count()
     val metaDf = spark.createDataFrame(
       java.util.Collections.singletonList(
-        Row.fromSeq(keys.map(_ => null) ++
-          Seq(frontier, rows, FeedViewKeys.joined(keys)))),
-      viewSchema(keys))
+        Row.fromSeq(keys.map(_ => null) ++ derived.map(_ => null) ++
+          Seq(frontier, rows, FeedViewKeys.joinedWith(keys, derived)))),
+      viewSchema(keys, derived))
     metaDf.coalesce(1).write.mode("append").parquet(genDir)
     GenStore.commit(spark, viewDir, gen)
     GenStore.dropBelow(spark, viewDir, gen)

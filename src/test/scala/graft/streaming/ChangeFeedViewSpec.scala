@@ -278,6 +278,51 @@ class ChangeFeedViewSpec extends SparkSpec {
     assert(sGot == sWant, "keyed sketch view ≡ keyed one-shot sketch")
   }
 
+  test("derived grouping key (user segment): view == one-shot per segment; value-derived and regrouped derivations refuse") {
+    import org.apache.spark.sql.types.LongType
+    val seg = Seq(DerivedKey("segment", pmod(col("user_id"), lit(4L)),
+      LongType))
+    val stateDir = Files.createTempDirectory("graft-cfvdkstate").toString
+    val fn = CowUpsertStream.pipeline(stateDir, buckets = 8,
+      compactEvery = 100)
+    val slices = slice(corpus(81), 4, 83)
+    val viewDir = Files.createTempDirectory("graft-cfvdk").toString
+    slices.zipWithIndex.foreach { case (s, i) =>
+      fn(df(s), i.toLong)
+      ChangeFeedView.refresh(spark, stateDir, viewDir,
+        Seq("event_type"), seg)
+    }
+    CowUpsertStream.delete(spark, stateDir,
+      Seq((2L, "t0"), (6L, "t1")).toDF("user_id", "event_type"))
+    ChangeFeedView.refresh(spark, stateDir, viewDir,
+      Seq("event_type"), seg)
+    val got = ChangeFeedView.table(spark, viewDir, Seq("event_type"), seg)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val want = CowUpsertStream.latest(spark, stateDir)
+      .withColumn("segment", pmod(col("user_id"), lit(4L)))
+      .groupBy("event_type", "segment")
+      .agg(count(lit(1)).as("n"),
+        sum(coalesce(round(col("value") * 1e6).cast("long"), lit(0L)))
+          .as("s"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == want, "segment view != one-shot per (type, segment)")
+    // a value-derived grouping refuses at declaration
+    assert(intercept[IllegalArgumentException] {
+      ChangeFeedView.refresh(spark, stateDir, viewDir, Seq("event_type"),
+        Seq(DerivedKey("vband", round(col("value")), LongType)))
+    }.getMessage.contains("non-key columns"))
+    // a different derivation under the same name cannot regroup state
+    assert(intercept[IllegalStateException] {
+      ChangeFeedView.refresh(spark, stateDir, viewDir, Seq("event_type"),
+        Seq(DerivedKey("segment", pmod(col("user_id"), lit(8L)),
+          LongType)))
+    }.getMessage.contains("regroup"))
+  }
+
   // ---- the capped (one-sided) sketch view ----------------------------
 
   test("capped sketch view: bounded state, quantile estimates only err HIGH after deletes, cap mismatch refuses") {

@@ -55,6 +55,26 @@ object Layout {
     }.reduce(_ bitwiseOR _)
   }
 
+  /** Normalize a raw coordinate onto the z-grid [0, 2^bits − 1]. THE
+    * one copy of the overflow-sensitive arithmetic (round 18 had to
+    * fix it twice — here and in CowStore.writeGenData): divide before
+    * multiplying, in double, because (c − lo) · top overflows Long
+    * once the column range exceeds ~2^63/top (µs timestamps spanning a
+    * few years at bits = 16), silently garbling the curve (data stays
+    * correct, the skip law evaporates). Double precision loses nothing
+    * that matters — the z-value is a LAYOUT key, and any monotone map
+    * of the normalized coordinate preserves the rectangles. Clamped to
+    * [0, top] against FP round-up at c = hi; a degenerate range
+    * (hi == lo) maps to 0.
+    */
+  def normCoord(c: Column, lo: Long, hi: Long, bits: Int): Column = {
+    val top = (1L << bits) - 1
+    if (hi == lo) lit(0L)
+    else least(lit(top), greatest(lit(0L),
+      ((c.cast("double") - lo.toDouble) /
+        (hi.toDouble - lo.toDouble) * top).cast("long")))
+  }
+
   /** The same interleave as DuckDB SQL over column expressions `a` and
     * `b` — the oracle builder, kept NEXT to the Spark form so the two
     * cannot drift.
@@ -92,19 +112,9 @@ object Layout {
       min(col(bCol)).cast("long"), max(col(bCol)).cast("long")).head()
     val (aMin, aMax, bMin, bMax) =
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
-    val top = (1L << bits) - 1
-    // Divide before multiplying, in double: (c-lo)*top overflows Long
-    // once the column range exceeds ~2^63/top, silently garbling the
-    // curve (data stays correct, the skip law evaporates). A monotone
-    // map of the normalized coordinate preserves the rectangles, so
-    // double precision costs nothing; clamped against FP round-up.
-    def norm(c: Column, lo: Long, hi: Long): Column =
-      if (hi == lo) lit(0L)
-      else least(lit(top), greatest(lit(0L),
-        ((c.cast("double") - lo.toDouble) /
-          (hi.toDouble - lo.toDouble) * top).cast("long")))
     df.withColumn("__z", zValue(
-        norm(col(aCol), aMin, aMax), norm(col(bCol), bMin, bMax), bits))
+        normCoord(col(aCol), aMin, aMax, bits),
+        normCoord(col(bCol), bMin, bMax, bits), bits))
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")

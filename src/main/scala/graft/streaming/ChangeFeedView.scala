@@ -74,16 +74,44 @@ private[streaming] object FeedViewKeys {
       require(!reserved.contains(d.name),
         s"derived key '${d.name}' shadows a feed/view column — pick " +
           "another name")
-      try probe.select(d.expr.cast(d.dataType)) catch {
-        case e: org.apache.spark.sql.AnalysisException =>
-          throw new IllegalArgumentException(
-            s"derived key '${d.name}' references non-key columns — a " +
-              "derived grouping must be a function of the CDC key " +
-              s"columns ${keyTypes.keys.toSeq.sorted.mkString("{", ", ", "}")} " +
-              "(the before/after-invariant columns); a value-derived " +
-              "group would need two-sided routing the view schema does " +
-              s"not declare (${e.getMessage})")
-      }
+      val analyzed =
+        try probe.select(d.expr.cast(d.dataType)).queryExecution.analyzed
+        catch {
+          case e: org.apache.spark.sql.AnalysisException =>
+            throw new IllegalArgumentException(
+              s"derived key '${d.name}' references non-key columns — a " +
+                "derived grouping must be a function of the CDC key " +
+                s"columns ${keyTypes.keys.toSeq.sorted.mkString("{", ", ", "}")} " +
+                "(the before/after-invariant columns); a value-derived " +
+                "group would need two-sided routing the view schema does " +
+                s"not declare (${e.getMessage})")
+        }
+      // Analysis proves the expression RESOLVES over the key columns;
+      // invariance needs two more facts the probe cannot show. (1)
+      // Determinism: rand()/uuid()/current_timestamp() analyze fine,
+      // but the add and subtract legs of the one-row delta fold
+      // evaluate the derivation independently — a non-deterministic
+      // expression routes them to DIFFERENT groups and silently
+      // corrupts committed view state. (2) It must actually be a
+      // function of the keys: a constant-only expression (empty
+      // references) is a degenerate group that the plain-keys path
+      // already expresses; refuse it so the committed identity string
+      // stays meaningful.
+      val out = analyzed.expressions.head
+      if (!out.deterministic)
+        throw new IllegalArgumentException(
+          s"derived key '${d.name}' is non-deterministic — the delta " +
+            "fold evaluates the derivation independently on the add " +
+            "and subtract legs, so a non-deterministic expression " +
+            "routes a change's two sides to different groups, " +
+            "corrupting committed view state; use a deterministic " +
+            "function of the CDC key columns")
+      val refs = out.references.map(_.name).toSet
+      if (refs.isEmpty || !refs.subsetOf(keyTypes.keySet))
+        throw new IllegalArgumentException(
+          s"derived key '${d.name}' must reference at least one CDC " +
+            s"key column (${keyTypes.keys.toSeq.sorted.mkString(", ")}) " +
+            s"and nothing else; got references ${refs.toSeq.sorted}")
     }
   }
 

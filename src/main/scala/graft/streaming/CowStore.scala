@@ -206,22 +206,14 @@ private[streaming] object CowStore {
           .head()
         if (r.isNullAt(0)) merged.repartition(col("bucket")) // no rows
         else {
-          val top = (1L << z.bits) - 1
-          // Divide before multiplying, in double: (c-lo)*top overflows
-          // Long once the column range exceeds ~2^63/top (µs timestamps
-          // spanning a few years at bits=16), silently garbling the
-          // curve. Double precision loses nothing that matters — the
-          // z-value is a LAYOUT key, and any monotone map of the
-          // normalized coordinate preserves the rectangles. Clamped to
-          // [0, top] against FP round-up at c = hi.
-          def norm(c: org.apache.spark.sql.Column, lo: Long, hi: Long) =
-            if (hi == lo) lit(0L)
-            else least(lit(top), greatest(lit(0L),
-              ((c.cast("double") - lo.toDouble) /
-                (hi.toDouble - lo.toDouble) * top).cast("long")))
+          // The overflow-sensitive normalize-clamp arithmetic lives
+          // ONCE, in Layout.normCoord (round 18's Long-overflow fix
+          // had to land at both sites; never again).
           val zc = graft.operators.Layout.zValue(
-            norm(col(z.aCol), r.getLong(0), r.getLong(1)),
-            norm(col(z.bCol), r.getLong(2), r.getLong(3)), z.bits)
+            graft.operators.Layout.normCoord(
+              col(z.aCol), r.getLong(0), r.getLong(1), z.bits),
+            graft.operators.Layout.normCoord(
+              col(z.bCol), r.getLong(2), r.getLong(3), z.bits), z.bits)
           val withZ = merged.withColumn("__z", zc)
           val parts =
             if (z.rangeFiles <= 1) withZ.repartition(col("bucket"))

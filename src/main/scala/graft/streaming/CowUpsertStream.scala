@@ -202,8 +202,33 @@ object CowUpsertStream {
     * (ChangeFeedView / MomentFeedView / SketchFeedView) ignore it
     * (their delete delta is keyed off the BEFORE image alone).
     */
+  /** Reclaim `*.staging` crash debris under `stateDir`: a crash
+    * between a prior delete()'s staged write and its publish rename
+    * leaves temp dirs whose non-numeric names genNumber() ignores —
+    * GenStore.dropBelow/dropUncommittedAbove skip them, so without
+    * this sweep they leak permanently (a later delete() at the SAME
+    * gen overwrites its own pair, but a store that never reuses that
+    * gen number keeps the orphans forever). Mirrors
+    * dropUncommittedAbove's uncommitted-dir cleanup; safe because a
+    * `.staging` path is by protocol never a committed generation.
+    */
+  private def sweepStaging(spark: SparkSession, stateDir: String): Unit = {
+    val hfs = GenStore.fs(spark, stateDir)
+    // both staged pairs: $stateDir/gen-N.staging and
+    // $stateDir/changes/gen-N.staging
+    Seq(stateDir, changesRoot(stateDir)).foreach { d =>
+      val root = new Path(d)
+      if (hfs.exists(root))
+        hfs.listStatus(root).foreach { st =>
+          if (st.isDirectory && st.getPath.getName.endsWith(".staging"))
+            GenStore.deleteQuiet(spark, st.getPath.toString)
+        }
+    }
+  }
+
   def delete(spark: SparkSession, stateDir: String,
       keys: DataFrame, tombstoneTsUs: Option[Long] = None): Long = {
+    sweepStaging(spark, stateDir)
     val prior = readMeta(spark, stateDir)
     if (prior.isEmpty) return 0L
     val (total, hw, nb) = prior.get

@@ -279,9 +279,15 @@ object SketchFeedView {
       if (meta.length != 1) throw new IllegalStateException(
         s"sketch view generation ${gens.max} has ${meta.length} meta rows " +
           "(want exactly 1) — foreign or corrupt state")
-      // meta cols sit after the (bucket, n) value columns
+      // meta cols sit after the (bucket, n) value columns. A sketch
+      // view committed BEFORE the cap existed has no cap_buckets
+      // column on disk — the explicit schema reads it as null, which
+      // means exactly "uncapped/exact" (the only mode that existed
+      // then), not corrupt state; default it to 0 instead of NPEing.
+      val capStored =
+        if (meta.head.isNullAt(n + 4)) 0L else meta.head.getLong(n + 4)
       Some((meta.head.getLong(n + 2), meta.head.getLong(n + 3),
-        meta.head.getLong(n + 4)))
+        capStored))
     }
   }
 

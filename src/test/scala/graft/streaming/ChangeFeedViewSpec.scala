@@ -321,6 +321,20 @@ class ChangeFeedViewSpec extends SparkSpec {
         Seq(DerivedKey("segment", pmod(col("user_id"), lit(8L)),
           LongType)))
     }.getMessage.contains("regroup"))
+    // a NON-DETERMINISTIC derivation analyzes fine against the key
+    // probe but would route a change's add and subtract legs to
+    // different groups — must refuse at declaration, not corrupt state
+    assert(intercept[IllegalArgumentException] {
+      ChangeFeedView.refresh(spark, stateDir, viewDir, Seq("event_type"),
+        Seq(DerivedKey("lucky",
+          (rand(42) * 4).cast(LongType).cast(LongType), LongType)))
+    }.getMessage.contains("non-deterministic"))
+    // a constant-only derivation (empty references) is a degenerate
+    // group, not a function of the keys — refuse
+    assert(intercept[IllegalArgumentException] {
+      ChangeFeedView.refresh(spark, stateDir, viewDir, Seq("event_type"),
+        Seq(DerivedKey("one", lit(1L), LongType)))
+    }.getMessage.contains("at least one CDC key column"))
   }
 
   // ---- the capped (one-sided) sketch view ----------------------------
@@ -375,6 +389,51 @@ class ChangeFeedViewSpec extends SparkSpec {
     }.getMessage.contains("cap"))
     assert(intercept[IllegalStateException] {
       SketchFeedView.refresh(spark, stateDir, exactDir, maxBuckets = Some(4))
+    }.getMessage.contains("cap"))
+  }
+
+  test("sketch view reads pre-cap committed state gracefully (null cap_buckets = uncapped)") {
+    val stateDir = Files.createTempDirectory("graft-sfvoldstate").toString
+    val fn = CowUpsertStream.pipeline(stateDir, buckets = 4)
+    fn(df(Seq((1L, "a", 10L, 0L, 1.0), (2L, "a", 10L, 1L, 4.0),
+      (3L, "b", 10L, 2L, 9.0))), 0L)
+    val viewDir = Files.createTempDirectory("graft-sfvold").toString
+    SketchFeedView.refresh(spark, stateDir, viewDir)
+    // Rewrite the committed generation WITHOUT the cap_buckets /
+    // view_keys columns — exactly what a sketch view committed before
+    // those columns existed looks like on disk (the explicit read
+    // schema resolves them to null).
+    val gen = GenStore.latest(spark, viewDir)
+    val gdir = GenStore.dir(viewDir, gen)
+    // explicit OLD schema (pre-cap layout) — inference would trip on
+    // the zero-length COMMITTED marker, exactly as FeedViewKeys notes
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("event_type", StringType),
+      StructField("bucket", LongType), StructField("n", LongType),
+      StructField("hw_gen", LongType),
+      StructField("alpha_micro", LongType)))
+    val rows = spark.read.schema(schema).parquet(gdir).collect().toSeq
+    GenStore.deleteQuiet(spark, gdir)
+    spark.createDataFrame(
+        new java.util.ArrayList(scala.jdk.CollectionConverters
+          .SeqHasAsJava(rows).asJava), schema)
+      .coalesce(1).write.mode("overwrite").parquet(gdir)
+    GenStore.commit(spark, viewDir, gen)
+    // null cap_buckets must read as 0 (uncapped — the only mode that
+    // existed then), not NPE
+    val meta = SketchFeedView.readMeta(spark, viewDir)
+    assert(meta.isDefined && meta.get._3 == 0L,
+      s"pre-cap state must read cap=0, got $meta")
+    // and an uncapped refresh over new feed data keeps working
+    fn(df(Seq((4L, "a", 11L, 3L, 16.0))), 1L)
+    SketchFeedView.refresh(spark, stateDir, viewDir)
+    assert(SketchFeedView.table(spark, viewDir)
+      .agg(sum("n")).head().getLong(0) == 4L)
+    // while a capped refresh on the legacy-uncapped view still refuses
+    assert(intercept[IllegalStateException] {
+      SketchFeedView.refresh(spark, stateDir, viewDir,
+        maxBuckets = Some(4))
     }.getMessage.contains("cap"))
   }
 

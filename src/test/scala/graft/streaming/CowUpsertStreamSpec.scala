@@ -283,4 +283,24 @@ class CowUpsertStreamSpec extends SparkSpec {
     assert(committed(dir) == reference(grid :+
       ((0L, "g", 95L, 95L, 2.0))))
   }
+
+  test("delete() reclaims orphaned *.staging crash debris at both levels") {
+    val dir = Files.createTempDirectory("graft-cowstag").toString
+    val fn = CowUpsertStream.pipeline(dir, buckets = 4)
+    fn(df(Seq((1L, "t", 100L, 0L, 1.0), (2L, "t", 100L, 1L, 2.0))), 0L)
+    // plant the debris a crash between staged write and publish rename
+    // leaves: gen-N.staging under the root AND under changes/ — at a
+    // gen number the store will NOT reuse (genNumber() ignores
+    // non-numeric names, so dropBelow/dropUncommittedAbove never
+    // reclaim these)
+    val hfs = GenStore.fs(spark, dir)
+    val orphans = Seq(s"$dir/gen-7.staging", s"$dir/changes/gen-7.staging")
+    orphans.foreach(p => assert(hfs.mkdirs(new Path(p))))
+    assert(CowUpsertStream.delete(spark, dir,
+      Seq((1L, "t")).toDF("user_id", "event_type")) == 1L)
+    orphans.foreach(p =>
+      assert(!hfs.exists(new Path(p)), s"orphan $p not swept"))
+    // the real delete still committed exactly
+    assert(committed(dir) == Set((2L, "t", 100L, 1L, 2.0)))
+  }
 }

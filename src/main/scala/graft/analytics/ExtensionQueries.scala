@@ -3107,9 +3107,9 @@ object ExtensionQueries {
     import spark.implicits._
     val embs = Tables.embeddings(spark, dir)
     val queries = embs.where(col("vec_id") % 10 === 7)
-    val exact = graft.util.ScratchCheckpoints.register(
-      Similarity.bruteForceTopK(queries, embs, k = 10)
-        .select(col("query_id"), col("neighbor_id")).localCheckpoint())
+    // Same (query split, corpus, k) as q_sim11's ground truth — the
+    // store-cached table is built once per JVM and SHARED between them.
+    val exact = Similarity.cachedTruth(queries, embs, k = 10)
     val cb = Similarity.trainPqCodebooks(embs, m = 4, ksub = 16, iters = 2,
       trainN = 1024, dim = 64)
     val codes = Similarity.pqCodes(embs, cb, m = 4, dim = 64)
@@ -3708,9 +3708,9 @@ object ExtensionQueries {
     val (kOut, dim, topK) = (16, 64, 10)
     val embs = Tables.embeddings(spark, dir)
     val proj = Similarity.signProject(embs, kOut, dim)
-    val full = Similarity.bruteForceTopK(
+    val full = Similarity.cachedTruth(
       embs.where(col("vec_id") < 5), embs, k = topK)
-    val low = Similarity.bruteForceTopK(
+    val low = Similarity.cachedTruth(
       proj.where(col("vec_id") < 5), proj, k = topK)
     full.select(col("query_id"), col("neighbor_id"))
       .join(low.select(col("query_id"), col("neighbor_id")),

@@ -90,8 +90,9 @@ object MomentFeedView {
 
   private val momentCols = Seq("n", "sx", "sy", "sxx", "syy", "sxy")
 
-  private def viewSchema(keys: Seq[String]): StructType = StructType(
-    FeedViewKeys.fields(keys) ++ Seq(
+  private def viewSchema(keys: Seq[String],
+      derived: Seq[DerivedKey]): StructType = StructType(
+    FeedViewKeys.fields(keys) ++ FeedViewKeys.derivedFields(derived) ++ Seq(
       StructField("n", LongType),
       StructField("sx", Dec), StructField("sy", Dec),
       StructField("sxx", Dec), StructField("syy", Dec),
@@ -101,14 +102,16 @@ object MomentFeedView {
 
   /** Committed meta: (high-water feed gen, view rows); None = fresh. */
   def readMeta(spark: SparkSession, viewDir: String,
-      keys: Seq[String] = Seq("event_type")): Option[(Long, Long)] = {
+      keys: Seq[String] = Seq("event_type"),
+      derived: Seq[DerivedKey] = Nil): Option[(Long, Long)] = {
     FeedViewKeys.validate(keys)
+    FeedViewKeys.validateDerived(spark, derived, keys)
     val gens = GenStore.committed(spark, viewDir)
     if (gens.isEmpty) None
     else {
-      FeedViewKeys.check(spark, viewDir, gens, keys, "moment")
-      val n = keys.size
-      val meta = spark.read.schema(viewSchema(keys))
+      FeedViewKeys.check(spark, viewDir, gens, keys, "moment", derived)
+      val n = keys.size + derived.size
+      val meta = spark.read.schema(viewSchema(keys, derived))
         .parquet(GenStore.dir(viewDir, gens.max))
         .where(col(keys.head).isNull)
         .collect()
@@ -119,20 +122,23 @@ object MomentFeedView {
     }
   }
 
-  /** The live moment table (keys…, n, sx, sy, sxx, syy, sxy). */
+  /** The live moment table (keys…, derived…, n, sx, sy, sxx, syy,
+    * sxy). */
   def table(spark: SparkSession, viewDir: String,
-      keys: Seq[String] = Seq("event_type")): DataFrame = {
+      keys: Seq[String] = Seq("event_type"),
+      derived: Seq[DerivedKey] = Nil): DataFrame = {
     FeedViewKeys.validate(keys)
+    FeedViewKeys.validateDerived(spark, derived, keys)
     val gens = GenStore.committed(spark, viewDir)
     if (gens.isEmpty)
       spark.createDataFrame(java.util.Collections.emptyList[Row](),
-        StructType(viewSchema(keys).dropRight(3)))
+        StructType(viewSchema(keys, derived).dropRight(3)))
     else {
-      FeedViewKeys.check(spark, viewDir, gens, keys, "moment")
-      spark.read.schema(viewSchema(keys))
+      FeedViewKeys.check(spark, viewDir, gens, keys, "moment", derived)
+      spark.read.schema(viewSchema(keys, derived))
         .parquet(GenStore.dir(viewDir, gens.max))
         .where(col(keys.head).isNotNull)
-        .select((keys ++ momentCols).map(col): _*)
+        .select((keys ++ derived.map(_.name) ++ momentCols).map(col): _*)
     }
   }
 
@@ -142,11 +148,13 @@ object MomentFeedView {
     * MomentStream).
     */
   def oneShot(current: DataFrame,
-      keys: Seq[String] = Seq("event_type")): DataFrame = {
+      keys: Seq[String] = Seq("event_type"),
+      derived: Seq[DerivedKey] = Nil): DataFrame = {
+    val groupNames = keys ++ derived.map(_.name)
     val ym = round(col("value") * lit(Scale), 0).cast(Dec)
-    current.where(col("value").isNotNull)
-      .select(keys.map(col) ++ Seq(xSec.as("xm"), ym.as("ym")): _*)
-      .groupBy(keys.map(col): _*)
+    FeedViewKeys.withDerived(current.where(col("value").isNotNull), derived)
+      .select(groupNames.map(col) ++ Seq(xSec.as("xm"), ym.as("ym")): _*)
+      .groupBy(groupNames.map(col): _*)
       .agg(count(lit(1)).as("n"),
         sum("xm").cast(Dec).as("sx"), sum("ym").cast(Dec).as("sy"),
         sum(col("xm") * col("xm")).cast(Dec).as("sxx"),
@@ -158,15 +166,18 @@ object MomentFeedView {
     * Returns change rows folded; 0 = nothing new.
     */
   def refresh(spark: SparkSession, stateDir: String, viewDir: String,
-      keys: Seq[String] = Seq("event_type")): Long = {
+      keys: Seq[String] = Seq("event_type"),
+      derived: Seq[DerivedKey] = Nil): Long = {
     FeedViewKeys.validate(keys)
+    FeedViewKeys.validateDerived(spark, derived, keys)
     val feedGens = GenStore.committed(spark, stateDir)
     if (feedGens.isEmpty) return 0L
     val frontier = feedGens.max
-    val hw = readMeta(spark, viewDir, keys).map(_._1).getOrElse(-1L)
+    val hw = readMeta(spark, viewDir, keys, derived).map(_._1).getOrElse(-1L)
     if (frontier <= hw) return 0L
     val fresh = CowUpsertStream.changes(spark, stateDir)
       .where(col("gen") > hw && col("gen") <= frontier)
+    val groupNames = keys ++ derived.map(_.name)
     // after-image contributes unless this row is a delete (or carries
     // a null value); before-image subtracts unless it is an insert
     // (or the stored value was null) — pairwise-complete both sides.
@@ -177,15 +188,16 @@ object MomentFeedView {
     val zero = lit(0L).cast(Dec)
     def d(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       when(hasA, a).otherwise(zero) - when(hasB, b).otherwise(zero)
-    val deltas = fresh.select(keys.map(col) ++ Seq(
+    val deltas = FeedViewKeys.withDerived(fresh, derived)
+      .select(groupNames.map(col) ++ Seq(
         (when(hasA, 1L).otherwise(0L) - when(hasB, 1L).otherwise(0L))
           .as("n"),
         d(xSec, xSecOld).as("sx"), d(yA, yB).as("sy"),
         d(xSec * xSec, xSecOld * xSecOld).as("sxx"),
         d(yA * yA, yB * yB).as("syy"),
         d(xSec * yA, xSecOld * yB).as("sxy")): _*)
-    val merged = table(spark, viewDir, keys).unionByName(deltas)
-      .groupBy(keys.map(col): _*)
+    val merged = table(spark, viewDir, keys, derived).unionByName(deltas)
+      .groupBy(groupNames.map(col): _*)
       .agg(sum("n").as("n"),
         sum("sx").cast(Dec).as("sx"), sum("sy").cast(Dec).as("sy"),
         sum("sxx").cast(Dec).as("sxx"), sum("syy").cast(Dec).as("syy"),
@@ -201,13 +213,14 @@ object MomentFeedView {
     val gen = gens.lastOption.map(_ + 1).getOrElse(0L)
     val genDir = GenStore.dir(viewDir, gen)
     merged.coalesce(1).write.mode("overwrite").parquet(genDir)
-    val rows = spark.read.schema(viewSchema(keys)).parquet(genDir).count()
+    val rows = spark.read.schema(viewSchema(keys, derived))
+      .parquet(genDir).count()
     val metaDf = spark.createDataFrame(
       java.util.Collections.singletonList(
-        Row.fromSeq(keys.map(_ => null) ++
+        Row.fromSeq(keys.map(_ => null) ++ derived.map(_ => null) ++
           Seq(null, null, null, null, null, null,
-            frontier, rows, FeedViewKeys.joined(keys)))),
-      viewSchema(keys))
+            frontier, rows, FeedViewKeys.joinedWith(keys, derived)))),
+      viewSchema(keys, derived))
     metaDf.coalesce(1).write.mode("append").parquet(genDir)
     GenStore.commit(spark, viewDir, gen)
     GenStore.dropBelow(spark, viewDir, gen)
@@ -221,13 +234,15 @@ object MomentFeedView {
     * read null, the MomentStream convention.
     */
   def stats(spark: SparkSession, viewDir: String,
-      keys: Seq[String] = Seq("event_type")): DataFrame = {
+      keys: Seq[String] = Seq("event_type"),
+      derived: Seq[DerivedKey] = Nil): DataFrame = {
+    val groupNames = keys ++ derived.map(_.name)
     val n = col("n").cast(Dec)
     val covN = col("sxy") * n - col("sx") * col("sy")
     val varXN = col("sxx") * n - col("sx") * col("sx")
     val varYN = col("syy") * n - col("sy") * col("sy")
     val ok = (col("n") > 1) && (varXN > 0) && (varYN > 0)
-    table(spark, viewDir, keys)
+    table(spark, viewDir, keys, derived)
       .withColumn("mean_value",
         col("sy").cast("double") / col("n") / lit(Scale.toDouble))
       .withColumn("var_value", when(col("n") > 1,
@@ -238,9 +253,9 @@ object MomentFeedView {
           sqrt(varXN.cast("double")) / sqrt(varYN.cast("double"))))
       .withColumn("slope_per_sec", when(ok,
         covN.cast("double") / varXN.cast("double") / lit(Scale.toDouble)))
-      .select((keys ++ Seq("n", "mean_value", "var_value", "corr",
+      .select((groupNames ++ Seq("n", "mean_value", "var_value", "corr",
         "slope_per_sec")).map(col): _*)
-      .orderBy(keys.map(col): _*)
+      .orderBy(groupNames.map(col): _*)
   }
 }
 
@@ -254,8 +269,9 @@ object SketchFeedView {
 
   private def alphaMicro(alpha: Double): Long = math.round(alpha * 1e6)
 
-  private def viewSchema(keys: Seq[String]): StructType = StructType(
-    FeedViewKeys.fields(keys) ++ Seq(
+  private def viewSchema(keys: Seq[String],
+      derived: Seq[DerivedKey]): StructType = StructType(
+    FeedViewKeys.fields(keys) ++ FeedViewKeys.derivedFields(derived) ++ Seq(
       StructField("bucket", LongType), StructField("n", LongType),
       StructField("hw_gen", LongType), StructField("alpha_micro", LongType),
       StructField("cap_buckets", LongType),
@@ -265,14 +281,16 @@ object SketchFeedView {
     * 0 = uncapped/exact); None = fresh.
     */
   def readMeta(spark: SparkSession, viewDir: String,
-      keys: Seq[String] = Seq("event_type")): Option[(Long, Long, Long)] = {
+      keys: Seq[String] = Seq("event_type"),
+      derived: Seq[DerivedKey] = Nil): Option[(Long, Long, Long)] = {
     FeedViewKeys.validate(keys)
+    FeedViewKeys.validateDerived(spark, derived, keys)
     val gens = GenStore.committed(spark, viewDir)
     if (gens.isEmpty) None
     else {
-      FeedViewKeys.check(spark, viewDir, gens, keys, "sketch")
-      val n = keys.size
-      val meta = spark.read.schema(viewSchema(keys))
+      FeedViewKeys.check(spark, viewDir, gens, keys, "sketch", derived)
+      val n = keys.size + derived.size
+      val meta = spark.read.schema(viewSchema(keys, derived))
         .parquet(GenStore.dir(viewDir, gens.max))
         .where(col(keys.head).isNull)
         .collect()
@@ -291,20 +309,23 @@ object SketchFeedView {
     }
   }
 
-  /** The live (keys…, bucket, n) table. */
+  /** The live (keys…, derived…, bucket, n) table. */
   def table(spark: SparkSession, viewDir: String,
-      keys: Seq[String] = Seq("event_type")): DataFrame = {
+      keys: Seq[String] = Seq("event_type"),
+      derived: Seq[DerivedKey] = Nil): DataFrame = {
     FeedViewKeys.validate(keys)
+    FeedViewKeys.validateDerived(spark, derived, keys)
     val gens = GenStore.committed(spark, viewDir)
     if (gens.isEmpty)
       spark.createDataFrame(java.util.Collections.emptyList[Row](),
-        StructType(viewSchema(keys).dropRight(4)))
+        StructType(viewSchema(keys, derived).dropRight(4)))
     else {
-      FeedViewKeys.check(spark, viewDir, gens, keys, "sketch")
-      spark.read.schema(viewSchema(keys))
+      FeedViewKeys.check(spark, viewDir, gens, keys, "sketch", derived)
+      spark.read.schema(viewSchema(keys, derived))
         .parquet(GenStore.dir(viewDir, gens.max))
         .where(col(keys.head).isNotNull)
-        .select((keys ++ Seq("bucket", "n")).map(col): _*)
+        .select((keys ++ derived.map(_.name) ++ Seq("bucket", "n"))
+          .map(col): _*)
     }
   }
 
@@ -327,8 +348,10 @@ object SketchFeedView {
     */
   def refresh(spark: SparkSession, stateDir: String, viewDir: String,
       alpha: Double = 0.01, keys: Seq[String] = Seq("event_type"),
-      maxBuckets: Option[Int] = None): Long = {
+      maxBuckets: Option[Int] = None,
+      derived: Seq[DerivedKey] = Nil): Long = {
     FeedViewKeys.validate(keys)
+    FeedViewKeys.validateDerived(spark, derived, keys)
     maxBuckets.foreach(m => require(m >= 2,
       s"maxBuckets must be >= 2, got $m"))
     val am = alphaMicro(alpha)
@@ -337,7 +360,7 @@ object SketchFeedView {
     val feedGens = GenStore.committed(spark, stateDir)
     if (feedGens.isEmpty) return 0L
     val frontier = feedGens.max
-    val prior = readMeta(spark, viewDir, keys)
+    val prior = readMeta(spark, viewDir, keys, derived)
     prior.foreach { case (_, pam, pcap) =>
       if (pam != am) throw new IllegalStateException(
         s"sketch view at $viewDir was bucketed at alpha=${pam / 1e6}; " +
@@ -356,22 +379,24 @@ object SketchFeedView {
     val fresh = CowUpsertStream.changes(spark, stateDir)
       .where(col("gen") > hw && col("gen") <= frontier)
       .localCheckpoint() // two delta projections + the fold count
+    val groupNames = keys ++ derived.map(_.name)
+    val freshD = FeedViewKeys.withDerived(fresh, derived)
     // +1 at the after-image's bucket (non-deletes, positive values —
     // the log grid's domain), −1 at the before-image's (non-inserts).
-    val after = fresh.where(col("op") =!= "delete" && col("value") > 0)
-      .select(keys.map(col) ++ Seq(
+    val after = freshD.where(col("op") =!= "delete" && col("value") > 0)
+      .select(groupNames.map(col) ++ Seq(
         DDSketch.bucketOf(col("value"), alpha).as("bucket"),
         lit(1L).as("dn")): _*)
-    val before = fresh.where(col("op") =!= "insert" && col("old_value") > 0)
-      .select(keys.map(col) ++ Seq(
+    val before = freshD.where(col("op") =!= "insert" && col("old_value") > 0)
+      .select(groupNames.map(col) ++ Seq(
         DDSketch.bucketOf(col("old_value"), alpha).as("bucket"),
         lit(-1L).as("dn")): _*)
-    val summed = table(spark, viewDir, keys)
+    val summed = table(spark, viewDir, keys, derived)
       .unionByName(after.union(before).withColumnRenamed("dn", "n"))
-      .groupBy((keys :+ "bucket").map(col): _*).agg(sum("n").as("n"))
+      .groupBy((groupNames :+ "bucket").map(col): _*).agg(sum("n").as("n"))
       .where(col("n") =!= 0L) // exact counters telescope to 0 on full drain
     val merged = maxBuckets
-      .map(m => DDSketch.collapseBy(summed, m, keys))
+      .map(m => DDSketch.collapseBy(summed, m, groupNames))
       .getOrElse(summed)
       .withColumn("hw_gen", lit(null).cast("long"))
       .withColumn("alpha_micro", lit(null).cast("long"))
@@ -384,9 +409,10 @@ object SketchFeedView {
     merged.coalesce(1).write.mode("overwrite").parquet(genDir)
     val metaDf = spark.createDataFrame(
       java.util.Collections.singletonList(
-        Row.fromSeq(keys.map(_ => null) ++
-          Seq(null, null, frontier, am, cap, FeedViewKeys.joined(keys)))),
-      viewSchema(keys))
+        Row.fromSeq(keys.map(_ => null) ++ derived.map(_ => null) ++
+          Seq(null, null, frontier, am, cap,
+            FeedViewKeys.joinedWith(keys, derived)))),
+      viewSchema(keys, derived))
     metaDf.coalesce(1).write.mode("append").parquet(genDir)
     GenStore.commit(spark, viewDir, gen)
     GenStore.dropBelow(spark, viewDir, gen)
@@ -397,18 +423,23 @@ object SketchFeedView {
     * view (α from the view's own meta).
     */
   def quantiles(spark: SparkSession, viewDir: String, qs: Seq[Double],
-      keys: Seq[String] = Seq("event_type")): DataFrame = {
-    readMeta(spark, viewDir, keys) match {
+      keys: Seq[String] = Seq("event_type"),
+      derived: Seq[DerivedKey] = Nil): DataFrame = {
+    val groupNames = keys ++ derived.map(_.name)
+    readMeta(spark, viewDir, keys, derived) match {
       case None =>
         import spark.implicits._
-        keys.foldLeft(
-          Seq.empty[(Double, Double, Long)].toDF("q", "est", "n_total")) {
-          (df, k) => df.withColumn(k,
-            lit(null).cast(FeedViewKeys.keyTypes(k)))
-        }.select((keys ++ Seq("q", "est", "n_total")).map(col): _*)
+        val empty = Seq.empty[(Double, Double, Long)]
+          .toDF("q", "est", "n_total")
+        val withKeys = keys.foldLeft(empty) { (df, k) =>
+          df.withColumn(k, lit(null).cast(FeedViewKeys.keyTypes(k)))
+        }
+        derived.foldLeft(withKeys) { (df, d) =>
+          df.withColumn(d.name, lit(null).cast(d.dataType))
+        }.select((groupNames ++ Seq("q", "est", "n_total")).map(col): _*)
       case Some((_, am, _)) =>
-        DDSketch.quantilesBy(table(spark, viewDir, keys), am / 1e6, qs,
-          keys)
+        DDSketch.quantilesBy(table(spark, viewDir, keys, derived),
+          am / 1e6, qs, groupNames)
     }
   }
 }

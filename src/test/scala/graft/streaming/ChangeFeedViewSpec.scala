@@ -278,6 +278,70 @@ class ChangeFeedViewSpec extends SparkSpec {
     assert(sGot == sWant, "keyed sketch view ≡ keyed one-shot sketch")
   }
 
+  test("derived keys on moment and sketch views: per-(type, segment) stats/quantiles == one-shot at every cadence incl. deletes; bad derivations refuse") {
+    import org.apache.spark.sql.types.LongType
+    val seg = Seq(DerivedKey("segment", pmod(col("user_id"), lit(4L)),
+      LongType))
+    val stateDir = Files.createTempDirectory("graft-dvdkstate").toString
+    val fn = CowUpsertStream.pipeline(stateDir, buckets = 8,
+      compactEvery = 100)
+    val mDir = Files.createTempDirectory("graft-dvdkm").toString
+    val sDir = Files.createTempDirectory("graft-dvdks").toString
+    // refresh at EVERY batch (the tightest cadence), then once more
+    // after a delete generation
+    slice(corpus(91), 4, 93).zipWithIndex.foreach { case (s, i) =>
+      fn(df(s), i.toLong)
+      MomentFeedView.refresh(spark, stateDir, mDir, derived = seg)
+      SketchFeedView.refresh(spark, stateDir, sDir, derived = seg)
+    }
+    CowUpsertStream.delete(spark, stateDir,
+      Seq((3L, "t0"), (9L, "t1")).toDF("user_id", "event_type"))
+    MomentFeedView.refresh(spark, stateDir, mDir, derived = seg)
+    SketchFeedView.refresh(spark, stateDir, sDir, derived = seg)
+    val latest = CowUpsertStream.latest(spark, stateDir)
+    val mGot = MomentFeedView.table(spark, mDir, derived = seg).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDecimal(4).toBigInteger, r.getDecimal(7).toBigInteger)).toSet
+    val mWant = MomentFeedView.oneShot(latest, derived = seg).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDecimal(4).toBigInteger, r.getDecimal(7).toBigInteger)).toSet
+    assert(mGot == mWant, "segment moment view ≡ segment one-shot")
+    assert(MomentFeedView.stats(spark, mDir, derived = seg)
+      .columns.take(2).toSeq == Seq("event_type", "segment"))
+    val sGot = SketchFeedView.table(spark, sDir, derived = seg).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val sWant = graft.operators.DDSketch.sketchBy(
+        latest.withColumn("segment", pmod(col("user_id"), lit(4L)))
+          .select(col("event_type"), col("segment"), col("value")),
+        0.01, Seq("event_type", "segment"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(sGot == sWant, "segment sketch view ≡ segment one-shot sketch")
+    // quantiles answer off the derived grouping
+    assert(SketchFeedView.quantiles(spark, sDir, Seq(0.5), derived = seg)
+      .columns.take(2).toSeq == Seq("event_type", "segment"))
+    // value-derived refuses at declaration on both views
+    assert(intercept[IllegalArgumentException] {
+      MomentFeedView.refresh(spark, stateDir, mDir,
+        derived = Seq(DerivedKey("vband", round(col("value")), LongType)))
+    }.getMessage.contains("non-key columns"))
+    assert(intercept[IllegalArgumentException] {
+      SketchFeedView.refresh(spark, stateDir, sDir,
+        derived = Seq(DerivedKey("vband", round(col("value")), LongType)))
+    }.getMessage.contains("non-key columns"))
+    // a reformulated derivation cannot regroup committed state
+    val seg8 = Seq(DerivedKey("segment", pmod(col("user_id"), lit(8L)),
+      LongType))
+    assert(intercept[IllegalStateException] {
+      MomentFeedView.refresh(spark, stateDir, mDir, derived = seg8)
+    }.getMessage.contains("regroup"))
+    assert(intercept[IllegalStateException] {
+      SketchFeedView.refresh(spark, stateDir, sDir, derived = seg8)
+    }.getMessage.contains("regroup"))
+  }
+
   test("derived grouping key (user segment): view == one-shot per segment; value-derived and regrouped derivations refuse") {
     import org.apache.spark.sql.types.LongType
     val seg = Seq(DerivedKey("segment", pmod(col("user_id"), lit(4L)),

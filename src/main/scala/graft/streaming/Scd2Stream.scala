@@ -63,9 +63,39 @@ import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType,
   */
 object Scd2Stream {
 
+  /** The default entity key — the repo's CDC pair, q_rel32's shape. */
+  val defaultKeys: StructType = StructType(Seq(
+    StructField("user_id", LongType),
+    StructField("event_type", StringType)))
+
+  /** Column names the entity key must not claim. */
+  private val reservedCols = Set("ts_us", "event_id", "tier", "is_delete",
+    "total", "batch_id", "n_buckets", "max_ts_us", "lateness_us",
+    "key_cols", "bucket")
+
+  private def validateKeys(keys: StructType): Unit = {
+    require(keys.fields.nonEmpty, "scd2 entity key needs >= 1 column")
+    val names = keys.fieldNames.toSeq
+    require(names.distinct == names, s"duplicate key columns: $names")
+    val bad = names.filter(reservedCols.contains)
+    require(bad.isEmpty,
+      s"entity key columns $bad shadow scd2 state/meta columns — " +
+        "rename them before declaring the key")
+  }
+
+  /** The committed key identity (names + types) — the
+    * [[FeedViewKeys]] discipline: parquet resolves columns by NAME, so
+    * a reader declaring a different key would silently null-parse the
+    * state; committing the identity turns that into a loud refusal.
+    */
+  private def keyId(keys: StructType): String =
+    keys.fields.map(f => s"${f.name}:${f.dataType.simpleString}")
+      .mkString(",")
+
   /** One schema for every state file; `bucket` LAST (CowStore
     * contract; −1 = meta partition). Meta carries (total kept rows,
-    * high-water batch id, n_buckets, max event ts seen, latenessUs).
+    * high-water batch id, n_buckets, max event ts seen, latenessUs,
+    * key_cols).
     *
     * `attrType` is the tracked attribute's type — LongType for the
     * single-attribute q_rel32 case, a StructType for MULTI-attribute
@@ -74,41 +104,67 @@ object Scd2Stream {
     * one changed field opens one version and equal structs — nulls
     * matching nulls — collapse away). The type is part of the store's
     * layout contract like `buckets`: the explicit-schema parquet read
-    * fails loudly on a mismatched store.
+    * fails loudly on a mismatched store. `keys` is the DECLARED entity
+    * key (round 19 — "my entity key is (account_id, region)"): any
+    * column set, committed in the meta as `key_cols` and validated on
+    * every read like `buckets` and `latenessUs`.
     */
-  private def stateSchema(attrType: DataType) = StructType(Seq(
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("ts_us", LongType), StructField("event_id", LongType),
-    StructField("tier", attrType), StructField("is_delete", BooleanType),
-    StructField("total", LongType), StructField("batch_id", LongType),
-    StructField("n_buckets", LongType), StructField("max_ts_us", LongType),
-    StructField("lateness_us", LongType),
-    StructField("bucket", IntegerType)))
+  private def stateSchema(attrType: DataType, keys: StructType) =
+    StructType(keys.fields.toSeq ++ Seq(
+      StructField("ts_us", LongType), StructField("event_id", LongType),
+      StructField("tier", attrType), StructField("is_delete", BooleanType),
+      StructField("total", LongType), StructField("batch_id", LongType),
+      StructField("n_buckets", LongType), StructField("max_ts_us", LongType),
+      StructField("lateness_us", LongType),
+      StructField("key_cols", StringType),
+      StructField("bucket", IntegerType)))
 
-  private val dataCols =
-    Seq("user_id", "event_type", "ts_us", "event_id", "tier", "is_delete")
+  private def dataCols(keys: StructType): Seq[String] =
+    keys.fieldNames.toSeq ++ Seq("ts_us", "event_id", "tier", "is_delete")
 
   /** The committed meta: (kept rows, high-water batch_id, n_buckets,
-    * max ts, latenessUs); `None` = fresh store.
+    * max ts, latenessUs); `None` = fresh store. Refuses a store whose
+    * committed `key_cols` differ from the declared `keys`.
     */
   def readMeta(spark: SparkSession, stateDir: String,
-      attrType: DataType = LongType)
-      : Option[(Long, Long, Long, Long, Long)] =
-    CowStore.readMetaRow(spark, stateDir, stateSchema(attrType), "scd2")
-      .map(m => (m.getLong(6), m.getLong(7), m.getLong(8), m.getLong(9),
-        m.getLong(10)))
+      attrType: DataType = LongType,
+      keys: StructType = defaultKeys)
+      : Option[(Long, Long, Long, Long, Long)] = {
+    validateKeys(keys)
+    val k = keys.size
+    CowStore.readMetaRow(spark, stateDir, stateSchema(attrType, keys),
+        "scd2")
+      .map { m =>
+        // a null stored id only occurs on a pre-key-contract store
+        // (the column reads null under the explicit schema) — treat as
+        // the default key, the only shape that existed then
+        val stored =
+          if (m.isNullAt(k + 9)) keyId(defaultKeys) else m.getString(k + 9)
+        if (stored != keyId(keys)) throw new IllegalStateException(
+          s"scd2 state at $stateDir is keyed on ($stored); this call " +
+            s"declares (${keyId(keys)}) — a history cannot re-key " +
+            "committed state, refusing")
+        (m.getLong(k + 4), m.getLong(k + 5), m.getLong(k + 6),
+          m.getLong(k + 7), m.getLong(k + 8))
+      }
+  }
 
   /** The kept-event rows (post-collapse log: change points below the
     * watermark, verbatim tail above it); empty for a fresh dir.
     */
   def kept(spark: SparkSession, stateDir: String,
-      attrType: DataType = LongType): DataFrame = {
+      attrType: DataType = LongType,
+      keys: StructType = defaultKeys): DataFrame = {
+    validateKeys(keys)
     val gens = GenStore.committed(spark, stateDir)
     if (gens.isEmpty)
       spark.createDataFrame(java.util.Collections.emptyList[Row](),
-        StructType(stateSchema(attrType).take(6)))
-    else CowStore.readBuckets(spark, stateDir, gens, None,
-      stateSchema(attrType), dataCols).drop("bucket")
+        StructType(stateSchema(attrType, keys).take(keys.size + 4)))
+    else {
+      readMeta(spark, stateDir, attrType, keys) // key-contract check
+      CowStore.readBuckets(spark, stateDir, gens, None,
+        stateSchema(attrType, keys), dataCols(keys)).drop("bucket")
+    }
   }
 
   // -------------------------------------------------- the shared algebra
@@ -124,16 +180,17 @@ object Scd2Stream {
     (del && prevDel) || (!del && !prevDel && (tier <=> prevTier))
 
   /** The one window order every pass shares. */
-  private def keyWindow = Window.partitionBy("user_id", "event_type")
-    .orderBy(col("ts_us"), col("event_id"))
+  private def keyWindow(keys: StructType) =
+    Window.partitionBy(keys.fieldNames.map(col).toSeq: _*)
+      .orderBy(col("ts_us"), col("event_id"))
 
-  /** Change points of a (user_id, event_type, ts_us, event_id, tier,
-    * is_delete) log: rows whose state differs from their predecessor's
+  /** Change points of a (keys…, ts_us, event_id, tier, is_delete)
+    * log: rows whose state differs from their predecessor's
     * (first row of a key always; a LEADING delete — closing nothing —
     * drops). One partitioning, one sort.
     */
-  private def changePoints(log: DataFrame): DataFrame = {
-    val w = keyWindow
+  private def changePoints(log: DataFrame, keys: StructType): DataFrame = {
+    val w = keyWindow(keys)
     log
       .withColumn("rn", row_number().over(w))
       .withColumn("prev_tier", lag(col("tier"), 1).over(w))
@@ -152,18 +209,19 @@ object Scd2Stream {
     * Output: (user_id, event_type, tier, valid_from_us, valid_to_us,
     * version, is_current).
     */
-  def scd2OfLog(log: DataFrame): DataFrame = {
-    val w = keyWindow
-    changePoints(log)
+  def scd2OfLog(log: DataFrame,
+      keys: StructType = defaultKeys): DataFrame = {
+    val w = keyWindow(keys)
+    changePoints(log, keys)
       // valid_to = the NEXT change point's ts, delete or not — a
       // delete closes its predecessor; the filter below then removes
       // the tombstone itself (it is an interval END, never a version).
       .withColumn("valid_to_us", lead(col("ts_us"), 1).over(w))
       .where(!col("is_delete"))
       .withColumn("version", row_number().over(w).cast("long"))
-      .select(col("user_id"), col("event_type"), col("tier"),
+      .select(keys.fieldNames.map(col).toSeq ++ Seq(col("tier"),
         col("ts_us").as("valid_from_us"), col("valid_to_us"),
-        col("version"), col("valid_to_us").isNull.as("is_current"))
+        col("version"), col("valid_to_us").isNull.as("is_current")): _*)
   }
 
   /** The live version table off the committed state — kept rows are
@@ -171,20 +229,22 @@ object Scd2Stream {
     * not change points), so this is [[scd2OfLog]] over ≤ state rows.
     */
   def versions(spark: SparkSession, stateDir: String,
-      attrType: DataType = LongType): DataFrame =
-    scd2OfLog(kept(spark, stateDir, attrType))
+      attrType: DataType = LongType,
+      keys: StructType = defaultKeys): DataFrame =
+    scd2OfLog(kept(spark, stateDir, attrType, keys), keys)
 
   /** Point-in-time read off the live store — q_rel34's semantics:
     * exactly the version alive at `tUs` per entity (deleted or
     * not-yet-born entities absent).
     */
   def asOf(spark: SparkSession, stateDir: String, tUs: Long,
-      attrType: DataType = LongType): DataFrame =
-    versions(spark, stateDir, attrType)
+      attrType: DataType = LongType,
+      keys: StructType = defaultKeys): DataFrame =
+    versions(spark, stateDir, attrType, keys)
       .where(col("valid_from_us") <= tUs &&
         (col("valid_to_us").isNull || col("valid_to_us") > tUs))
-      .select(col("user_id"), col("event_type"), col("tier"),
-        col("version"), col("valid_from_us"))
+      .select(keys.fieldNames.map(col).toSeq ++ Seq(col("tier"),
+        col("version"), col("valid_from_us")): _*)
 
   /** Interval-weighted time-in-state off the LIVE store — q_rel35's
     * semantics ([[graft.analytics.RelationalQueries.scd2Dwell]],
@@ -196,18 +256,23 @@ object Scd2Stream {
     * All-integer µs sums; per-type share rounds 6dp as in q_rel35.
     */
   def dwell(spark: SparkSession, stateDir: String,
-      attrType: DataType = LongType): DataFrame = {
-    val mx = readMeta(spark, stateDir, attrType).map(_._4)
+      attrType: DataType = LongType,
+      keys: StructType = defaultKeys,
+      shareBy: String = "event_type"): DataFrame = {
+    require(keys.fieldNames.contains(shareBy),
+      s"dwell's share grouping '$shareBy' must be one of the declared " +
+        s"key columns ${keys.fieldNames.mkString("(", ", ", ")")}")
+    val mx = readMeta(spark, stateDir, attrType, keys).map(_._4)
       .getOrElse(Long.MinValue)
-    val byType = Window.partitionBy("event_type")
-    versions(spark, stateDir, attrType)
+    val byGroup = Window.partitionBy(shareBy)
+    versions(spark, stateDir, attrType, keys)
       .withColumn("dwell",
         coalesce(col("valid_to_us"), lit(mx)) - col("valid_from_us"))
-      .groupBy("event_type", "tier")
+      .groupBy(shareBy, "tier")
       .agg(sum("dwell").as("dwell_us"))
       .withColumn("share",
-        round(col("dwell_us") / sum("dwell_us").over(byType), 6))
-      .orderBy(col("event_type"), col("tier").asc_nulls_first)
+        round(col("dwell_us") / sum("dwell_us").over(byGroup), 6))
+      .orderBy(col(shareBy), col("tier").asc_nulls_first)
   }
 
   /** Fold every unseen committed generation of a [[CowUpsertStream]]
@@ -280,16 +345,20 @@ object Scd2Stream {
       latenessUs: Long = 0L, compactEvery: Long = 16,
       onBatch: (Long, Long) => Unit = (_, _) => (),
       zOrderOn: Option[ZOrder] = None,
-      attrType: DataType = LongType)
+      attrType: DataType = LongType,
+      keys: StructType = defaultKeys)
       : (DataFrame, Long) => Unit = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     require(latenessUs >= 0, s"latenessUs must be >= 0, got $latenessUs")
     require(compactEvery > 0,
       s"compactEvery must be positive, got $compactEvery")
-    val schema = stateSchema(attrType)
+    validateKeys(keys)
+    val schema = stateSchema(attrType, keys)
+    val dCols = dataCols(keys)
+    val keyNames = keys.fieldNames.toSeq
     (batch: DataFrame, batchId: Long) => {
       val spark = batch.sparkSession
-      val prior = readMeta(spark, stateDir, attrType)
+      val prior = readMeta(spark, stateDir, attrType, keys)
       prior.foreach { case (_, _, nb, _, lat) =>
         if (nb != buckets) throw new IllegalStateException(
           s"scd2 state at $stateDir is bucketed $nb ways; this pipeline " +
@@ -310,20 +379,22 @@ object Scd2Stream {
               "than the state dir; restore a matching pair")
         case _ =>
           val hasDel = batch.columns.contains("is_delete")
+          val notNullKeys = keyNames.map(col(_).isNotNull)
+            .reduce(_ && _)
           val bRows = batch
-            .where(col("user_id").isNotNull && col("event_type").isNotNull &&
+            .where(notNullKeys &&
               col("ts_us").isNotNull && col("event_id").isNotNull)
-            .select(col("user_id").cast("long").as("user_id"),
-              col("event_type").cast("string").as("event_type"),
+            .select(keys.fields.toSeq.map(f =>
+                col(f.name).cast(f.dataType).as(f.name)) ++ Seq(
               col("ts_us").cast("long").as("ts_us"),
               col("event_id").cast("long").as("event_id"),
               col("tier").cast(attrType).as("tier"),
               (if (hasDel) coalesce(col("is_delete").cast("boolean"),
-                lit(false)) else lit(false)).as("is_delete"))
+                lit(false)) else lit(false)).as("is_delete")): _*)
             // redelivery immunity: an exact duplicate row is one event
-            .dropDuplicates(dataCols)
+            .dropDuplicates(dCols)
             .withColumn("bucket",
-              CowStore.bucketOf(buckets, col("user_id"), col("event_type")))
+              CowStore.bucketOf(buckets, keyNames.map(col): _*))
             .localCheckpoint()
           // Lateness contract — REFUSE beyond-watermark rows (1-row pin).
           // priorMax == Long.MinValue is the no-events-yet sentinel (a
@@ -353,20 +424,20 @@ object Scd2Stream {
           // Touched buckets' kept rows merge with the batch; a
           // compaction generation rewrites (and re-collapses) ALL.
           val priorSel =
-            if (gens.isEmpty) CowStore.emptyData(spark, schema, dataCols)
+            if (gens.isEmpty) CowStore.emptyData(spark, schema, dCols)
             else if (isCompact) CowStore.readBuckets(spark, stateDir, gens,
-              None, schema, dataCols)
+              None, schema, dCols)
             else if (touched.isEmpty)
-              CowStore.emptyData(spark, schema, dataCols)
+              CowStore.emptyData(spark, schema, dCols)
             else CowStore.readBuckets(spark, stateDir, gens, Some(touched),
-              schema, dataCols)
+              schema, dCols)
           val unioned = priorSel.unionByName(bRows)
-            .dropDuplicates(dataCols) // replayed-row ∩ stored-row immunity
+            .dropDuplicates(dCols) // replayed-row ∩ stored-row immunity
           // The provably-final collapse: below the NEW watermark, a row
           // equal to its predecessor's state can never become a change
           // point again (no future row lands between two
           // below-watermark timestamps) — drop it. Above: keep all.
-          val w = keyWindow
+          val w = keyWindow(keys)
           // Same sentinel guard: an all-empty state has nothing to
           // collapse, so the watermark stays at the floor (no wrap).
           val wmNew =
@@ -387,6 +458,7 @@ object Scd2Stream {
             .withColumn("n_buckets", lit(null).cast("long"))
             .withColumn("max_ts_us", lit(null).cast("long"))
             .withColumn("lateness_us", lit(null).cast("long"))
+            .withColumn("key_cols", lit(null).cast("string"))
           val genDir = GenStore.dir(stateDir, gen)
           // One write path for the whole CoW family
           // ([[CowStore.writeGenData]]) — compaction generations
@@ -407,9 +479,10 @@ object Scd2Stream {
           val total = prior.map(_._1).getOrElse(0L) -
             priorSelRows + newBucketRows
           CowStore.appendMeta(spark, genDir,
-            Row(null, null, null, null, null, null,
-              total, batchId, buckets.toLong, newMax, latenessUs,
-              Integer.valueOf(-1)),
+            Row.fromSeq(keyNames.map(_ => null) ++
+              Seq(null, null, null, null,
+                total, batchId, buckets.toLong, newMax, latenessUs,
+                keyId(keys), Integer.valueOf(-1))),
             schema)
           // A touched bucket whose rows ALL collapsed away writes no
           // dir; own it via the _EMPTY marker so an older copy cannot

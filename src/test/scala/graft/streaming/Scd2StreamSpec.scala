@@ -404,4 +404,69 @@ class Scd2StreamSpec extends SparkSpec {
           (k.toLong, "a", 100L, k.toLong, Some(1L), false)) :+
           (1L, "a", 200L, 100L, Some(2L), false)))))
   }
+
+  test("declared entity keys: 1- and 3-column keys stream == one-shot; re-keying refuses; dwell shares by a declared key") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val all = corpus(23)
+    val lat = all.map(_._3).max + 1
+    val rnd = new Random(29)
+    val slices = {
+      val tagged = all.map(e => (rnd.nextInt(3), e))
+      (0 until 3).map(b => tagged.filter(_._1 == b).map(_._2))
+    }
+    def rows(d: DataFrame): Set[Seq[Any]] =
+      d.collect().map(_.toSeq).toSet
+
+    // ---- 1-column key: "my entity key is device_id"
+    val k1 = StructType(Seq(StructField("device_id", LongType)))
+    def log1(s: Seq[Ev]): DataFrame =
+      df(s).withColumnRenamed("user_id", "device_id").drop("event_type")
+    val d1 = Files.createTempDirectory("graft-scd2k1").toString
+    val fn1 = Scd2Stream.pipeline(d1, buckets = 4, latenessUs = lat,
+      compactEvery = 100, keys = k1)
+    slices.zipWithIndex.foreach { case (s, i) => fn1(log1(s), i.toLong) }
+    assert(rows(Scd2Stream.versions(spark, d1, keys = k1)) ==
+      rows(Scd2Stream.scd2OfLog(log1(all), k1)),
+      "1-column-key stream != one-shot")
+
+    // ---- 3-column key (account, type, region): the real-warehouse ask
+    val k3 = StructType(Seq(StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("region", StringType)))
+    def log3(s: Seq[Ev]): DataFrame = df(s)
+      .withColumn("region", concat(lit("r"), col("event_id") % 3))
+    val d3 = Files.createTempDirectory("graft-scd2k3").toString
+    val fn3 = Scd2Stream.pipeline(d3, buckets = 8, latenessUs = lat,
+      compactEvery = 100, keys = k3)
+    slices.zipWithIndex.foreach { case (s, i) => fn3(log3(s), i.toLong) }
+    assert(rows(Scd2Stream.versions(spark, d3, keys = k3)) ==
+      rows(Scd2Stream.scd2OfLog(log3(all), k3)),
+      "3-column-key stream != one-shot")
+    // asOf serves the declared key columns
+    val tMid = all.map(_._3).max / 2
+    assert(Scd2Stream.asOf(spark, d3, tMid, keys = k3)
+      .columns.take(3).toSeq == Seq("user_id", "event_type", "region"))
+    // dwell shares by any DECLARED key column; an undeclared one refuses
+    assert(Scd2Stream.dwell(spark, d3, keys = k3, shareBy = "region")
+      .columns.head == "region")
+    assert(intercept[IllegalArgumentException] {
+      Scd2Stream.dwell(spark, d3, keys = k3, shareBy = "device_id")
+    }.getMessage.contains("declared key"))
+
+    // ---- the committed key contract: a reader with different keys
+    // refuses instead of silently null-parsing (parquet resolves by
+    // name)
+    assert(intercept[IllegalStateException] {
+      Scd2Stream.versions(spark, d1) // default (user_id, event_type)
+    }.getMessage.contains("re-key"))
+    assert(intercept[IllegalStateException] {
+      Scd2Stream.versions(spark, d3, keys = k1)
+    }.getMessage.contains("re-key"))
+    // and a mismatched pipeline refuses at its first batch
+    val fnBad = Scd2Stream.pipeline(d1, buckets = 4, latenessUs = lat,
+      compactEvery = 100) // default keys against the device_id store
+    assert(intercept[IllegalStateException] {
+      fnBad(df(all.take(1)), 99L)
+    }.getMessage.contains("re-key"))
+  }
 }

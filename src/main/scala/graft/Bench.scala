@@ -97,6 +97,24 @@ object Bench {
           java.nio.charset.StandardCharsets.UTF_8)
         .split("\\s+").take(3).toSeq.map(_.toDouble)
       catch { case _: Throwable => Seq.empty }
+    // Host-calibration probe (round 19): a FIXED, data-free, CPU-bound
+    // job — xxhash64 over a 200M-row range, partitioned across the
+    // worker threads — timed at run start and end and reported as
+    // `calib_s` (the min: a load spike during one probe must not fake
+    // a slow host). The r16→r18 boards drifted ~10%/round with zero
+    // plan changes (SCALE.md adjudicated it environmental by ratio
+    // argument); with calib_s in every board, cross-round totals
+    // divide by it DIRECTLY instead of being argued, and the 2× bench
+    // contract evaluates on calibrated numbers.
+    def calibOnce(): Double = {
+      val t0 = System.nanoTime()
+      // bit_xor, not sum: 200M full-range hashes overflow a Long sum
+      // under ANSI; xor is closed over Long and still forces the work.
+      spark.range(0L, 200000000L, 1L, cpus.toInt)
+        .selectExpr("xxhash64(id) AS h").selectExpr("bit_xor(h)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calib0 = calibOnce()
     val load0 = loadavg
     val gc0 = gcMillis
     // Interleaved passes: every pass visits all queries in sorted order,
@@ -145,10 +163,14 @@ object Bench {
     val adj = total - results.size * floor
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     def loadJson(l: Seq[Double]): String = l.map(f3).mkString("[", ",", "]")
+    val calib1 = calibOnce()
+    val calibS = math.min(calib0, calib1)
     val line =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,""" +
       s""""n":${results.size},"floor":${f3(floor)},"value_adj":${f3(adj)},""" +
       s""""total_med":${f3(totalMed)},"gc_sec":${f3(gcSec)},""" +
+      s""""calib_s":${f3(calibS)},"calib_start":${f3(calib0)},""" +
+      s""""calib_end":${f3(calib1)},""" +
       s""""load_start":${loadJson(load0)},"load_end":${loadJson(loadavg)},""" +
       s""""queries_med":$qsMed,""" +
       s""""failed":$failedJson,"sf":"$sfDir"}"""

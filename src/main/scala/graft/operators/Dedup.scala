@@ -433,7 +433,15 @@ object Dedup {
     // aliased sides (measured: zero ReusedExchange, assignment ran
     // twice) — persisting makes this the built-once cell index the
     // production flow persists anyway, computed in ONE corpus pass.
-    val cells = Similarity.memoized("cells", embs
+    // storeCached, not the LRU memo: the dd/mm near-dup family cycles
+    // ~10 distinct (corpus, centroid) cell-assignment configs per full
+    // board — more than the memo's capacity, so every pass re-ran an
+    // eager corpus encode per evicted config (r19 memostats: cells
+    // hits=3 misses=10). The disk tier holds every config at zero
+    // executor-memory cost; the assignment is deterministic (6dp
+    // cosine, cid tie-break), and at 100 TB this artifact is exactly
+    // what the IndexMaintenance generation stores persist.
+    val cells = Similarity.storeCached("cells", embs
       .select(col("vec_id"), col("embedding"), VF.l2Norm(col("embedding")).as("nrm"))
       .where(col("nrm") > 0)
       .crossJoin(broadcast(centroids))

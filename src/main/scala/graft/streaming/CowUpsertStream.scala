@@ -325,11 +325,31 @@ object CowUpsertStream {
   /** One foreachBatch handler over batches carrying (`user_id`,
     * `event_type`, `ts_us`, `event_id`, `value`).
     * `onBatch(batchId, rows)` fires after the commit (or replay skip).
+    *
+    * `rawChangelog` (round 19, default false — the store-granular
+    * contract): with true, the feed carries EVERY intra-batch
+    * transition per key, not just the batch winner — the key's batch
+    * rows that beat the incumbent, replayed in (ts_us, event_id)
+    * order, each emitting one change row whose before-image is the
+    * previous link of the chain (the incumbent for the first). The
+    * chain telescopes to exactly the store-mode row (state write and
+    * total bookkeeping are IDENTICAL — the argmax is the chain's last
+    * link), so every delta-fold consumer (the feed views) converges to
+    * the same state either way; what changes is GRANULARITY: a
+    * temporal consumer ([[Scd2Stream.fromFeed]]) sees every
+    * intermediate tier as a version — raw-exact history off the feed,
+    * without re-plumbing the raw stream. An intra-batch A→B→A
+    * round-trip yields three versions raw, one store-granular
+    * (Scd2StreamSpec pins both). Granularity is per generation (the
+    * writer's choice at write time); note the changelog(g) ≡
+    * SnapshotDiff(g−1, g) law holds row-for-row only in store mode —
+    * in raw mode the diff equals the chain's ENDPOINTS.
     */
   def pipeline(stateDir: String, buckets: Int = 64,
       compactEvery: Long = 16,
       onBatch: (Long, Long) => Unit = (_, _) => (),
-      zOrderOn: Option[ZOrder] = None)
+      zOrderOn: Option[ZOrder] = None,
+      rawChangelog: Boolean = false)
       : (DataFrame, Long) => Unit = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     require(compactEvery > 0,
@@ -387,19 +407,50 @@ object CowUpsertStream {
           val beats = col("ts_us") > col("old_ts_us") ||
             (col("ts_us") === col("old_ts_us") &&
               col("event_id") > col("old_event_id"))
-          val delta = winners.join(
-              priorTouched.select(col("user_id"), col("event_type"),
-                col("ts_us").as("old_ts_us"),
-                col("event_id").as("old_event_id"),
-                col("value").as("old_value")),
-              Seq("user_id", "event_type"), "left")
-            .where(col("old_event_id").isNull || beats)
-            .select(col("user_id"), col("event_type"),
-              when(col("old_event_id").isNull, lit("insert"))
-                .otherwise(lit("update")).as("op"),
-              col("ts_us"), col("event_id"), col("value"),
-              col("old_ts_us"), col("old_event_id"), col("old_value"),
-              lit(batchId).as("batch_id"), lit(gen).as("gen"))
+          val incumbent = priorTouched.select(col("user_id"),
+            col("event_type"), col("ts_us").as("old_ts_us"),
+            col("event_id").as("old_event_id"),
+            col("value").as("old_value"))
+          val delta = if (!rawChangelog)
+            winners.join(incumbent, Seq("user_id", "event_type"), "left")
+              .where(col("old_event_id").isNull || beats)
+              .select(col("user_id"), col("event_type"),
+                when(col("old_event_id").isNull, lit("insert"))
+                  .otherwise(lit("update")).as("op"),
+                col("ts_us"), col("event_id"), col("value"),
+                col("old_ts_us"), col("old_event_id"), col("old_value"),
+                lit(batchId).as("batch_id"), lit(gen).as("gen"))
+          else {
+            // The per-event chain: batch rows beating the incumbent,
+            // ascending — in that order EVERY such row is a running
+            // maximum, i.e. a state the key actually passed through;
+            // each links back to its predecessor (the incumbent for
+            // the first). Ties on (ts, event_id) collapse to one row
+            // first (redelivery immunity — a duplicate would otherwise
+            // emit a self-transition).
+            val wAsc = Window.partitionBy("user_id", "event_type")
+              .orderBy(col("ts_us").asc, col("event_id").asc)
+            bRows
+              .dropDuplicates(Seq("user_id", "event_type", "ts_us",
+                "event_id"))
+              .join(incumbent, Seq("user_id", "event_type"), "left")
+              .where(col("old_event_id").isNull || beats)
+              .withColumn("prev_ts", lag(col("ts_us"), 1).over(wAsc))
+              .withColumn("prev_eid", lag(col("event_id"), 1).over(wAsc))
+              .withColumn("prev_val", lag(col("value"), 1).over(wAsc))
+              .select(col("user_id"), col("event_type"),
+                when(col("prev_eid").isNull && col("old_event_id").isNull,
+                  lit("insert")).otherwise(lit("update")).as("op"),
+                col("ts_us"), col("event_id"), col("value"),
+                coalesce(col("prev_ts"), col("old_ts_us")).as("old_ts_us"),
+                coalesce(col("prev_eid"), col("old_event_id"))
+                  .as("old_event_id"),
+                // NOT coalesce: a chain predecessor with a null VALUE is
+                // still the true before-image (value is nullable)
+                when(col("prev_eid").isNotNull, col("prev_val"))
+                  .otherwise(col("old_value")).as("old_value"),
+                lit(batchId).as("batch_id"), lit(gen).as("gen"))
+          }
           val cDir = changeDir(stateDir, gen)
           delta.write.mode("overwrite").parquet(cDir)
           val nInserts = spark.read.schema(changeSchema).parquet(cDir)

@@ -224,23 +224,64 @@ object Scd2Stream {
         col("version"), col("valid_to_us").isNull.as("is_current")): _*)
   }
 
+  /** Guard for [[versions]]/[[asOf]]'s `keyPredicate`: pushing a
+    * predicate BELOW the version window is only sound when it filters
+    * WHOLE window partitions — i.e. references the entity-key columns
+    * and nothing else (a ts/tier predicate below the window would
+    * silently fabricate change points). Enforced by analysis against a
+    * key-only probe frame, the FeedViewKeys.validateDerived trick.
+    */
+  private def validateKeyPredicate(spark: SparkSession, pred: Column,
+      keys: StructType): Unit = {
+    val probe = spark.createDataFrame(
+      java.util.Collections.emptyList[Row](), keys)
+    val analyzed =
+      try probe.where(pred).queryExecution.analyzed
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"keyPredicate must reference only the entity-key columns " +
+              s"${keys.fieldNames.mkString("(", ", ", ")")} — filtering " +
+              "on non-key columns below the version window would " +
+              s"fabricate change points (${e.getMessage})")
+      }
+    require(analyzed.expressions.forall(_.deterministic),
+      "keyPredicate must be deterministic")
+  }
+
   /** The live version table off the committed state — kept rows are
     * already a valid change log (collapse only removed rows PROVABLY
     * not change points), so this is [[scd2OfLog]] over ≤ state rows.
+    *
+    * `keyPredicate` (round 19): an optional filter over the ENTITY-KEY
+    * columns only (validated), applied to the kept-row scan BEFORE the
+    * window — whole key partitions drop, so the surviving versions are
+    * bit-identical to filtering afterwards, but the predicate reaches
+    * the parquet scan: on a z-ordered history store
+    * (pipeline(zOrderOn)), a key band skips row groups by min/max
+    * stats and the serving read touches ≈ the band's fraction of the
+    * store (WarehouseProbe leg 4 measures it) instead of all of it.
     */
   def versions(spark: SparkSession, stateDir: String,
       attrType: DataType = LongType,
-      keys: StructType = defaultKeys): DataFrame =
-    scd2OfLog(kept(spark, stateDir, attrType, keys), keys)
+      keys: StructType = defaultKeys,
+      keyPredicate: Option[Column] = None): DataFrame = {
+    keyPredicate.foreach(validateKeyPredicate(spark, _, keys))
+    val base = kept(spark, stateDir, attrType, keys)
+    scd2OfLog(keyPredicate.map(base.where).getOrElse(base), keys)
+  }
 
   /** Point-in-time read off the live store — q_rel34's semantics:
     * exactly the version alive at `tUs` per entity (deleted or
-    * not-yet-born entities absent).
+    * not-yet-born entities absent). `keyPredicate` as in [[versions]]
+    * — the pruned point-in-time read ("as of t, for this user band")
+    * a 100 TB history store serves without scanning itself.
     */
   def asOf(spark: SparkSession, stateDir: String, tUs: Long,
       attrType: DataType = LongType,
-      keys: StructType = defaultKeys): DataFrame =
-    versions(spark, stateDir, attrType, keys)
+      keys: StructType = defaultKeys,
+      keyPredicate: Option[Column] = None): DataFrame =
+    versions(spark, stateDir, attrType, keys, keyPredicate)
       .where(col("valid_from_us") <= tUs &&
         (col("valid_to_us").isNull || col("valid_to_us") > tUs))
       .select(keys.fieldNames.map(col).toSeq ++ Seq(col("tier"),

@@ -186,6 +186,41 @@ object WarehouseProbe {
       val read = hit.map(_.getLong(5)).sum
       println(f"| $tag | ${files.length} | ${hit.length} | $read | " +
         f"${100.0 * read / total}%.1f%% |")
+
+      // ---- 4. the SERVING path prunes (not just the file census):
+      // asOf/versions with a key-band predicate pushed to the scan.
+      // Engine-measured records read (task input metrics), full read
+      // vs the 12.5% user band — on the z-ordered layout the pruned
+      // read should approach the band fraction; plain layout reads
+      // everything either way (each file spans all users).
+      if (tag != "plain") {
+        val recs = new java.util.concurrent.atomic.LongAdder
+        val lst = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (t.taskMetrics != null)
+              recs.add(t.taskMetrics.inputMetrics.recordsRead)
+        }
+        def rowsRead(body: => Unit): Long = {
+          spark.sparkContext.addSparkListener(lst)
+          recs.reset()
+          body
+          Thread.sleep(1500) // drain the listener bus (diagnostic main)
+          spark.sparkContext.removeSparkListener(lst)
+          recs.sum()
+        }
+        val pred = Some(col("user_id").between(224L, 287L))
+        val full = rowsRead(
+          Scd2Stream.versions(spark, dir).count())
+        val pruned = rowsRead(
+          Scd2Stream.versions(spark, dir, keyPredicate = pred).count())
+        println()
+        println("| serving read | records read | of full |")
+        println("|---|---|---|")
+        println(f"| versions() full | $full | 100%% |")
+        println(f"| versions(user band 12.5%%) | $pruned | " +
+          f"${100.0 * pruned / full}%.1f%% |")
+      }
       fs(dir).delete(new Path(dir), true)
     }
     spark.stop()

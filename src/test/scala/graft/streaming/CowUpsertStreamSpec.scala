@@ -284,6 +284,41 @@ class CowUpsertStreamSpec extends SparkSpec {
       ((0L, "g", 95L, 95L, 2.0))))
   }
 
+  test("raw changelog: state and totals identical to store mode; the chain telescopes; losers and redeliveries stay silent") {
+    val corpusSlices = slice(corpus(71), 3, 73)
+    val dirS = Files.createTempDirectory("graft-cowrawS").toString
+    val dirR = Files.createTempDirectory("graft-cowrawR").toString
+    val fnS = CowUpsertStream.pipeline(dirS, buckets = 4)
+    val fnR = CowUpsertStream.pipeline(dirR, buckets = 4,
+      rawChangelog = true)
+    corpusSlices.zipWithIndex.foreach { case (s, i) =>
+      fnS(df(s), i.toLong); fnR(df(s), i.toLong)
+    }
+    // the state write is mode-independent (the chain's last link IS
+    // the argmax), and so is the insert bookkeeping
+    assert(committed(dirR) == committed(dirS))
+    assert(CowUpsertStream.readMeta(spark, dirR).map(_._1) ==
+      CowUpsertStream.readMeta(spark, dirS).map(_._1))
+    // the raw chain carries >= the store rows and telescopes: summing
+    // (value - old_value) per key over either feed gives the same net
+    import org.apache.spark.sql.functions.{coalesce, lit, sum}
+    val net = (dir: String) => CowUpsertStream.changes(spark, dir)
+      .groupBy("user_id", "event_type")
+      .agg(sum(coalesce(col("value"), lit(0.0)) -
+        coalesce(col("old_value"), lit(0.0))).as("net"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        math.round(r.getDouble(2) * 1e6))).toSet
+    assert(net(dirR) == net(dirS), "raw chain must telescope to store net")
+    assert(CowUpsertStream.changes(spark, dirR).count() >=
+      CowUpsertStream.changes(spark, dirS).count())
+    // a redelivered current row emits nothing in raw mode either
+    val before = CowUpsertStream.changes(spark, dirR).count()
+    val cur = CowUpsertStream.latest(spark, dirR).limit(1).collect().head
+    fnR(df(Seq((cur.getLong(0), cur.getString(1), cur.getLong(2),
+      cur.getLong(3), cur.getDouble(4)))), corpusSlices.size.toLong)
+    assert(CowUpsertStream.changes(spark, dirR).count() == before)
+  }
+
   test("delete() reclaims orphaned *.staging crash debris at both levels") {
     val dir = Files.createTempDirectory("graft-cowstag").toString
     val fn = CowUpsertStream.pipeline(dir, buckets = 4)

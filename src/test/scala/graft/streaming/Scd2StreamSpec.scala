@@ -405,6 +405,64 @@ class Scd2StreamSpec extends SparkSpec {
           (1L, "a", 200L, 100L, Some(2L), false)))))
   }
 
+  test("keyPredicate prunes below the window exactly: pushed == filtered-after; non-key predicates refuse") {
+    val dir = Files.createTempDirectory("graft-scd2kp").toString
+    val all = corpus(37)
+    val fn = Scd2Stream.pipeline(dir, buckets = 8,
+      latenessUs = all.map(_._3).max + 1, compactEvery = 100)
+    fn(df(all), 0L)
+    val pred = col("user_id").between(3L, 7L)
+    val pushed = versionRows(
+      Scd2Stream.versions(spark, dir, keyPredicate = Some(pred)))
+    val after = versionRows(Scd2Stream.versions(spark, dir).where(pred))
+    assert(pushed == after && pushed.nonEmpty,
+      "pushed key predicate must equal the filtered-after read")
+    // asOf serves the pruned band identically
+    val t = all.map(_._3).max / 2
+    assert(Scd2Stream.asOf(spark, dir, t, keyPredicate = Some(pred))
+        .collect().map(_.toSeq).toSet ==
+      Scd2Stream.asOf(spark, dir, t).where(pred)
+        .collect().map(_.toSeq).toSet)
+    // a predicate below the window over NON-key columns would
+    // fabricate change points — refuse at declaration
+    assert(intercept[IllegalArgumentException] {
+      Scd2Stream.versions(spark, dir,
+        keyPredicate = Some(col("tier") === 1L))
+    }.getMessage.contains("entity-key columns"))
+  }
+
+  test("raw changelog mode: an intra-batch A->B->A round-trip yields three versions off the feed; store mode yields one") {
+    def history(raw: Boolean): Seq[(Option[Long], Long, Option[Long])] = {
+      val feedDir = Files.createTempDirectory(
+        s"graft-scd2raw$raw-feed").toString
+      val fn = CowUpsertStream.pipeline(feedDir, buckets = 4,
+        rawChangelog = raw)
+      fn(Seq((1L, "t", 10L, 0L, 1.0), (1L, "t", 20L, 1L, 2.0),
+          (1L, "t", 30L, 2L, 1.0))
+        .toDF("user_id", "event_type", "ts_us", "event_id", "value"), 0L)
+      val scd2Dir = Files.createTempDirectory(
+        s"graft-scd2raw$raw").toString
+      Scd2Stream.fromFeed(spark, feedDir, scd2Dir)
+      Scd2Stream.versions(spark, scd2Dir).orderBy("version").collect()
+        .map(r => (if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSeq
+    }
+    // store-granular: the feed carries only the batch winner, so the
+    // A->B->A round-trip collapses to one version (the argmax state)
+    assert(history(raw = false) ==
+      Seq((Some(1L), 30L, None)),
+      "store-mode history must be the single argmax version (at the " +
+        "winner's ts)")
+    // raw: every intermediate tier is a version — raw-exact history
+    // off the feed
+    assert(history(raw = true) == Seq(
+      (Some(1L), 10L, Some(20L)),
+      (Some(2L), 20L, Some(30L)),
+      (Some(1L), 30L, None)),
+      "raw-mode history must carry all three transitions")
+  }
+
   test("declared entity keys: 1- and 3-column keys stream == one-shot; re-keying refuses; dwell shares by a declared key") {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val all = corpus(23)

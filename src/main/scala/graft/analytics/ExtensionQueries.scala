@@ -1896,7 +1896,10 @@ object ExtensionQueries {
           Tables.documents(spark, dir).where(col("doc_id") % 9 === 4),
           MM.bmpClassImage)),
         threshold = 0.98, nCentroids = 16, lloydIters = 2, trainN = 1024,
-        seedPlanes = 6, dim = 8)
+        seedPlanes = 6, dim = 8,
+        // the decode closure makes the corpus plan key-unstable; the
+        // (modality, dir) pair IS the corpus identity
+        artifactKey = Some(Seq("mm_bmp", dir)))
       .orderBy("vec_a", "vec_b")
 
   val imageNearDupAnnSql: String = {
@@ -2017,7 +2020,7 @@ object ExtensionQueries {
           Tables.documents(spark, dir).where(col("doc_id") % 9 === 4),
           MM.wavClassSamples)),
         threshold = 0.98, nCentroids = 16, lloydIters = 2, trainN = 1024,
-        seedPlanes = 6, dim = 8)
+        seedPlanes = 6, dim = 8, artifactKey = Some(Seq("mm_wav", dir)))
       .orderBy("vec_a", "vec_b")
 
   val audioNearDupAnnSql: String = {
@@ -2137,7 +2140,7 @@ object ExtensionQueries {
           Tables.documents(spark, dir).where(col("doc_id") % 9 === 4),
           MM.aviClassFrames)),
         threshold = 0.98, nCentroids = 16, lloydIters = 2, trainN = 1024,
-        seedPlanes = 6, dim = 8)
+        seedPlanes = 6, dim = 8, artifactKey = Some(Seq("mm_avi", dir)))
       .orderBy("vec_a", "vec_b")
 
   val videoNearDupAnnSql: String = {

@@ -420,11 +420,16 @@ object Dedup {
     * smaller cells and lower recall, or lower it for the reverse).
     * Output: (`vec_a`, `vec_b`, `cos`).
     */
+  /** `artifactKey`: see [[Similarity.trainCentroids]] — required for
+    * corpora whose plans embed typed closures (the multimodal decode
+    * stages), which cannot key the artifact cache by plan.
+    */
   def embeddingNearDupsAnn(embs: DataFrame, threshold: Double,
       nCentroids: Int = 16, lloydIters: Int = 2, trainN: Int = 4096,
-      seedPlanes: Int = 6, dim: Int = 64): DataFrame = {
+      seedPlanes: Int = 6, dim: Int = 64,
+      artifactKey: Option[Seq[Any]] = None): DataFrame = {
     val centroids = Similarity.trainCentroids(embs, nCentroids, lloydIters,
-        trainN, seedPlanes, dim)
+        trainN, seedPlanes, dim, artifactKey)
       .select(col("cid"), col("ce"), VF.l2Norm(col("ce")).as("cn"))
     // Corpus cell assignment — the same partial-before-exchange argmax
     // as ivfTopK (one row per vector crosses the wire, not ×nCentroids).
@@ -441,7 +446,7 @@ object Dedup {
     // executor-memory cost; the assignment is deterministic (6dp
     // cosine, cid tie-break), and at 100 TB this artifact is exactly
     // what the IndexMaintenance generation stores persist.
-    val cells = Similarity.storeCached("cells", embs
+    val cellsPlan = embs
       .select(col("vec_id"), col("embedding"), VF.l2Norm(col("embedding")).as("nrm"))
       .where(col("nrm") > 0)
       .crossJoin(broadcast(centroids))
@@ -451,7 +456,13 @@ object Dedup {
       .agg(max(struct(col("ccos"), (-col("cid")).as("negcid"),
         col("embedding"), col("nrm"))).as("m"))
       .select(col("vec_id"), col("m.embedding").as("e"), col("m.nrm").as("nrm"),
-        (-col("m.negcid")).as("cid")))
+        (-col("m.negcid")).as("cid"))
+    val cells = artifactKey match {
+      case Some(k) => Similarity.storeCachedKeyed("cells",
+        k ++ Seq(nCentroids, lloydIters, trainN, seedPlanes, dim),
+        cellsPlan)
+      case None => Similarity.storeCached("cells", cellsPlan)
+    }
     val a = cells.select(col("cid"), col("vec_id").as("vec_a"),
       col("e").as("ea"), col("nrm").as("na"))
     val b = cells.select(col("cid"), col("vec_id").as("vec_b"),

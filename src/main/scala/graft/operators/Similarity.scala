@@ -559,9 +559,19 @@ object Similarity {
     * pass. At 100 TB you raise `trainN` (e.g. 100k), not the iteration
     * count — Lloyd on a hash-uniform sample converges the same.
     */
+  /** `artifactKey`: explicit identity for the store-cache when the
+    * corpus PLAN cannot key itself — a corpus built through typed
+    * closures (mapPartitions decode stages, the multimodal probe
+    * embeddings) canonicalizes differently on every invocation, so the
+    * plan-keyed cache would rebuild each time (measured r19: the mm
+    * family's trained/cells artifacts missed every rep). The caller
+    * asserts the key identifies the corpus CONTENT (e.g. (modality,
+    * corpus dir)); the hyperparameters are appended automatically.
+    */
   def trainCentroids(corpus: DataFrame, nCentroids: Int = 16,
       iters: Int = 2, trainN: Int = 4096,
-      seedPlanes: Int = 6, dim: Int = 64): DataFrame = {
+      seedPlanes: Int = 6, dim: Int = 64,
+      artifactKey: Option[Seq[Any]] = None): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     // The sign-bucket seeding can produce at most 2^seedPlanes distinct
     // seeds — a fixed plane count silently CAPS the centroid count (the
@@ -655,7 +665,11 @@ object Similarity {
     // capacity bound was the r15..r17 bimodality). Then drop the
     // sample cache (only the training itself reads it — on a cache hit
     // the mark was never materialized, so unpersist just unregisters).
-    val out = storeCached("trained", trained)
+    val out = artifactKey match {
+      case Some(k) => storeCachedKeyed("trained",
+        k ++ Seq(nCentroids, iters, trainN, sp, dim), trained)
+      case None => storeCached("trained", trained)
+    }
     tr.unpersist(blocking = false)
     out
   }
@@ -1405,8 +1419,10 @@ object Similarity {
     * only the trainN-row sample; codebooks are `m·ksub·dim/m` doubles
     * (dim total per codeword row) — always broadcastable.
     */
+  /** `artifactKey`: see [[trainCentroids]]. */
   def trainPqCodebooks(corpus: DataFrame, m: Int = 4, ksub: Int = 16,
-      iters: Int = 2, trainN: Int = 1024, dim: Int = 64): DataFrame = {
+      iters: Int = 2, trainN: Int = 1024, dim: Int = 64,
+      artifactKey: Option[Seq[Any]] = None): DataFrame = {
     require(ksub <= 256, s"ksub=$ksub must fit a one-byte code")
     val keyed = corpus
       .select(col("vec_id"), col("embedding"),
@@ -1452,7 +1468,11 @@ object Similarity {
     // the stored table), so the training sample is releasable as soon
     // as it returns; codebooks are m·ksub rows — the same tiny
     // train-once artifact class as the IVF centroids.
-    try storeCached("pq", trained)
+    try artifactKey match {
+      case Some(k) => storeCachedKeyed("pq",
+        k ++ Seq(m, ksub, iters, trainN, dim), trained)
+      case None => storeCached("pq", trained)
+    }
     finally tr.unpersist(blocking = false)
   }
 

@@ -607,7 +607,10 @@ object IndexMaintenance {
     val vecs = spark.read.parquet(s"$root/vectors")
     val grid = Similarity.int8Stats(vecs, dim)
     val cents = Similarity.trainCentroids(vecs, nCentroids, lloydIters,
-      trainN, seedPlanes, dim)
+      trainN, seedPlanes, dim,
+      // generation-addressed artifact id: the plan-keyed cache would
+      // alias rebuilds (same $root/vectors path, grown content)
+      artifactKey = Some(Seq(root, 0L)))
     writeInt8Gen(spark, root, 0L, vecs, grid, cents)
   }
 
@@ -810,7 +813,8 @@ object IndexMaintenance {
               writeInt8Gen(spark, root, gen + 1, vecs,
                 Similarity.int8Stats(vecs, dim),
                 Similarity.trainCentroids(vecs, nCentroids,
-                  lloydIters, trainN, seedPlanes, dim))
+                  lloydIters, trainN, seedPlanes, dim,
+                  artifactKey = Some(Seq(root, gen + 1))))
               gen += 1
               grid = pinLocal(spark.read.parquet(s"${genDir(root, gen)}/grid"))
               cents = pinLocal(
@@ -838,7 +842,8 @@ object IndexMaintenance {
                   writeInt8Gen(spark, root, target, vecs,
                     Similarity.int8Stats(vecs, dim),
                     Similarity.trainCentroids(vecs, nCentroids,
-                      lloydIters, trainN, seedPlanes, dim),
+                      lloydIters, trainN, seedPlanes, dim,
+                      artifactKey = Some(Seq(root, target))),
                     commit = false)
                   built.set(target)
                 } catch {
@@ -1000,7 +1005,8 @@ object IndexMaintenance {
       .write.mode("overwrite").parquet(s"$root/vectors")
     val vecs = spark.read.parquet(s"$root/vectors")
     writePqGen(spark, root, 0L, vecs,
-      Similarity.trainPqCodebooks(vecs, m, ksub, iters, trainN, dim), m, dim)
+      Similarity.trainPqCodebooks(vecs, m, ksub, iters, trainN, dim,
+        artifactKey = Some(Seq(root, 0L))), m, dim)
   }
 
   /** [[writeInt8Gen]]'s shape for PQ: codes are encoded on the WRITTEN
@@ -1133,7 +1139,8 @@ object IndexMaintenance {
               val vecs = spark.read.parquet(s"$root/vectors")
                 .dropDuplicates("vec_id")
               writePqGen(spark, root, gen + 1, vecs,
-                Similarity.trainPqCodebooks(vecs, m, ksub, iters, trainN, dim),
+                Similarity.trainPqCodebooks(vecs, m, ksub, iters, trainN, dim,
+                  artifactKey = Some(Seq(root, gen + 1))),
                 m, dim)
               gen += 1
               val swapped = pinHist(gen)
@@ -1152,7 +1159,7 @@ object IndexMaintenance {
                     .dropDuplicates("vec_id")
                   writePqGen(spark, root, target, vecs,
                     Similarity.trainPqCodebooks(vecs, m, ksub, iters,
-                      trainN, dim),
+                      trainN, dim, artifactKey = Some(Seq(root, target))),
                     m, dim, commit = false)
                   built.set(target)
                 } catch {
@@ -1188,8 +1195,9 @@ object IndexMaintenance {
     val vecs = spark.read.parquet(s"$root/vectors")
     writeIvfPqGen(spark, root, 0L, vecs,
       Similarity.trainCentroids(vecs, nCentroids, lloydIters, trainN,
-        seedPlanes, dim),
-      Similarity.trainPqCodebooks(vecs, m, ksub, lloydIters, trainN, dim),
+        seedPlanes, dim, artifactKey = Some(Seq(root, 0L))),
+      Similarity.trainPqCodebooks(vecs, m, ksub, lloydIters, trainN, dim,
+        artifactKey = Some(Seq(root, 0L))),
       m, dim)
   }
 
@@ -1353,9 +1361,10 @@ object IndexMaintenance {
                 .dropDuplicates("vec_id")
               writeIvfPqGen(spark, root, gen + 1, vecs,
                 Similarity.trainCentroids(vecs, nCentroids, lloydIters,
-                  trainN, seedPlanes, dim),
+                  trainN, seedPlanes, dim,
+                  artifactKey = Some(Seq(root, gen + 1))),
                 Similarity.trainPqCodebooks(vecs, m, ksub, lloydIters,
-                  trainN, dim),
+                  trainN, dim, artifactKey = Some(Seq(root, gen + 1))),
                 m, dim)
               gen += 1
               val swapped = pinState(gen)
@@ -1375,9 +1384,10 @@ object IndexMaintenance {
                     .dropDuplicates("vec_id")
                   writeIvfPqGen(spark, root, target, vecs,
                     Similarity.trainCentroids(vecs, nCentroids, lloydIters,
-                      trainN, seedPlanes, dim),
+                      trainN, seedPlanes, dim,
+                      artifactKey = Some(Seq(root, target))),
                     Similarity.trainPqCodebooks(vecs, m, ksub, lloydIters,
-                      trainN, dim),
+                      trainN, dim, artifactKey = Some(Seq(root, target))),
                     m, dim, commit = false)
                   built.set(target)
                 } catch {

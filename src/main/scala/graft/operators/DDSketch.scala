@@ -106,6 +106,40 @@ object DDSketch {
     * the global min and the re-group is the identity), broadcast onto
     * the table, one bounded re-aggregate.
     */
+  /** Store-cached exact-quantile TRUTH walk (round 20): the
+    * distinct-value cumulative table `(keys..., value, cum, total)`
+    * that the dd-quantile audits (q_rel10f/q_rel10i/q_agg8) join their
+    * sketch estimates against. The walk is the audits' pay-for-truth
+    * side — deterministic per (session, values plan, keys), exactly
+    * the [[Similarity.cachedTruth]] artifact class — so one build per
+    * JVM serves every audit and rep; the SKETCH side (the estimator
+    * being certified) stays honestly re-executed per query. `total`
+    * is folded into the artifact (the grouped counts sum — identical
+    * to the separate count(*) the audits previously re-scanned the
+    * fact table for).
+    */
+  def cachedValueCum(values: DataFrame, keys: Seq[String] = Nil): DataFrame =
+    Similarity.storeCachedKeyed("vcum",
+      Seq(values.sparkSession,
+        values.queryExecution.analyzed.canonicalized, keys),
+      {
+        import org.apache.spark.sql.expressions.Window
+        val keyCols = keys.map(col)
+        val byValue = values.where(col("value") > 0)
+          .groupBy(keyCols :+ col("value"): _*)
+          .agg(count(lit(1)).as("c"))
+        val w = (if (keys.isEmpty) Window.partitionBy()
+          else Window.partitionBy(keyCols: _*))
+          .orderBy("value")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val wAll = (if (keys.isEmpty) Window.partitionBy()
+          else Window.partitionBy(keyCols: _*))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        byValue.select(keyCols :+ col("value") :+
+          sum("c").over(w).as("cum") :+
+          sum("c").over(wAll).as("total"): _*)
+      })
+
   def collapse(sk: DataFrame, m: Int): DataFrame = {
     require(m >= 2, s"cap must be >= 2 buckets, got $m")
     val cutoff = sk.orderBy(col("bucket").desc).limit(m)

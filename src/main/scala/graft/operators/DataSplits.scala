@@ -85,9 +85,11 @@ object DataSplits {
     */
   def clusterAwareSplits(docs: DataFrame, pairs: DataFrame,
       fractions: Seq[(String, Int)] =
-        Seq("train" -> 80, "val" -> 10, "test" -> 10)): DataFrame =
+        Seq("train" -> 80, "val" -> 10, "test" -> 10),
+      clusters: Option[DataFrame] = None): DataFrame =
     docs
-      .join(Dedup.dupClusters(pairs).select(col("doc_id"), col("cluster")),
+      .join(clusters.getOrElse(Dedup.dupClusters(pairs))
+          .select(col("doc_id"), col("cluster")),
         Seq("doc_id"), "left")
       .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
       .withColumn("split", assignSplit(col("cluster"), fractions))

@@ -321,6 +321,81 @@ object Dedup {
     }
   }
 
+  // ------------------------------------------------------------------
+  // Store-cached audit truth (round 20): the dedup audit family's
+  // deterministic pay-for-truth and candidate tables promoted to the
+  // disk artifact store — [[Similarity.cachedTruth]]'s stance applied
+  // here (key on the INPUT plan + scalar params, session folded in;
+  // BUILD artifacts only, never per-query results). One build per
+  // (JVM, session, corpus plan, params) serves every audit replaying
+  // it; q_dd4 and q_dd13 keep the DIRECT pipelines (the canonical
+  // places the all-pairs-truth and prefix-join PLANS stay exposed and
+  // plan-audited — the q_dd5 discipline), while the audits layered on
+  // top (q_dd11/q_dd14) read the artifacts.
+
+  /** [[jaccardPairs]] as a store-cached truth artifact — q_dd11's
+    * exact all-pairs ground truth over its bounded block.
+    */
+  def cachedJaccardPairs(docs: DataFrame, threshold: Double): DataFrame =
+    Similarity.storeCachedKeyed("jtruth",
+      Seq(docs.sparkSession, docs.queryExecution.analyzed.canonicalized,
+        threshold),
+      jaccardPairs(docs, threshold))
+
+  /** [[prefixCandidates]] as a store-cached artifact — the lossless
+    * candidate table q_dd14's audit counts and verifies.
+    */
+  def cachedPrefixCandidates(docs: DataFrame, tNum: Int = 4, tDen: Int = 5,
+      shingleSize: Int = 3): DataFrame =
+    Similarity.storeCachedKeyed("pcand",
+      Seq(docs.sparkSession, docs.queryExecution.analyzed.canonicalized,
+        tNum, tDen, shingleSize),
+      prefixCandidates(docs, tNum, tDen, shingleSize))
+
+  /** Exact ≥ tNum/tDen truth pairs — the verify of the cached prefix
+    * candidates (complete by the losslessness proof), store-cached so
+    * q_dd14's three truth references read one artifact.
+    */
+  def cachedPrefixTruth(docs: DataFrame, tNum: Int = 4, tDen: Int = 5,
+      shingleSize: Int = 3): DataFrame =
+    Similarity.storeCachedKeyed("ptruth",
+      Seq(docs.sparkSession, docs.queryExecution.analyzed.canonicalized,
+        tNum, tDen, shingleSize),
+      prefixJaccardVerify(docs,
+        cachedPrefixCandidates(docs, tNum, tDen, shingleSize),
+        tNum, tDen, shingleSize)
+        .select(col("doc_a"), col("doc_b")))
+
+  /** [[minhashCandidates]] as a store-cached artifact — the banding
+    * candidate set the recall audits (q_dd11/q_dd14) measure. q_dd5's
+    * verified pipeline stays direct (its plan is the audited one).
+    */
+  def cachedMinhashCandidates(docs: DataFrame, numPerms: Int = 64,
+      bands: Int = 16, shingleSize: Int = 3,
+      md5Parity: Boolean = false): DataFrame =
+    Similarity.storeCachedKeyed("mhcand",
+      Seq(docs.sparkSession, docs.queryExecution.analyzed.canonicalized,
+        numPerms, bands, shingleSize, md5Parity),
+      minhashCandidates(docs, numPerms, bands, shingleSize, md5Parity))
+
+  /** [[dupClusters]] as a store-cached artifact keyed on the PAIR-GRAPH
+    * plan — the connected-components closure is derived index state
+    * exactly like the pair graph itself ([[nearDupPairsMemo]]): five
+    * declared queries (q_dd9/q_dd9b/q_dd12/q_ml6/q_ml17) resolve the
+    * same closure, and each invocation re-ran the iterative fixpoint
+    * (persist + per-iteration convergence jobs) over an UNCHANGED
+    * memoized pair table. Callers pass the memoized pairs (a stable
+    * LogicalRDD leaf within a session, so the plan key is exact);
+    * streamed per-batch closures ([[graft.streaming.SplitStream]])
+    * key differently every batch and keep the direct operator.
+    */
+  def cachedClusters(pairs: DataFrame, aCol: String = "doc_a",
+      bCol: String = "doc_b"): DataFrame =
+    Similarity.storeCachedKeyed("closure",
+      Seq(pairs.sparkSession, pairs.queryExecution.analyzed.canonicalized,
+        aCol, bCol),
+      dupClusters(pairs, aCol, bCol))
+
   /** SimHash candidate pairs BEFORE the Hamming cutoff — the blocking
     * stage of [[simhashNearDups]], exposed so candidate volume (the
     * operator's true scale cost) is measurable and testable directly.
@@ -457,9 +532,11 @@ object Dedup {
         col("embedding"), col("nrm"))).as("m"))
       .select(col("vec_id"), col("m.embedding").as("e"), col("m.nrm").as("nrm"),
         (-col("m.negcid")).as("cid"))
+    // Session folded into explicit keys — see Similarity.trainCentroids.
     val cells = artifactKey match {
       case Some(k) => Similarity.storeCachedKeyed("cells",
-        k ++ Seq(nCentroids, lloydIters, trainN, seedPlanes, dim),
+        embs.sparkSession +: (k ++ Seq(nCentroids, lloydIters, trainN,
+          seedPlanes, dim)),
         cellsPlan)
       case None => Similarity.storeCached("cells", cellsPlan)
     }
@@ -622,14 +699,15 @@ object Dedup {
     * does ([[graft.operators.Graph.pageRank]]'s reuse note).
     */
   def resolveClustersByRank(pairs: DataFrame, weightCol: Option[String] = None,
-      aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+      aCol: String = "doc_a", bCol: String = "doc_b",
+      clusters: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val clusters = dupClusters(pairs, aCol, bCol)
+    val cl = clusters.getOrElse(dupClusters(pairs, aCol, bCol))
     val ranks = graft.operators.Graph.pageRank(pairs, aCol, bCol,
       weightCol = weightCol)
-    val sizes = clusters.groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+    val sizes = cl.groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
     val w = Window.partitionBy("cluster").orderBy(col("pr").desc, col("doc_id"))
-    clusters
+    cl
       .join(ranks.select(col("node").as("doc_id"), col("rank").as("pr")),
         Seq("doc_id"))
       .join(sizes, Seq("cluster"))
@@ -654,10 +732,11 @@ object Dedup {
     */
   def resolveClustersByScore(pairs: DataFrame, scores: DataFrame,
       scoreCol: String = "quality",
-      aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+      aCol: String = "doc_a", bCol: String = "doc_b",
+      clusters: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("cluster").orderBy(col(scoreCol).desc, col("doc_id"))
-    dupClusters(pairs, aCol, bCol)
+    clusters.getOrElse(dupClusters(pairs, aCol, bCol))
       .join(scores, Seq("doc_id"))
       .withColumn("keep", (row_number().over(w) === 1).cast("long"))
   }

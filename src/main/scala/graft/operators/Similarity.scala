@@ -148,6 +148,18 @@ object Similarity {
     p.toString
   }
 
+  /** Per-key holder so distinct keys of one slot build CONCURRENTLY
+    * (round 20, ADVICE: the per-slot lock serialized e.g. all 'truth'
+    * builds for different (queries, corpus, k) even though only
+    * identical-key builds must wait on each other). The holder is the
+    * lock: computeIfAbsent gives every (slot, key) its own monitor,
+    * double-checked so a racing identical-key call waits and then hits
+    * — never double-computes.
+    */
+  private final class ArtEntry {
+    @volatile var built: (SparkSession, String) = null
+  }
+
   /** The general form: artifact identity = (slot, explicit key parts),
     * build evaluated ONLY on a miss. Needed because a plan containing
     * typed operations (groupByKey/Aggregator/flatMap — bruteForceTopK's
@@ -159,25 +171,38 @@ object Similarity {
   private[graft] def storeCachedKeyed(slot: String, keyParts: Seq[Any],
       build: => DataFrame): DataFrame = {
     val key = (slot, keyParts): Any
-    // Per-slot lock, same stance as memoized: a "truth" build must not
-    // serialize against a concurrent "trained" build.
-    val lock = memoLocks.computeIfAbsent("art:" + slot, _ => new AnyRef)
-    val (spark, dir) = lock.synchronized {
-      val existing = artDirs.get(key)
-      if (existing != null) {
-        bump(memoHits, "art:" + slot)
-        existing.asInstanceOf[(SparkSession, String)]
-      } else {
+    val holder = artDirs.computeIfAbsent(key, _ => new ArtEntry)
+      .asInstanceOf[ArtEntry]
+    if (holder.built == null) holder.synchronized {
+      if (holder.built == null) {
         bump(memoMisses, "art:" + slot)
         val df = build
         val d = s"$artRoot/${slot}_${artSeq.incrementAndGet()}"
         df.write.mode("overwrite").parquet(d)
-        val entry = (df.sparkSession, d)
-        artDirs.put(key, entry)
-        entry
-      }
-    }
+        holder.built = (df.sparkSession, d)
+      } else bump(memoHits, "art:" + slot)
+    } else bump(memoHits, "art:" + slot)
+    val (spark, dir) = holder.built
     spark.read.parquet(dir)
+  }
+
+  /** Drop every artifact entry whose explicit key parts contain
+    * `keyPart` — the invalidation hook for artifactKey-keyed entries
+    * whose key is a STORE IDENTITY (root path, corpus dir) rather than
+    * a canonicalized plan (round 20, ADVICE): a path re-initialized
+    * with different content in one JVM must not serve the previous
+    * content's trained artifacts. Store init paths
+    * ([[graft.streaming.IndexMaintenance]] guardInit) call this with
+    * the root before seeding. Scratch parquet files are left for the
+    * JVM-exit cleanup — only the mapping is dropped, so an in-flight
+    * reader of the old artifact keeps its files.
+    */
+  private[graft] def invalidateArtifacts(keyPart: Any): Unit = {
+    val it = artDirs.keySet().iterator()
+    while (it.hasNext) it.next() match {
+      case (_, parts: Seq[_]) if parts.contains(keyPart) => it.remove()
+      case _ => ()
+    }
   }
 
   private[graft] def storeCached(slot: String, df: DataFrame): DataFrame =
@@ -665,9 +690,14 @@ object Similarity {
     // capacity bound was the r15..r17 bimodality). Then drop the
     // sample cache (only the training itself reads it — on a cache hit
     // the mark was never materialized, so unpersist just unregisters).
+    // The session is folded into explicit keys too (round 20, ADVICE):
+    // a second SparkSession re-using a (root, gen) identity must build
+    // its own artifact — the cached entry pins the BUILD session for
+    // the parquet read, and a stopped session's DataFrame is unusable.
     val out = artifactKey match {
       case Some(k) => storeCachedKeyed("trained",
-        k ++ Seq(nCentroids, iters, trainN, sp, dim), trained)
+        corpus.sparkSession +: (k ++ Seq(nCentroids, iters, trainN, sp, dim)),
+        trained)
       case None => storeCached("trained", trained)
     }
     tr.unpersist(blocking = false)
@@ -1468,9 +1498,10 @@ object Similarity {
     // the stored table), so the training sample is releasable as soon
     // as it returns; codebooks are m·ksub rows — the same tiny
     // train-once artifact class as the IVF centroids.
+    // Session folded into explicit keys — see trainCentroids.
     try artifactKey match {
       case Some(k) => storeCachedKeyed("pq",
-        k ++ Seq(m, ksub, iters, trainN, dim), trained)
+        corpus.sparkSession +: (k ++ Seq(m, ksub, iters, trainN, dim)), trained)
       case None => storeCached("pq", trained)
     }
     finally tr.unpersist(blocking = false)

@@ -211,16 +211,28 @@ object CowUpsertStream {
     * gen number keeps the orphans forever). Mirrors
     * dropUncommittedAbove's uncommitted-dir cleanup; safe because a
     * `.staging` path is by protocol never a committed generation.
+    *
+    * AGE-GATED (round 20, ADVICE): the store is single-writer by the
+    * GenStore contract, but an unconditional sweep would let two
+    * delete() calls racing the same store reclaim each other's
+    * in-flight staged pair before the publish rename. Only staging
+    * dirs older than [[stagingSweepAgeMs]] are reclaimed — an
+    * in-flight stage is mtime-fresh by construction, while genuine
+    * crash debris is arbitrarily old.
     */
+  private[streaming] val stagingSweepAgeMs: Long = 10 * 60 * 1000L
+
   private def sweepStaging(spark: SparkSession, stateDir: String): Unit = {
     val hfs = GenStore.fs(spark, stateDir)
+    val cutoff = System.currentTimeMillis() - stagingSweepAgeMs
     // both staged pairs: $stateDir/gen-N.staging and
     // $stateDir/changes/gen-N.staging
     Seq(stateDir, changesRoot(stateDir)).foreach { d =>
       val root = new Path(d)
       if (hfs.exists(root))
         hfs.listStatus(root).foreach { st =>
-          if (st.isDirectory && st.getPath.getName.endsWith(".staging"))
+          if (st.isDirectory && st.getPath.getName.endsWith(".staging") &&
+              st.getModificationTime < cutoff)
             GenStore.deleteQuiet(spark, st.getPath.toString)
         }
     }

@@ -590,6 +590,12 @@ object IndexMaintenance {
     if (StoreManifest.read(spark, root).isDefined)
       StoreManifest.check(spark, root, entries, store)
     else StoreManifest.write(spark, root, entries)
+    // A root that passed the fresh-init guard may still have trained
+    // artifacts cached from a PREVIOUS store at the same path (wiped
+    // externally, re-inited in one JVM): artifact keys here are (root,
+    // gen) identities, not content plans, so drop them before seeding
+    // (round 20, ADVICE).
+    graft.operators.Similarity.invalidateArtifacts(root)
   }
 
   /** Create an int8 generation store: persist the MANIFEST (shape

@@ -336,16 +336,20 @@ object Scd2Stream {
     * loudly; its `event_id` is the before-image's (deterministic
     * order under ties). Returns change rows folded.
     *
-    * GRANULARITY CONTRACT — the history is feed-GENERATION-granular,
-    * not raw-log-granular: the upsert store folds each of its batches
-    * to the per-key argmax BEFORE emitting one change row, so tier
-    * transitions occurring WITHIN one feed batch never become SCD-2
-    * versions here. The resulting history is exact over the STORE's
-    * state sequence (versions = the store's states at feed-generation
-    * boundaries) — which is the right truth for a CDC consumer, whose
-    * upstream already adjudicated intra-batch races. A history exact
-    * over the raw event log (every intermediate tier a version) must
-    * feed [[pipeline]] directly from the raw stream instead.
+    * GRANULARITY CONTRACT — the history is exactly as granular as the
+    * FEED. Under a store-granular feed (the
+    * [[CowUpsertStream.pipeline]] default, `rawChangelog = false`) the
+    * upsert store folds each of its batches to the per-key argmax
+    * BEFORE emitting one change row, so tier transitions occurring
+    * WITHIN one feed batch never become SCD-2 versions here: versions
+    * = the store's states at feed-generation boundaries — the right
+    * truth for a CDC consumer whose upstream already adjudicated
+    * intra-batch races. Under a RAW feed
+    * (`CowUpsertStream.pipeline(rawChangelog = true)`) every ordered
+    * per-key event is its own change row and fromFeed reproduces every
+    * intermediate version (Scd2StreamSpec pins three versions for an
+    * intra-batch A→B→A round trip) — the raw-exact path off a feed,
+    * equivalent to feeding [[pipeline]] from the raw stream.
     */
   def fromFeed(spark: SparkSession, feedDir: String, scd2Dir: String,
       tier: Column = round(col("value")).cast("long"),

@@ -331,10 +331,22 @@ class CowUpsertStreamSpec extends SparkSpec {
     val hfs = GenStore.fs(spark, dir)
     val orphans = Seq(s"$dir/gen-7.staging", s"$dir/changes/gen-7.staging")
     orphans.foreach(p => assert(hfs.mkdirs(new Path(p))))
+    // Crash debris is old by construction; a FRESH .staging dir is a
+    // possibly-in-flight stage and must survive the sweep (round 20's
+    // age gate). Age the planted orphans past the gate, plant one
+    // fresh decoy next to them.
+    orphans.foreach { p =>
+      val old = System.currentTimeMillis() -
+        CowUpsertStream.stagingSweepAgeMs - 60000L
+      hfs.setTimes(new Path(p), old, old)
+    }
+    val fresh = new Path(s"$dir/gen-8.staging")
+    assert(hfs.mkdirs(fresh))
     assert(CowUpsertStream.delete(spark, dir,
       Seq((1L, "t")).toDF("user_id", "event_type")) == 1L)
     orphans.foreach(p =>
       assert(!hfs.exists(new Path(p)), s"orphan $p not swept"))
+    assert(hfs.exists(fresh), "fresh (possibly in-flight) stage must survive")
     // the real delete still committed exactly
     assert(committed(dir) == Set((2L, "t", 100L, 1L, 2.0)))
   }

@@ -4770,33 +4770,59 @@ object ExtensionQueries {
     val docs = Tables.documents(spark, dir)
     val keep = docs.groupBy(TF.fingerprintMd5(col("text")).as("fp"))
       .agg(min("doc_id").as("doc_id"))
-    val deduped = docs.join(keep.select("doc_id"), Seq("doc_id"), "left_semi")
-    val corpus = deduped.where(col("doc_id") % 10 =!= 0)
     val benchGrams = docs.where(col("doc_id") % 10 === 0)
       .select(explode(TF.shingles(col("text"), 8)).as("gram")).distinct()
-    val contaminated = corpus
+    // Contamination scan over the exact-dedup corpus slice (semi join
+    // BEFORE the gram explode — non-survivors never shingle).
+    val contaminated = docs.where(col("doc_id") % 10 =!= 0)
+      .join(keep.select("doc_id"), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), explode(TF.shingles(col("text"), 8)).as("gram"))
       .join(broadcast(benchGrams), "gram")
       .select("doc_id").distinct()
-    val clean = corpus.join(contaminated, Seq("doc_id"), "left_anti")
-    val scored = clean.select(col("doc_id"), col("text"),
-      TF.qualityScore(col("text")).as("q"),
-      round(TF.hexHash60(col("text")).cast("double") /
-        lit(1152921504606846976.0), 6).as("u"))
-    val ext = scored.agg(min("q").as("qmin"), max("q").as("qmax"))
+    // ONE flagged corpus pass (round 20 — the q_ml6 round-8 rewrite
+    // applied here: the stage-union form re-executed each stage's
+    // upstream per branch, ~9 document scans per run; AQE does not
+    // reuse repeated subtrees). Every doc is tagged once with its
+    // survival flags and per-doc (q, u, tok); the slim flag table is
+    // checkpointed because the quality extrema (a sub-aggregate over
+    // clean docs) and the final stage aggregate both read it.
+    val flagged = graft.util.ScratchCheckpoints.register(docs
+      .join(keep.select(col("doc_id"), lit(1).as("is_ex")),
+        Seq("doc_id"), "left")
+      .join(contaminated.select(col("doc_id"), lit(1).as("is_cont")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        TF.tokenCount(col("text")).as("tok"),
+        col("is_ex").isNotNull.as("f_ex"),
+        (col("is_ex").isNotNull && col("doc_id") % 10 =!= 0 &&
+          col("is_cont").isNull).as("f_clean"),
+        TF.qualityScore(col("text")).as("q"),
+        round(TF.hexHash60(col("text")).cast("double") /
+          lit(1152921504606846976.0), 6).as("u"))
+      .localCheckpoint())
+    val ext = flagged.where(col("f_clean"))
+      .agg(min("q").as("qmin"), max("q").as("qmax"))
     // Same qmax == qmin guard as temperatureSample: degenerate quality
     // spread keeps everything explicitly rather than via NaN-ordering luck.
-    val sampled = scored.crossJoin(broadcast(ext))
-      .where(col("u") < when(col("qmax") === col("qmin"), lit(1.0)).otherwise(
-        round(pow((col("q") - col("qmin")) / (col("qmax") - col("qmin")), 0.5), 6)))
-    def stageRow(name: String, df: DataFrame): DataFrame =
-      df.agg(count(lit(1)).as("n_docs"),
-        coalesce(sum(TF.tokenCount(col("text"))), lit(0L)).as("total_tokens"))
-        .select(lit(name).as("stage"), col("n_docs"), col("total_tokens"))
-    stageRow("0_raw", docs)
-      .union(stageRow("1_exact_dedup", deduped))
-      .union(stageRow("2_decontaminated", clean))
-      .union(stageRow("3_sampled", sampled))
+    val thr = when(col("qmax") === col("qmin"), lit(1.0)).otherwise(
+      round(pow((col("q") - col("qmin")) / (col("qmax") - col("qmin")), 0.5), 6))
+    def cnt(c: Column) = coalesce(sum(when(c, 1L)), lit(0L))
+    def tks(c: Column) = coalesce(sum(when(c, col("tok"))), lit(0L))
+    def stageStruct(name: String, n: Column, t: Column) =
+      struct(lit(name).as("stage"), n.as("n_docs"), t.as("total_tokens"))
+    flagged.crossJoin(broadcast(ext))
+      .withColumn("f_samp", col("f_clean") && col("u") < thr)
+      .agg(count(lit(1)).as("n0"), coalesce(sum("tok"), lit(0L)).as("t0"),
+        cnt(col("f_ex")).as("n1"), tks(col("f_ex")).as("t1"),
+        cnt(col("f_clean")).as("n2"), tks(col("f_clean")).as("t2"),
+        cnt(col("f_samp")).as("n3"), tks(col("f_samp")).as("t3"))
+      .select(explode(array(
+        stageStruct("0_raw", col("n0"), col("t0")),
+        stageStruct("1_exact_dedup", col("n1"), col("t1")),
+        stageStruct("2_decontaminated", col("n2"), col("t2")),
+        stageStruct("3_sampled", col("n3"), col("t3")))).as("s"))
+      .select(col("s.stage").as("stage"), col("s.n_docs").as("n_docs"),
+        col("s.total_tokens").as("total_tokens"))
       .orderBy("stage")
   }
 

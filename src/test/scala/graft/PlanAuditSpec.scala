@@ -646,6 +646,28 @@ class PlanAuditSpec extends SparkSpec {
       "threshold row broadcasts: " + p.take(600))
   }
 
+  test("q_ml9: ONE flagged corpus pass; stage rows come from a single conditional-sum aggregate") {
+    // The round-20 rewrite (q_ml6's round-8 cost model applied to the
+    // v2 funnel): the stage-union form re-executed each stage's
+    // upstream per branch (~9 document scans per run, 36 scan nodes in
+    // the plan). Now the corpus is read exactly FOUR times total — the
+    // canonical-min-id aggregate, the bench gram side, the
+    // contamination explode, and the single flagged pass — the flag
+    // table is checkpointed (the extrema sub-aggregate and the final
+    // aggregate both read it), and all four stage rows come from one
+    // conditional-sum aggregate.
+    val p = plan("q_ml9_curation_funnel_v2")
+    val scans = "testdata".r.findAllIn(p).size
+    assert(scans <= 4,
+      s"documents read at most 4x (canonical, bench grams, contamination, flags), got $scans:\n" +
+        p.take(1200))
+    assert(p.contains("Scan ExistingRDD"),
+      "stage aggregates must read the checkpointed flag table: " + p.take(600))
+    assert(p.contains("Exchange SinglePartition"),
+      "stage rows collapse into one global conditional-sum aggregate: " + p.take(600))
+    assert(!p.contains("CartesianProduct"), p.take(400))
+  }
+
   test("q_ml17: split audit reads the memoized pairs + checkpointed assignment; no corpus re-scan") {
     // The pair graph is the shared memoized pair-index table and the
     // slim cluster assignment is localCheckpoint-ed once; the per-split

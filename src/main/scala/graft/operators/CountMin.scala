@@ -49,6 +49,14 @@ object CountMin {
   /** Build the sketch over a token stream (`items` must expose a string
     * column `item`): one pass, output exactly the non-empty cells of
     * the d×w counter table as (hrow, bucket, c).
+    *
+    * Deliberately NOT the q_rel10h hash-after-distinct form (round-20
+    * optimization note): hashing after a wordcount would cut the md5
+    * count to d·|vocabulary|, but it would also replace this shape's
+    * BOUNDED exchange (partial aggregation collapses to ≤ d·w rows per
+    * task before the shuffle, for ANY key cardinality — the property
+    * q_adv14's salt pricing and the 100 TB posture rest on) with a
+    * vocabulary-sized keyed shuffle. A local-mode win only; rejected.
     */
   def sketch(items: DataFrame, d: Int, w: Int): DataFrame = {
     require(d > 0 && w > 0, s"sketch dims must be positive, got d=$d w=$w")
@@ -73,6 +81,25 @@ object CountMin {
     ska.join(skb.withColumnRenamed("c", "cb"), Seq("hrow", "bucket"))
       .groupBy("hrow").agg(sum(col("c") * col("cb")).as("ip"))
       .agg(min("ip").as("est_pairs"))
+
+  /** Store-cached EXACT join size (round 20): the 1-row
+    * `true_pairs` = Σ_x fA(x)·fB(x) table the pricing audits
+    * (q_txt22/q_txt23) compare the sketch estimate against — the
+    * pay-for-truth side ([[Similarity.cachedTruth]]'s artifact class:
+    * deterministic per (session, side plans), built once per JVM; the
+    * sketch estimate stays re-executed per run). q_txt22 and
+    * q_txt23's occurrences leg share one artifact (identical side
+    * plans).
+    */
+  def cachedJoinSizeTruth(a: DataFrame, b: DataFrame,
+      keyCol: String = "item"): DataFrame =
+    Similarity.storeCachedKeyed("cmstruth",
+      Seq(a.sparkSession,
+        a.queryExecution.analyzed.canonicalized,
+        b.queryExecution.analyzed.canonicalized, keyCol),
+      a.groupBy(keyCol).agg(count(lit(1)).as("ca"))
+        .join(b.groupBy(keyCol).agg(count(lit(1)).as("cb")), keyCol)
+        .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("true_pairs")))
 
   /** Point-query estimates for `queries` (string column `item`,
     * distinct): est = min over the d rows of the item's cell, absent

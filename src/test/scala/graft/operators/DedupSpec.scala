@@ -52,6 +52,35 @@ class DedupSpec extends SparkSpec {
     assert(verified.subsetOf(cand))
   }
 
+  test("store-cached audit artifacts ≡ direct pipelines, and reads come from the artifact store (round 20)") {
+    // The round-20 truth/candidate/closure artifacts must be
+    // row-identical to the direct operators they memoize, and a
+    // repeat call must serve parquet from graft_artifacts instead of
+    // rebuilding — the q_dd11/q_dd14 oracle-equivalence rests on this.
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(Dedup.cachedJaccardPairs(docs, 0.5)) ==
+      rows(Dedup.jaccardPairs(docs, 0.5)))
+    assert(rows(Dedup.cachedPrefixCandidates(docs)) ==
+      rows(Dedup.prefixCandidates(docs)))
+    assert(rows(Dedup.cachedPrefixTruth(docs)) ==
+      rows(Dedup.prefixJaccardVerify(docs, Dedup.prefixCandidates(docs))
+        .select("doc_a", "doc_b")))
+    assert(rows(Dedup.cachedMinhashCandidates(docs, md5Parity = true)) ==
+      rows(Dedup.minhashCandidates(docs, md5Parity = true)))
+    val pairs = Dedup.nearDupPairsMemo(docs, threshold = 0.5, md5Parity = true)
+    assert(rows(Dedup.cachedClusters(pairs)) == rows(Dedup.dupClusters(pairs)))
+    // Second call = same DataFrame identity class: a parquet read off
+    // the pid-scoped artifact store, no rebuilt pipeline.
+    val again = Dedup.cachedJaccardPairs(docs, 0.5)
+    val plan = again.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_artifacts"),
+      "repeat call must read the artifact store: " + plan.take(400))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "the all-pairs cross must not rebuild on a hit: " + plan.take(400))
+  }
+
   test("simhashNearDups: exact dups at hamming 0; small-edit near dup found; unrelated absent") {
     // SimHash bit stability needs enough tokens for the per-bit majority
     // to have margin — use a 64-token doc with a single-token edit.

@@ -159,39 +159,20 @@ object Dedup {
     * after it in both suffixes).
     */
   def prefixCandidates(docs: DataFrame, tNum: Int = 4, tDen: Int = 5,
-      shingleSize: Int = 3): DataFrame =
-    prefixCandidatesFrom(shingleSets(docs, shingleSize), tNum, tDen)
-
-  /** [[prefixCandidates]] over an already-built shingle-set table —
-    * factored out (round 20) so [[prefixJaccardJoin]] shingles the
-    * corpus ONCE for both its candidate and verify stages.
-    */
-  private def prefixCandidatesFrom(arrs: DataFrame, tNum: Int,
-      tDen: Int): DataFrame = {
+      shingleSize: Int = 3): DataFrame = {
     require(tNum > 0 && tDen >= tNum,
       s"threshold $tNum/$tDen must be a fraction in (0, 1]")
     import org.apache.spark.sql.expressions.Window
+    val arrs = shingleSets(docs, shingleSize)
     val sets = arrs.select(col("doc_id"), col("sz"), explode(col("ss")).as("sh"))
     val dfreq = sets.groupBy("sh").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))
-    val prefixPlan = sets.join(dfreq, "sh")
+    val prefix = sets.join(dfreq, "sh")
       .withColumn("rs", row_number().over(w).cast("long"))
       // L = sz − ⌈t·sz⌉ + 1, all-integer
       .where(col("rs") <=
         col("sz") - ((col("sz") * tNum + (tDen - 1)) / tDen).cast("long") + 1)
       .select(col("doc_id"), col("sz"), col("sh"), col("rs"))
-    // The self-join input is materialized ONCE (round 20): the two
-    // aliases are identical subtrees, but the runtime stage graph does
-    // not reuse them (measured in the q_dd13 plan — the whole
-    // scan → shingle → df wordcount → rank pipeline appeared twice,
-    // zero ReusedExchange; the q_adv7 finding again). The prefix table
-    // is bounded: each doc contributes its L lowest-df shingles
-    // (≈ (1−t)·|shingles|), so the checkpoint is a t-fraction of the
-    // shingle stream, and it is registered with ScratchCheckpoints so
-    // Bench/Verify reclaim it after the query's action — built per
-    // invocation, never cached across runs.
-    val prefix = graft.util.ScratchCheckpoints.register(
-      prefixPlan.localCheckpoint())
     // α = ⌈tNum·(sza+szb) / (tNum+tDen)⌉, integer
     val alpha = (((col("a.sz") + col("b.sz")) * tNum + (tNum + tDen - 1)) /
       (tNum + tDen)).cast("long")
@@ -212,11 +193,8 @@ object Dedup {
     * WITHOUT rebuilding the candidate stage.
     */
   def prefixJaccardVerify(docs: DataFrame, cands: DataFrame,
-      tNum: Int = 4, tDen: Int = 5, shingleSize: Int = 3): DataFrame =
-    prefixVerifyFrom(shingleSets(docs, shingleSize), cands, tNum, tDen)
-
-  private def prefixVerifyFrom(arrs: DataFrame, cands: DataFrame,
-      tNum: Int, tDen: Int): DataFrame =
+      tNum: Int = 4, tDen: Int = 5, shingleSize: Int = 3): DataFrame = {
+    val arrs = shingleSets(docs, shingleSize)
     cands
       .join(arrs.select(col("doc_id").as("doc_a"), col("ss").as("sa"),
         col("sz").as("sza")), "doc_a")
@@ -227,15 +205,10 @@ object Dedup {
       .where(col("inter") * tDen >= col("uni") * tNum)
       .select(col("doc_a"), col("doc_b"),
         round(col("inter").cast("double") / col("uni"), 6).as("jaccard"))
+  }
 
   def prefixJaccardJoin(docs: DataFrame, tNum: Int = 4, tDen: Int = 5,
       shingleSize: Int = 3): DataFrame =
-    // The verify re-shingles lazily (shingling is a map-side pass and
-    // the shingle-ARRAY table is corpus-scale — materializing it to
-    // executor storage was measured a wash locally and is the wrong
-    // trade at 100 TB); the expensive duplicated subtree — the
-    // df-wordcount + rank pipeline behind the candidate self-join —
-    // is deduplicated by prefixCandidatesFrom's bounded checkpoint.
     prefixJaccardVerify(docs, prefixCandidates(docs, tNum, tDen, shingleSize),
       tNum, tDen, shingleSize)
 

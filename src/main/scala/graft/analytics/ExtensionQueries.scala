@@ -3128,9 +3128,13 @@ object ExtensionQueries {
       trainN = 1024, dim = 64)
     val codes = Similarity.pqCodes(embs, cb, m = 4, dim = 64)
       .select("vec_id", "sub", "code")
-    val adc = graft.util.ScratchCheckpoints.register(
-      Similarity.pqAdcTopK(queries, codes, cb, k = 30, m = 4, dim = 64)
-        .select("query_id", "neighbor_id", "rank").localCheckpoint())
+    // Round 21: the ADC ranking is referenced exactly ONCE below (the
+    // two depths are a broadcast residue of the same frame), so the
+    // r19-era eager localCheckpoint was a pure extra job + 15k-row
+    // write/read barrier — dropped; the ranking now fuses into the
+    // consumer's single plan.
+    val adc = Similarity.pqAdcTopK(queries, codes, cb, k = 30, m = 4, dim = 64)
+      .select("query_id", "neighbor_id", "rank")
     val depths = broadcast(Seq(10, 30).toDF("depth"))
     val truthAgg = exact.agg(count(lit(1)).as("n_truth"),
       countDistinct("query_id").as("n_queries"))

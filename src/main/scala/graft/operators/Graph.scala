@@ -81,16 +81,50 @@ object Graph {
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst"), w.as("w")))
   }
 
-  private def rankParts(sym: DataFrame, damping: Double): RankParts = {
-    val deg = sym.groupBy("src").agg(sum("w").as("wsum"))
-    val nodes = deg.select(col("src").as("node"))
-    val nn = nodes.agg(count(lit(1)).cast("double").as("n"))
-    val init = nodes.crossJoin(broadcast(nn))
-      .select(col("node"), (lit(1.0) / col("n")).as("rank"))
+  /** Prepare the symmetrized edge table for the rank rounds (round 21,
+    * VERDICT #3): repartition ONCE on the join key `src`, attach the
+    * per-src weight total as a partition-local window over that same
+    * partitioning (replacing the separate degree aggregate each round
+    * re-joined — sum order differs from the hash aggregate's shuffle
+    * arrival order, which the per-round 9dp rank rounding absorbs by
+    * the same cross-engine argument the oracles rely on; the
+    * unweighted case sums exact 1.0s, order-free), and cut lineage so
+    * every round's edge-side join reads the SAME hash(src)-partitioned
+    * RDD instead of re-executing union + exchange per round. The
+    * checkpoint is LAZY — no extra job barrier; the first consuming
+    * action ([[nodeTable]]'s count) materializes it. MEASURED LIMIT: a
+    * checkpointed LogicalRDD reports UnknownPartitioning under AQE
+    * (verified in the round-21 plan dumps), so the per-round joins
+    * still re-exchange the (now in-memory, wsum-carrying) edge rows —
+    * the win is the deduped upstream + the deg join folded away, not
+    * exchange elimination; co-partitioning the rounds would need a
+    * persist, whose CacheManager entry has no deterministic
+    * harness-side release (see ScratchCheckpoints).
+    */
+  private def prepared(sym: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("src")
+    graft.util.ScratchCheckpoints.register(
+      sym.repartition(col("src"))
+        .withColumn("wsum", sum("w").over(w))
+        .localCheckpoint(eager = false))
+  }
+
+  /** `symW` carries (src, dst, w, wsum) (see [[prepared]]) — the degree
+    * table is folded into the edge rows, `nodes` is the materialized
+    * node table and `n` its count pinned as a driver scalar (a bounded
+    * pin, [[graft.operators.Similarity.probedCells]]'s class), so a
+    * round is ONE ranks join + ONE contribution aggregate + the node
+    * left join — the per-round `count(*)` aggregate + its crossJoin
+    * broadcast (2 extra stages × iters) are gone, and the rank formula
+    * embeds `(1−d)/n` as a literal (identical IEEE ops on the same
+    * values — bit-equal to the column form).
+    */
+  private def rankParts(symW: DataFrame, nodes: DataFrame, n: Double,
+      damping: Double): RankParts = {
+    val init = nodes.select(col("node"), lit(1.0 / n).as("rank"))
     def step(ranks: DataFrame): DataFrame = {
-      val contrib = sym
+      val contrib = symW
         .join(ranks.select(col("node").as("src"), col("rank")), Seq("src"))
-        .join(deg, Seq("src"))
         .select(col("dst").as("node"),
           // wsum = 0 (a node whose edges are ALL zero-weight) would make
           // rank·w/wsum = 0/0 = NaN and poison every reachable node's
@@ -101,12 +135,24 @@ object Graph {
             .otherwise(lit(0.0)).as("c"))
         .groupBy("node").agg(sum("c").as("s"))
       nodes.join(contrib, Seq("node"), "left")
-        .crossJoin(broadcast(nn))
         .select(col("node"),
-          round(lit(1.0 - damping) / col("n")
+          round(lit((1.0 - damping) / n)
             + lit(damping) * coalesce(col("s"), lit(0.0)), 9).as("rank"))
     }
     RankParts(step, init)
+  }
+
+  /** Materialized (node table, node count) off a prepared edge table —
+    * shared by [[pageRank]] and [[pageRankUntil]]. The distinct runs
+    * once instead of per round-reference, and the count is the one
+    * bounded driver action both variants were already paying for
+    * (pageRankUntil per round; pageRank via the per-round re-aggregated
+    * crossJoin broadcast this replaces).
+    */
+  private def nodeTable(symW: DataFrame): (DataFrame, Double) = {
+    val nodes = graft.util.ScratchCheckpoints.register(
+      symW.select(col("src").as("node")).distinct().localCheckpoint())
+    (nodes, nodes.count().toDouble)
   }
 
   /** PageRank with a FIXED iteration count over an undirected pair
@@ -153,7 +199,9 @@ object Graph {
       bCol: String = "doc_b", damping: Double = 0.85,
       iters: Int = 5, weightCol: Option[String] = None): DataFrame = {
     require(iters >= 1, s"pageRank needs iters >= 1, got $iters")
-    val parts = rankParts(symmetrize(pairs, aCol, bCol, weightCol), damping)
+    val symW = prepared(symmetrize(pairs, aCol, bCol, weightCol))
+    val (nodes, n) = nodeTable(symW)
+    val parts = rankParts(symW, nodes, n, damping)
     (1 to iters).foldLeft(parts.init)((ranks, _) => parts.step(ranks))
   }
 
@@ -187,13 +235,18 @@ object Graph {
     import org.apache.spark.storage.StorageLevel
     require(maxIters >= 1, s"pageRankUntil needs maxIters >= 1, got $maxIters")
     require(eps >= 0.0, s"pageRankUntil needs eps >= 0, got $eps")
-    // Persist the SYMMETRIZED edges: every round's two joins and the
-    // degree/node/init tables all read the cache, so the upstream pair
+    // Persist the PREPARED edges (symmetrized + repartitioned on src +
+    // wsum attached, the rankParts contract): every round's join and
+    // the node/init tables all read the cache, so the upstream pair
     // pipeline runs exactly once despite the per-round driver actions.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("src")
     val sym = symmetrize(pairs, aCol, bCol, weightCol)
+      .repartition(col("src"))
+      .withColumn("wsum", sum("w").over(w))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val parts = rankParts(sym, damping)
+      val (nodes, n) = nodeTable(sym)
+      val parts = rankParts(sym, nodes, n, damping)
       var ranks = parts.init
       var ranksCheckpointed = false
       def freeGeneration(gen: DataFrame): Unit =

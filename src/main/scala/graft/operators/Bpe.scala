@@ -279,6 +279,15 @@ object Bpe {
     * join form by construction — same fold per word.
     */
   def textCount(merges: Seq[(String, String)])(text: Column): Column =
+    graft.functions.BpeTokenCount.textCount(merges)(text)
+
+  /** The original higher-order-function fold — `aggregate`/`filter`
+    * lambdas are CodegenFallback, so every word walked an INTERPRETED
+    * expression tree; kept private as the reference implementation the
+    * equivalence spec pins [[textCount]]'s native expression against
+    * (round 21).
+    */
+  private[graft] def textCountFold(merges: Seq[(String, String)])(text: Column): Column =
     aggregate(
       filter(split(text, " "), w => w =!= ""),
       lit(0L),

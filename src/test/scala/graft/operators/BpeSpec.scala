@@ -73,6 +73,38 @@ class BpeSpec extends SparkSpec {
       s"join=$viaJoin meter=$viaMeter")
   }
 
+  test("textCount native expression ≡ the higher-order-function fold (round 21)") {
+    // The meter was rewritten as one codegen'd expression performing
+    // the IDENTICAL UTF8String operation sequence (split/concatWs/
+    // replace/substringSQL) the interpreted aggregate/filter fold
+    // assembled from built-ins. Pin equality on the real corpus plus
+    // adversarial strings (repeated/leading/trailing spaces, empty,
+    // null, the replace fuse quirk, unicode).
+    import org.apache.spark.sql.functions.col
+    val adversarial = Seq(
+      (100L, "  double  space  "), (101L, ""), (102L, "a"),
+      (103L, " a ba aba ab b "), (104L, "aaaa aaaa"),
+      (105L, "héllo wörld héllo"), (106L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+      .unionByName(adversarial)
+    val merges = Seq(("a", "b"), ("b", "a"), ("aa", "aa"), ("l", "o"),
+      ("lo", "w"), ("h", "é"))
+    val got = docs.select(col("doc_id"),
+        Bpe.textCount(merges)(col("text")).as("native"),
+        Bpe.textCountFold(merges)(col("text")).as("fold"))
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.isNullAt(1) == r.isNullAt(2),
+        s"doc ${r.getLong(0)}: null mismatch")
+      if (!r.isNullAt(1))
+        assert(r.getLong(1) == r.getLong(2),
+          s"doc ${r.getLong(0)}: native=${r.getLong(1)} fold=${r.getLong(2)}")
+    }
+  }
+
   test("learnMerges refuses a corpus with no adjacent pairs") {
     val docs = Seq((0L, "a b c")).toDF("doc_id", "text")
     val e = intercept[Exception](Bpe.learnMerges(docs, nMerges = 1))

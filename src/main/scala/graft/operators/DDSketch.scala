@@ -122,23 +122,82 @@ object DDSketch {
     Similarity.storeCachedKeyed("vcum",
       Seq(values.sparkSession,
         values.queryExecution.analyzed.canonicalized, keys),
-      {
-        import org.apache.spark.sql.expressions.Window
-        val keyCols = keys.map(col)
-        val byValue = values.where(col("value") > 0)
-          .groupBy(keyCols :+ col("value"): _*)
-          .agg(count(lit(1)).as("c"))
-        val w = (if (keys.isEmpty) Window.partitionBy()
-          else Window.partitionBy(keyCols: _*))
-          .orderBy("value")
-          .rowsBetween(Window.unboundedPreceding, 0)
-        val wAll = (if (keys.isEmpty) Window.partitionBy()
-          else Window.partitionBy(keyCols: _*))
-          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        byValue.select(keyCols :+ col("value") :+
-          sum("c").over(w).as("cum") :+
-          sum("c").over(wAll).as("total"): _*)
-      })
+      valueCumTwoLevel(values, keys))
+
+  /** The round-21 build (VERDICT r20 #5): a TWO-LEVEL prefix sum
+    * replacing the per-key (or, for `keys = Nil`, GLOBAL partition-less)
+    * window over ALL distinct values — the one unbounded-partition
+    * WindowExec the round-20 audit left in the artifact build. Values
+    * group by their binary exponent (`grp = floor(log2 v)` — a
+    * deterministic range key with ≤ ~2,100 possible groups over
+    * positive doubles): the running sum WITHIN a (keys, grp) partition
+    * is a bounded-fan window, the ACROSS-group offsets are a
+    * triangular broadcast join over the ≤ 2,100-row per-key group
+    * totals (no partition-less window anywhere), and `total` is the
+    * per-key sum of the same group totals. All counts are exact longs,
+    * so `cum = within + offset` and `total` are VALUE-IDENTICAL to the
+    * single-window walk for any grouping (integer addition is
+    * order-free) — DDSketchSpec pins row-set equality against the
+    * direct single-window form.
+    */
+  private[graft] def valueCumTwoLevel(values: DataFrame,
+      keys: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyCols = keys.map(col)
+    val byValue = values.where(col("value") > 0)
+      .groupBy(keyCols :+ col("value"): _*)
+      .agg(count(lit(1)).as("c"))
+      .withColumn("grp", floor(log2(col("value"))).cast("long"))
+    val wIn = Window.partitionBy(keyCols :+ col("grp"): _*)
+      .orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val inCum = byValue.withColumn("icum", sum("c").over(wIn))
+    val gTot = byValue.groupBy(keyCols :+ col("grp"): _*)
+      .agg(sum("c").as("gtot"))
+    val right = gTot.select(
+      keys.map(k => col(k).as(s"r_$k")) :+
+        col("grp").as("r_grp") :+ col("gtot").as("r_gtot"): _*)
+    val offCond = keys.map(k => col(k) === col(s"r_$k"))
+      .foldLeft(col("r_grp") < col("grp"))(_ && _)
+    val offs = gTot.join(broadcast(right), offCond, "left")
+      .groupBy(keyCols :+ col("grp"): _*)
+      .agg(coalesce(sum("r_gtot"), lit(0L)).as("off"))
+    val totals =
+      if (keys.isEmpty) gTot.agg(sum("gtot").as("total"))
+      else gTot.groupBy(keyCols: _*).agg(sum("gtot").as("total"))
+    val withOff = inCum
+      .join(broadcast(offs), keys :+ "grp")
+    val withTotal =
+      if (keys.isEmpty) withOff.crossJoin(broadcast(totals))
+      else withOff.join(broadcast(totals), keys)
+    withTotal.select(keyCols :+ col("value") :+
+      (col("icum") + col("off")).as("cum") :+ col("total"): _*)
+  }
+
+  /** The pre-round-21 single-window walk, kept as the reference
+    * implementation DDSketchSpec pins [[valueCumTwoLevel]] against
+    * (for `keys = Nil` this is the partition-less global window the
+    * two-level form exists to avoid — never call it on unbounded
+    * inputs).
+    */
+  private[graft] def valueCumSingleWindow(values: DataFrame,
+      keys: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyCols = keys.map(col)
+    val byValue = values.where(col("value") > 0)
+      .groupBy(keyCols :+ col("value"): _*)
+      .agg(count(lit(1)).as("c"))
+    val w = (if (keys.isEmpty) Window.partitionBy()
+      else Window.partitionBy(keyCols: _*))
+      .orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = (if (keys.isEmpty) Window.partitionBy()
+      else Window.partitionBy(keyCols: _*))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    byValue.select(keyCols :+ col("value") :+
+      sum("c").over(w).as("cum") :+
+      sum("c").over(wAll).as("total"): _*)
+  }
 
   def collapse(sk: DataFrame, m: Int): DataFrame = {
     require(m >= 2, s"cap must be >= 2 buckets, got $m")

@@ -161,4 +161,32 @@ class DDSketchSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(tBefore == tAfter)
   }
+
+  test("valueCum two-level ≡ single-window walk; no partition-less window in the build (round 21)") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.collect().map(_.toSeq).toSet
+    def globalWindows(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.sparkPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }.size
+    // Unkeyed: planted values spanning exponent-group boundaries —
+    // exact powers of two (where a 1-ulp log2 error flips the group:
+    // harmless, groups only need monotonicity), ties, subnormal-range,
+    // non-positive (filtered), multi-group spreads.
+    val vals = (values ++ Seq(8.0, 8.0, 4.0, 0.5, 1.0, 2.0, 1e-300,
+      3.0, 0.0, -5.0)).toDF("value")
+    assert(rows(DDSketch.valueCumTwoLevel(vals)) ==
+      rows(DDSketch.valueCumSingleWindow(vals)))
+    assert(globalWindows(DDSketch.valueCumTwoLevel(vals)) == 0,
+      "the artifact build must not contain a partition-less window")
+    assert(globalWindows(DDSketch.valueCumSingleWindow(vals)) > 0,
+      "detector sanity: the reference walk IS the global window")
+    // Keyed: per-key cums and totals, keys with disjoint value ranges.
+    val keyed = (values.map(("a", _)) ++ Seq(("b", 8.0), ("b", 8.0),
+      ("b", 2.0), ("b", 1e9), ("c", 0.25))).toDF("event_type", "value")
+    assert(rows(DDSketch.valueCumTwoLevel(keyed, Seq("event_type"))) ==
+      rows(DDSketch.valueCumSingleWindow(keyed, Seq("event_type"))))
+    assert(globalWindows(DDSketch.valueCumTwoLevel(keyed, Seq("event_type"))) == 0)
+  }
 }

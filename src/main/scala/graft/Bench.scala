@@ -165,15 +165,26 @@ object Bench {
     def loadJson(l: Seq[Double]): String = l.map(f3).mkString("[", ",", "]")
     val calib1 = calibOnce()
     val calibS = math.min(calib0, calib1)
+    // Field ORDER is load-bearing (round 21, VERDICT #2): the driver
+    // parses a bounded stdout TAIL, and a 177-query line overflows it
+    // from the HEAD — round 20's PERF comparison got n_common=0 because
+    // the leading summary scalars fell outside the window. The bulky
+    // per-query maps therefore go FIRST and every summary scalar
+    // (value, n, calib, failed, sf, and the new "cpus" echo of
+    // $SPARK_GRAFT_CPUS for the scaling audit) goes at the END, so
+    // truncation eats per-query detail, never the totals. Additions +
+    // ordering only — the metric itself and the timing methodology are
+    // unchanged, so cross-round comparison stays valid.
     val line =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,""" +
+      s"""{"metric":"total","unit":"sec","queries":$qs,""" +
+      s""""queries_med":$qsMed,""" +
       s""""n":${results.size},"floor":${f3(floor)},"value_adj":${f3(adj)},""" +
       s""""total_med":${f3(totalMed)},"gc_sec":${f3(gcSec)},""" +
       s""""calib_s":${f3(calibS)},"calib_start":${f3(calib0)},""" +
       s""""calib_end":${f3(calib1)},""" +
       s""""load_start":${loadJson(load0)},"load_end":${loadJson(loadavg)},""" +
-      s""""queries_med":$qsMed,""" +
-      s""""failed":$failedJson,"sf":"$sfDir"}"""
+      s""""cpus":$cpus,""" +
+      s""""failed":$failedJson,"value":${f3(total)},"sf":"$sfDir"}"""
     println(line)
     // Memo-slot observability (stderr, opt-in): per-slot hit/miss since
     // JVM start. A slot whose misses grow with passes is cycling its

@@ -158,6 +158,72 @@ object Similarity {
     */
   private final class ArtEntry {
     @volatile var built: (SparkSession, String) = null
+    @volatile var bytes: Long = 0L
+    @volatile var lastServedNanos: Long = 0L
+  }
+
+  /** Byte budget + LRU eviction for the artifact store (round 21,
+    * VERDICT #7 — open since r19): the per-JVM scratch previously grew
+    * without bound, fine for bench JVMs but wrong as a library default
+    * (a long-lived session cycling corpora leaks disk linearly). After
+    * every build the store reclaims least-recently-SERVED entries until
+    * under `SPARK_GRAFT_ART_MAX_BYTES` (default 32 GiB), evicting only
+    * entries idle longer than `SPARK_GRAFT_ART_EVICT_GRACE_MS` (default
+    * 10 min — the same age-gate trade the staging sweep makes: an
+    * in-flight reader of a lazily-held frame older than the grace is
+    * the documented residual race). Eviction removes the MAPPING first
+    * and then the files, so a subsequent call can never be handed a
+    * deleted path — it rebuilds into a fresh directory, which is always
+    * correctness-preserving (artifacts are deterministic functions of
+    * their keys). Entries dropped by [[invalidateArtifacts]] keep their
+    * files (in-flight readers) and stay counted against the budget —
+    * conservative; the pid-scoped dir is removed at JVM exit as before.
+    */
+  private val artBytesTotal = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val artEvictLock = new AnyRef
+  private def artProp(name: String, dflt: Long): Long =
+    sys.props.get(name).orElse(sys.env.get(name.replace('.', '_').toUpperCase))
+      .map(_.toLong).getOrElse(dflt)
+  private def dirBytes(dir: String): Long = {
+    val p = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.exists(p)) return 0L
+    val s = java.nio.file.Files.walk(p)
+    try s.filter(java.nio.file.Files.isRegularFile(_))
+      .mapToLong(java.nio.file.Files.size(_)).sum()
+    finally s.close()
+  }
+  private def deleteDir(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.exists(p)) return
+    val s = java.nio.file.Files.walk(p)
+    try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    finally s.close()
+  }
+  private def maybeEvict(justBuilt: Any): Unit = artEvictLock.synchronized {
+    val cap = artProp("spark.graft.art.max.bytes", 32L * 1024 * 1024 * 1024)
+    val graceNanos =
+      artProp("spark.graft.art.evict.grace.ms", 10L * 60 * 1000) * 1000000L
+    if (artBytesTotal.get() <= cap) return
+    import scala.jdk.CollectionConverters._
+    val now = System.nanoTime()
+    val candidates = artDirs.entrySet().asScala.toSeq
+      .collect { case e if e.getValue.isInstanceOf[ArtEntry] =>
+        (e.getKey, e.getValue.asInstanceOf[ArtEntry]) }
+      .filter { case (k, v) => k != justBuilt && v.built != null &&
+        now - v.lastServedNanos > graceNanos }
+      .sortBy(_._2.lastServedNanos)
+    val it = candidates.iterator
+    while (artBytesTotal.get() > cap && it.hasNext) {
+      val (key, entry) = it.next()
+      // Mapping first, files second: a racing identical-key call after
+      // the remove builds fresh — it can never observe the dying path.
+      if (artDirs.remove(key, entry)) {
+        artBytesTotal.addAndGet(-entry.bytes)
+        deleteDir(entry.built._2)
+        bump(memoMisses, "art:evicted")
+      }
+    }
   }
 
   /** The general form: artifact identity = (slot, explicit key parts),
@@ -173,13 +239,21 @@ object Similarity {
     val key = (slot, keyParts): Any
     val holder = artDirs.computeIfAbsent(key, _ => new ArtEntry)
       .asInstanceOf[ArtEntry]
+    // Touch BEFORE the built check so a concurrent evictor's grace test
+    // sees this access (narrows the serve-vs-evict race to the
+    // timestamp write itself — the documented age-gate residual).
+    holder.lastServedNanos = System.nanoTime()
     if (holder.built == null) holder.synchronized {
       if (holder.built == null) {
         bump(memoMisses, "art:" + slot)
         val df = build
         val d = s"$artRoot/${slot}_${artSeq.incrementAndGet()}"
         df.write.mode("overwrite").parquet(d)
+        holder.bytes = dirBytes(d)
+        holder.lastServedNanos = System.nanoTime()
+        artBytesTotal.addAndGet(holder.bytes)
         holder.built = (df.sparkSession, d)
+        maybeEvict(key)
       } else bump(memoHits, "art:" + slot)
     } else bump(memoHits, "art:" + slot)
     val (spark, dir) = holder.built

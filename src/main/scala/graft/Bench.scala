@@ -114,7 +114,24 @@ object Bench {
         .selectExpr("xxhash64(id) AS h").selectExpr("bit_xor(h)").collect()
       (System.nanoTime() - t0) / 1e9
     }
+    // Shuffle+IO calibration leg (round 21, VERDICT #10): the CPU-only
+    // probe missed the non-CPU contention that poisoned whole windows
+    // (SCALE.md rounds 19-21: same code, same calib_s, totals 25%
+    // apart). A fixed 10M-row keyed exchange prices the shuffle path
+    // (serialization, local shuffle disk, scheduler) so a poisoned
+    // window shows as calib_shuffle_s drift even when calib_s is flat.
+    // Reported as `calib_shuffle_s` (min of the two bracketing runs) —
+    // an ADDITION to the line; the timed queries are untouched.
+    def calibShuffleOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 10000000L, 1L, cpus.toInt)
+        .selectExpr("pmod(xxhash64(id), 1000000) AS k", "id AS v")
+        .groupBy("k").agg(org.apache.spark.sql.functions.sum("v").as("s"))
+        .selectExpr("bit_xor(s)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
     val calib0 = calibOnce()
+    val calibSh0 = calibShuffleOnce()
     val load0 = loadavg
     val gc0 = gcMillis
     // Interleaved passes: every pass visits all queries in sorted order,
@@ -164,7 +181,9 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     def loadJson(l: Seq[Double]): String = l.map(f3).mkString("[", ",", "]")
     val calib1 = calibOnce()
+    val calibSh1 = calibShuffleOnce()
     val calibS = math.min(calib0, calib1)
+    val calibShS = math.min(calibSh0, calibSh1)
     // Field ORDER is load-bearing (round 21, VERDICT #2): the driver
     // parses a bounded stdout TAIL, and a 177-query line overflows it
     // from the HEAD — round 20's PERF comparison got n_common=0 because
@@ -182,6 +201,8 @@ object Bench {
       s""""total_med":${f3(totalMed)},"gc_sec":${f3(gcSec)},""" +
       s""""calib_s":${f3(calibS)},"calib_start":${f3(calib0)},""" +
       s""""calib_end":${f3(calib1)},""" +
+      s""""calib_shuffle_s":${f3(calibShS)},""" +
+      s""""calib_shuffle_start":${f3(calibSh0)},"calib_shuffle_end":${f3(calibSh1)},""" +
       s""""load_start":${loadJson(load0)},"load_end":${loadJson(loadavg)},""" +
       s""""cpus":$cpus,""" +
       s""""failed":$failedJson,"value":${f3(total)},"sf":"$sfDir"}"""
